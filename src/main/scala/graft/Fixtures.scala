@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta.{Checkpoints, DeltaLog, DeltaWriter}
+
+/**
+ * Deterministic Delta-table fixtures derived from the driver's parquet
+ * testdata (TESTDATA.md), mirroring the reference's generated-table corpus
+ * (reference scripts/data_generator/generate_test_data.py): plain,
+ * multi-commit (+checkpoint), and partitioned variants. The original
+ * parquet stays the correctness oracle — the DAT delta-vs-parquet pattern
+ * (reference test/sql/dat/all.test:13-287).
+ *
+ * Fixtures are cached under /tmp keyed by (generation, sf dir, table,
+ * variant); creation is idempotent and guarded by a marker file.
+ */
+object Fixtures {
+  /** Bump when the writer's on-disk output changes shape. */
+  private val GEN = "g3"
+
+  sealed trait Variant { def name: String }
+  /** Single commit, 4 range-partitioned files (stats-skipping friendly). */
+  case object Plain extends Variant { val name = "plain" }
+  /** Three commits split by `splitCol % 3`, checkpoint after commit 1. */
+  case object Multi extends Variant { val name = "multi" }
+  /** Hive-partitioned by the table's partition column. */
+  case object Part extends Variant { val name = "part" }
+
+  private case class Spec(splitCol: String, rangeCol: String, partCol: String)
+  private val specs: Map[String, Spec] = Map(
+    "lineitem" -> Spec("l_orderkey", "l_orderkey", "l_returnflag"),
+    "orders" -> Spec("o_orderkey", "o_orderkey", "o_orderpriority"),
+    "customer" -> Spec("c_custkey", "c_custkey", "c_mktsegment"),
+    "documents" -> Spec("doc_id", "doc_id", "lang"),
+    "embeddings" -> Spec("vec_id", "vec_id", "label"),
+    "events" -> Spec("event_id", "event_id", "event_type"),
+    "part" -> Spec("p_partkey", "p_partkey", "p_brand"),
+    "supplier" -> Spec("s_suppkey", "s_suppkey", "s_nationkey"),
+    "nation" -> Spec("n_nationkey", "n_nationkey", "n_regionkey"),
+    "region" -> Spec("r_regionkey", "r_regionkey", "r_name"))
+
+  def parquetPath(sfDir: String, table: String): String =
+    s"${sfDir.stripSuffix("/")}/$table.parquet"
+
+  def readParquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(parquetPath(sfDir, table))
+
+  private def fixtureRoot: String =
+    sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+
+  private def dirFor(sfDir: String, table: String, variant: Variant): String = {
+    val sfKey = sfDir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    s"$fixtureRoot/$GEN/$sfKey/${table}_${variant.name}"
+  }
+
+  /** Path to the Delta fixture, building it on first use. */
+  def delta(spark: SparkSession, sfDir: String, table: String,
+      variant: Variant = Plain): String = synchronized {
+    val dir = dirFor(sfDir, table, variant)
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    // wipe partial builds
+    val dirPath = Paths.get(dir)
+    if (Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    DeltaLog.clearCache()
+    val spec = specs.getOrElse(table,
+      throw new IllegalArgumentException(s"No fixture spec for table $table"))
+    val src = readParquet(spark, sfDir, table)
+    variant match {
+      case Plain =>
+        DeltaWriter.append(spark, src.repartitionByRange(4, col(spec.rangeCol)), dir)
+      case Multi =>
+        for (i <- 0 to 2) {
+          val slice = src.filter(col(spec.splitCol) % 3 === i)
+            .repartitionByRange(2, col(spec.rangeCol))
+          DeltaWriter.append(spark, slice, dir)
+          if (i == 1) Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
+        }
+      case Part =>
+        DeltaWriter.append(spark, src, dir, partitionBy = Seq(spec.partCol))
+    }
+    Files.createFile(marker)
+    dir
+  }
+}

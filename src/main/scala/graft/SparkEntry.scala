@@ -1,13 +1,124 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta.DeltaTable
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator/surface from SURVEY.md §2,
+  * expressed Spark-first; `oracleSql` holds the equivalent DuckDB SQL over
+  * the same parquet tables (the DAT delta-vs-parquet oracle pattern,
+  * reference test/sql/dat/all.test). Aggregates are rounded on both sides
+  * so double accumulation order can't flip the hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Fixtures.readParquet(s, dir, "lineitem")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * TPC-H Q1-shaped aggregate over a Delta copy of lineitem read through
+    * our scan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val path = Fixtures.delta(spark, dir, "lineitem", Fixtures.Plain)
+    q1Shape(DeltaTable.forPath(spark, path).toDF)
+  }
+
+  /** TPC-H Q1 shape (reference benchmark/tpch/.../q01.benchmark). */
+  private def q1Shape(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational surface over parquet (Catalyst built-ins, §2.2) ---
+    "q1_agg" -> ((s, dir) => q1Shape(li(s, dir))),
+
+    // --- delta_scan: log replay + our FileIndex (§2.1 #1/#2) ---
+    "delta_scan_agg" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Plain)
+      q1Shape(DeltaTable.forPath(s, p).toDF)
+    }),
+
+    // --- stats-based file skipping (§2.1 #4): selective range predicate ---
+    "delta_file_skip" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Plain)
+      DeltaTable.forPath(s, p).toDF
+        .filter(col("l_orderkey") < 100)
+        .groupBy(col("l_orderkey")).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // --- partition pruning on a hive-partitioned delta table (§2.1 #6) ---
+    "delta_partition_prune" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Part)
+      DeltaTable.forPath(s, p).toDF
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus")).agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // --- time travel over a multi-commit log with checkpoint (§2.1 #11/#16) ---
+    "delta_time_travel" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Multi)
+      DeltaTable.forPath(s, p).toDF(versionAsOf = 1)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    // --- multi-commit incremental snapshot: latest version after checkpoint ---
+    "delta_multi_commit" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Multi)
+      q1Shape(DeltaTable.forPath(s, p).toDF)
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "delta_scan_agg" -> q1Sql,
+    "delta_file_skip" ->
+      """SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_orderkey < 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "delta_partition_prune" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "delta_time_travel" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 <= 1""".stripMargin,
+    "delta_multi_commit" -> q1Sql
+  )
 }

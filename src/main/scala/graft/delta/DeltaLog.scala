@@ -1,0 +1,195 @@
+package graft.delta
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Transaction-log reader/replayer for one Delta table — the Scala
+ * replacement for the delta-kernel-rs snapshot machinery the reference
+ * drives through `DeltaMultiFileList`
+ * (reference: src/functions/delta_scan/delta_multi_file_list.cpp:527-744).
+ *
+ * Responsibilities: list `_delta_log`, read `_last_checkpoint` + the
+ * checkpoint parquet, apply newer JSON commits with add/remove
+ * reconciliation, resolve a version (`versionAsOf` ≈ `AT (VERSION => n)`,
+ * reference src/storage/delta_catalog.cpp:13-23), cache snapshots and
+ * replay incrementally (≈ PIN_SNAPSHOT / snapshot-hint behavior,
+ * reference delta_multi_file_list.cpp:694-744).
+ *
+ * Scale notes: JSON commits are small and parsed on the driver; the
+ * checkpoint is parquet and is read through Spark (distributed parse,
+ * driver only materializes the reconciled file list — the same thing any
+ * Spark file-source plan needs at planning time).
+ */
+class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path) {
+  val logPath = new Path(tablePath, "_delta_log")
+  @transient lazy val fs: FileSystem =
+    logPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  @volatile private var cachedLatest: Option[Snapshot] = None
+  private val versionCache = new ConcurrentHashMap[Long, Snapshot]()
+
+  def tableExists: Boolean = fs.exists(logPath) && listCommitVersions().nonEmpty
+
+  // ---------------- log listing ----------------
+
+  private val commitRe = raw"(\d{20})\.json".r
+  private val checkpointRe = raw"(\d{20})\.checkpoint\.parquet".r
+
+  def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
+  def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.parquet")
+
+  def listCommitVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case commitRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  def listCheckpointVersions(): Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case checkpointRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  /** `_last_checkpoint` pointer, if present. */
+  def lastCheckpointVersion(): Option[Long] = {
+    val p = new Path(logPath, "_last_checkpoint")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      Option(ActionJson.mapper.readTree(txt).get("version")).map(_.asLong)
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  // ---------------- snapshot construction ----------------
+
+  /** Latest snapshot, incrementally replayed on top of the cached one when
+    * possible (reference "snapshot hint" behavior). */
+  def update(): Snapshot = synchronized {
+    val versions = listCommitVersions()
+    if (versions.isEmpty)
+      throw new IllegalStateException(s"Not a Delta table (no _delta_log): $tablePath")
+    val latest = versions.last
+    cachedLatest match {
+      case Some(s) if s.version == latest => s
+      case Some(s) if s.version < latest =>
+        val snap = replayOnTop(s, versions.filter(_ > s.version))
+        cachedLatest = Some(snap); versionCache.put(latest, snap); snap
+      case _ =>
+        val snap = snapshotAt(latest)
+        cachedLatest = Some(snap); snap
+    }
+  }
+
+  /** Snapshot at a pinned version — time travel (`versionAsOf`). */
+  def snapshotAt(version: Long): Snapshot = {
+    val cached = versionCache.get(version)
+    if (cached != null) return cached
+    val versions = listCommitVersions()
+    if (!versions.contains(version))
+      throw new IllegalArgumentException(
+        s"Version $version not found for table $tablePath (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
+    // Start from the newest checkpoint at or below the target version.
+    val cpVersion = listCheckpointVersions().filter(_ <= version).lastOption
+    val base: Seq[Action] = cpVersion.map(readCheckpoint).getOrElse(Nil)
+    val replay = new LogReplay
+    base.foreach(replay.apply)
+    versions.filter(v => v > cpVersion.getOrElse(-1L) && v <= version)
+      .foreach(v => readCommit(v).foreach(replay.apply))
+    val snap = replay.toSnapshot(this, version)
+    versionCache.put(version, snap)
+    snap
+  }
+
+  private def replayOnTop(base: Snapshot, newerVersions: Seq[Long]): Snapshot = {
+    val replay = LogReplay.fromSnapshot(base)
+    newerVersions.foreach(v => readCommit(v).foreach(replay.apply))
+    replay.toSnapshot(this, newerVersions.last)
+  }
+
+  def readCommit(v: Long): Seq[Action] = {
+    val in = fs.open(commitFile(v))
+    try {
+      val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      txt.split('\n').toSeq.flatMap(ActionJson.parseLine)
+    } finally in.close()
+  }
+
+  /** Checkpoint parquet → actions. Columns are the action struct fields, so
+    * each row's JSON rendering is exactly one log line. Parsed distributed,
+    * collected as reconciled state only. */
+  def readCheckpoint(v: Long): Seq[Action] = {
+    spark.read.parquet(checkpointFile(v).toString)
+      .toJSON.collect().toSeq.flatMap(ActionJson.parseLine)
+  }
+
+  def invalidateCache(): Unit = synchronized {
+    cachedLatest = None
+    versionCache.clear()
+  }
+}
+
+object DeltaLog {
+  private val cache = new ConcurrentHashMap[String, DeltaLog]()
+
+  def forPath(spark: SparkSession, path: String): DeltaLog = {
+    val p = new Path(path)
+    cache.computeIfAbsent(p.toString, _ => new DeltaLog(spark, p))
+  }
+
+  def clearCache(): Unit = cache.clear()
+}
+
+/** Forward log replay with add/remove reconciliation, keyed by URL-decoded
+  * file path (reference reconciliation in delta-kernel; path decode at
+  * delta_multi_file_list.cpp:26-42). */
+private[delta] class LogReplay {
+  var protocol: Protocol = Protocol()
+  var metadata: Metadata = _
+  val adds = new mutable.LinkedHashMap[String, AddFile]
+  val txns = new mutable.HashMap[String, Long]
+  val domains = new mutable.LinkedHashMap[String, DomainMetadata]
+
+  def apply(a: Action): Unit = {
+    a.protocol.foreach(protocol = _)
+    a.metaData.foreach(metadata = _)
+    a.add.foreach(f => adds.put(f.decodedPath, f))
+    a.remove.foreach(r => adds.remove(r.decodedPath))
+    a.txn.foreach(t => txns.put(t.appId, t.version))
+    a.domainMetadata.foreach { d =>
+      if (d.removed) domains.remove(d.domain) else domains.put(d.domain, d)
+    }
+  }
+
+  def toSnapshot(log: DeltaLog, version: Long): Snapshot = {
+    require(metadata != null, s"No metaData action found replaying ${log.tablePath} @ $version")
+    new Snapshot(log, version, protocol, metadata, adds.values.toVector,
+      txns.toMap, domains.values.toVector)
+  }
+}
+
+private[delta] object LogReplay {
+  def fromSnapshot(s: Snapshot): LogReplay = {
+    val r = new LogReplay
+    r.protocol = s.protocol
+    r.metadata = s.metadata
+    s.allFiles.foreach(f => r.adds.put(f.decodedPath, f))
+    r.txns ++= s.setTransactions
+    s.domainMetadata.foreach(d => r.domains.put(d.domain, d))
+    r
+  }
+}

@@ -1,0 +1,89 @@
+package graft.delta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * User-facing table handle — the Spark analog of the reference's
+ * `ATTACH ... (TYPE delta)` catalog surface plus its metadata table
+ * functions (src/delta_extension.cpp:21-93; src/storage/delta_catalog.cpp;
+ * src/functions/delta_metadata_scan.cpp; src/functions/delta_domain_metadata.cpp).
+ *
+ * - `toDF()` / `toDF(versionAsOf)` ≈ `delta_scan(path)` / `AT (VERSION => n)`
+ * - `attach(name)` ≈ ATTACH: registers a temp view
+ * - `pin()` ≈ PIN_SNAPSHOT: a handle fixed at the current version
+ * - `listFiles` ≈ `delta_list_files` / `delta_metadata`
+ * - `domainMetadata` ≈ `delta_domain_metadata`
+ * - `getTransactionVersion` ≈ `delta_get_transaction_version`
+ */
+class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
+    pinnedVersion: Option[Long] = None) {
+
+  def snapshot: Snapshot =
+    pinnedVersion.map(log.snapshotAt).getOrElse(log.update())
+
+  def version: Long = snapshot.version
+
+  def toDF: DataFrame = snapshot.toDF
+
+  /** Time travel (`AT (VERSION => n)` / `versionAsOf`). */
+  def toDF(versionAsOf: Long): DataFrame = log.snapshotAt(versionAsOf).toDF
+
+  /** ATTACH analog: register as a temp view (optionally pinned). */
+  def attach(name: String, pinSnapshot: Boolean = false): DeltaTable = {
+    val t = if (pinSnapshot) pin() else this
+    t.toDF.createOrReplaceTempView(name)
+    t
+  }
+
+  /** PIN_SNAPSHOT analog: handle frozen at the current (or given) version. */
+  def pin(): DeltaTable = new DeltaTable(spark, log, Some(snapshot.version))
+  def at(version: Long): DeltaTable = new DeltaTable(spark, log, Some(version))
+
+  /** `delta_list_files`/`delta_metadata` analog: one row per live data file
+    * (schema mirrors delta_metadata_scan.cpp:17-148). */
+  def listFiles(version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val s = version.map(log.snapshotAt).getOrElse(snapshot)
+    s.allFiles.map { f =>
+      (f.decodedPath, f.parsedStats.flatMap(_.numRecords),
+        f.partitionValues.map { case (k, v) => (k, Option(v)) },
+        f.deletionVector.isDefined,
+        f.deletionVector.map(_.cardinality).getOrElse(0L))
+    }.toDF("data_file", "cardinality", "partitions", "have_deletes", "delete_count")
+  }
+
+  /** `delta_domain_metadata` analog. */
+  def domainMetadata(version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val s = version.map(log.snapshotAt).getOrElse(snapshot)
+    s.domainMetadata.map(d => (d.domain, d.configuration))
+      .toDF("domain", "configuration")
+  }
+
+  /** `delta_get_transaction_version` analog. */
+  def getTransactionVersion(appId: String): Option[Long] =
+    snapshot.setTransactions.get(appId)
+
+  /** Commit history from commitInfo actions (small helper; not in the
+    * reference surface but free given the log). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    log.listCommitVersions().flatMap { v =>
+      log.readCommit(v).flatMap(_.commitInfo).map(ci =>
+        (v, ci.timestamp, ci.operation, ci.engineInfo))
+    }.toDF("version", "timestamp", "operation", "engineInfo")
+  }
+
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil,
+      txnAppId: Option[String] = None, txnVersion: Option[Long] = None): Long =
+    DeltaWriter.append(spark, df, log.tablePath.toString, partitionBy,
+      txnAppId = txnAppId, txnVersion = txnVersion)
+
+  /** `CHECKPOINT tbl` analog. */
+  def checkpoint(): Long = Checkpoints.checkpoint(log)
+}
+
+object DeltaTable {
+  def forPath(spark: SparkSession, path: String): DeltaTable =
+    new DeltaTable(spark, DeltaLog.forPath(spark, path))
+}

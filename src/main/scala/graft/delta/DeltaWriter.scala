@@ -1,0 +1,355 @@
+package graft.delta
+
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Blind-append writer + transactional commit — the Spark rebuild of the
+ * reference's INSERT path (src/storage/delta_insert.cpp:304-408: parquet
+ * COPY → per-file WRITTEN_FILE_STATISTICS → NOT NULL enforcement → add
+ * actions → atomic commit, src/storage/delta_transaction.cpp:490-573).
+ *
+ * Execution split mirrors §3.3 of SURVEY.md: parquet writing and the stats
+ * aggregation run distributed on executors; only per-file *metadata* (one
+ * row per file) is collected to the driver for the commit. File moves are
+ * same-filesystem renames (metadata ops).
+ */
+object DeltaWriter {
+
+  private val STATS_PREFIX = "gs_"
+
+  /**
+   * Append `df` to the Delta table at `path`, creating it when absent.
+   *
+   * @param txnAppId/txnVersion idempotent-write marker: when the table has
+   *   already recorded a version >= txnVersion for txnAppId, the append is
+   *   skipped (reference idempotency_helpers.cpp:41-145; enforcement
+   *   delta_transaction.cpp:415-462).
+   * @return committed version (or the current version on idempotent skip)
+   */
+  def append(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None,
+      operation: String = "WRITE"): Long = {
+
+    val log = DeltaLog.forPath(spark, path)
+    val fs = log.fs
+    val exists = log.tableExists
+    val snapshot = if (exists) Some(log.update()) else None
+
+    // idempotent skip before doing any work
+    for (app <- txnAppId; v <- txnVersion; s <- snapshot;
+         cur <- s.setTransactions.get(app) if cur >= v) {
+      return s.version
+    }
+
+    val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
+    val tableSchema = snapshot.map(_.schema).getOrElse(df.schema)
+
+    // column alignment + schema validation against the table
+    val aligned = snapshot match {
+      case Some(s) =>
+        val have = df.columns.map(_.toLowerCase).toSet
+        val want = s.schema.fieldNames.map(_.toLowerCase).toSet
+        require(have == want,
+          s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
+        df.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
+      case None => df
+    }
+
+    // reference rejects writes when array elements carry NOT NULL
+    // constraints (delta_table_entry.cpp:99-103)
+    tableSchema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(_, false) =>
+          throw new UnsupportedOperationException(
+            s"Writes to tables with non-nullable array elements are not supported (column ${f.name})")
+        case _ => ()
+      }
+    }
+
+    // 1. stage parquet files (executors)
+    // no leading dot/underscore: the staging dir is read back with
+    // spark.read for the stats pass, and hidden-path filters would skip it
+    val stagingName = s"tmp-stage-${UUID.randomUUID}"
+    val staging = new Path(log.tablePath, stagingName)
+    aligned.write
+      .mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(staging.toString)
+
+    val moved = ArrayBuffer.empty[Path]
+    try {
+      // 2. per-file stats, computed distributed, one row per file collected
+      val statsByFile = collectStats(spark, staging.toString, tableSchema, partCols)
+
+      // 3. NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)
+      val notNullCols = tableSchema.fields.filterNot(_.nullable).map(_.name)
+      if (notNullCols.nonEmpty) {
+        statsByFile.values.foreach { fileStats =>
+          notNullCols.foreach { c =>
+            if (fileStats.nullCounts.getOrElse(c, 0L) > 0)
+              throw new IllegalStateException(
+                s"NOT NULL constraint violated for column: $c")
+          }
+        }
+      }
+
+      // 4. move staged files into the table directory; build add actions
+      val staged = listRecursive(fs, staging)
+        .filter(p => p.getName.endsWith(".parquet"))
+      val adds = staged.map { sf =>
+        val rel = relativize(staging, sf)
+        val target = new Path(log.tablePath, rel)
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(sf, target))
+          throw new IllegalStateException(s"Failed to move $sf -> $target")
+        moved += target
+        val st = fs.getFileStatus(target)
+        val key = sf.toUri.getPath
+        val fileStats = statsByFile.get(key)
+        AddFile(
+          path = encodePath(rel),
+          partitionValues = partitionValuesFromPath(rel, partCols),
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
+          dataChange = true,
+          stats = fileStats.map(_.toJson))
+      }
+
+      // 5. commit (with blind-append retry on version conflict)
+      val commitResult = commitAppend(log, snapshot, adds.toSeq, tableSchema, partCols,
+        configuration, txnAppId, txnVersion, operation)
+      fs.delete(staging, true)
+      commitResult
+    } catch {
+      case t: Throwable =>
+        // rollback: delete everything we moved + the staging dir
+        moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        try fs.delete(staging, true) catch { case _: Exception => () }
+        throw t
+    }
+  }
+
+  // -------------------------------------------------------------------------
+
+  private case class FileStats(
+      numRecords: Long,
+      mins: Map[String, Any],
+      maxs: Map[String, Any],
+      nullCounts: Map[String, Long]) {
+    def toJson: String = {
+      val root = ActionJson.mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      def putVals(field: String, m: Map[String, Any]): Unit = {
+        val o = root.putObject(field)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) => putStat(o, k, v) }
+      }
+      putVals("minValues", mins)
+      putVals("maxValues", maxs)
+      val nc = root.putObject("nullCount")
+      nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
+      root.put("tightBounds", true)
+      ActionJson.mapper.writeValueAsString(root)
+    }
+  }
+
+  private def putStat(o: ObjectNode, k: String, v: Any): Unit = v match {
+    case null => ()
+    case b: Byte => o.put(k, b.toInt)
+    case s: Short => o.put(k, s.toInt)
+    case i: Int => o.put(k, i)
+    case l: Long => o.put(k, l)
+    case f: Float => if (!f.isNaN && !f.isInfinite) o.put(k, f)
+    case d: Double => if (!d.isNaN && !d.isInfinite) o.put(k, d)
+    case d: java.math.BigDecimal => o.put(k, d)
+    case s: String => o.put(k, s)
+    case b: Boolean => o.put(k, b)
+    case t: java.sql.Timestamp => o.put(k, t.toInstant.toString)
+    case d: java.sql.Date => o.put(k, d.toLocalDate.toString)
+    case ldt: java.time.LocalDateTime => o.put(k, ldt.toString)
+    case other => o.put(k, other.toString)
+  }
+
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType | _: StringType |
+         _: BooleanType | _: DateType | _: TimestampType | _: TimestampNTZType => true
+    case _ => false
+  }
+
+  /** One distributed pass over the staged files: per-file numRecords +
+    * min/max/nullCount per data column (the analog of DuckDB's
+    * WRITTEN_FILE_STATISTICS rows, delta_insert.cpp:114-234). */
+  private def collectStats(
+      spark: SparkSession,
+      staging: String,
+      tableSchema: StructType,
+      partCols: Seq[String]): Map[String, FileStats] = {
+    val dataFields = tableSchema.fields.filterNot(f => partCols.contains(f.name))
+    val read = spark.read.parquet(staging)
+    val aggs = ArrayBuffer[org.apache.spark.sql.Column](count(lit(1)).as(s"${STATS_PREFIX}n"))
+    dataFields.foreach { f =>
+      if (statsEligible(f.dataType)) {
+        aggs += min(col(s"`${f.name}`")).as(s"${STATS_PREFIX}min_${f.name}")
+        aggs += max(col(s"`${f.name}`")).as(s"${STATS_PREFIX}max_${f.name}")
+      }
+      aggs += sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L))
+        .as(s"${STATS_PREFIX}nc_${f.name}")
+    }
+    val rows = read
+      .groupBy(col("_metadata.file_path").as(s"${STATS_PREFIX}file"))
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect()
+    rows.map { r =>
+      val file = new Path(r.getAs[String](s"${STATS_PREFIX}file")).toUri.getPath
+      val mins = Map.newBuilder[String, Any]
+      val maxs = Map.newBuilder[String, Any]
+      val ncs = Map.newBuilder[String, Long]
+      dataFields.foreach { f =>
+        if (statsEligible(f.dataType)) {
+          val mn = r.getAs[Any](s"${STATS_PREFIX}min_${f.name}")
+          val mx = r.getAs[Any](s"${STATS_PREFIX}max_${f.name}")
+          if (mn != null) mins += f.name -> mn
+          if (mx != null) maxs += f.name -> mx
+        }
+        val nc = r.getAs[Any](s"${STATS_PREFIX}nc_${f.name}")
+        if (nc != null) ncs += f.name -> nc.asInstanceOf[Long]
+      }
+      file -> FileStats(r.getAs[Long](s"${STATS_PREFIX}n"), mins.result(), maxs.result(), ncs.result())
+    }.toMap
+  }
+
+  // -------------------------------------------------------------------------
+
+  private def listRecursive(fs: FileSystem, dir: Path): Seq[Path] = {
+    val out = ArrayBuffer.empty[Path]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) out += it.next().getPath
+    out.toSeq
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val s = p.toUri.getPath
+    require(s.startsWith(b + "/"), s"$p not under $base")
+    s.substring(b.length + 1)
+  }
+
+  /** URL-encode each path segment, keeping '/' (protocol `add.path` form). */
+  private def encodePath(rel: String): String =
+    rel.split('/').map(seg =>
+      URLEncoder.encode(seg, StandardCharsets.UTF_8).replace("+", "%20")).mkString("/")
+
+  /** Hive-style `col=val` dirs → protocol partitionValues (null for
+    * __HIVE_DEFAULT_PARTITION__; values %-unescaped). Reference equivalent:
+    * partition map from kernel transform, delta_multi_file_list.cpp:347-417. */
+  private def partitionValuesFromPath(rel: String, partCols: Seq[String]): Map[String, String] = {
+    if (partCols.isEmpty) return Map.empty
+    val dirs = rel.split('/').dropRight(1)
+    dirs.flatMap { d =>
+      val i = d.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = unescapePathName(d.substring(0, i))
+        val v = unescapePathName(d.substring(i + 1))
+        Some(k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }.toMap
+  }
+
+  /** Hive path unescape (%XX only — '+' stays itself, unlike URLDecoder). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // -------------------------------------------------------------------------
+
+  /** Build + atomically write the commit JSON; retry blind appends on
+    * version conflict (up to 10 attempts). */
+  private def commitAppend(
+      log: DeltaLog,
+      baseSnapshot: Option[Snapshot],
+      adds: Seq[AddFile],
+      schema: StructType,
+      partCols: Seq[String],
+      configuration: Map[String, String],
+      txnAppId: Option[String],
+      txnVersion: Option[Long],
+      operation: String): Long = {
+
+    var snapshot = baseSnapshot
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val version = snapshot.map(_.version + 1).getOrElse(0L)
+      val actions = ArrayBuffer.empty[Action]
+      actions += Action(CommitInfo(System.currentTimeMillis(), operation,
+        Map("partitionBy" -> partCols.mkString(","))))
+      if (snapshot.isEmpty) {
+        actions += Action(Protocol())
+        actions += Action(graft.delta.Metadata(
+          id = UUID.randomUUID.toString,
+          schemaString = schema.json,
+          partitionColumns = partCols,
+          configuration = configuration,
+          createdTime = Some(System.currentTimeMillis())))
+      }
+      for (app <- txnAppId; v <- txnVersion)
+        actions += Action(SetTransaction(app, v, Some(System.currentTimeMillis())))
+      adds.foreach(a => actions += Action(a))
+
+      val content = actions.map(ActionJson.toJson).mkString("", "\n", "\n")
+      try {
+        LogStore.write(log.fs, log.commitFile(version), content)
+        log.invalidateCache()
+        return version
+      } catch {
+        case _: CommitConflictException if attempt < 10 =>
+          log.invalidateCache()
+          val latest = log.update()
+          // idempotent skip may now apply
+          for (app <- txnAppId; v <- txnVersion;
+               cur <- latest.setTransactions.get(app) if cur >= v) {
+            // another writer already performed this txn — drop our files
+            adds.foreach { a =>
+              try log.fs.delete(new Path(log.tablePath, a.decodedPath), false)
+              catch { case _: Exception => () }
+            }
+            return latest.version
+          }
+          require(latest.metadata.schemaString == schema.json ||
+              latest.metadata.schema.fieldNames.sameElements(schema.fieldNames),
+            s"Concurrent metadata change on ${log.tablePath}")
+          snapshot = Some(latest)
+      }
+    }
+    -1L // unreachable
+  }
+}

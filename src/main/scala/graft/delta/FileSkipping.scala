@@ -1,0 +1,303 @@
+package graft.delta
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lazily parsed add-action `stats` JSON. Values stay as JsonNode and are
+  * normalized per column type on demand. */
+final case class ParsedStats(
+    numRecords: Option[Long],
+    minValues: Map[String, JsonNode],
+    maxValues: Map[String, JsonNode],
+    nullCount: Map[String, Long])
+
+object ParsedStats {
+  def parse(json: String): Option[ParsedStats] =
+    try {
+      val n = ActionJson.mapper.readTree(json)
+      def fields(f: String): Map[String, JsonNode] =
+        Option(n.get(f)).filterNot(_.isNull).map { o =>
+          val it = o.properties().iterator()
+          val b = Map.newBuilder[String, JsonNode]
+          while (it.hasNext) { val e = it.next(); if (!e.getValue.isNull) b += e.getKey -> e.getValue }
+          b.result()
+        }.getOrElse(Map.empty)
+      Some(ParsedStats(
+        numRecords = Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong),
+        minValues = fields("minValues"),
+        maxValues = fields("maxValues"),
+        nullCount = fields("nullCount").collect { case (k, v) if v.isNumber => k -> v.asLong }))
+    } catch { case _: Exception => None }
+}
+
+/**
+ * Stats-based file skipping: decide, per data file, whether it can possibly
+ * contain rows matching the pushed-down filters, from per-file
+ * min/max/nullCount statistics.
+ *
+ * This is the Spark-side equivalent of the reference's predicate pushdown
+ * into kernel log replay (PredicateVisitor, src/delta_utils.cpp:938-1173):
+ * the same supported subset — =, <>, <, <=, >, >=, IS NULL, IS NOT NULL,
+ * AND (we additionally handle OR, IN and string prefix) — and the same
+ * conservative contract: anything unsupported keeps the file
+ * (delta_utils.cpp:1148-1173 returns "no filter" on unsupported nodes).
+ *
+ * Runs on the driver at planning time over file *metadata* only (cost is
+ * O(#files), never O(rows) — this is what makes a 100 TB scan with a
+ * selective predicate cheap: files that can't match are never scheduled).
+ */
+object FileSkipping {
+
+  /** Returns the files that may contain matching rows. */
+  def prune(files: Seq[AddFile], dataSchema: StructType, filters: Seq[Expression]): Seq[AddFile] = {
+    if (filters.isEmpty) return files
+    val resolved = filters.flatMap(f => if (supportedShape(f)) Some(f) else None)
+    if (resolved.isEmpty) return files
+    files.filter { f =>
+      f.parsedStats match {
+        case Some(st) => resolved.forall(e => mayContain(st, dataSchema, e))
+        case None => true // no stats → cannot skip (reference: kept)
+      }
+    }
+  }
+
+  private def supportedShape(e: Expression): Boolean = e match {
+    case And(l, r) => supportedShape(l) || supportedShape(r)
+    case _ => true // leaves self-report via mayContain returning true
+  }
+
+  // ---- normalized stat/literal values -------------------------------------
+
+  // Kinds: N numeric (BigDecimal), S string, B boolean, T time (Long
+  // micros; dates are converted to micros when mixed with timestamps,
+  // otherwise compared as day numbers).
+  private def kindOf(dt: DataType): Option[Char] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => Some('N')
+    case _: StringType => Some('S')
+    case _: BooleanType => Some('B')
+    case _: DateType => Some('D')
+    case _: TimestampType | _: TimestampNTZType => Some('T')
+    case _ => None
+  }
+
+  /** Catalyst literal internal value → normalized comparable. */
+  private def normLiteral(value: Any, dt: DataType): Option[Any] = {
+    if (value == null) return None
+    dt match {
+      case _: ByteType => Some(BigDecimal(value.asInstanceOf[Byte].toInt))
+      case _: ShortType => Some(BigDecimal(value.asInstanceOf[Short].toInt))
+      case _: IntegerType => Some(BigDecimal(value.asInstanceOf[Int]))
+      case _: LongType => Some(BigDecimal(value.asInstanceOf[Long]))
+      case _: FloatType =>
+        val f = value.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+      case _: DoubleType =>
+        val d = value.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+      case _: DecimalType => Some(value.asInstanceOf[Decimal].toBigDecimal)
+      case _: StringType => Some(value.toString)
+      case _: BooleanType => Some(value.asInstanceOf[Boolean])
+      case _: DateType => Some(value.asInstanceOf[Int].toLong) // days
+      case _: TimestampType | _: TimestampNTZType => Some(value.asInstanceOf[Long]) // micros
+      case _ => None
+    }
+  }
+
+  /** Stats JSON node → normalized comparable, per the column's type. */
+  private def normStat(n: JsonNode, dt: DataType): Option[Any] =
+    try {
+      dt match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          Some(BigDecimal(n.asLong))
+        case _: FloatType | _: DoubleType =>
+          val d = n.asDouble; if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+        case _: DecimalType => Some(BigDecimal(n.asText))
+        case _: StringType => Some(n.asText)
+        case _: BooleanType => Some(n.asBoolean)
+        case _: DateType => Some(java.time.LocalDate.parse(n.asText).toEpochDay)
+        case _: TimestampType =>
+          val i = java.time.Instant.parse(n.asText)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case _: TimestampNTZType =>
+          val ldt = java.time.LocalDateTime.parse(n.asText)
+          Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Long, y: Long) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  // ---- column reference extraction ----------------------------------------
+
+  /** Unwraps the attribute (through safe casts) referenced by `e`, returning
+    * (statsKey, columnType, comparisonType). Nested struct fields surface as
+    * dotted keys, matching how stats for nested columns are laid out. */
+  private def attrOf(e: Expression): Option[(String, DataType)] = e match {
+    case a: AttributeReference => Some((a.name, a.dataType))
+    case GetStructField(child, _, nameOpt) =>
+      attrOf(child).flatMap { case (p, _) =>
+        nameOpt.map(nm => (s"$p.$nm", e.dataType))
+      }
+    case Cast(child, castTo, _, _) =>
+      // Only follow casts that keep our comparison kind compatible
+      attrOf(child).filter { case (_, from) =>
+        (kindOf(from), kindOf(castTo)) match {
+          case (Some('N'), Some('N')) => true
+          case (Some('D'), Some('T')) => true
+          case _ => false
+        }
+      }
+    case _ => None
+  }
+
+  private def litOf(e: Expression): Option[Any] = e match {
+    case Literal(v, dt) => normLiteral(v, dt)
+    case _ => None
+  }
+
+  // Resolve dotted stats key against possibly-nested maps: stats for nested
+  // struct columns are written as nested objects {"a":{"b":min}}.
+  private def lookup(m: Map[String, JsonNode], key: String): Option[JsonNode] = {
+    m.get(key).orElse {
+      val parts = key.split('.')
+      if (parts.length < 2) None
+      else m.get(parts.head).flatMap { top =>
+        parts.tail.foldLeft(Option(top)) { (cur, p) =>
+          cur.flatMap(n => Option(n.get(p)).filterNot(_.isNull))
+        }
+      }
+    }
+  }
+
+  // ---- the decision -------------------------------------------------------
+
+  private case class ColStats(
+      min: Option[Any], max: Option[Any], nullCount: Option[Long], numRecords: Option[Long]) {
+    def allNull: Boolean = (nullCount, numRecords) match {
+      case (Some(nc), Some(nr)) => nc == nr && nr > 0
+      case _ => false
+    }
+    def hasNulls: Option[Boolean] = nullCount.map(_ > 0)
+  }
+
+  private def colStats(st: ParsedStats, schema: StructType, key: String, dt: DataType): ColStats =
+    ColStats(
+      lookup(st.minValues, key).flatMap(n => normStat(n, dt)),
+      lookup(st.maxValues, key).flatMap(n => normStat(n, dt)),
+      st.nullCount.get(key),
+      st.numRecords)
+
+  /** True iff the file may contain rows satisfying `e`. Conservative. */
+  def mayContain(st: ParsedStats, schema: StructType, e: Expression): Boolean = e match {
+    case And(l, r) => mayContain(st, schema, l) && mayContain(st, schema, r)
+    case Or(l, r) => mayContain(st, schema, l) || mayContain(st, schema, r)
+
+    case EqualTo(a, b) => binary(st, schema, a, b) {
+      (cs, v) => !cs.allNull &&
+        cs.min.forall(m => cmp(m, v).forall(_ <= 0)) &&
+        cs.max.forall(m => cmp(m, v).forall(_ >= 0))
+    }
+    case EqualNullSafe(a, b) => binary(st, schema, a, b) {
+      (cs, v) => cs.min.forall(m => cmp(m, v).forall(_ <= 0)) &&
+        cs.max.forall(m => cmp(m, v).forall(_ >= 0))
+    }
+    case LessThan(a, b) =>
+      binaryDirectional(st, schema, a, b)(
+        (cs, v) => !cs.allNull && cs.min.forall(m => cmp(m, v).forall(_ < 0)),
+        (cs, v) => !cs.allNull && cs.max.forall(m => cmp(m, v).forall(_ > 0)))
+    case LessThanOrEqual(a, b) =>
+      binaryDirectional(st, schema, a, b)(
+        (cs, v) => !cs.allNull && cs.min.forall(m => cmp(m, v).forall(_ <= 0)),
+        (cs, v) => !cs.allNull && cs.max.forall(m => cmp(m, v).forall(_ >= 0)))
+    case GreaterThan(a, b) =>
+      binaryDirectional(st, schema, a, b)(
+        (cs, v) => !cs.allNull && cs.max.forall(m => cmp(m, v).forall(_ > 0)),
+        (cs, v) => !cs.allNull && cs.min.forall(m => cmp(m, v).forall(_ < 0)))
+    case GreaterThanOrEqual(a, b) =>
+      binaryDirectional(st, schema, a, b)(
+        (cs, v) => !cs.allNull && cs.max.forall(m => cmp(m, v).forall(_ >= 0)),
+        (cs, v) => !cs.allNull && cs.min.forall(m => cmp(m, v).forall(_ <= 0)))
+
+    case Not(EqualTo(a, b)) => binary(st, schema, a, b) { (cs, v) =>
+      // skippable when every non-null value equals v (nulls never match <>)
+      // or when the file is all-null
+      val allEqualV = (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) => cmp(mn, v).contains(0) && cmp(mx, v).contains(0)
+        case _ => false
+      }
+      !(allEqualV || cs.allNull)
+    }
+
+    case IsNull(a) => attrOf(a) match {
+      case Some((key, dt)) =>
+        colStats(st, schema, key, dt).hasNulls.getOrElse(true)
+      case None => true
+    }
+    case IsNotNull(a) => attrOf(a) match {
+      case Some((key, dt)) => !colStats(st, schema, key, dt).allNull
+      case None => true
+    }
+
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists(l => mayContain(st, schema, EqualTo(a, l)))
+    case InSet(a, hset) =>
+      attrOf(a) match {
+        case Some((key, dt)) =>
+          val cs = colStats(st, schema, key, dt)
+          hset.exists { v =>
+            normLiteral(v, a.dataType) match {
+              case Some(nv) => !cs.allNull &&
+                cs.min.forall(m => cmp(m, nv).forall(_ <= 0)) &&
+                cs.max.forall(m => cmp(m, nv).forall(_ >= 0))
+              case None => true
+            }
+          }
+        case None => true
+      }
+
+    case StartsWith(a, Literal(p, _: StringType)) if p != null =>
+      attrOf(a) match {
+        case Some((key, StringType)) =>
+          val cs = colStats(st, schema, key, StringType)
+          val prefix = p.toString
+          val minOk = cs.min.forall {
+            case s: String => s.take(prefix.length) <= prefix
+            case _ => true
+          }
+          val maxOk = cs.max.forall {
+            case s: String => s.take(prefix.length) >= prefix
+            case _ => true
+          }
+          !cs.allNull && minOk && maxOk
+        case _ => true
+      }
+
+    case _ => true // unsupported → keep file
+  }
+
+  /** attr-op-literal in either orientation; `f` written for (attr op lit). */
+  private def binary(st: ParsedStats, schema: StructType, a: Expression, b: Expression)(
+      f: (ColStats, Any) => Boolean): Boolean =
+    binaryDirectional(st, schema, a, b)(f, f)
+
+  private def binaryDirectional(st: ParsedStats, schema: StructType, a: Expression, b: Expression)(
+      fwd: (ColStats, Any) => Boolean, rev: (ColStats, Any) => Boolean): Boolean = {
+    (attrOf(a), litOf(b)) match {
+      case (Some((key, dt)), Some(v)) => fwd(colStats(st, schema, key, dt), v)
+      case _ =>
+        (attrOf(b), litOf(a)) match {
+          case (Some((key, dt)), Some(v)) => rev(colStats(st, schema, key, dt), v)
+          case _ => true
+        }
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class DeltaCoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-delta-test").toString + "/t"
+
+  test("append + read back round-trips against parquet oracle") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    val v = DeltaWriter.append(spark, src.repartition(3), path)
+    assert(v == 0L)
+    val back = DeltaTable.forPath(spark, path).toDF
+    assert(back.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    assert(back.count() == src.count())
+    val s1 = back.agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    val s2 = src.agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(s1 - s2) / math.max(1.0, math.abs(s2)) < 1e-12)
+  }
+
+  test("multi-commit append reconciles; checkpoint + incremental replay") {
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 0), path)
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, path))
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 1), path)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.version == 1L)
+    assert(t.toDF.count() == src.count())
+    // time travel to v0
+    assert(t.toDF(versionAsOf = 0).count() == src.filter(col("o_orderkey") % 2 === 0).count())
+    // checkpoint actually used: delete the v0 json and re-read fresh
+    DeltaLog.clearCache()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_delta_log",
+      "00000000000000000000.json"))
+    val t2 = DeltaTable.forPath(spark, path)
+    assert(t2.toDF.count() == src.count())
+  }
+
+  test("partitioned write + partition pruning via FileIndex") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path, partitionBy = Seq("l_returnflag"))
+    val t = DeltaTable.forPath(spark, path)
+    val snap = t.snapshot
+    assert(snap.metadata.partitionColumns == Seq("l_returnflag"))
+    assert(snap.allFiles.forall(_.partitionValues.contains("l_returnflag")))
+    GraftMetrics.clear()
+    val got = t.toDF.filter(col("l_returnflag") === "R").count()
+    val want = src.filter(col("l_returnflag") === "R").count()
+    assert(got == want)
+    val ev = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev.nonEmpty && ev.exists(r =>
+      r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")))
+    // whole table still right (partition values injected, not read from files)
+    assert(t.toDF.count() == src.count())
+  }
+
+  test("stats-based file skipping prunes files for selective predicates") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartitionByRange(5, col("l_orderkey")), path)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.snapshot.allFiles.size == 5)
+    GraftMetrics.clear()
+    val maxKey = src.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val got = t.toDF.filter(col("l_orderkey") === maxKey).count()
+    val want = src.filter(col("l_orderkey") === maxKey).count()
+    assert(got == want)
+    val ev = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev.exists(r => r.getAs[Int]("filesAfter") == 1),
+      s"expected skip to 1 file, got ${ev.mkString(";")}")
+  }
+
+  test("idempotent txn append skips duplicate writes") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    val v0 = DeltaWriter.append(spark, src, path, txnAppId = Some("app1"), txnVersion = Some(1L))
+    val v1 = DeltaWriter.append(spark, src, path, txnAppId = Some("app1"), txnVersion = Some(1L))
+    assert(v0 == 0L && v1 == 0L)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.toDF.count() == src.count())
+    assert(t.getTransactionVersion("app1").contains(1L))
+    // higher txn version appends
+    DeltaWriter.append(spark, src, path, txnAppId = Some("app1"), txnVersion = Some(2L))
+    assert(t.toDF.count() == 2 * src.count())
+  }
+
+  test("listFiles / domainMetadata / history metadata surfaces") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(2), path)
+    val t = DeltaTable.forPath(spark, path)
+    val lf = t.listFiles().collect()
+    assert(lf.length == 2)
+    assert(lf.map(_.getAs[Long]("cardinality")).sum == src.count())
+    assert(t.domainMetadata().collect().isEmpty)
+    val h = t.history().collect()
+    assert(h.length == 1 && h(0).getAs[String]("operation") == "WRITE")
+  }
+
+  test("NOT NULL enforcement rejects violating appends") {
+    import org.apache.spark.sql.types._
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    // create table whose schema marks r_name non-nullable
+    val strict = StructType(Seq(
+      StructField("r_regionkey", IntegerType, nullable = true),
+      StructField("r_name", StringType, nullable = false)))
+    val df0 = spark.createDataFrame(src.collect().toIndexedSeq.asJava, strict)
+    DeltaWriter.append(spark, df0, path)
+    val bad = src.withColumn("r_name",
+      when(col("r_regionkey") === 0, lit(null: String)).otherwise(col("r_name")))
+    intercept[Exception] {
+      DeltaWriter.append(spark, bad, path)
+    }
+    // failed write must not leave data behind
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+  }
+
+  implicit class ListAsJava[A](l: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val out = new java.util.ArrayList[A]()
+      l.foreach(out.add)
+      out
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.delta._
+
+/** Manual verification probe: drives the public library API off the happy
+  * path (bad paths, bad versions, schema mismatch) and prints what the
+  * user-facing surface does. Run: sbt "Test/runMain graft.ProbeMain" */
+object ProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val sfDir = TestSpark.sfDir
+    def probe(name: String)(f: => Any): Unit =
+      try println(s"PROBE $name -> OK: ${f.toString.take(120)}")
+      catch { case e: Throwable => println(s"PROBE $name -> ${e.getClass.getSimpleName}: ${e.getMessage.take(160)}") }
+
+    probe("open non-delta dir") {
+      DeltaTable.forPath(spark, "/tmp/definitely-not-a-table").toDF.count()
+    }
+    probe("open plain parquet dir as delta") {
+      DeltaTable.forPath(spark, s"$sfDir/lineitem.parquet").toDF.count()
+    }
+    val path = java.nio.file.Files.createTempDirectory("probe").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    probe("create table") { DeltaWriter.append(spark, src, path) }
+    probe("time travel to missing version") {
+      DeltaTable.forPath(spark, path).toDF(versionAsOf = 99).count()
+    }
+    probe("append mismatched schema") {
+      DeltaWriter.append(spark, src.withColumnRenamed("r_name", "bogus"), path)
+    }
+    probe("append extra column") {
+      DeltaWriter.append(spark, src.withColumn("extra", lit(1)), path)
+    }
+    probe("double append then read") {
+      DeltaWriter.append(spark, src, path)
+      DeltaTable.forPath(spark, path).toDF.count()
+    }
+    probe("query pushdown log") {
+      GraftMetrics.clear()
+      val p2 = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+      DeltaTable.forPath(spark, p2).toDF.filter(col("l_orderkey") < 10).count()
+      GraftMetrics.pushdownLog(spark).collect().mkString("; ")
+    }
+    spark.stop()
+  }
+}
