@@ -49,6 +49,19 @@ object Fixtures {
   def readParquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(parquetPath(sfDir, table))
 
+  /** Source read with engine-side normalization: `events.ts` is parquet
+    * TIMESTAMP(NANOS) which Spark cannot represent — read as long
+    * (nanosAsLong) and convert to a micros timestamp losslessly (the
+    * testdata carries micro precision only). */
+  def readNormalized(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
+    val df = readParquet(spark, sfDir, table)
+    if (table == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   private def fixtureRoot: String =
     sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
 
@@ -72,7 +85,7 @@ object Fixtures {
     DeltaLog.clearCache()
     val spec = specs.getOrElse(table,
       throw new IllegalArgumentException(s"No fixture spec for table $table"))
-    val src = readParquet(spark, sfDir, table)
+    val src = readNormalized(spark, sfDir, table)
     variant match {
       case Plain =>
         DeltaWriter.append(spark, src.repartitionByRange(4, col(spec.rangeCol)), dir)

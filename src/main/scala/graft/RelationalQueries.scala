@@ -1,0 +1,258 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.delta.DeltaTable
+
+/**
+ * The relational query surface (SURVEY.md §2.2): joins, aggregations,
+ * windows, rollup/cube/grouping sets, set ops, subqueries, scalar
+ * functions — all Catalyst built-ins, exercised over OUR delta scan, the
+ * same way the reference exercises DuckDB core over `delta_scan` views
+ * (reference benchmark/tpch/sf1/local/delta/q01..q22.benchmark).
+ *
+ * Each SQL string runs verbatim on Spark (over delta-backed temp views)
+ * and on DuckDB (over the original parquet) — maximum oracle parity.
+ * Dialect rules: shared-subset SQL only; every aggregate over doubles is
+ * rounded; every output deterministically ordered with unique tiebreaks;
+ * NULLS FIRST spelled out (Spark and DuckDB defaults differ).
+ */
+object RelationalQueries {
+
+  /** Tables served from Delta fixtures (big/fact tables — these exercise
+    * the scan); the small dims stay parquet views. */
+  private val deltaTables = Seq("lineitem", "orders", "customer", "events",
+    "documents", "embeddings")
+  private val parquetTables = Seq("part", "supplier", "nation", "region")
+
+  private val ready = new ConcurrentHashMap[String, Boolean]()
+
+  /** Register temp views for `dir` (delta-backed facts + parquet dims). */
+  def ensureViews(s: SparkSession, dir: String): Unit = synchronized {
+    val key = System.identityHashCode(s) + "|" + dir
+    if (ready.containsKey(key)) return
+    deltaTables.foreach { t =>
+      val p = Fixtures.delta(s, dir, t, Fixtures.Plain)
+      DeltaTable.forPath(s, p).toDF.createOrReplaceTempView(t)
+    }
+    parquetTables.foreach { t =>
+      Fixtures.readParquet(s, dir, t).createOrReplaceTempView(t)
+    }
+    ready.put(key, true)
+  }
+
+  /** name → SQL that runs identically on Spark and DuckDB. */
+  val sql: Map[String, String] = Map(
+    // --- joins ---
+    "q3_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_left_join_null" ->
+      """SELECT n_name, count(o_orderkey) AS orders_n, count(*) AS rows_n
+        |FROM nation
+        |LEFT JOIN customer ON c_nationkey = n_nationkey
+        |LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // --- subqueries ---
+    "q_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // --- grouping extensions ---
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "q_having" ->
+      """SELECT l_partkey, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING count(*) >= 8
+        |ORDER BY l_partkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nations, count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // --- windows ---
+    "q_window_rank" ->
+      """SELECT c_mktsegment, o_orderkey, rnk
+        |FROM (SELECT c_mktsegment, o_orderkey,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders JOIN customer ON c_custkey = o_custkey) t
+        |WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events
+        |WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        | coalesce(round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2), 0.0) AS delta_v
+        |FROM events
+        |WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // --- set operations ---
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'high' AS bucket, count(*) AS n
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |UNION ALL
+        |SELECT 'low' AS bucket, count(*) AS n
+        |FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW')
+        |ORDER BY bucket""".stripMargin,
+
+    // --- sorts / top-k ---
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // --- scalar functions ---
+    "q_string_funcs" ->
+      """SELECT p_brand, count(*) AS n, min(upper(p_name)) AS mn,
+        | max(length(p_name)) AS mx
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n
+        |FROM orders
+        |GROUP BY yr, mo
+        |ORDER BY yr, mo""".stripMargin,
+    "q_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'big' END AS bucket,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_regexp_extract" ->
+      """SELECT cast(regexp_extract(props, '([0-9]+)', 1) AS INT) % 10 AS k_mod,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events
+        |WHERE event_type IN ('click','view')
+        |GROUP BY h, event_type
+        |ORDER BY h, event_type""".stripMargin
+  )
+
+  /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
+    * code): name → (impl, oracle SQL). */
+  def dataframeQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_broadcast_join" -> (((s: SparkSession, dir: String) => {
+      ensureViews(s, dir)
+      val cust = s.table("customer")
+      val nat = Fixtures.readParquet(s, dir, "nation")
+      // explicit broadcast: dim fits on every executor, no shuffle of facts
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(col("n_name"))
+    }),
+      """SELECT n_name, count(*) AS n, round(sum(c_acctbal),2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    "q_typed_dataset" -> (((s: SparkSession, dir: String) => {
+      ensureViews(s, dir)
+      import s.implicits._
+      val ds = s.table("lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .as[(String, Double, Double)]
+      ds.filter(_._2 > 40.0) // typed lambda filter
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+}

@@ -56,7 +56,16 @@ object SparkEntry {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.sql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => {
+        RelationalQueries.ensureViews(s, dir); s.sql(q)
+      })
+    } ++
+    RelationalQueries.dataframeQueries.map { case (name, (fn, _)) => name -> fn } ++
+    deltaQueries
+
+  private def deltaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational surface over parquet (Catalyst built-ins, §2.2) ---
     "q1_agg" -> ((s, dir) => q1Shape(li(s, dir))),
 
@@ -105,7 +114,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    RelationalQueries.sql ++
+    RelationalQueries.dataframeQueries.map { case (name, (_, sql)) => name -> sql } ++
+    deltaOracleSql
+
+  private def deltaOracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
     "delta_scan_agg" -> q1Sql,
     "delta_file_skip" ->
