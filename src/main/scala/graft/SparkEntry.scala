@@ -63,6 +63,7 @@ object SparkEntry {
       })
     } ++
     RelationalQueries.dataframeQueries.map { case (name, (fn, _)) => name -> fn } ++
+    PipelineQueries.queries ++
     deltaQueries
 
   private def deltaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,6 +118,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.sql ++
     RelationalQueries.dataframeQueries.map { case (name, (_, sql)) => name -> sql } ++
+    PipelineQueries.oracleSql ++
     deltaOracleSql
 
   private def deltaOracleSql: Map[String, String] = Map(

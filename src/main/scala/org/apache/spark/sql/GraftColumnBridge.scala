@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge between public `Column`s and Catalyst `Expression`s for custom
+ * native expressions. Spark 4 moved the Column↔Expression conversion
+ * behind `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`);
+ * this shim re-exposes it — the same package-placement technique
+ * connector libraries use to extend Spark.
+ */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+import graft.functions.TextHash
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Fixtures.readParquet(spark, sfDir, "documents")
+  private lazy val emb = Fixtures.readParquet(spark, sfDir, "embeddings")
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs with good recall") {
+    val exact = Dedup.jaccardPairs(docs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must all be true pairs")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall too low (lsh=${lsh.size}, exact=${exact.size})")
+    }
+  }
+
+  test("simhash: identical docs collide, near-identical docs are close") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again".split(" ")
+    val t2 = "the quick brown fox jumps over the lazy cat again and again".split(" ")
+    val h1 = TextHash.simhash64(t1.iterator.map(_.getBytes("UTF-8")))
+    val h1b = TextHash.simhash64(t1.iterator.map(_.getBytes("UTF-8")))
+    val h2 = TextHash.simhash64(t2.iterator.map(_.getBytes("UTF-8")))
+    assert(h1 == h1b)
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hamming <= 16, s"one-word change moved $hamming bits")
+    // expression path agrees with the direct implementation
+    import spark.implicits._
+    val viaExpr = Seq(t1.mkString(" ")).toDF("text")
+      .select(TextOps.simhash(col("text"))).collect()(0).getLong(0)
+    assert(viaExpr == h1)
+  }
+
+  test("simhash pairs on documents are symmetric-free and hamming-bounded") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Int]("hamming") <= 10)
+    }
+  }
+
+  test("language id discriminates real multilingual text") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat is on the mat and it was good for all of that", "en"),
+      ("der hund ist nicht auf der couch und das ist gut", "de"),
+      ("el perro es bueno y la casa es grande por las noches", "es"),
+      ("le chien est dans la maison et les chats pas du tout", "fr"),
+      ("我 是 一 个 人 这 是 我 的 家 和 不 少 人", "zh"))
+    val got = samples.toDF("text", "expected")
+      .withColumn("pred", TextOps.langId(col("text")))
+      .collect()
+    got.foreach(r => assert(r.getAs[String]("pred") == r.getAs[String]("expected"),
+      s"misidentified: ${r}"))
+  }
+
+  test("fingerprint is deterministic and text-sensitive") {
+    val fp1 = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val fp2 = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fp1.sameElements(fp2))
+    assert(fp1.distinct.length > 1)
+  }
+
+  test("lsh topk returns k structurally-valid neighbors; recall sane") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.lshTopK(emb, 0L, 10).collect()
+    assert(lsh.length <= 10 && lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getAs[Double]("sim") <= 1.0001 && r.getAs[Double]("sim") >= -1.0001))
+    val recall = lsh.map(_.getAs[Long]("vec_id")).count(brute.contains) / 10.0
+    info(s"lsh recall@10 = $recall (candidates pruned by bucket)")
+  }
+
+  test("multimodal feature extraction is deterministic, batched, complete") {
+    val f1 = Multimodal.mediaFeatures(docs.limit(100)).collect()
+    val f2 = Multimodal.mediaFeatures(docs.limit(100)).collect()
+    assert(f1.length == 100)
+    assert(f1.map(_.toString).sameElements(f2.map(_.toString)))
+    f1.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("media_len") == 256 + (id % 128).toInt)
+      assert(r.getAs[Double]("mean_byte") > 0)
+    }
+  }
+
+  test("dedup exact finds planted duplicates") {
+    import spark.implicits._
+    val planted = docs.select("doc_id", "text")
+      .union(docs.select(col("doc_id") + 100000, col("text")).limit(5))
+    val out = Dedup.exact(planted.withColumnRenamed("doc_id", "doc_id"))
+    val copies = out.agg(sum(when(col("copies") > 1, 1).otherwise(0))).collect()(0).getLong(0)
+    assert(copies == 5, s"expected 5 duplicate groups, got $copies")
+  }
+}
