@@ -20,15 +20,24 @@ import graft.delta.{Checkpoints, DeltaLog, DeltaWriter}
  */
 object Fixtures {
   /** Bump when the writer's on-disk output changes shape. */
-  private val GEN = "g3"
+  private val GEN = "g4"
 
   sealed trait Variant { def name: String }
   /** Single commit, 4 range-partitioned files (stats-skipping friendly). */
   case object Plain extends Variant { val name = "plain" }
-  /** Three commits split by `splitCol % 3`, checkpoint after commit 1. */
+  /** Three commits split by `splitCol % 3` with idempotent txn ids,
+    * checkpoint after commit 1. */
   case object Multi extends Variant { val name = "multi" }
   /** Hive-partitioned by the table's partition column. */
   case object Part extends Variant { val name = "part" }
+  /** Plain + DELETE of `splitCol % 10 = 7` via deletion vectors. */
+  case object Dv extends Variant { val name = "dv" }
+  /** Two commits; the second adds column `bonus = splitCol % 7`
+    * via mergeSchema (old files read as null). */
+  case object Evolve extends Variant { val name = "evolve" }
+  /** Column mapping (name mode): physical parquet names differ from the
+    * logical schema. Read-only per the reference. */
+  case object Mapped extends Variant { val name = "mapped" }
 
   private case class Spec(splitCol: String, rangeCol: String, partCol: String)
   private val specs: Map[String, Spec] = Map(
@@ -93,13 +102,52 @@ object Fixtures {
         for (i <- 0 to 2) {
           val slice = src.filter(col(spec.splitCol) % 3 === i)
             .repartitionByRange(2, col(spec.rangeCol))
-          DeltaWriter.append(spark, slice, dir)
+          DeltaWriter.append(spark, slice, dir,
+            txnAppId = Some("fixture-loader"), txnVersion = Some(i.toLong))
           if (i == 1) Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
         }
       case Part =>
         DeltaWriter.append(spark, src, dir, partitionBy = Seq(spec.partCol))
+      case Dv =>
+        DeltaWriter.append(spark, src.repartitionByRange(4, col(spec.rangeCol)), dir)
+        graft.delta.DeltaTable.forPath(spark, dir)
+          .delete(col(spec.splitCol) % 10 === 7)
+      case Evolve =>
+        DeltaWriter.append(spark, src.filter(col(spec.splitCol) % 2 === 0), dir)
+        DeltaWriter.append(spark,
+          src.filter(col(spec.splitCol) % 2 === 1)
+            .withColumn("bonus", col(spec.splitCol) % 7),
+          dir, mergeSchema = true)
+      case Mapped => buildMapped(spark, src, dir)
     }
     Files.createFile(marker)
     dir
+  }
+
+  /** Column-mapped table: data written under physical names, then a
+    * metaData commit maps them to the logical schema (name mode). */
+  private def buildMapped(spark: SparkSession, src: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val logicalFields = src.schema.fields
+    val physNames = logicalFields.indices.map(i => s"col-${i}-phys")
+    val physical = src.toDF(physNames: _*)
+    DeltaWriter.append(spark, physical, dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val mappedSchema = StructType(logicalFields.zipWithIndex.map { case (f, i) =>
+      f.copy(name = f.name, metadata = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", physNames(i))
+        .putLong("delta.columnMapping.id", i + 1L).build())
+    })
+    val actions = Seq(
+      graft.delta.Action(graft.delta.CommitInfo(
+        System.currentTimeMillis(), "UPGRADE COLUMN MAPPING")),
+      graft.delta.Action(snap.metadata.copy(
+        schemaString = mappedSchema.json,
+        configuration = snap.metadata.configuration +
+          ("delta.columnMapping.mode" -> "name"))))
+    graft.delta.LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      actions.map(graft.delta.ActionJson.toJson).mkString("", "\n", "\n"))
+    log.invalidateCache()
   }
 }

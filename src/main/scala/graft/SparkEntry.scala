@@ -110,6 +110,58 @@ object SparkEntry {
     "delta_multi_commit" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Multi)
       q1Shape(DeltaTable.forPath(s, p).toDF)
+    }),
+
+    // --- deletion vectors: DELETE then scan filters deleted rows (§2.1 #7) ---
+    "delta_dv_scan" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Dv)
+      q1Shape(DeltaTable.forPath(s, p).toDF)
+    }),
+
+    // --- schema evolution: old files yield NULL for the added column (§2.1 #8) ---
+    "delta_schema_evolution" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "orders", Fixtures.Evolve)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("n"),
+          sum(col("bonus")).as("sum_bonus"),
+          sum(when(col("bonus").isNull, 1L).otherwise(0L)).as("null_bonus"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // --- column mapping (name mode): logical names over physical parquet (§1.2) ---
+    "delta_column_mapping" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "nation", Fixtures.Mapped)
+      DeltaTable.forPath(s, p).toDF
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- delta_list_files / delta_metadata analog (§2.1 #17) ---
+    "delta_list_files_agg" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Part)
+      DeltaTable.forPath(s, p).listFiles()
+        .select(col("partitions")("l_returnflag").as("pv"), col("cardinality"))
+        .groupBy(col("pv")).agg(sum(col("cardinality")).as("n_rows"))
+        .orderBy(col("pv"))
+    }),
+
+    // --- domain metadata write + read (§2.1 #18) ---
+    "delta_domain_metadata" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "region", Fixtures.Plain)
+      val t = DeltaTable.forPath(s, p)
+      if (t.domainMetadata().where(col("domain") === "graft.pipeline").isEmpty) {
+        t.setDomainMetadata("graft.pipeline", """{"v":1}""")
+      }
+      t.domainMetadata().orderBy(col("domain"))
+    }),
+
+    // --- idempotent txn version surface (§2.1 #15) ---
+    "delta_txn_version" -> ((s, dir) => {
+      import s.implicits._
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Multi)
+      val v = DeltaTable.forPath(s, p).getTransactionVersion("fixture-loader")
+      Seq(("fixture-loader", v.getOrElse(-1L))).toDF("app_id", "version")
     })
   )
 
@@ -135,6 +187,22 @@ object SparkEntry {
     "delta_time_travel" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem WHERE l_orderkey % 3 <= 1""".stripMargin,
-    "delta_multi_commit" -> q1Sql
+    "delta_multi_commit" -> q1Sql,
+    "delta_dv_scan" -> q1Sql.replace("FROM lineitem",
+      "FROM lineitem WHERE NOT (l_orderkey % 10 = 7)"),
+    "delta_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS sum_bonus,
+        | sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS null_bonus
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "delta_column_mapping" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "delta_list_files_agg" ->
+      """SELECT l_returnflag AS pv, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "delta_domain_metadata" ->
+      """SELECT 'graft.pipeline' AS domain, '{"v":1}' AS configuration""",
+    "delta_txn_version" ->
+      """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version"""
   )
 }

@@ -1,0 +1,63 @@
+package graft.delta
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+
+import graft.delta.DvCodec.Bitmap64
+
+/**
+ * Deletion-vector descriptor resolution + file IO.
+ *
+ * Storage types per protocol: "u" (relative file, pathOrInlineDv =
+ * optional random prefix + z85 uuid, file `deletion_vector_<uuid>.bin`),
+ * "p" (absolute path), "i" (inline, pathOrInlineDv = z85 of the framed
+ * bitmap data).
+ */
+object DeletionVectorStore {
+
+  /** Absolute path of an on-disk DV (storage types "u"/"p"). */
+  def resolvePath(tablePath: Path, dv: DeletionVectorDescriptor): Path = dv.storageType match {
+    case "p" => new Path(dv.pathOrInlineDv)
+    case "u" =>
+      val s = dv.pathOrInlineDv
+      val prefix = s.substring(0, s.length - 20)
+      val uuid = DvCodec.z85ToUuid(s.substring(s.length - 20))
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new Path(tablePath, name)
+      else new Path(new Path(tablePath, prefix), name)
+    case other => throw new IllegalArgumentException(s"not a file-backed DV: $other")
+  }
+
+  /** Load + decode the bitmap behind a descriptor. */
+  def read(log: DeltaLog, dv: DeletionVectorDescriptor): Bitmap64 = {
+    val data = dv.storageType match {
+      case "i" => DvCodec.z85Decode(dv.pathOrInlineDv)
+      case _ =>
+        val p = resolvePath(log.tablePath, dv)
+        val in = log.fs.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        DvCodec.readFramed(bytes, dv.offset.getOrElse(1))
+    }
+    DvCodec.deserialize(data)
+  }
+
+  /** Write a bitmap as a new "u"-typed DV file under the table root;
+    * returns the descriptor. */
+  def write(log: DeltaLog, bitmap: Bitmap64): DeletionVectorDescriptor = {
+    val uuid = UUID.randomUUID()
+    val data = DvCodec.serialize(bitmap)
+    val (fileBytes, offset, dataSize) = DvCodec.frameSingle(data)
+    val path = new Path(log.tablePath, s"deletion_vector_$uuid.bin")
+    val out = log.fs.create(path, false)
+    try out.write(fileBytes) finally out.close()
+    DeletionVectorDescriptor(
+      storageType = "u",
+      pathOrInlineDv = DvCodec.uuidToZ85(uuid),
+      offset = Some(offset),
+      sizeInBytes = dataSize,
+      cardinality = bitmap.cardinality)
+  }
+}

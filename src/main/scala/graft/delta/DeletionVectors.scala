@@ -1,18 +1,134 @@
 package graft.delta
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Not}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.delta.DvCodec.Bitmap64
 
 /**
- * Deletion-vector application on read (reference: DeltaDeleteFilter,
- * src/functions/delta_scan/delta_multi_file_reader.cpp:24-48; DV fetch
- * delta_multi_file_list.cpp:448-462).
+ * Deletion-vector application on read — the Spark equivalent of the
+ * reference's in-scan `DeltaDeleteFilter`
+ * (src/functions/delta_scan/delta_multi_file_reader.cpp:24-48): a scan-local
+ * FILTER on `_metadata.row_index` against the decoded per-file bitmap.
  *
- * Placeholder for round-1 milestone 5: decode the protocol DV bitmap
- * (RoaringBitmap, on Spark's classpath) and filter on
- * `_metadata.row_index`.
+ * Scale design: no join, no shuffle — the bitmap map ships once per
+ * executor via a Broadcast and each row does an O(1) bitmap probe. This
+ * preserves the scan's partitioning exactly like the reference's
+ * selection-vector approach preserves DuckDB's pipelines.
  */
 object DeletionVectors {
-  def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame =
-    throw new UnsupportedOperationException(
-      "deletion vector read support lands in a later milestone")
+
+  /** filter: rows whose (file, row_index) is in a DV are dropped. */
+  def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
+    val dvMap: Map[String, Bitmap64] = snapshot.allFiles.flatMap { f =>
+      f.deletionVector.toSeq.flatMap { dv =>
+        val bm = DeletionVectorStore.read(snapshot.log, dv)
+        val p = snapshot.absolutePath(f)
+        Seq(p.toString -> bm, p.toUri.getPath -> bm)
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val deleted = DvRowDeleted(
+      GraftColumnBridge.expression(col("_metadata.file_path")),
+      GraftColumnBridge.expression(col("_metadata.row_index")),
+      bc)
+    df.where(GraftColumnBridge.column(Not(deleted)))
+  }
+}
+
+/** (file_path, row_index) ∈ deletion vectors? O(1) broadcast bitmap probe. */
+case class DvRowDeleted(
+    left: Expression,
+    right: Expression,
+    dvs: Broadcast[Map[String, Bitmap64]])
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(path: Any, idx: Any): Any = {
+    val p = path.asInstanceOf[UTF8String].toString
+    dvs.value.get(p) match {
+      case Some(bm) => bm.contains(idx.asInstanceOf[Long])
+      case None => false
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DvRowDeleted =
+    copy(left = l, right = r)
+  override def prettyName: String = "dv_row_deleted"
+}
+
+/**
+ * DELETE via deletion vectors — beyond the reference's own surface (it
+ * rejects DELETE, src/storage/delta_catalog.cpp:102-117) but required for
+ * producing and round-tripping DV tables, and a first-class operator for
+ * pipeline curation at scale.
+ */
+object DeltaDelete {
+
+  /**
+   * Soft-delete rows matching `condition`: per affected file, write a new
+   * DV (union with any existing one), commit remove+add. Files whose rows
+   * are all deleted are removed outright.
+   *
+   * @return number of rows deleted
+   */
+  def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
+    val snap = log.update()
+    val raw = snap.relationDF
+    // locate matching physical rows (already-deleted ones get unioned away)
+    val hits = raw.where(condition)
+      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+      .groupBy(col("p")).agg(collect_list(col("i")).as("idxs"))
+      .collect()
+    if (hits.isEmpty) return 0L
+
+    val byPath = snap.allFiles.flatMap { f =>
+      val p = snap.absolutePath(f)
+      Seq(p.toString -> f, p.toUri.getPath -> f)
+    }.toMap
+
+    var deletedRows = 0L
+    val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
+    hits.foreach { row =>
+      val path = row.getAs[String]("p")
+      val f = byPath.getOrElse(path, byPath.getOrElse(new org.apache.hadoop.fs.Path(path).toUri.getPath,
+        throw new IllegalStateException(s"hit in unknown file $path")))
+      val newIdx = row.getAs[scala.collection.Seq[Long]]("idxs")
+      val existing = f.deletionVector.map(dv => DeletionVectorStore.read(log, dv))
+      val merged = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        existing.foreach(_.forall(b += _))
+        b ++= newIdx
+        Bitmap64.fromValues(b)
+      }
+      val numRecords = f.parsedStats.flatMap(_.numRecords)
+      deletedRows += merged.cardinality - existing.map(_.cardinality).getOrElse(0L)
+      actions += Action(RemoveFile(f.path, Some(System.currentTimeMillis()),
+        dataChange = true, f.deletionVector))
+      if (!numRecords.contains(merged.cardinality)) {
+        // file still has live rows → re-add with the merged DV
+        val desc = DeletionVectorStore.write(log, merged)
+        actions += Action(f.copy(deletionVector = Some(desc)))
+      } // else: fully deleted → plain remove
+    }
+
+    val needsProtocolUpgrade = snap.protocol.minReaderVersion < 3
+    val commitActions =
+      Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
+        Map("predicate" -> condition.toString)))) ++
+      (if (needsProtocolUpgrade)
+        Seq(Action(Protocol(3, 7,
+          Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))
+      else Nil) ++
+      actions
+    val content = commitActions.map(ActionJson.toJson).mkString("", "\n", "\n")
+    // delete is not a blind append: version conflict = error (no retry)
+    LogStore.write(log.fs, log.commitFile(snap.version + 1), content)
+    log.invalidateCache()
+    deletedRows
+  }
 }

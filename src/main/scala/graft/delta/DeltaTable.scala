@@ -81,6 +81,26 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
 
   /** `CHECKPOINT tbl` analog. */
   def checkpoint(): Long = Checkpoints.checkpoint(log)
+
+  /** DELETE via deletion vectors (beyond the reference's own surface,
+    * which rejects DELETE — src/storage/delta_catalog.cpp:102-117). */
+  def delete(condition: org.apache.spark.sql.Column): Long =
+    DeltaDelete.delete(spark, log, condition)
+
+  /** Record/overwrite a domainMetadata entry (write side of
+    * `delta_domain_metadata`). */
+  def setDomainMetadata(domain: String, configuration: String,
+      removed: Boolean = false): Long = {
+    val snap = log.update()
+    val actions = Seq(
+      Action(CommitInfo(System.currentTimeMillis(), "SET DOMAIN METADATA",
+        Map("domain" -> domain))),
+      Action(DomainMetadata(domain, configuration, removed)))
+    LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+    log.invalidateCache()
+    snap.version + 1
+  }
 }
 
 object DeltaTable {

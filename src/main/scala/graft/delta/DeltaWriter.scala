@@ -44,12 +44,21 @@ object DeltaWriter {
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None,
-      operation: String = "WRITE"): Long = {
+      operation: String = "WRITE",
+      mergeSchema: Boolean = false): Long = {
 
     val log = DeltaLog.forPath(spark, path)
     val fs = log.fs
     val exists = log.tableExists
     val snapshot = if (exists) Some(log.update()) else None
+
+    // reference behavior: writes to column-mapped tables are rejected
+    // (test/sql/generated/writing/append/basic_append.test:74+)
+    snapshot.foreach { s =>
+      if (s.columnMappingMode != "none")
+        throw new UnsupportedOperationException(
+          "Writes to tables with column mapping are not supported")
+    }
 
     // idempotent skip before doing any work
     for (app <- txnAppId; v <- txnVersion; s <- snapshot;
@@ -58,17 +67,27 @@ object DeltaWriter {
     }
 
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
-    val tableSchema = snapshot.map(_.schema).getOrElse(df.schema)
 
-    // column alignment + schema validation against the table
-    val aligned = snapshot match {
+    // column alignment + schema validation against the table; with
+    // mergeSchema, unseen columns extend the schema (evolution — the read
+    // side fills nulls for old files, reference schema_evolution.test)
+    val (aligned, tableSchema) = snapshot match {
       case Some(s) =>
         val have = df.columns.map(_.toLowerCase).toSet
         val want = s.schema.fieldNames.map(_.toLowerCase).toSet
-        require(have == want,
-          s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
-        df.select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
-      case None => df
+        if (mergeSchema) {
+          require(want.subsetOf(have),
+            s"mergeSchema append must contain all table columns; missing ${(want -- have).toSeq.sorted}")
+          val newCols = df.columns.filterNot(c => s.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          val evolved = StructType(s.schema.fields ++
+            newCols.map(c => df.schema(df.schema.fieldIndex(c)).copy(nullable = true)))
+          (df.select((s.schema.fieldNames ++ newCols).map(col).toIndexedSeq: _*), evolved)
+        } else {
+          require(have == want,
+            s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
+          (df.select(s.schema.fieldNames.map(col).toIndexedSeq: _*), s.schema)
+        }
+      case None => (df, df.schema)
     }
 
     // reference rejects writes when array elements carry NOT NULL
@@ -320,6 +339,9 @@ object DeltaWriter {
           partitionColumns = partCols,
           configuration = configuration,
           createdTime = Some(System.currentTimeMillis())))
+      } else if (snapshot.get.metadata.schemaString != schema.json) {
+        // schema evolution: re-emit metaData with the merged schema
+        actions += Action(snapshot.get.metadata.copy(schemaString = schema.json))
       }
       for (app <- txnAppId; v <- txnVersion)
         actions += Action(SetTransaction(app, v, Some(System.currentTimeMillis())))

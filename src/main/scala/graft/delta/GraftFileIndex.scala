@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
 class GraftFileIndex(spark: SparkSession, snapshot: Snapshot) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(snapshot.log.tablePath)
-  override def partitionSchema: StructType = snapshot.partitionSchema
+  // physical names: partitionValues in the log and stats keys are physical
+  override def partitionSchema: StructType = snapshot.physicalPartitionSchema
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = snapshot.sizeInBytes
   override def inputFiles: Array[String] =
@@ -38,8 +39,8 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot) extends FileIndex 
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val all = snapshot.allFiles
-    // 1. stats-based skipping on data filters
-    val afterStats = FileSkipping.prune(all, snapshot.dataSchema, dataFilters)
+    // 1. stats-based skipping on data filters (physical attr/stats names)
+    val afterStats = FileSkipping.prune(all, snapshot.physicalDataSchema, dataFilters)
     // 2. partition pruning
     val afterPartition =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) afterStats

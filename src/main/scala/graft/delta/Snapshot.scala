@@ -26,6 +26,25 @@ class Snapshot(
   def partitionSchema: StructType = metadata.partitionSchema
   def dataSchema: StructType = metadata.dataSchema
 
+  // ---- column mapping (name mode; reference delta_utils.hpp:300-311) -----
+
+  def columnMappingMode: String =
+    metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  /** Physical (parquet) name of a logical field. */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (columnMappingMode == "none") f.name
+    else if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Data/partition schemas under physical names (what parquet + the log's
+    * partitionValues/stats are keyed by). */
+  private[delta] def physicalDataSchema: StructType =
+    StructType(dataSchema.fields.map(f => f.copy(name = physicalName(f))))
+  private[delta] def physicalPartitionSchema: StructType =
+    StructType(partitionSchema.fields.map(f => f.copy(name = physicalName(f))))
+
   def absolutePath(f: AddFile): Path = {
     val p = new Path(f.decodedPath)
     if (p.isAbsolute) p else new Path(log.tablePath, p)
@@ -51,19 +70,27 @@ class Snapshot(
    */
   def toDF: DataFrame = {
     val spark = log.spark
-    val index = new GraftFileIndex(spark, this)
-    val relation = HadoopFsRelation(
-      location = index,
-      partitionSchema = partitionSchema,
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(spark)
-    val df = spark.baseRelationToDataFrame(relation)
+    val df = relationDF
     val base =
       if (hasDeletionVectors) DeletionVectors.filterDeleted(spark, this, df)
       else df
-    // HadoopFsRelation appends partition columns last; restore logical order.
-    base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // restore logical column order; alias physical → logical names
+    base.select(schema.fields.map(f =>
+      col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Raw relation DataFrame: no DV filtering, `_metadata` still reachable.
+    * Used by the DV write path to locate physical rows. */
+  private[delta] def relationDF: DataFrame = {
+    val spark = log.spark
+    val index = new GraftFileIndex(spark, this)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = physicalPartitionSchema,
+      dataSchema = physicalDataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta._
+import graft.delta.DvCodec.Bitmap64
+
+class DeltaAdvancedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-adv-test").toString + "/t"
+
+  test("z85 codec matches the ZeroMQ reference vector and round-trips UUIDs") {
+    val refBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DvCodec.z85Encode(refBytes) == "HelloWorld")
+    assert(DvCodec.z85Decode("HelloWorld").sameElements(refBytes))
+    val uuid = java.util.UUID.fromString("0c9a1f2b-3d4e-4f60-8a7b-1c2d3e4f5a6b")
+    assert(DvCodec.z85ToUuid(DvCodec.uuidToZ85(uuid)) == uuid)
+  }
+
+  test("DV bitmap round-trips through the portable format incl. >32-bit rows") {
+    val values = Seq(0L, 1L, 77L, 100000L, (1L << 32) + 5L, (1L << 33) + 123L)
+    val bm = Bitmap64.fromValues(values)
+    assert(bm.cardinality == values.size)
+    val back = DvCodec.deserialize(DvCodec.serialize(bm))
+    values.foreach(v => assert(back.contains(v), s"missing $v"))
+    assert(!back.contains(2L) && !back.contains((1L << 32) + 6L))
+    // file framing with CRC
+    val (fileBytes, offset, size) = DvCodec.frameSingle(DvCodec.serialize(bm))
+    assert(size == DvCodec.serialize(bm).length)
+    val data = DvCodec.readFramed(fileBytes, offset)
+    assert(DvCodec.deserialize(data).cardinality == values.size)
+  }
+
+  test("delete via deletion vectors filters rows; matches parquet oracle") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartitionByRange(4, col("l_orderkey")), path)
+    val t = DeltaTable.forPath(spark, path)
+    val n = t.delete(col("l_orderkey") % 10 === 7)
+    val expected = src.filter(col("l_orderkey") % 10 === 7).count()
+    assert(n == expected, s"deleted $n, expected $expected")
+    val got = t.toDF.count()
+    assert(got == src.count() - expected)
+    // values, not just counts
+    val s1 = t.toDF.agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    val s2 = src.filter(!(col("l_orderkey") % 10 === 7))
+      .agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(s1 - s2) / math.abs(s2) < 1e-12)
+    // second delete unions into existing DVs
+    val n2 = t.delete(col("l_orderkey") % 10 === 8)
+    assert(t.toDF.count() == src.filter(!(col("l_orderkey") % 10).isin(7, 8)).count())
+    // deleting already-deleted rows is a no-op
+    assert(t.delete(col("l_orderkey") % 10 === 7) == 0L)
+    // listFiles reports deletes
+    val lf = t.listFiles()
+    assert(lf.where(col("have_deletes")).count() > 0)
+    assert(lf.agg(sum("delete_count")).collect()(0).getLong(0) == n + n2)
+  }
+
+  test("delete that empties a file removes it from the snapshot") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(2), path)
+    val t = DeltaTable.forPath(spark, path)
+    val before = t.snapshot.allFiles.size
+    t.delete(lit(true))
+    assert(t.snapshot.allFiles.isEmpty, "all files should be removed")
+    assert(t.toDF.count() == 0)
+    assert(before > 0)
+  }
+
+  test("schema evolution: mergeSchema adds a column, old files read as null") {
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 0), path)
+    // non-merge append with extra column still rejected
+    intercept[Exception] {
+      DeltaWriter.append(spark, src.withColumn("bonus", lit(1L)), path)
+    }
+    DeltaWriter.append(spark,
+      src.filter(col("o_orderkey") % 2 === 1).withColumn("bonus", col("o_orderkey") % 7),
+      path, mergeSchema = true)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.snapshot.schema.fieldNames.contains("bonus"))
+    val nulls = t.toDF.where(col("bonus").isNull).count()
+    assert(nulls == src.filter(col("o_orderkey") % 2 === 0).count())
+    val sums = t.toDF.agg(sum("bonus")).collect()(0).getLong(0)
+    val expect = src.filter(col("o_orderkey") % 2 === 1)
+      .agg(sum(col("o_orderkey") % 7)).collect()(0).getLong(0)
+    assert(sums == expect)
+  }
+
+  test("column mapping (name mode): logical names, filters, and rejection of writes") {
+    val path = Fixtures.delta(spark, sfDir, "nation", Fixtures.Mapped)
+    val t = DeltaTable.forPath(spark, path)
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    assert(t.toDF.columns.toSeq == src.columns.toSeq)
+    assert(t.toDF.count() == src.count())
+    // filter on a logical column works (pushed down against physical names)
+    val got = t.toDF.where(col("n_regionkey") === 0).count()
+    assert(got == src.where(col("n_regionkey") === 0).count())
+    // reference rejects writes to column-mapped tables
+    intercept[UnsupportedOperationException] {
+      DeltaWriter.append(spark, src, path)
+    }
+  }
+
+  test("time travel across a delete sees pre-delete data") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    val t = DeltaTable.forPath(spark, path)
+    t.delete(col("s_suppkey") % 2 === 0)
+    assert(t.toDF(versionAsOf = 0).count() == src.count())
+    assert(t.toDF.count() == src.filter(col("s_suppkey") % 2 === 1).count())
+  }
+}
