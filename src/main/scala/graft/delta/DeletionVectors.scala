@@ -42,20 +42,48 @@ object DeletionVectors {
   }
 }
 
-/** (file_path, row_index) ∈ deletion vectors? O(1) broadcast bitmap probe. */
+/** Per-task memoized (file → bitmap) resolver: rows arrive clustered by
+  * file, so the common case is a byte-equality check on the previous path
+  * — no per-row String allocation or map lookup. */
+class DvLookupCache extends Serializable {
+  private var lastPath: UTF8String = _
+  private var lastBitmap: Bitmap64 = _
+  private var map: Map[String, Bitmap64] = _
+  def deleted(bc: Broadcast[Map[String, Bitmap64]], path: UTF8String, idx: Long): Boolean = {
+    if (lastPath == null || !lastPath.equals(path)) {
+      if (map == null) map = bc.value
+      lastPath = path.clone()
+      lastBitmap = map.getOrElse(path.toString, null)
+    }
+    lastBitmap != null && lastBitmap.contains(idx)
+  }
+}
+
+/** (file_path, row_index) ∈ deletion vectors? O(1) broadcast bitmap probe,
+  * with real codegen so the scan's WholeStageCodegen span stays intact. */
 case class DvRowDeleted(
     left: Expression,
     right: Expression,
     dvs: Broadcast[Map[String, Bitmap64]])
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = BooleanType
-  override def nullSafeEval(path: Any, idx: Any): Any = {
-    val p = path.asInstanceOf[UTF8String].toString
-    dvs.value.get(p) match {
-      case Some(bm) => bm.contains(idx.asInstanceOf[Long])
-      case None => false
-    }
+
+  @transient private lazy val interpretedCache = new DvLookupCache
+
+  override def nullSafeEval(path: Any, idx: Any): Any =
+    interpretedCache.deleted(dvs, path.asInstanceOf[UTF8String], idx.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bcRef = ctx.addReferenceObj("dvsBc", dvs, "org.apache.spark.broadcast.Broadcast")
+    val cache = ctx.addMutableState("graft.delta.DvLookupCache", "dvCache",
+      v => s"$v = new graft.delta.DvLookupCache();")
+    nullSafeCodeGen(ctx, ev, (p, i) =>
+      s"${ev.value} = $cache.deleted($bcRef, $p, $i);")
   }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DvRowDeleted =
     copy(left = l, right = r)
   override def prettyName: String = "dv_row_deleted"

@@ -39,13 +39,19 @@ object Dedup {
           "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))")).as("s"))
       .where(col("s") =!= "")
 
+  /** Shingles under a 64-bit hash key: narrower shuffle + cheaper join
+    * comparisons than raw strings (collision odds ~2^-64 per pair —
+    * the standard trade at corpus scale). */
+  private def hashedShingles(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
+
   /**
    * Exact n-gram Jaccard similar pairs with J ≥ 2/7, via inverted-index
    * join on shingles (integer-only threshold test: 7·|∩| ≥ 2·|∪| — no
    * float boundary risk against the oracle).
    */
   def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = hashedShingles(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -63,7 +69,7 @@ object Dedup {
   /** Per-doc MinHash signature: `numHashes` min-hashes over shingles.
     * One aggregation, signatures live as an array column. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs)
+    val sh = hashedShingles(docs)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
     sh.groupBy(col("doc_id"))
@@ -90,18 +96,19 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verification restricted to candidates
-    val sh = shingles(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    // exact verification against per-doc shingle SETS (array_intersect per
+    // candidate pair) — two hash-joins moving one array per doc, instead of
+    // re-exploding shingles into |pairs|·|shingles| rows
+    val sets = hashedShingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+    cands
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long").as("inter"),
+        (size(col("sa.ss")) + size(col("sb.ss"))).cast("long").as("szsum"))
       .select(col("id_a"), col("id_b"), col("inter"),
-        (col("sa.sz") + col("sb.sz") - col("inter")).as("uni"))
+        (col("szsum") - col("inter")).as("uni"))
       .where(col("inter") * 7 >= col("uni") * 2)
       .orderBy(col("id_a"), col("id_b"))
   }
