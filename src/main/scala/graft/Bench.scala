@@ -19,7 +19,8 @@ object Bench {
     "q3_join", "q5_multi_join", "q_window_rank", "q_events_hourly",
     "q_correlated_subquery", "dedup_exact", "dedup_jaccard_pairs",
     "dedup_minhash_pairs", "ann_cosine_topk", "emb_centroids",
-    "text_token_stats", "multimodal_features")
+    "text_token_stats", "multimodal_features", "delta_snapshot_replay",
+    "q_variant_json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,10 @@ object Fixtures {
   /** Column mapping (name mode): physical parquet names differ from the
     * logical schema. Read-only per the reference. */
   case object Mapped extends Variant { val name = "mapped" }
+  /** 40 append commits (checkpoint at 20) — snapshot-replay stress, the
+    * analog of the reference's tpch_sf1_90commits micro-benchmark
+    * (benchmark/micro/snapshot_performance). */
+  case object Many extends Variant { val name = "many40" }
 
   private case class Spec(splitCol: String, rangeCol: String, partCol: String)
   private val specs: Map[String, Spec] = Map(
@@ -119,6 +123,11 @@ object Fixtures {
             .withColumn("bonus", col(spec.splitCol) % 7),
           dir, mergeSchema = true)
       case Mapped => buildMapped(spark, src, dir)
+      case Many =>
+        for (i <- 0 until 40) {
+          DeltaWriter.append(spark, src.coalesce(1), dir)
+          if (i == 19) Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
+        }
     }
     Files.createFile(marker)
     dir

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{RollingFingerprint, SimHash64}
+
+/**
+ * SparkSessionExtensions entry point: registers the native expressions for
+ * SQL use (`SELECT simhash64(...)`, `rolling_fingerprint(...)`).
+ *
+ * Usage: SparkSession.builder().withExtensions(new GraftExtensions) or
+ * spark.sql.extensions=graft.GraftExtensions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => RollingFingerprint(c, 16)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k, _)) =>
+          RollingFingerprint(c, k.toString.toInt)
+        case _ => throw new IllegalArgumentException(
+          "rolling_fingerprint(text[, k])")
+      }))
+  }
+}

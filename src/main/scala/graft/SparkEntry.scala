@@ -162,6 +162,25 @@ object SparkEntry {
       val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Multi)
       val v = DeltaTable.forPath(s, p).getTransactionVersion("fixture-loader")
       Seq(("fixture-loader", v.getOrElse(-1L))).toDF("app_id", "version")
+    }),
+
+    // --- snapshot replay stress: 40 commits + checkpoint (§6 micro bench) ---
+    "delta_snapshot_replay" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "nation", Fixtures.Many)
+      val log = graft.delta.DeltaLog.forPath(s, p)
+      log.invalidateCache() // force full replay: checkpoint + 20 JSON commits
+      DeltaTable.forPath(s, p).toDF.agg(count(lit(1)).as("n"))
+    }),
+
+    // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
+    "q_variant_json" -> ((s, dir) => {
+      RelationalQueries.ensureViews(s, dir)
+      s.table("events")
+        .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("k_mod"))
     })
   )
 
@@ -203,6 +222,12 @@ object SparkEntry {
     "delta_domain_metadata" ->
       """SELECT 'graft.pipeline' AS domain, '{"v":1}' AS configuration""",
     "delta_txn_version" ->
-      """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version"""
+      """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
+    "delta_snapshot_replay" ->
+      """SELECT CAST(count(*) * 40 AS BIGINT) AS n FROM nation""",
+    "q_variant_json" ->
+      """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod, count(*) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

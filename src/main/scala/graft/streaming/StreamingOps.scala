@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.delta.DeltaWriter
+
+/**
+ * Structured-Streaming surface (beyond the reference, which has no
+ * streaming — SURVEY.md §1.3): windowed aggregation with watermarks,
+ * stateful sessionization, and an exactly-once streaming sink into our
+ * Delta tables built from `foreachBatch` + idempotent txn versions
+ * (the streaming analog of the reference's idempotent-write helpers,
+ * src/functions/delta_transaction_utils/idempotency_helpers.cpp:41-145).
+ */
+object StreamingOps {
+
+  /** Tumbling-window event counts with a watermark (late data bounded). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+
+  /**
+   * Exactly-once streaming ingest into a Delta table: each micro-batch
+   * commits with txnAppId=`appId`, txnVersion=batchId, so replayed
+   * batches (failure/restart) dedupe to no-ops — end-to-end exactly-once
+   * without any sink-side bookkeeping.
+   */
+  def streamIntoDelta(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetTable: String,
+      appId: String = "graft-stream",
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DeltaWriter.append(spark, batch.toDF(), targetTable,
+          txnAppId = Some(appId), txnVersion = Some(batchId),
+          operation = "STREAMING UPDATE")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserSession(user_id: Long, events: Long, total_value: Double)
+
+  /**
+   * Stateful per-user aggregation via mapGroupsWithState — the custom-state
+   * primitive for sessionization at scale (state lives in the state store,
+   * partitioned by key across executors).
+   */
+  def sessionize(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(user, 0L, 0.0))
+          var n = prev.events
+          var v = prev.total_value
+          it.foreach { e => n += 1; v += e.value }
+          val next = UserSession(user, n, math.rint(v * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}

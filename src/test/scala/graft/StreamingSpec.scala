@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.DeltaTable
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val eventsBatch = Fixtures.readNormalized(spark, sfDir, "events")
+
+  test("streaming windowed counts equal the batch computation") {
+    // stage the (micros-normalized) events as a streaming source dir
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    eventsBatch.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamingOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+    val batch = eventsBatch
+      .groupBy(window(col("ts"), "1 hour")("start").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("foreachBatch streaming into delta is exactly-once under replay") {
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src2").toString
+    eventsBatch.limit(1000).coalesce(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val target = java.nio.file.Files.createTempDirectory("stream-delta").toString + "/t"
+
+    val q1 = StreamingOps.streamIntoDelta(spark, srcDir, schema, target,
+      appId = "stream-test", maxFilesPerTrigger = 2)
+    q1.awaitTermination()
+    val afterFirst = DeltaTable.forPath(spark, target).toDF.count()
+    assert(afterFirst == 1000L, s"got $afterFirst")
+
+    // replay the whole stream from scratch (fresh checkpoint location):
+    // same batch ids → idempotent txn versions suppress every batch
+    val q2 = StreamingOps.streamIntoDelta(spark, srcDir, schema, target,
+      appId = "stream-test", maxFilesPerTrigger = 2)
+    q2.awaitTermination()
+    assert(DeltaTable.forPath(spark, target).toDF.count() == 1000L,
+      "replayed batches must dedupe to no-ops")
+  }
+
+  test("stateful sessionize matches batch per-user aggregation") {
+    import spark.implicits._
+    val src = eventsBatch.where(col("user_id") < 50)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src3").toString
+    src.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(src.schema).parquet(srcDir)
+      .as[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionize(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // latest state per user (update mode emits per batch; single batch here)
+    val got = spark.table("sessions")
+      .groupBy(col("user_id")).agg(max(col("events")).as("events"))
+    val want = src.groupBy(col("user_id")).agg(count(lit(1)).as("events"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("extensions register native expressions for SQL") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force init of the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT simhash64(array('a','b')) AS sh, rolling_fingerprint('hello world hello', 5) AS fp")
+        .collect()(0)
+      assert(r.getLong(0) != 0L)
+      assert(r.getLong(1) != 0L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
