@@ -179,6 +179,78 @@ object RelationalQueries {
         |FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED','5-LOW')
         |ORDER BY bucket""".stripMargin,
 
+    // --- TPC-H-shaped set (adapted to the testdata star schema) ---
+    "q6_selective_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, qty
+        |FROM (SELECT o_orderkey, o_totalprice, sum(l_quantity) AS qty
+        |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |      GROUP BY o_orderkey, o_totalprice) t
+        |WHERE qty > 250
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_disjunctive_pushdown" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_type = 'PROMO' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      """SELECT cntrycode, count(*) AS numcust, round(sum(acctbal), 2) AS totacctbal
+        |FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal AS acctbal
+        |      FROM customer
+        |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) t
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
+
     // --- sorts / top-k ---
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice

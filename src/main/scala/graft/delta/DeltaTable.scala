@@ -28,6 +28,31 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   /** Time travel (`AT (VERSION => n)` / `versionAsOf`). */
   def toDF(versionAsOf: Long): DataFrame = log.snapshotAt(versionAsOf).toDF
 
+  /** Virtual-columns scan (reference §2.1 #9: `filename`,
+    * `file_row_number`, `delta_file_number`): the file ordinal comes from
+    * the snapshot's file list as a literal map (codegen'd `element_at`,
+    * no join). */
+  def toDFWithVirtualColumns: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshot
+    require(snap.columnMappingMode == "none",
+      "virtual-column scan not supported on column-mapped tables")
+    val mapArgs = snap.allFiles.zipWithIndex.flatMap { case (f, i) =>
+      val p = snap.absolutePath(f)
+      Seq(p.toString -> i, p.toUri.getPath -> i)
+    }.distinctBy(_._1).flatMap { case (p, i) => Seq(lit(p), lit(i)) }
+    val base0 = snap.relationDF
+    val base =
+      if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, base0)
+      else base0
+    base.select(
+      (snap.schema.fieldNames.map(col) ++ Seq(
+        col("_metadata.file_path").as("filename"),
+        col("_metadata.row_index").as("file_row_number"),
+        element_at(map(mapArgs.toIndexedSeq: _*), col("_metadata.file_path"))
+          .as("delta_file_number"))).toIndexedSeq: _*)
+  }
+
   /** ATTACH analog: register as a temp view (optionally pinned). */
   def attach(name: String, pinSnapshot: Boolean = false): DeltaTable = {
     val t = if (pinSnapshot) pin() else this

@@ -90,14 +90,17 @@ object DeltaWriter {
       case None => (df, df.schema)
     }
 
-    // reference rejects writes when array elements carry NOT NULL
-    // constraints (delta_table_entry.cpp:99-103)
-    tableSchema.fields.foreach { f =>
-      f.dataType match {
-        case ArrayType(_, false) =>
-          throw new UnsupportedOperationException(
-            s"Writes to tables with non-nullable array elements are not supported (column ${f.name})")
-        case _ => ()
+    // reference rejects appends to EXISTING tables whose schema carries
+    // NOT NULL array-element constraints (delta_table_entry.cpp:99-103);
+    // creating a table from such a DataFrame is fine
+    if (snapshot.isDefined) {
+      tableSchema.fields.foreach { f =>
+        f.dataType match {
+          case ArrayType(_, false) =>
+            throw new UnsupportedOperationException(
+              s"Writes to tables with non-nullable array elements are not supported (column ${f.name})")
+          case _ => ()
+        }
       }
     }
 

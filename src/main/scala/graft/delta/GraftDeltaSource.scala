@@ -1,0 +1,34 @@
+package graft.delta
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+
+/**
+ * Pluggable data-source registration — the `delta_scan('path', ...)` API
+ * analog (reference src/functions/delta_scan/delta_scan.cpp:83-121):
+ *
+ *   spark.read.format("graftdelta")
+ *     .option("versionAsOf", 3)      // AT (VERSION => 3)
+ *     .load(path)
+ *
+ * Registered via META-INF/services (DataSourceRegister), so the short
+ * name works in any session without extra configuration.
+ */
+class GraftDeltaSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftdelta"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path"))
+    val spark = sqlContext.sparkSession
+    val log = DeltaLog.forPath(spark, path)
+    val snapshot = parameters.get("versionAsOf") match {
+      case Some(v) => log.snapshotAt(v.toLong)
+      case None => log.update()
+    }
+    snapshot.asRelation
+  }
+}

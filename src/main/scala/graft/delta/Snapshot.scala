@@ -79,6 +79,25 @@ class Snapshot(
       col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
   }
 
+  /** V1 BaseRelation for `spark.read.format("graftdelta")`. DV filtering
+    * and column-mapping aliasing need a plan above the relation, so those
+    * tables must go through `DeltaTable.forPath(...).toDF` (round-2 path:
+    * a DV-aware FileFormat inside the relation). Column order is
+    * data-columns-then-partition-columns, per HadoopFsRelation convention. */
+  def asRelation: org.apache.spark.sql.sources.BaseRelation = {
+    require(!hasDeletionVectors,
+      "table has deletion vectors; read it via DeltaTable.forPath(...).toDF")
+    require(columnMappingMode == "none",
+      "table uses column mapping; read it via DeltaTable.forPath(...).toDF")
+    HadoopFsRelation(
+      location = new GraftFileIndex(log.spark, this),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(log.spark)
+  }
+
   /** Raw relation DataFrame: no DV filtering, `_metadata` still reachable.
     * Used by the DV write path to locate physical rows. */
   private[delta] def relationDF: DataFrame = {
