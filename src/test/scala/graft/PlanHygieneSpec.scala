@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta._
+
+/** Plan-shape assertions: the things that make 100 TB viable must be
+  * visible in the physical plan, not assumed — filter pushdown to parquet,
+  * partition-filter classification, broadcast joins for dims, and absence
+  * of shuffles in scan-local paths (regression guard for the scale
+  * properties SURVEY.md §4 promises). */
+class PlanHygieneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE final plan
+    df.queryExecution.executedPlan
+  }
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("delta scan pushes data filters into the parquet reader") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+    val df = DeltaTable.forPath(spark, p).toDF
+      .where(col("l_orderkey") < 50 && col("l_quantity") > 10)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("LessThan(l_orderkey,50)"), plan)
+    // column pruning: only the 2 projected columns in ReadSchema
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
+  test("partition filters prune files (not evaluated row-wise)") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Part)
+    GraftMetrics.clear()
+    val df = DeltaTable.forPath(spark, p).toDF
+      .where(col("l_returnflag") === "R")
+    df.collect()
+    val ev = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev.nonEmpty)
+    val last = ev.last
+    assert(last.getAs[Int]("filesAfter") < last.getAs[Int]("filesBefore"),
+      s"partition pruning did not reduce files: $last")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    RelationalQueries.ensureViews(spark, sfDir)
+    val df = spark.table("customer")
+      .join(Fixtures.readParquet(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)))
+    val plan = executedPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("DV scan keeps a single stage up to the aggregate (no extra shuffle)") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    val df = DeltaTable.forPath(spark, p).toDF
+      .agg(count(lit(1)))
+    val plan = executedPlan(df).toString
+    // the dv filter must not introduce a join
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("dv_row_deleted"), plan.take(2000))
+  }
+
+  test("scan reports log-derived size for cost estimation") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+    val snap = DeltaTable.forPath(spark, p).snapshot
+    assert(snap.sizeInBytes > 0)
+    assert(snap.numRecordsEstimate.contains(
+      Fixtures.readParquet(spark, sfDir, "lineitem").count()))
+  }
+}
