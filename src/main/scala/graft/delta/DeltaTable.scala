@@ -16,17 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * - `getTransactionVersion` ≈ `delta_get_transaction_version`
  */
 class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
-    pinnedVersion: Option[Long] = None) {
+    pinnedVersion: Option[Long] = None,
+    scanOptions: ScanOptions = ScanOptions()) {
 
   def snapshot: Snapshot =
     pinnedVersion.map(log.snapshotAt).getOrElse(log.update())
 
   def version: Long = snapshot.version
 
-  def toDF: DataFrame = snapshot.toDF
+  def toDF: DataFrame = snapshot.toDF(scanOptions)
 
   /** Time travel (`AT (VERSION => n)` / `versionAsOf`). */
-  def toDF(versionAsOf: Long): DataFrame = log.snapshotAt(versionAsOf).toDF
+  def toDF(versionAsOf: Long): DataFrame =
+    log.snapshotAt(versionAsOf).toDF(scanOptions)
+
+  /** `pushdown_filters` toggle analog (reference delta_scan.cpp:14-44). */
+  def withScanOptions(options: ScanOptions): DeltaTable =
+    new DeltaTable(spark, log, pinnedVersion, options)
 
   /** Virtual-columns scan (reference §2.1 #9: `filename`,
     * `file_row_number`, `delta_file_number`): the file ordinal comes from
@@ -61,8 +67,8 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   }
 
   /** PIN_SNAPSHOT analog: handle frozen at the current (or given) version. */
-  def pin(): DeltaTable = new DeltaTable(spark, log, Some(snapshot.version))
-  def at(version: Long): DeltaTable = new DeltaTable(spark, log, Some(version))
+  def pin(): DeltaTable = new DeltaTable(spark, log, Some(snapshot.version), scanOptions)
+  def at(version: Long): DeltaTable = new DeltaTable(spark, log, Some(version), scanOptions)
 
   /** `delta_list_files`/`delta_metadata` analog: one row per live data file
     * (schema mirrors delta_metadata_scan.cpp:17-148). */

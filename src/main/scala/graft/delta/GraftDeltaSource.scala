@@ -29,6 +29,8 @@ class GraftDeltaSource extends RelationProvider with DataSourceRegister {
       case Some(v) => log.snapshotAt(v.toLong)
       case None => log.update()
     }
-    snapshot.asRelation
+    val opts = ScanOptions(pushdownFilters =
+      parameters.get("pushdownFilters").forall(_.toBoolean))
+    snapshot.asRelation(opts)
   }
 }

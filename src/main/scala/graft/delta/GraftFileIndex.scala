@@ -25,7 +25,16 @@ import org.apache.spark.sql.types.StructType
  *   modification times come from the log. At 100 TB this is the difference
  *   between one log replay and millions of object-store LIST/HEAD calls.
  */
-class GraftFileIndex(spark: SparkSession, snapshot: Snapshot) extends FileIndex {
+/** Scan pushdown toggle — the `pushdown_filters` option of `delta_scan`
+  * (reference delta_scan.cpp:14-44). Stats skipping is redundant with the
+  * row-level filters Spark keeps in the plan, so disabling never changes
+  * results, only how many files are scheduled. (The reference's
+  * `pushdown_partition_info` has no safe Spark analog: a FileIndex MUST
+  * honor partition filters because Spark prunes them from row filtering.) */
+final case class ScanOptions(pushdownFilters: Boolean = true)
+
+class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
+    options: ScanOptions = ScanOptions()) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(snapshot.log.tablePath)
   // physical names: partitionValues in the log and stats keys are physical
@@ -40,7 +49,10 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot) extends FileIndex 
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val all = snapshot.allFiles
     // 1. stats-based skipping on data filters (physical attr/stats names)
-    val afterStats = FileSkipping.prune(all, snapshot.physicalDataSchema, dataFilters)
+    val afterStats =
+      if (options.pushdownFilters)
+        FileSkipping.prune(all, snapshot.physicalDataSchema, dataFilters)
+      else all
     // 2. partition pruning
     val afterPartition =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) afterStats

@@ -68,9 +68,11 @@ class Snapshot(
    * file skipping for free (the Spark-side equivalent of delta_scan's
    * injected MultiFileReader, reference delta_scan.cpp:83-121).
    */
-  def toDF: DataFrame = {
+  def toDF: DataFrame = toDF(ScanOptions())
+
+  def toDF(options: ScanOptions): DataFrame = {
     val spark = log.spark
-    val df = relationDF
+    val df = relationDF(options)
     val base =
       if (hasDeletionVectors) DeletionVectors.filterDeleted(spark, this, df)
       else df
@@ -84,13 +86,15 @@ class Snapshot(
     * tables must go through `DeltaTable.forPath(...).toDF` (round-2 path:
     * a DV-aware FileFormat inside the relation). Column order is
     * data-columns-then-partition-columns, per HadoopFsRelation convention. */
-  def asRelation: org.apache.spark.sql.sources.BaseRelation = {
+  def asRelation: org.apache.spark.sql.sources.BaseRelation = asRelation(ScanOptions())
+
+  def asRelation(options: ScanOptions): org.apache.spark.sql.sources.BaseRelation = {
     require(!hasDeletionVectors,
       "table has deletion vectors; read it via DeltaTable.forPath(...).toDF")
     require(columnMappingMode == "none",
       "table uses column mapping; read it via DeltaTable.forPath(...).toDF")
     HadoopFsRelation(
-      location = new GraftFileIndex(log.spark, this),
+      location = new GraftFileIndex(log.spark, this, options),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -100,9 +104,11 @@ class Snapshot(
 
   /** Raw relation DataFrame: no DV filtering, `_metadata` still reachable.
     * Used by the DV write path to locate physical rows. */
-  private[delta] def relationDF: DataFrame = {
+  private[delta] def relationDF: DataFrame = relationDF(ScanOptions())
+
+  private[delta] def relationDF(options: ScanOptions): DataFrame = {
     val spark = log.spark
-    val index = new GraftFileIndex(spark, this)
+    val index = new GraftFileIndex(spark, this, options)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = physicalPartitionSchema,

@@ -57,6 +57,22 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(after.count() == src.filter(col("s_suppkey") % 2 === 1).count())
   }
 
+  test("pushdown_filters toggle: identical results, skipping disabled") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+    val t = DeltaTable.forPath(spark, p)
+    val pred = col("l_orderkey") < 100
+    GraftMetrics.clear()
+    val on = t.toDF.filter(pred).count()
+    val off = t.withScanOptions(ScanOptions(pushdownFilters = false))
+      .toDF.filter(pred).count()
+    assert(on == off && on > 0)
+    val ev = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev.exists(r => r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")),
+      "expected at least one skipping event with pushdown on")
+    assert(ev.exists(r => r.getAs[Int]("filesAfter") == r.getAs[Int]("filesBefore")),
+      "expected no skipping with pushdown off")
+  }
+
   test("all primitive + nested types round-trip through write and scan") {
     val df = spark.sql(
       """SELECT
