@@ -118,6 +118,10 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def delete(condition: org.apache.spark.sql.Column): Long =
     DeltaDelete.delete(spark, log, condition)
 
+  /** OPTIMIZE: bin-pack small files + purge deletion vectors by rewrite. */
+  def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
+    Optimize.compact(spark, log, smallFileThreshold)
+
   /** Record/overwrite a domainMetadata entry (write side of
     * `delta_domain_metadata`). */
   def setDomainMetadata(domain: String, configuration: String,

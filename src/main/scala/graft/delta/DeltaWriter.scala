@@ -104,22 +104,47 @@ object DeltaWriter {
       }
     }
 
-    // 1. stage parquet files (executors)
-    // no leading dot/underscore: the staging dir is read back with
-    // spark.read for the stats pass, and hidden-path filters would skip it
-    val stagingName = s"tmp-stage-${UUID.randomUUID}"
-    val staging = new Path(log.tablePath, stagingName)
-    aligned.write
-      .mode("overwrite")
-      .partitionBy(partCols: _*)
-      .parquet(staging.toString)
-
+    // stage + stats + move (executors), then commit with retry
     val moved = ArrayBuffer.empty[Path]
     try {
-      // 2. per-file stats, computed distributed, one row per file collected
+      val adds = writeFiles(spark, log, aligned, tableSchema, partCols, moved)
+      commitAppend(log, snapshot, adds, tableSchema, partCols,
+        configuration, txnAppId, txnVersion, operation)
+    } catch {
+      case t: Throwable =>
+        // rollback: delete everything we moved (reference rollback deletes
+        // orphaned files, delta_transaction.cpp:475-488)
+        moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
+
+  /**
+   * Stage `aligned` as parquet under the table root, collect per-file
+   * stats distributed, enforce NOT NULL, move files into place, and
+   * return the (uncommitted) add actions. The caller commits; on failure
+   * it must delete the `moved` files.
+   */
+  private[delta] def writeFiles(
+      spark: SparkSession,
+      log: DeltaLog,
+      aligned: DataFrame,
+      tableSchema: StructType,
+      partCols: Seq[String],
+      moved: ArrayBuffer[Path]): Seq[AddFile] = {
+    val fs = log.fs
+    // no leading dot/underscore: the staging dir is read back with
+    // spark.read for the stats pass, and hidden-path filters would skip it
+    val staging = new Path(log.tablePath, s"tmp-stage-${UUID.randomUUID}")
+    try {
+      aligned.write
+        .mode("overwrite")
+        .partitionBy(partCols: _*)
+        .parquet(staging.toString)
+
       val statsByFile = collectStats(spark, staging.toString, tableSchema, partCols)
 
-      // 3. NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)
+      // NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)
       val notNullCols = tableSchema.fields.filterNot(_.nullable).map(_.name)
       if (notNullCols.nonEmpty) {
         statsByFile.values.foreach { fileStats =>
@@ -131,10 +156,9 @@ object DeltaWriter {
         }
       }
 
-      // 4. move staged files into the table directory; build add actions
       val staged = listRecursive(fs, staging)
         .filter(p => p.getName.endsWith(".parquet"))
-      val adds = staged.map { sf =>
+      staged.map { sf =>
         val rel = relativize(staging, sf)
         val target = new Path(log.tablePath, rel)
         fs.mkdirs(target.getParent)
@@ -142,8 +166,7 @@ object DeltaWriter {
           throw new IllegalStateException(s"Failed to move $sf -> $target")
         moved += target
         val st = fs.getFileStatus(target)
-        val key = sf.toUri.getPath
-        val fileStats = statsByFile.get(key)
+        val fileStats = statsByFile.get(sf.toUri.getPath)
         AddFile(
           path = encodePath(rel),
           partitionValues = partitionValuesFromPath(rel, partCols),
@@ -151,19 +174,9 @@ object DeltaWriter {
           modificationTime = st.getModificationTime,
           dataChange = true,
           stats = fileStats.map(_.toJson))
-      }
-
-      // 5. commit (with blind-append retry on version conflict)
-      val commitResult = commitAppend(log, snapshot, adds.toSeq, tableSchema, partCols,
-        configuration, txnAppId, txnVersion, operation)
-      fs.delete(staging, true)
-      commitResult
-    } catch {
-      case t: Throwable =>
-        // rollback: delete everything we moved + the staging dir
-        moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
-        try fs.delete(staging, true) catch { case _: Exception => () }
-        throw t
+      }.toSeq
+    } finally {
+      try fs.delete(staging, true) catch { case _: Exception => () }
     }
   }
 

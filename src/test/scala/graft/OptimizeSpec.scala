@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta._
+
+class OptimizeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-opt").toString + "/t"
+
+  test("optimize compacts small files; data and time travel preserved") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(8), path)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.snapshot.allFiles.size == 8)
+    val r = t.optimize()
+    assert(r.filesRemoved == 8 && r.filesAdded < 8 && r.filesAdded >= 1)
+    assert(t.snapshot.allFiles.size == r.filesAdded)
+    assert(t.toDF.count() == src.count())
+    val s1 = t.toDF.agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    val s2 = src.agg(sum("l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(s1 - s2) / math.abs(s2) < 1e-12)
+    // pre-optimize version still readable with the original file layout
+    assert(t.toDF(versionAsOf = 0).count() == src.count())
+    // idempotent: second optimize is a no-op commit-wise
+    val r2 = t.optimize()
+    assert(r2.filesRemoved == 0 && r2.version == r.version)
+  }
+
+  test("optimize purges deletion vectors by rewriting") {
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(4), path)
+    val t = DeltaTable.forPath(spark, path)
+    t.delete(col("o_orderkey") % 5 === 0)
+    assert(t.snapshot.hasDeletionVectors)
+    val expected = src.filter(!(col("o_orderkey") % 5 === 0)).count()
+    assert(t.toDF.count() == expected)
+    val r = t.optimize()
+    assert(r.filesRemoved > 0)
+    assert(!t.snapshot.hasDeletionVectors, "DVs should be gone after rewrite")
+    assert(t.toDF.count() == expected)
+    // scans now need no DV filter at all; listFiles shows no deletes
+    assert(t.listFiles().where(col("have_deletes")).count() == 0)
+  }
+
+  test("optimize respects partitions") {
+    val src = Fixtures.readParquet(spark, sfDir, "customer")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(3), path,
+      partitionBy = Seq("c_mktsegment"))
+    val t = DeltaTable.forPath(spark, path)
+    val before = t.snapshot.allFiles.size
+    val r = t.optimize()
+    assert(t.toDF.count() == src.count())
+    // every remaining file still carries its partition value
+    assert(t.snapshot.allFiles.forall(_.partitionValues.contains("c_mktsegment")))
+    // partition pruning still works post-optimize
+    val got = t.toDF.where(col("c_mktsegment") === "BUILDING").count()
+    assert(got == src.where(col("c_mktsegment") === "BUILDING").count())
+    assert(before >= r.filesAdded)
+  }
+}
