@@ -97,22 +97,15 @@ case class DvRowDeleted(
  */
 object DeltaDelete {
 
-  /**
-   * Soft-delete rows matching `condition`: per affected file, write a new
-   * DV (union with any existing one), commit remove+add. Files whose rows
-   * are all deleted are removed outright.
-   *
-   * @return number of rows deleted
-   */
-  def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
-    val snap = log.update()
-    val raw = snap.relationDF
-    // locate matching physical rows (already-deleted ones get unioned away)
-    val hits = raw.where(condition)
-      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+  /** Build the remove+re-add-with-DV actions for the physical rows in
+    * `hitRows` (columns p = file path, i = row index). Shared by DELETE
+    * and UPDATE. Returns (actions, newly-deleted row count). */
+  private[delta] def dvActions(log: DeltaLog, snap: Snapshot,
+      hitRows: org.apache.spark.sql.DataFrame): (Seq[Action], Long) = {
+    val hits = hitRows
       .groupBy(col("p")).agg(collect_list(col("i")).as("idxs"))
       .collect()
-    if (hits.isEmpty) return 0L
+    if (hits.isEmpty) return (Nil, 0L)
 
     val byPath = snap.allFiles.flatMap { f =>
       val p = snap.absolutePath(f)
@@ -143,20 +136,95 @@ object DeltaDelete {
         actions += Action(f.copy(deletionVector = Some(desc)))
       } // else: fully deleted → plain remove
     }
+    (actions.toSeq, deletedRows)
+  }
 
-    val needsProtocolUpgrade = snap.protocol.minReaderVersion < 3
+  private[delta] def protocolUpgradeActions(snap: Snapshot): Seq[Action] =
+    if (snap.protocol.minReaderVersion < 3)
+      Seq(Action(Protocol(3, 7,
+        Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))
+    else Nil
+
+  /**
+   * Soft-delete rows matching `condition`: per affected file, write a new
+   * DV (union with any existing one), commit remove+add. Files whose rows
+   * are all deleted are removed outright.
+   *
+   * @return number of rows deleted
+   */
+  def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
+    val snap = log.update()
+    // raw (un-DV-filtered) relation: already-deleted rows union away
+    val hitRows = snap.relationDF.where(condition)
+      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+    val (actions, deletedRows) = dvActions(log, snap, hitRows)
+    if (actions.isEmpty) return 0L
     val commitActions =
       Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
         Map("predicate" -> condition.toString)))) ++
-      (if (needsProtocolUpgrade)
-        Seq(Action(Protocol(3, 7,
-          Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))
-      else Nil) ++
-      actions
-    val content = commitActions.map(ActionJson.toJson).mkString("", "\n", "\n")
+      protocolUpgradeActions(snap) ++ actions
     // delete is not a blind append: version conflict = error (no retry)
-    LogStore.write(log.fs, log.commitFile(snap.version + 1), content)
+    LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
     log.invalidateCache()
     deletedRows
+  }
+}
+
+/**
+ * UPDATE via deletion vectors + rewrite: matching live rows are
+ * soft-deleted from their files and re-appended with assignments applied,
+ * in ONE commit — beyond the reference's surface (it rejects UPDATE,
+ * src/storage/delta_catalog.cpp:102-117), but table stakes for pipeline
+ * curation (fix a label, redact a span) at scale.
+ */
+object DeltaUpdate {
+
+  /** @return number of rows updated */
+  def update(spark: SparkSession, log: DeltaLog, condition: Column,
+      assignments: Map[String, Column]): Long = {
+    val snap = log.update()
+    require(snap.columnMappingMode == "none",
+      "UPDATE not supported on column-mapped tables")
+    val bad = assignments.keys.filterNot(snap.schema.fieldNames.contains)
+    require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+
+    val raw = snap.relationDF
+    // live rows only: resurrecting already-deleted rows would be corruption
+    val live =
+      if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
+      else raw
+    val matched = live.where(condition)
+
+    // new row images, in logical column order
+    val newRows = matched.select(snap.schema.fields.map { f =>
+      assignments.get(f.name).map(_.as(f.name)).getOrElse(col(s"`${f.name}`"))
+    }.toIndexedSeq: _*)
+
+    val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      val adds = DeltaWriter.writeFiles(spark, log, newRows, snap.schema,
+        snap.metadata.partitionColumns, moved)
+      val hitRows = matched.select(
+        col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+      val (dvActs, updatedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      if (updatedRows == 0L) {
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        return 0L
+      }
+      val commitActions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "UPDATE",
+          Map("predicate" -> condition.toString)))) ++
+        DeltaDelete.protocolUpgradeActions(snap) ++
+        dvActs ++ adds.map(Action(_))
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      updatedRows
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
   }
 }

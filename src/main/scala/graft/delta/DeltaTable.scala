@@ -122,6 +122,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
     Optimize.compact(spark, log, smallFileThreshold)
 
+  /** UPDATE: soft-delete matched rows (DV) + re-append updated images in
+    * one commit (beyond the reference's surface). */
+  def update(condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    DeltaUpdate.update(spark, log, condition, assignments)
+
   /** Record/overwrite a domainMetadata entry (write side of
     * `delta_domain_metadata`). */
   def setDomainMetadata(domain: String, configuration: String,

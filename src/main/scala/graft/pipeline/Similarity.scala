@@ -85,6 +85,89 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) index: the coarse-quantizer scale path ------
+
+  /** K-means (Lloyd) on a driver-side sample — the coarse quantizer.
+    * Deterministic: fixed seed, fixed iteration count. At 100 TB the
+    * sample stays bounded (quantizer quality needs thousands of points,
+    * not the corpus). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 8,
+      sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = emb.select(asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Column: index of the nearest centroid (L2) — pure built-ins, so the
+    * assignment is a codegen'd projection, usable as a partition key. */
+  def ivfCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("d"), lit(i).as("i"))
+    }
+    array_min(array(dists.toIndexedSeq: _*)).getField("i")
+  }
+
+  /**
+   * IVF approximate top-k: the corpus is bucketed by nearest centroid
+   * (inverted lists); the query probes its `nprobe` closest lists only.
+   * Candidates ≈ n · nprobe / k instead of n.
+   */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+      numCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, numCells)
+    val withCell = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cell", ivfCell(col("v"), centroids))
+    val qRow = withCell.where(col("vec_id") === queryId)
+      .select(col("v"), col("cell")).collect()(0)
+    val qv = qRow.getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    withCell
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("v"), lit(qv)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroid, one row per (label, dimension). */
   def centroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))

