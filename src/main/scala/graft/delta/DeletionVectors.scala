@@ -172,6 +172,61 @@ object DeltaDelete {
 }
 
 /**
+ * MERGE-style upsert: source rows replace key-matched live target rows
+ * (soft-deleted via DV) and unmatched source rows are inserted — one
+ * commit. The scale shape is one equi-join of the target scan against the
+ * source keyed on the merge keys (broadcast when the source is small),
+ * plus one write of |source| rows.
+ */
+object DeltaMerge {
+
+  /** @return (rowsUpdated, rowsInserted) */
+  def upsert(spark: SparkSession, log: DeltaLog, source: DataFrame,
+      keyCols: Seq[String]): (Long, Long) = {
+    val snap = log.update()
+    require(snap.columnMappingMode == "none",
+      "MERGE not supported on column-mapped tables")
+    require(keyCols.nonEmpty, "merge keys required")
+    val schemaCols = snap.schema.fieldNames.toSeq
+    require(source.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
+      s"source schema must match table: ${schemaCols.sorted}")
+    val aligned = source.select(schemaCols.map(c => col(s"`$c`")): _*)
+
+    val raw = snap.relationDF
+    val live =
+      if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
+      else raw
+    // target physical rows whose key appears in the source → soft-delete
+    val keys = aligned.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    val hitRows = live
+      .join(keys, keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
+        "left_semi")
+      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+
+    val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      val adds = DeltaWriter.writeFiles(spark, log, aligned, snap.schema,
+        snap.metadata.partitionColumns, moved)
+      val (dvActs, replacedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      val sourceRows = aligned.count()
+      val commitActions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
+          Map("keys" -> keyCols.mkString(","))))) ++
+        (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
+        dvActs ++ adds.map(Action(_))
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      (replacedRows, sourceRows - replacedRows)
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
+}
+
+/**
  * UPDATE via deletion vectors + rewrite: matching live rows are
  * soft-deleted from their files and re-appended with assignments applied,
  * in ONE commit — beyond the reference's surface (it rejects UPDATE,

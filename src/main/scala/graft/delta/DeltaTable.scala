@@ -128,6 +128,11 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       assignments: Map[String, org.apache.spark.sql.Column]): Long =
     DeltaUpdate.update(spark, log, condition, assignments)
 
+  /** MERGE-style upsert on key columns: source replaces matched rows,
+    * inserts the rest. Returns (rowsUpdated, rowsInserted). */
+  def upsert(source: DataFrame, keyCols: Seq[String]): (Long, Long) =
+    DeltaMerge.upsert(spark, log, source, keyCols)
+
   /** Record/overwrite a domainMetadata entry (write side of
     * `delta_domain_metadata`). */
   def setDomainMetadata(domain: String, configuration: String,

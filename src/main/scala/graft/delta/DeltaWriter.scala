@@ -190,14 +190,31 @@ object DeltaWriter {
     def toJson: String = {
       val root = ActionJson.mapper.createObjectNode()
       root.put("numRecords", numRecords)
+      // dotted keys ("s.a") become nested objects {"s":{"a":v}} — the
+      // protocol's nested stat-tree shape (reference delta_transaction.cpp:96-176)
+      def nest(o: ObjectNode, key: String): (ObjectNode, String) = {
+        val parts = key.split('.')
+        var cur = o
+        parts.dropRight(1).foreach { p =>
+          cur = Option(cur.get(p)).collect { case n: ObjectNode => n }
+            .getOrElse(cur.putObject(p))
+        }
+        (cur, parts.last)
+      }
       def putVals(field: String, m: Map[String, Any]): Unit = {
         val o = root.putObject(field)
-        m.toSeq.sortBy(_._1).foreach { case (k, v) => putStat(o, k, v) }
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val (tgt, leaf) = nest(o, k)
+          putStat(tgt, leaf, v)
+        }
       }
       putVals("minValues", mins)
       putVals("maxValues", maxs)
       val nc = root.putObject("nullCount")
-      nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) => nc.put(k, v) }
+      nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val (tgt, leaf) = nest(nc, k)
+        tgt.put(leaf, v)
+      }
       root.put("tightBounds", true)
       ActionJson.mapper.writeValueAsString(root)
     }
@@ -236,15 +253,29 @@ object DeltaWriter {
       tableSchema: StructType,
       partCols: Seq[String]): Map[String, FileStats] = {
     val dataFields = tableSchema.fields.filterNot(f => partCols.contains(f.name))
+    // stat targets: top-level leaves plus first-level struct leaves,
+    // keyed by dotted path (nested stat tree on write)
+    val statKeys: Seq[(String, org.apache.spark.sql.Column, DataType)] =
+      dataFields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s: StructType =>
+            (f.name, col(s"`${f.name}`"), f.dataType) +:
+              s.fields.toSeq.collect {
+                case sub if statsEligible(sub.dataType) =>
+                  (s"${f.name}.${sub.name}",
+                    col(s"`${f.name}`").getField(sub.name), sub.dataType)
+              }
+          case _ => Seq((f.name, col(s"`${f.name}`"), f.dataType))
+        }
+      }
     val read = spark.read.parquet(staging)
     val aggs = ArrayBuffer[org.apache.spark.sql.Column](count(lit(1)).as(s"${STATS_PREFIX}n"))
-    dataFields.foreach { f =>
-      if (statsEligible(f.dataType)) {
-        aggs += min(col(s"`${f.name}`")).as(s"${STATS_PREFIX}min_${f.name}")
-        aggs += max(col(s"`${f.name}`")).as(s"${STATS_PREFIX}max_${f.name}")
+    statKeys.foreach { case (key, c, dt) =>
+      if (statsEligible(dt)) {
+        aggs += min(c).as(s"${STATS_PREFIX}min_$key")
+        aggs += max(c).as(s"${STATS_PREFIX}max_$key")
       }
-      aggs += sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L))
-        .as(s"${STATS_PREFIX}nc_${f.name}")
+      aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nc_$key")
     }
     val rows = read
       .groupBy(col("_metadata.file_path").as(s"${STATS_PREFIX}file"))
@@ -255,15 +286,15 @@ object DeltaWriter {
       val mins = Map.newBuilder[String, Any]
       val maxs = Map.newBuilder[String, Any]
       val ncs = Map.newBuilder[String, Long]
-      dataFields.foreach { f =>
-        if (statsEligible(f.dataType)) {
-          val mn = r.getAs[Any](s"${STATS_PREFIX}min_${f.name}")
-          val mx = r.getAs[Any](s"${STATS_PREFIX}max_${f.name}")
-          if (mn != null) mins += f.name -> mn
-          if (mx != null) maxs += f.name -> mx
+      statKeys.foreach { case (key, _, dt) =>
+        if (statsEligible(dt)) {
+          val mn = r.getAs[Any](s"${STATS_PREFIX}min_$key")
+          val mx = r.getAs[Any](s"${STATS_PREFIX}max_$key")
+          if (mn != null) mins += key -> mn
+          if (mx != null) maxs += key -> mx
         }
-        val nc = r.getAs[Any](s"${STATS_PREFIX}nc_${f.name}")
-        if (nc != null) ncs += f.name -> nc.asInstanceOf[Long]
+        val nc = r.getAs[Any](s"${STATS_PREFIX}nc_$key")
+        if (nc != null) ncs += key -> nc.asInstanceOf[Long]
       }
       file -> FileStats(r.getAs[Long](s"${STATS_PREFIX}n"), mins.result(), maxs.result(), ncs.result())
     }.toMap

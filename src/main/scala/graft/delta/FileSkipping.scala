@@ -143,9 +143,16 @@ object FileSkipping {
     * dotted keys, matching how stats for nested columns are laid out. */
   private def attrOf(e: Expression): Option[(String, DataType)] = e match {
     case a: AttributeReference => Some((a.name, a.dataType))
-    case GetStructField(child, _, nameOpt) =>
+    case g @ GetStructField(child, ordinal, nameOpt) =>
+      // name is often None in analyzed/pruned plans — fall back to the
+      // child struct type's field name at this ordinal
       attrOf(child).flatMap { case (p, _) =>
-        nameOpt.map(nm => (s"$p.$nm", e.dataType))
+        val fieldName = nameOpt.orElse(child.dataType match {
+          case st: StructType if ordinal < st.fields.length =>
+            Some(st.fields(ordinal).name)
+          case _ => None
+        })
+        fieldName.map(nm => (s"$p.$nm", g.dataType))
       }
     case Cast(child, castTo, _, _) =>
       // Only follow casts that keep our comparison kind compatible

@@ -48,6 +48,8 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val all = snapshot.allFiles
+    if (sys.env.contains("GRAFT_DEBUG_FILTERS"))
+      dataFilters.foreach(f => System.err.println("[graft-debug] dataFilter:\n" + f.treeString))
     // 1. stats-based skipping on data filters (physical attr/stats names)
     val afterStats =
       if (options.pushdownFilters)

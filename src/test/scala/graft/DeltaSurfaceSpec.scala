@@ -94,7 +94,7 @@ class DeltaSurfaceSpec extends AnyFunSuite {
         | IF(id = 3, NULL, id) AS c_nullable
         |FROM range(0, 50)""".stripMargin)
     val path = tmpTable()
-    DeltaWriter.append(spark, df.repartition(2), path)
+    DeltaWriter.append(spark, df.repartitionByRange(2, col("c_int")), path)
     val back = DeltaTable.forPath(spark, path).toDF
     assert(back.schema == df.schema)
     assert(back.count() == 50)
@@ -103,10 +103,17 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       d.withColumn("c_map", map_entries(col("c_map")))
     assert(comparable(back).exceptAll(comparable(df)).isEmpty &&
       comparable(df).exceptAll(comparable(back)).isEmpty)
-    // stats-based skipping works on decimal/date/timestamp columns
+    // stats-based skipping works on date columns
     GraftMetrics.clear()
     assert(back.where(col("c_date") === java.sql.Date.valueOf("2020-01-05")).count() == 1)
     val ev = GraftMetrics.pushdownLog(spark).collect()
-    assert(ev.exists(r => r.getAs[Int]("filesAfter") <= r.getAs[Int]("filesBefore")))
+    assert(ev.exists(r => r.getAs[Int]("filesAfter") == 1),
+      s"date skip: ${ev.mkString(";")}")
+    // nested stat tree: filters on struct fields skip files too
+    GraftMetrics.clear()
+    assert(back.where(col("c_struct.a") === 5L).count() == 1)
+    val ev2 = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev2.exists(r => r.getAs[Int]("filesAfter") == 1),
+      s"nested skip: ${ev2.mkString(";")}")
   }
 }

@@ -77,6 +77,31 @@ class OptimizeSpec extends AnyFunSuite {
     assert(t.version == v)
   }
 
+  test("upsert replaces matched keys and inserts new rows in one commit") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    val t = DeltaTable.forPath(spark, path)
+    val vBefore = t.version
+    // source: modify regions 0/1, add regions 100/101
+    val modified = src.where(col("r_regionkey") <= 1)
+      .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+    val added = src.limit(2)
+      .withColumn("r_regionkey", col("r_regionkey") + 100)
+      .withColumn("r_name", lit("NEW"))
+    val (updated, inserted) = t.upsert(modified.union(added), Seq("r_regionkey"))
+    assert(updated == 2 && inserted == 2, s"got ($updated, $inserted)")
+    assert(t.version == vBefore + 1)
+    assert(t.toDF.count() == src.count() + 2)
+    assert(t.toDF.where(col("r_name").endsWith("_v2")).count() == 2)
+    assert(t.toDF.where(col("r_regionkey") <= 1 && !col("r_name").endsWith("_v2")).count() == 0)
+    assert(t.toDF.where(col("r_name") === "NEW").count() == 2)
+    // upserting the same source again replaces its own earlier images
+    val (u2, i2) = t.upsert(modified.union(added), Seq("r_regionkey"))
+    assert(u2 == 4 && i2 == 0)
+    assert(t.toDF.count() == src.count() + 2)
+  }
+
   test("optimize respects partitions") {
     val src = Fixtures.readParquet(spark, sfDir, "customer")
     val path = tmpTable()
