@@ -18,6 +18,17 @@ object SparkEntry {
   private def li(s: SparkSession, dir: String): DataFrame =
     Fixtures.readParquet(s, dir, "lineitem")
 
+  /** Fresh (un-cached) delta copy for DML queries — each invocation
+    * mutates its own table, keeping results deterministic. */
+  private def freshCopy(s: SparkSession, dir: String, table: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-dml-$table").toString + "/t"
+    graft.delta.DeltaWriter.append(s,
+      Fixtures.readParquet(s, dir, table)
+        .repartitionByRange(4, col(Fixtures.readParquet(s, dir, table).columns.head)),
+      p)
+    p
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * TPC-H Q1-shaped aggregate over a Delta copy of lineitem read through
     * our scan. */
@@ -172,6 +183,39 @@ object SparkEntry {
       DeltaTable.forPath(s, p).toDF.agg(count(lit(1)).as("n"))
     }),
 
+    // --- UPDATE via deletion vectors (one commit) ---
+    "delta_update_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val t = DeltaTable.forPath(s, p)
+      t.update(col("s_nationkey") === 0,
+        Map("s_acctbal" -> (col("s_acctbal") + 1000.0)))
+      t.toDF.select(col("s_suppkey"), round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // --- MERGE-style upsert ---
+    "delta_upsert_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "region")
+      val t = DeltaTable.forPath(s, p)
+      val src = Fixtures.readParquet(s, dir, "region")
+      val modified = src.where(col("r_regionkey") <= 1)
+        .withColumn("r_name", concat(col("r_name"), lit("_v2")))
+      val added = src.where(col("r_regionkey") <= 1)
+        .withColumn("r_regionkey", col("r_regionkey") + 100)
+        .withColumn("r_name", lit("NEW"))
+      t.upsert(modified.union(added), Seq("r_regionkey"))
+      t.toDF.orderBy(col("r_regionkey"), col("r_name"))
+    }),
+
+    // --- OPTIMIZE: DV purge + compaction preserves results ---
+    "delta_optimize_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "lineitem")
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("l_orderkey") % 10 === 3)
+      t.optimize()
+      q1Shape(t.toDF)
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -225,6 +269,20 @@ object SparkEntry {
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
     "delta_snapshot_replay" ->
       """SELECT CAST(count(*) * 40 AS BIGINT) AS n FROM nation""",
+    "delta_update_scan" ->
+      """SELECT s_suppkey,
+        | round(CASE WHEN s_nationkey = 0 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) AS acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "delta_upsert_scan" ->
+      """SELECT r_regionkey,
+        | CASE WHEN r_regionkey <= 1 THEN r_name || '_v2' ELSE r_name END AS r_name
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100 AS r_regionkey, 'NEW' AS r_name
+        |FROM region WHERE r_regionkey <= 1
+        |ORDER BY r_regionkey, r_name""".stripMargin,
+    "delta_optimize_scan" -> q1Sql.replace("FROM lineitem",
+      "FROM lineitem WHERE NOT (l_orderkey % 10 = 3)"),
     "q_variant_json" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod, count(*) AS n,
         | round(sum(value), 2) AS v
