@@ -56,6 +56,12 @@ object PipelineQueries {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), 0L, 10)),
     "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
 
+    // --- near-dup cluster canonicalization (drop-list materialization) ---
+    "dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalize(Dedup.jaccardPairs(docs(s, dir)))),
+    "emb_near_dup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(emb(s, dir), minSim = 0.2)),
+
     // --- multimodal ---
     "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))))
 

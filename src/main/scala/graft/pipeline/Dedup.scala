@@ -113,6 +113,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /**
+   * Cluster canonicalization: map every doc in a near-dup pair graph to
+   * its cluster representative (min doc_id), by iterative min-label
+   * propagation over the pair edges — `iters` rounds of join+min, fully
+   * distributed (the bounded-depth stand-in for connected components;
+   * near-dup clusters are shallow in practice).
+   *
+   * @param pairs (id_a, id_b) edges with id_a < id_b
+   * @return (doc_id, keep_id): rows with doc_id != keep_id are the drop list
+   */
+  def canonicalize(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    // symmetric neighbor list: (node, neighbor)
+    val nbrs = edges.select(col("id_a").as("n"), col("id_b").as("m"))
+      .union(edges.select(col("id_b").as("n"), col("id_a").as("m")))
+    var labels = nbrs.select(col("n")).distinct()
+      .select(col("n").as("doc_id"), col("n").as("keep_id"))
+    for (_ <- 0 until iters) {
+      // each node adopts the min label among itself and its neighbors
+      val viaNbr = nbrs
+        .join(labels, nbrs("m") === labels("doc_id"))
+        .select(col("n").as("doc_id"), col("keep_id"))
+      labels = labels.union(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ 3: pigeonhole on four
     * 16-bit chunks (any pair within distance 3 shares ≥ 1 exact chunk),
     * bucket-join per chunk, verify with bit_count. */

@@ -168,6 +168,27 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+   * pairs sharing a hyperplane-sign bucket; every reported pair carries an
+   * exactly-computed cosine ≥ minSim (probabilistic recall, exact
+   * precision). The bucket join replaces the all-pairs cross join —
+   * candidates ≈ Σ|bucket|² instead of n².
+   */
+  def lshNearDupPairs(emb: DataFrame, minSim: Double,
+      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64, seed)
+    val withBucket = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-label centroid, one row per (label, dimension). */
   def centroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))

@@ -111,6 +111,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize maps pair chains to min-id representatives") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // end-to-end over real near-dup pairs
+    val clusters = Dedup.canonicalize(Dedup.jaccardPairs(docs))
+    clusters.collect().foreach(r =>
+      assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("lsh embedding near-dup pairs are exact-cosine verified") {
+    val pairs = Similarity.lshNearDupPairs(emb, minSim = 0.2).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("sim") >= 0.2)
+    }
+    // every LSH pair within the exact block must appear in the exact pairs
+    val exact = Similarity.pairsAboveThreshold(emb, 200L, 0.2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lshInBlock = pairs
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => a < 200 && b < 200 }.toSet
+    assert(lshInBlock.subsetOf(exact))
+    info(s"lsh near-dup: ${pairs.length} pairs; block recall " +
+      s"${if (exact.isEmpty) "n/a" else lshInBlock.size.toDouble / exact.size}")
+  }
+
   test("dedup exact finds planted duplicates") {
     import spark.implicits._
     val planted = docs.select("doc_id", "text")
