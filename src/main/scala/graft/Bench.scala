@@ -20,7 +20,8 @@ object Bench {
     "q_correlated_subquery", "dedup_exact", "dedup_jaccard_pairs",
     "dedup_minhash_pairs", "ann_cosine_topk", "emb_centroids",
     "text_token_stats", "multimodal_features", "delta_snapshot_replay",
-    "q_variant_json")
+    "q_variant_json", "q9_profit_by_nation", "q18_large_orders",
+    "q6_selective_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
