@@ -10,13 +10,16 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
  * BASELINE.json): dedup, similarity search, text analysis, multimodal.
  * Fact tables come through the Delta scan (RelationalQueries.ensureViews).
  *
- * Oracle notes: DuckDB SQL differs syntactically (list functions) but is
- * validated to produce identical values; float-threshold comparisons are
- * integer-ized (Jaccard) or rounded identically on both sides (cosine).
- * Operators whose oracle would require reimplementing the algorithm in
- * SQL (MinHash/LSH/SimHash/lang-id/fingerprints/multimodal) ship without
- * oracle SQL → driver records rows-only; their correctness is asserted in
- * PipelineSpec against exact baselines instead.
+ * Oracle notes: every query here is oracle-checked. The probabilistic
+ * operators (MinHash/SimHash/LSH/IVF/fingerprints/multimodal) hash with
+ * md5 and project with integer arithmetic precisely so the DuckDB oracle
+ * can re-derive the SAME candidates bit-for-bit; the repetitive oracle SQL
+ * (64 simhash bit sums, 32 minhash aggregates, hyperplane literals) is
+ * GENERATED below from the same parameters the Spark operators use.
+ * Float-threshold comparisons are integer-ized (Jaccard: 7·|∩| ≥ 2·|∪|)
+ * or rounded identically on both sides (cosine, quality). Integer sums
+ * are CAST to BIGINT in the SQL because DuckDB's sum() returns HUGEINT
+ * while Spark returns BIGINT and the driver's value-hash is typed.
  */
 object PipelineQueries {
 
@@ -38,10 +41,12 @@ object PipelineQueries {
     "text_langid" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.langId(col("text")).as("pred"))
         .agg(count(lit(1)).as("n")).orderBy(col("pred"))),
-    "text_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextOps.fingerprint(col("text")).as("fp"),
-        TextOps.simhash(col("text")).as("sh")).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+        .join(TextOps.simhashHexAgg(d, col("doc_id"), col("text")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -54,6 +59,7 @@ object PipelineQueries {
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), 0L, 10)),
     "ann_pairs_block" -> ((s, dir) => Similarity.pairsAboveThreshold(emb(s, dir), 200L, 0.25)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), 0L, 10)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKSeeded(emb(s, dir), 0L, 10)),
     "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
 
     // --- near-dup cluster canonicalization (drop-list materialization) ---
@@ -65,17 +71,270 @@ object PipelineQueries {
     // --- multimodal ---
     "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))))
 
+  // ======================================================================
+  // Oracle SQL generation — mirrors of the Spark operators in DuckDB's
+  // dialect, built from the SAME parameters (plane literals, band counts,
+  // stopword/profile lists) so the two engines can't drift apart.
+  // ======================================================================
+
+  /** Value 0-15 of hex char at 1-based position expr `i` of md5-hex `h`. */
+  private def hv(h: String, i: String): String =
+    s"(CASE WHEN ascii(substr($h, CAST($i AS INT), 1)) >= 97" +
+      s" THEN ascii(substr($h, CAST($i AS INT), 1)) - 87" +
+      s" ELSE ascii(substr($h, CAST($i AS INT), 1)) - 48 END)"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** Word-3-gram shingle CTEs (toks, sh) over `documents` — the same
+    * shingle definition as Dedup.shingles. */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+      |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |   FROM toks) raw WHERE s <> '')""".stripMargin
+
+  /** Exact set-verify tail shared by jaccard/minhash oracles: candidates
+    * (ia, ib) -> (id_a, id_b, inter, uni) with 7·|∩| ≥ 2·|∪|. */
+  private val verifyTail =
+    """sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+      |v AS (SELECT ia, ib, len(list_intersect(sa.ss, sb.ss)) AS inter,
+      |        len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+      |      FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib)
+      |SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+      |FROM v WHERE inter * 7 >= uni * 2 ORDER BY id_a, id_b""".stripMargin
+
+  /** df-capped inverted-index candidate CTEs (cold, shc, cand) —
+    * mirrors Dedup.jaccardPairs(maxDf = 100). */
+  private val jaccardCandCtes =
+    """cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold USING (s)),
+      |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |         FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val jaccardSql =
+    s"WITH $shingleCtes,\n$jaccardCandCtes,\n$verifyTail"
+
+  /** MinHash oracle — 32 min-md5 aggregates + 8 band buckets, mirroring
+    * Dedup.minhashPairs(numHashes = 32, bandSize = 4). */
+  private val minhashSql = {
+    val numHashes = 32
+    val bandSize = 4
+    val mins = (0 until numHashes)
+      .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n  ")
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val cat = (b * bandSize until (b + 1) * bandSize).map(i => s"mh_$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM banded a JOIN banded b
+       |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |$verifyTail""".stripMargin
+  }
+
+  /** Connected-component canonicalization oracle: transitive closure over
+    * the jaccard pair graph (recursive CTE), keep_id = min reachable id —
+    * the fixpoint Dedup.canonicalize converges to. */
+  private val canonicalSql =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardCandCtes,
+       |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT ia, ib FROM (
+       |    SELECT ia, ib, len(list_intersect(sa.ss, sb.ss)) AS inter,
+       |           len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+       |    FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib)
+       |  WHERE inter * 7 >= uni * 2),
+       |nbrs AS (SELECT ia AS n, ib AS m FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+       |reach AS (
+       |  SELECT n AS doc_id, n AS r FROM (SELECT DISTINCT n FROM nbrs)
+       |  UNION
+       |  SELECT nbrs.n AS doc_id, reach.r FROM reach JOIN nbrs ON nbrs.m = reach.doc_id)
+       |SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SimHash signature CTE body: per-doc 64-bit simhash as 16 hex chars
+    * from md5 token hashes — mirrors TextOps.simhashHexAgg. Yields
+    * `SELECT doc_id, <sig> AS sh FROM ...` over `documents`. */
+  private val simhashSigSql = {
+    val nibbles = (0 until 16).map(i => hv("h", (i + 1).toString) + s" AS v$i").mkString(",\n    ")
+    val bitSums = (0 until 64).map(b => s"sum((v${b / 4} >> ${b % 4}) & 1) AS b$b").mkString(",\n    ")
+    val sig = (0 until 16).map { i =>
+      val v = (0 until 4)
+        .map(j => s"(CASE WHEN 2 * b${4 * i + j} > n THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', $v + 1, 1)"
+    }.mkString(" ||\n    ")
+    s"""SELECT doc_id,
+       |    $sig AS sh
+       |FROM (
+       |  SELECT doc_id, count(*) AS n,
+       |    $bitSums
+       |  FROM (SELECT doc_id,
+       |    $nibbles
+       |    FROM (SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+       |          FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Hamming distance between two 16-hex-char sigs (SQL expr). */
+  private def hammingSql(a: String, b: String): String =
+    (1 to 16).map(i => s"bit_count(xor(${hv(a, i.toString)}, ${hv(b, i.toString)}))")
+      .mkString(" + ")
+
+  private val simhashPairsSql =
+    s"""WITH sig AS ($simhashSigSql),
+       |ch AS (SELECT doc_id, sh, unnest(range(0, 4)) AS c FROM sig),
+       |ch2 AS (SELECT doc_id, sh, c, substr(sh, CAST(c * 4 + 1 AS INT), 4) AS cv FROM ch),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.sh AS sha, b.sh AS shb
+       |         FROM ch2 a JOIN ch2 b
+       |         ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT ia AS id_a, ib AS id_b,
+       |    CAST(${hammingSql("sha", "shb")} AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  private val fingerprintSql =
+    s"""WITH fp AS (SELECT doc_id,
+       |    list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+       |      i -> md5(substr(text, CAST(i AS INT), 16)))) AS fp
+       |  FROM documents),
+       |sig AS ($simhashSigSql)
+       |SELECT fp.doc_id, fp.fp, sig.sh FROM fp JOIN sig USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private val langidSql = {
+    val profs = TextOps.langProfiles.toSeq.sortBy(_._1)
+    val scores = profs.map { case (lang, words) =>
+      s"len(list_intersect(toks, ${sqlList(words)})) AS s_$lang"
+    }.mkString(",\n    ")
+    val g = profs.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    // ties pick the lexicographically-last language (Spark's struct max)
+    val pick = profs.map(_._1).sorted.reverse.dropRight(1)
+      .map(l => s"WHEN s_$l = g THEN '$l'")
+      .mkString("CASE ", " ", s" ELSE '${profs.map(_._1).min}' END")
+    s"""WITH t AS (SELECT list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |s AS (SELECT
+       |    $scores
+       |  FROM t)
+       |SELECT pred, count(*) AS n FROM (
+       |  SELECT $pick AS pred FROM (SELECT *, $g AS g FROM s))
+       |GROUP BY pred ORDER BY pred""".stripMargin
+  }
+
+  private val qualitySql = {
+    val stops = sqlList(TextOps.englishStopwords)
+    s"""WITH t AS (SELECT lang, text, n_chars,
+       |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |q AS (SELECT lang,
+       |  CASE WHEN len(toks) > 0
+       |       THEN len(list_intersect(list_distinct(toks), $stops)) * 1.0 / len(toks)
+       |       ELSE 0.0 END AS stop_ratio,
+       |  round(least(n_chars / 500.0, 1.0) * 0.3
+       |      + (length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / n_chars) * 0.5
+       |      + (CASE WHEN (CASE WHEN len(toks) > 0 THEN n_chars * 1.0 / len(toks) ELSE 0.0 END)
+       |              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+       |  FROM t)
+       |SELECT lang, count(*) AS n, round(avg(stop_ratio), 4) AS stop_ratio,
+       |  round(avg(quality), 4) AS quality
+       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Embeddings CTEs (e, b): double vector, floor(x·1000) quantization,
+    * Rademacher-plane sign buckets — mirrors Similarity.lshBucket with the
+    * SAME plane literals (generated from the same seed). */
+  private def lshBucketCtes(numPlanes: Int, seed: Long): String = {
+    val planes = Similarity.radPlanes(numPlanes, 64, seed)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> q[j] * ($lits)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucket AS bucket
+       |  FROM e)""".stripMargin
+  }
+
+  private val annLshTopkSql =
+    s"""WITH ${lshBucketCtes(6, 42L)},
+       |qv AS (SELECT v, bucket FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id, round(list_cosine_similarity(b.v, qv.v), 4) AS sim
+       |FROM b, qv
+       |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qv.bucket)) <= 1
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val embNearDupSql =
+    s"""WITH ${lshBucketCtes(8, 42L)}
+       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.v, c.v), 4) AS sim
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Seeded-IVF oracle: cells = vectors with vec_id < 16, exact integer L2
+    * assignment (ties → lower cell id), probe the 4 cells nearest the
+    * query — mirrors Similarity.ivfTopKSeeded. */
+  private val annIvfTopkSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sd AS (SELECT vec_id AS cid, cq FROM (SELECT vec_id, q AS cq FROM e WHERE vec_id < 16)),
+       |dist AS (SELECT e.vec_id, sd.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (e.q[j] - sd.cq[j]) * (e.q[j] - sd.cq[j]))) AS BIGINT) AS d
+       |  FROM e, sd),
+       |asn AS (SELECT vec_id, struct_extract(min({'d': d, 'c': cid}), 'c') AS cell
+       |  FROM dist GROUP BY vec_id),
+       |qd AS (SELECT sd.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (qq.q[j] - sd.cq[j]) * (qq.q[j] - sd.cq[j]))) AS BIGINT) AS d
+       |  FROM sd, (SELECT q FROM e WHERE vec_id = 0) qq),
+       |probe AS (SELECT cid FROM qd ORDER BY d, cid LIMIT 4)
+       |SELECT e.vec_id, round(list_cosine_similarity(e.v,
+       |    (SELECT v FROM e WHERE vec_id = 0)), 4) AS sim
+       |FROM e JOIN asn ON asn.vec_id = e.vec_id
+       |WHERE asn.cell IN (SELECT cid FROM probe) AND e.vec_id <> 0
+       |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** Multimodal oracle: re-derives the md5-chain payload bytes from hex
+    * chars and aggregates the same features — mirrors
+    * Multimodal.syntheticMedia + decodeStub. */
+  private val multimodalSql =
+    s"""WITH d AS (SELECT doc_id, CAST(256 + doc_id % 128 AS BIGINT) AS len FROM documents),
+       |blk AS (SELECT doc_id, len, unnest(range(0, CAST(ceil(len / 16.0) AS BIGINT))) AS b FROM d),
+       |hx AS (SELECT doc_id, len, b, md5(concat(doc_id, ':', b)) AS h FROM blk),
+       |byt AS (SELECT doc_id, len, b * 16 + p AS pos,
+       |    ${hv("h", "2*p+1")} * 16 + ${hv("h", "2*p+2")} AS v
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, 16)) AS p) pp)
+       |SELECT doc_id, len AS media_len,
+       |  CAST((sum(v) * 100) // len AS BIGINT) AS mean_byte_x100,
+       |  count(*) FILTER (WHERE v < 16) AS hist0,
+       |  count(*) FILTER (WHERE v >= 240) AS hist15
+       |FROM byt WHERE pos < len
+       |GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_token_stats" ->
       """SELECT lang, count(*) AS n,
-        | sum(len(string_split_regex(trim(text), '\s+'))) AS toks,
+        | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks,
         | round(avg(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / n_chars), 4) AS alpha_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT lang,
-        | sum(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-        |   w -> cast(ceil(length(w)/4.0) AS BIGINT)))) AS subtoks
+        | CAST(sum(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |   w -> cast(ceil(length(w)/4.0) AS BIGINT)))) AS BIGINT) AS subtoks
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" -> qualitySql,
+    "text_langid" -> langidSql,
+    "text_fingerprint" -> fingerprintSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -83,19 +342,10 @@ object PipelineQueries {
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
         |ORDER BY doc_id""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |   FROM toks) raw WHERE s <> ''),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter
-        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT ia AS id_a, ib AS id_b, inter, sa.sz + sb.sz - inter AS uni
-        |FROM cand JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-        |WHERE inter * 7 >= (sa.sz + sb.sz - inter) * 2
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardSql,
+    "dedup_minhash_pairs" -> minhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_canonical" -> canonicalSql,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
@@ -108,8 +358,12 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "emb_near_dup_lsh" -> embNearDupSql,
     "emb_centroids" ->
       """SELECT label, i, round(avg(embedding[i]), 4) AS v
         |FROM embeddings, range(1, 65) r(i)
-        |GROUP BY label, i ORDER BY label, i""".stripMargin)
+        |GROUP BY label, i ORDER BY label, i""".stripMargin,
+    "multimodal_features" -> multimodalSql)
 }

@@ -255,8 +255,8 @@ object SparkEntry {
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 7)"),
     "delta_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
-        | sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS sum_bonus,
-        | sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS null_bonus
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS BIGINT) AS sum_bonus,
+        | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_bonus
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_column_mapping" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",

@@ -3,17 +3,21 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
-
 /**
  * Deduplication operators over the `documents` table: exact (hash-group),
  * exact-normalized, n-gram Jaccard, MinHash+LSH and SimHash near-dup.
  *
  * Scale design (100 TB): every operator is a constant number of shuffles
  * keyed on content hashes / shingles / band buckets — no driver-side
- * loops, no all-pairs materialization. MinHash bands turn the quadratic
- * candidate space into |bucket|² within hash buckets only; SimHash
- * chunk-match does the same for hamming-distance candidates.
+ * loops (canonicalize's fixpoint check is one count per round), no
+ * all-pairs materialization. Candidate generation is bounded:
+ * - jaccard: inverted-index join over shingles with a document-frequency
+ *   cap, so a boilerplate shingle shared by B docs can't contribute B²
+ *   candidate rows;
+ * - minhash: banded signature buckets;
+ * - simhash: 16-bit chunk pigeonhole buckets.
+ * All candidates are then exact-verified against per-doc shingle sets, so
+ * reported pairs are always true pairs (exact precision).
  */
 object Dedup {
 
@@ -45,62 +49,10 @@ object Dedup {
   private def hashedShingles(docs: DataFrame): DataFrame =
     shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
 
-  /**
-   * Exact n-gram Jaccard similar pairs with J ≥ 2/7, via inverted-index
-   * join on shingles (integer-only threshold test: 7·|∩| ≥ 2·|∪| — no
-   * float boundary risk against the oracle).
-   */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = hashedShingles(docs)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("sa.sz") + col("sb.sz") - col("inter")).as("uni"))
-      .where(col("inter") * 7 >= col("uni") * 2)
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** Per-doc MinHash signature: `numHashes` min-hashes over shingles.
-    * One aggregation, signatures live as an array column. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = hashedShingles(docs)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
-  }
-
-  /**
-   * MinHash+LSH near-dup candidates, exact-verified: band the signature
-   * (bandSize rows per band), bucket-join on (band, bandHash), then verify
-   * candidates with exact Jaccard ≥ 2/7. Probabilistic recall, exact
-   * precision (reported pairs are all true pairs).
-   */
-  def minhashPairs(docs: DataFrame, numHashes: Int = 32, bandSize: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes)
-    val numBands = numHashes / bandSize
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until numBands).map(b =>
-        hash((b * bandSize until (b + 1) * bandSize).map(i => col("sig")(i)): _*)): _*))
-        .as(Seq("band", "bh")))
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    // exact verification against per-doc shingle SETS (array_intersect per
-    // candidate pair) — two hash-joins moving one array per doc, instead of
-    // re-exploding shingles into |pairs|·|shingles| rows
-    val sets = hashedShingles(docs).groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"))
+  /** Exact-verify candidate pairs against per-doc shingle sets: two
+    * hash-joins moving one set array per doc (no re-explode into
+    * |pairs|·|shingles| rows), integer-only threshold 7·|∩| ≥ 2·|∪|. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame =
     cands
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -111,51 +63,122 @@ object Dedup {
         (col("szsum") - col("inter")).as("uni"))
       .where(col("inter") * 7 >= col("uni") * 2)
       .orderBy(col("id_a"), col("id_b"))
+
+  /**
+   * Exact n-gram Jaccard similar pairs with J ≥ 2/7, via inverted-index
+   * join on shingles. Shingles with document frequency > `maxDf` are
+   * dropped from the INDEX ONLY (boilerplate phrases would otherwise
+   * contribute |df|² candidate rows — quadratic at corpus scale); the
+   * Jaccard values themselves are computed exactly from the FULL shingle
+   * sets. A pair is missed only if it shares nothing but >maxDf
+   * boilerplate shingles — such pairs are the minhash path's job.
+   */
+  def jaccardPairs(docs: DataFrame, maxDf: Int = 100): DataFrame = {
+    val sh = hashedShingles(docs)
+    val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val shc = sh.join(cold, Seq("s"))
+    val cands = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
+    verifyPairs(cands, sets)
+  }
+
+  /** Per-doc MinHash signature: `numHashes` min-md5-hex strings over raw
+    * shingles (hash i of shingle s = md5("i:" || s)). md5 keeps the
+    * signature reproducible by any engine (the DuckDB oracle re-derives
+    * the same bands); one aggregation with map-side combine. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * MinHash+LSH near-dup candidates, exact-verified: band the signature
+   * (bandSize hashes per band, band key = md5 of the concatenated band),
+   * bucket-join on (band, bandHash), then verify candidates with exact
+   * Jaccard ≥ 2/7 from full shingle sets. Probabilistic recall, exact
+   * precision (reported pairs are all true pairs).
+   */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 32, bandSize: Int = 4): DataFrame = {
+    val sig = minhashSignatures(docs, numHashes)
+    val numBands = numHashes / bandSize
+    val bandCols = (0 until numBands).map(b =>
+      md5(concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i")): _*)))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = hashedShingles(docs).groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"))
+    verifyPairs(cands, sets)
   }
 
   /**
    * Cluster canonicalization: map every doc in a near-dup pair graph to
-   * its cluster representative (min doc_id), by iterative min-label
-   * propagation over the pair edges — `iters` rounds of join+min, fully
-   * distributed (the bounded-depth stand-in for connected components;
-   * near-dup clusters are shallow in practice).
+   * its cluster representative (min doc_id), by min-label propagation over
+   * the pair edges iterated TO FIXPOINT — each round is one distributed
+   * join+min; the driver only checks a changed-count per round (converges
+   * in ≤ graph-diameter rounds; near-dup clusters are shallow, so
+   * typically 2-4). `localCheckpoint` truncates the growing lineage — on
+   * a cluster use a reliable checkpoint dir instead.
    *
    * @param pairs (id_a, id_b) edges with id_a < id_b
    * @return (doc_id, keep_id): rows with doc_id != keep_id are the drop list
    */
-  def canonicalize(pairs: DataFrame, iters: Int = 3): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
     // symmetric neighbor list: (node, neighbor)
     val nbrs = edges.select(col("id_a").as("n"), col("id_b").as("m"))
       .union(edges.select(col("id_b").as("n"), col("id_a").as("m")))
+      .localCheckpoint()
     var labels = nbrs.select(col("n")).distinct()
       .select(col("n").as("doc_id"), col("n").as("keep_id"))
-    for (_ <- 0 until iters) {
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       // each node adopts the min label among itself and its neighbors
       val viaNbr = nbrs
         .join(labels, nbrs("m") === labels("doc_id"))
-        .select(col("n").as("doc_id"), col("keep_id"))
-      labels = labels.union(viaNbr)
+        .select(nbrs("n").as("doc_id"), col("keep_id"))
+      val next = labels.union(viaNbr)
         .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
+        .localCheckpoint()
+      converged = next.as("x").join(labels.as("y"),
+          col("x.doc_id") === col("y.doc_id"))
+        .where(col("x.keep_id") =!= col("y.keep_id"))
+        .isEmpty
+      labels = next
+      it += 1
     }
     labels.orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ 3: pigeonhole on four
-    * 16-bit chunks (any pair within distance 3 shares ≥ 1 exact chunk),
-    * bucket-join per chunk, verify with bit_count. */
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 by
+    * default): pigeonhole on four 16-bit chunks (any pair within distance
+    * 3 shares ≥ 1 exact chunk), bucket-join per chunk, verify hamming on
+    * the full signature. Signatures are md5-based hex strings
+    * ([[TextOps.simhashHexAgg]]) so the oracle reproduces them; chunks are
+    * 4-hex-char substrings. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col("doc_id"),
-      TextOps.simhash(col("text")).as("sig"))
-    val chunked = withSig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk", "cv")))
+    val withSig = TextOps.simhashHexAgg(docs, col("doc_id"), col("text"))
+    val chunked = withSig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        substring(col("sh"), c * 4 + 1, 4)): _*)).as(Seq("chunk", "cv")))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        TextOps.hammingHex(col("a.sh"), col("b.sh")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,6 +14,11 @@ import org.apache.spark.sql.types._
  * libraries ship in this environment — but everything Spark-side is real:
  * schema, binary payloads, batched iteration, partitioning, and the
  * feature-extraction contract.
+ *
+ * Payload bytes are an md5 chain (block k of doc d = md5("d:k")), so the
+ * synthetic bytes — and therefore every extracted feature — are
+ * reproducible by any engine with md5() (the DuckDB oracle re-derives
+ * them from hex chars).
  */
 object Multimodal {
 
@@ -25,17 +30,21 @@ object Multimodal {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true))), nullable = true)))
 
-  /** Deterministic synthetic payload per doc: xorshift byte stream seeded
-    * by doc_id (stands in for real image/audio bytes). */
+  /** Deterministic synthetic payload per doc: concatenated md5 digests of
+    * "docId:blockIndex", truncated to 256 + docId % 128 bytes (stands in
+    * for real image/audio bytes). */
   def syntheticMedia(docId: Long): Array[Byte] = {
     val len = 256 + (docId % 128).toInt
     val out = new Array[Byte](len)
-    var s = docId * 0x9E3779B97F4A7C15L + 1
-    var i = 0
-    while (i < len) {
-      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      out(i) = (s & 0xff).toByte
-      i += 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var off = 0
+    var blk = 0
+    while (off < len) {
+      val d = md.digest(s"$docId:$blk".getBytes("UTF-8"))
+      val n = math.min(16, len - off)
+      System.arraycopy(d, 0, out, off, n)
+      off += n
+      blk += 1
     }
     out
   }
@@ -55,9 +64,10 @@ object Multimodal {
   /**
    * STUB decode: a real deployment would decode image/audio here
    * (codec library call). The deterministic fake extracts a byte
-   * histogram + mean so the full pipeline is testable end-to-end.
+   * histogram + scaled integer mean so the full pipeline is testable
+   * end-to-end with exact (integer) arithmetic.
    */
-  private def decodeStub(media: Array[Byte]): (Array[Long], Double) = {
+  private def decodeStub(media: Array[Byte]): (Array[Long], Long) = {
     // ??? <- real codec goes here (e.g. JPEG decode → pixel tensor)
     val hist = new Array[Long](16)
     var sum = 0L
@@ -68,13 +78,13 @@ object Multimodal {
       sum += b
       i += 1
     }
-    (hist, if (media.length == 0) 0.0 else sum.toDouble / media.length)
+    (hist, if (media.length == 0) 0L else sum * 100 / media.length)
   }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("media_len", IntegerType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("media_len", LongType, nullable = false),
+    StructField("mean_byte_x100", LongType, nullable = false),
     StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
 
   /** Batched feature extraction over the media column: mapPartitions with
@@ -89,8 +99,8 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val (hist, mean) = decodeStub(bytes)
-            Row(id, bytes.length, math.rint(mean * 100) / 100, hist.toSeq)
+            val (hist, meanX100) = decodeStub(bytes)
+            Row(id, bytes.length.toLong, meanX100, hist.toSeq)
           }
         }
       }
@@ -100,7 +110,7 @@ object Multimodal {
   /** End-to-end: documents → media → features, ordered for determinism. */
   def mediaFeatures(docs: DataFrame): DataFrame =
     extractFeatures(withMedia(docs))
-      .select(col("doc_id"), col("media_len"), col("mean_byte"),
+      .select(col("doc_id"), col("media_len"), col("mean_byte_x100"),
         col("hist")(0).as("hist0"), col("hist")(15).as("hist15"))
       .orderBy(col("doc_id"))
 }

@@ -71,12 +71,64 @@ object TextOps {
     array_max(array(scored: _*)).getField("lang")
   }
 
-  /** 64-bit SimHash over whitespace tokens (native expression). */
+  /** 64-bit SimHash over whitespace tokens (native expression; FNV-1a —
+    * the fastest scale path, not oracle-reproducible). */
   def simhash(text: Column): Column = GraftFunctions.simhash64(tokens(text))
 
   /** Winnowing-style rolling-hash fingerprint (native expression). */
   def fingerprint(text: Column, k: Int = 16): Column =
     GraftFunctions.rollingFingerprint(text, k)
+
+  // ---- md5-based (engine-portable) variants ------------------------------
+  // Same algorithms keyed on md5 instead of FNV/xxhash, so any engine with
+  // md5() reproduces them bit-for-bit (the DuckDB oracle does). md5 is
+  // ~2-3x the cost of xxhash64 per token — negligible against the scan.
+
+  /** Value 0-15 of the 1-based `i`-th hex char of an md5-hex column. */
+  private[pipeline] def hexNibble(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** Min-md5 document fingerprint over sliding `k`-char windows
+    * (winnowing-style): equal fingerprints ⇒ shared k-gram. Per-row,
+    * shuffle-free, codegen'd built-ins only. */
+  def fingerprintMd5(text: Column, k: Int = 16): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => md5(text.substr(i, lit(k)))))
+
+  /**
+   * 64-bit SimHash rendered as 16 hex chars, from md5 token hashes:
+   * bit b of a token = (nibble(b/4) >> (b%4)) & 1 where nibble(i) is the
+   * value of hex char i+1 of md5(token); signature bit b is set iff more
+   * than half the tokens (with multiplicity) have bit b set.
+   *
+   * One doc_id-keyed aggregation (map-side combined) — linear at corpus
+   * scale. Returns (idAlias, shAlias).
+   */
+  def simhashHexAgg(df: DataFrame, id: Column, text: Column,
+      idAlias: String = "doc_id", shAlias: String = "sh"): DataFrame = {
+    val tok = df.select(id.as(idAlias), explode(tokens(text)).as("__w"))
+      .select(col(idAlias), md5(col("__w")).as("__h"))
+    val nib = tok.select(
+      col(idAlias) +: (0 until 16).map(i => hexNibble(col("__h"), i + 1).as(s"__v$i")): _*)
+    val aggs = count(lit(1)).as("__n") +: (0 until 64).map(b =>
+      sum(shiftright(col(s"__v${b / 4}"), b % 4).bitwiseAND(lit(1))).as(s"__b$b"))
+    val acc = nib.groupBy(col(idAlias)).agg(aggs.head, aggs.tail: _*)
+    val sigChars = (0 until 16).map { i =>
+      val v = (0 until 4).map(j =>
+        when(col(s"__b${4 * i + j}") * 2 > col("__n"), lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lit("0123456789abcdef").substr(v + 1, lit(1))
+    }
+    acc.select(col(idAlias), concat(sigChars: _*).as(shAlias))
+  }
+
+  /** Hamming distance between two 16-hex-char simhash signatures. */
+  def hammingHex(a: Column, b: Column): Column =
+    (1 to 16).map(i =>
+      bit_count(hexNibble(a, i).bitwiseXOR(hexNibble(b, i)))).reduce(_ + _).cast("long")
 
   // ---- DataFrame-level operators -----------------------------------------
 

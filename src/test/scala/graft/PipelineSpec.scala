@@ -44,8 +44,25 @@ class PipelineSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
     pairs.foreach { r =>
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
-      assert(r.getAs[Int]("hamming") <= 10)
+      assert(r.getAs[Long]("hamming") <= 10)
     }
+  }
+
+  test("md5 simhash signature: identical docs collide, sensitivity is bounded") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy cat again and again"
+    val sigs = TextOps.simhashHexAgg(
+      Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(sigs.length == 3)
+    val Array(s1, s1b, s2) = sigs.map(_.getString(1))
+    assert(s1.length == 16 && s1.matches("[0-9a-f]{16}"))
+    assert(s1 == s1b, "identical docs must collide")
+    val hamming = s1.zip(s2).map { case (a, b) =>
+      java.lang.Integer.bitCount(Integer.parseInt(a.toString, 16) ^ Integer.parseInt(b.toString, 16))
+    }.sum
+    assert(hamming > 0 && hamming <= 16, s"one-word change moved $hamming bits")
   }
 
   test("language id discriminates real multilingual text") {
@@ -106,9 +123,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.map(_.toString).sameElements(f2.map(_.toString)))
     f1.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(r.getAs[Int]("media_len") == 256 + (id % 128).toInt)
-      assert(r.getAs[Double]("mean_byte") > 0)
+      assert(r.getAs[Long]("media_len") == 256 + (id % 128))
+      assert(r.getAs[Long]("mean_byte_x100") > 0)
     }
+  }
+
+  test("ivf seeded topk: deterministic, k results, cells partition the corpus") {
+    val r1 = Similarity.ivfTopKSeeded(emb, 0L, 10).collect()
+    val r2 = Similarity.ivfTopKSeeded(emb, 0L, 10).collect()
+    assert(r1.length == 10)
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)), "must be deterministic")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = r1.map(_.getAs[Long]("vec_id")).count(brute.contains) / 10.0
+    info(s"ivf-seeded recall@10 = $recall (nprobe=4 of 16 cells)")
   }
 
   test("canonicalize maps pair chains to min-id representatives") {
