@@ -26,12 +26,15 @@ object DeletionVectors {
 
   /** filter: rows whose (file, row_index) is in a DV are dropped. */
   def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
+    // EVERY file is registered (DV-less files map to null) so the probe can
+    // FAIL CLOSED: a scanned path that matches no registered rendering is an
+    // error, never a silent "not deleted" that would resurrect rows whose
+    // path merely percent-encodes differently.
     val dvMap: Map[String, Bitmap64] = snapshot.allFiles.flatMap { f =>
-      f.deletionVector.toSeq.flatMap { dv =>
-        val bm = DeletionVectorStore.read(snapshot.log, dv)
-        val p = snapshot.absolutePath(f)
-        Seq(p.toString -> bm, p.toUri.getPath -> bm)
-      }
+      val bm = f.deletionVector
+        .map(dv => DeletionVectorStore.read(snapshot.log, dv)).orNull
+      val p = snapshot.absolutePath(f)
+      Seq(p.toString -> bm, p.toUri.getPath -> bm, p.toUri.toString -> bm)
     }.toMap
     val bc = spark.sparkContext.broadcast(dvMap)
     val deleted = DvRowDeleted(
@@ -53,7 +56,11 @@ class DvLookupCache extends Serializable {
     if (lastPath == null || !lastPath.equals(path)) {
       if (map == null) map = bc.value
       lastPath = path.clone()
-      lastBitmap = map.getOrElse(path.toString, null)
+      lastBitmap = map.get(path.toString) match {
+        case Some(bm) => bm // null for a registered DV-less file
+        case None => throw new IllegalStateException(
+          s"scanned file not in the snapshot's DV registry (path rendering mismatch?): $path")
+      }
     }
     lastBitmap != null && lastBitmap.contains(idx)
   }

@@ -70,19 +70,6 @@ object FileSkipping {
 
   // ---- normalized stat/literal values -------------------------------------
 
-  // Kinds: N numeric (BigDecimal), S string, B boolean, T time (Long
-  // micros; dates are converted to micros when mixed with timestamps,
-  // otherwise compared as day numbers).
-  private def kindOf(dt: DataType): Option[Char] = dt match {
-    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: FloatType | _: DoubleType | _: DecimalType => Some('N')
-    case _: StringType => Some('S')
-    case _: BooleanType => Some('B')
-    case _: DateType => Some('D')
-    case _: TimestampType | _: TimestampNTZType => Some('T')
-    case _ => None
-  }
-
   /** Catalyst literal internal value → normalized comparable. */
   private def normLiteral(value: Any, dt: DataType): Option[Any] = {
     if (value == null) return None
@@ -138,29 +125,67 @@ object FileSkipping {
 
   // ---- column reference extraction ----------------------------------------
 
-  /** Unwraps the attribute (through safe casts) referenced by `e`, returning
-    * (statsKey, columnType, comparisonType). Nested struct fields surface as
-    * dotted keys, matching how stats for nested columns are laid out. */
-  private def attrOf(e: Expression): Option[(String, DataType)] = e match {
-    case a: AttributeReference => Some((a.name, a.dataType))
+  /** A stats column reference: `key` addresses the (possibly dotted) stats
+    * entry, `statType` is the STORAGE type the stats JSON is encoded in, and
+    * `dayToMicros` marks a followed Date→Timestamp cast whose day-number
+    * stats must be widened to the micros range the literal lives in. */
+  private case class ColRef(key: String, statType: DataType, dayToMicros: Boolean = false)
+
+  /** Casts through which stats comparison stays sound: every child value
+    * maps to the cast type without loss or wraparound, so the child's
+    * min/max order is preserved (mirrors Spark's own
+    * UnwrapCastInBinaryComparison whitelist). Narrowing/truncating casts
+    * (double→int, long→int, …) are NOT followed: `cast(d AS int) = 5` can
+    * match a file whose double stats exclude 5. */
+  private def valuePreservingCast(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (ByteType, d: DecimalType) => d.precision - d.scale >= 3
+    case (ShortType, d: DecimalType) => d.precision - d.scale >= 5
+    case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+    case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+    case (f: DecimalType, t: DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+    case _ => false
+  }
+
+  private def sessionTzIsUtc: Boolean =
+    try {
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+    } catch { case _: Exception => false }
+
+  /** Unwraps the attribute (through value-preserving casts) referenced by
+    * `e`. Nested struct fields surface as dotted keys, matching how stats
+    * for nested columns are laid out. */
+  private def attrOf(e: Expression): Option[ColRef] = e match {
+    case a: AttributeReference => Some(ColRef(a.name, a.dataType))
     case g @ GetStructField(child, ordinal, nameOpt) =>
       // name is often None in analyzed/pruned plans — fall back to the
       // child struct type's field name at this ordinal
-      attrOf(child).flatMap { case (p, _) =>
+      attrOf(child).flatMap { ref =>
         val fieldName = nameOpt.orElse(child.dataType match {
           case st: StructType if ordinal < st.fields.length =>
             Some(st.fields(ordinal).name)
           case _ => None
         })
-        fieldName.map(nm => (s"$p.$nm", g.dataType))
+        fieldName.map(nm => ColRef(s"${ref.key}.$nm", g.dataType))
       }
     case Cast(child, castTo, _, _) =>
-      // Only follow casts that keep our comparison kind compatible
-      attrOf(child).filter { case (_, from) =>
-        (kindOf(from), kindOf(castTo)) match {
-          case (Some('N'), Some('N')) => true
-          case (Some('D'), Some('T')) => true
-          case _ => false
+      attrOf(child).flatMap { ref =>
+        if (ref.dayToMicros) None // a second cast past D→T: bail out, keep file
+        else (ref.statType, castTo) match {
+          // cast(date AS timestamp_ntz) is midnight of the day, zone-free
+          case (DateType, _: TimestampNTZType) => Some(ref.copy(dayToMicros = true))
+          // cast(date AS timestamp) is midnight in the SESSION zone; only
+          // sound to translate day stats to micros when that zone is UTC
+          case (DateType, _: TimestampType) if sessionTzIsUtc =>
+            Some(ref.copy(dayToMicros = true))
+          case (f, t) if valuePreservingCast(f, t) => Some(ref)
+          case _ => None
         }
       }
     case _ => None
@@ -196,12 +221,19 @@ object FileSkipping {
     def hasNulls: Option[Boolean] = nullCount.map(_ > 0)
   }
 
-  private def colStats(st: ParsedStats, schema: StructType, key: String, dt: DataType): ColStats =
-    ColStats(
-      lookup(st.minValues, key).flatMap(n => normStat(n, dt)),
-      lookup(st.maxValues, key).flatMap(n => normStat(n, dt)),
-      st.nullCount.get(key),
-      st.numRecords)
+  private def colStats(st: ParsedStats, ref: ColRef): ColStats = {
+    val mn = lookup(st.minValues, ref.key).flatMap(n => normStat(n, ref.statType))
+    val mx = lookup(st.maxValues, ref.key).flatMap(n => normStat(n, ref.statType))
+    // Date stats compared against a timestamp literal: day d covers the
+    // micros range [d·86400e6, (d+1)·86400e6), so min widens down and max
+    // widens up — never the same unit-mismatched compare in both bounds.
+    val (mn2, mx2) =
+      if (ref.dayToMicros)
+        (mn.collect { case d: Long => (d * 86400000000L): Any },
+         mx.collect { case d: Long => ((d + 1) * 86400000000L - 1): Any })
+      else (mn, mx)
+    ColStats(mn2, mx2, st.nullCount.get(ref.key), st.numRecords)
+  }
 
   /** True iff the file may contain rows satisfying `e`. Conservative. */
   def mayContain(st: ParsedStats, schema: StructType, e: Expression): Boolean = e match {
@@ -245,12 +277,12 @@ object FileSkipping {
     }
 
     case IsNull(a) => attrOf(a) match {
-      case Some((key, dt)) =>
-        colStats(st, schema, key, dt).hasNulls.getOrElse(true)
+      case Some(ref) =>
+        colStats(st, ref).hasNulls.getOrElse(true)
       case None => true
     }
     case IsNotNull(a) => attrOf(a) match {
-      case Some((key, dt)) => !colStats(st, schema, key, dt).allNull
+      case Some(ref) => !colStats(st, ref).allNull
       case None => true
     }
 
@@ -258,8 +290,8 @@ object FileSkipping {
       list.exists(l => mayContain(st, schema, EqualTo(a, l)))
     case InSet(a, hset) =>
       attrOf(a) match {
-        case Some((key, dt)) =>
-          val cs = colStats(st, schema, key, dt)
+        case Some(ref) =>
+          val cs = colStats(st, ref)
           hset.exists { v =>
             normLiteral(v, a.dataType) match {
               case Some(nv) => !cs.allNull &&
@@ -273,8 +305,8 @@ object FileSkipping {
 
     case StartsWith(a, Literal(p, _: StringType)) if p != null =>
       attrOf(a) match {
-        case Some((key, StringType)) =>
-          val cs = colStats(st, schema, key, StringType)
+        case Some(ref @ ColRef(_, StringType, _)) =>
+          val cs = colStats(st, ref)
           val prefix = p.toString
           val minOk = cs.min.forall {
             case s: String => s.take(prefix.length) <= prefix
@@ -299,10 +331,10 @@ object FileSkipping {
   private def binaryDirectional(st: ParsedStats, schema: StructType, a: Expression, b: Expression)(
       fwd: (ColStats, Any) => Boolean, rev: (ColStats, Any) => Boolean): Boolean = {
     (attrOf(a), litOf(b)) match {
-      case (Some((key, dt)), Some(v)) => fwd(colStats(st, schema, key, dt), v)
+      case (Some(ref), Some(v)) => fwd(colStats(st, ref), v)
       case _ =>
         (attrOf(b), litOf(a)) match {
-          case (Some((key, dt)), Some(v)) => rev(colStats(st, schema, key, dt), v)
+          case (Some(ref), Some(v)) => rev(colStats(st, ref), v)
           case _ => true
         }
     }

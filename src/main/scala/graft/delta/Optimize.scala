@@ -28,6 +28,11 @@ object Optimize {
       smallFileThreshold: Long = 32L * 1024 * 1024,
       maxRowsPerFile: Long = 8L * 1024 * 1024): Result = {
     val snap = log.update()
+    // writeFiles emits parquet with LOGICAL column names; a column-mapped
+    // table's readers resolve PHYSICAL names — rewriting here would produce
+    // files that read back all-null. Guard like append/update/merge.
+    require(snap.columnMappingMode == "none",
+      "OPTIMIZE not supported on column-mapped tables")
 
     val candidates = snap.allFiles.filter(f =>
       f.size < smallFileThreshold || f.deletionVector.isDefined)

@@ -15,6 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object PartitionUtil {
 
+  /** The session timezone (driver-side planning path). */
+  private def sessionZone: java.time.ZoneId =
+    try java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    catch { case _: Exception => java.time.ZoneOffset.UTC }
+
   /** Serialized partition value string → Catalyst internal value. */
   def toInternal(s: String, dt: DataType): Any = {
     if (s == null || (s.isEmpty && !dt.isInstanceOf[StringType])) return null
@@ -30,10 +36,17 @@ object PartitionUtil {
       case d: DecimalType => Decimal(BigDecimal(s), d.precision, d.scale)
       case _: DateType =>
         java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
-      case _: TimestampType | _: TimestampNTZType =>
-        // protocol serialization: "yyyy-MM-dd HH:mm:ss[.ffffff]"
+      case _: TimestampNTZType =>
+        // zone-free: micros are defined as the wall-clock value itself
         val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
         java.lang.Long.valueOf(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000)
+      case _: TimestampType =>
+        // protocol serialization "yyyy-MM-dd HH:mm:ss[.ffffff]" is a local
+        // wall-clock string; Spark writes/reads it in the SESSION zone, so
+        // parse with the same zone or injected values shift by the offset
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        val inst = ldt.atZone(sessionZone).toInstant
+        java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000)
       case _: BinaryType => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case _ => throw new IllegalArgumentException(s"Unsupported partition type $dt")
     }
@@ -43,9 +56,14 @@ object PartitionUtil {
   def toSerialized(v: Any): String = v match {
     case null => null
     case ts: java.sql.Timestamp =>
-      val ldt = ts.toLocalDateTime
-      ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      // render in the SESSION zone (round-trips with toInternal above)
+      ts.toInstant.atZone(sessionZone).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    case i: java.time.Instant =>
+      i.atZone(sessionZone).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     case d: java.sql.Date => d.toLocalDate.toString
+    case ld: java.time.LocalDate => ld.toString
     case other => other.toString
   }
 
