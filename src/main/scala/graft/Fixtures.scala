@@ -38,6 +38,11 @@ object Fixtures {
   /** Column mapping (name mode): physical parquet names differ from the
     * logical schema. Read-only per the reference. */
   case object Mapped extends Variant { val name = "mapped" }
+  /** Column mapping (id mode): parquet columns carry `parquet.field.id`s
+    * and their NAMES differ from the mapped physicalName, so only field-id
+    * resolution reads them correctly (reference
+    * test/sql/generated/column_mapping_id_mode.test). Read-only. */
+  case object MappedId extends Variant { val name = "mappedid" }
   /** 40 append commits (checkpoint at 20) — snapshot-replay stress, the
     * analog of the reference's tpch_sf1_90commits micro-benchmark
     * (benchmark/micro/snapshot_performance). */
@@ -123,6 +128,7 @@ object Fixtures {
             .withColumn("bonus", col(spec.splitCol) % 7),
           dir, mergeSchema = true)
       case Mapped => buildMapped(spark, src, dir)
+      case MappedId => buildMappedId(spark, src, dir)
       case Many =>
         for (i <- 0 until 40) {
           DeltaWriter.append(spark, src.coalesce(1), dir)
@@ -155,6 +161,38 @@ object Fixtures {
         schemaString = mappedSchema.json,
         configuration = snap.metadata.configuration +
           ("delta.columnMapping.mode" -> "name"))))
+    graft.delta.LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      actions.map(graft.delta.ActionJson.toJson).mkString("", "\n", "\n"))
+    log.invalidateCache()
+  }
+
+  /** Id-mode column-mapped table: parquet written with `parquet.field.id`s
+    * under names that do NOT match the mapped physicalName — reads succeed
+    * only through field-id resolution, never name matching. */
+  private def buildMappedId(spark: SparkSession, src: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val logicalFields = src.schema.fields
+    val pqNames = logicalFields.indices.map(i => s"pq_$i")
+    val withIds = src.select(logicalFields.zipWithIndex.map { case (f, i) =>
+      col(s"`${f.name}`").as(pqNames(i), new MetadataBuilder()
+        .putLong("parquet.field.id", i + 1L).build())
+    }.toIndexedSeq: _*)
+    DeltaWriter.append(spark, withIds, dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val mappedSchema = StructType(logicalFields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", s"col-$i-phys")
+        .putLong("delta.columnMapping.id", i + 1L).build())
+    })
+    val actions = Seq(
+      graft.delta.Action(graft.delta.CommitInfo(
+        System.currentTimeMillis(), "UPGRADE COLUMN MAPPING")),
+      graft.delta.Action(snap.metadata.copy(
+        schemaString = mappedSchema.json,
+        configuration = snap.metadata.configuration +
+          ("delta.columnMapping.mode" -> "id"))))
     graft.delta.LogStore.write(log.fs, log.commitFile(snap.version + 1),
       actions.map(graft.delta.ActionJson.toJson).mkString("", "\n", "\n"))
     log.invalidateCache()

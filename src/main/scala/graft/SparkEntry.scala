@@ -123,10 +123,11 @@ object SparkEntry {
       q1Shape(DeltaTable.forPath(s, p).toDF)
     }),
 
-    // --- deletion vectors: DELETE then scan filters deleted rows (§2.1 #7) ---
+    // --- deletion vectors: DELETE then scan filters deleted rows (§2.1 #7),
+    //     through the REGISTERED source (DV applied inside the reader) ---
     "delta_dv_scan" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Dv)
-      q1Shape(DeltaTable.forPath(s, p).toDF)
+      q1Shape(s.read.format("graftdelta").load(p))
     }),
 
     // --- schema evolution: old files yield NULL for the added column (§2.1 #8) ---
@@ -140,10 +141,21 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // --- column mapping (name mode): logical names over physical parquet (§1.2) ---
+    // --- column mapping (name mode): logical names over physical parquet
+    //     (§1.2), through the REGISTERED source ---
     "delta_column_mapping" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "nation", Fixtures.Mapped)
-      DeltaTable.forPath(s, p).toDF
+      s.read.format("graftdelta").load(p)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- column mapping (id mode): parquet columns resolved by field id,
+    //     names in the files don't match (§2.1 #1; reference
+    //     test/sql/generated/column_mapping_id_mode.test) ---
+    "delta_column_mapping_id" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "nation", Fixtures.MappedId)
+      s.read.format("graftdelta").load(p)
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .orderBy(col("n_nationkey"))
     }),
@@ -259,6 +271,8 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_bonus
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "delta_column_mapping" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "delta_column_mapping_id" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "delta_list_files_agg" ->
       """SELECT l_returnflag AS pv, count(*) AS n_rows

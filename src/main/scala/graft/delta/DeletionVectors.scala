@@ -24,19 +24,22 @@ import graft.delta.DvCodec.Bitmap64
  */
 object DeletionVectors {
 
-  /** filter: rows whose (file, row_index) is in a DV are dropped. */
-  def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
-    // EVERY file is registered (DV-less files map to null) so the probe can
-    // FAIL CLOSED: a scanned path that matches no registered rendering is an
-    // error, never a silent "not deleted" that would resurrect rows whose
-    // path merely percent-encodes differently.
-    val dvMap: Map[String, Bitmap64] = snapshot.allFiles.flatMap { f =>
+  /** Per-file DV registry, keyed by every path rendering a scan may
+    * produce. EVERY file is registered (DV-less files map to null) so
+    * probes can FAIL CLOSED: a scanned path that matches no registered
+    * rendering is an error, never a silent "not deleted" that would
+    * resurrect rows whose path merely percent-encodes differently. */
+  def registry(snapshot: Snapshot): Map[String, Bitmap64] =
+    snapshot.allFiles.flatMap { f =>
       val bm = f.deletionVector
         .map(dv => DeletionVectorStore.read(snapshot.log, dv)).orNull
       val p = snapshot.absolutePath(f)
       Seq(p.toString -> bm, p.toUri.getPath -> bm, p.toUri.toString -> bm)
     }.toMap
-    val bc = spark.sparkContext.broadcast(dvMap)
+
+  /** filter: rows whose (file, row_index) is in a DV are dropped. */
+  def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
+    val bc = spark.sparkContext.broadcast(registry(snapshot))
     val deleted = DvRowDeleted(
       GraftColumnBridge.expression(col("_metadata.file_path")),
       GraftColumnBridge.expression(col("_metadata.row_index")),

@@ -34,11 +34,15 @@ import org.apache.spark.sql.types.StructType
 final case class ScanOptions(pushdownFilters: Boolean = true)
 
 class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
-    options: ScanOptions = ScanOptions()) extends FileIndex {
+    options: ScanOptions = ScanOptions(),
+    logicalNames: Boolean = false) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(snapshot.log.tablePath)
-  // physical names: partitionValues in the log and stats keys are physical
-  override def partitionSchema: StructType = snapshot.physicalPartitionSchema
+  // the log's partitionValues and stats keys are PHYSICAL; `logicalNames`
+  // relations (GraftParquetFileFormat) expose logical names instead and
+  // incoming filters are rewritten physical before stats lookups
+  override def partitionSchema: StructType =
+    if (logicalNames) snapshot.partitionSchema else snapshot.physicalPartitionSchema
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = snapshot.sizeInBytes
   override def inputFiles: Array[String] =
@@ -50,10 +54,21 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
     val all = snapshot.allFiles
     if (sys.env.contains("GRAFT_DEBUG_FILTERS"))
       dataFilters.foreach(f => System.err.println("[graft-debug] dataFilter:\n" + f.treeString))
-    // 1. stats-based skipping on data filters (physical attr/stats names)
+    // 1. stats-based skipping on data filters (physical attr/stats names;
+    //    logical-name relations get their attributes rewritten first)
+    val statsFilters =
+      if (!logicalNames) dataFilters
+      else {
+        val phys = snapshot.dataSchema.fields
+          .map(f => f.name -> snapshot.physicalName(f)).toMap
+        dataFilters.map(_.transform {
+          case a: AttributeReference if phys.contains(a.name) =>
+            a.withName(phys(a.name))
+        })
+      }
     val afterStats =
       if (options.pushdownFilters)
-        FileSkipping.prune(all, snapshot.physicalDataSchema, dataFilters)
+        FileSkipping.prune(all, snapshot.physicalDataSchema, statsFilters)
       else all
     // 2. partition pruning
     val afterPartition =
@@ -68,8 +83,11 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
             else a
         }
         val predicate = Predicate.createInterpreted(bound)
+        // row construction looks values up by the LOG's (physical) keys;
+        // binding above is positional, so logical exposure stays consistent
         afterStats.filter { f =>
-          predicate.eval(PartitionUtil.internalRow(f.partitionValues, partitionSchema))
+          predicate.eval(PartitionUtil.internalRow(
+            f.partitionValues, snapshot.physicalPartitionSchema))
         }
       }
     GraftMetrics.record(PushdownEvent(
@@ -82,7 +100,7 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
       .groupBy(_.partitionValues)
       .map { case (pv, files) =>
         PartitionDirectory(
-          PartitionUtil.internalRow(pv, partitionSchema),
+          PartitionUtil.internalRow(pv, snapshot.physicalPartitionSchema),
           files.map(fileStatus).toArray)
       }.toSeq
   }

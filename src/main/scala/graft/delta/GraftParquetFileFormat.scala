@@ -1,0 +1,176 @@
+package graft.delta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+import graft.delta.DvCodec.Bitmap64
+
+/**
+ * Delta-aware parquet FileFormat: the full-fidelity scan core behind
+ * `spark.read.format("graftdelta")`, doing inside the reader what the
+ * reference's multi-file reader does inside its scan
+ * (src/functions/delta_scan/delta_multi_file_reader.cpp:24-48 applies the
+ * deletion-vector row filter; :162-230 maps physical parquet columns back
+ * to logical names):
+ *
+ *  - **Column mapping** (name and id mode): the relation exposes LOGICAL
+ *    names; before delegating to the stock parquet reader this format
+ *    rewrites the data/required schemas and pushed filters to PHYSICAL
+ *    names (and, in id mode, attaches `parquet.field.id` metadata +
+ *    enables field-id resolution). Output rows are positional, so no
+ *    rename is needed on the way back.
+ *  - **Deletion vectors**: the required schema is extended with Spark's
+ *    internal row-index column (populated split-safely by the parquet
+ *    readers from row-group metadata, so it stays correct under page
+ *    skipping and file splits); each row's index is probed against the
+ *    file's broadcast bitmap and dropped if deleted, then the extra
+ *    column is projected away. The probe FAILS CLOSED: every file in the
+ *    snapshot is registered (null bitmap when DV-less) and an
+ *    unrecognized path raises rather than resurrecting deleted rows.
+ *
+ * Scale: the DV registry ships once per executor (broadcast); the probe is
+ * O(1) per row with no join or shuffle, preserving scan partitioning.
+ */
+class GraftParquetFileFormat(
+    logicalToPhysical: Map[String, StructField],
+    dvRegistry: Option[Broadcast[Map[String, Bitmap64]]],
+    fieldIdMode: Boolean) extends ParquetFileFormat {
+
+  private def isMapped: Boolean = logicalToPhysical.exists {
+    case (l, p) => l != p.name || fieldIdMode
+  }
+
+  // Row-level DV filtering needs per-row iteration; let the scan fall back
+  // from columnar batches (the vectorized reader still runs underneath and
+  // hands out rows). Without DVs, batches pass through untouched.
+  override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
+    dvRegistry.isEmpty && super.supportBatch(sparkSession, schema)
+
+  // Distinct formats must not compare equal (ParquetFileFormat.equals is
+  // class-based): exchange/scan reuse would otherwise conflate two tables'
+  // DV registries or mappings.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftParquetFileFormat => g eq this
+    case _ => false
+  }
+  override def hashCode(): Int = System.identityHashCode(this)
+
+  /** Physical rendition of a requested field: physical name + field-id
+    * metadata, but the REQUESTED dataType/nullability (nested pruning may
+    * have trimmed the struct). */
+  private def toPhysical(f: StructField): StructField =
+    logicalToPhysical.get(f.name)
+      .map(p => f.copy(name = p.name, metadata = p.metadata))
+      .getOrElse(f)
+
+  private def renameAttr(a: String): String = {
+    val i = a.indexOf('.')
+    val (head, rest) = if (i < 0) (a, "") else (a.substring(0, i), a.substring(i))
+    logicalToPhysical.get(head).map(_.name + rest).getOrElse(a)
+  }
+
+  /** Pushed filters under physical names; unsupported shapes are dropped
+    * (parquet pushdown is advisory — Spark re-applies row filters above). */
+  private def renameFilter(f: Filter): Option[Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(renameAttr(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(renameAttr(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(renameAttr(a), v))
+    case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(renameAttr(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(renameAttr(a), v))
+    case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(renameAttr(a), v))
+    case sources.In(a, vs) => Some(sources.In(renameAttr(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(renameAttr(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(renameAttr(a)))
+    case sources.StringStartsWith(a, v) => Some(sources.StringStartsWith(renameAttr(a), v))
+    case sources.StringEndsWith(a, v) => Some(sources.StringEndsWith(renameAttr(a), v))
+    case sources.StringContains(a, v) => Some(sources.StringContains(renameAttr(a), v))
+    case sources.And(l, r) =>
+      for { l2 <- renameFilter(l); r2 <- renameFilter(r) } yield sources.And(l2, r2)
+    case sources.Or(l, r) =>
+      for { l2 <- renameFilter(l); r2 <- renameFilter(r) } yield sources.Or(l2, r2)
+    case sources.Not(c) => renameFilter(c).map(sources.Not(_))
+    case other => None
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+
+    val physData = StructType(dataSchema.fields.map(toPhysical))
+    val physRequired = StructType(requiredSchema.fields.map(toPhysical))
+    val physFilters = if (isMapped) filters.flatMap(renameFilter) else filters
+    // ParquetReadSupport reads this flag from the task hadoopConf (built
+    // from the session conf BEFORE this method runs); resolution by field
+    // id only applies to schemas carrying `parquet.field.id` metadata
+    if (fieldIdMode)
+      hadoopConf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+
+    dvRegistry match {
+      case None =>
+        super.buildReaderWithPartitionValues(sparkSession, physData,
+          partitionSchema, physRequired, physFilters, options, hadoopConf)
+
+      case Some(bc) =>
+        val rowIdxName = GraftColumnBridge.parquetRowIndexTempColumnName
+        // _metadata.row_index requests already inject the temp column;
+        // reuse it rather than creating a duplicate
+        val existingIdx = physRequired.fieldNames.indexOf(rowIdxName)
+        // nullable=true is required: the parquet readers special-case the
+        // temp column by NAME and generate it, but a non-nullable field
+        // first trips the missing-required-column check
+        val withIdx =
+          if (existingIdx >= 0) physRequired
+          else StructType(physRequired.fields :+
+            StructField(rowIdxName, LongType, nullable = true))
+        val idxOrdinal = if (existingIdx >= 0) existingIdx else physRequired.length
+        val dropIdxColumn = existingIdx < 0
+
+        val delegate = super.buildReaderWithPartitionValues(sparkSession,
+          physData, partitionSchema, withIdx, physFilters, options, hadoopConf)
+
+        val nOut = requiredSchema.length + partitionSchema.length
+        // delegate row layout: withIdx ++ partition values
+        val inFields = withIdx.fields ++ partitionSchema.fields
+
+        (pf: PartitionedFile) => {
+          val bm = bitmapFor(bc.value, pf)
+          val rows = delegate(pf)
+          val filtered =
+            if (bm == null) rows
+            else rows.filter(r => !bm.contains(r.getLong(idxOrdinal)))
+          if (!dropIdxColumn) filtered
+          else {
+            val proj = UnsafeProjection.create(
+              inFields.zipWithIndex.collect {
+                case (f, i) if i != idxOrdinal =>
+                  BoundReference(i, f.dataType, f.nullable)
+              }.toIndexedSeq)
+            assert(inFields.length - 1 == nOut)
+            filtered.map(proj)
+          }
+        }
+    }
+  }
+
+  private def bitmapFor(map: Map[String, Bitmap64], pf: PartitionedFile): Bitmap64 = {
+    val p = pf.filePath.toPath
+    map.get(pf.filePath.toString)
+      .orElse(map.get(p.toString))
+      .orElse(map.get(p.toUri.getPath))
+      .getOrElse(throw new IllegalStateException(
+        s"scanned file not in the snapshot's DV registry (path rendering mismatch?): ${pf.filePath}"))
+  }
+}

@@ -26,7 +26,7 @@ class Snapshot(
   def partitionSchema: StructType = metadata.partitionSchema
   def dataSchema: StructType = metadata.dataSchema
 
-  // ---- column mapping (name mode; reference delta_utils.hpp:300-311) -----
+  // ---- column mapping (name + id mode; reference delta_utils.hpp:300-311) --
 
   def columnMappingMode: String =
     metadata.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -38,12 +38,28 @@ class Snapshot(
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
+  /** Physical rendition of a logical field: physical name, plus — in id
+    * mode — `parquet.field.id` metadata so Spark's parquet reader resolves
+    * the column by field id (reference reads parquet field ids the same
+    * way, delta_utils.hpp:300-311). */
+  private[delta] def physicalField(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    val renamed = f.copy(name = physicalName(f))
+    if (columnMappingMode == "id" && f.metadata.contains("delta.columnMapping.id")) {
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(renamed.metadata)
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build()
+      renamed.copy(metadata = m)
+    } else renamed
+  }
+
   /** Data/partition schemas under physical names (what parquet + the log's
     * partitionValues/stats are keyed by). */
   private[delta] def physicalDataSchema: StructType =
-    StructType(dataSchema.fields.map(f => f.copy(name = physicalName(f))))
+    StructType(dataSchema.fields.map(physicalField))
   private[delta] def physicalPartitionSchema: StructType =
-    StructType(partitionSchema.fields.map(f => f.copy(name = physicalName(f))))
+    StructType(partitionSchema.fields.map(physicalField))
 
   def absolutePath(f: AddFile): Path = {
     val p = new Path(f.decodedPath)
@@ -81,25 +97,30 @@ class Snapshot(
       col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
   }
 
-  /** V1 BaseRelation for `spark.read.format("graftdelta")`. DV filtering
-    * and column-mapping aliasing need a plan above the relation, so those
-    * tables must go through `DeltaTable.forPath(...).toDF` (round-2 path:
-    * a DV-aware FileFormat inside the relation). Column order is
-    * data-columns-then-partition-columns, per HadoopFsRelation convention. */
+  /** V1 BaseRelation for `spark.read.format("graftdelta")`, full-fidelity:
+    * LOGICAL column names are exposed; deletion vectors and column mapping
+    * (name + id mode) are applied INSIDE the reader by
+    * [[GraftParquetFileFormat]], mirroring the reference's in-scan
+    * multi-file reader (delta_multi_file_reader.cpp:24-48,162-230). Column
+    * order is data-columns-then-partition-columns, per HadoopFsRelation
+    * convention. */
   def asRelation: org.apache.spark.sql.sources.BaseRelation = asRelation(ScanOptions())
 
   def asRelation(options: ScanOptions): org.apache.spark.sql.sources.BaseRelation = {
-    require(!hasDeletionVectors,
-      "table has deletion vectors; read it via DeltaTable.forPath(...).toDF")
-    require(columnMappingMode == "none",
-      "table uses column mapping; read it via DeltaTable.forPath(...).toDF")
+    val spark = log.spark
+    val logicalToPhysical = dataSchema.fields.map(f => f.name -> physicalField(f)).toMap
+    val dvBc =
+      if (hasDeletionVectors)
+        Some(spark.sparkContext.broadcast(DeletionVectors.registry(this)))
+      else None
     HadoopFsRelation(
-      location = new GraftFileIndex(log.spark, this, options),
+      location = new GraftFileIndex(spark, this, options, logicalNames = true),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
-      options = Map.empty)(log.spark)
+      fileFormat = new GraftParquetFileFormat(logicalToPhysical, dvBc,
+        fieldIdMode = columnMappingMode == "id"),
+      options = Map.empty)(spark)
   }
 
   /** Raw relation DataFrame: no DV filtering, `_metadata` still reachable.
@@ -108,6 +129,10 @@ class Snapshot(
 
   private[delta] def relationDF(options: ScanOptions): DataFrame = {
     val spark = log.spark
+    // id-mode physical schemas carry `parquet.field.id` metadata; the stock
+    // parquet reader resolves by id only when the session flag is on
+    if (columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val index = new GraftFileIndex(spark, this, options)
     val relation = HadoopFsRelation(
       location = index,

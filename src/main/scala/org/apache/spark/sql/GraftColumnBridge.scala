@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The `private[sql]` temporary column name parquet readers match BY NAME
+    * and populate with the physical (file-level) row index when a nullable
+    * long field of this name appears in requiredSchema. */
+  def parquetRowIndexTempColumnName: String =
+    org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
 }
