@@ -99,6 +99,43 @@ case class DvRowDeleted(
   override def prettyName: String = "dv_row_deleted"
 }
 
+/** Mutable 64-bit roaring bitmap builder — the per-file aggregation buffer
+  * for executor-side DV construction. */
+final class DvBitmapBuffer extends Serializable {
+  val parts: scala.collection.mutable.SortedMap[Int, org.roaringbitmap.RoaringBitmap] =
+    scala.collection.mutable.SortedMap.empty
+  def add(v: Long): Unit = {
+    require(v >= 0, s"negative row index $v")
+    parts.getOrElseUpdate((v >>> 32).toInt, new org.roaringbitmap.RoaringBitmap).add(v.toInt)
+  }
+  def mergeIn(o: DvBitmapBuffer): DvBitmapBuffer = {
+    o.parts.foreach { case (k, bm) =>
+      parts.get(k) match {
+        case Some(mine) => mine.or(bm)
+        case None => parts.put(k, bm)
+      }
+    }
+    this
+  }
+  def toBitmap: Bitmap64 =
+    Bitmap64(scala.collection.immutable.SortedMap.from(parts))
+}
+
+/** Typed aggregator building one serialized (portable-format) bitmap per
+  * file ON THE EXECUTORS: rows never leave their partitions un-compressed
+  * and the driver receives only one small byte array per affected file —
+  * a DELETE touching 10⁹ rows ships bitmaps, not 10⁹ longs. */
+object DvBitmapAgg
+    extends org.apache.spark.sql.expressions.Aggregator[(String, Long), DvBitmapBuffer, Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: DvBitmapBuffer = new DvBitmapBuffer
+  override def reduce(b: DvBitmapBuffer, v: (String, Long)): DvBitmapBuffer = { b.add(v._2); b }
+  override def merge(a: DvBitmapBuffer, b: DvBitmapBuffer): DvBitmapBuffer = a.mergeIn(b)
+  override def finish(b: DvBitmapBuffer): Array[Byte] = DvCodec.serialize(b.toBitmap)
+  override def bufferEncoder: Encoder[DvBitmapBuffer] = Encoders.javaSerialization[DvBitmapBuffer]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
 /**
  * DELETE via deletion vectors — beyond the reference's own surface (it
  * rejects DELETE, src/storage/delta_catalog.cpp:102-117) but required for
@@ -109,11 +146,19 @@ object DeltaDelete {
 
   /** Build the remove+re-add-with-DV actions for the physical rows in
     * `hitRows` (columns p = file path, i = row index). Shared by DELETE
-    * and UPDATE. Returns (actions, newly-deleted row count). */
+    * and UPDATE. Returns (actions, newly-deleted row count).
+    *
+    * Scale shape: one shuffle keyed by file path, bitmaps built and merged
+    * executor-side ([[DvBitmapAgg]]); the driver handles O(#affected files)
+    * serialized bitmaps, never O(#deleted rows) indexes. */
   private[delta] def dvActions(log: DeltaLog, snap: Snapshot,
       hitRows: org.apache.spark.sql.DataFrame): (Seq[Action], Long) = {
-    val hits = hitRows
-      .groupBy(col("p")).agg(collect_list(col("i")).as("idxs"))
+    import org.apache.spark.sql.Encoders
+    val hits: Array[(String, Array[Byte])] = hitRows
+      .select(col("p"), col("i"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .agg(DvBitmapAgg.toColumn.name("dv"))
       .collect()
     if (hits.isEmpty) return (Nil, 0L)
 
@@ -124,17 +169,14 @@ object DeltaDelete {
 
     var deletedRows = 0L
     val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
-    hits.foreach { row =>
-      val path = row.getAs[String]("p")
+    hits.foreach { case (path, dvBytes) =>
       val f = byPath.getOrElse(path, byPath.getOrElse(new org.apache.hadoop.fs.Path(path).toUri.getPath,
         throw new IllegalStateException(s"hit in unknown file $path")))
-      val newIdx = row.getAs[scala.collection.Seq[Long]]("idxs")
+      val fresh = DvCodec.deserialize(dvBytes)
       val existing = f.deletionVector.map(dv => DeletionVectorStore.read(log, dv))
-      val merged = {
-        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
-        existing.foreach(_.forall(b += _))
-        b ++= newIdx
-        Bitmap64.fromValues(b)
+      val merged = existing match {
+        case Some(e) => Bitmap64.or(e, fresh)
+        case None => fresh
       }
       val numRecords = f.parsedStats.flatMap(_.numRecords)
       deletedRows += merged.cardinality - existing.map(_.cardinality).getOrElse(0L)

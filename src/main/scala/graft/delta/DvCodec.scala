@@ -47,6 +47,19 @@ object DvCodec {
       }
       Bitmap64(scala.collection.immutable.SortedMap.from(m))
     }
+
+    /** Bitmap union (non-destructive). */
+    def or(a: Bitmap64, b: Bitmap64): Bitmap64 = {
+      val m = scala.collection.mutable.SortedMap.empty[Int, RoaringBitmap]
+      a.parts.foreach { case (k, bm) => m.put(k, bm.clone()) }
+      b.parts.foreach { case (k, bm) =>
+        m.get(k) match {
+          case Some(mine) => mine.or(bm)
+          case None => m.put(k, bm.clone())
+        }
+      }
+      Bitmap64(scala.collection.immutable.SortedMap.from(m))
+    }
   }
 
   /** Serialize to the portable RoaringBitmapArray format (little-endian). */

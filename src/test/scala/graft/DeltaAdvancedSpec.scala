@@ -108,6 +108,22 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE of 10^6+ rows builds bitmaps executor-side (no index collect)") {
+    val path = tmpTable()
+    val n = 2000000L
+    val df = spark.range(n).toDF("id")
+      .withColumn("v", col("id") % 1000)
+    DeltaWriter.append(spark, df.repartition(4), path)
+    val t = DeltaTable.forPath(spark, path)
+    val deleted = t.delete(col("id") % 2 === 0)
+    assert(deleted == n / 2)
+    assert(t.toDF.count() == n / 2)
+    assert(t.toDF.agg(min("id")).collect()(0).getLong(0) == 1L)
+    // the DVs really carry ~10^6 entries
+    val dvCount = t.listFiles().agg(sum("delete_count")).collect()(0).getLong(0)
+    assert(dvCount == n / 2)
+  }
+
   test("time travel across a delete sees pre-delete data") {
     val src = Fixtures.readParquet(spark, sfDir, "supplier")
     val path = tmpTable()
