@@ -4,24 +4,32 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Encoders, SaveMode}
 
 /**
- * Checkpointing: consolidate the reconciled snapshot state into a single
- * `NNNNNNNNNNNNNNNNNNNN.checkpoint.parquet` plus the `_last_checkpoint`
+ * Checkpointing: consolidate the reconciled snapshot state into
+ * `NNNNNNNNNNNNNNNNNNNN.checkpoint.parquet` (or, above
+ * `maxActionsPerPart`, a multi-part
+ * `NNN….checkpoint.<i>.<n>.parquet` set) plus the `_last_checkpoint`
  * pointer, idempotently — the analog of `CHECKPOINT tbl`
  * (reference src/storage/delta_transaction_manager.cpp:54-74; test
  * test/sql/main/writing/checkpoint.test:28-56).
+ *
+ * Scale: a 100 TB table has millions of add actions; one part file (and
+ * the repartition(1) writing it) becomes both a write bottleneck and an
+ * unsplittable read — parts keep the checkpoint write/read parallel.
  */
 object Checkpoints {
 
   /** Write a checkpoint at the snapshot's version. Idempotent: re-running
     * at the same version overwrites the same content. */
-  def checkpoint(log: DeltaLog): Long = {
+  def checkpoint(log: DeltaLog, maxActionsPerPart: Int = 500000): Long = {
     val snap = log.update()
-    writeCheckpoint(log, snap)
+    writeCheckpoint(log, snap, maxActionsPerPart)
     snap.version
   }
 
-  def writeCheckpoint(log: DeltaLog, snap: Snapshot): Unit = {
+  def writeCheckpoint(log: DeltaLog, snap: Snapshot,
+      maxActionsPerPart: Int = 500000): Unit = {
     val spark = log.spark
+    require(maxActionsPerPart > 0, "maxActionsPerPart must be positive")
     val actions: Seq[Action] =
       Seq(Action(snap.protocol), Action(snap.metadata)) ++
         snap.setTransactions.map { case (app, v) =>
@@ -29,20 +37,34 @@ object Checkpoints {
         snap.domainMetadata.map(Action(_)) ++
         snap.allFiles.map(Action(_))
 
-    val target = log.checkpointFile(snap.version)
+    val nParts = math.max(1L,
+      (actions.size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
     val tmpDir = new Path(log.logPath, s".cptmp-${java.util.UUID.randomUUID}")
     val ds = spark.createDataset(actions)(Encoders.product[Action])
-    // single file: checkpoint state is O(#files) metadata, written once
-    ds.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    ds.repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
     val fs = log.fs
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"No checkpoint part file in $tmpDir"))
-    fs.delete(target, false)
-    if (!fs.rename(part, target))
-      throw new IllegalStateException(s"Failed to move checkpoint to $target")
+    val written = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(written.nonEmpty, s"No checkpoint part file in $tmpDir")
+
+    // wipe any previous checkpoint at this version (single or parts)
+    val prefix = f"${snap.version}%020d.checkpoint"
+    fs.listStatus(log.logPath).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".parquet"))
+      .foreach(p => fs.delete(p, false))
+
+    // empty shuffle partitions produce no file: name parts by actual count
+    val k = written.length
+    val targets =
+      if (k == 1) Seq(log.checkpointFile(snap.version))
+      else (1 to k).map(i => log.checkpointPartFile(snap.version, i, k))
+    written.zip(targets).foreach { case (part, target) =>
+      if (!fs.rename(part, target))
+        throw new IllegalStateException(s"Failed to move checkpoint to $target")
+    }
     fs.delete(tmpDir, true)
+    val partsField = if (k == 1) "" else s""","parts":$k"""
     LogStore.overwrite(fs, new Path(log.logPath, "_last_checkpoint"),
-      s"""{"version":${snap.version},"size":${actions.size}}""")
+      s"""{"version":${snap.version},"size":${actions.size}$partsField}""")
   }
 }

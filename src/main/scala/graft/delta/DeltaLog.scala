@@ -40,9 +40,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
 
   private val commitRe = raw"(\d{20})\.json".r
   private val checkpointRe = raw"(\d{20})\.checkpoint\.parquet".r
+  private val checkpointPartRe = raw"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
 
   def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
   def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.parquet")
+  def checkpointPartFile(v: Long, part: Int, of: Int): Path =
+    new Path(logPath, f"$v%020d.checkpoint.$part%010d.$of%010d.parquet")
 
   def listCommitVersions(): Seq[Long] = {
     if (!fs.exists(logPath)) return Nil
@@ -54,14 +57,31 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     }.sorted
   }
 
+  /** Versions with a COMPLETE checkpoint: a single-part file, or a
+    * multi-part `NNN.checkpoint.i.n.parquet` set with all n parts present. */
   def listCheckpointVersions(): Seq[Long] = {
     if (!fs.exists(logPath)) return Nil
-    fs.listStatus(logPath).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case checkpointRe(v) => Some(v.toLong)
-        case _ => None
-      }
-    }.sorted
+    val names = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+    val singles = names.collect { case checkpointRe(v) => v.toLong }
+    val multis = names.collect {
+      case checkpointPartRe(v, _, of) => (v.toLong, of.toInt)
+    }.groupBy(identity).collect {
+      case ((v, of), parts) if parts.size == of => v
+    }
+    (singles ++ multis).distinct.sorted
+  }
+
+  /** All parquet files of the checkpoint at `v` (1 or n parts). */
+  def checkpointFiles(v: Long): Seq[Path] = {
+    val single = checkpointFile(v)
+    if (fs.exists(single)) return Seq(single)
+    val prefix = f"$v%020d.checkpoint."
+    val parts = fs.listStatus(logPath).toSeq
+      .map(_.getPath)
+      .filter(p => checkpointPartRe.matches(p.getName) && p.getName.startsWith(prefix))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"No checkpoint files for version $v in $logPath")
+    parts
   }
 
   /** `_last_checkpoint` pointer, if present. */
@@ -129,12 +149,27 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     } finally in.close()
   }
 
-  /** Checkpoint parquet → actions. Columns are the action struct fields, so
-    * each row's JSON rendering is exactly one log line. Parsed distributed,
-    * collected as reconciled state only. */
+  /** Checkpoint parquet (1..n parts) → actions, decoded as a TYPED Dataset
+    * (no per-row JSON render/parse round-trip — at millions of add actions
+    * that was the snapshot bottleneck). Missing top-level action columns
+    * are null-filled so checkpoints from other writers still load; schema
+    * shapes the encoder can't resolve fall back to the JSON path. */
   def readCheckpoint(v: Long): Seq[Action] = {
-    spark.read.parquet(checkpointFile(v).toString)
-      .toJSON.collect().toSeq.flatMap(ActionJson.parseLine)
+    import org.apache.spark.sql.functions.{col, lit}
+    val paths = checkpointFiles(v).map(_.toString)
+    val df = spark.read.parquet(paths: _*)
+    val enc = org.apache.spark.sql.Encoders.product[Action]
+    try {
+      val aligned = df.select(enc.schema.fields.toIndexedSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      aligned.as[Action](enc).collect().toSeq
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // foreign checkpoint layout: tolerate anything JSON-expressible
+        df.toJSON.collect().toSeq.flatMap(ActionJson.parseLine)
+    }
   }
 
   def invalidateCache(): Unit = synchronized {

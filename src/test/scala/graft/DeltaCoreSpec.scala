@@ -121,6 +121,28 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(h.length == 1 && h(0).getAs[String]("operation") == "WRITE")
   }
 
+  test("multi-part checkpoint round-trips; replay after dropping early json") {
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 0).repartition(5), path)
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 1).repartition(5), path)
+    val log = DeltaLog.forPath(spark, path)
+    // 10 add actions + protocol + metadata = 12 → 4-per-part forces 3 parts
+    Checkpoints.checkpoint(log, maxActionsPerPart = 4)
+    val parts = new java.io.File(path, "_delta_log").listFiles()
+      .map(_.getName).filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(parts.length >= 3, s"expected multi-part checkpoint, got ${parts.mkString(",")}")
+    // force replay from the checkpoint alone
+    DeltaLog.clearCache()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_delta_log",
+      "00000000000000000000.json"))
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.toDF.count() == src.count())
+    val s1 = t.toDF.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val s2 = src.agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    assert(math.abs(s1 - s2) / math.abs(s2) < 1e-12)
+  }
+
   test("NOT NULL enforcement rejects violating appends") {
     import org.apache.spark.sql.types._
     val src = Fixtures.readParquet(spark, sfDir, "region")
