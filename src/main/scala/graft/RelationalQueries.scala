@@ -251,6 +251,119 @@ object RelationalQueries {
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
 
+    // --- TPC-H full breadth: the decorrelation/rewrite shapes not covered
+    //     above (reference runs all 22 over delta_scan,
+    //     test/sql/generated/tpch.test_slow). No partsupp table in the
+    //     testdata star schema, so q2/q11/q16/q20 treat lineitem as the
+    //     part↔supplier relation — the plan SHAPES (correlated min,
+    //     HAVING > scalar agg, NOT IN, nested IN) are what is exercised. ---
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, s_name, round(l_extendedprice, 2) AS cost
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_size <= 3
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |                         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |                         WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        | round(sum(CASE WHEN n_name = 'NATION_3' THEN volume ELSE 0 END)
+        |        / sum(volume), 4) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1 - l_discount) AS volume, n_name
+        |      FROM lineitem
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey) t
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q11_important_parts" ->
+      """SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (SELECT 0.0006 * sum(l_extendedprice) FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+        |                             THEN l_extendedprice * (1 - l_discount)
+        |                             ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_supplier_parts" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    GROUP BY l_suppkey
+        |    HAVING sum(l_quantity) > 50)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
     // --- sorts / top-k ---
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice
