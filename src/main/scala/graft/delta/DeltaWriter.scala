@@ -69,23 +69,46 @@ object DeltaWriter {
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
 
     // column alignment + schema validation against the table; with
-    // mergeSchema, unseen columns extend the schema (evolution — the read
-    // side fills nulls for old files, reference schema_evolution.test)
+    // mergeSchema, unseen columns extend the schema and existing columns
+    // may WIDEN (int→long, float→double, decimal growth — the protocol's
+    // type-widening evolution; old files upcast on read). Incoming columns
+    // NARROWER than the table type are upcast before writing either way.
     val (aligned, tableSchema) = snapshot match {
       case Some(s) =>
         val have = df.columns.map(_.toLowerCase).toSet
         val want = s.schema.fieldNames.map(_.toLowerCase).toSet
+        def dfField(name: String): StructField =
+          df.schema.fields.find(_.name.equalsIgnoreCase(name)).get
+        def castTo(target: StructField): org.apache.spark.sql.Column = {
+          val in = dfField(target.name)
+          if (in.dataType == target.dataType) col(s"`${in.name}`").as(target.name)
+          else col(s"`${in.name}`").cast(target.dataType).as(target.name)
+        }
         if (mergeSchema) {
           require(want.subsetOf(have),
             s"mergeSchema append must contain all table columns; missing ${(want -- have).toSeq.sorted}")
           val newCols = df.columns.filterNot(c => s.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-          val evolved = StructType(s.schema.fields ++
+          val mergedExisting = s.schema.fields.map { tf =>
+            widenedType(tf.dataType, dfField(tf.name).dataType) match {
+              case Some(w) => tf.copy(dataType = w)
+              case None => throw new IllegalArgumentException(
+                s"Cannot merge types for column ${tf.name}: " +
+                  s"table ${tf.dataType.sql}, data ${dfField(tf.name).dataType.sql}")
+            }
+          }
+          val evolved = StructType(mergedExisting ++
             newCols.map(c => df.schema(df.schema.fieldIndex(c)).copy(nullable = true)))
-          (df.select((s.schema.fieldNames ++ newCols).map(col).toIndexedSeq: _*), evolved)
+          (df.select(evolved.fields.map(castTo).toIndexedSeq: _*), evolved)
         } else {
           require(have == want,
             s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
-          (df.select(s.schema.fieldNames.map(col).toIndexedSeq: _*), s.schema)
+          s.schema.fields.foreach { tf =>
+            val inT = dfField(tf.name).dataType
+            require(widenedType(tf.dataType, inT).contains(tf.dataType),
+              s"Type mismatch for column ${tf.name}: table ${tf.dataType.sql}, " +
+                s"data ${inT.sql} (not losslessly castable; use mergeSchema to widen)")
+          }
+          (df.select(s.schema.fields.map(castTo).toIndexedSeq: _*), s.schema)
         }
       case None => (df, df.schema)
     }
@@ -146,13 +169,19 @@ object DeltaWriter {
 
       // NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)
       val notNullCols = tableSchema.fields.filterNot(_.nullable).map(_.name)
-      if (notNullCols.nonEmpty) {
-        statsByFile.values.foreach { fileStats =>
-          notNullCols.foreach { c =>
-            if (fileStats.nullCounts.getOrElse(c, 0L) > 0)
-              throw new IllegalStateException(
-                s"NOT NULL constraint violated for column: $c")
-          }
+      statsByFile.values.foreach { fileStats =>
+        notNullCols.foreach { c =>
+          if (fileStats.nullCounts.getOrElse(c, 0L) > 0)
+            throw new IllegalStateException(
+              s"NOT NULL constraint violated for column: $c")
+        }
+        // nested paths (reference ExtractNotNullConstraints,
+        // delta_multi_file_list.cpp:567-584): violated only when the
+        // parent struct is present but the child is null
+        fileStats.nnViolations.foreach { case (path, n) =>
+          if (n > 0)
+            throw new IllegalStateException(
+              s"NOT NULL constraint violated for nested column: $path")
         }
       }
 
@@ -182,11 +211,37 @@ object DeltaWriter {
 
   // -------------------------------------------------------------------------
 
+  /** The common wider type of `table` and `incoming`, when one losslessly
+    * contains the other (protocol type widening: integral chain,
+    * float→double, decimal precision/scale growth). None = incompatible. */
+  private[delta] def widenedType(table: DataType, incoming: DataType): Option[DataType] = {
+    def intRank(dt: DataType): Int = dt match {
+      case ByteType => 0; case ShortType => 1; case IntegerType => 2; case LongType => 3
+      case _ => -1
+    }
+    (table, incoming) match {
+      case (a, b) if a == b => Some(a)
+      case (a, b) if intRank(a) >= 0 && intRank(b) >= 0 =>
+        if (intRank(a) >= intRank(b)) Some(a) else Some(b)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (a: DecimalType, b: DecimalType) =>
+        val scale = math.max(a.scale, b.scale)
+        val intDigits = math.max(a.precision - a.scale, b.precision - b.scale)
+        if (intDigits + scale <= DecimalType.MAX_PRECISION)
+          Some(DecimalType(intDigits + scale, scale))
+        else None
+      case _ => None
+    }
+  }
+
   private case class FileStats(
       numRecords: Long,
       mins: Map[String, Any],
       maxs: Map[String, Any],
-      nullCounts: Map[String, Long]) {
+      nullCounts: Map[String, Long],
+      /** nested-NOT-NULL violation counts (parent present, child null) —
+        * enforcement only, never written to the stats JSON */
+      nnViolations: Map[String, Long] = Map.empty) {
     def toJson: String = {
       val root = ActionJson.mapper.createObjectNode()
       root.put("numRecords", numRecords)
@@ -268,6 +323,19 @@ object DeltaWriter {
           case _ => Seq((f.name, col(s"`${f.name}`"), f.dataType))
         }
       }
+    // nested NOT NULL constraint paths: parent struct present, child null
+    val nnKeys: Seq[(String, org.apache.spark.sql.Column)] =
+      dataFields.toSeq.flatMap { f =>
+        f.dataType match {
+          case s: StructType => s.fields.toSeq.collect {
+            case sub if !sub.nullable =>
+              (s"${f.name}.${sub.name}",
+                col(s"`${f.name}`").isNotNull &&
+                  col(s"`${f.name}`").getField(sub.name).isNull)
+          }
+          case _ => Nil
+        }
+      }
     val read = spark.read.parquet(staging)
     val aggs = ArrayBuffer[org.apache.spark.sql.Column](count(lit(1)).as(s"${STATS_PREFIX}n"))
     statKeys.foreach { case (key, c, dt) =>
@@ -276,6 +344,9 @@ object DeltaWriter {
         aggs += max(c).as(s"${STATS_PREFIX}max_$key")
       }
       aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nc_$key")
+    }
+    nnKeys.foreach { case (key, violated) =>
+      aggs += sum(when(violated, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nnv_$key")
     }
     val rows = read
       .groupBy(col("_metadata.file_path").as(s"${STATS_PREFIX}file"))
@@ -296,7 +367,12 @@ object DeltaWriter {
         val nc = r.getAs[Any](s"${STATS_PREFIX}nc_$key")
         if (nc != null) ncs += key -> nc.asInstanceOf[Long]
       }
-      file -> FileStats(r.getAs[Long](s"${STATS_PREFIX}n"), mins.result(), maxs.result(), ncs.result())
+      val nnv = nnKeys.map { case (key, _) =>
+        key -> Option(r.getAs[Any](s"${STATS_PREFIX}nnv_$key"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      }.toMap
+      file -> FileStats(r.getAs[Long](s"${STATS_PREFIX}n"), mins.result(), maxs.result(),
+        ncs.result(), nnv)
     }.toMap
   }
 
