@@ -51,7 +51,7 @@ object PipelineQueries {
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_exact_norm" -> ((s, dir) => Dedup.exactNormalized(docs(s, dir))),
-    "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir))),
+    "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsDfCapped(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -64,7 +64,7 @@ object PipelineQueries {
 
     // --- near-dup cluster canonicalization (drop-list materialization) ---
     "dedup_canonical" -> ((s, dir) =>
-      Dedup.canonicalize(Dedup.jaccardPairs(docs(s, dir)))),
+      Dedup.canonicalize(Dedup.jaccardPairsDfCapped(docs(s, dir)))),
     "emb_near_dup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(emb(s, dir), minSim = 0.2)),
 

@@ -47,21 +47,27 @@ object Checkpoints {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     require(written.nonEmpty, s"No checkpoint part file in $tmpDir")
 
-    // wipe any previous checkpoint at this version (single or parts)
-    val prefix = f"${snap.version}%020d.checkpoint"
-    fs.listStatus(log.logPath).map(_.getPath)
-      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".parquet"))
-      .foreach(p => fs.delete(p, false))
-
-    // empty shuffle partitions produce no file: name parts by actual count
+    // Crash-safe re-checkpoint ordering: rename the new parts into place
+    // FIRST (deleting only a colliding name just before its rename), and
+    // only then sweep stale files from any previous checkpoint at this
+    // version. A crash mid-way leaves either the old checkpoint intact or
+    // the new one complete — never a wiped version with no checkpoint.
     val k = written.length
     val targets =
       if (k == 1) Seq(log.checkpointFile(snap.version))
       else (1 to k).map(i => log.checkpointPartFile(snap.version, i, k))
     written.zip(targets).foreach { case (part, target) =>
+      if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(part, target))
         throw new IllegalStateException(s"Failed to move checkpoint to $target")
     }
+    // sweep leftovers from a prior checkpoint shape (e.g. old part count)
+    val prefix = f"${snap.version}%020d.checkpoint"
+    val targetNames = targets.map(_.getName).toSet
+    fs.listStatus(log.logPath).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".parquet")
+        && !targetNames.contains(p.getName))
+      .foreach(p => fs.delete(p, false))
     fs.delete(tmpDir, true)
     val partsField = if (k == 1) "" else s""","parts":$k"""
     LogStore.overwrite(fs, new Path(log.logPath, "_last_checkpoint"),

@@ -39,7 +39,8 @@ object DeletionVectors {
 
   /** filter: rows whose (file, row_index) is in a DV are dropped. */
   def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
-    val bc = spark.sparkContext.broadcast(registry(snapshot))
+    val bc = snapshot.dvRegistryBroadcast.getOrElse(
+      spark.sparkContext.broadcast(registry(snapshot)))
     val deleted = DvRowDeleted(
       GraftColumnBridge.expression(col("_metadata.file_path")),
       GraftColumnBridge.expression(col("_metadata.row_index")),
@@ -260,7 +261,12 @@ object DeltaMerge {
       val adds = DeltaWriter.writeFiles(spark, log, aligned, snap.schema,
         snap.metadata.partitionColumns, moved)
       val (dvActs, replacedRows) = DeltaDelete.dvActions(log, snap, hitRows)
-      val sourceRows = aligned.count()
+      // source row count from the write's own per-file stats — recomputing
+      // the source (a second full pass) doubled MERGE's source cost
+      val perFile = adds.map(_.parsedStats.flatMap(_.numRecords))
+      val sourceRows =
+        if (perFile.forall(_.isDefined)) perFile.flatten.sum
+        else aligned.count()
       val commitActions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(","))))) ++

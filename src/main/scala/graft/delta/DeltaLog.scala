@@ -71,7 +71,10 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     (singles ++ multis).distinct.sorted
   }
 
-  /** All parquet files of the checkpoint at `v` (1 or n parts). */
+  /** All parquet files of the checkpoint at `v` (1 or n parts). Part sets
+    * are grouped by their `of` count and only a COMPLETE set is returned —
+    * a leftover part from a different-shaped prior checkpoint (crash during
+    * re-checkpoint) is never unioned in. */
   def checkpointFiles(v: Long): Seq[Path] = {
     val single = checkpointFile(v)
     if (fs.exists(single)) return Seq(single)
@@ -79,9 +82,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val parts = fs.listStatus(logPath).toSeq
       .map(_.getPath)
       .filter(p => checkpointPartRe.matches(p.getName) && p.getName.startsWith(prefix))
-      .sortBy(_.getName)
-    require(parts.nonEmpty, s"No checkpoint files for version $v in $logPath")
-    parts
+    val complete = parts.groupBy { p =>
+      p.getName match { case checkpointPartRe(_, _, of) => of.toInt }
+    }.collect { case (of, ps) if ps.size == of => ps.sortBy(_.getName) }
+    require(complete.nonEmpty, s"No complete checkpoint part set for version $v in $logPath")
+    // prefer the largest part count (the newest write wins ties in practice)
+    complete.maxBy(_.size)
   }
 
   /** `_last_checkpoint` pointer, if present. */
@@ -166,8 +172,11 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       }: _*)
       aligned.as[Action](enc).collect().toSeq
     } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        // foreign checkpoint layout: tolerate anything JSON-expressible
+      // AnalysisException: encoder can't resolve the layout at all.
+      // SparkException/RuntimeException: layout resolves but value-level
+      // decode fails at collect time (foreign writer's nested shapes).
+      // Either way: tolerate anything JSON-expressible.
+      case scala.util.control.NonFatal(_) =>
         df.toJSON.collect().toSeq.flatMap(ActionJson.parseLine)
     }
   }

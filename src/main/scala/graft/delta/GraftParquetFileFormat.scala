@@ -48,11 +48,15 @@ class GraftParquetFileFormat(
     case (l, p) => l != p.name || fieldIdMode
   }
 
-  // Row-level DV filtering needs per-row iteration; let the scan fall back
-  // from columnar batches (the vectorized reader still runs underneath and
-  // hands out rows). Without DVs, batches pass through untouched.
+  // DV filtering keeps COLUMNAR output (r2 dropped to rows for the whole
+  // table when ANY file carried a DV — a 10k-file table with one DV'd file
+  // read everything row-at-a-time): batches from DV-less files pass
+  // through untouched, and only batches that actually contain deleted rows
+  // are compacted (survivor copy). Falls back to rows only for non-atomic
+  // schemas the compactor can't copy.
   override def supportBatch(sparkSession: SparkSession, schema: StructType): Boolean =
-    dvRegistry.isEmpty && super.supportBatch(sparkSession, schema)
+    (dvRegistry.isEmpty || DvBatchFilter.allAtomic(schema)) &&
+      super.supportBatch(sparkSession, schema)
 
   // Distinct formats must not compare equal (ParquetFileFormat.equals is
   // class-based): exchange/scan reuse would otherwise conflate two tables'
@@ -144,22 +148,37 @@ class GraftParquetFileFormat(
         val nOut = requiredSchema.length + partitionSchema.length
         // delegate row layout: withIdx ++ partition values
         val inFields = withIdx.fields ++ partitionSchema.fields
+        // whether the delegate hands out ColumnarBatches (virtual dispatch:
+        // same decision super made internally, incl. our atomic-only guard)
+        val returningBatch = supportBatch(sparkSession,
+          StructType(withIdx.fields ++ partitionSchema.fields))
 
         (pf: PartitionedFile) => {
           val bm = bitmapFor(bc.value, pf)
           val rows = delegate(pf)
-          val filtered =
-            if (bm == null) rows
-            else rows.filter(r => !bm.contains(r.getLong(idxOrdinal)))
-          if (!dropIdxColumn) filtered
-          else {
-            val proj = UnsafeProjection.create(
-              inFields.zipWithIndex.collect {
-                case (f, i) if i != idxOrdinal =>
-                  BoundReference(i, f.dataType, f.nullable)
-              }.toIndexedSeq)
-            assert(inFields.length - 1 == nOut)
-            filtered.map(proj)
+          if (returningBatch) {
+            val keep = inFields.indices.filter(i => !dropIdxColumn || i != idxOrdinal).toArray
+            val outTypes = keep.map(i => inFields(i).dataType)
+            // elements are really ColumnarBatch (batch contract); keep the
+            // lambda param erased so scalac doesn't insert an InternalRow cast
+            rows.asInstanceOf[Iterator[AnyRef]].map { r =>
+              val batch = r.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+              DvBatchFilter.filterBatch(batch, bm, idxOrdinal, keep, outTypes): AnyRef
+            }.asInstanceOf[Iterator[InternalRow]]
+          } else {
+            val filtered =
+              if (bm == null) rows
+              else rows.filter(r => !bm.contains(r.getLong(idxOrdinal)))
+            if (!dropIdxColumn) filtered
+            else {
+              val proj = UnsafeProjection.create(
+                inFields.zipWithIndex.collect {
+                  case (f, i) if i != idxOrdinal =>
+                    BoundReference(i, f.dataType, f.nullable)
+                }.toIndexedSeq)
+              assert(inFields.length - 1 == nOut)
+              filtered.map(proj)
+            }
           }
         }
     }

@@ -78,6 +78,15 @@ class Snapshot(
 
   def hasDeletionVectors: Boolean = allFiles.exists(_.deletionVector.isDefined)
 
+  /** DV registry broadcast, built + shipped ONCE per snapshot (the registry
+    * eagerly reads every deletion vector on the driver — repeated reads of
+    * a DV table must not re-read them or accumulate broadcasts). */
+  @transient private[delta] lazy val dvRegistryBroadcast
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, DvCodec.Bitmap64]]] =
+    if (hasDeletionVectors)
+      Some(log.spark.sparkContext.broadcast(DeletionVectors.registry(this)))
+    else None
+
   /**
    * The scan surface: a DataFrame over a custom FileIndex, so Catalyst gets
    * predicate/projection pushdown, partition pruning, and our stats-based
@@ -109,10 +118,7 @@ class Snapshot(
   def asRelation(options: ScanOptions): org.apache.spark.sql.sources.BaseRelation = {
     val spark = log.spark
     val logicalToPhysical = dataSchema.fields.map(f => f.name -> physicalField(f)).toMap
-    val dvBc =
-      if (hasDeletionVectors)
-        Some(spark.sparkContext.broadcast(DeletionVectors.registry(this)))
-      else None
+    val dvBc = dvRegistryBroadcast
     HadoopFsRelation(
       location = new GraftFileIndex(spark, this, options, logicalNames = true),
       partitionSchema = partitionSchema,
@@ -129,17 +135,20 @@ class Snapshot(
 
   private[delta] def relationDF(options: ScanOptions): DataFrame = {
     val spark = log.spark
-    // id-mode physical schemas carry `parquet.field.id` metadata; the stock
-    // parquet reader resolves by id only when the session flag is on
-    if (columnMappingMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode physical schemas carry `parquet.field.id` metadata; field-id
+    // resolution is enabled per-scan in the reader's hadoopConf (no
+    // session-wide conf mutation) by GraftParquetFileFormat
+    val format =
+      if (columnMappingMode == "id")
+        new GraftParquetFileFormat(Map.empty, None, fieldIdMode = true)
+      else new ParquetFileFormat()
     val index = new GraftFileIndex(spark, this, options)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = physicalPartitionSchema,
       dataSchema = physicalDataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = format,
       options = Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
   }

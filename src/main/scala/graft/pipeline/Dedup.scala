@@ -73,7 +73,13 @@ object Dedup {
    * sets. A pair is missed only if it shares nothing but >maxDf
    * boilerplate shingles — such pairs are the minhash path's job.
    */
-  def jaccardPairs(docs: DataFrame, maxDf: Int = 100): DataFrame = {
+  def jaccardPairs(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsDfCapped(docs, maxDf)
+
+  /** The df-capped scale path (cap surfaced in the name — callers opting
+    * into reduced recall do so explicitly; the exact-named [[jaccardPairs]]
+    * defaults to no cap). */
+  def jaccardPairsDfCapped(docs: DataFrame, maxDf: Int = 100): DataFrame = {
     val sh = hashedShingles(docs)
     val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))

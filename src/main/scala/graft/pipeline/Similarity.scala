@@ -106,12 +106,16 @@ object Similarity {
   /** K-means (Lloyd) on a driver-side sample — the coarse quantizer.
     * Deterministic: fixed seed, fixed iteration count. At 100 TB the
     * sample stays bounded (quantizer quality needs thousands of points,
-    * not the corpus); the sample is taken with a PUSHED-DOWN id filter
-    * (vec_id is dense from 0), not a global sort — no shuffle at all. */
+    * not the corpus); the sample is the `sampleSize` SMALLEST vec_ids via
+    * distributed top-n (TakeOrderedAndProject: each task keeps ≤ n rows,
+    * no global sort materializes) — correct even when ids are sparse or
+    * offset, where a `vec_id < n` range filter silently under-fills. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 8,
       sampleSize: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
-    val sample = emb.where(col("vec_id") < sampleSize)
-      .select(asDouble(col("embedding")).as("v"))
+    val sample = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty embedding table")
     val dim = sample.head.length
@@ -224,8 +228,12 @@ object Similarity {
    */
   def ivfTopKSeeded(emb: DataFrame, queryId: Long, k: Int = 10,
       numCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val seeds: Array[(Int, Array[Long])] = emb.where(col("vec_id") < numCells)
+    // seeds = the numCells SMALLEST vec_ids (distributed top-n, bounded
+    // collect) — on dense ids identical to `vec_id < numCells`, but does
+    // not silently under-fill when ids are sparse or offset
+    val seeds: Array[(Int, Array[Long])] = emb
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .orderBy(col("vec_id")).limit(numCells)
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
       .sortBy(_._1)

@@ -25,12 +25,13 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(v0.count() == src.filter(col("n_nationkey") < 10).count())
     // pushdown still works through the registered source
     assert(full.where(col("n_nationkey") === 3).count() == 1)
-    // DV tables direct users to the full-featured API
+    // DV tables read through the registered source with deleted rows filtered
+    // (round-2 contract; equals the full-featured API row-for-row)
     val dvPath = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
-    val e = intercept[Exception] {
-      spark.read.format("graftdelta").load(dvPath).count()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    val viaSource = spark.read.format("graftdelta").load(dvPath)
+    val viaApi = DeltaTable.forPath(spark, dvPath).toDF
+    assert(viaSource.count() == viaApi.count() && viaSource.count() > 0)
+    assert(viaSource.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSource).isEmpty)
   }
 
   test("virtual columns: filename, file_row_number, delta_file_number") {

@@ -66,6 +66,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(plan.contains("dv_row_deleted"), plan.take(2000))
   }
 
+  test("registered-source DV scan keeps columnar batches (atomic schema)") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    val df = spark.read.format("graftdelta").load(p)
+    // correctness: matches the full-featured API row-for-row
+    val api = DeltaTable.forPath(spark, p).toDF
+    assert(df.count() == api.count() && df.count() > 0)
+    // plan: the scan emits batches — a ColumnarToRow (or a columnar scan
+    // node) must be present; r2 regressed to row-at-a-time for the whole
+    // table whenever any file carried a DV
+    val plan = executedPlan(df.select(sum(col("l_quantity")))).toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV scan through registered source lost columnar batches:\n${plan.take(3000)}")
+  }
+
   test("scan reports log-derived size for cost estimation") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
     val snap = DeltaTable.forPath(spark, p).snapshot
