@@ -47,6 +47,18 @@ object Fixtures {
     * analog of the reference's tpch_sf1_90commits micro-benchmark
     * (benchmark/micro/snapshot_performance). */
   case object Many extends Variant { val name = "many40" }
+  /** Type widening (reference test/sql/generated/schema_evolution.test:11-37):
+    * first commit writes the split column as INT32; a mergeSchema append
+    * widens it to LONG — old files must read under the widened schema. */
+  case object Widen extends Variant { val name = "widen" }
+  /** VARIANT column STORED in the table (reference
+    * test/sql/inlined/variant/basic.test:16-43, delta_utils.cpp:707-716):
+    * `payload` is a parsed-JSON variant column written to parquet. */
+  case object VariantV extends Variant { val name = "variant" }
+  /** Change-data-feed table (reference test/sql/dat/all.test:197-206):
+    * `delta.enableChangeDataFeed` set, a `_change_data/` dir with a change
+    * parquet, and a `cdc` log action — plain reads ignore both. */
+  case object Cdf extends Variant { val name = "cdf" }
 
   private case class Spec(splitCol: String, rangeCol: String, partCol: String)
   private val specs: Map[String, Spec] = Map(
@@ -129,6 +141,20 @@ object Fixtures {
           dir, mergeSchema = true)
       case Mapped => buildMapped(spark, src, dir)
       case MappedId => buildMappedId(spark, src, dir)
+      case Widen =>
+        DeltaWriter.append(spark,
+          src.filter(col(spec.splitCol) % 2 === 0)
+            .withColumn(spec.splitCol, col(spec.splitCol).cast("int"))
+            .repartitionByRange(2, col(spec.rangeCol)), dir)
+        DeltaWriter.append(spark,
+          src.filter(col(spec.splitCol) % 2 === 1)
+            .repartitionByRange(2, col(spec.rangeCol)),
+          dir, mergeSchema = true)
+      case VariantV =>
+        val v = src.select(col("doc_id"),
+          expr("parse_json(to_json(struct(lang, n_chars)))").as("payload"))
+        DeltaWriter.append(spark, v.repartitionByRange(2, col("doc_id")), dir)
+      case Cdf => buildCdf(spark, src, dir, spec)
       case Many =>
         for (i <- 0 until 40) {
           DeltaWriter.append(spark, src.coalesce(1), dir)
@@ -137,6 +163,32 @@ object Fixtures {
     }
     Files.createFile(marker)
     dir
+  }
+
+  /** CDF table: enableChangeDataFeed property, then a fabricated
+    * UPDATE-style commit carrying a `cdc` action pointing into
+    * `_change_data/` — exactly what a CDF writer leaves behind. Snapshot
+    * replay must ignore the cdc action and never list change files. */
+  private def buildCdf(spark: SparkSession, src: DataFrame, dir: String,
+      spec: Spec): Unit = {
+    DeltaWriter.append(spark, src.filter(col(spec.splitCol) % 2 === 0), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaWriter.append(spark, src.filter(col(spec.splitCol) % 2 === 1), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val cdDir = new org.apache.hadoop.fs.Path(dir, "_change_data")
+    src.limit(3).withColumn("_change_type", lit("update_postimage"))
+      .coalesce(1).write.mode("overwrite").parquet(cdDir.toString)
+    val cdcFile = log.fs.listStatus(cdDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val cdcLine =
+      s"""{"cdc":{"path":"_change_data/${cdcFile.getName}","partitionValues":{},""" +
+        s""""size":${log.fs.getFileStatus(cdcFile).getLen},"dataChange":false}}"""
+    val ci = graft.delta.ActionJson.toJson(graft.delta.Action(
+      graft.delta.CommitInfo(System.currentTimeMillis(), "UPDATE")))
+    graft.delta.LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      ci + "\n" + cdcLine + "\n")
+    log.invalidateCache()
   }
 
   /** Column-mapped table: data written under physical names, then a

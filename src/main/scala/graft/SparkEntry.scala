@@ -228,6 +228,36 @@ object SparkEntry {
       q1Shape(t.toDF)
     }),
 
+    // --- type widening: INT32 files scanned under a LONG schema (§2.1 #8;
+    //     reference schema_evolution.test:11-37) ---
+    "delta_type_widening" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Widen)
+      val df = DeltaTable.forPath(s, p).toDF
+      require(df.schema("l_orderkey").dataType == org.apache.spark.sql.types.LongType,
+        s"widened schema expected LONG, got ${df.schema("l_orderkey").dataType}")
+      df.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- VARIANT stored in the table: write → log schema → scan → extract
+    //     (reference test/sql/inlined/variant/basic.test:16-43) ---
+    "delta_variant_scan" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "documents", Fixtures.VariantV)
+      DeltaTable.forPath(s, p).toDF
+        .select(col("doc_id"),
+          expr("variant_get(payload, '$.lang', 'string')").as("lang"),
+          expr("variant_get(payload, '$.n_chars', 'long')").as("n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- CDF table read as a plain table: cdc actions + _change_data
+    //     ignored (reference test/sql/dat/all.test:197-206) ---
+    "delta_cdf_plain_read" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "nation", Fixtures.Cdf)
+      s.read.format("graftdelta").load(p).orderBy(col("n_nationkey"))
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -297,6 +327,15 @@ object SparkEntry {
         |ORDER BY r_regionkey, r_name""".stripMargin,
     "delta_optimize_scan" -> q1Sql.replace("FROM lineitem",
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 3)"),
+    "delta_type_widening" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "delta_variant_scan" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "delta_cdf_plain_read" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_variant_json" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod, count(*) AS n,
         | round(sum(value), 2) AS v

@@ -12,6 +12,45 @@ class DeltaAdvancedSpec extends AnyFunSuite {
   private def tmpTable(): String =
     java.nio.file.Files.createTempDirectory("graft-adv-test").toString + "/t"
 
+  test("type widening: INT32 files read under the widened LONG schema") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Widen)
+    val t = DeltaTable.forPath(spark, p)
+    assert(t.snapshot.schema("l_orderkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    // every row present — both the INT32-written half and the LONG half
+    assert(t.toDF.count() == src.count())
+    val sums = t.toDF.agg(sum(col("l_orderkey"))).collect()(0).getLong(0)
+    val srcSum = src.agg(sum(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(sums == srcSum)
+    // registered source reads the widened table too
+    assert(spark.read.format("graftdelta").load(p).count() == src.count())
+  }
+
+  test("variant column round-trips through write, log schema, and scan") {
+    val p = Fixtures.delta(spark, sfDir, "documents", Fixtures.VariantV)
+    val t = DeltaTable.forPath(spark, p)
+    assert(t.snapshot.metadata.schemaString.contains("variant"))
+    val back = t.toDF
+      .select(col("doc_id"),
+        expr("variant_get(payload, '$.n_chars', 'long')").as("n"))
+    val src = Fixtures.readParquet(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n"))
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("CDF table: cdc actions and _change_data files ignored on plain read") {
+    val p = Fixtures.delta(spark, sfDir, "nation", Fixtures.Cdf)
+    val t = DeltaTable.forPath(spark, p)
+    assert(t.snapshot.metadata.configuration
+      .get("delta.enableChangeDataFeed").contains("true"))
+    // no change file ever enters the snapshot's file list
+    assert(!t.snapshot.allFiles.exists(_.decodedPath.contains("_change_data")))
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    assert(t.toDF.count() == src.count())
+    assert(spark.read.format("graftdelta").load(p).count() == src.count())
+  }
+
   test("z85 codec matches the ZeroMQ reference vector and round-trips UUIDs") {
     val refBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
     assert(DvCodec.z85Encode(refBytes) == "HelloWorld")
