@@ -403,7 +403,154 @@ object RelationalQueries {
         |FROM events
         |WHERE event_type IN ('click','view')
         |GROUP BY h, event_type
-        |ORDER BY h, event_type""".stripMargin
+        |ORDER BY h, event_type""".stripMargin,
+
+    // ================= TPC-DS-shaped breadth =================
+    // The DS-catalog query shapes TPC-H doesn't stress, adapted to the
+    // testdata star schema (reference correctness-runs all 99 DS queries,
+    // benchmark/tpcds/sf1/local/delta/*.benchmark).
+
+    // q36/q86 shape: rollup + grouping()-derived hierarchy level + rank
+    // within the level partition
+    "ds_rollup_rank" ->
+      """SELECT lvl, flag, status, margin,
+        | CAST(rank() OVER (PARTITION BY lvl, CASE WHEN lvl = 0 THEN flag END
+        |   ORDER BY margin, status) AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS lvl,
+        |    coalesce(l_returnflag, 'ALL') AS flag,
+        |    coalesce(l_linestatus, 'ALL') AS status,
+        |    round(sum(l_extendedprice*(1-l_discount)) / sum(l_extendedprice), 4) AS margin
+        |  FROM lineitem
+        |  GROUP BY ROLLUP(l_returnflag, l_linestatus)) t
+        |ORDER BY lvl, flag, status""".stripMargin,
+
+    // q70 shape: rank-derived filter feeding a rollup report
+    "ds_rollup_rank_filter" ->
+      """WITH nrev AS (
+        |  SELECT r_name, n_name, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |top2 AS (
+        |  SELECT r_name, n_name FROM (
+        |    SELECT r_name, n_name,
+        |      rank() OVER (PARTITION BY r_name ORDER BY rev DESC, n_name) AS rnk
+        |    FROM nrev) rr WHERE rnk <= 2)
+        |SELECT CAST(grouping(nrev.r_name) + grouping(nrev.n_name) AS BIGINT) AS lvl,
+        |  coalesce(nrev.r_name, 'ALL') AS region, coalesce(nrev.n_name, 'ALL') AS nation,
+        |  round(sum(rev), 2) AS revenue
+        |FROM nrev JOIN top2 ON nrev.r_name = top2.r_name AND nrev.n_name = top2.n_name
+        |GROUP BY ROLLUP(nrev.r_name, nrev.n_name)
+        |ORDER BY lvl, region, nation""".stripMargin,
+
+    // q5/q77 shape: per-channel aggregates unioned, rolled up to a total
+    "ds_channel_union" ->
+      """WITH ch AS (
+        |  SELECT 'store' AS channel, o_orderpriority AS grp,
+        |    count(*) AS sales, round(sum(o_totalprice), 2) AS amt
+        |  FROM orders GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'web' AS channel, l_returnflag AS grp,
+        |    count(*) AS sales, round(sum(l_extendedprice), 2) AS amt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT CAST(grouping(channel) + grouping(grp) AS BIGINT) AS lvl,
+        |  coalesce(channel, 'ALL') AS channel, coalesce(grp, 'ALL') AS grp,
+        |  CAST(sum(sales) AS BIGINT) AS sales, round(sum(amt), 2) AS amt
+        |FROM ch GROUP BY ROLLUP(channel, grp)
+        |ORDER BY lvl, channel, grp""".stripMargin,
+
+    // q67 shape: top-k per group via rank over a grouped aggregate
+    "ds_topk_per_group" ->
+      """SELECT flag, l_partkey, rev, rnk FROM (
+        |  SELECT l_returnflag AS flag, l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |    CAST(rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+        |        l_partkey) AS BIGINT) AS rnk
+        |  FROM lineitem GROUP BY l_returnflag, l_partkey) t
+        |WHERE rnk <= 5 ORDER BY flag, rnk, l_partkey""".stripMargin,
+
+    // q51 shape: two cumulative series joined and compared (integerized
+    // daily revenue so the running sums are exact in both engines)
+    "ds_cumulative_compare" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, d, CAST(sum(rev) OVER (PARTITION BY flag ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+        |  FROM daily)
+        |SELECT a.d, a.cum_rev AS cum_a, r.cum_rev AS cum_r
+        |FROM cum a JOIN cum r ON a.d = r.d AND a.flag = 'A' AND r.flag = 'R'
+        |WHERE a.cum_rev > r.cum_rev
+        |ORDER BY a.d""".stripMargin,
+
+    // q47/q57 shape: centered moving average over a monthly series with a
+    // deviation filter (integerized monthly revenue)
+    "ds_moving_avg" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS pr,
+        |    CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |    CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT pr, y, m, rev,
+        |    CAST(round(avg(rev) OVER (PARTITION BY pr ORDER BY y, m
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 0) AS BIGINT) AS mavg
+        |  FROM monthly)
+        |SELECT pr, y, m, rev, mavg FROM w
+        |WHERE mavg > 0 AND abs(rev - mavg) * 10 > mavg
+        |ORDER BY pr, y, m""".stripMargin,
+
+    // q34/q73 shape: per-order item-count buckets joined back to customers
+    "ds_count_bucket_filter" ->
+      """WITH cnt AS (
+        |  SELECT l_orderkey AS okey, count(*) AS items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |big AS (SELECT okey, items FROM cnt WHERE items BETWEEN 5 AND 7)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders_n,
+        |  CAST(sum(items) AS BIGINT) AS items_n
+        |FROM big JOIN orders ON okey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q88 shape: independent time-bucket counts as scalar subqueries in one row
+    "ds_hour_buckets" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM events
+        |  WHERE CAST(extract(hour FROM ts) AS BIGINT) BETWEEN 0 AND 5) AS h0_5,
+        | (SELECT CAST(count(*) AS BIGINT) FROM events
+        |  WHERE CAST(extract(hour FROM ts) AS BIGINT) BETWEEN 6 AND 11) AS h6_11,
+        | (SELECT CAST(count(*) AS BIGINT) FROM events
+        |  WHERE CAST(extract(hour FROM ts) AS BIGINT) BETWEEN 12 AND 17) AS h12_17,
+        | (SELECT CAST(count(*) AS BIGINT) FROM events
+        |  WHERE CAST(extract(hour FROM ts) AS BIGINT) BETWEEN 18 AND 23) AS h18_23""".stripMargin,
+
+    // q27 shape: multi-level grouping sets across dimensions from two tables
+    "ds_grouping_sets_multi" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS pr,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus, o_orderpriority),
+        |  (l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status, pr""".stripMargin,
+
+    // q98 shape: revenue share within a class via a windowed total over a
+    // grouped aggregate (integerized group revenue)
+    "ds_window_share" ->
+      """SELECT flag, status, rev,
+        | round(CAST(rev AS DOUBLE) * 100 /
+        |   CAST(sum(rev) OVER (PARTITION BY flag) AS DOUBLE), 4) AS share
+        |FROM (SELECT l_returnflag AS flag, l_linestatus AS status,
+        |        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |      FROM lineitem GROUP BY 1, 2) t
+        |ORDER BY flag, status""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
