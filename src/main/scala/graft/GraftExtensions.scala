@@ -8,13 +8,19 @@ import graft.functions.{RollingFingerprint, SimHash64}
 
 /**
  * SparkSessionExtensions entry point: registers the native expressions for
- * SQL use (`SELECT simhash64(...)`, `rolling_fingerprint(...)`).
+ * SQL use (`SELECT simhash64(...)`, `rolling_fingerprint(...)`) and the
+ * dynamic file-pruning optimizer rule.
  *
  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) or
  * spark.sql.extensions=graft.GraftExtensions.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // join-derived runtime file re-pruning (data columns; DPP covers
+    // partitions) — preCBO so it sees the optimized join tree exactly once
+    e.injectPreCBORule(s => new graft.delta.DynamicFilePruning(s))
+    // graft catalog identifiers → full-fidelity V1 delta scan
+    e.injectResolutionRule(s => new graft.delta.GraftCatalogResolution(s))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

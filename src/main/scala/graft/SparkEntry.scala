@@ -228,6 +228,16 @@ object SparkEntry {
       q1Shape(t.toDF)
     }),
 
+    // --- TableCatalog plugin: pure-SQL ATTACH parity + VERSION AS OF
+    //     (reference delta_extension.cpp:21-93, delta_catalog.cpp) ---
+    "delta_catalog_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      graft.delta.GraftCatalog.attach("li_multi",
+        Fixtures.delta(s, dir, "lineitem", Fixtures.Multi))
+      s.sql("""SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+              |FROM graft.li_multi VERSION AS OF 1""".stripMargin)
+    }),
+
     // --- type widening: INT32 files scanned under a LONG schema (§2.1 #8;
     //     reference schema_evolution.test:11-37) ---
     "delta_type_widening" -> ((s, dir) => {
@@ -327,6 +337,9 @@ object SparkEntry {
         |ORDER BY r_regionkey, r_name""".stripMargin,
     "delta_optimize_scan" -> q1Sql.replace("FROM lineitem",
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 3)"),
+    "delta_catalog_sql" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 <= 1""".stripMargin,
     "delta_type_widening" ->
       """SELECT l_returnflag, count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -1,0 +1,144 @@
+package graft.delta
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Spark `TableCatalog` plugin — real ATTACH parity with the reference's
+ * catalog (`src/delta_extension.cpp:21-93`, `src/storage/delta_catalog.cpp`):
+ * SQL-only users query Delta tables as `graft.<name>` (attached) or
+ * ``graft.`/abs/path` `` (by path), with `VERSION AS OF n` time travel —
+ * no Scala-side view registration.
+ *
+ * Configure `spark.sql.catalog.graft = graft.delta.GraftCatalog` (runtime
+ * conf; catalogs load lazily). Name → path bindings come from
+ * [[GraftCatalog.attach]] (the `ATTACH '<path>' AS <name>` analog) or
+ * catalog options `spark.sql.catalog.graft.table.<name> = <path>`.
+ *
+ * The returned [[GraftTable]] is a thin descriptor; [[GraftCatalogResolution]]
+ * (injected via GraftExtensions) swaps its `DataSourceV2Relation` for the
+ * full-fidelity V1 relation (GraftFileIndex pushdown + stats skipping, DVs,
+ * column mapping) during analysis — the same v2-identifier/v1-execution
+ * pattern production Delta connectors use, so the SQL path loses none of
+ * the scan machinery.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = "graft"
+  private val optionTables = new ConcurrentHashMap[String, String]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    options.entrySet().asScala.foreach { e =>
+      val k = e.getKey
+      if (k.startsWith("table.")) optionTables.put(k.stripPrefix("table."), e.getValue)
+    }
+  }
+  override def name(): String = catalogName
+
+  private def pathFor(ident: Identifier): String = {
+    val n = ident.name()
+    if (n.contains("/")) n
+    else Option(GraftCatalog.registry.get(n))
+      .orElse(Option(optionTables.get(n)))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    (GraftCatalog.registry.keySet.asScala ++ optionTables.keySet.asScala)
+      .toSeq.sorted.map(Identifier.of(namespace, _)).toArray
+
+  override def loadTable(ident: Identifier): Table =
+    GraftTable(pathFor(ident), None)
+
+  /** `VERSION AS OF n` (reference `AT (VERSION => n)`). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    GraftTable(pathFor(ident), Some(version.toLong))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { pathFor(ident); true } catch { case _: NoSuchTableException => false }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-attach only; use DeltaWriter for writes")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.registry.remove(ident.name()) != null
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+
+  // -- SupportsNamespaces (flat: only the default namespace) --
+  override def listNamespaces(): Array[Array[String]] = Array(Array.empty)
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) Array.empty else throw new NoSuchNamespaceException(namespace)
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespace.isEmpty) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("namespaces not supported")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespaces not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("namespaces not supported")
+}
+
+object GraftCatalog {
+  private[delta] val registry = new ConcurrentHashMap[String, String]()
+
+  /** `ATTACH '<path>' AS <name>` analog: bind a Delta table path to a name
+    * resolvable as `graft.<name>` in SQL. */
+  def attach(name: String, path: String): Unit = registry.put(name, path)
+  def detach(name: String): Unit = registry.remove(name)
+}
+
+/** Thin table descriptor: identity + schema only; execution is re-routed to
+  * the V1 relation by [[GraftCatalogResolution]]. */
+final case class GraftTable(path: String, versionAsOf: Option[Long]) extends Table {
+  override def name(): String =
+    versionAsOf.fold(path)(v => s"$path@v$v")
+
+  @transient private lazy val snapshot: Snapshot = {
+    val spark = SparkSession.active
+    val log = DeltaLog.forPath(spark, path)
+    versionAsOf.fold(log.update())(log.snapshotAt)
+  }
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.singleton(TableCapability.BATCH_READ)
+
+  /** The analyzed full-fidelity V1 plan (logical column names). */
+  private[delta] def v1Plan(spark: SparkSession): LogicalPlan = {
+    val t = DeltaTable.forPath(spark, path)
+    versionAsOf.fold(t.toDF)(t.toDF(_)).queryExecution.analyzed
+  }
+}
+
+/** Analyzer rule: `DataSourceV2Relation(GraftTable)` → the V1 delta scan,
+  * with output attributes re-aliased onto the v2 relation's exprIds so any
+  * already-resolved parents keep their references. */
+class GraftCatalogResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      val v1 = r.table.asInstanceOf[GraftTable].v1Plan(spark)
+      Project(r.output.map { o =>
+        val src = v1.output.find(_.name.equalsIgnoreCase(o.name)).getOrElse(
+          throw new IllegalStateException(s"column ${o.name} missing in delta scan"))
+        Alias(src, o.name)(exprId = o.exprId)
+      }, v1)
+  }
+}

@@ -35,7 +35,20 @@ final case class ScanOptions(pushdownFilters: Boolean = true)
 
 class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
     options: ScanOptions = ScanOptions(),
-    logicalNames: Boolean = false) extends FileIndex {
+    logicalNames: Boolean = false,
+    /** Runtime (join-derived) filter thunks, evaluated lazily at the first
+      * listFiles call — by then subordinate jobs are legal, making this the
+      * Spark analog of the reference's dynamic filter re-prune
+      * (delta_multi_file_list.cpp:989-1021). */
+    dynamicThunks: Seq[() => Seq[Expression]] = Nil) extends FileIndex {
+
+  def withDynamicThunk(t: () => Seq[Expression]): GraftFileIndex =
+    new GraftFileIndex(spark, snapshot, options, logicalNames, dynamicThunks :+ t)
+
+  /** Evaluated once; a failing thunk degrades to no dynamic pruning. */
+  @transient private lazy val dynamicFilters: Seq[Expression] =
+    dynamicThunks.flatMap(t =>
+      try t() catch { case scala.util.control.NonFatal(_) => Nil })
 
   override def rootPaths: Seq[Path] = Seq(snapshot.log.tablePath)
   // the log's partitionValues and stats keys are PHYSICAL; `logicalNames`
@@ -95,8 +108,32 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
       if (dataFilters.nonEmpty) "constant" else "none",
       (dataFilters ++ partitionFilters).map(_.sql).mkString(" AND "),
       all.size, afterPartition.size))
-    // 3. group by partition values → PartitionDirectory
-    afterPartition
+    // 3. dynamic (join-derived) stats re-prune — bounds computed at runtime
+    val afterDynamic =
+      if (dynamicThunks.isEmpty || !options.pushdownFilters) afterPartition
+      else {
+        val dyn =
+          if (!logicalNames) dynamicFilters
+          else {
+            val phys = snapshot.dataSchema.fields
+              .map(f => f.name -> snapshot.physicalName(f)).toMap
+            dynamicFilters.map(_.transform {
+              case a: AttributeReference if phys.contains(a.name) =>
+                a.withName(phys(a.name))
+            })
+          }
+        if (dyn.isEmpty) afterPartition
+        else {
+          val pruned = FileSkipping.prune(afterPartition, snapshot.physicalDataSchema, dyn)
+          GraftMetrics.record(PushdownEvent(
+            snapshot.log.tablePath.toString, "dynamic",
+            dyn.map(_.sql).mkString(" AND "),
+            afterPartition.size, pruned.size))
+          pruned
+        }
+      }
+    // 4. group by partition values → PartitionDirectory
+    afterDynamic
       .groupBy(_.partitionValues)
       .map { case (pv, files) =>
         PartitionDirectory(

@@ -14,6 +14,13 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a (resolved) logical plan — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4; needed to execute synthesized plans (e.g.
+    * the dynamic-pruning min/max aggregate) from library code. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The `private[sql]` temporary column name parquet readers match BY NAME
     * and populate with the physical (file-level) row index when a nullable
     * long field of this name appears in requiredSchema. */

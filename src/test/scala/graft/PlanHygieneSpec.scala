@@ -80,6 +80,35 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"DV scan through registered source lost columnar batches:\n${plan.take(3000)}")
   }
 
+  test("dynamic file re-pruning: join-derived bounds shrink the file list") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+    val fact = DeltaTable.forPath(spark, p).toDF
+    // dim filter NOT statically inferable as a key range (Catalyst's
+    // constraint propagation handles plain `o_orderkey < 40` itself; the
+    // dynamic path earns its keep when only the RUNTIME key set is narrow)
+    val dim = Fixtures.readParquet(spark, sfDir, "orders")
+      .filter(length(col("o_orderkey").cast("string")) === 1)
+      .select(col("o_orderkey"))
+    GraftMetrics.clear()
+    val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+    val row = joined.collect()(0)
+    // correctness unchanged vs an undynamic plan
+    spark.conf.set("spark.graft.dynamicFilePruning", "false")
+    val expected = try {
+      fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+        .collect()(0)
+    } finally spark.conf.set("spark.graft.dynamicFilePruning", "true")
+    assert(row == expected)
+    // a `dynamic` pushdown event fired and shrank the candidate files
+    val dyn = GraftMetrics.pushdownLog(spark).collect()
+      .filter(_.getAs[String]("filterType") == "dynamic")
+    assert(dyn.nonEmpty, "no dynamic pushdown event recorded")
+    assert(dyn.exists(r => r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")),
+      s"dynamic pruning did not shrink files: ${dyn.mkString(";")}")
+  }
+
   test("scan reports log-derived size for cost estimation") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
     val snap = DeltaTable.forPath(spark, p).snapshot
