@@ -50,16 +50,30 @@ object ParsedStats {
  */
 object FileSkipping {
 
-  /** Returns the files that may contain matching rows. */
+  /** Below this, the fork/join overhead outweighs parallel stats parsing. */
+  private val ParallelThreshold = 8192
+
+  /** Returns the files that may contain matching rows.
+    *
+    * Scale: per-file work is stats-JSON parse + predicate eval; at
+    * many-file scale (a 100 TB table has 10⁵-10⁶ add actions) a
+    * single-threaded driver scan becomes the planning bottleneck, so large
+    * lists are pruned on the common fork-join pool (order-preserving;
+    * `parsedStats` is a thread-safe lazy val, the evaluator is pure). */
   def prune(files: Seq[AddFile], dataSchema: StructType, filters: Seq[Expression]): Seq[AddFile] = {
     if (filters.isEmpty) return files
     val resolved = filters.flatMap(f => if (supportedShape(f)) Some(f) else None)
     if (resolved.isEmpty) return files
-    files.filter { f =>
-      f.parsedStats match {
-        case Some(st) => resolved.forall(e => mayContain(st, dataSchema, e))
-        case None => true // no stats → cannot skip (reference: kept)
-      }
+    def keep(f: AddFile): Boolean = f.parsedStats match {
+      case Some(st) => resolved.forall(e => mayContain(st, dataSchema, e))
+      case None => true // no stats → cannot skip (reference: kept)
+    }
+    if (files.size < ParallelThreshold) files.filter(keep)
+    else {
+      val arr = files.toArray
+      val kept = java.util.stream.IntStream.range(0, arr.length).parallel()
+        .filter(i => keep(arr(i))).toArray
+      kept.map(arr(_)).toSeq
     }
   }
 

@@ -51,6 +51,23 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(p).count() == src.count())
   }
 
+  test("many-add snapshot: 20k-file synthetic log replays, parallel prune exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-many-add").toString + "/t"
+    SyntheticLog.build(spark, dir, 20000) // > parallel threshold (8192)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.allFiles.size == 20000)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val k = AttributeReference("k", org.apache.spark.sql.types.LongType, nullable = true)()
+    val filters = Seq(
+      GreaterThanOrEqual(k, Literal(100000000L)),
+      LessThanOrEqual(k, Literal(100099999L)))
+    val pruned = FileSkipping.prune(snap.allFiles, snap.dataSchema, filters)
+    assert(pruned.size == 10, s"got ${pruned.size}")
+    // exactly the files whose [min,max] intersects the bounds, in order
+    assert(pruned.map(_.path) ==
+      (10000 until 10010).map(i => s"part-$i.parquet"))
+  }
+
   test("z85 codec matches the ZeroMQ reference vector and round-trips UUIDs") {
     val refBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
     assert(DvCodec.z85Encode(refBytes) == "HelloWorld")
