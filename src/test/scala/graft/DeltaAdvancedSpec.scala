@@ -63,9 +63,10 @@ class DeltaAdvancedSpec extends AnyFunSuite {
       LessThanOrEqual(k, Literal(100099999L)))
     val pruned = FileSkipping.prune(snap.allFiles, snap.dataSchema, filters)
     assert(pruned.size == 10, s"got ${pruned.size}")
-    // exactly the files whose [min,max] intersects the bounds, in order
-    assert(pruned.map(_.path) ==
-      (10000 until 10010).map(i => s"part-$i.parquet"))
+    // exactly the files whose [min,max] intersects the bounds (checkpoint
+    // decode order is partition order, so compare as sets)
+    assert(pruned.map(_.path).toSet ==
+      (10000 until 10010).map(i => s"part-$i.parquet").toSet)
   }
 
   test("z85 codec matches the ZeroMQ reference vector and round-trips UUIDs") {
