@@ -23,9 +23,33 @@ object Bench {
     "q_variant_json", "q9_profit_by_nation", "q18_large_orders",
     "q6_selective_filter")
 
+  /** Scan/join/agg-heavy subset for the synthetic 10× scale pass (dedup
+    * pair queries excluded: replicated docs are near-dups BY CONSTRUCTION,
+    * so pair output explodes artificially). */
+  private val scaleHeadline = Seq(
+    "q1_agg", "delta_scan_agg", "q3_join", "q5_multi_join",
+    "q9_profit_by_nation", "q18_large_orders", "q6_selective_filter",
+    "q_window_rank", "q_events_hourly", "dedup_exact", "text_token_stats",
+    "emb_centroids")
+
+  private def loadavg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+    // Measurement-validity guard (VERDICT r2: the committed bench was taken
+    // on a contended machine and was 7× off): wait for the 1-min loadavg to
+    // settle before timing; annotate the JSON with what we saw either way.
+    val loadLimit = math.max(2.0, cpus.toDouble / 2)
+    val loadStart = loadavg1m()
+    var waitedSec = 0
+    while (loadavg1m() > loadLimit && waitedSec < 180) {
+      Thread.sleep(15000); waitedSec += 15
+    }
+    val loadAtRun = loadavg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,7 +85,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // synthetic 10× pass: per-query work dominates the JVM floor here
+    // (disable with SPARK_GRAFT_SCALE=0)
+    val scaleJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") ""
+      else try {
+        val bigDir = SyntheticScale.ensure(spark, sfDir, 10)
+        val big = scaleHeadline.filter(queries.contains)
+        RelationalQueries.ensureViews(spark, bigDir)
+        big.foreach { n =>
+          try queries(n)(spark, bigDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        val bigResults = big.map { name =>
+          val t0 = System.nanoTime()
+          try queries(name)(spark, bigDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] x10 $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        val bq = bigResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+          .mkString("{", ",", "}")
+        f""","x10_total":${bigResults.map(_._2).sum}%.3f,"x10_queries":$bq"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x10 pass failed: ${e.getMessage}"); ""
+      }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec$scaleJson}""")
     spark.stop()
   }
 }

@@ -65,8 +65,13 @@ object PipelineQueries {
     // --- near-dup cluster canonicalization (drop-list materialization) ---
     "dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalize(Dedup.jaccardPairsDfCapped(docs(s, dir)))),
-    "emb_near_dup_lsh" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(emb(s, dir), minSim = 0.2)),
+    "emb_near_dup_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // plane count scales with corpus size (capped to the oracle's 24
+      // generated plane literals — enough for n up to ~10⁹)
+      Similarity.lshNearDupPairs(e, minSim = 0.2,
+        numPlanes = math.min(Similarity.planesFor(e.count()), 24))
+    }),
 
     // --- multimodal ---
     "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))))
@@ -271,13 +276,33 @@ object PipelineQueries {
        |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qv.bucket)) <= 1
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
-  private val embNearDupSql =
-    s"""WITH ${lshBucketCtes(8, 42L)}
+  /** Near-dup oracle with the plane count derived FROM THE DATA, mirroring
+    * Similarity.planesFor exactly (integer bit-length, no float log): 24
+    * plane literals are generated and plane i only contributes when
+    * i < np. Spark's lshNearDupPairs with planesFor(count) buckets
+    * identically because radPlanes is prefix-stable in numPlanes. */
+  private val embNearDupSql = {
+    val maxPlanes = 24
+    val planes = Similarity.radPlanes(maxPlanes, 64, 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN $i < np.np AND list_sum(list_transform(range(1, 65), j -> q[j] * ($lits)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH np AS (SELECT least(greatest(8, length(bin(
+       |    greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 2) - 1))), $maxPlanes) AS np
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |    $bucket AS bucket
+       |  FROM e, np)
        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |  round(list_cosine_similarity(a.v, c.v), 4) AS sim
        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
        |WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Seeded-IVF oracle: cells = vectors with vec_id < 16, exact integer L2
     * assignment (ties → lower cell id), probe the 4 cells nearest the

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Synthetic scale-up of the driver testdata: replicate the sf0.1 fact
+ * tables `factor`× with per-replica key offsets (join relationships
+ * preserved; dims stay as-is, giving the realistic 10× fan-in), cached
+ * under /tmp. Purpose: a benchmark scale where per-query work dominates
+ * the ~0.5-1s JVM floor that drowns the sf0.1 signal (VERDICT r2: "until
+ * it does, this ratio measures JVM floor, not the engine").
+ */
+object SyntheticScale {
+  private val GEN = "s1"
+
+  /** Build (once) and return a parquet dir shaped like the driver's sfN
+    * dirs, containing `factor`× the base data. */
+  def ensure(spark: SparkSession, baseDir: String, factor: Int): String = synchronized {
+    val key = baseDir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"/tmp/graft-scale/$GEN/${key}_x$factor"
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val dirPath = Paths.get(dir)
+    if (Files.exists(dirPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(dirPath)
+
+    def base(t: String): DataFrame = Fixtures.readNormalized(spark, baseDir, t)
+    def offsetOf(t: String, k: String): Long =
+      base(t).agg(max(col(k))).collect()(0).getLong(0) + 1
+    val ordOff = offsetOf("orders", "o_orderkey")
+    val custOff = offsetOf("customer", "c_custkey")
+    val docOff = offsetOf("documents", "doc_id")
+    val vecOff = offsetOf("embeddings", "vec_id")
+    val evOff = offsetOf("events", "event_id")
+
+    /** factor replicas with the given key columns shifted per replica. */
+    def replicate(t: String, shifts: Map[String, Long]): Unit = {
+      val src = base(t)
+      val reps = (0 until factor).map { i =>
+        shifts.foldLeft(src) { case (df, (c, off)) =>
+          df.withColumn(c, col(c) + lit(i * off))
+        }
+      }
+      reps.reduce(_ union _).write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    }
+    replicate("lineitem", Map("l_orderkey" -> ordOff))
+    replicate("orders", Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
+    replicate("customer", Map("c_custkey" -> custOff))
+    replicate("documents", Map("doc_id" -> docOff))
+    replicate("embeddings", Map("vec_id" -> vecOff))
+    replicate("events", Map("event_id" -> evOff))
+    // dims unreplicated: every replica's facts reference the same dims
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      base(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    Files.createFile(marker)
+    dir
+  }
+}

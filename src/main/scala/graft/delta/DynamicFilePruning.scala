@@ -87,27 +87,50 @@ class DynamicFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Dim side worth a bounds job: small, visibly selective (a Filter or
-    * Aggregate in the subtree), and a boundable key type. */
-  private def dimQualifies(dim: LogicalPlan, key: AttributeReference): Boolean =
+  /** Dim side worth a bounds job: CHEAP to recompute (strictly
+    * Project/Filter over a leaf — an Aggregate/Join/Window subtree may
+    * have small OUTPUT stats but arbitrary compute cost, and the bounds
+    * job would re-run it), selective (a Filter present), small, and a
+    * boundable key type. */
+  private def dimQualifies(dim: LogicalPlan, key: AttributeReference): Boolean = {
+    def cheapShape(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case f: Filter => cheapShape(f.child)
+      case pr: Project if pr.projectList.forall(_.collectFirst {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ()
+      }.isEmpty) => cheapShape(pr.child)
+      case s: SubqueryAlias => cheapShape(s.child)
+      case _ => false
+    }
     supportedType(key.dataType) &&
-      dim.exists { case _: Filter | _: Aggregate => true; case _ => false } && {
+      dim.exists { case _: Filter => true; case _ => false } &&
+      cheapShape(dim) && {
         val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
         threshold > 0 && (try dim.stats.sizeInBytes <= threshold
         catch { case scala.util.control.NonFatal(_) => false })
       }
+  }
+
+  /** The bounds job (one small dim scan, ~0.1-1s) only pays for itself
+    * when the fact scan it might shrink is genuinely large. */
+  private def factQualifies(idx: GraftFileIndex): Boolean = {
+    val minBytes = spark.conf
+      .get("spark.graft.dynamicFilePruning.minFactBytes", (1L << 30).toString).toLong
+    idx.sizeInBytes >= minBytes
+  }
 
   private def maybePrune(fact: LogicalPlan, factAttr: AttributeReference,
       dim: LogicalPlan, dimAttr: AttributeReference): LogicalPlan = {
     if (!dimQualifies(dim, dimAttr)) return fact
     toScan(fact, factAttr) match {
-      case Some((lr, hfs, idx, scanAttr)) =>
+      case Some((lr, hfs, idx, scanAttr)) if factQualifies(idx) =>
         val thunk: () => Seq[Expression] = () => boundsFor(scanAttr, dim, dimAttr)
         fact.transformUp {
           case l: LogicalRelation if l eq lr =>
             l.copy(relation = hfs.copy(location = idx.withDynamicThunk(thunk))(spark))
         }
-      case None => fact
+      case _ => fact
     }
   }
 

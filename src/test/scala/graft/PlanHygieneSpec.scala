@@ -89,6 +89,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     val dim = Fixtures.readParquet(spark, sfDir, "orders")
       .filter(length(col("o_orderkey").cast("string")) === 1)
       .select(col("o_orderkey"))
+    // test fixture is tiny — drop the production "fact must be big" gate
+    spark.conf.set("spark.graft.dynamicFilePruning.minFactBytes", "0")
     GraftMetrics.clear()
     val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
@@ -107,6 +109,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(dyn.nonEmpty, "no dynamic pushdown event recorded")
     assert(dyn.exists(r => r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")),
       s"dynamic pruning did not shrink files: ${dyn.mkString(";")}")
+    spark.conf.unset("spark.graft.dynamicFilePruning.minFactBytes")
   }
 
   test("scan reports log-derived size for cost estimation") {
