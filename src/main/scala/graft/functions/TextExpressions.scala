@@ -70,6 +70,50 @@ object TextHash {
   }
 }
 
+/** md5 → lowercase hex, byte-identical to Spark's `md5()` / DuckDB's
+  * `md5()`, but with a THREAD-LOCAL MessageDigest. Spark's built-in Md5
+  * (via commons-codec DigestUtils) constructs a fresh MessageDigest per
+  * row through `java.security.Provider` reflection — observed degrading
+  * ~100× under long-lived multi-query sessions (provider service lookup
+  * churn). The digest instance is reused per thread; `doGenCode` keeps
+  * the surrounding WholeStageCodegen span. */
+case class GraftMd5Hex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(GraftMd5Hex.hex(input.asInstanceOf[UTF8String].getBytes))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.GraftMd5Hex.hex($c.getBytes()))")
+  override protected def withNewChildInternal(c: Expression): GraftMd5Hex = copy(c)
+  override def prettyName: String = "graft_md5"
+}
+
+object GraftMd5Hex {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
 /** simhash64(array<string>) → long. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -100,4 +144,6 @@ object GraftFunctions {
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def rollingFingerprint(c: Column, k: Int = 16): Column =
     column(RollingFingerprint(expression(c), k))
+  /** Drop-in for `functions.md5` (same lowercase-hex output). */
+  def md5(c: Column): Column = column(GraftMd5Hex(expression(c)))
 }

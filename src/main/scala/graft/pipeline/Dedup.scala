@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
  * reported pairs are always true pairs (exact precision).
  */
 object Dedup {
+  // Shadows functions.md5 with the thread-local-digest variant (identical
+  // hex output; Spark's Md5 builds a MessageDigest per row via provider
+  // reflection, which degrades badly in long-lived sessions).
+  private def md5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.md5(c)
+
 
   /** Exact dedup: one surviving doc_id per distinct text (md5 key). */
   def exact(docs: DataFrame): DataFrame =

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
  * them from hex chars).
  */
 object Multimodal {
+  // Shadows functions.md5 with the thread-local-digest variant (identical
+  // hex output; Spark's Md5 builds a MessageDigest per row via provider
+  // reflection, which degrades badly in long-lived sessions).
+  private def md5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.md5(c)
+
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

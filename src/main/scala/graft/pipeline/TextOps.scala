@@ -13,6 +13,12 @@ import graft.functions.GraftFunctions
  * the final aggregate, so they scale linearly with executors at 100 TB.
  */
 object TextOps {
+  // Shadows functions.md5 with the thread-local-digest variant (identical
+  // hex output; Spark's Md5 builds a MessageDigest per row via provider
+  // reflection, which degrades badly in long-lived sessions).
+  private def md5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.md5(c)
+
 
   /** Whitespace tokens of `text`. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
