@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = driver AND all executor threads in ONE heap; 8g GC-thrashes
   // under 32 concurrent shuffle tasks at sf0.1×10 (the machine has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // The JDK default ReservedCodeCacheSize (240 MB) fills after ~35 distinct
+  // whole-stage-codegen'd plans in one JVM; the JIT then disables itself and
+  // every subsequent query runs interpreted at 30-300× (root cause of the
+  // r2/r3 bench collapses). On a real cluster set the same flag via
+  // spark.driver.extraJavaOptions / spark.executor.extraJavaOptions.
+  "-XX:ReservedCodeCacheSize=1g",
 )
