@@ -47,12 +47,20 @@ object Checkpoints {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     require(written.nonEmpty, s"No checkpoint part file in $tmpDir")
 
-    // Crash-safe re-checkpoint ordering: rename the new parts into place
-    // FIRST (deleting only a colliding name just before its rename), and
-    // only then sweep stale files from any previous checkpoint at this
-    // version. A crash mid-way leaves either the old checkpoint intact or
-    // the new one complete — never a wiped version with no checkpoint.
+    // Crash-safe re-checkpoint ordering: retract the `_last_checkpoint`
+    // pointer FIRST, then rename the new parts into place (deleting only a
+    // colliding name just before its rename), then sweep stale files and
+    // finally re-write the pointer. Multi-part part names are fixed by the
+    // protocol (no attempt-unique suffix possible), so a crash mid-rename
+    // during a same-part-count re-checkpoint can leave a MIXED set that is
+    // complete BY NAME; the reader therefore only trusts a multi-part set
+    // when the pointer names it with a matching action count — with the
+    // pointer retracted, a crash degrades to JSON replay, never to a
+    // silently-wrong snapshot. Single-part checkpoints are a single atomic
+    // rename and stay usable without the pointer.
     val k = written.length
+    val pointer = new Path(log.logPath, "_last_checkpoint")
+    if (fs.exists(pointer)) fs.delete(pointer, false)
     val targets =
       if (k == 1) Seq(log.checkpointFile(snap.version))
       else (1 to k).map(i => log.checkpointPartFile(snap.version, i, k))
@@ -70,7 +78,7 @@ object Checkpoints {
       .foreach(p => fs.delete(p, false))
     fs.delete(tmpDir, true)
     val partsField = if (k == 1) "" else s""","parts":$k"""
-    LogStore.overwrite(fs, new Path(log.logPath, "_last_checkpoint"),
+    LogStore.overwrite(fs, pointer,
       s"""{"version":${snap.version},"size":${actions.size}$partsField}""")
   }
 }

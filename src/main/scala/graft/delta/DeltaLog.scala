@@ -91,13 +91,21 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   }
 
   /** `_last_checkpoint` pointer, if present. */
-  def lastCheckpointVersion(): Option[Long] = {
+  def lastCheckpointVersion(): Option[Long] = lastCheckpointInfo().map(_._1)
+
+  /** `_last_checkpoint` (version, size-if-recorded). `size` is the action
+    * count the writer put in the checkpoint — used to reject a MIXED part
+    * set left by a crash during a same-part-count re-checkpoint (the part
+    * names collide, so completeness alone can't tell the sets apart). */
+  def lastCheckpointInfo(): Option[(Long, Option[Long])] = {
     val p = new Path(logPath, "_last_checkpoint")
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     try {
       val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      Option(ActionJson.mapper.readTree(txt).get("version")).map(_.asLong)
+      val root = ActionJson.mapper.readTree(txt)
+      Option(root.get("version")).map(v =>
+        (v.asLong, Option(root.get("size")).map(_.asLong)))
     } catch { case _: Exception => None } finally in.close()
   }
 
@@ -129,9 +137,49 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     if (!versions.contains(version))
       throw new IllegalArgumentException(
         s"Version $version not found for table $tablePath (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
-    // Start from the newest checkpoint at or below the target version.
-    val cpVersion = listCheckpointVersions().filter(_ <= version).lastOption
-    val base: Seq[Action] = cpVersion.map(readCheckpoint).getOrElse(Nil)
+    // Start from the newest VALID checkpoint at or below the target version.
+    // Multi-part part names are protocol-fixed, so a crash during a
+    // same-part-count re-checkpoint can leave a MIXED old/new set that is
+    // complete BY NAME; the writer retracts `_last_checkpoint` around the
+    // rename window, so a multi-part set is only trusted when the pointer
+    // names it — and when the pointer records an action count, a decode
+    // mismatch additionally disqualifies. A disqualified or unreadable
+    // candidate falls back to the next-older checkpoint, then JSON replay.
+    val pointer = lastCheckpointInfo()
+    val cpCandidates = listCheckpointVersions().filter(_ <= version).reverse
+    val (cpVersion, base): (Option[Long], Seq[Action]) = cpCandidates.iterator
+      .filter { cv =>
+        fs.exists(checkpointFile(cv)) || (pointer match {
+          case Some((ev, _)) if ev == cv => true
+          case _ =>
+            DeltaLog.log.warn(
+              s"Multi-part checkpoint at $logPath v$cv not named by " +
+                "_last_checkpoint — ignoring it (crashed re-checkpoint?)")
+            false
+        })
+      }
+      .flatMap { cv =>
+        try Some(cv -> readCheckpoint(cv))
+        catch { case scala.util.control.NonFatal(e) =>
+          DeltaLog.log.warn(
+            s"Checkpoint at $logPath v$cv unreadable — skipping it", e)
+          None
+        }
+      }
+      .find { case (cv, acts) =>
+        pointer match {
+          case Some((ev, Some(sz))) if ev == cv && acts.size != sz =>
+            DeltaLog.log.warn(
+              s"Checkpoint at $logPath v$cv decoded ${acts.size} actions but " +
+                s"_last_checkpoint records $sz — ignoring it (crashed " +
+                "re-checkpoint or partially-decodable foreign layout)")
+            false
+          case _ => true
+        }
+      } match {
+        case Some((cv, acts)) => (Some(cv), acts)
+        case None => (None, Nil)
+      }
     val replay = new LogReplay
     base.foreach(replay.apply)
     versions.filter(v => v > cpVersion.getOrElse(-1L) && v <= version)
@@ -175,8 +223,14 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       // AnalysisException: encoder can't resolve the layout at all.
       // SparkException/RuntimeException: layout resolves but value-level
       // decode fails at collect time (foreign writer's nested shapes).
-      // Either way: tolerate anything JSON-expressible.
-      case scala.util.control.NonFatal(_) =>
+      // Either way: tolerate anything JSON-expressible — but LOUDLY, so a
+      // decode regression in our own writer degrades visibly, not silently
+      // (the snapshotAt size check additionally rejects a lossy decode).
+      case scala.util.control.NonFatal(e) =>
+        DeltaLog.log.warn(
+          s"Typed checkpoint decode failed for $logPath v$v " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "falling back to JSON-path decode", e)
         df.toJSON.collect().toSeq.flatMap(ActionJson.parseLine)
     }
   }
@@ -188,6 +242,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
 }
 
 object DeltaLog {
+  private[delta] val log = org.slf4j.LoggerFactory.getLogger(classOf[DeltaLog])
   private val cache = new ConcurrentHashMap[String, DeltaLog]()
 
   def forPath(spark: SparkSession, path: String): DeltaLog = {

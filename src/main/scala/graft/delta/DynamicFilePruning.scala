@@ -90,10 +90,12 @@ class DynamicFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Dim side worth a bounds job: CHEAP to recompute (strictly
     * Project/Filter over a leaf — an Aggregate/Join/Window subtree may
     * have small OUTPUT stats but arbitrary compute cost, and the bounds
-    * job would re-run it), selective (a Filter present), small, and a
-    * boundable key type. */
+    * job would re-run it), DETERMINISTIC to recompute (boundsFor re-executes
+    * the dim plan at scan time; a rand()-based filter could yield a narrower
+    * envelope there than in the join itself → unsound pruning), selective
+    * (a Filter present), small, and a boundable key type. */
   private def dimQualifies(dim: LogicalPlan, key: AttributeReference): Boolean = {
-    def cheapShape(p: LogicalPlan): Boolean = p match {
+    def cheapShape(p: LogicalPlan): Boolean = p.expressions.forall(_.deterministic) && (p match {
       case _: LogicalRelation => true
       case _: LocalRelation | _: Range | _: OneRowRelation => true
       case f: Filter => cheapShape(f.child)
@@ -102,7 +104,7 @@ class DynamicFilePruning(spark: SparkSession) extends Rule[LogicalPlan] {
       }.isEmpty) => cheapShape(pr.child)
       case s: SubqueryAlias => cheapShape(s.child)
       case _ => false
-    }
+    })
     supportedType(key.dataType) &&
       dim.exists { case _: Filter => true; case _ => false } &&
       cheapShape(dim) && {

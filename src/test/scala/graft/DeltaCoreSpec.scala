@@ -144,6 +144,47 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(math.abs(s1 - s2) / math.abs(s2) < 1e-12)
   }
 
+  test("crashed re-checkpoint: mixed multi-part set without pointer is ignored") {
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 0).repartition(5), path)
+    DeltaWriter.append(spark, src.filter(col("o_orderkey") % 2 === 1).repartition(5), path)
+    val log = DeltaLog.forPath(spark, path)
+    Checkpoints.checkpoint(log, maxActionsPerPart = 4)
+    // Simulate a crash mid-way through a same-part-count re-checkpoint: the
+    // writer has retracted `_last_checkpoint` and renamed SOME new parts in
+    // (part 2 ends up holding part 1's rows — possibly dropping/duplicating
+    // the metaData or add actions). The set is complete BY NAME (same `of`),
+    // so only the retracted pointer distinguishes it from a good checkpoint.
+    val parts = new java.io.File(path, "_delta_log").listFiles()
+      .filter(_.getName.matches(raw"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet"))
+      .sortBy(_.getName)
+    assert(parts.length >= 3)
+    java.nio.file.Files.copy(parts(0).toPath, parts(1).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep Hadoop LocalFileSystem's checksum sidecar consistent with the copy
+    def crc(f: java.io.File) = new java.io.File(f.getParent, "." + f.getName + ".crc")
+    if (crc(parts(0)).exists())
+      java.nio.file.Files.copy(crc(parts(0)).toPath, crc(parts(1)).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val logDir = new java.io.File(path, "_delta_log")
+    new java.io.File(logDir, "_last_checkpoint").delete()
+    new java.io.File(logDir, "._last_checkpoint.crc").delete()
+    DeltaLog.clearCache()
+    // the mixed multi-part set must be ignored (WARN + JSON replay), not
+    // silently accepted with lost/duplicated actions
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.toDF.count() == src.count())
+
+    // and a completed re-checkpoint (pointer present, counts consistent)
+    // is used again: drop v0's commit json and re-read from the checkpoint
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, path), maxActionsPerPart = 4)
+    DeltaLog.clearCache()
+    new java.io.File(logDir, "00000000000000000000.json").delete()
+    new java.io.File(logDir, ".00000000000000000000.json.crc").delete()
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+  }
+
   test("NOT NULL enforcement rejects violating appends") {
     import org.apache.spark.sql.types._
     val src = Fixtures.readParquet(spark, sfDir, "region")

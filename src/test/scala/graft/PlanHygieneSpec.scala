@@ -89,27 +89,33 @@ class PlanHygieneSpec extends AnyFunSuite {
     val dim = Fixtures.readParquet(spark, sfDir, "orders")
       .filter(length(col("o_orderkey").cast("string")) === 1)
       .select(col("o_orderkey"))
-    // test fixture is tiny — drop the production "fact must be big" gate
+    // test fixture is tiny — drop the production "fact must be big" gate.
+    // try/finally: a failed assertion must not leak minFactBytes=0 (or a
+    // disabled rule) into every later test in the shared session.
     spark.conf.set("spark.graft.dynamicFilePruning.minFactBytes", "0")
-    GraftMetrics.clear()
-    val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
-    val row = joined.collect()(0)
-    // correctness unchanged vs an undynamic plan
-    spark.conf.set("spark.graft.dynamicFilePruning", "false")
-    val expected = try {
-      fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+    try {
+      GraftMetrics.clear()
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
-        .collect()(0)
-    } finally spark.conf.set("spark.graft.dynamicFilePruning", "true")
-    assert(row == expected)
-    // a `dynamic` pushdown event fired and shrank the candidate files
-    val dyn = GraftMetrics.pushdownLog(spark).collect()
-      .filter(_.getAs[String]("filterType") == "dynamic")
-    assert(dyn.nonEmpty, "no dynamic pushdown event recorded")
-    assert(dyn.exists(r => r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")),
-      s"dynamic pruning did not shrink files: ${dyn.mkString(";")}")
-    spark.conf.unset("spark.graft.dynamicFilePruning.minFactBytes")
+      val row = joined.collect()(0)
+      // correctness unchanged vs an undynamic plan
+      spark.conf.set("spark.graft.dynamicFilePruning", "false")
+      val expected = try {
+        fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+          .collect()(0)
+      } finally spark.conf.set("spark.graft.dynamicFilePruning", "true")
+      assert(row == expected)
+      // a `dynamic` pushdown event fired and shrank the candidate files
+      val dyn = GraftMetrics.pushdownLog(spark).collect()
+        .filter(_.getAs[String]("filterType") == "dynamic")
+      assert(dyn.nonEmpty, "no dynamic pushdown event recorded")
+      assert(dyn.exists(r => r.getAs[Int]("filesAfter") < r.getAs[Int]("filesBefore")),
+        s"dynamic pruning did not shrink files: ${dyn.mkString(";")}")
+    } finally {
+      spark.conf.unset("spark.graft.dynamicFilePruning.minFactBytes")
+      spark.conf.set("spark.graft.dynamicFilePruning", "true")
+    }
   }
 
   test("scan reports log-derived size for cost estimation") {
