@@ -247,7 +247,11 @@ object DeltaLog {
 
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)
-    cache.computeIfAbsent(p.toString, _ => new DeltaLog(spark, p))
+    // keyed by (session identity, path): a DeltaLog carries its creating
+    // session into every scan it plans, so two sessions sharing one cached
+    // log would silently run one session's queries with the other's state
+    val key = s"${System.identityHashCode(spark)}:$p"
+    cache.computeIfAbsent(key, _ => new DeltaLog(spark, p))
   }
 
   def clearCache(): Unit = cache.clear()
@@ -276,6 +280,7 @@ private[delta] class LogReplay {
 
   def toSnapshot(log: DeltaLog, version: Long): Snapshot = {
     require(metadata != null, s"No metaData action found replaying ${log.tablePath} @ $version")
+    ProtocolGate.validate(protocol, log.tablePath.toString)
     new Snapshot(log, version, protocol, metadata, adds.values.toVector,
       txns.toMap, domains.values.toVector)
   }

@@ -185,6 +185,43 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
   }
 
+  test("protocol gating: unsupported reader feature fails loudly on read") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    def writeCommit(v: Long, line: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a protocol upgrade to features we DO implement keeps the table readable
+    writeCommit(1,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","timestampNtz"],""" +
+        """"writerFeatures":["deletionVectors"]}}""")
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+    // an upgrade to a feature we do NOT implement fails loudly, naming it
+    writeCommit(2,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+    DeltaLog.clearCache()
+    val ex = intercept[UnsupportedTableFeatureException] {
+      DeltaTable.forPath(spark, path).toDF.count()
+    }
+    assert(ex.getMessage.contains("v2Checkpoint"))
+    // ... as does a reader version beyond the spec'd feature-table range
+    writeCommit(3, """{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""")
+    DeltaLog.clearCache()
+    val ex2 = intercept[UnsupportedTableFeatureException] {
+      DeltaTable.forPath(spark, path).toDF.count()
+    }
+    assert(ex2.getMessage.contains("minReaderVersion=9"))
+    // time travel to a version BEFORE the upgrade still reads (the gate
+    // applies per-snapshot protocol, not latest-version protocol)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, path).toDF(1).count() == src.count())
+  }
+
   test("NOT NULL enforcement rejects violating appends") {
     import org.apache.spark.sql.types._
     val src = Fixtures.readParquet(spark, sfDir, "region")
