@@ -112,6 +112,15 @@ object GraftMd5Hex {
     }
     new String(out)
   }
+
+  /** Raw 16-byte digest through the same thread-local instance — for
+    * callers that consume digest BYTES (e.g. synthetic media payloads)
+    * rather than hex, so nothing per-row touches the provider registry. */
+  def digestBytes(bytes: Array[Byte]): Array[Byte] = {
+    val md = digest.get()
+    md.reset()
+    md.digest(bytes)
+  }
 }
 
 /** simhash64(array<string>) → long. */

@@ -1,14 +1,17 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
  * Multimodal-column plumbing: media as opaque `binary` columns with typed
- * metadata, processed batch-wise with `mapPartitions` (the Scala analog of
- * `mapInPandas`: iterator-of-batches shape, executor-side, no
- * driver collect).
+ * metadata, processed batch-wise with typed `mapPartitions` (the Scala
+ * analog of `mapInPandas`: iterator-of-batches shape, executor-side, no
+ * driver collect). Dataset + Encoder transformations throughout — the
+ * plan stays Catalyst-visible (pushdown/AQE apply) with only the codec
+ * boundary crossing an object-serialization fence, instead of dropping
+ * the whole subtree to an untyped RDD.
  *
  * The actual codec decode is STUBBED (`decodeStub`) — no image/audio
  * libraries ship in this environment — but everything Spark-side is real:
@@ -21,12 +24,11 @@ import org.apache.spark.sql.types._
  * them from hex chars).
  */
 object Multimodal {
-  // Shadows functions.md5 with the thread-local-digest variant (identical
-  // hex output; Spark's Md5 builds a MessageDigest per row via provider
-  // reflection, which degrades badly in long-lived sessions).
-  private def md5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.functions.GraftFunctions.md5(c)
 
+  case class MediaMeta(format: String, width: Int, height: Int)
+  case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
+  case class MediaFeatureRow(
+      doc_id: Long, media_len: Long, mean_byte_x100: Long, hist: Seq[Long])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -38,15 +40,17 @@ object Multimodal {
 
   /** Deterministic synthetic payload per doc: concatenated md5 digests of
     * "docId:blockIndex", truncated to 256 + docId % 128 bytes (stands in
-    * for real image/audio bytes). */
+    * for real image/audio bytes). Digest goes through [[graft.functions
+    * .GraftMd5Hex]]'s thread-local instance — never a per-row
+    * `MessageDigest.getInstance` provider lookup. */
   def syntheticMedia(docId: Long): Array[Byte] = {
     val len = 256 + (docId % 128).toInt
     val out = new Array[Byte](len)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var off = 0
     var blk = 0
     while (off < len) {
-      val d = md.digest(s"$docId:$blk".getBytes("UTF-8"))
+      val d = graft.functions.GraftMd5Hex.digestBytes(
+        s"$docId:$blk".getBytes("UTF-8"))
       val n = math.min(16, len - off)
       System.arraycopy(d, 0, out, off, n)
       off += n
@@ -57,14 +61,13 @@ object Multimodal {
 
   /** Attach a synthetic media column + metadata to the documents table
     * (executor-side generation — the binary payloads never hit the driver). */
-  def withMedia(docs: DataFrame): DataFrame = {
+  def withMedia(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id")).rdd.map { r =>
-      val id = r.getLong(0)
-      Row(id, syntheticMedia(id),
-        Row("fake/raw", 16 + (id % 16).toInt, 16 + (id % 8).toInt))
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      MediaRow(id, syntheticMedia(id),
+        MediaMeta("fake/raw", 16 + (id % 16).toInt, 16 + (id % 8).toInt))
     }
-    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /**
@@ -93,24 +96,22 @@ object Multimodal {
     StructField("mean_byte_x100", LongType, nullable = false),
     StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
 
-  /** Batched feature extraction over the media column: mapPartitions with
-    * an explicit batch size — the `mapInPandas` contract (iterator of
+  /** Batched feature extraction over the media column: typed mapPartitions
+    * with an explicit batch size — the `mapInPandas` contract (iterator of
     * batches in, iterator of batches out), executor-parallel. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatureRow] = {
     val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("media")).rdd
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // batch-shaped processing: real codecs amortize setup per batch
-          batch.iterator.map { r =>
-            val id = r.getLong(0)
-            val bytes = r.getAs[Array[Byte]](1)
-            val (hist, meanX100) = decodeStub(bytes)
-            Row(id, bytes.length.toLong, meanX100, hist.toSeq)
-          }
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch-shaped processing: real codecs amortize setup per batch
+        batch.iterator.map { r =>
+          val (hist, meanX100) = decodeStub(r.media)
+          MediaFeatureRow(r.doc_id, r.media.length.toLong, meanX100,
+            hist.toIndexedSeq)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+    }
   }
 
   /** End-to-end: documents → media → features, ordered for determinism. */
