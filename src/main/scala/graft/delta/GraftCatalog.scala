@@ -38,14 +38,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = "graft"
   private val optionTables = new ConcurrentHashMap[String, String]()
+  // The owning session: catalog plugin instances are per-SparkSession
+  // (loaded by that session's CatalogManager), so the session active at
+  // initialize time IS the owner. Captured here and plumbed into every
+  // GraftTable so schema resolution never consults `SparkSession.active`
+  // later, when another session may be active on the thread.
+  @transient private var session: SparkSession = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    session = SparkSession.active
     options.entrySet().asScala.foreach { e =>
       val k = e.getKey
       if (k.startsWith("table.")) optionTables.put(k.stripPrefix("table."), e.getValue)
     }
   }
+
+  private def owner(): SparkSession =
+    Option(session).getOrElse(SparkSession.active)
   override def name(): String = catalogName
 
   private def pathFor(ident: Identifier): String = {
@@ -61,11 +71,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .toSeq.sorted.map(Identifier.of(namespace, _)).toArray
 
   override def loadTable(ident: Identifier): Table =
-    GraftTable(pathFor(ident), None)
+    GraftTable(pathFor(ident), None)(owner())
 
   /** `VERSION AS OF n` (reference `AT (VERSION => n)`). */
   override def loadTable(ident: Identifier, version: String): Table =
-    GraftTable(pathFor(ident), Some(version.toLong))
+    GraftTable(pathFor(ident), Some(version.toLong))(owner())
 
   override def tableExists(ident: Identifier): Boolean =
     try { pathFor(ident); true } catch { case _: NoSuchTableException => false }
@@ -107,14 +117,16 @@ object GraftCatalog {
 }
 
 /** Thin table descriptor: identity + schema only; execution is re-routed to
-  * the V1 relation by [[GraftCatalogResolution]]. */
-final case class GraftTable(path: String, versionAsOf: Option[Long]) extends Table {
+  * the V1 relation by [[GraftCatalogResolution]]. The owning session rides
+  * in a second (equality-excluded) parameter list — never resolved from
+  * `SparkSession.active`, which is thread-sensitive under multi-session use. */
+final case class GraftTable(path: String, versionAsOf: Option[Long])(
+    @transient private val owner: SparkSession) extends Table {
   override def name(): String =
     versionAsOf.fold(path)(v => s"$path@v$v")
 
   @transient private lazy val snapshot: Snapshot = {
-    val spark = SparkSession.active
-    val log = DeltaLog.forPath(spark, path)
+    val log = DeltaLog.forPath(owner, path)
     versionAsOf.fold(log.update())(log.snapshotAt)
   }
   override def schema(): StructType = snapshot.schema

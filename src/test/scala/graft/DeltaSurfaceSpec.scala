@@ -57,6 +57,28 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       "catalog-path scan did not stats-skip")
   }
 
+  test("graft catalog: per-session resolution (no SparkSession.active leakage)") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    def tmp(): String =
+      java.nio.file.Files.createTempDirectory("graft-cat-test").toString + "/t"
+    val pA = tmp(); val pB = tmp()
+    DeltaWriter.append(spark, src.limit(2), pA)
+    DeltaWriter.append(spark, src, pB)
+    // two sessions bind the SAME catalog/table name to DIFFERENT paths via
+    // per-session catalog options; each must resolve its own binding even
+    // though both catalogs live in one JVM
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    s1.conf.set("spark.sql.catalog.graftx", "graft.delta.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftx", "graft.delta.GraftCatalog")
+    s1.conf.set("spark.sql.catalog.graftx.table.t", pA)
+    s2.conf.set("spark.sql.catalog.graftx.table.t", pB)
+    val n1 = s1.sql("SELECT count(*) AS n FROM graftx.t").collect()(0).getLong(0)
+    val n2 = s2.sql("SELECT count(*) AS n FROM graftx.t").collect()(0).getLong(0)
+    assert(n1 == 2, s"session 1 read $n1 rows, expected 2")
+    assert(n2 == src.count(), s"session 2 read $n2 rows, expected ${src.count()}")
+  }
+
   test("virtual columns: filename, file_row_number, delta_file_number") {
     val src = Fixtures.readParquet(spark, sfDir, "supplier")
     val path = tmpTable()
