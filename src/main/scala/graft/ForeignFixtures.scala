@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * FOREIGN-writer interop fixtures — Delta logs this engine's own writer
+ * did NOT produce, hand-authored line by line the way the reference's
+ * inlined test tables are (reference data/inlined/simple_table/,
+ * test/sql/dat/all.test:13-287). Every fixture read here exercises shapes
+ * our own serialization never emits:
+ *
+ *  - `inline`: URL-encoded file names, an ABSOLUTE-path add action, adds
+ *    with partial stats (minValues only), adds with NO stats, unknown
+ *    stats fields (`tightBounds`), unknown metaData configuration keys
+ *    (check-constraint / generated-column style, reference
+ *    all.test:208-249), unknown future actions and `cdc` lines that
+ *    replay must skip, and an add→remove→re-add reconciliation chain.
+ *  - `checkpointed`: a checkpoint parquet in a foreign column layout
+ *    (missing optional nested fields, extra `checksum` column, different
+ *    field order) whose typed decode cannot resolve — exercising the
+ *    JSON-fallback decode path (DeltaLog.readCheckpoint) — with the
+ *    early JSON commit deleted so the checkpoint is the only source of
+ *    v0 state.
+ *
+ * The original parquet tables remain the oracle (DAT pattern).
+ */
+object ForeignFixtures {
+
+  /** Bump when fixture content changes shape. */
+  private val GEN = "fg1"
+
+  private def root: String =
+    sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures") + s"/foreign-$GEN"
+
+  private def dirFor(sfDir: String, name: String): String = {
+    val sfKey = sfDir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    s"$root/$sfKey/$name"
+  }
+
+  private val mapper = graft.delta.ActionJson.mapper
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Write `df` as exactly ONE parquet file at `target` (absolute path). */
+  private def writeOneFile(df: DataFrame, target: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-foreign-part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+    Files.createDirectories(Paths.get(target).getParent)
+    Files.move(part.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Hand-computed Delta stats JSON for a nation slice. */
+  private def nationStats(df: DataFrame, partial: Boolean): String = {
+    val r = df.agg(count(lit(1)), min("n_nationkey"), max("n_nationkey"),
+      min("n_regionkey"), max("n_regionkey")).collect()(0)
+    if (partial)
+      // minValues only, no maxValues/nullCount, plus an unknown field —
+      // skipping must treat absent bounds as unbounded
+      s"""{"numRecords":${r.getLong(0)},"minValues":{"n_nationkey":${r.getInt(1)}},"tightBounds":true}"""
+    else
+      s"""{"numRecords":${r.getLong(0)},"minValues":{"n_nationkey":${r.getInt(1)},"n_regionkey":${r.getInt(3)}},"maxValues":{"n_nationkey":${r.getInt(2)},"n_regionkey":${r.getInt(4)}},"nullCount":{"n_nationkey":0,"n_regionkey":0}}"""
+  }
+
+  private def writeLines(path: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /**
+   * Foreign inlined log over `nation`. Final state = the full table:
+   * v0 adds fileA (full stats + unknown field), "file b.parquet"
+   * (URL-encoded name, PARTIAL stats), and c0 (subset, later removed);
+   * v1 removes c0 and re-adds the full slice from an ABSOLUTE path with
+   * NO stats. Unknown actions and config keys sprinkled throughout.
+   */
+  def inline(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "nation_inline")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+
+    val sliceA = src.filter(col("n_nationkey") % 3 === 0)
+    val sliceB = src.filter(col("n_nationkey") % 3 === 1)
+    val sliceC = src.filter(col("n_nationkey") % 3 === 2)
+    val sliceC0 = sliceC.filter(col("n_nationkey") < 10)
+
+    writeOneFile(sliceA, s"$dir/file-a.parquet")
+    writeOneFile(sliceB, s"$dir/file b.parquet") // space → URL-encoded in log
+    writeOneFile(sliceC0, s"$dir/file-c0.parquet")
+    val absC = s"$dir/abs/file-c.parquet" // referenced ABSOLUTELY in the log
+    writeOneFile(sliceC, absC)
+
+    val schemaJson = jstr(src.schema.json)
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      // foreign commitInfo with fields our writer never emits
+      """{"commitInfo":{"timestamp":1700000000000,"operation":"CREATE TABLE AS SELECT","operationParameters":{"mode":"ErrorIfExists"},"isolationLevel":"Serializable","isBlindAppend":true,"operationMetrics":{"numFiles":"3"},"engineInfo":"foreign-writer/9.9.9","txnId":"11111111-2222-3333-4444-555555555555"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      // unknown configuration keys: check constraints, generated columns,
+      // and a wholly custom namespace — replay must carry them inertly
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.constraints.key_is_positive":"n_nationkey >= 0","delta.generatedColumns.marker":"true","foreign.writer.custom":"yes","delta.appendOnly":"false"},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"file-a.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file-a.parquet").length},"modificationTime":1700000000001,"dataChange":true,"stats":${jstr(nationStats(sliceA, partial = false))},"tags":{"INSERTION_TIME":"1700000000001000"}}}""",
+      s"""{"add":{"path":"file%20b.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file b.parquet").length},"modificationTime":1700000000002,"dataChange":true,"stats":${jstr(nationStats(sliceB, partial = true))}}}""",
+      s"""{"add":{"path":"file-c0.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file-c0.parquet").length},"modificationTime":1700000000003,"dataChange":true}}""",
+      // a future action kind: must be skipped, not fail replay
+      """{"someFutureAction":{"version":42,"payload":"opaque"}}"""))
+    val absPathJson = jstr(absC)
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      """{"commitInfo":{"timestamp":1700000001000,"operation":"WRITE","engineInfo":"foreign-writer/9.9.9"}}""",
+      // cdc action (CDF writers emit these): plain reads ignore
+      """{"cdc":{"path":"_change_data/cdc-000.parquet","partitionValues":{},"size":1234,"dataChange":false}}""",
+      """{"remove":{"path":"file-c0.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
+      // ABSOLUTE path, NO stats: must never be stats-pruned
+      s"""{"add":{"path":$absPathJson,"partitionValues":{},"size":${new java.io.File(absC).length},"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
+  /**
+   * Foreign-checkpoint table over `supplier`: two hand-written commits,
+   * then a checkpoint parquet in a layout our writer never produces —
+   * optional nested fields missing (no add.tags/deletionVector, no
+   * protocol.readerFeatures), an extra foreign `checksum` column, action
+   * columns in a different order — plus a `_last_checkpoint` carrying
+   * foreign extras. v0's JSON is deleted, so reading v1 MUST decode the
+   * foreign checkpoint (typed decode fails → JSON fallback).
+   */
+  def checkpointed(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "supplier_foreigncp")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+    val slice0 = src.filter(col("s_suppkey") % 2 === 0)
+    val slice1 = src.filter(col("s_suppkey") % 2 === 1)
+    writeOneFile(slice0, s"$dir/even.parquet")
+    writeOneFile(slice1, s"$dir/odd.parquet")
+
+    val schemaJson = jstr(src.schema.json)
+    val metaLine =
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000002","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine,
+      s"""{"add":{"path":"even.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/even.parquet").length},"modificationTime":1700000000001,"dataChange":true}}"""))
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      """{"commitInfo":{"timestamp":1700000001000,"operation":"WRITE"}}""",
+      s"""{"add":{"path":"odd.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/odd.parquet").length},"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    // foreign checkpoint layout: different field order, missing optional
+    // nested fields, extra top-level `checksum` column
+    val cpSchema = StructType(Seq(
+      StructField("checksum", StringType),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows = Seq(
+      Row("c0ffee00", Row(1, 2), null, null),
+      Row("c0ffee01", null,
+        Row("f0e1d2c3-0000-0000-0000-000000000002", src.schema.json,
+          Seq.empty[String], Map.empty[String, String], 1700000000000L), null),
+      Row("c0ffee02", null, null,
+        Row("even.parquet", Map.empty[String, String],
+          new java.io.File(s"$dir/even.parquet").length, 1700000000001L, true)),
+      Row("c0ffee03", null, null,
+        Row("odd.parquet", Map.empty[String, String],
+          new java.io.File(s"$dir/odd.parquet").length, 1700000001001L, true)))
+    val cpDf = spark.createDataFrame(rows.asJavaList, cpSchema)
+    writeOneFile(cpDf, s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    writeLines(s"$dir/_delta_log/_last_checkpoint", Seq(
+      """{"version":1,"size":4,"parts":null,"checksum":"c0ffee","checkpointSchema":{"ignored":true},"numOfAddFiles":2}"""))
+    // force checkpoint use for v0 state
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
+  private implicit class SeqRows(rows: Seq[Row]) {
+    def asJavaList: java.util.List[Row] = {
+      val out = new java.util.ArrayList[Row](rows.size)
+      rows.foreach(out.add)
+      out
+    }
+  }
+}

@@ -268,6 +268,38 @@ object SparkEntry {
       s.read.format("graftdelta").load(p).orderBy(col("n_nationkey"))
     }),
 
+    // --- FOREIGN-writer interop (DAT analog, reference
+    //     test/sql/dat/all.test:13-287, data/inlined/): logs our writer
+    //     never produced — absolute paths, URL-encoded names, partial/no
+    //     stats, unknown config keys + future actions ---
+    "delta_foreign_inline" -> ((s, dir) => {
+      val p = ForeignFixtures.inline(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // --- prune safety with foreign stats: files with partial or absent
+    //     stats must never be skipped ---
+    "delta_foreign_stats_prune" -> ((s, dir) => {
+      val p = ForeignFixtures.inline(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // --- foreign checkpoint layout: typed decode fails → JSON fallback;
+    //     v0 JSON deleted so the checkpoint is the only v0 source ---
+    "delta_foreign_checkpoint" -> ((s, dir) => {
+      val p = ForeignFixtures.checkpointed(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -352,6 +384,15 @@ object SparkEntry {
     "q_variant_json" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod, count(*) AS n,
         | round(sum(value), 2) AS v
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_foreign_inline" ->
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "delta_foreign_stats_prune" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey >= 10 ORDER BY n_nationkey""".stripMargin,
+    "delta_foreign_checkpoint" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }
