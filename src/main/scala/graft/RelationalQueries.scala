@@ -550,7 +550,199 @@ object RelationalQueries {
         |FROM (SELECT l_returnflag AS flag, l_linestatus AS status,
         |        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
         |      FROM lineitem GROUP BY 1, 2) t
-        |ORDER BY flag, status""".stripMargin
+        |ORDER BY flag, status""".stripMargin,
+
+    // ============ multi-CTE / multi-channel DS monsters ============
+    // (reference runs all 99; this tranche covers the CTE-chain and
+    // channel-intersection shapes: q14, q23, q31, q39, q4/q11, q95,
+    // q33/q56, q54, q58, q75, q10, q49, q38)
+
+    // q14 shape: cross-channel item intersection feeding a channel report
+    "ds_cross_channel_intersect" ->
+      """WITH cross_items AS (
+        |  SELECT l_partkey AS pk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'MACHINERY')
+        |SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN cross_items ON l_partkey = pk
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+    // q23 shape: frequent-item CTE × best-customer CTE (scalar-subquery
+    // threshold over a grouped aggregate) joined into one report
+    "ds_frequent_items_best_cust" ->
+      """WITH frequent AS (
+        |  SELECT l_partkey AS pk FROM lineitem
+        |  GROUP BY l_partkey HAVING count(*) > 8),
+        |best_cust AS (
+        |  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+        |  HAVING sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) > (
+        |    SELECT CAST(round(0.5 * max(t), 0) AS BIGINT) FROM (
+        |      SELECT sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS t
+        |      FROM orders GROUP BY o_custkey) m))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN frequent ON l_partkey = pk
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN best_cust ON o_custkey = ck""".stripMargin,
+
+    // q31 shape: month-over-month growth via lag over a CTE'd aggregate
+    // (integer cross-multiplication keeps the ratio test exact)
+    "ds_mom_growth" ->
+      """WITH mrev AS (
+        |  SELECT n_name, CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |    CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT n_name, y, m, rev,
+        |    lag(rev) OVER (PARTITION BY n_name ORDER BY y, m) AS prev
+        |  FROM mrev)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS growth_months
+        |FROM g WHERE prev IS NOT NULL AND rev * 10 > prev * 12
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // q39 shape: volatility (variance) filter over a CTE'd daily series —
+    // n·Σx² − (Σx)² over integers makes the variance test exact
+    "ds_volatility_filter" ->
+      """WITH daily AS (
+        |  SELECT l_partkey AS pk, l_shipdate AS d,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |    CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM daily GROUP BY pk HAVING count(*) >= 5)
+        |SELECT pk, n, s, ss FROM stats
+        |WHERE 4 * (n * ss - s * s) > s * s
+        |ORDER BY pk LIMIT 10""".stripMargin,
+
+    // q4/q11 shape: one year-total CTE self-joined across consecutive
+    // years; customers whose spend grew >30%
+    "ds_yoy_customer_growth" ->
+      """WITH yr AS (
+        |  SELECT o_custkey AS ck, CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT b.y AS y, CAST(count(*) AS BIGINT) AS grown
+        |FROM yr a JOIN yr b ON a.ck = b.ck AND b.y = a.y + 1
+        |WHERE b.tot * 10 > a.tot * 13
+        |GROUP BY b.y ORDER BY y""".stripMargin,
+
+    // q95 shape: one CTE referenced by both an IN and a NOT IN branch
+    // (semi + anti against derived sets)
+    "ds_multi_ref_cte" ->
+      """WITH multi_supp AS (
+        |  SELECT l_orderkey AS ok FROM lineitem
+        |  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS tot_c
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderkey IN (SELECT ok FROM multi_supp)
+        |  AND o_orderkey NOT IN (
+        |    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin,
+
+    // q33/q56/q60 shape: per-channel revenue by brand unioned and pivoted
+    // into one report row per brand
+    "ds_brand_channel_pivot" ->
+      """WITH by_brand AS (
+        |  SELECT p_brand AS b, l_returnflag AS ch,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT b, CAST(sum(rev) AS BIGINT) AS total_rev,
+        |  CAST(sum(CASE WHEN ch = 'A' THEN rev ELSE 0 END) AS BIGINT) AS rev_a,
+        |  CAST(sum(CASE WHEN ch = 'N' THEN rev ELSE 0 END) AS BIGINT) AS rev_n,
+        |  CAST(sum(CASE WHEN ch = 'R' THEN rev ELSE 0 END) AS BIGINT) AS rev_r
+        |FROM by_brand GROUP BY b
+        |ORDER BY total_rev DESC, b LIMIT 15""".stripMargin,
+
+    // q54 shape: first-touch CTE joined back for later cross-channel
+    // activity of the same customer
+    "ds_repeat_customers" ->
+      """WITH first_urgent AS (
+        |  SELECT o_custkey AS ck, min(o_orderdate) AS d0
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS repeat_customers
+        |FROM orders o JOIN first_urgent f ON o.o_custkey = f.ck
+        |WHERE o.o_orderdate > f.d0 AND o.o_orderpriority <> '1-URGENT'""".stripMargin,
+
+    // q58 shape: three period CTEs three-way-joined; keep parts where each
+    // period stays within 10% of the period average (integer bounds)
+    "ds_three_period_stable" ->
+      """WITH p1 AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem WHERE extract(year FROM l_shipdate) = 1996 GROUP BY 1),
+        |p2 AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem WHERE extract(year FROM l_shipdate) = 1997 GROUP BY 1),
+        |p3 AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM lineitem WHERE extract(year FROM l_shipdate) = 1998 GROUP BY 1)
+        |SELECT p1.pk AS pk, p1.r AS r1, p2.r AS r2, p3.r AS r3
+        |FROM p1 JOIN p2 ON p1.pk = p2.pk JOIN p3 ON p1.pk = p3.pk
+        |WHERE 30 * p1.r BETWEEN 9 * (p1.r + p2.r + p3.r) AND 11 * (p1.r + p2.r + p3.r)
+        |  AND 30 * p2.r BETWEEN 9 * (p1.r + p2.r + p3.r) AND 11 * (p1.r + p2.r + p3.r)
+        |  AND 30 * p3.r BETWEEN 9 * (p1.r + p2.r + p3.r) AND 11 * (p1.r + p2.r + p3.r)
+        |ORDER BY pk""".stripMargin,
+
+    // q75 shape: year-over-year quantity decline per part
+    "ds_yoy_decline" ->
+      """WITH sales AS (
+        |  SELECT l_partkey AS pk, CAST(extract(year FROM l_shipdate) AS BIGINT) AS y,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT b.y AS y, CAST(count(*) AS BIGINT) AS declined
+        |FROM sales a JOIN sales b ON a.pk = b.pk AND b.y = a.y + 1
+        |WHERE b.qty * 10 < a.qty * 9
+        |GROUP BY b.y ORDER BY y""".stripMargin,
+
+    // q10 shape: two correlated EXISTS branches over the same fact
+    "ds_exists_both_channels" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q49 shape: return-ratio dense_rank over a HAVING'd aggregate
+    "ds_return_ratio_rank" ->
+      """SELECT pk, ret_q, tot_q, rnk FROM (
+        |  SELECT pk, ret_q, tot_q,
+        |    CAST(dense_rank() OVER (
+        |      ORDER BY CAST(ret_q AS DOUBLE) / CAST(tot_q AS DOUBLE) DESC, pk)
+        |      AS BIGINT) AS rnk
+        |  FROM (
+        |    SELECT l_partkey AS pk,
+        |      CAST(sum(CASE WHEN l_returnflag = 'R'
+        |        THEN CAST(round(l_quantity, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS ret_q,
+        |      CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS tot_q
+        |    FROM lineitem GROUP BY l_partkey
+        |    HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) >= 100) agg) t
+        |WHERE rnk <= 10 ORDER BY rnk, pk""".stripMargin,
+
+    // q38 shape: INTERSECT chain across three periods, counted
+    "ds_loyal_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS loyal FROM (
+        |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1998) t""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset

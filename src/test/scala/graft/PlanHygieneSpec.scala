@@ -118,6 +118,25 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k window rank keeps a partial WindowGroupLimit below the shuffle") {
+    // q_window_rank partitions its window by c_mktsegment (5 distinct
+    // values). Scale safety rests on the PARTIAL WindowGroupLimit running
+    // map-side BEFORE the hash exchange: each input partition forwards at
+    // most k rows per segment, so the 5-key final stage sees ~5·P rows, not
+    // the whole fact table. Regression-guard that plan shape.
+    RelationalQueries.ensureViews(spark, sfDir)
+    val df = spark.sql(RelationalQueries.sql("q_window_rank"))
+    val plan = df.queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(plan.contains("Partial") && plan.contains("Final") && partialIdx >= 0,
+      s"expected two-phase WindowGroupLimit:\n${plan.take(3000)}")
+    // the Partial phase must sit BELOW the exchange (later in tree order)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val lastWgl = plan.lastIndexOf("WindowGroupLimit")
+    assert(exchangeIdx >= 0 && lastWgl > exchangeIdx,
+      s"partial WindowGroupLimit not below the shuffle:\n${plan.take(3000)}")
+  }
+
   test("scan reports log-derived size for cost estimation") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
     val snap = DeltaTable.forPath(spark, p).snapshot
