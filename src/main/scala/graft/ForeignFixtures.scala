@@ -200,6 +200,118 @@ object ForeignFixtures {
     dir
   }
 
+  /**
+   * V2-checkpoint table over `part` — a table ONLY a v2-capable reader can
+   * load: protocol requires readerFeatures=["v2Checkpoint"], the v0 JSON is
+   * deleted, and the only complete state source is a uuid-named parquet
+   * manifest whose file actions live in two `_sidecars/` parquet files
+   * (one with stats + a stale remove tombstone to reconcile away).
+   * The manifest/sidecar column layouts are foreign (missing optional
+   * nested fields), so typed decode falls back to the JSON path.
+   */
+  def v2checkpointed(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "part_v2cp")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+    val sliceA = src.filter(col("p_partkey") % 3 === 0)
+    val sliceB = src.filter(col("p_partkey") % 3 === 1)
+    val sliceC = src.filter(col("p_partkey") % 3 === 2)
+    writeOneFile(sliceA, s"$dir/file-a.parquet")
+    writeOneFile(sliceB, s"$dir/file-b.parquet")
+    writeOneFile(sliceC, s"$dir/file-c.parquet")
+    def sz(n: String) = new java.io.File(s"$dir/$n").length
+
+    val schemaJson = src.schema.json
+    val protoLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    val metaLine =
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000003","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      protoLine, metaLine,
+      s"""{"add":{"path":"file-a.parquet","partitionValues":{},"size":${sz("file-a.parquet")},"modificationTime":1700000000001,"dataChange":true}}""",
+      s"""{"add":{"path":"file-b.parquet","partitionValues":{},"size":${sz("file-b.parquet")},"modificationTime":1700000000002,"dataChange":true}}"""))
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      """{"commitInfo":{"timestamp":1700000001000,"operation":"WRITE","engineInfo":"foreign-writer/9.9.9"}}""",
+      s"""{"add":{"path":"file-c.parquet","partitionValues":{},"size":${sz("file-c.parquet")},"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    // ---- sidecar parquet files (foreign layout: optional fields absent) ----
+    val statsA = {
+      val r = sliceA.agg(count(lit(1)), min("p_partkey"), max("p_partkey")).collect()(0)
+      s"""{"numRecords":${r.getLong(0)},"minValues":{"p_partkey":${r.getLong(1)}},"maxValues":{"p_partkey":${r.getLong(2)}}}"""
+    }
+    val sidecarSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    val emptyPv = Map.empty[String, String]
+    val sc1Rows = Seq(
+      Row(Row("file-a.parquet", emptyPv, sz("file-a.parquet"), 1700000000001L, true, statsA), null),
+      Row(Row("file-b.parquet", emptyPv, sz("file-b.parquet"), 1700000000002L, true, null), null))
+    val sc2Rows = Seq(
+      Row(Row("file-c.parquet", emptyPv, sz("file-c.parquet"), 1700000001001L, true, null), null),
+      // stale tombstone from an earlier compaction — reconciles to nothing
+      Row(null, Row("gone-long-ago.parquet", 1699999999000L, false)))
+    val sc1 = "11111111-aaaa-bbbb-cccc-000000000001.parquet"
+    val sc2 = "11111111-aaaa-bbbb-cccc-000000000002.parquet"
+    writeOneFile(spark.createDataFrame(sc1Rows.asJavaList, sidecarSchema),
+      s"$dir/_delta_log/_sidecars/$sc1")
+    writeOneFile(spark.createDataFrame(sc2Rows.asJavaList, sidecarSchema),
+      s"$dir/_delta_log/_sidecars/$sc2")
+
+    // ---- uuid-named manifest: checkpointMetadata + sidecar pointers +
+    //      protocol/metaData (foreign layout, field order scrambled) ----
+    val manifestSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType),
+        StructField("tags", MapType(StringType, StringType))))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType))))))
+    def scSize(n: String) = new java.io.File(s"$dir/_delta_log/_sidecars/$n").length
+    val manifestRows = Seq(
+      Row(Row(1L, Map("writer" -> "foreign-writer/9.9.9")), null, null, null),
+      Row(null, Row(sc1, scSize(sc1), 1700000002001L), null, null),
+      Row(null, Row(sc2, scSize(sc2), 1700000002002L), null, null),
+      Row(null, null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null),
+      Row(null, null, null,
+        Row("f0e1d2c3-0000-0000-0000-000000000003", schemaJson,
+          Seq.empty[String], Map.empty[String, String], 1700000000000L)))
+    val manifestUuid = "22222222-dddd-eeee-ffff-333333333333"
+    writeOneFile(spark.createDataFrame(manifestRows.asJavaList, manifestSchema),
+      s"$dir/_delta_log/00000000000000000001.checkpoint.$manifestUuid.parquet")
+    writeLines(s"$dir/_delta_log/_last_checkpoint", Seq(
+      s"""{"version":1,"sizeInBytes":9999,"v2Checkpoint":{"path":"00000000000000000001.checkpoint.$manifestUuid.parquet"},"checksum":"feedface"}"""))
+    // v0 JSON gone: only a v2-capable reader can reconstruct the table
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
   private implicit class SeqRows(rows: Seq[Row]) {
     def asJavaList: java.util.List[Row] = {
       val out = new java.util.ArrayList[Row](rows.size)

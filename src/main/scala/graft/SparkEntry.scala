@@ -300,6 +300,17 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- V2 checkpoint (readerFeatures=[v2Checkpoint]): uuid-named
+    //     manifest + _sidecars/ file actions are the ONLY complete state
+    //     source (v0 JSON deleted) ---
+    "delta_foreign_v2_checkpoint" -> ((s, dir) => {
+      val p = ForeignFixtures.v2checkpointed(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -393,6 +404,9 @@ object SparkEntry {
         |WHERE n_nationkey >= 10 ORDER BY n_nationkey""".stripMargin,
     "delta_foreign_checkpoint" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_foreign_v2_checkpoint" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice),2) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

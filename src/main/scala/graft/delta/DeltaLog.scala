@@ -41,6 +41,10 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   private val commitRe = raw"(\d{20})\.json".r
   private val checkpointRe = raw"(\d{20})\.checkpoint\.parquet".r
   private val checkpointPartRe = raw"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet".r
+  // V2 checkpoint manifest: uuid-named, single atomic file, json or parquet
+  // (protocol `v2Checkpoint` reader feature — the kernel the reference embeds
+  // reads these; graft writes classic checkpoints but must READ v2 tables)
+  private val uuidCheckpointRe = raw"(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(json|parquet)".r
 
   def commitFile(v: Long): Path = new Path(logPath, f"$v%020d.json")
   def checkpointFile(v: Long): Path = new Path(logPath, f"$v%020d.checkpoint.parquet")
@@ -57,8 +61,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     }.sorted
   }
 
-  /** Versions with a COMPLETE checkpoint: a single-part file, or a
-    * multi-part `NNN.checkpoint.i.n.parquet` set with all n parts present. */
+  /** Versions with a COMPLETE checkpoint: a single-part file, a multi-part
+    * `NNN.checkpoint.i.n.parquet` set with all n parts present, or a
+    * uuid-named V2 manifest (atomic by construction). */
   def listCheckpointVersions(): Seq[Long] = {
     if (!fs.exists(logPath)) return Nil
     val names = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
@@ -68,7 +73,22 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     }.groupBy(identity).collect {
       case ((v, of), parts) if parts.size == of => v
     }
-    (singles ++ multis).distinct.sorted
+    val uuids = names.collect { case uuidCheckpointRe(v, _, _) => v.toLong }
+    (singles ++ multis ++ uuids).distinct.sorted
+  }
+
+  /** V2 (uuid-named) checkpoint manifest for `v`, if any. Each manifest is a
+    * single atomic file from exactly one writer attempt, so — unlike classic
+    * multi-part sets — it is trusted without the `_last_checkpoint` pointer
+    * and cannot be a crash-mixed set. When several attempts exist all are
+    * equivalent per protocol; the lexicographically last wins for
+    * determinism. */
+  private[delta] def uuidManifest(v: Long): Option[Path] = {
+    if (!fs.exists(logPath)) return None
+    val prefix = f"$v%020d.checkpoint."
+    fs.listStatus(logPath).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && uuidCheckpointRe.matches(p.getName))
+      .sortBy(_.getName).lastOption
   }
 
   /** All parquet files of the checkpoint at `v` (1 or n parts). Part sets
@@ -149,7 +169,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val cpCandidates = listCheckpointVersions().filter(_ <= version).reverse
     val (cpVersion, base): (Option[Long], Seq[Action]) = cpCandidates.iterator
       .filter { cv =>
-        fs.exists(checkpointFile(cv)) || (pointer match {
+        fs.exists(checkpointFile(cv)) || uuidManifest(cv).isDefined || (pointer match {
           case Some((ev, _)) if ev == cv => true
           case _ =>
             DeltaLog.log.warn(
@@ -168,7 +188,11 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       }
       .find { case (cv, acts) =>
         pointer match {
-          case Some((ev, Some(sz))) if ev == cv && acts.size != sz =>
+          // uuid manifests are attempt-unique (no mixed-set crash mode) and
+          // foreign writers disagree on whether `size` counts sidecar file
+          // actions, so the count check applies to classic checkpoints only
+          case Some((ev, Some(sz)))
+              if ev == cv && acts.size != sz && uuidManifest(cv).isEmpty =>
             DeltaLog.log.warn(
               s"Checkpoint at $logPath v$cv decoded ${acts.size} actions but " +
                 s"_last_checkpoint records $sz — ignoring it (crashed " +
@@ -203,15 +227,81 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     } finally in.close()
   }
 
-  /** Checkpoint parquet (1..n parts) → actions, decoded as a TYPED Dataset
-    * (no per-row JSON render/parse round-trip — at millions of add actions
-    * that was the snapshot bottleneck). Missing top-level action columns
-    * are null-filled so checkpoints from other writers still load; schema
-    * shapes the encoder can't resolve fall back to the JSON path. */
-  def readCheckpoint(v: Long): Seq[Action] = {
+  /** Checkpoint at `v` → actions. A uuid-named V2 manifest wins over a
+    * classic checkpoint for the same version (readers that understand v2
+    * should prefer it per protocol); classic 1..n-part parquet otherwise. */
+  def readCheckpoint(v: Long): Seq[Action] = uuidManifest(v) match {
+    case Some(m) => readV2Checkpoint(v, m)
+    case None =>
+      decodeActionDf(spark.read.parquet(checkpointFiles(v).map(_.toString): _*),
+        s"$logPath v$v")
+  }
+
+  /** V2 checkpoint: the manifest (json lines or parquet) holds
+    * protocol/metaData/txn/domainMetadata plus `checkpointMetadata` and
+    * `sidecar` pointers; the file actions (add/remove) live either inline
+    * or in `_delta_log/_sidecars/<name>.parquet` files. */
+  private def readV2Checkpoint(v: Long, manifest: Path): Seq[Action] = {
+    import org.apache.spark.sql.functions.col
+    val (actions, sidecars) =
+      if (manifest.getName.endsWith(".json")) {
+        val in = fs.open(manifest)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+        val lines = txt.split('\n').toSeq.filter(_.trim.nonEmpty)
+        val nodes = lines.map(ActionJson.mapper.readTree)
+        validateCheckpointMetadata(v, manifest,
+          nodes.find(_.has("checkpointMetadata"))
+            .map(_.get("checkpointMetadata").get("version").asLong))
+        val scs = nodes.filter(_.has("sidecar")).map(_.get("sidecar").get("path").asText)
+        (lines.flatMap(ActionJson.parseLine), scs) // sidecar/cpMeta lines drop out
+      } else {
+        val df = spark.read.parquet(manifest.toString)
+        val cols = df.columns.toSet
+        validateCheckpointMetadata(v, manifest,
+          if (!cols.contains("checkpointMetadata")) None
+          else df.select(col("checkpointMetadata.version"))
+            .where(col("checkpointMetadata").isNotNull)
+            .collect().headOption.map(_.getLong(0)))
+        val scs =
+          if (!cols.contains("sidecar")) Nil
+          else df.select(col("sidecar.path")).where(col("sidecar").isNotNull)
+            .collect().map(_.getString(0)).toSeq
+        val plain = Seq("sidecar", "checkpointMetadata").filter(cols.contains)
+          .foldLeft(df)((d, c) => d.where(col(c).isNull).drop(c))
+        (decodeActionDf(plain, manifest.toString), scs)
+      }
+    if (sidecars.isEmpty) actions
+    else actions ++ decodeActionDf(
+      spark.read.parquet(sidecars.map(resolveSidecarPath(_).toString): _*),
+      s"${manifest.getName} sidecars")
+  }
+
+  /** Sidecar `path` is a URL-encoded file name relative to
+    * `_delta_log/_sidecars/`, or an absolute URI. */
+  private def resolveSidecarPath(raw: String): Path = {
+    val decoded = java.net.URLDecoder.decode(raw, StandardCharsets.UTF_8)
+    if (decoded.startsWith("/") || decoded.contains("://")) new Path(decoded)
+    else new Path(new Path(logPath, "_sidecars"), decoded)
+  }
+
+  private def validateCheckpointMetadata(
+      v: Long, manifest: Path, declared: Option[Long]): Unit =
+    declared.foreach { dv =>
+      require(dv == v,
+        s"V2 checkpoint $manifest declares checkpointMetadata.version=$dv " +
+          s"but is named for version $v — refusing a misplaced manifest")
+    }
+
+  /** Action-shaped DataFrame (checkpoint parts, v2 manifests, sidecars) →
+    * actions, decoded as a TYPED Dataset (no per-row JSON render/parse
+    * round-trip — at millions of add actions that was the snapshot
+    * bottleneck). Missing top-level action columns are null-filled so files
+    * from other writers still load; schema shapes the encoder can't resolve
+    * fall back to the JSON path. */
+  private def decodeActionDf(df: org.apache.spark.sql.DataFrame, what: String): Seq[Action] = {
     import org.apache.spark.sql.functions.{col, lit}
-    val paths = checkpointFiles(v).map(_.toString)
-    val df = spark.read.parquet(paths: _*)
     val enc = org.apache.spark.sql.Encoders.product[Action]
     try {
       val aligned = df.select(enc.schema.fields.toIndexedSeq.map { f =>
@@ -228,7 +318,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       // (the snapshotAt size check additionally rejects a lossy decode).
       case scala.util.control.NonFatal(e) =>
         DeltaLog.log.warn(
-          s"Typed checkpoint decode failed for $logPath v$v " +
+          s"Typed checkpoint decode failed for $what " +
             s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
             "falling back to JSON-path decode", e)
         df.toJSON.collect().toSeq.flatMap(ActionJson.parseLine)

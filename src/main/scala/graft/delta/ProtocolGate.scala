@@ -19,17 +19,19 @@ object ProtocolGate {
     * mapping (name + id modes are implemented), 3 = table features. */
   val maxReaderVersion = 3
 
-  /** Reader features this engine implements end-to-end. Deliberately NOT
-    * listed: `v2Checkpoint` (uuid-named checkpoint manifests + sidecars are
-    * not parsed — with log cleanup enabled such a table could lack the JSON
-    * history needed for replay). `vacuumProtocolCheck` is a readerWriter
-    * feature with no read-path semantics, so reads may proceed. */
+  /** Reader features this engine implements end-to-end.
+    * `v2Checkpoint` = uuid-named manifests + `_sidecars/` file-action
+    * parquet (DeltaLog.readV2Checkpoint). `vacuumProtocolCheck` is a
+    * readerWriter feature with no read-path semantics, so reads may
+    * proceed. Anything else (future column-mapping modes, collations, …)
+    * fails loudly rather than risk a silent misread. */
   val supportedReaderFeatures: Set[String] = Set(
     "deletionVectors",
     "columnMapping",
     "timestampNtz",
     "variantType", "variantType-preview",
     "typeWidening", "typeWidening-preview",
+    "v2Checkpoint",
     "vacuumProtocolCheck")
 
   def validate(p: Protocol, tablePath: String): Unit = {

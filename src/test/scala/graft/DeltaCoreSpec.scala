@@ -203,12 +203,12 @@ class DeltaCoreSpec extends AnyFunSuite {
     // an upgrade to a feature we do NOT implement fails loudly, naming it
     writeCommit(2,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+        """"readerFeatures":["collations-preview"],"writerFeatures":["collations-preview"]}}""")
     DeltaLog.clearCache()
     val ex = intercept[UnsupportedTableFeatureException] {
       DeltaTable.forPath(spark, path).toDF.count()
     }
-    assert(ex.getMessage.contains("v2Checkpoint"))
+    assert(ex.getMessage.contains("collations-preview"))
     // ... as does a reader version beyond the spec'd feature-table range
     writeCommit(3, """{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""")
     DeltaLog.clearCache()

@@ -49,4 +49,49 @@ class ForeignInteropSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("v2 checkpoint: uuid manifest + sidecars reconstruct the table") {
+    val p = ForeignFixtures.v2checkpointed(spark, sfDir)
+    // v0 json is gone — the v2 manifest is the only complete state source,
+    // and the protocol gate must accept readerFeatures=[v2Checkpoint]
+    assert(!new java.io.File(p, "_delta_log/00000000000000000000.json").exists())
+    val got = DeltaTable.forPath(spark, p).toDF
+    val want = Fixtures.readNormalized(spark, sfDir, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val snap = DeltaTable.forPath(spark, p).snapshot
+    assert(snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint")))
+    // the stale sidecar tombstone reconciled away, 3 live files remain
+    assert(snap.allFiles.size == 3)
+  }
+
+  test("misplaced v2 manifest is refused; reader falls back to older checkpoint") {
+    val p = ForeignFixtures.v2checkpointed(spark, sfDir)
+    val logDir = new java.io.File(p, "_delta_log")
+    val good = logDir.listFiles().find(_.getName.matches(
+      raw"\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet")).get
+    // copy the v1 manifest to a v2-named one (a misplaced/corrupt write):
+    // its checkpointMetadata.version=1 contradicts the v2 name, so the
+    // candidate must be rejected and replay must fall back to the REAL v1
+    // checkpoint + the v2 commit json — same final state, never a misread
+    val bogus = new java.io.File(logDir,
+      good.getName.replaceFirst(raw"^\d{20}", f"${2L}%020d"))
+    java.nio.file.Files.copy(good.toPath, bogus.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${2L}%020d.json").toPath,
+      """{"commitInfo":{"timestamp":1700000003000,"operation":"NOOP"}}
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      DeltaLog.clearCache()
+      val got = DeltaTable.forPath(spark, p).toDF
+      assert(got.count() ==
+        Fixtures.readNormalized(spark, sfDir, "part").count())
+      assert(DeltaTable.forPath(spark, p).snapshot.version == 2)
+    } finally {
+      bogus.delete()
+      new java.io.File(logDir, f"${2L}%020d.json").delete()
+      DeltaLog.clearCache()
+    }
+  }
 }
