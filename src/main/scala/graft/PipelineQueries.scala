@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * LLM-data-pipeline operator queries (beyond-reference surface per
@@ -72,6 +72,14 @@ object PipelineQueries {
       Similarity.lshNearDupPairs(e, minSim = 0.2,
         numPlanes = math.min(Similarity.planesFor(e.count()), 24))
     }),
+
+    // --- deterministic sampling (training-data selection) ---
+    "sample_deterministic" -> ((s, dir) =>
+      Sampling.deterministicSample(docs(s, dir), col("doc_id"), pct = 20)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"), n = 20)
+        .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))),
 
     // --- multimodal ---
     "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))))
@@ -390,5 +398,16 @@ object PipelineQueries {
       """SELECT label, i, round(avg(embedding[i]), 4) AS v
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY label, i ORDER BY label, i""".stripMargin,
-    "multimodal_features" -> multimodalSql)
+    "multimodal_features" -> multimodalSql,
+    // deterministic sampling: identical md5-bucket / md5-order selection
+    "sample_deterministic" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin)
 }

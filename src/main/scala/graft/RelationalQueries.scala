@@ -742,7 +742,127 @@ object RelationalQueries {
         |  INTERSECT
         |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997
         |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1998) t""".stripMargin
+        |  SELECT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1998) t""".stripMargin,
+
+    // q17 shape: per-part average threshold CTE joined back to the fact;
+    // q*5n < s is the integer form of quantity < avg/5
+    "ds_low_quantity_outliers" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN pq ON l_partkey = pk
+        |WHERE CAST(round(l_quantity, 0) AS BIGINT) * n * 5 < s""".stripMargin,
+
+    // q74/q11 shape: the same per-customer-year CTE referenced FOUR times
+    // (two channels × two years); growth ratios compared by
+    // cross-multiplication so the test stays integer-exact
+    "ds_channel_growth_compare" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS ck, o_orderstatus AS st,
+        |    CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cust
+        |FROM t s1 JOIN t s2 ON s1.ck = s2.ck AND s2.st = 'F' AND s1.y = 1996 AND s2.y = 1997
+        |JOIN t w1 ON w1.ck = s1.ck AND w1.st = 'O' AND w1.y = 1996
+        |JOIN t w2 ON w2.ck = s1.ck AND w2.st = 'O' AND w2.y = 1997
+        |WHERE s1.st = 'F' AND s2.tot * w1.tot > w2.tot * s1.tot""".stripMargin,
+
+    // q33/q56/q60 shape: three single-channel aggregates UNION ALL'd then
+    // re-aggregated per dimension value
+    "ds_three_channel_union" ->
+      """WITH rev AS (
+        |  SELECT n_name AS nm,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+        |  UNION ALL
+        |  SELECT n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+        |  UNION ALL
+        |  SELECT n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderpriority = '3-MEDIUM' GROUP BY 1)
+        |SELECT nm, CAST(sum(r) AS BIGINT) AS total
+        |FROM rev GROUP BY nm ORDER BY total DESC, nm LIMIT 10""".stripMargin,
+
+    // q59 shape: same-month revenue across consecutive years, joined into
+    // one row per month
+    "ds_month_yoy_ratio" ->
+      """WITH m96 AS (
+        |  SELECT CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders WHERE extract(year FROM o_orderdate) = 1996 GROUP BY 1),
+        |m97 AS (
+        |  SELECT CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders WHERE extract(year FROM o_orderdate) = 1997 GROUP BY 1)
+        |SELECT m96.m AS m, m96.rev AS rev96, m97.rev AS rev97,
+        |  CASE WHEN m97.rev * 10 > m96.rev * 11 THEN 'up'
+        |       WHEN m97.rev * 10 < m96.rev * 9 THEN 'down'
+        |       ELSE 'flat' END AS trend
+        |FROM m96 JOIN m97 ON m96.m = m97.m ORDER BY m""".stripMargin,
+
+    // q93 shape: net revenue after returns (signed CASE inside the sum)
+    "ds_net_after_returns" ->
+      """SELECT ck, net FROM (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN -CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS BIGINT) AS net
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1) t
+        |ORDER BY net DESC, ck LIMIT 10""".stripMargin,
+
+    // ordered-set aggregate: interpolated median per segment over exact
+    // cents-integers (midpoints are then k or k+0.5, both engines agree
+    // bit-for-bit; raw-double medians differ in the last rounded digit)
+    "ds_median_by_segment" ->
+      """SELECT c_mktsegment,
+        |  round(CAST(percentile_cont(0.5) WITHIN GROUP (
+        |    ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE), 1) AS median_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // dimension-matrix shape: CROSS JOIN of two small dims LEFT JOIN'd to
+    // the fact so empty buckets still appear (zero-filled report)
+    "ds_priority_region_matrix" ->
+      """WITH pri AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+        |f AS (
+        |  SELECT o_orderpriority AS fp, n_regionkey AS rk,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, pri.p AS p, CAST(coalesce(sum(f.cnt), 0) AS BIGINT) AS n
+        |FROM region CROSS JOIN pri
+        |LEFT JOIN f ON f.rk = r_regionkey AND f.fp = pri.p
+        |GROUP BY r_name, pri.p ORDER BY r_name, p""".stripMargin,
+
+    // cohort shape: FULL OUTER JOIN of two distinct-customer year sets,
+    // bucketed into both/only-left/only-right
+    "ds_full_outer_cohort" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |           WHERE extract(year FROM o_orderdate) = 1996),
+        |b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |      WHERE extract(year FROM o_orderdate) = 1998)
+        |SELECT CASE WHEN a.ck IS NULL THEN 'only_98'
+        |            WHEN b.ck IS NULL THEN 'only_96'
+        |            ELSE 'both' END AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a FULL OUTER JOIN b ON a.ck = b.ck
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset

@@ -169,6 +169,40 @@ class PipelineSpec extends AnyFunSuite {
       s"${if (exact.isEmpty) "n/a" else lshInBlock.size.toDouble / exact.size}")
   }
 
+  test("deterministic sampling: stable, unbiased-ish, shuffle-free") {
+    val s1 = Sampling.deterministicSample(docs, col("doc_id"), pct = 20)
+    val s2 = Sampling.deterministicSample(docs, col("doc_id"), pct = 20)
+    // identical selection on every run (the whole point vs df.sample)
+    assert(s1.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      s2.collect().map(_.getAs[Long]("doc_id")).toSet)
+    val total = docs.count().toDouble
+    val got = s1.count().toDouble
+    assert(got / total > 0.10 && got / total < 0.30,
+      s"20% hash sample selected ${got / total}")
+    // a filter, not a shuffle: no Exchange in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "deterministicSample must not shuffle")
+    // nested sampling property: a 10% sample is a subset of the 20% sample
+    val s10 = Sampling.deterministicSample(docs, col("doc_id"), pct = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(s10.subsetOf(s1.collect().map(_.getAs[Long]("doc_id")).toSet))
+  }
+
+  test("stratified sampling caps every label at n, deterministically") {
+    val out = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), n = 20)
+    val perLabel = out.groupBy("lang").count().collect()
+    perLabel.foreach(r => assert(r.getAs[Long]("count") <= 20))
+    // labels with >= 20 docs are filled exactly
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    perLabel.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      if (totals(lang) >= 20) assert(r.getAs[Long]("count") == 20)
+    }
+    val again = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), n = 20)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("dedup exact finds planted duplicates") {
     import spark.implicits._
     val planted = docs.select("doc_id", "text")
