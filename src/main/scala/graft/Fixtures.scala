@@ -20,7 +20,7 @@ import graft.delta.{Checkpoints, DeltaLog, DeltaWriter}
  */
 object Fixtures {
   /** Bump when the writer's on-disk output changes shape. */
-  private val GEN = "g4"
+  private val GEN = "g5" // g5: size-scaled fixture file count
 
   sealed trait Variant { def name: String }
   /** Single commit, 4 range-partitioned files (stats-skipping friendly). */
@@ -116,9 +116,25 @@ object Fixtures {
     val spec = specs.getOrElse(table,
       throw new IllegalArgumentException(s"No fixture spec for table $table"))
     val src = readNormalized(spark, sfDir, table)
+    // File count must scale with data: a fixed 4 files means a 100 MB+
+    // table scans as ~4 tasks and 28 of 32 cores idle (the x10 bench
+    // measured exactly this). Target ~24 MB of source per file — small
+    // enough for full parallelism at bench scale, big enough that file
+    // overhead stays negligible; a real 100 TB table would target
+    // 128 MB-1 GB files the same way.
+    def nFiles: Int = {
+      import scala.jdk.CollectionConverters._
+      val bytes = try {
+        val p = Paths.get(parquetPath(sfDir, table))
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.map(f => Files.size(f)).sum
+        else Files.size(p)
+      } catch { case _: Exception => 0L }
+      math.max(4, math.min(64, (bytes / (24L << 20)).toInt + 1))
+    }
     variant match {
       case Plain =>
-        DeltaWriter.append(spark, src.repartitionByRange(4, col(spec.rangeCol)), dir)
+        DeltaWriter.append(spark, src.repartitionByRange(nFiles, col(spec.rangeCol)), dir)
       case Multi =>
         for (i <- 0 to 2) {
           val slice = src.filter(col(spec.splitCol) % 3 === i)

@@ -30,6 +30,37 @@ object PipelineQueries {
     RelationalQueries.ensureViews(s, dir); s.table("embeddings")
   }
 
+  /** Runs the availableNow events→delta stream once per sf dir (4 staged
+    * source files × maxFilesPerTrigger=1 = 4 real micro-batches, each an
+    * idempotent txn commit) and returns the sink table path. */
+  private def streamedEvents(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val key = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+    val target = s"$root/stream-s1/$key/events_delta"
+    val marker = Paths.get(target, "_GRAFT_READY")
+    if (Files.exists(marker)) return target
+    Seq(target, s"$root/stream-s1/$key/events_src").foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val srcDir = s"$root/stream-s1/$key/events_src"
+    // stage the source as 4 files so the file-stream source produces 4
+    // genuine micro-batches (ts stays raw long nanos end to end)
+    Fixtures.readParquet(s, dir, "events").repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingOps.streamIntoDelta(
+      s, srcDir, schema, target, appId = s"stream-ingest-$key")
+    q.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    Files.createFile(marker)
+    target
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
@@ -71,6 +102,17 @@ object PipelineQueries {
       // generated plane literals — enough for n up to ~10⁹)
       Similarity.lshNearDupPairs(e, minSim = 0.2,
         numPlanes = math.min(Similarity.planesFor(e.count()), 24))
+    }),
+
+    // --- streaming: availableNow micro-batch ingest → exactly-once delta
+    //     sink, then aggregate the SINK — the stream result must equal the
+    //     batch oracle over the same source (end-to-end streaming proof) ---
+    "stream_ingest_agg" -> ((s, dir) => {
+      val target = streamedEvents(s, dir)
+      graft.delta.DeltaTable.forPath(s, target).toDF
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("event_type"))
     }),
 
     // --- deterministic sampling (training-data selection) ---
@@ -399,6 +441,12 @@ object PipelineQueries {
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY label, i ORDER BY label, i""".stripMargin,
     "multimodal_features" -> multimodalSql,
+    // streaming ingest: the delta SINK must equal the batch aggregate of
+    // the SOURCE — DuckDB recomputes from the original events parquet
+    "stream_ingest_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // deterministic sampling: identical md5-bucket / md5-order selection
     "sample_deterministic" ->
       """SELECT doc_id, lang FROM documents

@@ -34,8 +34,8 @@ def main():
     con.execute("SET threads TO 32")
     for t in TABLES:
         p = f"{x10}/{t}.parquet"
-        if not os.path.exists(p):
-            p = f"{x10}/{t}.parquet/*.parquet"  # spark dir-style output
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"  # spark dir-style output
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
     out = {}
