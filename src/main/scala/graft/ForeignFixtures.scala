@@ -312,6 +312,70 @@ object ForeignFixtures {
     dir
   }
 
+  /**
+   * V2 checkpoint in its JSON-manifest form over `region`: the manifest is
+   * `N.checkpoint.<uuid>.json` (one action per line, like a commit), with
+   * one sidecar referenced RELATIVELY and one by ABSOLUTE path — the two
+   * resolution branches of DeltaLog.resolveSidecarPath. v0 JSON deleted.
+   */
+  def v2jsonManifest(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "region_v2json")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "region")
+      .select("r_regionkey", "r_name")
+
+    val sliceA = src.filter(col("r_regionkey") % 2 === 0)
+    val sliceB = src.filter(col("r_regionkey") % 2 === 1)
+    writeOneFile(sliceA, s"$dir/even.parquet")
+    writeOneFile(sliceB, s"$dir/odd.parquet")
+    def sz(n: String) = new java.io.File(s"$dir/$n").length
+
+    val schemaJson = src.schema.json
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000004","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"even.parquet","partitionValues":{},"size":${sz("even.parquet")},"modificationTime":1700000000001,"dataChange":true}}""",
+      s"""{"add":{"path":"odd.parquet","partitionValues":{},"size":${sz("odd.parquet")},"modificationTime":1700000000002,"dataChange":true}}"""))
+
+    // sidecar 1 (relative, in _sidecars/): the even file
+    val sidecarSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val sc1 = "33333333-aaaa-bbbb-cccc-000000000001.parquet"
+    writeOneFile(spark.createDataFrame(Seq(
+      Row(Row("even.parquet", Map.empty[String, String], sz("even.parquet"),
+        1700000000001L, true))).asJavaList, sidecarSchema),
+      s"$dir/_delta_log/_sidecars/$sc1")
+    // sidecar 2 (ABSOLUTE path outside _sidecars/): the odd file
+    val absSc = s"$dir/aux/sidecar-odd.parquet"
+    writeOneFile(spark.createDataFrame(Seq(
+      Row(Row("odd.parquet", Map.empty[String, String], sz("odd.parquet"),
+        1700000000002L, true))).asJavaList, sidecarSchema), absSc)
+
+    val manifestUuid = "44444444-dddd-eeee-ffff-555555555555"
+    writeLines(s"$dir/_delta_log/00000000000000000000.checkpoint.$manifestUuid.json", Seq(
+      """{"checkpointMetadata":{"version":0,"tags":{"writer":"foreign-writer/9.9.9"}}}""",
+      s"""{"sidecar":{"path":"$sc1","sizeInBytes":${new java.io.File(s"$dir/_delta_log/_sidecars/$sc1").length},"modificationTime":1700000003001}}""",
+      s"""{"sidecar":{"path":${jstr(absSc)},"sizeInBytes":${new java.io.File(absSc).length},"modificationTime":1700000003002}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000004","format":{"provider":"parquet","options":{}},"schemaString":${jstr(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""))
+    writeLines(s"$dir/_delta_log/_last_checkpoint", Seq(
+      s"""{"version":0,"v2Checkpoint":{"path":"00000000000000000000.checkpoint.$manifestUuid.json"}}"""))
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+    // a v1 commit keeps the log listable with v0's JSON gone
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      """{"commitInfo":{"timestamp":1700000004000,"operation":"NOOP","engineInfo":"foreign-writer/9.9.9"}}"""))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
   private implicit class SeqRows(rows: Seq[Row]) {
     def asJavaList: java.util.List[Row] = {
       val out = new java.util.ArrayList[Row](rows.size)

@@ -311,6 +311,13 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- V2 checkpoint, JSON-manifest form: action-per-line manifest with
+    //     one relative and one absolute sidecar pointer ---
+    "delta_foreign_v2_json" -> ((s, dir) => {
+      val p = ForeignFixtures.v2jsonManifest(s, dir)
+      DeltaTable.forPath(s, p).toDF.orderBy(col("r_regionkey"))
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -407,6 +414,8 @@ object SparkEntry {
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_foreign_v2_checkpoint" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice),2) AS sum_price
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "delta_foreign_v2_json" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
   )
 }

@@ -66,6 +66,16 @@ class ForeignInteropSpec extends AnyFunSuite {
     assert(snap.allFiles.size == 3)
   }
 
+  test("v2 JSON manifest: relative AND absolute sidecar pointers resolve") {
+    val p = ForeignFixtures.v2jsonManifest(spark, sfDir)
+    assert(!new java.io.File(p, "_delta_log/00000000000000000000.json").exists())
+    val got = DeltaTable.forPath(spark, p).toDF
+    val want = Fixtures.readNormalized(spark, sfDir, "region")
+      .select("r_regionkey", "r_name")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("misplaced v2 manifest is refused; reader falls back to older checkpoint") {
     val p = ForeignFixtures.v2checkpointed(spark, sfDir)
     val logDir = new java.io.File(p, "_delta_log")
