@@ -862,7 +862,92 @@ object RelationalQueries {
         |            ELSE 'both' END AS cohort,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM a FULL OUTER JOIN b ON a.ck = b.ck
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RANGE window frame over an integer key (value-based, not row-based:
+    // all orders whose key is within 10 of the current one)
+    "ds_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // first_value / last_value with an explicit full-partition frame
+    "ds_first_last_value" ->
+      """SELECT DISTINCT c_mktsegment,
+        |  first_value(o_orderkey) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_order,
+        |  last_value(o_orderkey) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_order
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // ntile quartiles: per-segment revenue quartile totals
+    "ds_ntile_quartiles" ->
+      """SELECT c_mktsegment, q,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS tot_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY o_totalprice, o_orderkey) AS q
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |GROUP BY c_mktsegment, q ORDER BY c_mktsegment, q""".stripMargin,
+
+    // conditional distinct: distinct counts restricted by CASE inside one
+    // aggregation pass
+    "ds_conditional_distinct" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS BIGINT) AS cust_f,
+        |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS BIGINT) AS cust_o
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // FILTER clause on aggregates (per-channel counts in one pass, no
+    // CASE pyramids)
+    "ds_filter_clause" ->
+      """SELECT n_name,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS finished,
+        |  CAST(count(*) AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // UNION with DISTINCT semantics (dedup across branches)
+    "ds_union_distinct" ->
+      """SELECT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY ck LIMIT 100""".stripMargin,
+
+    // 3-deep CTE chain, each referencing the previous
+    "ds_nested_cte_chain" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS tot
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT ck, tot,
+        |    CAST(row_number() OVER (ORDER BY tot DESC, ck) AS BIGINT) AS rk
+        |  FROM per_cust),
+        |top100 AS (SELECT ck, tot FROM ranked WHERE rk <= 100)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(tot) AS BIGINT) AS combined
+        |FROM top100""".stripMargin,
+
+    // inline VALUES table joined as a dimension (priority weighting)
+    "ds_values_join" ->
+      """SELECT seg, CAST(sum(w) AS BIGINT) AS weighted_orders
+        |FROM customer
+        |JOIN (VALUES ('BUILDING', 3), ('MACHINERY', 2), ('AUTOMOBILE', 1))
+        |  AS m(seg, w) ON c_mktsegment = seg
+        |JOIN orders ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
