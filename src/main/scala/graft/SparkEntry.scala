@@ -311,6 +311,32 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- generated columns (§2.1 #19 expression surface): the table
+    //     schema carries delta.generationExpression for o_year; the first
+    //     append supplies it, the second OMITS it and the writer computes
+    //     it — DuckDB re-derives the whole column from o_orderdate ---
+    "delta_generated_column" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val src = Fixtures.readNormalized(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val genMeta = new MetadataBuilder()
+        .putString("delta.generationExpression", "year(o_orderdate)").build()
+      val p = java.nio.file.Files.createTempDirectory("graft-gencol").toString + "/t"
+      val half1 = src.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_year", expr("CAST(year(o_orderdate) AS BIGINT)"))
+      // CREATE with the generation expression in the field metadata
+      val withMeta = half1.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_year").as("o_year", genMeta))
+      graft.delta.DeltaWriter.append(s, withMeta, p)
+      // second append omits o_year entirely: the writer must derive it
+      graft.delta.DeltaWriter.append(s,
+        src.filter(col("o_orderkey") % 2 === 1), p)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_year"))
+    }),
+
     // --- V2 checkpoint, JSON-manifest form: action-per-line manifest with
     //     one relative and one absolute sidecar pointer ---
     "delta_foreign_v2_json" -> ((s, dir) => {
@@ -416,6 +442,10 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "delta_foreign_v2_json" ->
-      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+    "delta_generated_column" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -68,6 +68,24 @@ object DeltaWriter {
 
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
 
+    // ---- generated columns (field metadata `delta.generationExpression`,
+    // protocol writer feature `generatedColumns`): a writer may omit the
+    // column entirely — the engine computes it from the expression; a
+    // supplied value is validated against the expression in the write
+    // pass (withWriteChecks below)
+    val genFilled = snapshot match {
+      case Some(s) =>
+        s.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.metadata.contains("delta.generationExpression") &&
+              !d.columns.exists(_.equalsIgnoreCase(f.name)))
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(
+                f.metadata.getString("delta.generationExpression")).cast(f.dataType))
+          else d
+        }
+      case None => df
+    }
+
     // column alignment + schema validation against the table; with
     // mergeSchema, unseen columns extend the schema and existing columns
     // may WIDEN (int→long, float→double, decimal growth — the protocol's
@@ -75,10 +93,10 @@ object DeltaWriter {
     // NARROWER than the table type are upcast before writing either way.
     val (aligned, tableSchema) = snapshot match {
       case Some(s) =>
-        val have = df.columns.map(_.toLowerCase).toSet
+        val have = genFilled.columns.map(_.toLowerCase).toSet
         val want = s.schema.fieldNames.map(_.toLowerCase).toSet
         def dfField(name: String): StructField =
-          df.schema.fields.find(_.name.equalsIgnoreCase(name)).get
+          genFilled.schema.fields.find(_.name.equalsIgnoreCase(name)).get
         def castTo(target: StructField): org.apache.spark.sql.Column = {
           val in = dfField(target.name)
           if (in.dataType == target.dataType) col(s"`${in.name}`").as(target.name)
@@ -87,7 +105,7 @@ object DeltaWriter {
         if (mergeSchema) {
           require(want.subsetOf(have),
             s"mergeSchema append must contain all table columns; missing ${(want -- have).toSeq.sorted}")
-          val newCols = df.columns.filterNot(c => s.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          val newCols = genFilled.columns.filterNot(c => s.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
           val mergedExisting = s.schema.fields.map { tf =>
             widenedType(tf.dataType, dfField(tf.name).dataType) match {
               case Some(w) => tf.copy(dataType = w)
@@ -97,8 +115,8 @@ object DeltaWriter {
             }
           }
           val evolved = StructType(mergedExisting ++
-            newCols.map(c => df.schema(df.schema.fieldIndex(c)).copy(nullable = true)))
-          (df.select(evolved.fields.map(castTo).toIndexedSeq: _*), evolved)
+            newCols.map(c => genFilled.schema(genFilled.schema.fieldIndex(c)).copy(nullable = true)))
+          (genFilled.select(evolved.fields.map(castTo).toIndexedSeq: _*), evolved)
         } else {
           require(have == want,
             s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
@@ -108,9 +126,9 @@ object DeltaWriter {
               s"Type mismatch for column ${tf.name}: table ${tf.dataType.sql}, " +
                 s"data ${inT.sql} (not losslessly castable; use mergeSchema to widen)")
           }
-          (df.select(s.schema.fields.map(castTo).toIndexedSeq: _*), s.schema)
+          (genFilled.select(s.schema.fields.map(castTo).toIndexedSeq: _*), s.schema)
         }
-      case None => (df, df.schema)
+      case None => (genFilled, genFilled.schema)
     }
 
     // reference rejects appends to EXISTING tables whose schema carries
@@ -127,10 +145,19 @@ object DeltaWriter {
       }
     }
 
+    // ---- CHECK constraints (`delta.constraints.<name>` configuration,
+    // protocol writer feature `checkConstraints`) and generated-column
+    // equality: enforced IN the write pass itself via assert_true — one
+    // codegen'd predicate riding the existing write scan, never a second
+    // validation job over the data (the 100 TB-sound shape); a violation
+    // fails the job and the rollback below removes staged files
+    val enforced = withWriteChecks(aligned, tableSchema,
+      snapshot.map(_.metadata.configuration).getOrElse(configuration), path)
+
     // stage + stats + move (executors), then commit with retry
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, aligned, tableSchema, partCols, moved)
+      val adds = writeFiles(spark, log, enforced, tableSchema, partCols, moved)
       commitAppend(log, snapshot, adds, tableSchema, partCols,
         configuration, txnAppId, txnVersion, operation)
     } catch {
@@ -139,6 +166,33 @@ object DeltaWriter {
         // orphaned files, delta_transaction.cpp:475-488)
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
         throw t
+    }
+  }
+
+  /** Row-level write rules as a pass-through filter: every CHECK
+    * constraint must hold, and a SUPPLIED generated column must equal its
+    * generation expression. assert_true evaluates per row inside the write
+    * scan (null when satisfied → row kept; throws naming the rule when
+    * violated). */
+  private def withWriteChecks(
+      aligned: DataFrame,
+      tableSchema: StructType,
+      configuration: Map[String, String],
+      path: String): DataFrame = {
+    val checks = configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") && v.nonEmpty =>
+        // SQL CHECK semantics: a NULL predicate result passes
+        (s"CHECK ${k.stripPrefix("delta.constraints.")}", s"coalesce(($v), true)")
+    }
+    val genChecks = tableSchema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        val g = f.metadata.getString("delta.generationExpression")
+        (s"generated column ${f.name}",
+          s"`${f.name}` <=> CAST(($g) AS ${f.dataType.sql})")
+    }
+    (checks ++ genChecks).foldLeft(aligned) { case (d, (name, sql)) =>
+      d.filter(assert_true(expr(sql),
+        lit(s"$name violated appending to $path: $sql")).isNull)
     }
   }
 

@@ -222,6 +222,45 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).toDF(1).count() == src.count())
   }
 
+  test("CHECK constraints and generated columns enforce on write") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+      .select("r_regionkey", "r_name")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path,
+      configuration = Map("delta.constraints.key_nonneg" -> "r_regionkey >= 0"))
+    val n0 = DeltaTable.forPath(spark, path).toDF.count()
+    // a conforming append passes
+    DeltaWriter.append(spark, src.withColumn("r_regionkey",
+      (col("r_regionkey") + 100).cast("int")), path)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == 2 * n0)
+    // a violating append fails loudly, naming the constraint, and rolls back
+    val ex = intercept[Exception] {
+      DeltaWriter.append(spark, src.withColumn("r_regionkey",
+        (col("r_regionkey") - 100).cast("int")), path)
+    }
+    assert(ex.getMessage.contains("key_nonneg") ||
+      Option(ex.getCause).exists(_.getMessage.contains("key_nonneg")), ex.getMessage)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == 2 * n0)
+
+    // generated column: omitted → derived; supplied-but-wrong → rejected
+    import org.apache.spark.sql.types.MetadataBuilder
+    val gpath = tmpTable()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "r_regionkey * 10").build()
+    val withGen = src.withColumn("tenfold", (col("r_regionkey") * 10).cast("int"))
+      .select(col("r_regionkey"), col("r_name"), col("tenfold").as("tenfold", genMeta))
+    DeltaWriter.append(spark, withGen, gpath)
+    DeltaWriter.append(spark, src, gpath) // tenfold omitted: writer derives
+    val got = DeltaTable.forPath(spark, gpath).toDF
+    assert(got.count() == 2 * n0)
+    assert(got.filter(col("tenfold") =!= col("r_regionkey") * 10).count() == 0)
+    val ex2 = intercept[Exception] {
+      DeltaWriter.append(spark, src.withColumn("tenfold", lit(7).cast("int")), gpath)
+    }
+    assert(ex2.getMessage.contains("generated column") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("generated column")), ex2.getMessage)
+  }
+
   test("NOT NULL enforcement rejects violating appends") {
     import org.apache.spark.sql.types._
     val src = Fixtures.readParquet(spark, sfDir, "region")
