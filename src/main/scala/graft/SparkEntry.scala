@@ -311,6 +311,23 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- CDF read (table_changes analog): two appends then an OPTIMIZE;
+    //     inserts surface with their commit versions and the
+    //     dataChange=false rewrite is skipped per protocol ---
+    "delta_cdf_changes" -> ((s, dir) => {
+      val src = Fixtures.readNormalized(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val p = java.nio.file.Files.createTempDirectory("graft-cdf").toString + "/t"
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 0), p)
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 1), p)
+      val t = DeltaTable.forPath(s, p)
+      t.optimize(smallFileThreshold = 64L * 1024 * 1024) // dataChange=false
+      t.changes(0, t.version)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("_commit_version"))
+    }),
+
     // --- generated columns (§2.1 #19 expression surface): the table
     //     schema carries delta.generationExpression for o_year; the first
     //     append supplies it, the second OMITS it and the writer computes
@@ -446,6 +463,11 @@ object SparkEntry {
     "delta_generated_column" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_cdf_changes" ->
+      """SELECT 'insert' AS _change_type,
+        | CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY 2 ORDER BY 2""".stripMargin
   )
 }

@@ -184,9 +184,12 @@ object DeltaDelete {
       actions += Action(RemoveFile(f.path, Some(System.currentTimeMillis()),
         dataChange = true, f.deletionVector))
       if (!numRecords.contains(merged.cardinality)) {
-        // file still has live rows → re-add with the merged DV
+        // file still has live rows → re-add with the merged DV. dataChange
+        // is set explicitly: `f` may be replayed from an OPTIMIZE commit
+        // (dataChange=false), but THIS commit deletes rows — copying the
+        // stale flag would hide the change from CDF/streaming consumers
         val desc = DeletionVectorStore.write(log, merged)
-        actions += Action(f.copy(deletionVector = Some(desc)))
+        actions += Action(f.copy(deletionVector = Some(desc), dataChange = true))
       } // else: fully deleted → plain remove
     }
     (actions.toSeq, deletedRows)

@@ -227,6 +227,20 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     } finally in.close()
   }
 
+  /** Paths of `cdc` actions in commit `v` (URL-encoded, as written). The
+    * action model deliberately omits cdc (state replay skips them), so CDF
+    * reads pull them straight off the wire format. */
+  def readCommitCdcPaths(v: Long): Seq[String] = {
+    val in = fs.open(commitFile(v))
+    try {
+      val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        val n = ActionJson.mapper.readTree(line)
+        Option(n.get("cdc")).filterNot(_.isNull).map(_.get("path").asText)
+      }
+    } finally in.close()
+  }
+
   /** Checkpoint at `v` → actions. A uuid-named V2 manifest wins over a
     * classic checkpoint for the same version (readers that understand v2
     * should prefer it per protocol); classic 1..n-part parquet otherwise. */

@@ -113,6 +113,82 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   /** `CHECKPOINT tbl` analog. */
   def checkpoint(): Long = Checkpoints.checkpoint(log)
 
+  /**
+   * Change-data-feed read over commits `startVersion..endVersion`
+   * (inclusive) — the `table_changes` analog. Emits the protocol's CDF
+   * columns `_change_type`, `_commit_version`, `_commit_timestamp`.
+   *
+   * Sources, per version: explicit `cdc` actions when the writer produced
+   * `_change_data` files (they carry `_change_type` per row); otherwise
+   * dataChange adds → `insert` rows and dataChange removes → `delete` rows
+   * (read from the still-present removed files — valid until VACUUM).
+   * `dataChange=false` actions (OPTIMIZE rewrites, compactions) are
+   * SKIPPED per protocol: a rewrite is not a change. A version whose only
+   * change encoding is a deletion-vector diff (add/remove with DVs, no cdc
+   * actions) is REJECTED loudly rather than under-reported.
+   */
+  def changes(startVersion: Long, endVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    require(startVersion <= endVersion,
+      s"changes: startVersion $startVersion > endVersion $endVersion")
+    val have = log.listCommitVersions().toSet
+    val versions = (startVersion to endVersion).filter(have.contains)
+    require(versions.nonEmpty,
+      s"changes: no commits in [$startVersion,$endVersion] for ${log.tablePath}")
+    val partitioned = snapshot.metadata.partitionColumns.nonEmpty
+    def readData(paths: Seq[String]): DataFrame = {
+      val r = spark.read
+      (if (partitioned) r.option("basePath", log.tablePath.toString) else r)
+        .parquet(paths: _*)
+    }
+    def abs(p: String): String = {
+      val d = java.net.URLDecoder.decode(p, java.nio.charset.StandardCharsets.UTF_8)
+      if (d.startsWith("/") || d.contains("://")) d
+      else new org.apache.hadoop.fs.Path(log.tablePath, d).toString
+    }
+    val frames = versions.flatMap { v =>
+      val acts = log.readCommit(v)
+      val ts = acts.flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
+      val cdcPaths = log.readCommitCdcPaths(v)
+      def stamp(df: DataFrame, tpe: Option[String]): DataFrame = {
+        val typed = tpe.map(t => df.withColumn("_change_type", lit(t))).getOrElse(df)
+        typed.withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", lit(ts))
+      }
+      if (cdcPaths.nonEmpty) {
+        // cdc files are authoritative for the version's row-level changes
+        Seq(stamp(readData(cdcPaths.map(abs)), None))
+      } else {
+        val allAdds = acts.flatMap(_.add)
+        val adds = allAdds.filter(_.dataChange)
+        val removes = acts.flatMap(_.remove).filter(_.dataChange)
+        // Soundness: a dataChange action carrying a DV means row-level
+        // deletes this derivation cannot express — as does a dataChange
+        // remove whose path is re-added in the same commit by ANY action
+        // (a foreign writer's DV re-add may carry a stale dataChange=false,
+        // so the re-add side is checked unfiltered). A pure rewrite commit
+        // (all actions dataChange=false — OPTIMIZE, compaction) is simply
+        // skipped: a rewrite is not a change.
+        val readded = removes.map(_.decodedPath).toSet
+          .intersect(allAdds.map(_.decodedPath).toSet)
+        if (adds.exists(_.deletionVector.isDefined) ||
+            removes.exists(_.deletionVector.isDefined) || readded.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"changes: version $v of ${log.tablePath} encodes row-level " +
+              "changes as deletion-vector diffs without cdc files; CDF " +
+              "cannot be derived soundly — enable CDF on the writer")
+        val ins = if (adds.isEmpty) None
+          else Some(stamp(readData(adds.map(a => abs(a.path))), Some("insert")))
+        val del = if (removes.isEmpty) None
+          else Some(stamp(readData(removes.map(r => abs(r.path))), Some("delete")))
+        (ins.toSeq ++ del.toSeq)
+      }
+    }
+    require(frames.nonEmpty,
+      s"changes: no dataChange actions in [$startVersion,$endVersion]")
+    frames.reduce(_ unionByName _)
+  }
+
   /** DELETE via deletion vectors (beyond the reference's own surface,
     * which rejects DELETE — src/storage/delta_catalog.cpp:102-117). */
   def delete(condition: org.apache.spark.sql.Column): Long =

@@ -51,6 +51,35 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(p).count() == src.count())
   }
 
+  test("CDF changes(): inserts per version, rewrites skipped, DV ranges refused") {
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+      .select("r_regionkey", "r_name")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("r_regionkey") < 2), path)
+    DeltaWriter.append(spark, src.filter(col("r_regionkey") >= 2), path)
+    val t = DeltaTable.forPath(spark, path)
+    val cdf = t.changes(0, 1)
+    assert(cdf.count() == src.count())
+    assert(cdf.filter(col("_change_type") =!= "insert").count() == 0)
+    // per-version attribution matches what each commit added
+    assert(cdf.filter(col("_commit_version") === 0).count() ==
+      src.filter(col("r_regionkey") < 2).count())
+    // OPTIMIZE rewrite (dataChange=false) adds a version but NO changes
+    t.optimize(smallFileThreshold = 64L * 1024 * 1024)
+    val v2 = DeltaTable.forPath(spark, path).version
+    assert(v2 == 2)
+    assert(DeltaTable.forPath(spark, path).changes(0, v2).count() == src.count())
+    // a DV-encoded delete cannot be expressed as CDF without cdc files:
+    // the range containing it must refuse, not under-report
+    DeltaTable.forPath(spark, path).delete(col("r_regionkey") === 0)
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaTable.forPath(spark, path).changes(0, 3).count()
+    }
+    assert(ex.getMessage.contains("deletion-vector"))
+    // ...but the pre-delete range still reads
+    assert(DeltaTable.forPath(spark, path).changes(0, 2).count() == src.count())
+  }
+
   test("many-add snapshot: 20k-file synthetic log replays, parallel prune exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-many-add").toString + "/t"
     SyntheticLog.build(spark, dir, 20000) // > parallel threshold (8192)
