@@ -947,7 +947,38 @@ object RelationalQueries {
         |JOIN (VALUES ('BUILDING', 3), ('MACHINERY', 2), ('AUTOMOBILE', 1))
         |  AS m(seg, w) ON c_mktsegment = seg
         |JOIN orders ON o_custkey = c_custkey
-        |GROUP BY seg ORDER BY seg""".stripMargin
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // LATERAL correlated subquery: per-nation top customer by balance
+    // (the per-group top-k idiom modern engines plan as a lateral join)
+    "ds_lateral_topk" ->
+      """SELECT n_name, top.ck AS top_cust, top.bal AS bal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey AS ck, round(c_acctbal, 2) AS bal
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1) top
+        |ORDER BY n_name""".stripMargin,
+
+    // GROUPING() disambiguates real NULLs from rollup subtotal rows
+    "ds_grouping_fn" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS is_total,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus)
+        |ORDER BY is_total, status""".stripMargin,
+
+    // bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+    "ds_except_all" ->
+      """SELECT ck, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY ck ORDER BY n DESC, ck LIMIT 20""".stripMargin,
+    "ds_intersect_all" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
