@@ -128,7 +128,7 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
    * actions) is REJECTED loudly rather than under-reported.
    */
   def changes(startVersion: Long, endVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.functions.lit
     require(startVersion <= endVersion,
       s"changes: startVersion $startVersion > endVersion $endVersion")
     val have = log.listCommitVersions().toSet
