@@ -195,6 +195,11 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     DeltaDelete.delete(spark, log, condition)
 
   /** OPTIMIZE: bin-pack small files + purge deletion vectors by rewrite. */
+  /** VACUUM: delete unreferenced data files older than the retention
+    * window; time travel past them stops working (Delta's contract). */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Optimize.VacuumResult =
+    Optimize.vacuum(spark, log, retentionMs)
+
   def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
     Optimize.compact(spark, log, smallFileThreshold)
 

@@ -22,6 +22,57 @@ object Optimize {
 
   final case class Result(version: Long, filesRemoved: Int, filesAdded: Int)
 
+  final case class VacuumResult(filesDeleted: Int, bytesReclaimed: Long)
+
+  /**
+   * VACUUM: physically delete data files under the table root that the
+   * CURRENT snapshot no longer references and whose tombstone (or file
+   * modification time, when no remove action names them) is older than
+   * `retentionMs`. Time travel to versions needing those files stops
+   * working — same contract as Delta's VACUUM.
+   *
+   * Scale notes: the referenced-set is the snapshot file list (already on
+   * the driver for planning) plus DV files; the candidate listing is one
+   * recursive enumeration of the table root — O(#files) driver work with
+   * no data read, the same cost profile as any snapshot load.
+   */
+  def vacuum(spark: SparkSession, log: DeltaLog,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): VacuumResult = {
+    val snap = log.update()
+    val fs = log.fs
+    val root = log.tablePath
+    val now = System.currentTimeMillis()
+    val live: Set[String] = (snap.allFiles.map(f => snap.absolutePath(f).toUri.getPath) ++
+      snap.allFiles.flatMap(_.deletionVector).flatMap { dv =>
+        if (dv.storageType == "i") None
+        else Some(DeletionVectorStore.resolvePath(root, dv).toUri.getPath)
+      }).toSet
+    // tombstone timestamps from the log (removes name their deletion time)
+    val removedAt: Map[String, Long] = log.listCommitVersions().flatMap { v =>
+      log.readCommit(v).flatMap(_.remove).map { r =>
+        new Path(root, r.decodedPath).toUri.getPath ->
+          r.deletionTimestamp.getOrElse(0L)
+      }
+    }.toMap
+    var deleted = 0
+    var bytes = 0L
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        if (name != "_delta_log") walk(st.getPath)
+      } else if (!name.startsWith("_") && !name.startsWith(".")) {
+        val p = st.getPath.toUri.getPath
+        val cutoffBase = removedAt.getOrElse(p, st.getModificationTime)
+        if (!live.contains(p) && now - cutoffBase >= retentionMs) {
+          bytes += st.getLen
+          if (fs.delete(st.getPath, false)) deleted += 1 else bytes -= st.getLen
+        }
+      }
+    }
+    walk(root)
+    VacuumResult(deleted, bytes)
+  }
+
   def compact(
       spark: SparkSession,
       log: DeltaLog,

@@ -11,6 +11,37 @@ class OptimizeSpec extends AnyFunSuite {
   private def tmpTable(): String =
     java.nio.file.Files.createTempDirectory("graft-opt").toString + "/t"
 
+  test("vacuum reclaims unreferenced files but never live data or DVs") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(4), path)
+    val t = DeltaTable.forPath(spark, path)
+    // DV delete keeps the file but writes a deletion_vector_*.bin
+    t.delete(col("s_suppkey") % 10 === 3)
+    val expect = DeltaTable.forPath(spark, path).toDF.count()
+    // optimize rewrites everything: originals become tombstones
+    DeltaTable.forPath(spark, path).optimize(smallFileThreshold = 64L * 1024 * 1024)
+    def dataFiles(): Seq[java.io.File] =
+      new java.io.File(path).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles().size
+    // young tombstones survive a retention-respecting vacuum
+    assert(DeltaTable.forPath(spark, path).vacuum().filesDeleted == 0)
+    assert(dataFiles().size == before)
+    // zero-retention vacuum reclaims them...
+    val r = DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
+    assert(r.filesDeleted > 0 && r.bytesReclaimed > 0)
+    assert(dataFiles().size == before - r.filesDeleted)
+    // ...and the CURRENT snapshot still reads completely
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, path).toDF.count() == expect)
+    // no live file was touched: every referenced path still exists
+    val snap = DeltaTable.forPath(spark, path).snapshot
+    snap.allFiles.foreach { f =>
+      assert(new java.io.File(snap.absolutePath(f).toUri.getPath).exists(), f.path)
+    }
+  }
+
   test("optimize compacts small files; data and time travel preserved") {
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
     val path = tmpTable()
