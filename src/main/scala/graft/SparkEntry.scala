@@ -311,6 +311,20 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- full maintenance cycle: DV delete → OPTIMIZE rewrite → VACUUM
+    //     reclaim; the surviving table must still answer exactly ---
+    "delta_vacuum_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("s_suppkey") % 10 === 3)
+      DeltaTable.forPath(s, p).optimize(smallFileThreshold = 64L * 1024 * 1024)
+      DeltaTable.forPath(s, p).vacuum(retentionMs = 0L)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- CDF read (table_changes analog): two appends then an OPTIMIZE;
     //     inserts surface with their commit versions and the
     //     dataChange=false rewrite is skipped per protocol ---
@@ -464,6 +478,10 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_vacuum_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier WHERE s_suppkey % 10 <> 3
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_cdf_changes" ->
       """SELECT 'insert' AS _change_type,
         | CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version,
