@@ -43,6 +43,32 @@ object ProbeMain {
       DeltaTable.forPath(spark, p2).toDF.filter(col("l_orderkey") < 10).count()
       GraftMetrics.pushdownLog(spark).collect().mkString("; ")
     }
+    probe("CDF over an empty version range") {
+      DeltaTable.forPath(spark, path).changes(50, 60).count()
+    }
+    probe("CDF with inverted range") {
+      DeltaTable.forPath(spark, path).changes(3, 1).count()
+    }
+    probe("CHECK constraint violation names the constraint") {
+      val cpath = java.nio.file.Files.createTempDirectory("probe-ck").toString + "/t"
+      DeltaWriter.append(spark, src, cpath,
+        configuration = Map("delta.constraints.key_small" -> "r_regionkey < 2"))
+      DeltaWriter.append(spark, src, cpath) // keys 0-4: violates < 2
+    }
+    probe("vacuum on a fresh table is a no-op") {
+      DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
+    }
+    probe("unsupported reader feature fails loudly") {
+      val fpath = java.nio.file.Files.createTempDirectory("probe-ft").toString + "/t"
+      DeltaWriter.append(spark, src, fpath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fpath, "_delta_log", f"${1L}%020d.json"),
+        ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["someFutureFeature"],"writerFeatures":[]}}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DeltaLog.clearCache()
+      DeltaTable.forPath(spark, fpath).toDF.count()
+    }
     spark.stop()
   }
 }
