@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
  *    not high-cardinality ids.
  */
 object Sampling {
+  // Shadows functions.md5 with the thread-local-digest variant (identical
+  // hex output; Spark's Md5 builds a MessageDigest per row via provider
+  // reflection, which degrades badly in long-lived sessions).
+  private def md5(c: Column): Column = graft.functions.GraftFunctions.md5(c)
 
   /** Stable bucket in [0, buckets): first 8 hex chars of md5(key) as an
     * unsigned int, mod buckets. Matches DuckDB
