@@ -318,7 +318,7 @@ object SparkEntry {
       val t = DeltaTable.forPath(s, p)
       t.delete(col("s_suppkey") % 10 === 3)
       DeltaTable.forPath(s, p).optimize(smallFileThreshold = 64L * 1024 * 1024)
-      DeltaTable.forPath(s, p).vacuum(retentionMs = 0L)
+      DeltaTable.forPath(s, p).vacuum(retentionMs = 0L, force = true)
       DeltaTable.forPath(s, p).toDF
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
@@ -336,6 +336,26 @@ object SparkEntry {
       graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 1), p)
       val t = DeltaTable.forPath(s, p)
       t.optimize(smallFileThreshold = 64L * 1024 * 1024) // dataChange=false
+      t.changes(0, t.version)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("_commit_version"))
+    }),
+
+    // --- CDF over DV-encoded deletes (no cdc files): v1/v2 grow a file's
+    //     deletion vector (bitmap-diff → delete rows), v3 deletes the
+    //     file's remaining live rows (pure remove carrying its last DV),
+    //     and the trailing OPTIMIZE is skipped as a non-change ---
+    "delta_cdf_dv" -> ((s, dir) => {
+      val src = Fixtures.readNormalized(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val p = java.nio.file.Files.createTempDirectory("graft-cdf-dv").toString + "/t"
+      graft.delta.DeltaWriter.append(s, src, p) // v0: 25 inserts
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("n_nationkey") % 5 === 0)    // v1: DV created (5 rows)
+      t.delete(col("n_nationkey") % 5 === 1)    // v2: DV grows (diff = 5 rows)
+      t.delete(col("n_nationkey") >= 0)         // v3: rest deleted → pure remove
+      t.optimize(smallFileThreshold = 64L * 1024 * 1024) // no-op/non-change
       t.changes(0, t.version)
         .groupBy(col("_change_type"), col("_commit_version"))
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
@@ -486,6 +506,22 @@ object SparkEntry {
       """SELECT 'insert' AS _change_type,
         | CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
-        |FROM nation GROUP BY 2 ORDER BY 2""".stripMargin
+        |FROM nation GROUP BY 2 ORDER BY 2""".stripMargin,
+    "delta_cdf_dv" ->
+      """SELECT _change_type, _commit_version,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+        |         n_nationkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'delete',
+        |         CAST(CASE WHEN n_nationkey % 5 = 0 THEN 1
+        |                   WHEN n_nationkey % 5 = 1 THEN 2
+        |                   ELSE 3 END AS BIGINT),
+        |         n_nationkey
+        |  FROM nation) t
+        |GROUP BY _change_type, _commit_version
+        |ORDER BY _commit_version""".stripMargin
   )
 }

@@ -210,6 +210,7 @@ object DeltaDelete {
    */
   def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
     val snap = log.update()
+    ProtocolGate.validateWrite(snap, "DELETE")
     // raw (un-DV-filtered) relation: already-deleted rows union away
     val hitRows = snap.relationDF.where(condition)
       .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
@@ -242,6 +243,7 @@ object DeltaMerge {
     val snap = log.update()
     require(snap.columnMappingMode == "none",
       "MERGE not supported on column-mapped tables")
+    ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
     val schemaCols = snap.schema.fieldNames.toSeq
     require(source.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
@@ -302,6 +304,7 @@ object DeltaUpdate {
     val snap = log.update()
     require(snap.columnMappingMode == "none",
       "UPDATE not supported on column-mapped tables")
+    ProtocolGate.validateWrite(snap, "UPDATE")
     val bad = assignments.keys.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
 

@@ -58,6 +58,8 @@ object DeltaWriter {
       if (s.columnMappingMode != "none")
         throw new UnsupportedOperationException(
           "Writes to tables with column mapping are not supported")
+      // writer-side protocol gate: never commit what we can't honor
+      ProtocolGate.validateWrite(s, "WRITE")
     }
 
     // idempotent skip before doing any work

@@ -60,6 +60,22 @@ object DvCodec {
       }
       Bitmap64(scala.collection.immutable.SortedMap.from(m))
     }
+
+    /** Difference a ∖ b (non-destructive) — the rows newly deleted when a
+      * DV grows from b to a (CDF bitmap-diff derivation). */
+    def andNot(a: Bitmap64, b: Bitmap64): Bitmap64 = {
+      val m = scala.collection.mutable.SortedMap.empty[Int, RoaringBitmap]
+      a.parts.foreach { case (k, bm) =>
+        val r = b.parts.get(k) match {
+          case Some(other) => RoaringBitmap.andNot(bm, other)
+          case None => bm.clone()
+        }
+        if (!r.isEmpty) m.put(k, r)
+      }
+      Bitmap64(scala.collection.immutable.SortedMap.from(m))
+    }
+
+    val empty: Bitmap64 = Bitmap64(scala.collection.immutable.SortedMap.empty[Int, RoaringBitmap])
   }
 
   /** Serialize to the portable RoaringBitmapArray format (little-endian). */

@@ -24,6 +24,11 @@ object Optimize {
 
   final case class VacuumResult(filesDeleted: Int, bytesReclaimed: Long)
 
+  /** Retention floor below which vacuum refuses without `force`: a short
+    * window silently breaks concurrent readers pinned to older versions
+    * (Delta's retentionDurationCheck, same default). */
+  val MinRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   /**
    * VACUUM: physically delete data files under the table root that the
    * CURRENT snapshot no longer references and whose tombstone (or file
@@ -31,13 +36,25 @@ object Optimize {
    * `retentionMs`. Time travel to versions needing those files stops
    * working — same contract as Delta's VACUUM.
    *
+   * `retentionMs` below [[MinRetentionMs]] requires `force = true`
+   * (mirror of Delta's retentionDurationCheck): an aggressive window
+   * deletes files a concurrent reader's pinned snapshot still needs.
+   * In-flight append staging dirs (`tmp-stage-*`) are never entered —
+   * their files are mid-write and not yet referenced by any commit.
+   *
    * Scale notes: the referenced-set is the snapshot file list (already on
    * the driver for planning) plus DV files; the candidate listing is one
    * recursive enumeration of the table root — O(#files) driver work with
    * no data read, the same cost profile as any snapshot load.
    */
   def vacuum(spark: SparkSession, log: DeltaLog,
-      retentionMs: Long = 7L * 24 * 3600 * 1000): VacuumResult = {
+      retentionMs: Long = MinRetentionMs,
+      force: Boolean = false): VacuumResult = {
+    require(retentionMs >= 0, s"vacuum: negative retention $retentionMs")
+    require(force || retentionMs >= MinRetentionMs,
+      s"vacuum: retention ${retentionMs}ms is below the ${MinRetentionMs}ms " +
+        "safety floor and may delete files concurrent readers still need; " +
+        "pass force=true to override (Delta's retentionDurationCheck analog)")
     val snap = log.update()
     val fs = log.fs
     val root = log.tablePath
@@ -59,7 +76,9 @@ object Optimize {
     def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) {
-        if (name != "_delta_log") walk(st.getPath)
+        // tmp-stage-*: a concurrent append's staging dir (DeltaWriter) —
+        // its files are in flight, not abandoned
+        if (name != "_delta_log" && !name.startsWith("tmp-stage-")) walk(st.getPath)
       } else if (!name.startsWith("_") && !name.startsWith(".")) {
         val p = st.getPath.toUri.getPath
         val cutoffBase = removedAt.getOrElse(p, st.getModificationTime)
@@ -84,6 +103,9 @@ object Optimize {
     // files that read back all-null. Guard like append/update/merge.
     require(snap.columnMappingMode == "none",
       "OPTIMIZE not supported on column-mapped tables")
+    // removes here are dataChange=false, so appendOnly does not apply —
+    // but version/feature support still must hold before committing
+    ProtocolGate.validateWrite(snap, "OPTIMIZE")
 
     val candidates = snap.allFiles.filter(f =>
       f.size < smallFileThreshold || f.deletionVector.isDefined)

@@ -49,4 +49,70 @@ object ProtocolGate {
             supportedReaderFeatures.toSeq.sorted.mkString("[", ", ", "]"))
     }
   }
+
+  // -------------------------------------------------------------------------
+  // Write side (VERDICT r4 #3): a commit must never land on a table whose
+  // writer contract this engine can't honor — the reference never writes
+  // what its kernel can't (its one write gate, column-mapping rejection in
+  // test/sql/generated/writing/append/basic_append.test:74+, is mirrored in
+  // DeltaWriter; this is the general form).
+
+  /** Writer versions with fixed capability sets: 2 = appendOnly+invariants
+    * (invariants only bind when the schema actually declares them — checked
+    * separately), 3 = CHECK constraints, 4 = CDF + generated columns,
+    * 5 = column mapping (writes to mapped tables are rejected separately),
+    * 6 = identity columns (absent unless the schema declares one),
+    * 7 = table features. */
+  val maxWriterVersion = 7
+
+  /** Writer features honored end-to-end on the write path. `changeDataFeed`
+    * is accepted because this writer's DML always encodes changes as
+    * dataChange adds / DV diffs that [[DeltaTable.changes]] derives exactly
+    * (it never needs `_change_data` files for its own commits).
+    * `invariants` is accepted only when no field actually carries a
+    * `delta.invariants` expression (the common delta-spark default protocol
+    * (2,7) lists the feature on tables that declare none). */
+  val supportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
+    "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
+    "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck")
+
+  /** Operations that remove rows with dataChange=true — forbidden on
+    * `delta.appendOnly` tables per protocol. OPTIMIZE/VACUUM stay legal:
+    * their removes are dataChange=false rewrites / physical cleanup. */
+  private val dataChangeRemovalOps = Set("DELETE", "UPDATE", "MERGE")
+
+  /** Gate a write of kind `operation` ("WRITE", "DELETE", "UPDATE",
+    * "MERGE", "OPTIMIZE") against the table's writer protocol. */
+  def validateWrite(snap: Snapshot, operation: String): Unit = {
+    val p = snap.protocol
+    val tablePath = snap.log.tablePath.toString
+    if (p.minWriterVersion > maxWriterVersion)
+      throw new UnsupportedTableFeatureException(
+        s"Table $tablePath requires minWriterVersion=${p.minWriterVersion}; " +
+          s"this engine writes up to $maxWriterVersion")
+    if (p.minWriterVersion >= 7) {
+      val unsupported = p.writerFeatures.getOrElse(Nil).toSet -- supportedWriterFeatures
+      if (unsupported.nonEmpty)
+        throw new UnsupportedTableFeatureException(
+          s"Cannot $operation $tablePath: unsupported writer feature(s) " +
+            s"${unsupported.toSeq.sorted.mkString("[", ", ", "]")}; supported: " +
+            supportedWriterFeatures.toSeq.sorted.mkString("[", ", ", "]"))
+    }
+    // column invariants (legacy writer v2 feature): enforced nowhere in
+    // this engine, so any schema that declares one refuses writes
+    val invariantCols = snap.schema.fields.collect {
+      case f if f.metadata.contains("delta.invariants") => f.name }
+    if (invariantCols.nonEmpty)
+      throw new UnsupportedTableFeatureException(
+        s"Cannot $operation $tablePath: column invariant(s) on " +
+          s"${invariantCols.sorted.mkString("[", ", ", "]")} are not enforced " +
+          "by this engine")
+    if (dataChangeRemovalOps.contains(operation) &&
+        snap.metadata.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedTableFeatureException(
+        s"Cannot $operation $tablePath: table is append-only " +
+          "(delta.appendOnly=true forbids dataChange removes)")
+  }
 }

@@ -51,7 +51,7 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(p).count() == src.count())
   }
 
-  test("CDF changes(): inserts per version, rewrites skipped, DV ranges refused") {
+  test("CDF changes(): inserts per version, rewrites skipped, DV deletes derived") {
     val src = Fixtures.readParquet(spark, sfDir, "region")
       .select("r_regionkey", "r_name")
     val path = tmpTable()
@@ -69,15 +69,63 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     val v2 = DeltaTable.forPath(spark, path).version
     assert(v2 == 2)
     assert(DeltaTable.forPath(spark, path).changes(0, v2).count() == src.count())
-    // a DV-encoded delete cannot be expressed as CDF without cdc files:
-    // the range containing it must refuse, not under-report
+    // a DV-encoded delete yields exactly its bitmap-diff rows as deletes
     DeltaTable.forPath(spark, path).delete(col("r_regionkey") === 0)
-    val ex = intercept[UnsupportedOperationException] {
-      DeltaTable.forPath(spark, path).changes(0, 3).count()
+    val dels = DeltaTable.forPath(spark, path).changes(3, 3)
+    assert(dels.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(dels.select(col("r_regionkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // a second delete on the SAME file reports only the new diff
+    DeltaTable.forPath(spark, path).delete(col("r_regionkey") === 1)
+    val dels2 = DeltaTable.forPath(spark, path).changes(4, 4)
+    assert(dels2.select(col("r_regionkey").cast("long"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // full range reconciles: inserts minus deletes = live rows
+    val all = DeltaTable.forPath(spark, path).changes(0, 4)
+    assert(all.filter(col("_change_type") === "insert").count() == src.count())
+    assert(all.filter(col("_change_type") === "delete").count() == 2)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count() - 2)
+  }
+
+  test("CDF changes(): UPDATE emits delete diffs + inserted images; restore refused") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    val nUpd = DeltaTable.forPath(spark, path)
+      .update(col("s_suppkey") % 7 === 0, Map("s_acctbal" -> lit(0.0)))
+    val cdf = DeltaTable.forPath(spark, path).changes(1, 1)
+    // the update's preimages surface as deletes, postimages as inserts
+    assert(cdf.filter(col("_change_type") === "delete").count() == nUpd)
+    assert(cdf.filter(col("_change_type") === "insert").count() == nUpd)
+    assert(cdf.filter(col("_change_type") === "insert")
+      .filter(col("s_acctbal") =!= 0.0).count() == 0)
+    // deleting EVERYTHING leaves pure removes carrying the last DV; the
+    // feed lists exactly the still-live preimages
+    val live = DeltaTable.forPath(spark, path).toDF.count()
+    DeltaTable.forPath(spark, path).delete(lit(true))
+    val wipe = DeltaTable.forPath(spark, path).changes(2, 2)
+    assert(wipe.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(wipe.count() == live)
+    // a hand-forged DV SHRINK (row restore) refuses loudly
+    val log = DeltaLog.forPath(spark, path)
+    val snapActs = log.readCommit(1)
+    val restored = snapActs.flatMap(_.add).find(_.deletionVector.isDefined)
+    restored.foreach { a =>
+      val v = log.update().version + 1
+      val lines = Seq(
+        graft.delta.ActionJson.toJson(Action(RemoveFile(a.path,
+          Some(System.currentTimeMillis()), dataChange = true, a.deletionVector))),
+        graft.delta.ActionJson.toJson(Action(a.copy(deletionVector = None))))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_delta_log", f"$v%020d.json"),
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DeltaLog.clearCache()
+      val ex = intercept[UnsupportedOperationException] {
+        DeltaTable.forPath(spark, path).changes(v, v).count()
+      }
+      assert(ex.getMessage.contains("restore"))
     }
-    assert(ex.getMessage.contains("deletion-vector"))
-    // ...but the pre-delete range still reads
-    assert(DeltaTable.forPath(spark, path).changes(0, 2).count() == src.count())
   }
 
   test("many-add snapshot: 20k-file synthetic log replays, parallel prune exact") {

@@ -28,8 +28,18 @@ class OptimizeSpec extends AnyFunSuite {
     // young tombstones survive a retention-respecting vacuum
     assert(DeltaTable.forPath(spark, path).vacuum().filesDeleted == 0)
     assert(dataFiles().size == before)
-    // zero-retention vacuum reclaims them...
-    val r = DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
+    // sub-floor retention without force is refused (retentionDurationCheck)
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
+    }
+    // an in-flight append's staging dir is never entered
+    val staged = new java.io.File(path, "tmp-stage-test/part-0.parquet")
+    staged.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(staged.toPath, "inflight")
+    // zero-retention vacuum (forced) reclaims the tombstones...
+    val r = DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
+    assert(staged.exists(), "vacuum must not delete in-flight staged files")
+    staged.delete()
     assert(r.filesDeleted > 0 && r.bytesReclaimed > 0)
     assert(dataFiles().size == before - r.filesDeleted)
     // ...and the CURRENT snapshot still reads completely

@@ -56,6 +56,9 @@ object ProbeMain {
       DeltaWriter.append(spark, src, cpath) // keys 0-4: violates < 2
     }
     probe("vacuum on a fresh table is a no-op") {
+      DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
+    }
+    probe("vacuum below the retention floor without force is refused") {
       DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
     }
     probe("unsupported reader feature fails loudly") {
