@@ -987,7 +987,198 @@ object RelationalQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |  INTERSECT ALL
-        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin,
+
+    // ================= TPC-DS tranche 6 =================
+
+    // q64 shape: the wide multi-channel correlation monster — one fact
+    // row correlated through BOTH its supplier-side and customer-side
+    // dimension chains (8-way join), grouped over attributes of three dims
+    "ds_wide_multijoin" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, p_brand,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_size <= 5 AND o_orderstatus = 'F'
+        |GROUP BY supp_nation, cust_nation, p_brand
+        |HAVING count(*) >= 2
+        |ORDER BY supp_nation, cust_nation, p_brand""".stripMargin,
+
+    // q93 join shape: sales LEFT JOIN'd to a derived returns table at
+    // item grain, quantities adjusted by coalesce'd return quantities
+    "ds_returns_adjusted" ->
+      """WITH ret AS (
+        |  SELECT l_orderkey AS ro, l_partkey AS rp, sum(l_quantity) AS rqty
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        |SELECT l_suppkey, round(sum(l_quantity - coalesce(rqty, 0) * 0.5), 2) AS net_qty
+        |FROM lineitem LEFT JOIN ret ON ro = l_orderkey AND rp = l_partkey
+        |WHERE l_linestatus = 'O'
+        |GROUP BY l_suppkey
+        |HAVING sum(l_quantity) > 100
+        |ORDER BY net_qty DESC, l_suppkey LIMIT 25""".stripMargin,
+
+    // q78 shape: channel anti-correlation — per-year parts sold in one
+    // channel with NO presence in the other (left join null filter)
+    "ds_channel_anticorr" ->
+      """WITH store AS (
+        |  SELECT year(l_shipdate) AS y, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+        |web AS (
+        |  SELECT year(l_shipdate) AS y, l_partkey
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        |SELECT store.y, CAST(count(*) AS BIGINT) AS parts_no_web,
+        | round(sum(store.qty), 2) AS qty
+        |FROM store LEFT JOIN web
+        |  ON store.y = web.y AND store.l_partkey = web.l_partkey
+        |WHERE web.l_partkey IS NULL
+        |GROUP BY store.y ORDER BY store.y""".stripMargin,
+
+    // q32 shape: "excess" rows above a per-key average, via an explicit
+    // aggregate-join instead of a correlated subquery
+    "ds_excess_discount" ->
+      """WITH pavg AS (
+        |  SELECT l_partkey AS pk, avg(l_extendedprice) AS ap
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS excess_rev,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN pavg ON pk = l_partkey
+        |WHERE l_extendedprice > 1.3 * ap""".stripMargin,
+
+    // q10/q35 shape: EXISTS one relation AND NOT EXISTS a join of two
+    "ds_active_no_returns" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |    WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // cohort-retention shape: each customer's first active month, then
+    // activity bucketed by month offset from it (integer month arithmetic
+    // keeps both dialects identical)
+    "ds_cohort_retention" ->
+      """WITH fo AS (
+        |  SELECT o_custkey,
+        |    min(CAST(year(o_orderdate) AS BIGINT) * 12
+        |        + CAST(month(o_orderdate) AS BIGINT)) AS fm
+        |  FROM orders GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) AS BIGINT) * 12
+        |      + CAST(month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders)
+        |SELECT act.m - fm AS offset_m, CAST(count(*) AS BIGINT) AS active
+        |FROM act JOIN fo ON act.o_custkey = fo.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // percent_rank tail selection per region (deterministic: total order
+    // with unique tiebreak inside each partition)
+    "ds_percent_rank_top" ->
+      """SELECT r_name, o_orderkey, pr FROM (
+        |  SELECT r_name, o_orderkey,
+        |    round(percent_rank() OVER (
+        |      PARTITION BY r_name ORDER BY o_totalprice, o_orderkey), 4) AS pr
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey) t
+        |WHERE pr >= 0.999 ORDER BY r_name, o_orderkey""".stripMargin,
+
+    // several COUNT(DISTINCT) over different keys in ONE aggregate (the
+    // planner's expand/multi-distinct path)
+    "ds_multi_distinct_agg" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q87 shape: a chained EXCEPT of three customer sets
+    "ds_except_chain" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t""".stripMargin,
+
+    // q44 shape: best-N and worst-N per the same measure, joined by rank
+    // position (integerized revenue for exact cross-engine ordering)
+    "ds_best_worst" ->
+      """WITH prev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |best AS (SELECT l_partkey AS bp,
+        |    row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn FROM prev),
+        |worst AS (SELECT l_partkey AS wp,
+        |    row_number() OVER (ORDER BY rev ASC, l_partkey) AS rn FROM prev)
+        |SELECT best.rn AS pos, bp, wp
+        |FROM best JOIN worst ON best.rn = worst.rn
+        |WHERE best.rn <= 5 ORDER BY pos""".stripMargin,
+
+    // q41/q13 shape: OR-of-ANDs attribute predicate over a dimension
+    "ds_disjunctive_attrs" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n
+        |FROM part
+        |WHERE (p_size BETWEEN 1 AND 5 AND p_type LIKE '%ROM%')
+        |   OR (p_size BETWEEN 6 AND 10 AND p_retailprice > 1500)
+        |   OR (p_brand IN ('Brand#1', 'Brand#3') AND p_retailprice < 1000)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // cume_dist tail per priority (value-based: ties share one rounded
+    // distribution value in both engines; integerized order key)
+    "ds_cume_dist_tail" ->
+      """SELECT o_orderpriority, cd, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_orderpriority,
+        |    round(cume_dist() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT)), 4) AS cd
+        |  FROM orders) t
+        |WHERE cd >= 0.999 GROUP BY o_orderpriority, cd
+        |ORDER BY o_orderpriority, cd""".stripMargin,
+
+    // gaps-and-islands: consecutive-active-month streak lengths via
+    // lag + running break-count (the sessionization idiom in pure SQL)
+    "ds_order_streaks" ->
+      """WITH m AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) AS BIGINT) * 12
+        |      + CAST(month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, m,
+        |    CASE WHEN m - lag(m) OVER (PARTITION BY o_custkey ORDER BY m) = 1
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM m),
+        |s AS (
+        |  SELECT o_custkey, m,
+        |    sum(brk) OVER (PARTITION BY o_custkey ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM g)
+        |SELECT streak, CAST(count(*) AS BIGINT) AS n_islands FROM (
+        |  SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS streak
+        |  FROM s GROUP BY 1, 2) t
+        |GROUP BY streak ORDER BY streak""".stripMargin,
+
+    // two-level aggregation: per-customer averages re-averaged per segment
+    // (avg-of-avgs ≠ flat avg; the double grouping is the point)
+    "ds_avg_of_avgs" ->
+      """SELECT c_mktsegment, round(avg(co), 2) AS avg_cust_order,
+        | CAST(count(*) AS BIGINT) AS n_cust
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, avg(o_totalprice) AS co
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
