@@ -22,6 +22,14 @@ import org.apache.spark.sql.SparkSession
  * 30-300×. We sample the CodeHeap memory pools per query and emit a
  * `jvm_health` block, plus a `suspect` list (timed >3× its own warm pass)
  * so a degraded run is flagged by the harness, not by a judge.
+ *
+ * Noise-immune comparison (VERDICT r4): this host's throughput swings
+ * 30-40× over minutes, so a Spark timing and a DuckDB baseline measured in
+ * different windows produce a meaningless ratio. The x10 pass spawns a
+ * persistent DuckDB side-runner (tools/duckdb_paired.py) over the SAME
+ * data and asks it for each query's timing immediately before the Spark
+ * run — each ratio is computed inside one noise window and emitted as
+ * `x10_paired`.
  */
 object Bench {
   /** Headline set: delta scan + heavy relational + pipeline operators. */
@@ -83,29 +91,79 @@ object Bench {
     }
   }
 
-  /** Runs `names` twice (untimed warm incl. codegen+JIT, then timed),
-    * returning (timings, warmTimings, failed, maxCodeCacheFrac). */
-  private def runPass(
-      spark: SparkSession, sfDir: String, names: Seq[String],
-      tag: String): (Seq[(String, Double)], Map[String, Double], Seq[String], Double) = {
-    val queries = SparkEntry.queries
-    var failed = List.empty[String]
-    var ccFracMax = 0.0
-    def one(name: String): Double = {
-      val t0 = System.nanoTime()
-      try queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        if (!failed.contains(name)) failed ::= name
-        System.err.println(s"[bench] $tag$name failed: ${e.getMessage}")
-      }
-      val (u, m) = codeCache()
-      if (m > 0) ccFracMax = math.max(ccFracMax, u.toDouble / m)
-      (System.nanoTime() - t0) / 1e9
+  // ---------------------------------------------------------------------
+  // Paired DuckDB side-runner (dev oracle over the same data, spawned as a
+  // subprocess; absence — no python/duckdb on the host — degrades to an
+  // unpaired bench, never an error).
+
+  private final class DuckRunner(dataDir: String, sqlPath: String) {
+    private var proc: Process = _
+    private var toDuck: java.io.PrintWriter = _
+    private var fromDuck: java.io.BufferedReader = _
+    val available: Boolean =
+      try {
+        val pb = new ProcessBuilder(
+          "python3", "tools/duckdb_paired.py", dataDir, sqlPath)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        proc = pb.start()
+        toDuck = new java.io.PrintWriter(proc.getOutputStream, true)
+        fromDuck = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        readLine(60000).contains("READY")
+      } catch { case _: Exception => false }
+
+    private def readLine(ms: Long): Option[String] = {
+      val deadline = System.currentTimeMillis + ms
+      while (!fromDuck.ready() && System.currentTimeMillis < deadline && proc.isAlive)
+        Thread.sleep(25)
+      if (fromDuck.ready()) Option(fromDuck.readLine()) else None
     }
-    val warm = names.map(n => n -> one(n)).toMap
-    failed = Nil // only count timed-pass failures
-    val timed = names.map(n => n -> one(n))
-    (timed, warm, failed.reverse, ccFracMax)
+
+    /** Timed seconds for `name`'s oracle SQL, run NOW (warm+timed inside
+      * the runner; the timed number is returned). */
+    def time(name: String): Option[Double] =
+      if (!available || !proc.isAlive) None
+      else try {
+        toDuck.println(name)
+        readLine(600000).flatMap { line =>
+          val parts = line.split('\t')
+          if (parts.length == 3 && parts(0) == name) parts(2).toDoubleOption
+          else None
+        }
+      } catch { case _: Exception => None }
+
+    def close(): Unit =
+      try if (proc != null && proc.isAlive) { toDuck.println("EXIT"); proc.destroy() }
+      catch { case _: Exception => () }
+  }
+
+  // ---------------------------------------------------------------------
+
+  /** One noop-sink execution of `name`; returns (seconds, succeeded). */
+  private def runOne(spark: SparkSession, name: String, dir: String,
+      tag: String, ccFrac: Double): (Double, Boolean, Double) = {
+    val t0 = System.nanoTime()
+    var ok = true
+    try SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      ok = false
+      System.err.println(s"[bench] $tag$name failed: ${e.getMessage}")
+    }
+    val (u, m) = codeCache()
+    val cc = if (m > 0) math.max(ccFrac, u.toDouble / m) else ccFrac
+    ((System.nanoTime() - t0) / 1e9, ok, cc)
+  }
+
+  /** Retry a suspect once; the retry's time only REPLACES (via min) the
+    * original when the retry actually completed — a fast crash must not
+    * masquerade as a fast query (ADVICE r4). */
+  private def retryMin(spark: SparkSession, name: String, dir: String,
+      t: Double): (Double, Boolean) = {
+    val t1 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (math.min(t, (System.nanoTime() - t1) / 1e9), true)
+    } catch { case _: Throwable => (t, false) }
   }
 
   private def jsonTimings(ts: Seq[(String, Double)]): String =
@@ -132,6 +190,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // dims and dim-scale intermediates (a pruned 300k-row customer, the
+      // customer⋈orders key set) broadcast instead of shuffling the fact
+      // side — the right call on a 128 GiB-executor cluster too. 24 MB and
+      // not higher: the projection-ratio size estimate of the FACT table's
+      // pruned columns (~27 MB at x10) must stay ABOVE the threshold, or
+      // the planner builds a hash table over the fact side — backwards at
+      // any scale. AQE also demotes SMJ→BHJ under this threshold at
+      // runtime when the built side's shuffle stats come in small.
+      .config("spark.sql.autoBroadcastJoinThreshold", (24L * 1024 * 1024).toString)
+      // coalesce post-shuffle partitions toward the advisory size instead
+      // of keeping parallelism-many tiny partitions: at bench scale most
+      // shuffles carry a few MB and per-partition overhead dominates
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -149,12 +220,25 @@ object Bench {
       waitForHealthyWindow(spark)
       calibStart = calibrate(spark)
     }
-    val (timed0, warm, failed, ccFrac1) = runPass(spark, sfDir, torun, "")
+    var ccFracMax = 0.0
+    val warm = torun.map { n =>
+      val (t, _, cc) = runOne(spark, n, sfDir, "", ccFracMax)
+      ccFracMax = cc
+      n -> t
+    }.toMap
+    var failed = List.empty[String]
+    val timed0 = torun.map { n =>
+      val (t, ok, cc) = runOne(spark, n, sfDir, "", ccFracMax)
+      ccFracMax = cc
+      if (!ok) failed ::= n
+      n -> t
+    }
+    failed = failed.reverse
     // timed >3× its own warm pass (warm includes codegen compile, so timed
     // should never exceed it at steady state unless the run degraded).
-    // Degraded queries are re-run once and the MIN is kept: a transient
-    // host-noise window must not masquerade as engine slowness, while a
-    // genuinely slow query stays slow on retry.
+    // Degraded queries are re-run once and the MIN of the COMPLETED runs is
+    // kept: a transient host-noise window must not masquerade as engine
+    // slowness, while a genuinely slow query stays slow on retry.
     def suspectsOf(ts: Seq[(String, Double)]) = ts.collect {
       case (n, t) if t > 1.0 && warm.get(n).exists(w => w > 0 && t > 3 * w) => n
     }
@@ -162,13 +246,7 @@ object Bench {
     if (firstSuspects.nonEmpty) waitForHealthyWindow(spark)
     val results = timed0.map { case (n, t) =>
       if (!firstSuspects.contains(n)) n -> t
-      else {
-        val t1 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        n -> math.min(t, (System.nanoTime() - t1) / 1e9)
-      }
+      else n -> retryMin(spark, n, sfDir, t)._1
     }
     val qs = jsonTimings(results)
     val total = results.map(_._2).sum
@@ -176,40 +254,78 @@ object Bench {
     val retried = firstSuspects
 
     // synthetic 10× pass: per-query work dominates the JVM floor here
-    // (disable with SPARK_GRAFT_SCALE=0)
-    var ccFracMax = ccFrac1
+    // (disable with SPARK_GRAFT_SCALE=0). Each query's DuckDB twin runs
+    // immediately before it via the side-runner, so the per-query ratio is
+    // host-noise-immune even when absolute numbers are not.
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") ""
       else try {
         val bigDir = SyntheticScale.ensure(spark, sfDir, 10)
         val big = scaleHeadline.filter(SparkEntry.queries.contains)
         RelationalQueries.ensureViews(spark, bigDir)
-        val (big0, bigWarm, bigFailed, ccFrac2) = runPass(spark, bigDir, big, "x10 ")
-        ccFracMax = math.max(ccFracMax, ccFrac2)
-        // same anti-noise retry as the sf pass: timed >3× its own warm run
-        // is re-run once, min kept
-        if (big0.exists { case (n, t) =>
-          t > 1.0 && bigWarm.get(n).exists(w => w > 0 && t > 3 * w) })
-          waitForHealthyWindow(spark)
-        val bigResults = big0.map { case (n, t) =>
-          if (!(t > 1.0 && bigWarm.get(n).exists(w => w > 0 && t > 3 * w))) n -> t
-          else {
-            val t1 = System.nanoTime()
-            try SparkEntry.queries(n)(spark, bigDir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
-            n -> math.min(t, (System.nanoTime() - t1) / 1e9)
+        // dump the oracle SQL for the side-runner (same map Verify dumps)
+        val sqlPath = java.nio.file.Files.createTempFile("graft-oracle", ".json")
+        val node = graft.delta.ActionJson.mapper.createObjectNode()
+        SparkEntry.oracleSql.foreach { case (k, v) => node.put(k, v) }
+        java.nio.file.Files.writeString(sqlPath,
+          graft.delta.ActionJson.mapper.writeValueAsString(node))
+        val duck = new DuckRunner(bigDir, sqlPath.toString)
+        if (!duck.available)
+          System.err.println("[bench] duckdb side-runner unavailable — x10 pass unpaired")
+
+        val bigWarm = big.map { n =>
+          val (t, _, cc) = runOne(spark, n, bigDir, "x10 warm ", ccFracMax)
+          ccFracMax = cc
+          n -> t
+        }.toMap
+        var bigFailed = List.empty[String]
+        val bigRows: Seq[(String, Double, Option[Double])] = big.map { n =>
+          val d0 = duck.time(n) // paired: same noise window as the run below
+          val (t0, ok0, cc) = runOne(spark, n, bigDir, "x10 ", ccFracMax)
+          ccFracMax = cc
+          var t = t0
+          var ok = ok0
+          var d = d0
+          if (t > 1.0 && bigWarm.get(n).exists(w => w > 0 && t > 3 * w)) {
+            waitForHealthyWindow(spark)
+            val d1 = duck.time(n)
+            val (t1, ok1) = retryMin(spark, n, bigDir, t)
+            t = t1; ok = ok || ok1
+            d = (d0, d1) match {
+              case (Some(a), Some(b)) => Some(math.min(a, b))
+              case _ => d0.orElse(d1)
+            }
           }
+          if (!ok) bigFailed ::= n
+          (n, t, d)
         }
+        duck.close()
+        bigFailed = bigFailed.reverse
+        val bigResults = bigRows.map { case (n, t, _) => n -> t }
         val ok = bigResults.filterNot { case (n, _) => bigFailed.contains(n) }
-        f""","x10_total":${ok.map(_._2).sum}%.3f,"x10_queries":${jsonTimings(bigResults)},"x10_failed":${jsonArr(bigFailed)}"""
+        val paired = bigRows.collect { case (n, t, Some(d)) if !bigFailed.contains(n) =>
+          (n, t, d)
+        }
+        val pairedJson =
+          if (paired.isEmpty) ""
+          else {
+            val entries = paired.map { case (n, t, d) =>
+              f""""$n":{"spark":$t%.3f,"duckdb":$d%.3f,"ratio":${t / math.max(d, 1e-9)}%.1f}"""
+            }.mkString("{", ",", "}")
+            val sSum = paired.map(_._2).sum
+            val dSum = paired.map(_._3).sum
+            f""","x10_paired":$entries,"x10_paired_total_ratio":${sSum / math.max(dSum, 1e-9)}%.1f"""
+          }
+        f""","x10_total":${ok.map(_._2).sum}%.3f,"x10_queries":${jsonTimings(bigResults)},"x10_failed":${jsonArr(bigFailed)}$pairedJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] x10 pass failed: ${e.getMessage}"); ""
       }
 
     // pre-measured DuckDB numbers for the same x10 data (written by
     // tools/x10_baseline.py; provenance inside the blob) so bench-vs-
-    // baseline is comparable where per-query work dominates the JVM floor
+    // baseline is comparable where per-query work dominates the JVM floor.
+    // Parsed before splicing: a truncated baseline must not make the whole
+    // artifact unparseable (ADVICE r4).
     val baselineJson = {
       val f = new java.io.File("bench-baselines/x10_duckdb.json")
       if (!f.exists()) ""
@@ -217,8 +333,12 @@ object Bench {
         val txt = new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        s""","x10_duckdb_baseline":${txt.replaceAll("\\s+", " ").trim}"""
-      } catch { case _: Exception => "" }
+        val parsed = graft.delta.ActionJson.mapper.readTree(txt)
+        s""","x10_duckdb_baseline":${graft.delta.ActionJson.mapper.writeValueAsString(parsed)}"""
+      } catch { case _: Exception =>
+        System.err.println("[bench] bench-baselines/x10_duckdb.json unparseable — dropped")
+        ""
+      }
     }
 
     val calibEnd = calibrate(spark)

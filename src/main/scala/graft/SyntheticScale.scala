@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
  * it does, this ratio measures JVM floor, not the engine").
  */
 object SyntheticScale {
-  private val GEN = "s1"
+  private val GEN = "s2" // s2: replicas coalesced into few well-sized files
 
   /** Build (once) and return a parquet dir shaped like the driver's sfN
     * dirs, containing `factor`× the base data. */
@@ -39,18 +39,22 @@ object SyntheticScale {
     val vecOff = offsetOf("embeddings", "vec_id")
     val evOff = offsetOf("events", "event_id")
 
-    /** factor replicas with the given key columns shifted per replica. */
-    def replicate(t: String, shifts: Map[String, Long]): Unit = {
+    /** factor replicas with the given key columns shifted per replica.
+      * Output is coalesced into a few well-sized files — a union of
+      * factor× the source's partitioning otherwise emits dozens of tiny
+      * parquet files whose per-task/open overhead is what gets measured,
+      * not the engine (same small-file problem OPTIMIZE exists to fix). */
+    def replicate(t: String, shifts: Map[String, Long], files: Int = 4): Unit = {
       val src = base(t)
       val reps = (0 until factor).map { i =>
         shifts.foldLeft(src) { case (df, (c, off)) =>
           df.withColumn(c, col(c) + lit(i * off))
         }
       }
-      reps.reduce(_ union _).write.mode("overwrite")
+      reps.reduce(_ union _).coalesce(files).write.mode("overwrite")
         .parquet(s"$dir/$t.parquet")
     }
-    replicate("lineitem", Map("l_orderkey" -> ordOff))
+    replicate("lineitem", Map("l_orderkey" -> ordOff), files = 8)
     replicate("orders", Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
     replicate("customer", Map("c_custkey" -> custOff))
     replicate("documents", Map("doc_id" -> docOff))

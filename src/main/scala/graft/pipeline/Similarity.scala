@@ -277,21 +277,23 @@ object Similarity {
 
   /** Per-label centroid, one row per (label, dimension).
     *
-    * Scale shape: elementwise VECTOR sums via `Summarizer` (a partial
-    * aggregate — each task emits ONE 64-dim sum per label, merged on the
-    * reduce side), then a posexplode of the tiny |labels| result. The
+    * Scale shape: one codegen'd HashAggregate with `dim` elementwise sums —
+    * each task emits ONE 64-double partial row per label, merged on the
+    * reduce side — then a posexplode of the tiny |labels| result. The
     * naive posexplode-then-groupBy inflates the shuffle 64× (one row per
     * element per input row) — at 100 TB that is the whole job
-    * (VERDICT r4: 38× vs baseline on exactly that shape). Mean is
-    * computed as sum/count, matching SQL AVG bit-for-bit at round(4). */
-  def centroids(emb: DataFrame): DataFrame = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    import org.apache.spark.ml.stat.Summarizer
-    emb.select(col("label"), array_to_vector(asDouble(col("embedding"))).as("e"))
+    * (VERDICT r4: 38× vs baseline on exactly that shape). Column sums beat
+    * an ml-Vector Summarizer here: they stay inside whole-stage codegen
+    * (no per-row Vector boxing, no ObjectHashAggregate). Mean is computed
+    * as sum/count, matching SQL AVG bit-for-bit at round(4). */
+  def centroids(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("e"), i + 1)).as(s"s_$i")) :+ count(lit(1)).as("n")
+    emb.select(col("label"), asDouble(col("embedding")).as("e"))
       .groupBy(col("label"))
-      .agg(vector_to_array(Summarizer.sum(col("e"))).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("n"), posexplode(col("s")).as(Seq("pos", "x")))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("label"), col("n"),
+        posexplode(array((0 until dim).map(i => col(s"s_$i")): _*)).as(Seq("pos", "x")))
       .select(col("label"), (col("pos") + 1).as("i"),
         round(col("x") / col("n"), 4).as("v"))
       .orderBy(col("label"), col("i"))

@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev tool: time (and optionally explain) individual bench queries under
+  * the SAME session config Bench uses. GRAFT_EXPLAIN=1 prints the AQE
+  * final plan per query. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -7,9 +10,13 @@ object BenchOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("GRAFT_BROADCAST", (24L * 1024 * 1024).toString))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
@@ -17,10 +24,34 @@ object BenchOne {
     names.foreach { n =>  // warm
       queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $n: ${(System.nanoTime()-t0)/1e9}%.3f s")
+    // GRAFT_AB_BROADCAST="v1,v2": run each query under both thresholds
+    // back-to-back (noise-immune A/B inside one window), min of 2 each
+    sys.env.get("GRAFT_AB_BROADCAST") match {
+      case Some(ab) =>
+        val Array(a, b) = ab.split(',')
+        names.foreach { n =>
+          def timed(v: String): Double = {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            val t0 = System.nanoTime()
+            queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          timed(a); timed(b) // warm both plan shapes
+          val ta = math.min(timed(a), { val x = timed(a); x })
+          val tb = math.min(timed(b), { val x = timed(b); x })
+          println(f"[benchone] $n: A($a)=$ta%.3f s  B($b)=$tb%.3f s")
+        }
+      case None =>
+        names.foreach { n =>
+          val t0 = System.nanoTime()
+          val df = queries(n)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          println(f"[benchone] $n: ${(System.nanoTime()-t0)/1e9}%.3f s")
+          if (sys.env.get("GRAFT_EXPLAIN").contains("1")) {
+            df.collect()
+            println(s"[benchone] $n final plan:\n${df.queryExecution.executedPlan}")
+          }
+        }
     }
     spark.stop()
   }

@@ -137,6 +137,34 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"partial WindowGroupLimit not below the shuffle:\n${plan.take(3000)}")
   }
 
+  test("q18 aggregates lineitem BELOW the join and broadcasts the survivors") {
+    // the r4 plan joined orders⋈lineitem first, shuffling the full fact
+    // join output; the rewrite groups lineitem (HAVING applied) under the
+    // join's build side, which then broadcasts. Guard that shape.
+    RelationalQueries.ensureViews(spark, sfDir)
+    val df = spark.sql(RelationalQueries.sql("q18_large_orders"))
+    val plan = executedPlan(df).toString
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(joinIdx >= 0, s"q18 join did not broadcast:\n${plan.take(3000)}")
+    assert(aggIdx > joinIdx,
+      s"lineitem aggregate is not under the join (agg-before-join lost):\n${plan.take(3000)}")
+  }
+
+  test("centroids aggregate elementwise sums; explode runs on the tiny result") {
+    // the r4 plan posexploded every element before the shuffle (64× volume);
+    // now a codegen'd HashAggregate of per-element sums runs below and the
+    // Generate sits above it, exploding only |labels| rows
+    val emb = Fixtures.readParquet(spark, sfDir, "embeddings")
+    val df = graft.pipeline.Similarity.centroids(emb)
+    val plan = executedPlan(df).toString
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, s"no aggregate in centroids plan:\n${plan.take(3000)}")
+    assert(genIdx >= 0 && genIdx < aggIdx,
+      s"explode is below the aggregate (shuffle inflation is back):\n${plan.take(3000)}")
+  }
+
   test("scan reports log-derived size for cost estimation") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
     val snap = DeltaTable.forPath(spark, p).snapshot

@@ -27,7 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     x10 = sys.argv[1] if len(sys.argv) > 1 else \
-        "/tmp/graft-scale/s1/_root_testdata_sf0.1_x10"
+        "/tmp/graft-scale/s2/_root_testdata_sf0.1_x10"
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else \
         "/tmp/graft-verify/oracle_sql.json"
     con = duckdb.connect()
