@@ -132,7 +132,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   // ---------------- snapshot construction ----------------
 
   /** Latest snapshot, incrementally replayed on top of the cached one when
-    * possible (reference "snapshot hint" behavior). */
+    * possible (reference "snapshot hint" behavior). A LazySnapshot is
+    * rebuilt from its checkpoint instead (cheap — no file-list collect);
+    * replaying on top of it would force full materialization. */
   def update(): Snapshot = synchronized {
     val versions = listCommitVersions()
     if (versions.isEmpty)
@@ -140,7 +142,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val latest = versions.last
     cachedLatest match {
       case Some(s) if s.version == latest => s
-      case Some(s) if s.version < latest =>
+      case Some(s) if s.version < latest && !s.isInstanceOf[LazySnapshot] =>
         val snap = replayOnTop(s, versions.filter(_ > s.version))
         cachedLatest = Some(snap); versionCache.put(latest, snap); snap
       case _ =>
@@ -157,6 +159,14 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     if (!versions.contains(version))
       throw new IllegalArgumentException(
         s"Version $version not found for table $tablePath (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
+    // Very large classic checkpoints build a Dataset-backed snapshot: the
+    // driver decodes only the non-add actions + the JSON tail; the file
+    // list stays in the checkpoint parquet and scans prune it distributed
+    // (LazySnapshot). Any failure falls through to the eager path.
+    buildLazyIfHuge(version, versions).foreach { snap =>
+      versionCache.put(version, snap)
+      return snap
+    }
     // Start from the newest VALID checkpoint at or below the target version.
     // Multi-part part names are protocol-fixed, so a crash during a
     // same-part-count re-checkpoint can leave a MIXED old/new set that is
@@ -218,6 +228,75 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     newerVersions.foreach(v => readCommit(v).foreach(replay.apply))
     replay.toSnapshot(this, newerVersions.last)
   }
+
+  /** Adds in a classic checkpoint beyond which snapshot state stays as a
+    * Dataset ([[LazySnapshot]]) instead of a driver-side Seq. Default 10⁶:
+    * eager replay is proven cheap to 1M adds (ReplayBench), and below that
+    * the eager in-memory prune is faster per query; above it the driver's
+    * heap — O(#adds × ~500 B) — becomes the limiting resource and the
+    * Dataset-backed state trades planning latency for bounded memory. */
+  private def lazyThreshold: Long =
+    try spark.conf.get("spark.graft.lazySnapshot.minActions", "1000000").toLong
+    catch { case _: Exception => 1000000L }
+
+  /** Build a [[LazySnapshot]] when `_last_checkpoint` names a huge classic
+    * checkpoint at or below `version`. None → use the eager path. The
+    * pointer's recorded action count is validated against the checkpoint's
+    * parquet row count (metadata-only) — the same mixed-set defense the
+    * eager path gets from decoding. */
+  private def buildLazyIfHuge(version: Long, versions: Seq[Long]): Option[Snapshot] =
+    lastCheckpointInfo() match {
+      case Some((cv, Some(sz)))
+          if cv <= version && sz >= lazyThreshold && uuidManifest(cv).isEmpty =>
+        try {
+          val paths = checkpointFiles(cv)
+          val df = spark.read.parquet(paths.map(_.toString): _*)
+          val rowCount = df.count()
+          if (rowCount != sz) {
+            DeltaLog.log.warn(
+              s"Checkpoint at $logPath v$cv has $rowCount rows but " +
+                s"_last_checkpoint records $sz — not using the lazy path")
+            return None
+          }
+          // non-add actions are few: protocol/metaData/txn/domainMetadata
+          // (+ remove tombstones, irrelevant to state) — decode driver-side
+          val nonAdd = decodeActionDf(
+            df.where(org.apache.spark.sql.functions.col("add").isNull),
+            s"$logPath v$cv (lazy, non-add)")
+          val replay = new LogReplay
+          nonAdd.foreach(a => replay.apply(a.copy(remove = None)))
+          // JSON tail: protocol/metadata/txns/domains apply as usual; file
+          // actions reconcile against the checkpoint by decoded path
+          val tailAdds = new mutable.LinkedHashMap[String, AddFile]
+          val shadowed = mutable.Set.empty[String]
+          versions.filter(v => v > cv && v <= version).foreach { v =>
+            readCommit(v).foreach { a =>
+              a.add.foreach { f =>
+                tailAdds.put(f.decodedPath, f); shadowed += f.decodedPath
+              }
+              a.remove.foreach { r =>
+                tailAdds.remove(r.decodedPath); shadowed += r.decodedPath
+              }
+              replay.apply(a.copy(add = None, remove = None))
+            }
+          }
+          require(replay.metadata != null,
+            s"No metaData action in checkpoint $logPath v$cv")
+          ProtocolGate.validate(replay.protocol, tablePath.toString)
+          DeltaLog.log.info(
+            s"Lazy snapshot for $tablePath @ $version: $sz checkpoint actions, " +
+              s"${tailAdds.size} tail adds, ${shadowed.size} shadowed paths")
+          Some(new LazySnapshot(this, version, replay.protocol, replay.metadata,
+            paths, tailAdds.values.toSeq, shadowed.toSet,
+            replay.txns.toMap, replay.domains.values.toVector))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DeltaLog.log.warn(
+              s"Lazy snapshot build failed for $logPath v$cv — falling back to eager", e)
+            None
+        }
+      case _ => None
+    }
 
   def readCommit(v: Long): Seq[Action] = {
     val in = fs.open(commitFile(v))

@@ -61,13 +61,31 @@ object FileSkipping {
     * lists are pruned on the common fork-join pool (order-preserving;
     * `parsedStats` is a thread-safe lazy val, the evaluator is pure). */
   def prune(files: Seq[AddFile], dataSchema: StructType, filters: Seq[Expression]): Seq[AddFile] = {
-    if (filters.isEmpty) return files
-    val resolved = filters.flatMap(f => if (supportedShape(f)) Some(f) else None)
-    if (resolved.isEmpty) return files
-    def keep(f: AddFile): Boolean = f.parsedStats match {
-      case Some(st) => resolved.forall(e => mayContain(st, dataSchema, e))
-      case None => true // no stats → cannot skip (reference: kept)
+    keeper(dataSchema, filters) match {
+      case None => files
+      case Some(keep) => filterWith(files, keep)
     }
+  }
+
+  /** The per-file keep decision as a SERIALIZABLE closure (captures only the
+    * resolved filter expressions + schema), so a Dataset-backed snapshot can
+    * ship it to executors and prune a 10⁷-add checkpoint distributed. None
+    * when no filter can skip anything. */
+  private[graft] def keeper(dataSchema: StructType,
+      filters: Seq[Expression]): Option[AddFile => Boolean] = {
+    if (filters.isEmpty) return None
+    val resolved = filters.flatMap(f => if (supportedShape(f)) Some(f) else None)
+    if (resolved.isEmpty) None
+    else Some { f =>
+      f.parsedStats match {
+        case Some(st) => resolved.forall(e => mayContain(st, dataSchema, e))
+        case None => true // no stats → cannot skip (reference: kept)
+      }
+    }
+  }
+
+  /** Driver-side filter with the fork-join parallel path for large lists. */
+  private[delta] def filterWith(files: Seq[AddFile], keep: AddFile => Boolean): Seq[AddFile] = {
     if (files.size < ParallelThreshold) files.filter(keep)
     else {
       val arr = files.toArray

@@ -64,7 +64,6 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val all = snapshot.allFiles
     if (sys.env.contains("GRAFT_DEBUG_FILTERS"))
       dataFilters.foreach(f => System.err.println("[graft-debug] dataFilter:\n" + f.treeString))
     // 1. stats-based skipping on data filters (physical attr/stats names;
@@ -79,35 +78,34 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
             a.withName(phys(a.name))
         })
       }
-    val afterStats =
+    val statsKeeper =
       if (options.pushdownFilters)
-        FileSkipping.prune(all, snapshot.physicalDataSchema, statsFilters)
-      else all
-    // 2. partition pruning
-    val afterPartition =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) afterStats
+        FileSkipping.keeper(snapshot.physicalDataSchema, statsFilters)
+      else None
+    // 2. partition predicate, bound POSITIONALLY against the partition
+    //    schema (row construction looks values up by the LOG's physical
+    //    keys, so logical exposure stays consistent)
+    val partitionBound: Option[Expression] =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
       else {
         val partAttrs: Seq[Attribute] = partitionSchema.fields.toSeq.map(f =>
           AttributeReference(f.name, f.dataType, f.nullable)())
-        val bound = partitionFilters.reduce(And).transform {
+        Some(partitionFilters.reduce(And).transform {
           case a: AttributeReference =>
             val idx = partAttrs.indexWhere(p => p.name.equalsIgnoreCase(a.name))
             if (idx >= 0) BoundReference(idx, partAttrs(idx).dataType, partAttrs(idx).nullable)
             else a
-        }
-        val predicate = Predicate.createInterpreted(bound)
-        // row construction looks values up by the LOG's (physical) keys;
-        // binding above is positional, so logical exposure stays consistent
-        afterStats.filter { f =>
-          predicate.eval(PartitionUtil.internalRow(
-            f.partitionValues, snapshot.physicalPartitionSchema))
-        }
+        })
       }
+    // one pass over the snapshot's state — in-memory filter for regular
+    // snapshots, executor-side Dataset filter + survivor collect for
+    // checkpoint-backed LazySnapshots (10⁶+ adds never hit the driver)
+    val afterPartition = snapshot.scanCandidates(statsKeeper, partitionBound)
     GraftMetrics.record(PushdownEvent(
       snapshot.log.tablePath.toString,
       if (dataFilters.nonEmpty) "constant" else "none",
       (dataFilters ++ partitionFilters).map(_.sql).mkString(" AND "),
-      all.size, afterPartition.size))
+      snapshot.fileCount.toInt, afterPartition.size))
     // 3. dynamic (join-derived) stats re-prune — bounds computed at runtime
     val afterDynamic =
       if (dynamicThunks.isEmpty || !options.pushdownFilters) afterPartition

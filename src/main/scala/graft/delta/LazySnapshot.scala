@@ -1,0 +1,108 @@
+package graft.delta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate}
+import org.apache.spark.sql.functions.{col, lit, sum}
+
+/**
+ * Checkpoint-backed snapshot for VERY large tables (10⁶-10⁷ add actions —
+ * the shape of a real 100 TB table): the file list stays in the checkpoint
+ * parquet as a typed Dataset and is never fully materialized on the driver
+ * for scans. Planning ships the stats-skipping keeper and the partition
+ * predicate to executors and collects only the surviving AddFiles — the
+ * driver's memory is O(#matching files), not O(#table files).
+ *
+ * The small post-checkpoint JSON tail is reconciled driver-side exactly
+ * like the eager path: a tail add SHADOWS the checkpoint entry for its
+ * path, a tail remove deletes it.
+ *
+ * Maintenance operations (OPTIMIZE, VACUUM, listFiles, DV registry) still
+ * use [[allFiles]], which materializes lazily — they are O(#files) by
+ * nature. `delta-kernel`-style engines make the same split: scans stream
+ * the checkpoint, maintenance reads it whole.
+ */
+private[graft] class LazySnapshot(
+    log: DeltaLog,
+    version: Long,
+    protocol: Protocol,
+    metadata: Metadata,
+    checkpointPaths: Seq[Path],
+    tailAdds: Seq[AddFile],
+    tailRemovedPaths: Set[String],
+    setTransactions: Map[String, Long],
+    domainMetadata: Seq[DomainMetadata])
+  extends Snapshot(log, version, protocol, metadata, Nil,
+    setTransactions, domainMetadata) {
+
+  @transient private lazy val addEncoder = Encoders.product[AddFile]
+
+  /** Typed adds Dataset: checkpoint adds (columns aligned to the AddFile
+    * encoder, absent optionals null-filled) minus tail-shadowed paths,
+    * plus the tail's own adds. */
+  @transient private[graft] lazy val addsDataset: Dataset[AddFile] = {
+    val spark = log.spark
+    val df = spark.read.parquet(checkpointPaths.map(_.toString): _*)
+      .where(col("add").isNotNull).select("add.*")
+    val aligned = df.select(addEncoder.schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val removed = tailRemovedPaths // small; serialized into the closure
+    val base = aligned.as[AddFile](addEncoder)
+      .filter((f: AddFile) => !removed.contains(f.decodedPath))
+    if (tailAdds.isEmpty) base
+    else base.union(spark.createDataset(tailAdds)(addEncoder))
+  }
+
+  /** Diagnostics: whether a full driver-side materialization ever happened
+    * (scans should never trigger one). */
+  @volatile private[graft] var materializedFull: Boolean = false
+
+  override lazy val allFiles: Seq[AddFile] = {
+    materializedFull = true
+    addsDataset.collect().toSeq
+  }
+
+  override lazy val fileCount: Long = addsDataset.count()
+
+  override lazy val sizeInBytes: Long =
+    addsDataset.agg(sum(col("size"))).collect()(0).getLong(0)
+
+  /** Distributed Σ numRecords: (sum, files-without-stats) per partition. */
+  override lazy val numRecordsEstimate: Option[Long] = {
+    val (total, missing) = addsDataset
+      .mapPartitions { it =>
+        var s = 0L; var miss = 0L
+        it.foreach(f => f.parsedStats.flatMap(_.numRecords) match {
+          case Some(n) => s += n
+          case None => miss += 1
+        })
+        Iterator((s, miss))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    if (missing == 0) Some(total) else None
+  }
+
+  override lazy val hasDeletionVectors: Boolean =
+    !addsDataset.filter((f: AddFile) => f.deletionVector.isDefined).isEmpty
+
+  override private[graft] def scanCandidates(
+      statsKeeper: Option[AddFile => Boolean],
+      partitionBound: Option[Expression]): Seq[AddFile] = {
+    if (statsKeeper.isEmpty && partitionBound.isEmpty)
+      // unfiltered scan: the full list is needed for PartitionDirectory
+      // construction either way — same cost every FileIndex pays
+      return allFiles
+    val pSchema = physicalPartitionSchema // local copies: never capture `this`
+    val keep = statsKeeper
+    val bound = partitionBound
+    addsDataset.mapPartitions { it =>
+      val pred = bound.map(Predicate.createInterpreted)
+      it.filter { f =>
+        keep.forall(_(f)) &&
+          pred.forall(_.eval(PartitionUtil.internalRow(f.partitionValues, pSchema)))
+      }
+    }(addEncoder).collect().toSeq
+  }
+}

@@ -18,9 +18,40 @@ class Snapshot(
     val version: Long,
     val protocol: Protocol,
     val metadata: Metadata,
-    val allFiles: Seq[AddFile],
+    filesEager: Seq[AddFile],
     val setTransactions: Map[String, Long],
     val domainMetadata: Seq[DomainMetadata]) {
+
+  /** Full reconciled file list. [[LazySnapshot]] (checkpoint-backed, 10⁶+
+    * adds) materializes this only for maintenance operations — scans go
+    * through [[scanCandidates]], which prunes BEFORE collecting. */
+  def allFiles: Seq[AddFile] = filesEager
+
+  def fileCount: Long = allFiles.size
+
+  /** Scan-time candidate files after stats skipping + partition pruning.
+    * `statsKeeper` is [[FileSkipping.keeper]]'s serializable per-file
+    * decision; `partitionBound` is the partition predicate bound
+    * POSITIONALLY against [[physicalPartitionSchema]]. The base
+    * implementation filters the in-memory list (fork-join parallel above
+    * the FileSkipping threshold); LazySnapshot ships both closures to
+    * executors and collects only the survivors. */
+  private[graft] def scanCandidates(
+      statsKeeper: Option[AddFile => Boolean],
+      partitionBound: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[AddFile] = {
+    val afterStats = statsKeeper match {
+      case Some(k) => FileSkipping.filterWith(allFiles, k)
+      case None => allFiles
+    }
+    partitionBound match {
+      case Some(b) =>
+        val pred = org.apache.spark.sql.catalyst.expressions.Predicate.createInterpreted(b)
+        afterStats.filter(f => pred.eval(
+          PartitionUtil.internalRow(f.partitionValues, physicalPartitionSchema)))
+      case None => afterStats
+    }
+  }
 
   def schema: StructType = metadata.schema
   def partitionSchema: StructType = metadata.partitionSchema

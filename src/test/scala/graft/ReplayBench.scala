@@ -22,28 +22,51 @@ object ReplayBench {
     val dir = java.nio.file.Files.createTempDirectory("graft-replay-bench").toString + "/t"
     val path = SyntheticLog.build(spark, dir, n)
 
-    val log = DeltaLog.forPath(spark, path)
-    var t0 = System.nanoTime()
-    val snap = log.update()
-    val replayMs = (System.nanoTime() - t0) / 1e6
-    require(snap.allFiles.size == n, s"${snap.allFiles.size} != $n")
-
     // selective bounds over the synthetic per-file ranges → ~10 files survive
     val k = AttributeReference("k", LongType, nullable = true)()
     val lo = (n / 2).toLong * 10000L
     val filters = Seq(
       GreaterThanOrEqual(k, Literal(lo)),
       LessThanOrEqual(k, Literal(lo + 99999L)))
+
+    // ---- Dataset-backed (lazy) path: the driver never materializes the
+    // file list; the stats keeper ships to executors, survivors collect ----
+    val log = DeltaLog.forPath(spark, path)
+    var t0 = System.nanoTime()
+    val snap = log.update()
+    val lazyBuildMs = (System.nanoTime() - t0) / 1e6
+    val isLazy = snap.isInstanceOf[LazySnapshot]
     t0 = System.nanoTime()
-    val pruned = FileSkipping.prune(snap.allFiles, snap.dataSchema, filters)
+    val keeper = FileSkipping.keeper(snap.dataSchema, filters)
+    val prunedLazy = snap.scanCandidates(keeper, None)
+    val lazyPruneMs = (System.nanoTime() - t0) / 1e6
+    require(prunedLazy.size == 10, s"expected 10 surviving files, got ${prunedLazy.size}")
+    t0 = System.nanoTime()
+    snap.scanCandidates(keeper, None)
+    val lazyPruneWarmMs = (System.nanoTime() - t0) / 1e6
+    val stayedLazy = snap match {
+      case l: LazySnapshot => !l.materializedFull
+      case _ => false
+    }
+
+    // ---- eager path (driver-side Seq state), for comparison ----
+    spark.conf.set("spark.graft.lazySnapshot.minActions", Long.MaxValue.toString)
+    DeltaLog.clearCache()
+    val log2 = DeltaLog.forPath(spark, path)
+    t0 = System.nanoTime()
+    val esnap = log2.update()
+    val replayMs = (System.nanoTime() - t0) / 1e6
+    require(esnap.allFiles.size == n, s"${esnap.allFiles.size} != $n")
+    t0 = System.nanoTime()
+    val pruned = FileSkipping.prune(esnap.allFiles, esnap.dataSchema, filters)
     val pruneMs = (System.nanoTime() - t0) / 1e6
     require(pruned.size == 10, s"expected 10 surviving files, got ${pruned.size}")
     // second prune: stats JSON now parsed (the steady-state planning cost)
     t0 = System.nanoTime()
-    FileSkipping.prune(snap.allFiles, snap.dataSchema, filters)
+    FileSkipping.prune(esnap.allFiles, esnap.dataSchema, filters)
     val pruneWarmMs = (System.nanoTime() - t0) / 1e6
 
-    println(f"""{"n_adds":$n,"replay_sec":${replayMs / 1000}%.3f,"prune_cold_sec":${pruneMs / 1000}%.3f,"prune_warm_sec":${pruneWarmMs / 1000}%.3f}""")
+    println(f"""{"n_adds":$n,"lazy_snapshot":$isLazy,"lazy_stayed_unmaterialized":$stayedLazy,"lazy_build_sec":${lazyBuildMs / 1000}%.3f,"lazy_prune_cold_sec":${lazyPruneMs / 1000}%.3f,"lazy_prune_warm_sec":${lazyPruneWarmMs / 1000}%.3f,"eager_replay_sec":${replayMs / 1000}%.3f,"eager_prune_cold_sec":${pruneMs / 1000}%.3f,"eager_prune_warm_sec":${pruneWarmMs / 1000}%.3f}""")
     spark.stop()
   }
 }
