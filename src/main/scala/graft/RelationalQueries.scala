@@ -1178,7 +1178,142 @@ object RelationalQueries {
         |  SELECT c_custkey, c_mktsegment, avg(o_totalprice) AS co
         |  FROM customer JOIN orders ON o_custkey = c_custkey
         |  GROUP BY 1, 2) t
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // ================= TPC-DS tranche 7 =================
+
+    // several windows with DIFFERENT partitionings in one projection
+    // (separate window exchanges the planner must order)
+    "ds_mixed_windows" ->
+      """SELECT o_orderkey, rnk_status, rnk_pri FROM (
+        |  SELECT o_orderkey,
+        |    CAST(rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rnk_status,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rnk_pri
+        |  FROM orders) t
+        |WHERE rnk_status <= 10 OR rnk_pri <= 10
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // window OVER a window result: rank of per-month running totals
+    "ds_rank_of_running" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS pr,
+        |    CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |run AS (
+        |  SELECT pr, mo, CAST(sum(rev) OVER (PARTITION BY pr ORDER BY mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM m)
+        |SELECT mo, pr, cum FROM (
+        |  SELECT mo, pr, cum,
+        |    rank() OVER (PARTITION BY mo ORDER BY cum DESC, pr) AS r
+        |  FROM run) t
+        |WHERE r = 1 ORDER BY mo""".stripMargin,
+
+    // lead(): distribution of gaps to each customer's NEXT order month
+    "ds_lead_gap" ->
+      """WITH m AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) AS mo
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    lead(mo) OVER (PARTITION BY o_custkey ORDER BY mo) - mo AS gap
+        |  FROM m)
+        |SELECT gap, CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY gap ORDER BY gap""".stripMargin,
+
+    // statistical aggregates: correlation + sample stddev per group
+    // (round(2): both engines compute the same closed forms over doubles)
+    "ds_corr_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 2) AS qty_price_corr,
+        | round(stddev_samp(l_discount), 2) AS disc_sd,
+        | round(covar_samp(l_quantity, l_discount), 2) AS qty_disc_cov
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // shared string-function subset over the customer-id suffix
+    "ds_string_ops" ->
+      """SELECT upper(substr(c_name, length(c_name) - 1, 2)) AS sfx,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(length(replace(c_name, '#', ''))) AS BIGINT) AS chars,
+        | CAST(sum(position('1' IN c_name)) AS BIGINT) AS pos1
+        |FROM customer
+        |GROUP BY 1
+        |HAVING count(*) > 5
+        |ORDER BY sfx""".stripMargin,
+
+    // INTERVAL arithmetic in predicates and grouping
+    "ds_date_interval" ->
+      """SELECT CAST(year(o_orderdate + INTERVAL 6 MONTH) AS BIGINT) AS fiscal_year,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' - INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // GROUP BY a CASE banding expression (the report-bucket idiom)
+    "ds_case_bands" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS band,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS amt
+        |FROM orders
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // HAVING against a scalar subquery (post-aggregation correlation-free
+    // filter — the planner must evaluate the subquery once)
+    "ds_having_scalar" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) > (SELECT avg(cnt) * 2 FROM (
+        |  SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
+        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin,
+
+    // null-safe equi-join (IS NOT DISTINCT FROM): NULL keys match NULL
+    "ds_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN n_regionkey = 0 THEN NULL
+        |                  ELSE n_regionkey END AS rk, n_name FROM nation),
+        |b AS (SELECT CASE WHEN r_regionkey = 0 THEN NULL
+        |             ELSE r_regionkey END AS rk, r_name FROM region)
+        |SELECT coalesce(CAST(a.rk AS BIGINT), -1) AS rk,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // NOT IN with a (non-null) subquery — distinct decorrelation shape
+    // from NOT EXISTS (q22); the planner must prove null-safety
+    "ds_not_in" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // interval-overlap theta join: events within ±1h of the same user's
+    // own 'purchase' events (bounded: small user slice)
+    "ds_interval_overlap" ->
+      """WITH p AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 10)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS near_purchase
+        |FROM events e JOIN p
+        |  ON e.user_id = p.user_id
+        | AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+        |WHERE e.event_type <> 'purchase'
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
+    // histogram via integer banding (width_bucket idiom, portable form)
+    "ds_histogram_bands" ->
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
