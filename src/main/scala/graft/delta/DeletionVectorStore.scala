@@ -30,12 +30,17 @@ object DeletionVectorStore {
   }
 
   /** Load + decode the bitmap behind a descriptor. */
-  def read(log: DeltaLog, dv: DeletionVectorDescriptor): Bitmap64 = {
+  def read(log: DeltaLog, dv: DeletionVectorDescriptor): Bitmap64 =
+    read(log.tablePath, log.fs, dv)
+
+  /** Context-free variant, callable from executors (lazy DV slots). */
+  def read(tablePath: Path, fs: org.apache.hadoop.fs.FileSystem,
+      dv: DeletionVectorDescriptor): Bitmap64 = {
     val data = dv.storageType match {
       case "i" => DvCodec.z85Decode(dv.pathOrInlineDv)
       case _ =>
-        val p = resolvePath(log.tablePath, dv)
-        val in = log.fs.open(p)
+        val p = resolvePath(tablePath, dv)
+        val in = fs.open(p)
         val bytes =
           try org.apache.commons.io.IOUtils.toByteArray(in)
           finally in.close()

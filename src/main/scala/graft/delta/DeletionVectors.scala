@@ -28,14 +28,24 @@ object DeletionVectors {
     * produce. EVERY file is registered (DV-less files map to null) so
     * probes can FAIL CLOSED: a scanned path that matches no registered
     * rendering is an error, never a silent "not deleted" that would
-    * resurrect rows whose path merely percent-encodes differently. */
-  def registry(snapshot: Snapshot): Map[String, Bitmap64] =
+    * resurrect rows whose path merely percent-encodes differently.
+    *
+    * The registry carries DESCRIPTORS, not bitmaps: the driver reads no
+    * DV bytes at all. Each executor reads + memoizes only the bitmaps of
+    * files it actually scans ([[DvSlot.bitmap]]) — on a 100 TB table with
+    * pervasive DVs the driver would otherwise serially fetch 10⁵ bitmap
+    * files before the first task could run. */
+  def registry(snapshot: Snapshot): Map[String, DvHandle] = {
+    val tablePath = snapshot.log.tablePath.toString
+    val conf = new SerializableHadoopConf(
+      snapshot.log.spark.sessionState.newHadoopConf())
     snapshot.allFiles.flatMap { f =>
-      val bm = f.deletionVector
-        .map(dv => DeletionVectorStore.read(snapshot.log, dv)).orNull
+      val slot = f.deletionVector
+        .map(dv => new DvSlot(dv, tablePath, conf)).orNull
       val p = snapshot.absolutePath(f)
-      Seq(p.toString -> bm, p.toUri.getPath -> bm, p.toUri.toString -> bm)
+      Seq(p.toString -> slot, p.toUri.getPath -> slot, p.toUri.toString -> slot)
     }.toMap
+  }
 
   /** filter: rows whose (file, row_index) is in a DV are dropped. */
   def filterDeleted(spark: SparkSession, snapshot: Snapshot, df: DataFrame): DataFrame = {
@@ -49,19 +59,70 @@ object DeletionVectors {
   }
 }
 
+/** Hadoop Configuration with Java serialization (the stock class is not
+  * serializable; broadcasts of DV slots need it on executors). */
+final class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** A probe-able deletion bitmap in a broadcast registry. */
+sealed abstract class DvHandle extends Serializable {
+  def bitmap: Bitmap64
+}
+
+/** An already-resolved bitmap (CDF diff probes build these directly). */
+final class ResolvedDv(bm: Bitmap64) extends DvHandle {
+  override def bitmap: Bitmap64 = bm
+}
+
+/** Broadcast handle for one file's deletion vector: only the DESCRIPTOR
+  * crosses the wire; the bitmap is read and memoized on first probe.
+  * Broadcast values are shared per executor JVM, so each executor reads
+  * each scanned file's bitmap at most once; inline ("i") DVs decode
+  * locally with no IO. */
+final class DvSlot(
+    val descriptor: DeletionVectorDescriptor,
+    tablePath: String,
+    conf: SerializableHadoopConf) extends DvHandle {
+  @transient @volatile private var cached: Bitmap64 = _
+  override def bitmap: Bitmap64 = {
+    var b = cached
+    if (b == null) synchronized {
+      b = cached
+      if (b == null) {
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        b = DeletionVectorStore.read(p,
+          if (descriptor.storageType == "i") null else p.getFileSystem(conf.value),
+          descriptor)
+        cached = b
+      }
+    }
+    b
+  }
+}
+
 /** Per-task memoized (file → bitmap) resolver: rows arrive clustered by
   * file, so the common case is a byte-equality check on the previous path
   * — no per-row String allocation or map lookup. */
 class DvLookupCache extends Serializable {
   private var lastPath: UTF8String = _
   private var lastBitmap: Bitmap64 = _
-  private var map: Map[String, Bitmap64] = _
-  def deleted(bc: Broadcast[Map[String, Bitmap64]], path: UTF8String, idx: Long): Boolean = {
+  private var map: Map[String, DvHandle] = _
+  def deleted(bc: Broadcast[Map[String, DvHandle]], path: UTF8String, idx: Long): Boolean = {
     if (lastPath == null || !lastPath.equals(path)) {
       if (map == null) map = bc.value
       lastPath = path.clone()
       lastBitmap = map.get(path.toString) match {
-        case Some(bm) => bm // null for a registered DV-less file
+        case Some(slot) => if (slot == null) null else slot.bitmap
         case None => throw new IllegalStateException(
           s"scanned file not in the snapshot's DV registry (path rendering mismatch?): $path")
       }
@@ -75,7 +136,7 @@ class DvLookupCache extends Serializable {
 case class DvRowDeleted(
     left: Expression,
     right: Expression,
-    dvs: Broadcast[Map[String, Bitmap64]])
+    dvs: Broadcast[Map[String, DvHandle]])
   extends BinaryExpression {
   override def dataType: DataType = BooleanType
 

@@ -168,11 +168,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     def bitmapRows(files: Seq[(String, Bitmap64)], keep: Boolean): Option[DataFrame] =
       if (files.isEmpty) None
       else {
-        val reg: Map[String, Bitmap64] = files.flatMap { case (p, bm) =>
+        val reg: Map[String, DvHandle] = files.flatMap { case (p, bm) =>
           // qualified + raw renderings, mirroring DeletionVectors.registry
           // (the scan reports file: URIs; fail-closed probe needs them all)
           val hp = log.fs.makeQualified(new org.apache.hadoop.fs.Path(p))
-          Seq(hp.toString -> bm, hp.toUri.getPath -> bm, hp.toUri.toString -> bm)
+          val h: DvHandle = new ResolvedDv(bm)
+          Seq(hp.toString -> h, hp.toUri.getPath -> h, hp.toUri.toString -> h)
         }.toMap
         val df = readData(files.map(_._1))
         val hit = DvRowDeleted(

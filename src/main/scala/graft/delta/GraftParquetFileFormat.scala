@@ -41,7 +41,7 @@ import graft.delta.DvCodec.Bitmap64
  */
 class GraftParquetFileFormat(
     logicalToPhysical: Map[String, StructField],
-    dvRegistry: Option[Broadcast[Map[String, Bitmap64]]],
+    dvRegistry: Option[Broadcast[Map[String, DvHandle]]],
     fieldIdMode: Boolean) extends ParquetFileFormat {
 
   private def isMapped: Boolean = logicalToPhysical.exists {
@@ -184,12 +184,13 @@ class GraftParquetFileFormat(
     }
   }
 
-  private def bitmapFor(map: Map[String, Bitmap64], pf: PartitionedFile): Bitmap64 = {
+  private def bitmapFor(map: Map[String, DvHandle], pf: PartitionedFile): Bitmap64 = {
     val p = pf.filePath.toPath
-    map.get(pf.filePath.toString)
+    val handle = map.get(pf.filePath.toString)
       .orElse(map.get(p.toString))
       .orElse(map.get(p.toUri.getPath))
       .getOrElse(throw new IllegalStateException(
         s"scanned file not in the snapshot's DV registry (path rendering mismatch?): ${pf.filePath}"))
+    if (handle == null) null else handle.bitmap
   }
 }

@@ -113,7 +113,7 @@ class Snapshot(
     * eagerly reads every deletion vector on the driver — repeated reads of
     * a DV table must not re-read them or accumulate broadcasts). */
   @transient private[delta] lazy val dvRegistryBroadcast
-      : Option[org.apache.spark.broadcast.Broadcast[Map[String, DvCodec.Bitmap64]]] =
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, DvHandle]]] =
     if (hasDeletionVectors)
       Some(log.spark.sparkContext.broadcast(DeletionVectors.registry(this)))
     else None
