@@ -1313,7 +1313,135 @@ object RelationalQueries {
         | CAST(count(*) AS BIGINT) AS n,
         | round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ================= TPC-DS tranche 8 =================
+
+    // correlated EXISTS whose subquery aggregates (HAVING inside EXISTS —
+    // the decorrelator must turn it into an aggregated semi-join)
+    "ds_exists_having" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 200)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three-level ROLLUP across two dimension chains + the fact
+    "ds_rollup_three" ->
+      """SELECT CAST(grouping(r_name) + grouping(n_name) + grouping(c_mktsegment) AS BIGINT) AS lvl,
+        | coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+        |ORDER BY lvl, region, nation, segment""".stripMargin,
+
+    // dense_rank vs rank divergence under ties (integerized measure TIES
+    // by construction: price buckets)
+    "ds_dense_rank" ->
+      """SELECT status, bucket, rnk, drnk FROM (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |    CAST(rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT)) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(floor(o_totalprice / 50000) AS BIGINT)) AS BIGINT) AS drnk
+        |  FROM orders) t
+        |GROUP BY status, bucket, rnk, drnk
+        |ORDER BY status, bucket, rnk""".stripMargin,
+
+    // composite-key membership via a synthesized key (row-value IN is not
+    // in the shared dialect subset; the semi-join plan shape is the point)
+    "ds_composite_in" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey * 1000000 + l_partkey IN (
+        |  SELECT l_orderkey * 1000000 + l_partkey FROM lineitem
+        |  WHERE l_quantity > 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // join on COMPUTED keys (month bucket + priority class expression)
+    "ds_expr_join" ->
+      """WITH a AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |    substr(o_orderpriority, 1, 1) AS pc,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+        |    CAST(count(*) AS BIGINT) AS n_ships
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.mo, pc, n_orders, n_ships
+        |FROM a JOIN b ON a.mo = b.mo
+        |WHERE pc IN ('1', '5')
+        |ORDER BY a.mo, pc""".stripMargin,
+
+    // correlated self NOT EXISTS with inequality: customers' months with
+    // exactly one order (no OTHER order in the same month)
+    "ds_self_anti" ->
+      """SELECT CAST(count(*) AS BIGINT) AS solo_orders
+        |FROM orders o1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o2
+        |  WHERE o2.o_custkey = o1.o_custkey
+        |    AND date_trunc('month', o2.o_orderdate) = date_trunc('month', o1.o_orderdate)
+        |    AND o2.o_orderkey <> o1.o_orderkey)""".stripMargin,
+
+    // max_by/min_by: argmax aggregates (which order was the priciest)
+    "ds_minmax_by" ->
+      """SELECT o_orderstatus,
+        | CAST(max_by(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000 + o_orderkey) AS BIGINT) AS priciest,
+        | CAST(min_by(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000 + o_orderkey) AS BIGINT) AS cheapest
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // boolean aggregates over per-group predicates
+    "ds_bool_aggs" ->
+      """SELECT l_returnflag,
+        | bool_and(l_quantity > 0) AS all_positive,
+        | bool_or(l_discount > 0.09) AS any_high_disc
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // count_if: predicate counting without CASE scaffolding
+    "ds_count_if" ->
+      """SELECT o_orderpriority,
+        | CAST(count_if(o_totalprice > 200000) AS BIGINT) AS big,
+        | CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS finished
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nth_value with an explicit full frame
+    "ds_nth_value" ->
+      """SELECT DISTINCT c_mktsegment,
+        | nth_value(o_orderkey, 3) OVER (
+        |   PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_order
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // 3-arg lag with offset and default (no NULL branch at series start)
+    "ds_lag_default" ->
+      """SELECT user_id, event_id,
+        | round(value - lag(value, 2, 0.0) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta2
+        |FROM events WHERE user_id < 5
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // composed set operations: (A EXCEPT B) INTERSECT C
+    "ds_setop_mix" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
