@@ -1441,7 +1441,145 @@ object RelationalQueries {
         |   EXCEPT
         |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |  INTERSECT
-        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t""".stripMargin
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t""".stripMargin,
+
+    // ================= TPC-DS tranche 9 =================
+
+    // FILTER-clause aggregates × GROUPING SETS in one aggregate node
+    "ds_filter_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS big_qty,
+        | CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS high_disc
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    // q49/q75-style triple-channel cohort: three distinct-customer sets
+    // full-outer-chained with coalesce keys, bucketed by membership
+    "ds_triple_cohort" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |      WHERE o_orderstatus = 'F'),
+        |c AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |      WHERE o_totalprice > 200000)
+        |SELECT
+        |  CASE WHEN a.ck IS NOT NULL THEN 1 ELSE 0 END * 4
+        |  + CASE WHEN b.ck IS NOT NULL THEN 1 ELSE 0 END * 2
+        |  + CASE WHEN c.ck IS NOT NULL THEN 1 ELSE 0 END AS membership,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM a
+        |FULL OUTER JOIN b ON a.ck = b.ck
+        |FULL OUTER JOIN c ON coalesce(a.ck, b.ck) = c.ck
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // scalar subquery inside a CASE in the projection
+    "ds_case_scalar" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_totalprice >
+        |   (SELECT avg(o_totalprice) FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS above_avg,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // correlated scalar subquery in the SELECT list (decorrelates to a
+    // left-outer aggregate join)
+    "ds_scalar_select" ->
+      """SELECT c_custkey,
+        | CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+        |FROM customer
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q75-style recombination monster: channel union → rollup → rank →
+    // rank-filtered report
+    "ds_union_rollup_rank" ->
+      """WITH ch AS (
+        |  SELECT 'store' AS channel, o_orderpriority AS grp,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS amt
+        |  FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'web', l_returnflag,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS amt
+        |  FROM lineitem GROUP BY 2),
+        |ru AS (
+        |  SELECT CAST(grouping(channel) + grouping(grp) AS BIGINT) AS lvl,
+        |    coalesce(channel, 'ALL') AS channel, coalesce(grp, 'ALL') AS grp,
+        |    CAST(sum(amt) AS BIGINT) AS amt
+        |  FROM ch GROUP BY ROLLUP(channel, grp))
+        |SELECT lvl, channel, grp, amt FROM (
+        |  SELECT lvl, channel, grp, amt,
+        |    rank() OVER (PARTITION BY lvl ORDER BY amt DESC, channel, grp) AS r
+        |  FROM ru) t
+        |WHERE r <= 3 ORDER BY lvl, amt DESC, channel, grp""".stripMargin,
+
+    // two-level nested subqueries: EXISTS containing an IN
+    "ds_nested_exists_in" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderkey IN (
+        |      SELECT l_orderkey FROM lineitem WHERE l_quantity > 48))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // several percentile_cont cut points in one ordered-set aggregate node
+    "ds_quartile_spread" ->
+      """SELECT c_mktsegment,
+        | round(CAST(percentile_cont(0.25) WITHIN GROUP (
+        |   ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE), 1) AS q1,
+        | round(CAST(percentile_cont(0.75) WITHIN GROUP (
+        |   ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE), 1) AS q3
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // COUNT(DISTINCT) under CUBE (expand × distinct-rewrite interplay)
+    "ds_distinct_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS pri,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, pri""".stripMargin,
+
+    // weekly bucketing (ISO week start in both dialects)
+    "ds_weekly_series" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // state-transition counting via lag (status flips per customer)
+    "ds_status_transitions" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS transitions
+        |FROM seq WHERE prev IS NOT NULL AND prev <> o_orderstatus""".stripMargin,
+
+    // semi + anti in ONE query: nations with customers but no suppliers
+    "ds_semi_anti_mix" ->
+      """SELECT n_name
+        |FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey
+        |              AND c_acctbal > 9000)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey
+        |                  AND s_acctbal > 9000)
+        |ORDER BY n_name""".stripMargin,
+
+    // global share: x / sum(x) OVER () — empty window partition
+    "ds_global_share" ->
+      """SELECT o_orderpriority,
+        | round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |   / CAST(sum(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))) OVER () AS DOUBLE), 4) AS share
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
