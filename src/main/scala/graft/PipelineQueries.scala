@@ -61,6 +61,40 @@ object PipelineQueries {
     target
   }
 
+  /** Runs the deduplicating stream once per sf dir: the source is staged
+    * with EVERY event duplicated across 4 files, so the stateful
+    * dropDuplicates must suppress re-deliveries across micro-batches for
+    * the sink to match the batch oracle over the ORIGINAL events. */
+  private def streamedDedupEvents(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val key = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+    val target = s"$root/stream-s1/$key/events_dedup_delta"
+    val marker = Paths.get(target, "_GRAFT_READY")
+    if (Files.exists(marker)) return target
+    Seq(target, s"$root/stream-s1/$key/events_dedup_src").foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val srcDir = s"$root/stream-s1/$key/events_dedup_src"
+    val ev = Fixtures.readNormalized(s, dir, "events") // ts nanos → micros
+    // at-least-once upstream: every event delivered twice, spread across
+    // 4 files = 4 micro-batches (duplicates mostly land in DIFFERENT
+    // batches — the cross-batch state is what's being proven)
+    ev.union(ev).repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingOps.streamDedupIntoDelta(
+      s, srcDir, schema, target, dedupCols = Seq("event_id"),
+      appId = s"stream-dedup-$key")
+    q.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    Files.createFile(marker)
+    target
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
@@ -109,6 +143,17 @@ object PipelineQueries {
     //     batch oracle over the same source (end-to-end streaming proof) ---
     "stream_ingest_agg" -> ((s, dir) => {
       val target = streamedEvents(s, dir)
+      graft.delta.DeltaTable.forPath(s, target).toDF
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- streaming DEDUP ingest: duplicated-delivery source → stateful
+    //     dropDuplicates across micro-batches → exactly-once delta sink;
+    //     the sink must equal the batch aggregate of the ORIGINAL events ---
+    "stream_dedup_agg" -> ((s, dir) => {
+      val target = streamedDedupEvents(s, dir)
       graft.delta.DeltaTable.forPath(s, target).toDF
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -444,6 +489,12 @@ object PipelineQueries {
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // dedup ingest: the doubled-delivery source must collapse back to the
+    // original events exactly
+    "stream_dedup_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -53,6 +53,41 @@ object StreamingOps {
       .start()
   }
 
+  /**
+   * Exactly-once DEDUPLICATING ingest: `dropDuplicates(dedupCols)` holds
+   * the seen-key set in the streaming state store, so a record arriving
+   * again in a LATER micro-batch (at-least-once upstream delivery,
+   * overlapping extracts) is dropped before it reaches the Delta sink;
+   * the sink itself commits with txnVersion=batchId for replay-idempotence.
+   * At 100 TB scale the state is partitioned by key across executors; a
+   * production pipeline would bound it with
+   * `dropDuplicatesWithinWatermark` once keys expire.
+   */
+  def streamDedupIntoDelta(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetTable: String,
+      dedupCols: Seq[String],
+      appId: String = "graft-stream-dedup",
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .dropDuplicates(dedupCols)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DeltaWriter.append(spark, batch.toDF(), targetTable,
+          txnAppId = Some(appId), txnVersion = Some(batchId),
+          operation = "STREAMING DEDUP")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserSession(user_id: Long, events: Long, total_value: Double)
 
