@@ -1579,7 +1579,81 @@ object RelationalQueries {
         | round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
         |   / CAST(sum(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))) OVER () AS DOUBLE), 4) AS share
         |FROM orders
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ================= TPC-DS tranche 10 =================
+
+    // q61 shape: promo-vs-total ratio as a cross-joined scalar pair
+    "ds_channel_ratio" ->
+      """WITH promo AS (
+        |  SELECT sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'PROMO'),
+        |total AS (
+        |  SELECT sum(l_extendedprice * (1 - l_discount)) AS rev FROM lineitem)
+        |SELECT round(promo.rev / total.rev * 100, 3) AS promo_pct
+        |FROM promo, total""".stripMargin,
+
+    // customer-lifetime-value deciles: ntile(10) over per-customer spend,
+    // then per-decile totals
+    "ds_ltv_deciles" ->
+      """WITH ltv AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT spend, ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        |  FROM ltv)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(spend) AS BIGINT) AS spend
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // first-order revenue share per segment (row_number=1 slice feeding a
+    // second aggregation)
+    "ds_first_order_share" ->
+      """WITH fo AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON c_custkey = o_custkey)
+        |SELECT c_mktsegment,
+        | CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_rev,
+        | CAST(sum(cents) AS BIGINT) AS total_rev
+        |FROM fo GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q72-ish self inequality join: same-order item pairs where one line
+    // ships >2x the quantity of another (bounded by per-order fan-out)
+    "ds_self_ineq_join" ->
+      """SELECT a.l_returnflag, CAST(count(*) AS BIGINT) AS skewed_pairs
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND a.l_linenumber <> b.l_linenumber
+        | AND a.l_quantity > 2 * b.l_quantity
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // attribute resolution across LEFT JOIN chains with COALESCE fallback
+    "ds_coalesce_sources" ->
+      """SELECT coalesce(n1.n_name, n2.n_name, 'UNKNOWN') AS nation,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |LEFT JOIN supplier ON s_suppkey = l_suppkey AND s_acctbal > 5000
+        |LEFT JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |LEFT JOIN orders ON o_orderkey = l_orderkey
+        |LEFT JOIN customer ON c_custkey = o_custkey
+        |LEFT JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // partial trailing frame: count/sum over the 5 PRECEDING rows,
+    // EXCLUDING the current one
+    "ds_trailing_frame" ->
+      """SELECT user_id, event_id,
+        | CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_n,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 2) AS prior_v
+        |FROM events WHERE user_id < 8
+        |ORDER BY user_id, event_id""".stripMargin
   )
 
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
