@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta._
+
+/** Dataset-backed snapshots (LazySnapshot): past the configured checkpoint
+  * size, the file list must stay OUT of driver memory for scans — pruning
+  * ships to executors and only survivors collect — while every read and
+  * maintenance surface stays value-identical to the eager path. */
+class LazySnapshotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-lazy").toString + "/t"
+
+  /** Run `body` with the lazy threshold lowered so small test tables
+    * qualify; always restore (the shared session outlives the test). */
+  private def withLowThreshold[A](body: => A): A = {
+    spark.conf.set("spark.graft.lazySnapshot.minActions", "10")
+    try body finally spark.conf.unset("spark.graft.lazySnapshot.minActions")
+  }
+
+  test("checkpointed table reads lazily: pruned scans never materialize") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartitionByRange(16, col("l_orderkey")), path)
+    DeltaTable.forPath(spark, path).checkpoint()
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val snap = DeltaLog.forPath(spark, path).update()
+      assert(snap.isInstanceOf[LazySnapshot], "expected the Dataset-backed path")
+      val lazySnap = snap.asInstanceOf[LazySnapshot]
+      // a selective scan (range-partitioned files → stats skip) is exact
+      val got = snap.toDF.where(col("l_orderkey") < 100)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+        .collect()(0)
+      val want = src.where(col("l_orderkey") < 100)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+        .collect()(0)
+      assert(got == want)
+      assert(!lazySnap.materializedFull,
+        "a pruned scan must not collect the full file list")
+      // estimates come from distributed aggregates, not a full collect
+      assert(snap.numRecordsEstimate.contains(src.count()))
+      assert(snap.sizeInBytes > 0)
+      assert(!lazySnap.materializedFull)
+      // an UNfiltered scan still answers exactly (full list is inherent)
+      assert(snap.toDF.count() == src.count())
+    }
+  }
+
+  test("JSON tail reconciles over the checkpoint: adds and DV removes") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(8), path)
+    DeltaTable.forPath(spark, path).checkpoint()
+    // post-checkpoint tail: one append + one DV delete
+    DeltaWriter.append(spark,
+      src.withColumn("s_suppkey", col("s_suppkey") + 100000), path)
+    DeltaTable.forPath(spark, path).delete(col("s_suppkey") % 10 === 3)
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val snap = DeltaLog.forPath(spark, path).update()
+      assert(snap.isInstanceOf[LazySnapshot])
+      val expect = 2 * src.count() - 2 * src.where(col("s_suppkey") % 10 === 3).count()
+      assert(snap.toDF.count() == expect)
+      // eager path agrees exactly
+      spark.conf.set("spark.graft.lazySnapshot.minActions", Long.MaxValue.toString)
+      DeltaLog.clearCache()
+      val eager = DeltaLog.forPath(spark, path).update()
+      assert(!eager.isInstanceOf[LazySnapshot])
+      assert(eager.toDF.count() == expect)
+      val a = snap.toDF.orderBy(col("s_suppkey")).collect().toSeq
+      val b = eager.toDF.orderBy(col("s_suppkey")).collect().toSeq
+      assert(a == b)
+    }
+  }
+
+  test("maintenance surfaces still work (materialize lazily, stay exact)") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(8), path)
+    DeltaTable.forPath(spark, path).checkpoint()
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val t = DeltaTable.forPath(spark, path)
+      assert(t.snapshot.isInstanceOf[LazySnapshot])
+      assert(t.listFiles().count() == t.snapshot.fileCount)
+      val r = t.optimize(smallFileThreshold = 64L * 1024 * 1024)
+      assert(r.filesRemoved > 0)
+      assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+    }
+  }
+}
