@@ -61,6 +61,29 @@ object ProbeMain {
     probe("vacuum below the retention floor without force is refused") {
       DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L)
     }
+    probe("DELETE on an append-only table is refused") {
+      val apath = java.nio.file.Files.createTempDirectory("probe-ao").toString + "/t"
+      DeltaWriter.append(spark, src, apath,
+        configuration = Map("delta.appendOnly" -> "true"))
+      DeltaTable.forPath(spark, apath).delete(col("r_regionkey") === 0)
+    }
+    probe("lying _last_checkpoint size falls back to eager replay, reads fine") {
+      val lpath = java.nio.file.Files.createTempDirectory("probe-lazy").toString + "/t"
+      DeltaWriter.append(spark, Fixtures.readParquet(spark, sfDir, "supplier")
+        .repartition(12), lpath)
+      DeltaTable.forPath(spark, lpath).checkpoint()
+      // corrupt the pointer's action count: the lazy path must disqualify
+      // itself (row-count validation) and the eager path still serve reads
+      val ptr = java.nio.file.Paths.get(lpath, "_delta_log", "_last_checkpoint")
+      val txt = new String(java.nio.file.Files.readAllBytes(ptr))
+      java.nio.file.Files.write(ptr,
+        txt.replaceAll("\"size\":\\d+", "\"size\":999")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DeltaLog.clearCache()
+      spark.conf.set("spark.graft.lazySnapshot.minActions", "10")
+      try DeltaTable.forPath(spark, lpath).toDF.count()
+      finally spark.conf.unset("spark.graft.lazySnapshot.minActions")
+    }
     probe("unsupported reader feature fails loudly") {
       val fpath = java.nio.file.Files.createTempDirectory("probe-ft").toString + "/t"
       DeltaWriter.append(spark, src, fpath)
