@@ -79,6 +79,12 @@ object Bench {
     (used, max)
   }
 
+  /** Degraded-window waits observed across the whole run — surfaced in
+    * the output JSON so a turbulent run is visible in the artifact itself
+    * (end-of-run calibration probes can look healthy even when the middle
+    * of the run sat in a noise storm). */
+  private val degradedWaits = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Before re-measuring suspects, wait (bounded) until the calibration
     * probe reports a sane window — retrying inside the same host-noise
     * window that produced the outlier recovers nothing. Healthy probe is
@@ -87,6 +93,7 @@ object Bench {
     var tries = 0
     while (calibrate(spark) > 1.5 && tries < 20) {
       System.err.println("[bench] degraded window (calibration probe slow) — waiting 15s")
+      degradedWaits.incrementAndGet()
       Thread.sleep(15000); tries += 1
     }
   }
@@ -345,7 +352,7 @@ object Bench {
     val (ccUsed, ccMax) = codeCache()
     val jitMs = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(-1L)
-    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f"""
+    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"degraded_waits":${degradedWaits.get}"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$baselineJson}""")
     spark.stop()
