@@ -148,6 +148,46 @@ case class RollingFingerprint(child: Expression, k: Int)
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** sorted_intersect_count(array<long> asc, array<long> asc) → long.
+  *
+  * |a ∩ b| by linear merge over two ASCENDING long arrays — the hot
+  * expression of the dedup verify joins. The built-in `array_intersect`
+  * allocates and populates a hash set per CALL, and Catalyst pushes the
+  * Jaccard threshold into the verify join's condition where the intersect
+  * is evaluated up to 3× per candidate pair (condition twice + project) —
+  * measured 9s/stage at sf0.1. The merge does ~|a|+|b| long compares with
+  * zero allocation, so the duplicated evaluation is immaterial. Callers
+  * must build the arrays with `sort_array(collect_set(_))`. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOps.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount = copy(l, r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+object ArrayOps {
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge._
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
@@ -155,4 +195,7 @@ object GraftFunctions {
     column(RollingFingerprint(expression(c), k))
   /** Drop-in for `functions.md5` (same lowercase-hex output). */
   def md5(c: Column): Column = column(GraftMd5Hex(expression(c)))
+  /** |a ∩ b| over two ascending `array<long>`s (see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }

@@ -57,18 +57,41 @@ object Dedup {
 
   /** Exact-verify candidate pairs against per-doc shingle sets: two
     * hash-joins moving one set array per doc (no re-explode into
-    * |pairs|·|shingles| rows), integer-only threshold 7·|∩| ≥ 2·|∪|. */
-  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame =
+    * |pairs|·|shingles| rows), integer-only threshold 7·|∩| ≥ 2·|∪|.
+    *
+    * Plan shape matters more than it looks here (measured 17.5s → ~1s at
+    * sf0.1 across three defects):
+    * - |∩| is a codegen'd linear merge over SORTED arrays
+    *   ([[graft.functions.SortedIntersectCount]]) — `array_intersect`
+    *   builds a hash set per call, and Catalyst pushes the threshold into
+    *   the join condition where it evaluates the intersect up to 3× per
+    *   candidate pair;
+    * - the candidate side is explicitly repartitioned: candidate pairs are
+    *   ~9 bytes/row but thousands of compare-ops/row, so AQE's byte-based
+    *   coalescing otherwise collapses the verify onto ONE task;
+    * - the final orderBy's range-sampling pass re-executes its child, so
+    *   the repartition exchange also caps the re-run at the (cheap,
+    *   parallel) verify rather than the whole candidate join. */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
+    val p = cands.sparkSession.sessionState.conf.numShufflePartitions
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersectCount(col("sa.ss"), col("sb.ss"))
     cands
+      .repartition(p, col("id_a"))
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long").as("inter"),
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
         (size(col("sa.ss")) + size(col("sb.ss"))).cast("long").as("szsum"))
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("szsum") - col("inter")).as("uni"))
       .where(col("inter") * 7 >= col("uni") * 2)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-doc shingle sets for [[verifyPairs]] — ASCENDING sort is the
+    * [[graft.functions.SortedIntersectCount]] input contract. */
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(sort_array(collect_set(col("s"))).as("ss"))
 
   /**
    * Exact n-gram Jaccard similar pairs with J ≥ 2/7, via inverted-index
@@ -94,8 +117,7 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("ss"))
-    verifyPairs(cands, sets)
+    verifyPairs(cands, shingleSets(sh))
   }
 
   /** Per-doc MinHash signature: `numHashes` min-md5-hex strings over raw
@@ -129,9 +151,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sets = hashedShingles(docs).groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"))
-    verifyPairs(cands, sets)
+    verifyPairs(cands, shingleSets(hashedShingles(docs)))
   }
 
   /**

@@ -19,6 +19,22 @@ object BenchOne {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_STAGES=1: print per-stage wall time + shuffle volumes after
+    // each timed run — the breakdown `explain` can't give.
+    if (sys.env.get("GRAFT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+            val m = i.taskMetrics
+            println(f"[stage] ${i.stageId}%3d ${ms.getOrElse(-1L)}%6d ms  " +
+              f"tasks=${i.numTasks}%3d  in=${m.inputMetrics.bytesRead/1048576.0}%8.1f MB  " +
+              f"shR=${m.shuffleReadMetrics.totalBytesRead/1048576.0}%8.1f MB  " +
+              f"shW=${m.shuffleWriteMetrics.bytesWritten/1048576.0}%8.1f MB  ${i.name.take(60)}")
+          }
+        })
     val queries = SparkEntry.queries
     RelationalQueries.ensureViews(spark, sfDir)
     names.foreach { n =>  // warm
