@@ -210,6 +210,15 @@ object Bench {
       // of keeping parallelism-many tiny partitions: at bench scale most
       // shuffles carry a few MB and per-partition overhead dominates
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ... but size the advisory for CPU-bound codegen'd joins, not bulk
+      // IO: the default 64 MB coalesced the x10 lineitem⋈orders SMJ input
+      // (119 MB) onto 2 of 32 cores. 8 MB keeps ~all cores busy once a
+      // shuffle carries real volume while still collapsing the few-MB
+      // ones; interleaved A/B (BenchOne GRAFT_AB_CONF): q5 5.4→1.4s,
+      // q3 2.8→0.9s, q18 2.3→1.5s, every small query unchanged-or-better.
+      // Cluster equivalent: advisory ≈ stage input / total cores.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (8L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -12,7 +12,10 @@ object BenchOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("GRAFT_BROADCAST", (24L * 1024 * 1024).toString))
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", (8L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -40,14 +43,19 @@ object BenchOne {
     names.foreach { n =>  // warm
       queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    // GRAFT_AB_BROADCAST="v1,v2": run each query under both thresholds
-    // back-to-back (noise-immune A/B inside one window), min of 2 each
-    sys.env.get("GRAFT_AB_BROADCAST") match {
-      case Some(ab) =>
+    // GRAFT_AB_CONF="conf.key:v1,v2" (or legacy GRAFT_AB_BROADCAST="v1,v2"):
+    // run each query under both values back-to-back (noise-immune A/B
+    // inside one host window), min of 2 each
+    val abSpec = sys.env.get("GRAFT_AB_CONF")
+      .map { s => val Array(k, vs) = s.split(":", 2); (k, vs) }
+      .orElse(sys.env.get("GRAFT_AB_BROADCAST")
+        .map(("spark.sql.autoBroadcastJoinThreshold", _)))
+    abSpec match {
+      case Some((key, ab)) =>
         val Array(a, b) = ab.split(',')
         names.foreach { n =>
           def timed(v: String): Double = {
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            spark.conf.set(key, v)
             val t0 = System.nanoTime()
             queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
