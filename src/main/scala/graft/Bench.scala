@@ -296,20 +296,33 @@ object Bench {
         }.toMap
         var bigFailed = List.empty[String]
         val bigRows: Seq[(String, Double, Option[Double])] = big.map { n =>
-          val d0 = duck.time(n) // paired: same noise window as the run below
-          val (t0, ok0, cc) = runOne(spark, n, bigDir, "x10 ", ccFracMax)
-          ccFracMax = cc
-          var t = t0
-          var ok = ok0
-          var d = d0
+          // two interleaved (duckdb, spark) rounds, min per engine: a
+          // noise burst must now span both rounds of both engines to
+          // reach the artifact (observed bursts poisoned single timed
+          // passes in BOTH directions — r4 spark rows, r5 a 4.6s duckdb
+          // q_window_rank)
+          def round(): (Option[Double], Double, Boolean) = {
+            val dd = duck.time(n)
+            val (tt, okk, cc) = runOne(spark, n, bigDir, "x10 ", ccFracMax)
+            ccFracMax = cc
+            (dd, tt, okk)
+          }
+          val (da, ta, oka) = round()
+          val (db, tb, okb) = round()
+          var t = math.min(ta, tb)
+          var ok = oka || okb
+          var d = (da, db) match {
+            case (Some(a), Some(b)) => Some(math.min(a, b))
+            case _ => da.orElse(db)
+          }
           if (t > 1.0 && bigWarm.get(n).exists(w => w > 0 && t > 3 * w)) {
             waitForHealthyWindow(spark)
             val d1 = duck.time(n)
             val (t1, ok1) = retryMin(spark, n, bigDir, t)
             t = t1; ok = ok || ok1
-            d = (d0, d1) match {
+            d = (d, d1) match {
               case (Some(a), Some(b)) => Some(math.min(a, b))
-              case _ => d0.orElse(d1)
+              case _ => d.orElse(d1)
             }
           }
           if (!ok) bigFailed ::= n
