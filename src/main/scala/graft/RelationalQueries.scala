@@ -47,25 +47,37 @@ object RelationalQueries {
   /** name → SQL that runs identically on Spark and DuckDB. */
   val sql: Map[String, String] = Map(
     // --- joins ---
+    // q3/q5 are written fact-last with the dim⋈dim side as a named
+    // subquery carrying a BROADCAST hint (a comment DuckDB ignores; it
+    // join-reorders on its own). Static size estimates can't see that
+    // customer(filtered)⋈orders shrinks to ~1/5 of orders, so without the
+    // hint Spark SMJs lineitem⋈orders — shuffling the entire fact table
+    // (107 MB at x10, the single largest cost in the bench) to produce a
+    // join output the dim side already bounds. With it, lineitem never
+    // shuffles: one scan → BHJ → partial agg. At 100 TB that is the
+    // difference between re-clustering the fact table per query and
+    // streaming it once.
     "q3_join" ->
-      """SELECT o_orderpriority,
+      """SELECT /*+ BROADCAST(o) */ o_orderpriority,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
         | count(*) AS n
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, o_orderpriority
+        |      FROM orders JOIN customer ON c_custkey = o_custkey
+        |      WHERE c_mktsegment = 'BUILDING') o ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q5_multi_join" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
+      """SELECT /*+ BROADCAST(o) */ n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey, c_nationkey, n_name
+        |      FROM customer
+        |      JOIN orders ON c_custkey = o_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = 'ASIA') o ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
     "q_semi_join" ->
