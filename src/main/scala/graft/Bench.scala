@@ -212,13 +212,13 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // ... but size the advisory for CPU-bound codegen'd joins, not bulk
       // IO: the default 64 MB coalesced the x10 lineitem⋈orders SMJ input
-      // (119 MB) onto 2 of 32 cores. 8 MB keeps ~all cores busy once a
+      // (119 MB) onto 2 of 32 cores. 4 MB keeps ~all cores busy once a
       // shuffle carries real volume while still collapsing the few-MB
-      // ones; interleaved A/B (BenchOne GRAFT_AB_CONF): q5 5.4→1.4s,
-      // q3 2.8→0.9s, q18 2.3→1.5s, every small query unchanged-or-better.
+      // ones; interleaved A/B (BenchOne GRAFT_AB_CONF): q5 5.4→1.4s, q3 2.8→0.9s,
+      // q18 2.3→0.9s (4 MB A/B), every small query unchanged-or-better.
       // Cluster equivalent: advisory ≈ stage input / total cores.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (8L * 1024 * 1024).toString)
+        (4L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
