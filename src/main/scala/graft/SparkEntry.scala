@@ -228,6 +228,17 @@ object SparkEntry {
       q1Shape(t.toDF)
     }),
 
+    // --- OPTIMIZE ZORDER BY: Morton re-clustering preserves results
+    //     (skip-effectiveness is asserted in OptimizeSpec) ---
+    "delta_zorder_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "lineitem")
+      val t = DeltaTable.forPath(s, p)
+      t.zorder(Seq("l_partkey", "l_suppkey"), maxRowsPerFile = 20000)
+      t.toDF.where(col("l_partkey") <= 100 && col("l_suppkey") <= 50)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
     // --- TableCatalog plugin: pure-SQL ATTACH parity + VERSION AS OF
     //     (reference delta_extension.cpp:21-93, delta_catalog.cpp) ---
     "delta_catalog_sql" -> ((s, dir) => {
@@ -464,6 +475,9 @@ object SparkEntry {
         |ORDER BY r_regionkey, r_name""".stripMargin,
     "delta_optimize_scan" -> q1Sql.replace("FROM lineitem",
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 3)"),
+    "delta_zorder_scan" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+        |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 50""".stripMargin,
     "delta_catalog_sql" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem WHERE l_orderkey % 3 <= 1""".stripMargin,

@@ -262,6 +262,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
     Optimize.compact(spark, log, smallFileThreshold)
 
+  /** OPTIMIZE ... ZORDER BY: re-cluster data files on the Morton
+    * interleave of `cols` so stats-based skipping prunes on any of them. */
+  def zorder(cols: Seq[String],
+      maxRowsPerFile: Long = 8L * 1024 * 1024): Optimize.Result =
+    Optimize.zorder(spark, log, cols, maxRowsPerFile)
+
   /** UPDATE: soft-delete matched rows (DV) + re-append updated images in
     * one commit (beyond the reference's surface). */
   def update(condition: org.apache.spark.sql.Column,

@@ -151,4 +151,96 @@ object Optimize {
         throw t
     }
   }
+
+  /**
+   * OPTIMIZE ... ZORDER BY (cols): rewrite the table's data files
+   * clustered on the Morton interleave of the given columns, so per-file
+   * min/max stats become tight on EVERY listed column and stats-based
+   * file skipping works for filters on any of them (a plain sort gives
+   * that for its leading column only). Readers of any version see
+   * identical rows — removes/adds carry dataChange=false like [[compact]].
+   *
+   * Shape: one small agg for global per-column min/max (bucket scaling),
+   * then one range-repartition + within-partition sort on the z-key and
+   * a rewrite — the same two-exchange cost as any global sort of the
+   * table, which is the floor for re-clustering 100 TB. Bucket codes are
+   * 16-bit min/max-scaled ranks (numeric/date/timestamp; strings use
+   * their first two bytes), interleaved by a codegen'd expression.
+   *
+   * Z-ordering by a partition column is rejected: its value is constant
+   * within every file already.
+   */
+  def zorder(
+      spark: SparkSession,
+      log: DeltaLog,
+      cols: Seq[String],
+      maxRowsPerFile: Long = 8L * 1024 * 1024): Result = {
+    import org.apache.spark.sql.functions.{coalesce, conv, floor, greatest,
+      hex, least, lit, max, min, substring}
+    val snap = log.update()
+    require(snap.columnMappingMode == "none",
+      "OPTIMIZE ZORDER not supported on column-mapped tables")
+    ProtocolGate.validateWrite(snap, "OPTIMIZE")
+    val partCols = snap.metadata.partitionColumns
+    require(cols.nonEmpty && cols.size <= 4,
+      s"zorder takes 1-4 columns, got ${cols.size}")
+    cols.foreach { c =>
+      require(snap.schema.fieldNames.contains(c), s"zorder: no such column $c")
+      require(!partCols.contains(c),
+        s"zorder: $c is a partition column (constant per file already)")
+    }
+    val toRewrite = snap.allFiles
+    if (toRewrite.isEmpty) return Result(snap.version, 0, 0)
+
+    val rows = snap.toDF
+    // 16-bit bucket code per column: min/max-scaled rank for orderable
+    // types; first-two-bytes code for strings; null → 0
+    def numericBucket(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0)
+      else least(lit(65535), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) * 65535.0 / (hi - lo)).cast("int")))
+    val bucketCols = cols.map { c =>
+      snap.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          coalesce(
+            conv(hex(substring(col(c).cast("binary"), 1, 2)), 16, 10).cast("int"),
+            lit(0))
+        case _ =>
+          val mm = rows.agg(
+            min(col(c).cast("double")), max(col(c).cast("double"))).head()
+          if (mm.isNullAt(0)) lit(0)
+          else numericBucket(c, mm.getDouble(0), mm.getDouble(1))
+      }
+    }
+    val zKey = graft.functions.ZOrderCode.zOrderCode(bucketCols)
+    val numFiles = math.max(1L,
+      toRewrite.map(f => f.parsedStats.flatMap(_.numRecords).getOrElse(0L)).sum
+        / maxRowsPerFile + 1).toInt
+    val repacked = rows.withColumn("__z", zKey)
+      .repartitionByRange(numFiles, (partCols.map(col) :+ col("__z")): _*)
+      .sortWithinPartitions((partCols.map(col) :+ col("__z")): _*)
+      .drop("__z")
+
+    val moved = ArrayBuffer.empty[Path]
+    try {
+      val adds = DeltaWriter.writeFiles(spark, log, repacked, snap.schema,
+        partCols, moved)
+      val actions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
+          Map("zorderBy" -> cols.mkString(","),
+            "filesRemoved" -> toRewrite.size.toString,
+            "filesAdded" -> adds.size.toString)))) ++
+        toRewrite.map(f => Action(RemoveFile(f.path,
+          Some(System.currentTimeMillis()), dataChange = false, f.deletionVector))) ++
+        adds.map(a => Action(a.copy(dataChange = false)))
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      Result(snap.version + 1, toRewrite.size, adds.size)
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
 }

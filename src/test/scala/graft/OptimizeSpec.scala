@@ -159,4 +159,52 @@ class OptimizeSpec extends AnyFunSuite {
     assert(got == src.where(col("c_mktsegment") === "BUILDING").count())
     assert(before >= r.filesAdded)
   }
+
+  test("zorder clusters files so skipping prunes on every listed column") {
+    // two independent uniform dims: random row order makes every file's
+    // (a, b) min/max span ~the full domain, so NO filter can skip anything
+    val n = 80000
+    val src = spark.range(n.toLong)
+      .select(col("id"),
+        (xxhash64(col("id")) % 1000).cast("long").as("a"),
+        (xxhash64(col("id"), lit(7)) % 1000).cast("long").as("b"))
+      .orderBy(xxhash64(col("id"), lit(99))) // shuffle row order
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(8), path)
+
+    // edge slice: the top ~5% of either dimension — a z-rectangle a file
+    // can actually exclude (mid-domain slices straddle the coarse top
+    // bits of every file's Morton range)
+    def filesScanned(c: String): Int = {
+      GraftMetrics.clear()
+      DeltaLog.clearCache()
+      val t = DeltaTable.forPath(spark, path)
+      t.toDF.where(col(c) >= 900).agg(count(lit(1))).collect()
+      val ev = GraftMetrics.pushdownLog(spark).collect()
+        .filter(_.getAs[String]("path").contains(path))
+      ev.map(_.getAs[Int]("filesAfter")).min
+    }
+    val expectTotal = n
+    val expectA = src.where(col("a") >= 900).count()
+    assert(filesScanned("a") == 8, "pre-zorder: random layout defeats skipping")
+    assert(filesScanned("b") == 8)
+
+    val r = DeltaTable.forPath(spark, path).zorder(Seq("a", "b"), maxRowsPerFile = 4000)
+    assert(r.filesRemoved == 8 && r.filesAdded > 1)
+    // identical rows, on the current version AND through time travel
+    DeltaLog.clearCache()
+    val t2 = DeltaTable.forPath(spark, path)
+    assert(t2.toDF.count() == expectTotal)
+    assert(t2.toDF.where(col("a") >= 900).count() == expectA)
+    assert(t2.toDF(versionAsOf = 0).count() == expectTotal)
+    // tight per-file stats on BOTH dimensions now prune
+    val sa = filesScanned("a")
+    val sb = filesScanned("b")
+    assert(sa < r.filesAdded, s"zorder must prune on a (scanned $sa/${r.filesAdded})")
+    assert(sb < r.filesAdded, s"zorder must prune on b (scanned $sb/${r.filesAdded})")
+    // a partition-constant or unknown column is rejected
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).zorder(Seq("nope"))
+    }
+  }
 }
