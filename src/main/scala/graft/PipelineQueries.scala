@@ -61,6 +61,43 @@ object PipelineQueries {
     target
   }
 
+  /** Builds (once per sf dir) a 3-append Delta events table, streams it
+    * through the graftdelta SOURCE (AvailableNow → parquet sink), and
+    * returns the sink dir. The sink contents must equal the batch table —
+    * proof the version-offset source delivers every append exactly once. */
+  private def streamedSourceRead(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val key = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+    val out = s"$root/stream-s1/$key/events_source_out"
+    val marker = Paths.get(out, "_GRAFT_READY")
+    if (Files.exists(marker)) return out
+    val tbl = s"$root/stream-s1/$key/events_delta_3append"
+    val ck = s"$root/stream-s1/$key/events_source_ck"
+    Seq(out, tbl, ck).foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val ev = Fixtures.readParquet(s, dir, "events")
+    (0 until 3).foreach { i =>   // three real versions
+      graft.delta.DeltaWriter.append(s,
+        ev.where(pmod(col("event_id"), lit(3)) === i), tbl)
+    }
+    graft.delta.DeltaLog.clearCache()
+    val q = s.readStream.format("graftdelta").load(tbl)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Files.createFile(marker)
+    out
+  }
+
   /** Runs the deduplicating stream once per sf dir: the source is staged
     * with EVERY event duplicated across 4 files, so the stateful
     * dropDuplicates must suppress re-deliveries across micro-batches for
@@ -144,6 +181,16 @@ object PipelineQueries {
     "stream_ingest_agg" -> ((s, dir) => {
       val target = streamedEvents(s, dir)
       graft.delta.DeltaTable.forPath(s, target).toDF
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- streaming SOURCE: version-offset readStream over a 3-append
+    //     delta table → parquet sink; sink equals the batch table ---
+    "stream_source_agg" -> ((s, dir) => {
+      val out = streamedSourceRead(s, dir)
+      s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
         .orderBy(col("event_type"))
@@ -489,6 +536,12 @@ object PipelineQueries {
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // streaming source: the parquet sink fed by the version-offset stream
+    // must equal the batch aggregate of the table's rows
+    "stream_source_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -1,7 +1,9 @@
 package graft.delta
 
 import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Pluggable data-source registration — the `delta_scan('path', ...)` API
@@ -11,12 +13,40 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
  *     .option("versionAsOf", 3)      // AT (VERSION => 3)
  *     .load(path)
  *
+ * and the streaming read (beyond the reference — see
+ * [[DeltaStreamSource]]):
+ *
+ *   spark.readStream.format("graftdelta")
+ *     .option("startingVersion", 0).load(path)
+ *
  * Registered via META-INF/services (DataSourceRegister), so the short
  * name works in any session without extra configuration.
  */
-class GraftDeltaSource extends RelationProvider with DataSourceRegister {
+class GraftDeltaSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graftdelta requires a path"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters)).update().schema))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): StreamSource =
+    new DeltaStreamSource(sqlContext.sparkSession,
+      DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters)), parameters)
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -27,4 +27,19 @@ object GraftColumnBridge {
   def parquetRowIndexTempColumnName: String =
     org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Re-tag a batch DataFrame as a streaming micro-batch frame: V1
+    * `Source.getBatch` results must have `isStreaming=true`
+    * (MicroBatchExecution asserts it), but every public way to build a
+    * DataFrame over planned files yields a batch plan. Wraps the planned
+    * RDD in a streaming `LogicalRDD` — the execution stays the already-
+    * optimized scan; only the logical tag changes. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(spark)
+    classic.Dataset.ofRows(spark, plan)
+  }
 }

@@ -95,4 +95,60 @@ class StreamingSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("delta streaming source delivers appends incrementally, exactly once") {
+    import graft.delta.DeltaWriter
+    val path = java.nio.file.Files.createTempDirectory("stream-dsrc").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-dsrc-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-dsrc-out").toString
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    DeltaWriter.append(spark, base.limit(100), path)                 // v0
+    DeltaWriter.append(spark, base.limit(250).exceptAll(base.limit(100)), path) // v1
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftdelta").load(path)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def delivered(): Long = spark.read.parquet(outDir).count()
+    runOnce()
+    assert(delivered() == 250)
+
+    // new appends after the checkpoint → only the delta arrives
+    DeltaWriter.append(spark, base.limit(300).exceptAll(base.limit(250)), path) // v2
+    runOnce()
+    assert(delivered() == 300)
+    // re-running with nothing new delivers nothing
+    runOnce()
+    assert(delivered() == 300)
+
+    // a DELETE-carrying version refuses a plain stream (fail-closed) ...
+    DeltaTable.forPath(spark, path).delete(col("event_id") % 7 === 0)
+    DeltaWriter.append(spark, base.limit(320).exceptAll(base.limit(300)), path)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("ignoreChanges"))
+        || mentions(t.getCause))
+    assert(mentions(failed))
+
+    // ... and ignoreChanges=true streams the adds across it
+    val ckpt2 = java.nio.file.Files.createTempDirectory("stream-dsrc-ck2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("stream-dsrc-out2").toString
+    val q2 = spark.readStream.format("graftdelta")
+      .option("ignoreChanges", "true").load(path)
+      .writeStream.format("parquet")
+      .option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    // all five appends' rows (the DV delete is ignored by contract)
+    assert(spark.read.parquet(out2).count() == 320)
+  }
 }
