@@ -39,10 +39,14 @@ final class DeltaStreamSource(
   private val startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
   private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
+  private val readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
 
   // schema is fixed at stream start (latest snapshot); files from older
-  // versions null-fill columns added since (same rule as the batch scan)
-  override val schema: StructType = log.update().schema
+  // versions null-fill columns added since (same rule as the batch scan).
+  // CDF mode appends the protocol's three change columns.
+  override val schema: StructType =
+    if (readChangeFeed) DeltaStreamSource.cdfSchema(log.update().schema)
+    else log.update().schema
 
   private case class VersionOffset(version: Long) extends OffsetV1 {
     override def json: String = s"""{"version":$version}"""
@@ -74,6 +78,7 @@ final class DeltaStreamSource(
     lastPlannedEnd = Some(endV)
     val have = log.listCommitVersions().toSet
     val versions = (fromV to endV).filter(have.contains)
+    if (readChangeFeed) return getChangeBatch(versions)
     val partitioned = log.update().metadata.partitionColumns.nonEmpty
     val adds = versions.flatMap { v =>
       val acts = log.readCommit(v)
@@ -104,7 +109,40 @@ final class DeltaStreamSource(
     org.apache.spark.sql.GraftColumnBridge.asStreamingBatch(batch)
   }
 
+  /** CDF micro-batch: the version range's row-level change feed via
+    * [[DeltaTable.changes]] (DV-diff aware, cdc-file aware, fail-closed
+    * on underivable commits), stamped with the protocol's change
+    * columns. Versions with no dataChange actions contribute nothing. */
+  private def getChangeBatch(versions: Seq[Long]): DataFrame = {
+    val changed = versions.filter { v =>
+      val acts = log.readCommit(v)
+      log.readCommitCdcPaths(v).nonEmpty ||
+        acts.flatMap(_.add).exists(_.dataChange) ||
+        acts.flatMap(_.remove).exists(_.dataChange)
+    }
+    val batch =
+      if (changed.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        DeltaTable.forPath(spark, log.tablePath.toString)
+          .changes(changed.min, changed.max)
+    org.apache.spark.sql.GraftColumnBridge.asStreamingBatch(
+      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"DeltaStreamSource[${log.tablePath}]"
+}
+
+object DeltaStreamSource {
+  /** Table schema + the CDF columns `changes` stamps. */
+  def cdfSchema(table: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    StructType(table.fields.toIndexedSeq ++ Seq(
+      StructField("_change_type", StringType, nullable = true),
+      StructField("_commit_version", LongType, nullable = false),
+      StructField("_commit_timestamp", LongType, nullable = false)))
+  }
 }

@@ -36,8 +36,13 @@ class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters)).update().schema))
+    (shortName(), schema.getOrElse {
+      val table =
+        DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters)).update().schema
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        DeltaStreamSource.cdfSchema(table)
+      else table
+    })
 
   override def createSource(
       sqlContext: SQLContext,

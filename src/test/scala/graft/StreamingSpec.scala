@@ -151,4 +151,46 @@ class StreamingSpec extends AnyFunSuite {
     // all five appends' rows (the DV delete is ignored by contract)
     assert(spark.read.parquet(out2).count() == 320)
   }
+
+  test("CDF streaming source delivers row-level inserts and deletes") {
+    import graft.delta.DeltaWriter
+    val path = java.nio.file.Files.createTempDirectory("stream-cdf").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-cdf-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-cdf-out").toString
+    val base = eventsBatch.select("event_id", "event_type", "value").limit(200)
+    DeltaWriter.append(spark, base.limit(120), path)                       // v0
+    DeltaWriter.append(spark, base.exceptAll(base.limit(120)), path)       // v1
+    DeltaTable.forPath(spark, path).delete(col("event_id") % 5 === 0)      // v2 (DV)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftdelta")
+        .option("readChangeFeed", "true").load(path)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val feed = spark.read.parquet(outDir)
+    val deleted = base.where(col("event_id") % 5 === 0).count()
+    assert(feed.where(col("_change_type") === "insert").count() == 200)
+    assert(feed.where(col("_change_type") === "delete").count() == deleted)
+    // the feed must reconstruct the table: inserts minus deletes
+    assert(feed.where(col("_change_type") === "insert").count()
+      - feed.where(col("_change_type") === "delete").count()
+      == DeltaTable.forPath(spark, path).toDF.count())
+    // incremental: a later delete arrives alone on the next run
+    DeltaTable.forPath(spark, path).delete(col("event_id") % 7 === 1)      // v3
+    runOnce()
+    val feed2 = spark.read.parquet(outDir)
+    assert(feed2.where(col("_change_type") === "insert").count() == 200,
+      "no re-delivered inserts")
+    assert(feed2.where(col("_change_type") === "delete"
+      && col("_commit_version") === 3).count() > 0)
+    assert(feed2.where(col("_change_type") === "insert").count()
+      - feed2.where(col("_change_type") === "delete").count()
+      == DeltaTable.forPath(spark, path).toDF.count())
+  }
 }
