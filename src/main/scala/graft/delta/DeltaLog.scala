@@ -151,6 +151,28 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     }
   }
 
+  /**
+   * Latest version whose commit timestamp is ≤ `tsMillis` — time travel
+   * by timestamp (`timestampAsOf` / `TIMESTAMP AS OF`), delta-spark's
+   * "latest commit at or before" rule. Timestamps come from commitInfo
+   * (every writer here stamps one); a foreign commit without one falls
+   * back to the commit file's modification time. One pass over the
+   * version list reading only the small JSON commits — the same driver
+   * cost as any log listing.
+   */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val versions = listCommitVersions()
+    require(versions.nonEmpty, s"no commits for table $tablePath")
+    def tsOf(v: Long): Long =
+      readCommit(v).flatMap(_.commitInfo).headOption.map(_.timestamp)
+        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
+    val atOrBefore = versions.filter(v => tsOf(v) <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"timestampAsOf $tsMillis predates the first commit of $tablePath " +
+        s"(earliest ${tsOf(versions.min)})")
+    atOrBefore.max
+  }
+
   /** Snapshot at a pinned version — time travel (`versionAsOf`). */
   def snapshotAt(version: Long): Snapshot = {
     val cached = versionCache.get(version)

@@ -77,6 +77,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     GraftTable(pathFor(ident), Some(version.toLong))(owner())
 
+  /** `TIMESTAMP AS OF ts` — the DSv2 contract passes MICROseconds;
+    * resolved to the latest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathFor(ident)
+    val spark = owner()
+    val v = DeltaLog.forPath(spark, path).versionAtTimestamp(timestamp / 1000)
+    GraftTable(path, Some(v))(spark)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try { pathFor(ident); true } catch { case _: NoSuchTableException => false }
 

@@ -60,9 +60,16 @@ class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       throw new IllegalArgumentException("graftdelta requires a path"))
     val spark = sqlContext.sparkSession
     val log = DeltaLog.forPath(spark, path)
-    val snapshot = parameters.get("versionAsOf") match {
-      case Some(v) => log.snapshotAt(v.toLong)
-      case None => log.update()
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "graftdelta: versionAsOf and timestampAsOf are mutually exclusive")
+    val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(v), _) => log.snapshotAt(v.toLong)
+      case (_, Some(ts)) =>
+        // millis since epoch, or any timestamp string Spark can cast
+        val millis = ts.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
+        log.snapshotAt(log.versionAtTimestamp(millis))
+      case _ => log.update()
     }
     val opts = ScanOptions(pushdownFilters =
       parameters.get("pushdownFilters").forall(_.toBoolean))

@@ -162,4 +162,44 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(ev2.exists(r => r.getAs[Int]("filesAfter") == 1),
       s"nested skip: ${ev2.mkString(";")}")
   }
+
+  test("timestampAsOf resolves the latest version at or before the instant") {
+    import graft.delta.{DeltaLog, DeltaWriter}
+    val path = java.nio.file.Files.createTempDirectory("graft-tsasof").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, path)                       // v0
+    Thread.sleep(15)  // commitInfo stamps millis; keep versions distinct
+    DeltaWriter.append(spark, src, path)                       // v1
+    Thread.sleep(15)
+    DeltaWriter.append(spark, src, path)                       // v2
+    val t0 = DeltaTable.forPath(spark, path)
+    val ts = t0.history().orderBy(col("version"))
+      .select("timestamp").collect().map(_.getLong(0))
+    val n = src.count()
+
+    def countAt(tsMillis: Long): Long =
+      spark.read.format("graftdelta").option("timestampAsOf", tsMillis)
+        .load(path).count()
+    assert(countAt(ts(0)) == n)            // exactly v0's instant → v0
+    assert(countAt(ts(1)) == 2 * n)        // v1's instant → v1
+    assert(countAt(System.currentTimeMillis() + 60000) == 3 * n) // future → latest
+    // between v0 and v1 → still v0
+    if (ts(1) > ts(0) + 1) assert(countAt(ts(0) + 1) == n)
+    // before the first commit → loud error
+    val e = intercept[Exception] { countAt(ts(0) - 10000) }
+    assert(e.getMessage.contains("predates"))
+    // mutually exclusive with versionAsOf
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("timestampAsOf", ts(0))
+        .option("versionAsOf", 0).load(path).count()
+    }
+
+    // SQL: TIMESTAMP AS OF through the catalog (DSv2 passes micros)
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    graft.delta.GraftCatalog.attach("ts_t", path)
+    val lit = new java.sql.Timestamp(ts(1)).toString
+    val got = spark.sql(s"SELECT count(*) AS n FROM graft.ts_t TIMESTAMP AS OF '$lit'")
+      .collect()(0).getLong(0)
+    assert(got == 2 * n, s"catalog TIMESTAMP AS OF got $got")
+  }
 }
