@@ -322,6 +322,38 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- overwrite modes: full overwrite to the evens, then replaceWhere
+    //     swaps the s_nationkey<5 slice for a doubled-acctbal recode ---
+    "delta_overwrite_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val src = Fixtures.readParquet(s, dir, "supplier")
+      graft.delta.DeltaWriter.overwrite(s,
+        src.filter(col("s_suppkey") % 2 === 0), p)
+      graft.delta.DeltaWriter.overwrite(s,
+        src.filter(col("s_suppkey") % 2 === 0 && col("s_nationkey") < 5)
+          .withColumn("s_acctbal", col("s_acctbal") * 2),
+        p, replaceWhere = Some(col("s_nationkey") < 5))
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // --- RESTORE: DV delete then a duplicate append are both rolled back
+    //     by one metadata-only commit; the table answers as at v0 ---
+    "delta_restore_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("s_suppkey") % 10 === 3)
+      graft.delta.DeltaWriter.append(s,
+        Fixtures.readParquet(s, dir, "supplier").limit(50), p)
+      DeltaTable.forPath(s, p).restore(0)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- full maintenance cycle: DV delete → OPTIMIZE rewrite → VACUUM
     //     reclaim; the surviving table must still answer exactly ---
     "delta_vacuum_scan" -> ((s, dir) => {
@@ -512,6 +544,15 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_overwrite_scan" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
+        |   ELSE s_acctbal END), 2) AS sum_bal
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_restore_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_vacuum_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 10 <> 3

@@ -259,6 +259,24 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       force: Boolean = false): Optimize.VacuumResult =
     Optimize.vacuum(spark, log, retentionMs, force)
 
+  /** Atomically replace the table's content (delta-spark
+    * `mode("overwrite")` analog); with `replaceWhere`, only rows matching
+    * the predicate are replaced (see [[DeltaWriter.overwrite]]). */
+  def overwrite(df: DataFrame,
+      replaceWhere: Option[org.apache.spark.sql.Column] = None): Long =
+    DeltaWriter.overwrite(spark, df, log.tablePath.toString, replaceWhere)
+
+  /** RESTORE to an earlier version: one metadata-only commit after which
+    * the latest version answers exactly like `version` (see
+    * [[Optimize.restore]]). */
+  def restore(version: Long): Optimize.Result =
+    Optimize.restore(spark, log, version)
+
+  /** RESTORE to the version that was latest at `tsMillis` (same timestamp
+    * resolution as `timestampAsOf`). */
+  def restoreToTimestamp(tsMillis: Long): Optimize.Result =
+    Optimize.restore(spark, log, log.versionAtTimestamp(tsMillis))
+
   def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
     Optimize.compact(spark, log, smallFileThreshold)
 

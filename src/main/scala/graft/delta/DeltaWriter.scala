@@ -70,23 +70,7 @@ object DeltaWriter {
 
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
 
-    // ---- generated columns (field metadata `delta.generationExpression`,
-    // protocol writer feature `generatedColumns`): a writer may omit the
-    // column entirely — the engine computes it from the expression; a
-    // supplied value is validated against the expression in the write
-    // pass (withWriteChecks below)
-    val genFilled = snapshot match {
-      case Some(s) =>
-        s.schema.fields.foldLeft(df) { (d, f) =>
-          if (f.metadata.contains("delta.generationExpression") &&
-              !d.columns.exists(_.equalsIgnoreCase(f.name)))
-            d.withColumn(f.name,
-              org.apache.spark.sql.functions.expr(
-                f.metadata.getString("delta.generationExpression")).cast(f.dataType))
-          else d
-        }
-      case None => df
-    }
+    val genFilled = fillGenerated(snapshot, df)
 
     // column alignment + schema validation against the table; with
     // mergeSchema, unseen columns extend the schema and existing columns
@@ -167,6 +151,121 @@ object DeltaWriter {
         // rollback: delete everything we moved (reference rollback deletes
         // orphaned files, delta_transaction.cpp:475-488)
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
+
+  /** Generated columns (field metadata `delta.generationExpression`,
+    * protocol writer feature `generatedColumns`): a writer may omit the
+    * column entirely — the engine computes it from the expression; a
+    * supplied value is validated against the expression in the write pass
+    * (withWriteChecks). */
+  private def fillGenerated(snapshot: Option[Snapshot], df: DataFrame): DataFrame =
+    snapshot match {
+      case Some(s) =>
+        s.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.metadata.contains("delta.generationExpression") &&
+              !d.columns.exists(_.equalsIgnoreCase(f.name)))
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(
+                f.metadata.getString("delta.generationExpression")).cast(f.dataType))
+          else d
+        }
+      case None => df
+    }
+
+  /**
+   * Overwrite write modes (delta-spark `mode("overwrite")` analog, beyond
+   * the reference's read-only surface):
+   *  - full overwrite (`replaceWhere=None`): ONE commit removing every
+   *    current file (dataChange=true, DVs carried on the tombstones) and
+   *    adding the new data — the table's content is replaced atomically,
+   *    while every prior version stays time-travelable;
+   *  - `replaceWhere=Some(p)`: rows matching `p` are soft-deleted via
+   *    deletion vectors (same executor-side bitmap machinery as DELETE —
+   *    O(#affected files) driver bytes) and the new data is added, one
+   *    commit. Every incoming row must satisfy `p` (delta-spark's
+   *    replaceWhere contract) — enforced as a codegen'd assert riding the
+   *    write scan, never a second pass.
+   *
+   * Schema must match the table exactly (no mergeSchema on overwrite);
+   * conflicts are errors, not retries — overwrite reads the state it
+   * replaces.
+   *
+   * @return the committed version
+   */
+  def overwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      replaceWhere: Option[org.apache.spark.sql.Column] = None,
+      partitionBy: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty): Long = {
+    val log = DeltaLog.forPath(spark, path)
+    if (!log.tableExists) {
+      require(replaceWhere.isEmpty, "replaceWhere requires an existing table")
+      return append(spark, df, path, partitionBy, configuration)
+    }
+    val snap = log.update()
+    if (snap.columnMappingMode != "none")
+      throw new UnsupportedOperationException(
+        "Writes to tables with column mapping are not supported")
+    ProtocolGate.validateWrite(snap,
+      if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE")
+    val partCols = snap.metadata.partitionColumns
+
+    val genFilled = fillGenerated(Some(snap), df)
+    val have = genFilled.columns.map(_.toLowerCase).toSet
+    val want = snap.schema.fieldNames.map(_.toLowerCase).toSet
+    require(have == want,
+      s"Schema mismatch overwriting $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
+    val aligned0 = genFilled.select(snap.schema.fields.map { tf =>
+      val in = genFilled.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).get
+      require(widenedType(tf.dataType, in.dataType).contains(tf.dataType),
+        s"Type mismatch for column ${tf.name}: table ${tf.dataType.sql}, data ${in.dataType.sql}")
+      if (in.dataType == tf.dataType) col(s"`${in.name}`").as(tf.name)
+      else col(s"`${in.name}`").cast(tf.dataType).as(tf.name)
+    }.toIndexedSeq: _*)
+    // replaceWhere contract: a row outside the predicate would silently
+    // survive the logical replace — refuse the whole write instead
+    val constrained = replaceWhere match {
+      case Some(p) => aligned0.filter(assert_true(
+        coalesce(p, lit(false)),
+        lit(s"replaceWhere violated overwriting $path: row does not satisfy $p")).isNull)
+      case None => aligned0
+    }
+    val enforced = withWriteChecks(constrained, snap.schema,
+      snap.metadata.configuration, path)
+
+    val moved = ArrayBuffer.empty[Path]
+    try {
+      val adds = writeFiles(spark, log, enforced, snap.schema, partCols, moved)
+      val now = System.currentTimeMillis()
+      val (removeActs, upgradeActs) = replaceWhere match {
+        case None =>
+          (snap.allFiles.map(f => Action(RemoveFile(f.path, Some(now),
+            dataChange = true, f.deletionVector))), Nil)
+        case Some(cond) =>
+          val hitRows = snap.relationDF.where(cond)
+            .select(col("_metadata.file_path").as("p"),
+              col("_metadata.row_index").as("i"))
+          val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)
+          (dvActs, DeltaDelete.protocolUpgradeActions(snap))
+      }
+      val op = if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE"
+      val actions =
+        Seq(Action(CommitInfo(now, op, Map(
+          "filesAdded" -> adds.size.toString,
+          "filesRemoved" -> removeActs.size.toString) ++
+          replaceWhere.map(p => "predicate" -> p.toString)))) ++
+        upgradeActs ++ removeActs ++ adds.map(Action(_))
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      snap.version + 1
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         throw t
     }
   }

@@ -92,6 +92,72 @@ object Optimize {
     VacuumResult(deleted, bytes)
   }
 
+  /**
+   * RESTORE TABLE ... TO VERSION AS OF v (delta-spark's RESTORE, beyond
+   * the reference's read-only surface): one commit that re-adds every file
+   * of the target snapshot the current version dropped and removes every
+   * file added since — after it, the latest version answers exactly like
+   * version `targetVersion`, while the full history (including the
+   * restore itself) stays time-travelable.
+   *
+   * Files are reconciled by (path, DV id): a file whose deletion vector
+   * changed since the target version is re-added with its old DV (the
+   * row-level state is part of what's being restored). Metadata (schema,
+   * configuration) is reset to the target's when it differs. Re-added
+   * files must still exist on disk — a VACUUM may have reclaimed them, in
+   * which case restore fails loudly rather than commit dangling adds.
+   *
+   * Scale notes: driver work is two in-memory file-list diffs (the same
+   * lists snapshot planning already holds) plus one existence probe per
+   * re-added file; no data is read or written — restore of a 100 TB table
+   * is a metadata-only commit.
+   */
+  def restore(spark: SparkSession, log: DeltaLog, targetVersion: Long): Result = {
+    val snap = log.update()
+    require(targetVersion >= 0 && targetVersion <= snap.version,
+      s"restore: version $targetVersion outside [0, ${snap.version}]")
+    // restore removes rows with dataChange=true: full writer gate incl.
+    // appendOnly (same class as DELETE)
+    ProtocolGate.validateWrite(snap, "RESTORE")
+    if (targetVersion == snap.version) return Result(snap.version, 0, 0)
+    val target = log.snapshotAt(targetVersion)
+
+    def key(f: AddFile): (String, String) =
+      (f.decodedPath, f.deletionVector.map(_.uniqueId).getOrElse(""))
+    val curByKey = snap.allFiles.map(f => key(f) -> f).toMap
+    val tgtByKey = target.allFiles.map(f => key(f) -> f).toMap
+    val toAdd = tgtByKey.collect { case (k, f) if !curByKey.contains(k) => f }.toSeq
+    val toRemove = curByKey.collect { case (k, f) if !tgtByKey.contains(k) => f }.toSeq
+
+    val vacuumed = toAdd.filterNot(f => log.fs.exists(snap.absolutePath(f)))
+    if (vacuumed.nonEmpty)
+      throw new IllegalStateException(
+        s"restore: ${vacuumed.size} file(s) of version $targetVersion no longer " +
+          s"exist (vacuumed?); first: ${vacuumed.head.decodedPath}")
+
+    val now = System.currentTimeMillis()
+    val actions = ArrayBuffer.empty[Action]
+    actions += Action(CommitInfo(now, "RESTORE", Map(
+      "version" -> targetVersion.toString,
+      "filesAdded" -> toAdd.size.toString,
+      "filesRemoved" -> toRemove.size.toString)))
+    if (snap.metadata.schemaString != target.metadata.schemaString ||
+        snap.metadata.configuration != target.metadata.configuration ||
+        snap.metadata.partitionColumns != target.metadata.partitionColumns)
+      actions += Action(target.metadata)
+    toRemove.foreach(f => actions += Action(RemoveFile(f.path, Some(now),
+      dataChange = true, f.deletionVector)))
+    toAdd.foreach(f => actions += Action(f.copy(dataChange = true,
+      modificationTime = now)))
+
+    // restore reads the table state it diffs against: a concurrent commit
+    // is a conflict, not a retry
+    LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+    log.invalidateCache()
+    Result(snap.version + 1, toRemove.size, toAdd.size)
+  }
+
   def compact(
       spark: SparkSession,
       log: DeltaLog,

@@ -81,7 +81,8 @@ object ProtocolGate {
   /** Operations that remove rows with dataChange=true — forbidden on
     * `delta.appendOnly` tables per protocol. OPTIMIZE/VACUUM stay legal:
     * their removes are dataChange=false rewrites / physical cleanup. */
-  private val dataChangeRemovalOps = Set("DELETE", "UPDATE", "MERGE")
+  private val dataChangeRemovalOps =
+    Set("DELETE", "UPDATE", "MERGE", "RESTORE", "OVERWRITE", "REPLACE WHERE")
 
   /** Gate a write of kind `operation` ("WRITE", "DELETE", "UPDATE",
     * "MERGE", "OPTIMIZE") against the table's writer protocol. */

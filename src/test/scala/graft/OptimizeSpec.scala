@@ -207,4 +207,88 @@ class OptimizeSpec extends AnyFunSuite {
       DeltaTable.forPath(spark, path).zorder(Seq("nope"))
     }
   }
+
+  test("overwrite replaces content atomically; replaceWhere scopes it") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+
+    // full overwrite: only the evens remain; v0 still time-travels
+    val v1 = DeltaWriter.overwrite(spark, src.filter(col("n_nationkey") % 2 === 0), path)
+    assert(v1 == 1)
+    DeltaLog.clearCache()
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.toDF.count() == src.filter(col("n_nationkey") % 2 === 0).count())
+    assert(t.toDF(versionAsOf = 0).count() == src.count())
+
+    // replaceWhere: replace region-1 rows with a recoded copy, keep the rest
+    val recoded = src.filter(col("n_nationkey") % 2 === 0 && col("n_regionkey") === 1)
+      .withColumn("n_name", lower(col("n_name")))
+    val v2 = DeltaWriter.overwrite(spark, recoded, path,
+      replaceWhere = Some(col("n_regionkey") === 1))
+    assert(v2 == 2)
+    DeltaLog.clearCache()
+    val after = DeltaTable.forPath(spark, path).toDF
+    val expectKeep = src.filter(col("n_nationkey") % 2 === 0 && col("n_regionkey") =!= 1)
+    assert(after.filter(col("n_regionkey") =!= 1).count() == expectKeep.count())
+    assert(after.filter(col("n_regionkey") === 1).collect()
+      .forall(_.getAs[String]("n_name").forall(c => !c.isUpper)))
+
+    // a row OUTSIDE the replaceWhere predicate refuses the whole write
+    val bad = intercept[Exception] {
+      DeltaWriter.overwrite(spark, src.limit(5), path,
+        replaceWhere = Some(col("n_regionkey") === 1))
+    }
+    assert(bad.getMessage.contains("replaceWhere") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("replaceWhere"))
+    // failed write must not have committed
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, path).version == 2)
+
+    // schema mismatch is rejected (no silent mergeSchema on overwrite)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.overwrite(spark, src.withColumn("extra", lit(1)), path)
+    }
+  }
+
+  test("restore rolls the table back to an earlier version's exact state") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val path = tmpTable()
+    // v0: evens, v1: odds, v2: DV delete of %5==0, v3: append dupe evens
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") % 2 === 0), path)
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") % 2 === 1), path)
+    DeltaTable.forPath(spark, path).delete(col("n_nationkey") % 5 === 0)
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") % 2 === 0), path)
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.version == 3)
+    val v1Rows = t.toDF(versionAsOf = 1).orderBy(col("n_nationkey")).collect().toSeq
+
+    // restore to v1: drops the DV state and the dupe append in ONE commit
+    val r = t.restore(1)
+    assert(r.version == 4)
+    DeltaLog.clearCache()
+    val t2 = DeltaTable.forPath(spark, path)
+    assert(t2.version == 4)
+    assert(t2.toDF.orderBy(col("n_nationkey")).collect().toSeq == v1Rows)
+    // history is intact: v3 still answers as it did pre-restore
+    assert(t2.toDF(versionAsOf = 3).count() ==
+      v1Rows.size - src.filter(col("n_nationkey") % 5 === 0).count() +
+        src.filter(col("n_nationkey") % 2 === 0).count())
+    // no-op restore to the current version commits nothing
+    assert(t2.restore(4).filesAdded == 0)
+    assert(DeltaTable.forPath(spark, path).version == 4)
+    // restoring past a vacuum that reclaimed the needed files fails loudly
+    DeltaTable.forPath(spark, path).optimize(smallFileThreshold = 64L * 1024 * 1024)
+    DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
+    val err = intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, path).restore(3)
+    }
+    assert(err.getMessage.contains("vacuumed"))
+    // out-of-range version is rejected
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).restore(99)
+    }
+  }
 }
