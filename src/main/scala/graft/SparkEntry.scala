@@ -322,6 +322,21 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- shallow clone: zero-copy metadata commit referencing the source's
+    //     files (incl. DV state); the clone then diverges with its own
+    //     DELETE while the source would still answer unchanged ---
+    "delta_clone_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      DeltaTable.forPath(s, p).delete(col("s_suppkey") % 10 === 3)
+      val cp = java.nio.file.Files.createTempDirectory("graft-clone").toString + "/t"
+      DeltaTable.forPath(s, p).shallowClone(cp)
+      DeltaTable.forPath(s, cp).delete(col("s_nationkey") >= 20)
+      DeltaTable.forPath(s, cp).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- overwrite modes: full overwrite to the evens, then replaceWhere
     //     swaps the s_nationkey<5 slice for a doubled-acctbal recode ---
     "delta_overwrite_scan" -> ((s, dir) => {
@@ -544,6 +559,10 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_clone_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier WHERE s_suppkey % 10 <> 3 AND s_nationkey < 20
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_overwrite_scan" ->
       """SELECT s_nationkey, count(*) AS n,
         | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2

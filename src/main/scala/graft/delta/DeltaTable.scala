@@ -259,6 +259,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       force: Boolean = false): Optimize.VacuumResult =
     Optimize.vacuum(spark, log, retentionMs, force)
 
+  /** Shallow-clone this table's pinned-or-latest snapshot to `targetPath`
+    * — one metadata-only commit referencing the source's files by absolute
+    * path (see [[Optimize.shallowClone]]). */
+  def shallowClone(targetPath: String): Optimize.Result =
+    Optimize.shallowClone(spark, log, targetPath, pinnedVersion)
+
   /** Atomically replace the table's content (delta-spark
     * `mode("overwrite")` analog); with `replaceWhere`, only rows matching
     * the predicate are replaced (see [[DeltaWriter.overwrite]]). */

@@ -93,6 +93,65 @@ object Optimize {
   }
 
   /**
+   * Shallow CLONE (delta-spark's `CREATE TABLE ... SHALLOW CLONE src`):
+   * create an independent table at `targetPath` whose version-0 commit
+   * references the SOURCE's data files by absolute path — zero data is
+   * copied, so cloning a 100 TB table is one metadata commit. The clone
+   * then evolves independently: appends/DELETEs/OPTIMIZE land under the
+   * clone root and never touch source files (a rewrite tombstones the
+   * absolute-path add and writes new files locally).
+   *
+   * Relative deletion vectors are re-anchored as absolute ("p"-storage)
+   * descriptors so the clone's row-level state matches the source snapshot.
+   *
+   * Caveat (same as delta-spark): VACUUM on the source does not know about
+   * clones — reclaiming source files a clone still references breaks that
+   * clone. Clone from a snapshot you retain, or deep-copy via overwrite.
+   */
+  def shallowClone(spark: SparkSession, log: DeltaLog, targetPath: String,
+      versionAsOf: Option[Long] = None): Result = {
+    val snap = versionAsOf.map(log.snapshotAt).getOrElse(log.update())
+    val tgtLog = DeltaLog.forPath(spark, targetPath)
+    require(!tgtLog.tableExists, s"clone target already a delta table: $targetPath")
+    require(tgtLog.tablePath.toUri.getPath != log.tablePath.toUri.getPath,
+      "clone target must differ from the source")
+
+    val now = System.currentTimeMillis()
+    val adds = snap.allFiles.map { f =>
+      val abs = snap.absolutePath(f).toUri.getPath
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "u")
+          d.copy(storageType = "p",
+            pathOrInlineDv = DeletionVectorStore.resolvePath(log.tablePath, d)
+              .toUri.getPath)
+        else d // "i" inline / "p" absolute travel as-is
+      }
+      f.copy(
+        path = abs.split('/').map(seg => java.net.URLEncoder.encode(seg,
+          java.nio.charset.StandardCharsets.UTF_8).replace("+", "%20")).mkString("/"),
+        deletionVector = dv,
+        modificationTime = now)
+    }
+    val actions =
+      Seq(
+        Action(CommitInfo(now, "CLONE", Map(
+          "source" -> log.tablePath.toString,
+          "sourceVersion" -> snap.version.toString,
+          "filesAdded" -> adds.size.toString))),
+        Action(snap.protocol),
+        Action(snap.metadata.copy(
+          id = java.util.UUID.randomUUID.toString,
+          createdTime = Some(now)))) ++
+      snap.domainMetadata.map(Action(_)) ++
+      adds.map(Action(_))
+    tgtLog.fs.mkdirs(tgtLog.tablePath)
+    LogStore.write(tgtLog.fs, tgtLog.commitFile(0L),
+      actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+    tgtLog.invalidateCache()
+    Result(0L, 0, adds.size)
+  }
+
+  /**
    * RESTORE TABLE ... TO VERSION AS OF v (delta-spark's RESTORE, beyond
    * the reference's read-only surface): one commit that re-adds every file
    * of the target snapshot the current version dropped and removes every

@@ -252,6 +252,53 @@ class OptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("shallow clone references source files; clones evolve independently") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val srcPath = tmpTable()
+    DeltaWriter.append(spark, src.repartition(3), srcPath)
+    // DV state must travel: delete %5==0 in the source before cloning
+    DeltaTable.forPath(spark, srcPath).delete(col("n_nationkey") % 5 === 0)
+    val expect = DeltaTable.forPath(spark, srcPath).toDF
+      .orderBy(col("n_nationkey")).collect().toSeq
+
+    val clonePath = tmpTable()
+    val r = DeltaTable.forPath(spark, srcPath).shallowClone(clonePath)
+    assert(r.filesAdded == 3)
+    // zero data copied: the clone dir holds only the log
+    assert(!new java.io.File(clonePath).listFiles()
+      .exists(f => f.getName.endsWith(".parquet")))
+    val c = DeltaTable.forPath(spark, clonePath)
+    assert(c.toDF.orderBy(col("n_nationkey")).collect().toSeq == expect)
+
+    // clone-side DELETE: source unchanged
+    c.delete(col("n_regionkey") === 1)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, srcPath).toDF
+      .orderBy(col("n_nationkey")).collect().toSeq == expect)
+    assert(DeltaTable.forPath(spark, clonePath).toDF
+      .filter(col("n_regionkey") === 1).count() == 0)
+    // clone-side OPTIMIZE rewrites into clone-local files, rows preserved
+    val before = DeltaTable.forPath(spark, clonePath).toDF
+      .orderBy(col("n_nationkey")).collect().toSeq
+    DeltaTable.forPath(spark, clonePath).optimize(smallFileThreshold = 64L * 1024 * 1024)
+    DeltaLog.clearCache()
+    val afterOpt = DeltaTable.forPath(spark, clonePath)
+    assert(afterOpt.toDF.orderBy(col("n_nationkey")).collect().toSeq == before)
+    assert(afterOpt.snapshot.allFiles.forall(f =>
+      !new org.apache.hadoop.fs.Path(f.decodedPath).isAbsolute),
+      "post-optimize the clone owns its files")
+    // source-side append after the clone: clone must NOT see it
+    DeltaWriter.append(spark, src.limit(5), srcPath)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, clonePath).toDF
+      .orderBy(col("n_nationkey")).collect().toSeq == before)
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, srcPath).shallowClone(clonePath)
+    }
+  }
+
   test("restore rolls the table back to an earlier version's exact state") {
     val src = Fixtures.readParquet(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
