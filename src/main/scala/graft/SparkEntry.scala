@@ -322,6 +322,20 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- SQL-only maintenance: CALL procedures (ProcedureCatalog SPI)
+    //     drive delete→optimize→restore; the final scan equals v0 ---
+    "delta_call_procedures" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "supplier")
+      DeltaTable.forPath(s, p).delete(col("s_suppkey") % 10 === 3)
+      s.sql(s"CALL graft.optimize('$p')").collect()
+      s.sql(s"CALL graft.restore(`table` => '$p', version => 0)").collect()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- shallow clone: zero-copy metadata commit referencing the source's
     //     files (incl. DV state); the clone then diverges with its own
     //     DELETE while the source would still answer unchanged ---
@@ -559,6 +573,9 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_call_procedures" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_clone_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 10 <> 3 AND s_nationkey < 20

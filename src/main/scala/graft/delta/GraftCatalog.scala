@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * pattern production Delta connectors use, so the SQL path loses none of
  * the scan machinery.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = "graft"
   private val optionTables = new ConcurrentHashMap[String, String]()
   // The owning session: catalog plugin instances are per-SparkSession
@@ -99,6 +99,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftCatalog.registry.remove(ident.name()) != null
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
+
+  // -- ProcedureCatalog: CALL graft.optimize/zorder/vacuum/restore/clone/
+  //    checkpoint('<path-or-name>', ...) — SQL-only maintenance
+  //    ([[GraftProcedures]]); `table` args resolve like table identifiers --
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name(), owner(),
+        n => if (n.contains("/")) n
+          else Option(GraftCatalog.registry.get(n))
+            .orElse(Option(optionTables.get(n)))
+            .getOrElse(n))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   // -- SupportsNamespaces (flat: only the default namespace) --
   override def listNamespaces(): Array[Array[String]] = Array(Array.empty)

@@ -1,0 +1,135 @@
+package graft.delta
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SQL `CALL` surface for table maintenance — the Spark-4 ProcedureCatalog
+ * SPI (the idiomatic DSv2 path; delta-spark exposes the same operations
+ * through a custom parser instead). SQL-only users run
+ *
+ * {{{
+ *   CALL graft.optimize(`table` => '/path/or/name')
+ *   CALL graft.zorder('/p', 'colA,colB')
+ *   CALL graft.vacuum('/p', retention_ms => 0, force => true)
+ *   CALL graft.restore('/p', 3)
+ *   CALL graft.clone('/src', '/dst')
+ *   CALL graft.checkpoint('/p')
+ * }}}
+ *
+ * Each call returns a one-row result set describing what the commit did.
+ * `table` accepts an attached name ([[GraftCatalog.attach]]) or a path —
+ * the same resolution as `graft.<name>` table references.
+ */
+private[delta] object GraftProcedures {
+
+  /** (procedure name → factory); the factory gets the owning session and a
+    * name→path resolver. */
+  def load(name: String, spark: => SparkSession,
+      resolve: String => String): Option[UnboundProcedure] = {
+    def log(t: String): DeltaLog = DeltaLog.forPath(spark, resolve(t))
+    val resultSchema = StructType(Seq(
+      StructField("version", LongType),
+      StructField("files_removed", IntegerType),
+      StructField("files_added", IntegerType)))
+    def resultRow(r: Optimize.Result): InternalRow =
+      new GenericInternalRow(Array[Any](r.version, r.filesRemoved, r.filesAdded))
+
+    name.toLowerCase match {
+      case "optimize" => Some(proc("optimize",
+        "Bin-pack small files and purge deletion vectors",
+        Seq(in("table", StringType),
+          in("small_file_threshold", LongType, Some((32L * 1024 * 1024).toString))),
+        resultSchema,
+        args => resultRow(Optimize.compact(spark, log(args.getString(0)),
+          smallFileThreshold = args.getLong(1)))))
+      case "zorder" => Some(proc("zorder",
+        "Rewrite the table clustered on the Morton interleave of `columns`",
+        Seq(in("table", StringType), in("columns", StringType)),
+        resultSchema,
+        args => resultRow(Optimize.zorder(spark, log(args.getString(0)),
+          args.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))))
+      case "vacuum" => Some(proc("vacuum",
+        "Delete unreferenced data files older than the retention window",
+        Seq(in("table", StringType),
+          in("retention_ms", LongType, Some(Optimize.MinRetentionMs.toString)),
+          in("force", BooleanType, Some("false"))),
+        StructType(Seq(StructField("files_deleted", IntegerType),
+          StructField("bytes_reclaimed", LongType))),
+        args => {
+          val r = Optimize.vacuum(spark, log(args.getString(0)),
+            retentionMs = args.getLong(1), force = args.getBoolean(2))
+          new GenericInternalRow(Array[Any](r.filesDeleted, r.bytesReclaimed))
+        }))
+      case "restore" => Some(proc("restore",
+        "Roll the table back to an earlier version's exact state",
+        Seq(in("table", StringType), in("version", LongType)),
+        resultSchema,
+        args => resultRow(Optimize.restore(spark, log(args.getString(0)),
+          args.getLong(1)))))
+      case "clone" => Some(proc("clone",
+        "Shallow-clone the table to `target` (zero data copied)",
+        Seq(in("table", StringType), in("target", StringType)),
+        resultSchema,
+        args => resultRow(Optimize.shallowClone(spark, log(args.getString(0)),
+          args.getString(1)))))
+      case "checkpoint" => Some(proc("checkpoint",
+        "Write a checkpoint parquet for the current version",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType))),
+        args => new GenericInternalRow(
+          Array[Any](Checkpoints.checkpoint(log(args.getString(0)))))))
+      case _ => None
+    }
+  }
+
+  def names: Seq[String] =
+    Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint")
+
+  private def in(n: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  /** One-row-result procedure: `body` runs ON CALL (driver-side commit —
+    * these are metadata operations; any heavy lifting inside them is
+    * already distributed Spark jobs) and the row ships back via LocalScan. */
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter], schema: StructType,
+      body: ArgsRow => InternalRow): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val row = body(new ArgsRow(input, params))
+        Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    }
+
+  /** Typed accessor over the bound-args row (strings arrive as UTF8String). */
+  private final class ArgsRow(row: InternalRow, params: Seq[ProcedureParameter]) {
+    def getString(i: Int): String =
+      row.get(i, StringType).asInstanceOf[UTF8String].toString
+    def getLong(i: Int): Long = row.get(i, LongType) match {
+      case l: java.lang.Long => l
+      case i2: java.lang.Integer => i2.longValue()
+    }
+    def getBoolean(i: Int): Boolean =
+      row.get(i, BooleanType).asInstanceOf[java.lang.Boolean]
+  }
+}

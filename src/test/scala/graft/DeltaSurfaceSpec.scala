@@ -57,6 +57,37 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       "catalog-path scan did not stats-skip")
   }
 
+  test("graft catalog: CALL procedures run maintenance from pure SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val p = java.nio.file.Files.createTempDirectory("graft-proc").toString + "/t"
+    DeltaWriter.append(spark, src.repartition(4), p)
+    DeltaTable.forPath(spark, p).delete(col("n_nationkey") % 5 === 0)
+    val expectAfterDelete = DeltaTable.forPath(spark, p).toDF.count()
+
+    // OPTIMIZE via CALL: rewrites the 4 small files + DV into one
+    val opt = spark.sql(s"CALL graft.optimize('$p')").collect()(0)
+    assert(opt.getAs[Int]("files_removed") == 4 && opt.getAs[Int]("files_added") >= 1)
+    // RESTORE via CALL (named arg): back to v0, before the delete
+    val res = spark.sql(s"CALL graft.restore(`table` => '$p', version => 0)").collect()(0)
+    assert(res.getAs[Long]("version") == 3)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF.count() == src.count())
+    // CLONE via CALL, then VACUUM the source with defaults overridden
+    val cp = java.nio.file.Files.createTempDirectory("graft-proc").toString + "/c"
+    spark.sql(s"CALL graft.clone('$p', '$cp')").collect()
+    assert(DeltaTable.forPath(spark, cp).toDF.count() == src.count())
+    val vac = spark.sql(
+      s"CALL graft.vacuum('$p', retention_ms => 0, force => true)").collect()(0)
+    assert(vac.getAs[Int]("files_deleted") > 0)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF.count() == src.count())
+    // an unknown procedure fails loudly
+    intercept[Exception] { spark.sql(s"CALL graft.nope('$p')").collect() }
+    assert(expectAfterDelete < src.count())
+  }
+
   test("graft catalog: per-session resolution (no SparkSession.active leakage)") {
     val src = Fixtures.readParquet(spark, sfDir, "region")
     def tmp(): String =
