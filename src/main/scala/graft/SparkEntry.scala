@@ -322,6 +322,24 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- ALTER TABLE: add a column (old files read null), constrain it,
+    //     append under the constraint; -1 stands in for the null stratum
+    //     (null ORDER position differs across engines) ---
+    "delta_alter_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val t = DeltaTable.forPath(s, p)
+      t.addColumns(org.apache.spark.sql.types.StructField(
+        "flag", org.apache.spark.sql.types.LongType))
+      DeltaTable.forPath(s, p).addCheckConstraint("flag_domain", "flag IN (0, 1)")
+      graft.delta.DeltaWriter.append(s,
+        Fixtures.readParquet(s, dir, "supplier")
+          .withColumn("flag", col("s_suppkey") % 2), p)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(coalesce(col("flag"), lit(-1L)).as("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"))
+        .orderBy(col("flag"))
+    }),
+
     // --- SQL-only maintenance: CALL procedures (ProcedureCatalog SPI)
     //     drive delete→optimize→restore; the final scan equals v0 ---
     "delta_call_procedures" -> ((s, dir) => {
@@ -573,6 +591,14 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_alter_scan" ->
+      """SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT CAST(-1 AS BIGINT) AS flag, s_suppkey FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey % 2 AS BIGINT) AS flag, s_suppkey FROM supplier
+        |) GROUP BY flag ORDER BY flag""".stripMargin,
     "delta_call_procedures" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

@@ -259,6 +259,27 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       force: Boolean = false): Optimize.VacuumResult =
     Optimize.vacuum(spark, log, retentionMs, force)
 
+  /** ALTER TABLE ADD COLUMNS (nullable; old files read them as null). */
+  def addColumns(cols: org.apache.spark.sql.types.StructField*): Long =
+    Alter.addColumns(spark, log, cols)
+
+  /** ALTER TABLE SET TBLPROPERTIES. */
+  def setProperties(props: Map[String, String]): Long =
+    Alter.setProperties(spark, log, props)
+
+  /** ALTER TABLE UNSET TBLPROPERTIES (IF EXISTS semantics). */
+  def unsetProperties(keys: String*): Long =
+    Alter.unsetProperties(spark, log, keys)
+
+  /** ALTER TABLE ADD CONSTRAINT name CHECK (sql) — existing rows are
+    * verified first; future writes enforce it in the write pass. */
+  def addCheckConstraint(name: String, sql: String): Long =
+    Alter.addCheckConstraint(spark, log, name, sql)
+
+  /** ALTER TABLE DROP CONSTRAINT name. */
+  def dropCheckConstraint(name: String): Long =
+    Alter.dropCheckConstraint(spark, log, name)
+
   /** Shallow-clone this table's pinned-or-latest snapshot to `targetPath`
     * — one metadata-only commit referencing the source's files by absolute
     * path (see [[Optimize.shallowClone]]). */

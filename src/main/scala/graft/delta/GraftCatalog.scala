@@ -93,8 +93,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft catalog is read-attach only; use DeltaWriter for writes")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** SQL ALTER TABLE: ADD COLUMNS, SET/UNSET TBLPROPERTIES — mapped onto
+    * the metadata-commit ops in [[Alter]]; anything else (renames, type
+    * changes) is refused loudly (they need column-mapping writes). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = owner()
+    val log = DeltaLog.forPath(spark, pathFor(ident))
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+      c.isInstanceOf[TableChange.SetProperty] ||
+      c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: ${unsupported.head}")
+    val addCols = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        s"nested column add not supported: ${a.fieldNames.mkString(".")}")
+      org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, a.isNullable)
+    }
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value }.toMap
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property }
+    if (addCols.nonEmpty) Alter.addColumns(spark, log, addCols)
+    if (setProps.nonEmpty) Alter.setProperties(spark, log, setProps)
+    if (unsetProps.nonEmpty) Alter.unsetProperties(spark, log, unsetProps)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.registry.remove(ident.name()) != null
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

@@ -88,6 +88,62 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(expectAfterDelete < src.count())
   }
 
+  test("alter table: add columns, properties, check constraints") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val p = java.nio.file.Files.createTempDirectory("graft-alter").toString + "/t"
+    DeltaWriter.append(spark, src, p)
+
+    // ADD COLUMNS (API): old files read null; appends accept the column
+    DeltaTable.forPath(spark, p).addColumns(StructField("score", DoubleType))
+    DeltaLog.clearCache()
+    val withCol = DeltaTable.forPath(spark, p).toDF
+    assert(withCol.schema.fieldNames.contains("score"))
+    assert(withCol.filter(col("score").isNotNull).count() == 0)
+    DeltaWriter.append(spark, src.withColumn("score", lit(1.5)), p)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("score") === 1.5).count() == src.count())
+    // duplicate / non-nullable adds are refused
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, p).addColumns(StructField("score", DoubleType))
+    }
+
+    // CHECK constraint: existing data verified, future writes enforced
+    DeltaTable.forPath(spark, p).addCheckConstraint("key_range", "n_nationkey < 1000")
+    val bad = src.withColumn("n_nationkey", col("n_nationkey") + 5000)
+      .withColumn("score", lit(0.0))
+    intercept[Exception] { DeltaWriter.append(spark, bad, p) }
+    // adding a constraint existing rows violate is refused
+    val e = intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, p).addCheckConstraint("impossible", "n_nationkey < 0")
+    }
+    assert(e.getMessage.contains("violate"))
+    DeltaTable.forPath(spark, p).dropCheckConstraint("key_range")
+    DeltaWriter.append(spark, bad, p) // now accepted
+
+    // properties via SQL ALTER TABLE through the catalog
+    GraftCatalog.attach("alter_t", p)
+    spark.sql("ALTER TABLE graft.alter_t SET TBLPROPERTIES ('delta.appendOnly'='true')")
+    DeltaLog.clearCache()
+    intercept[Exception] {
+      DeltaTable.forPath(spark, p).delete(col("n_nationkey") === 1)
+    }
+    spark.sql("ALTER TABLE graft.alter_t UNSET TBLPROPERTIES ('delta.appendOnly')")
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).delete(col("n_nationkey") === 1) > 0)
+    // SQL ADD COLUMNS through the catalog
+    spark.sql("ALTER TABLE graft.alter_t ADD COLUMNS (note STRING)")
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF.schema.fieldNames.contains("note"))
+    // unsupported change shape is refused loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.alter_t RENAME COLUMN note TO note2")
+    }
+  }
+
   test("graft catalog: per-session resolution (no SparkSession.active leakage)") {
     val src = Fixtures.readParquet(spark, sfDir, "region")
     def tmp(): String =
