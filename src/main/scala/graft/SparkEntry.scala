@@ -322,6 +322,24 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- pure-SQL write path: CTAS seeds the table, INSERT INTO appends,
+    //     INSERT OVERWRITE atomically replaces with the final slice ---
+    "delta_sql_write_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      Fixtures.readParquet(s, dir, "supplier").createOrReplaceTempView("sup_src")
+      val p = java.nio.file.Files.createTempDirectory("graft-sqlw").toString + "/t"
+      val t = s"w_${java.util.UUID.randomUUID.toString.take(8)}"
+      s.sql(s"""CREATE TABLE graft.$t LOCATION '$p' AS
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM sup_src WHERE s_suppkey % 2 = 0""")
+      s.sql(s"""INSERT INTO graft.$t
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM sup_src WHERE s_suppkey % 2 = 1""")
+      s.sql(s"""INSERT OVERWRITE graft.$t
+        SELECT s_suppkey, s_nationkey, s_acctbal FROM sup_src WHERE s_nationkey < 10""")
+      s.sql(s"""SELECT s_nationkey, count(*) AS n,
+        round(sum(s_acctbal), 2) AS sum_bal
+        FROM graft.$t GROUP BY s_nationkey ORDER BY s_nationkey""")
+    }),
+
     // --- ALTER TABLE: add a column (old files read null), constrain it,
     //     append under the constraint; -1 stands in for the null stratum
     //     (null ORDER position differs across engines) ---
@@ -591,6 +609,10 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "delta_sql_write_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier WHERE s_nationkey < 10
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_alter_scan" ->
       """SELECT flag, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(s_suppkey) AS BIGINT) AS sum_key

@@ -320,6 +320,11 @@ object DeltaWriter {
         .partitionBy(partCols: _*)
         .parquet(staging.toString)
 
+      // empty input (e.g. CREATE TABLE with no rows) stages no part files;
+      // spark.read over a file-less dir cannot infer a schema
+      if (!listRecursive(fs, staging).exists(_.getName.endsWith(".parquet")))
+        return Seq.empty
+
       val statsByFile = collectStats(spark, staging.toString, tableSchema, partCols)
 
       // NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)

@@ -89,10 +89,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def tableExists(ident: Identifier): Boolean =
     try { pathFor(ident); true } catch { case _: NoSuchTableException => false }
 
+  /** CREATE TABLE graft.name (cols) LOCATION '/path' [PARTITIONED BY ...]
+    * — commits version 0 (protocol+metadata, no files) at the location and
+    * attaches the name; CTAS then writes through [[GraftTable]]'s
+    * InsertableRelation. A path identifier needs no LOCATION. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-attach only; use DeltaWriter for writes")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val spark = owner()
+    val path =
+      if (ident.name().contains("/")) ident.name()
+      else Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE ${ident.name()} needs LOCATION '<path>' (or a path identifier)"))
+    require(!DeltaLog.forPath(spark, path).tableExists,
+      s"table already exists at $path")
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"only identity partition transforms are supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val config = properties.asScala.toMap -
+      (TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, "option.path")
+    DeltaWriter.append(spark,
+      spark.createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](), schema),
+      path, partitionBy = partCols, configuration = config,
+      operation = "CREATE TABLE")
+    if (!ident.name().contains("/")) GraftCatalog.attach(ident.name(), path)
+    GraftTable(path, None)(spark)
+  }
   /** SQL ALTER TABLE: ADD COLUMNS, SET/UNSET TBLPROPERTIES — mapped onto
     * the metadata-commit ops in [[Alter]]; anything else (renames, type
     * changes) is refused loudly (they need column-mapping writes). */
@@ -156,6 +181,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     throw new UnsupportedOperationException("namespaces not supported")
 }
 
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** V1 overwrite filters → replaceWhere condition. `AlwaysTrue`/empty =
+    * full overwrite (None); untranslatable filters are refused — silently
+    * widening the overwrite scope would destroy data. */
+  private[delta] def filtersToCondition(filters: Array[Filter]): Option[Column] = {
+    def tr(f: Filter): Column = f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case EqualNullSafe(a, v) => col(a) <=> lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => tr(l) && tr(r)
+      case Or(l, r) => tr(l) || tr(r)
+      case Not(c) => !tr(c)
+      case other => throw new UnsupportedOperationException(
+        s"cannot express overwrite filter as replaceWhere: $other")
+    }
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) None else Some(real.map(tr).reduce(_ && _))
+  }
+}
+
 object GraftCatalog {
   private[delta] val registry = new ConcurrentHashMap[String, String]()
 
@@ -170,7 +225,8 @@ object GraftCatalog {
   * in a second (equality-excluded) parameter list — never resolved from
   * `SparkSession.active`, which is thread-sensitive under multi-session use. */
 final case class GraftTable(path: String, versionAsOf: Option[Long])(
-    @transient private val owner: SparkSession) extends Table {
+    @transient private val owner: SparkSession) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     versionAsOf.fold(path)(v => s"$path@v$v")
 
@@ -179,8 +235,57 @@ final case class GraftTable(path: String, versionAsOf: Option[Long])(
     versionAsOf.fold(log.update())(log.snapshotAt)
   }
   override def schema(): StructType = snapshot.schema
+  override def partitioning(): Array[Transform] =
+    snapshot.metadata.partitionColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.singleton(TableCapability.BATCH_READ)
+    util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** SQL INSERT INTO / INSERT OVERWRITE [PARTITION] / CTAS land here via
+    * the V1-write bridge: append, full overwrite, or replaceWhere from the
+    * translated overwrite filters — the same transactional paths as the
+    * Scala API. Time-travel relations refuse writes. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(versionAsOf.isEmpty, s"cannot write to a time-travel relation: ${name()}")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(None) = full overwrite; Some(Some(c)) = replaceWhere
+      private var mode: Option[Option[org.apache.spark.sql.Column]] = None
+      override def truncate(): this.type = { mode = Some(None); this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): this.type = {
+        mode = Some(GraftTable.filtersToCondition(filters))
+        this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+              val spark = data.sparkSession
+              // INSERT resolves by position: rename to the table schema
+              val tableCols = DeltaLog.forPath(spark, path).update().schema.fieldNames
+              require(data.columns.length == tableCols.length,
+                s"INSERT column count ${data.columns.length} != table ${tableCols.length}")
+              val aligned = data.toDF(tableCols.toIndexedSeq: _*)
+              mode match {
+                case Some(rw) =>
+                  DeltaWriter.overwrite(spark, aligned, path, replaceWhere = rw)
+                case None if overwriteFlag =>
+                  DeltaWriter.overwrite(spark, aligned, path)
+                case None =>
+                  DeltaWriter.append(spark, aligned, path)
+              }
+              ()
+            }
+        }
+    }
+  }
 
   /** The analyzed full-fidelity V1 plan (logical column names). */
   private[delta] def v1Plan(spark: SparkSession): LogicalPlan = {

@@ -144,6 +144,55 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("graft catalog: CREATE TABLE / INSERT INTO / INSERT OVERWRITE / CTAS") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val base = java.nio.file.Files.createTempDirectory("graft-sqlddl").toString
+    val p = s"$base/t"
+
+    // CREATE TABLE with LOCATION: version 0, empty, schema as declared
+    spark.sql(s"CREATE TABLE graft.sql_t (k BIGINT, v STRING) LOCATION '$p'")
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).version == 0)
+    assert(DeltaTable.forPath(spark, p).toDF.count() == 0)
+
+    // INSERT INTO appends; INSERT by position aligns names
+    spark.sql("INSERT INTO graft.sql_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graft.sql_t SELECT 4, 'd'")
+    assert(spark.sql("SELECT count(*) FROM graft.sql_t").collect()(0).getLong(0) == 4)
+
+    // INSERT OVERWRITE replaces everything, atomically, with time travel
+    spark.sql("INSERT OVERWRITE graft.sql_t VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft.sql_t").collect().map(_.getLong(0)).toSeq == Seq(9))
+    assert(spark.sql("SELECT count(*) FROM graft.sql_t VERSION AS OF 2")
+      .collect()(0).getLong(0) == 4)
+
+    // CTAS: schema inferred from the query, rows written in the same stmt
+    val p2 = s"$base/t2"
+    spark.sql(
+      s"CREATE TABLE graft.sql_t2 LOCATION '$p2' AS SELECT k * 10 AS k10 FROM graft.sql_t")
+    assert(spark.sql("SELECT k10 FROM graft.sql_t2").collect()(0).getLong(0) == 90)
+
+    // partitioned create + static-partition overwrite → replaceWhere
+    val p3 = s"$base/t3"
+    spark.sql(
+      s"CREATE TABLE graft.sql_t3 (k BIGINT, part STRING) PARTITIONED BY (part) LOCATION '$p3'")
+    spark.sql("INSERT INTO graft.sql_t3 VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT OVERWRITE graft.sql_t3 PARTITION (part='x') (k) VALUES (100)")
+    DeltaLog.clearCache()
+    val rows = spark.sql("SELECT k, part FROM graft.sql_t3 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "y"), (100L, "x")))
+
+    // writes to a time-travel relation are refused
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.sql_t VERSION AS OF 1 VALUES (0, 'no')")
+    }
+    // CREATE without LOCATION on a name identifier is refused loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.noloc (k BIGINT)")
+    }
+  }
+
   test("graft catalog: per-session resolution (no SparkSession.active leakage)") {
     val src = Fixtures.readParquet(spark, sfDir, "region")
     def tmp(): String =
