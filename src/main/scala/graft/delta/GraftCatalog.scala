@@ -226,7 +226,37 @@ object GraftCatalog {
   * `SparkSession.active`, which is thread-sensitive under multi-session use. */
 final case class GraftTable(path: String, versionAsOf: Option[Long])(
     @transient private val owner: SparkSession) extends Table
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Identity-only ScanBuilder: DELETE planning pushes a scan over the
+    * target relation (V2ScanRelationPushDown requires SupportsRead) but
+    * never executes it — actual reads are swapped to the V1 delta scan
+    * during analysis ([[GraftCatalogResolution]]). Executing this scan
+    * (Scan.toBatch's default) throws, so a path that dodges the swap fails
+    * loudly instead of returning empty. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = schema()
+      override def description(): String = s"graft-identity-scan ${name()}"
+    }
+
+  /** SQL `DELETE FROM graft.t WHERE <pushable predicate>` → the DV-based
+    * DELETE path; predicates Spark can't push as V1 filters are refused by
+    * `canDeleteWhere` (loud AnalysisException, never a wrong delete).
+    * `TRUNCATE TABLE` rides the default (delete-all) implementation. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    versionAsOf.isEmpty &&
+      (try { GraftTable.filtersToCondition(filters); true }
+       catch { case _: UnsupportedOperationException => false })
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(versionAsOf.isEmpty, s"cannot delete from a time-travel relation: ${name()}")
+    val cond = GraftTable.filtersToCondition(filters)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    DeltaDelete.delete(owner, DeltaLog.forPath(owner, path), cond)
+  }
   override def name(): String =
     versionAsOf.fold(path)(v => s"$path@v$v")
 
@@ -298,7 +328,15 @@ final case class GraftTable(path: String, versionAsOf: Option[Long])(
   * with output attributes re-aliased onto the v2 relation's exprIds so any
   * already-resolved parents keep their references. */
 class GraftCatalogResolution(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  /** Top-down with an explicit stop: a DeleteFromTable target must stay a
+    * DataSourceV2Relation for DataSourceV2Strategy to plan the delete
+    * (only its condition-side subqueries may be rewritten); reads anywhere
+    * else swap to the full-fidelity V1 scan. (V2WriteCommands hold their
+    * target in a non-child field, so appends never reach this case.) */
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
       val v1 = r.table.asInstanceOf[GraftTable].v1Plan(spark)
       Project(r.output.map { o =>
@@ -306,5 +344,6 @@ class GraftCatalogResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           throw new IllegalStateException(s"column ${o.name} missing in delta scan"))
         Alias(src, o.name)(exprId = o.exprId)
       }, v1)
+    case other => other.mapChildren(rewrite)
   }
 }

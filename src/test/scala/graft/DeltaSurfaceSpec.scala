@@ -183,6 +183,17 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((2L, "y"), (100L, "x")))
 
+    // SQL DELETE FROM with a pushable predicate rides the DV delete path
+    spark.sql("INSERT INTO graft.sql_t VALUES (10, 'k'), (11, 'm')")
+    spark.sql("DELETE FROM graft.sql_t WHERE k >= 10 AND v = 'k'")
+    DeltaLog.clearCache()
+    assert(spark.sql("SELECT k FROM graft.sql_t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L, 11L))
+    // TRUNCATE TABLE = delete-all through the same path
+    spark.sql("TRUNCATE TABLE graft.sql_t")
+    DeltaLog.clearCache()
+    assert(spark.sql("SELECT count(*) FROM graft.sql_t").collect()(0).getLong(0) == 0)
+
     // writes to a time-travel relation are refused
     intercept[Exception] {
       spark.sql("INSERT INTO graft.sql_t VERSION AS OF 1 VALUES (0, 'no')")
