@@ -87,8 +87,16 @@ object Fixtures {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () }
     val df = readParquet(spark, sfDir, table)
-    if (table == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (table == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ, which
+        // watermarks/windows reject. Session TZ is pinned to UTC
+        // everywhere in this project, so the cast is lossless.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
     else df
   }
 

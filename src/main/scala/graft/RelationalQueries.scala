@@ -1238,14 +1238,33 @@ object RelationalQueries {
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY gap ORDER BY gap""".stripMargin,
 
-    // statistical aggregates: correlation + sample stddev per group
-    // (round(2): both engines compute the same closed forms over doubles)
+    // statistical aggregates: correlation + sample stddev per group.
+    // Built-in corr/stddev_samp/covar_samp merge partial moments in
+    // engine-specific association order, so their double results can
+    // differ in the last ulp and flip a round(2) digit near a .xx5
+    // boundary. Instead: sum decimal-exact moments (Σx Σy Σxy Σx² Σy² n —
+    // identical bit-for-bit in both engines, decimal addition is exact and
+    // order-free), then derive the closed forms with one fixed sequence of
+    // double ops (IEEE ops are correctly rounded, so identical inputs +
+    // identical expression text ⇒ identical outputs), rounding last.
     "ds_corr_stats" ->
-      """SELECT l_returnflag,
-        | round(corr(l_quantity, l_extendedprice), 2) AS qty_price_corr,
-        | round(stddev_samp(l_discount), 2) AS disc_sd,
-        | round(covar_samp(l_quantity, l_discount), 2) AS qty_disc_cov
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 2) + 0.0 AS qty_price_corr,
+        | round(sqrt((n*sdd - sd*sd) / (n*(n-1))), 2) + 0.0 AS disc_sd,
+        | round((n*sxd - sx*sd) / (n*(n-1)), 2) + 0.0 AS qty_disc_cov
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // shared string-function subset over the customer-id suffix
     "ds_string_ops" ->

@@ -17,9 +17,14 @@ import graft.delta.DeltaWriter
  */
 object StreamingOps {
 
-  /** Tumbling-window event counts with a watermark (late data bounded). */
+  /** Tumbling-window event counts with a watermark (late data bounded).
+    * `ts` arriving as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) is
+    * cast to TIMESTAMP first — watermarks reject NTZ event time, and the
+    * session TZ is pinned UTC so the cast is lossless. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
-    events
+    (if (events.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+       events.withColumn("ts", col("ts").cast("timestamp"))
+     else events)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))

@@ -32,6 +32,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("windowedCounts accepts a TIMESTAMP_NTZ event-time source") {
+    // regression: the events fixture can surface ts as TIMESTAMP_NTZ
+    // (parquet isAdjustedToUTC=false); watermarking NTZ raw throws
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src-ntz").toString
+    eventsBatch.limit(2000)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    assert(schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = StreamingOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts_ntz")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("win_counts_ntz").count() > 0)
+  }
+
   test("foreachBatch streaming into delta is exactly-once under replay") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-src2").toString
     eventsBatch.limit(1000).coalesce(4).write.mode("overwrite").parquet(srcDir)
