@@ -376,6 +376,47 @@ object ForeignFixtures {
     dir
   }
 
+  /**
+   * Foreign table whose STRUCT gained a field between commits (the
+   * reference's generated evolution corpus,
+   * test/sql/generated/schema_evolution.test:24-37): v0's schema is
+   * `id, info STRUCT<a,b>` with the even-nationkey file; v1 re-emits
+   * metaData with `info STRUCT<a,b,c>` and adds the odd-nationkey file
+   * carrying c. Reading the table must null-fill `info.c` for v0's file —
+   * the nested analog of top-level add-column evolution.
+   */
+  def structEvolution(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "nation_struct_evo")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "nation")
+
+    val oldRows = src.filter(col("n_nationkey") % 2 === 0)
+      .select(col("n_nationkey").as("id"),
+        struct(col("n_name").as("a"), col("n_regionkey").as("b")).as("info"))
+    val newRows = src.filter(col("n_nationkey") % 2 === 1)
+      .select(col("n_nationkey").as("id"),
+        struct(col("n_name").as("a"), col("n_regionkey").as("b"),
+          upper(col("n_name")).as("c")).as("info"))
+
+    writeOneFile(oldRows, s"$dir/old.parquet")
+    writeOneFile(newRows, s"$dir/new.parquet")
+    def sz(n: String) = new java.io.File(s"$dir/$n").length
+
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000007","format":{"provider":"parquet","options":{}},"schemaString":${jstr(oldRows.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"old.parquet","partitionValues":{},"size":${sz("old.parquet")},"modificationTime":1700000000001,"dataChange":true}}"""))
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      """{"commitInfo":{"timestamp":1700000001000,"operation":"ADD COLUMNS","engineInfo":"foreign-writer/9.9.9"}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000007","format":{"provider":"parquet","options":{}},"schemaString":${jstr(newRows.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"new.parquet","partitionValues":{},"size":${sz("new.parquet")},"modificationTime":1700000001001,"dataChange":true}}"""))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
   private implicit class SeqRows(rows: Seq[Row]) {
     def asJavaList: java.util.List[Row] = {
       val out = new java.util.ArrayList[Row](rows.size)

@@ -212,8 +212,15 @@ object RelationalQueries {
         |WHERE n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // SHUFFLE_HASH(orders): orders is fact-sized, so broadcasting it means
+    // a 1.5M-entry single-threaded driver hash build (x10 paired 5.7×,
+    // build ≈ the whole query). A shuffled hash join builds 32 partition-
+    // local tables in parallel instead, and the lineitem side entering the
+    // shuffle is already pruned ~10× by the part(%red%) broadcast join
+    // that precedes it. At 100 TB a fact⋈fact join must shuffle anyway —
+    // this is that plan, arriving one round earlier than AQE would.
     "q9_profit_by_nation" ->
-      """SELECT n_name, year(o_orderdate) AS o_year,
+      """SELECT /*+ SHUFFLE_HASH(orders) */ n_name, year(o_orderdate) AS o_year,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
@@ -248,8 +255,15 @@ object RelationalQueries {
     // fact table and shuffling ~nothing (VERDICT r4: the join-first plan
     // crossed the full 6M-row join output through a shuffle, 75.8× vs
     // baseline).
+    // BROADCAST(t): post-HAVING t is a few hundred rows, but static
+    // estimates size it from its 107 MB child, so without the hint the
+    // planner instead broadcasts the 1.5M-row pruned orders side — a
+    // single-threaded driver hash build that dominated the query (x10
+    // paired 9.2×). Broadcasting the tiny agg result flips orders to the
+    // streamed probe side — the only shape that survives orders growing
+    // past memory at 100 TB.
     "q18_large_orders" ->
-      """SELECT o_orderkey, round(o_totalprice, 2) AS price, qty
+      """SELECT /*+ BROADCAST(t) */ o_orderkey, round(o_totalprice, 2) AS price, qty
         |FROM orders
         |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
         |      FROM lineitem
