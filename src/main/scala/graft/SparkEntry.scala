@@ -205,6 +205,41 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // --- SQL UPDATE / MERGE statements (analyzer rewrite → DV machinery;
+    //     beyond the reference, which rejects all DML) ---
+    "delta_sql_update_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "supplier")
+      graft.delta.GraftCatalog.attach("sql_upd_t", p)
+      s.sql("""UPDATE graft.sql_upd_t SET s_acctbal = s_acctbal * 2
+              |WHERE s_nationkey < 5""".stripMargin).collect()
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .select(col("s_suppkey"), round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "delta_sql_merge_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "nation")
+      graft.delta.GraftCatalog.attach("sql_mrg_t", p)
+      Fixtures.readParquet(s, dir, "nation")
+        .withColumn("n_name",
+          when(col("n_nationkey") % 2 === 0, concat(col("n_name"), lit("_M")))
+            .otherwise(col("n_name")))
+        .withColumn("n_nationkey",
+          when(col("n_nationkey") % 2 === 0, col("n_nationkey"))
+            .otherwise(col("n_nationkey") + 500))
+        .createOrReplaceTempView("sql_mrg_src")
+      s.sql("""MERGE INTO graft.sql_mrg_t t USING sql_mrg_src s
+              |ON t.n_nationkey = s.n_nationkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // --- MERGE-style upsert ---
     "delta_upsert_scan" -> ((s, dir) => {
       val p = freshCopy(s, dir, "region")
@@ -503,6 +538,18 @@ object SparkEntry {
       DeltaTable.forPath(s, p).toDF.orderBy(col("r_regionkey"))
     }),
 
+    // --- nested struct-field schema evolution: foreign table whose
+    //     struct gained a field between commits; the old file's rows must
+    //     read the added field as NULL (reference generated corpus,
+    //     test/sql/generated/schema_evolution.test:24-37) ---
+    "delta_struct_evolution" -> ((s, dir) => {
+      val p = ForeignFixtures.structEvolution(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .select(col("id"), col("info.a").as("a"), col("info.b").as("b"),
+          col("info.c").as("c"))
+        .orderBy(col("id"))
+    }),
+
     // --- VARIANT: semi-structured JSON via Spark 4 variant (§1.2) ---
     "q_variant_json" -> ((s, dir) => {
       RelationalQueries.ensureViews(s, dir)
@@ -562,6 +609,16 @@ object SparkEntry {
       """SELECT s_suppkey,
         | round(CASE WHEN s_nationkey = 0 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "delta_sql_update_scan" ->
+      """SELECT s_suppkey,
+        | round(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2 ELSE s_acctbal END, 2) AS acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "delta_sql_merge_scan" ->
+      """SELECT n_nationkey, CASE WHEN n_nationkey % 2 = 0 THEN n_name || '_M' ELSE n_name END AS n_name
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 500 AS n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 1
+        |ORDER BY n_nationkey""".stripMargin,
     "delta_upsert_scan" ->
       """SELECT r_regionkey,
         | CASE WHEN r_regionkey <= 1 THEN r_name || '_v2' ELSE r_name END AS r_name
@@ -605,6 +662,10 @@ object SparkEntry {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "delta_foreign_v2_json" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+    "delta_struct_evolution" ->
+      """SELECT n_nationkey AS id, n_name AS a, n_regionkey AS b,
+        | CASE WHEN n_nationkey % 2 = 1 THEN upper(n_name) END AS c
+        |FROM nation ORDER BY id""".stripMargin,
     "delta_generated_column" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key

@@ -25,16 +25,43 @@ object Alter {
   /** Append nullable columns to the table schema (ALTER TABLE ADD COLUMNS).
     * Existing files read them as null. */
   def addColumns(spark: SparkSession, log: DeltaLog,
-      cols: Seq[StructField]): Long = {
+      cols: Seq[StructField]): Long =
+    addColumnsAt(spark, log, cols.map(f => (Nil: Seq[String], f)))
+
+  /** ADD COLUMNS with nested targets: each entry is (parentPath, field)
+    * where parentPath names a struct (possibly deep: `a.b`). Existing
+    * files read the added field as NULL (nested add-column evolution —
+    * the reference's generated corpus, schema_evolution.test:24-37). */
+  def addColumnsAt(spark: SparkSession, log: DeltaLog,
+      cols: Seq[(Seq[String], StructField)]): Long = {
     val snap = log.update()
     ProtocolGate.validateWrite(snap, "ADD COLUMNS")
     require(cols.nonEmpty, "no columns to add")
-    val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
-    val dup = cols.map(_.name).filter(c => existing.contains(c.toLowerCase))
-    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
-    require(cols.forall(_.nullable),
+    require(cols.forall(_._2.nullable),
       "added columns must be nullable (existing files have no values for them)")
-    val newSchema = StructType(snap.schema.fields ++ cols)
+
+    def insertAt(schema: StructType, parent: Seq[String],
+        field: StructField, fullPath: String): StructType =
+      parent match {
+        case Nil =>
+          require(!schema.fields.exists(_.name.equalsIgnoreCase(field.name)),
+            s"column already exists: $fullPath")
+          StructType(schema.fields :+ field)
+        case head +: rest =>
+          val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(idx >= 0, s"no such column: $head (adding $fullPath)")
+          val updated = schema.fields(idx).dataType match {
+            case st: StructType => insertAt(st, rest, field, fullPath)
+            case other => throw new IllegalArgumentException(
+              s"cannot add nested column $fullPath: $head is ${other.sql}, not a struct")
+          }
+          StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(dataType = updated)))
+      }
+
+    val newSchema = cols.foldLeft(snap.schema) { case (sch, (parent, f)) =>
+      insertAt(sch, parent, f, (parent :+ f.name).mkString("."))
+    }
     commitMetadata(log, snap, "ADD COLUMNS",
       snap.metadata.copy(schemaString = newSchema.json))
   }

@@ -300,7 +300,7 @@ object DeltaMerge {
 
   /** @return (rowsUpdated, rowsInserted) */
   def upsert(spark: SparkSession, log: DeltaLog, source: DataFrame,
-      keyCols: Seq[String]): (Long, Long) = {
+      keyCols: Seq[String], insertNotMatched: Boolean = true): (Long, Long) = {
     val snap = log.update()
     require(snap.columnMappingMode == "none",
       "MERGE not supported on column-mapped tables")
@@ -309,12 +309,22 @@ object DeltaMerge {
     val schemaCols = snap.schema.fieldNames.toSeq
     require(source.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
       s"source schema must match table: ${schemaCols.sorted}")
-    val aligned = source.select(schemaCols.map(c => col(s"`$c`")): _*)
+    val aligned0 = source.select(schemaCols.map(c => col(s"`$c`")): _*)
 
     val raw = snap.relationDF
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
       else raw
+    // update-only MERGE (no WHEN NOT MATCHED clause): write only source
+    // rows whose key exists in the target — a semi join, not a collect
+    val aligned =
+      if (insertNotMatched) aligned0
+      else {
+        val tkeys = live.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+        aligned0.join(tkeys,
+          keyCols.map(c => aligned0(s"`$c`") === tkeys(s"`$c`")).reduce(_ && _),
+          "left_semi")
+      }
     // target physical rows whose key appears in the source → soft-delete
     val keys = aligned.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
     val hitRows = live

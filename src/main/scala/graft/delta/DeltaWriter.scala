@@ -85,15 +85,14 @@ object DeltaWriter {
           genFilled.schema.fields.find(_.name.equalsIgnoreCase(name)).get
         def castTo(target: StructField): org.apache.spark.sql.Column = {
           val in = dfField(target.name)
-          if (in.dataType == target.dataType) col(s"`${in.name}`").as(target.name)
-          else col(s"`${in.name}`").cast(target.dataType).as(target.name)
+          alignExpr(col(s"`${in.name}`"), in.dataType, target.dataType).as(target.name)
         }
         if (mergeSchema) {
           require(want.subsetOf(have),
             s"mergeSchema append must contain all table columns; missing ${(want -- have).toSeq.sorted}")
           val newCols = genFilled.columns.filterNot(c => s.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
           val mergedExisting = s.schema.fields.map { tf =>
-            widenedType(tf.dataType, dfField(tf.name).dataType) match {
+            widenedType(tf.dataType, dfField(tf.name).dataType, allowNewFields = true) match {
               case Some(w) => tf.copy(dataType = w)
               case None => throw new IllegalArgumentException(
                 s"Cannot merge types for column ${tf.name}: " +
@@ -108,9 +107,14 @@ object DeltaWriter {
             s"Schema mismatch appending to $path: have ${have.toSeq.sorted}, want ${want.toSeq.sorted}")
           s.schema.fields.foreach { tf =>
             val inT = dfField(tf.name).dataType
+            // incoming must align INTO the table type unchanged: narrower
+            // primitives upcast, struct fields missing from the incoming
+            // side null-fill (nested add-column evolution — old-shape
+            // writers keep working after an ALTER), but nothing that would
+            // WIDEN the table schema without mergeSchema.
             require(widenedType(tf.dataType, inT).contains(tf.dataType),
               s"Type mismatch for column ${tf.name}: table ${tf.dataType.sql}, " +
-                s"data ${inT.sql} (not losslessly castable; use mergeSchema to widen)")
+                s"data ${inT.sql} (not losslessly alignable; use mergeSchema to widen)")
           }
           (genFilled.select(s.schema.fields.map(castTo).toIndexedSeq: _*), s.schema)
         }
@@ -223,8 +227,7 @@ object DeltaWriter {
       val in = genFilled.schema.fields.find(_.name.equalsIgnoreCase(tf.name)).get
       require(widenedType(tf.dataType, in.dataType).contains(tf.dataType),
         s"Type mismatch for column ${tf.name}: table ${tf.dataType.sql}, data ${in.dataType.sql}")
-      if (in.dataType == tf.dataType) col(s"`${in.name}`").as(tf.name)
-      else col(s"`${in.name}`").cast(tf.dataType).as(tf.name)
+      alignExpr(col(s"`${in.name}`"), in.dataType, tf.dataType).as(tf.name)
     }.toIndexedSeq: _*)
     // replaceWhere contract: a row outside the predicate would silently
     // survive the logical replace — refuse the whole write instead
@@ -374,13 +377,50 @@ object DeltaWriter {
   /** The common wider type of `table` and `incoming`, when one losslessly
     * contains the other (protocol type widening: integral chain,
     * float→double, decimal precision/scale growth). None = incompatible. */
-  private[delta] def widenedType(table: DataType, incoming: DataType): Option[DataType] = {
+  private[delta] def widenedType(table: DataType, incoming: DataType): Option[DataType] =
+    widenedType(table, incoming, allowNewFields = false)
+
+  /** Type reconciliation, now RECURSIVE through struct/array/map (nested
+    * schema evolution — the reference's generated corpus evolves struct
+    * fields, test/sql/generated/schema_evolution.test:24-37):
+    *  - primitives widen along the protocol chain (integral ranks,
+    *    float→double, decimal growth);
+    *  - structs merge field-wise: fields present in both recurse; table
+    *    fields MISSING from the incoming side are kept when nullable (the
+    *    write null-fills them, mirroring the read-side rule); incoming
+    *    fields unknown to the table are appended only under
+    *    `allowNewFields` (mergeSchema), else the types are incompatible.
+    * None = incompatible. */
+  private[delta] def widenedType(table: DataType, incoming: DataType,
+      allowNewFields: Boolean): Option[DataType] = {
     def intRank(dt: DataType): Int = dt match {
       case ByteType => 0; case ShortType => 1; case IntegerType => 2; case LongType => 3
       case _ => -1
     }
     (table, incoming) match {
       case (a, b) if a == b => Some(a)
+      case (a: StructType, b: StructType) =>
+        val extra = b.fields.filterNot(f =>
+          a.fields.exists(_.name.equalsIgnoreCase(f.name)))
+        if (extra.nonEmpty && !allowNewFields) None
+        else {
+          val mergedExisting = a.fields.map { tf =>
+            b.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+              case Some(inF) =>
+                widenedType(tf.dataType, inF.dataType, allowNewFields)
+                  .map(m => tf.copy(dataType = m))
+              case None => if (tf.nullable) Some(tf) else None
+            }
+          }
+          if (mergedExisting.exists(_.isEmpty)) None
+          else Some(StructType(mergedExisting.map(_.get) ++
+            extra.map(f => f.copy(nullable = true))))
+        }
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        widenedType(ae, be, allowNewFields).map(e => ArrayType(e, an || bn))
+      case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+        for { k <- widenedType(ak, bk, allowNewFields)
+              v <- widenedType(av, bv, allowNewFields) } yield MapType(k, v, an || bn)
       case (a, b) if intRank(a) >= 0 && intRank(b) >= 0 =>
         if (intRank(a) >= intRank(b)) Some(a) else Some(b)
       case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
@@ -392,6 +432,31 @@ object DeltaWriter {
         else None
       case _ => None
     }
+  }
+
+  /** Expression aligning a value of type `from` to (compatible, possibly
+    * evolved) type `to`: missing nullable struct fields become NULL,
+    * shared fields recurse, primitives cast. A plain `cast` cannot do
+    * this — Spark struct casts require identical field counts. */
+  private[delta] def alignExpr(c: org.apache.spark.sql.Column,
+      from: DataType, to: DataType): org.apache.spark.sql.Column = (from, to) match {
+    case (f, t) if f == t => c
+    case (f: StructType, t: StructType) =>
+      val rebuilt = struct(t.fields.map { tf =>
+        f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+          case Some(ff) => alignExpr(c.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }.toIndexedSeq: _*)
+      when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+    case (ArrayType(fe, _), ArrayType(te, _)) if fe != te =>
+      transform(c, x => alignExpr(x, fe, te))
+    case (MapType(fk, fv, _), MapType(tk, tv, _)) if fk != tk || fv != tv =>
+      when(c.isNull, lit(null).cast(to)).otherwise(
+        map_from_arrays(
+          transform(map_keys(c), k => alignExpr(k, fk, tk)),
+          transform(map_values(c), v => alignExpr(v, fv, tv))))
+    case _ => c.cast(to)
   }
 
   private case class FileStats(

@@ -132,15 +132,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported: ${unsupported.head}")
     val addCols = changes.collect { case a: TableChange.AddColumn =>
-      require(a.fieldNames.length == 1,
-        s"nested column add not supported: ${a.fieldNames.mkString(".")}")
-      org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType, a.isNullable)
+      (a.fieldNames.init.toSeq,
+        org.apache.spark.sql.types.StructField(a.fieldNames.last, a.dataType, a.isNullable))
     }
     val setProps = changes.collect {
       case s: TableChange.SetProperty => s.property -> s.value }.toMap
     val unsetProps = changes.collect {
       case r: TableChange.RemoveProperty => r.property }
-    if (addCols.nonEmpty) Alter.addColumns(spark, log, addCols)
+    if (addCols.nonEmpty) Alter.addColumnsAt(spark, log, addCols)
     if (setProps.nonEmpty) Alter.setProperties(spark, log, setProps)
     if (unsetProps.nonEmpty) Alter.unsetProperties(spark, log, unsetProps)
     loadTable(ident)
@@ -337,6 +336,19 @@ class GraftCatalogResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     * target in a non-child field, so appends never reach this case.) */
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    // SQL UPDATE / MERGE: Spark only plans these for
+    // SupportsRowLevelOperations tables — intercept them (before the
+    // target scan is swapped to v1, which would hide the GraftTable) and
+    // run the DV-based DeltaUpdate/DeltaMerge machinery instead.
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      SqlDml.rewriteUpdate(u).getOrElse(u)
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      SqlDml.rewriteMerge(m) match {
+        case Some(cmd) => cmd
+        // non-graft target: leave as-is; graft SOURCE reads still need the
+        // v1 swap, which mapChildren below would skip on the target side
+        case None => m.copy(sourceTable = rewrite(m.sourceTable))
+      }
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
       val v1 = r.table.asInstanceOf[GraftTable].v1Plan(spark)
       Project(r.output.map { o =>

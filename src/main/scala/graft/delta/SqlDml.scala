@@ -1,0 +1,150 @@
+package graft.delta
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, MergeIntoTable, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.LongType
+
+/**
+ * SQL UPDATE / MERGE over graft catalog tables — the row-level DML the
+ * reference's catalog rejects outright (src/storage/delta_catalog.cpp:
+ * 102-117). DELETE/TRUNCATE already route through `SupportsDelete`;
+ * UPDATE and MERGE arrive as analyzer plans (`UpdateTable`,
+ * `MergeIntoTable`) that Spark only plans for `SupportsRowLevelOperations`
+ * tables, so [[GraftCatalogResolution]] rewrites them into these command
+ * nodes, which drive the existing DV-based [[DeltaUpdate]]/[[DeltaMerge]]
+ * machinery (executor-built deletion bitmaps + re-append in one commit —
+ * nothing driver-side scales with row count).
+ *
+ * Expressions are re-anchored BY NAME (resolved attribute refs →
+ * unresolved columns) because the command re-reads the table through its
+ * own scan; subqueries in conditions are refused loudly.
+ */
+object SqlDml {
+
+  /** Re-anchor `e` for resolution against a fresh scan of the same table. */
+  private def byName(e: Expression): Column = {
+    e.foreach {
+      case s: SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"subqueries are not supported in graft UPDATE/MERGE conditions: $s")
+      case _ => ()
+    }
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def assignmentName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
+    case other => throw new UnsupportedOperationException(
+      s"only top-level columns can be SET in graft UPDATE/MERGE: $other")
+  }
+
+  private[delta] def graftPath(plan: LogicalPlan): Option[String] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable].path
+    }
+
+  /** `UpdateTable` → command, when the target is a graft table. */
+  def rewriteUpdate(u: UpdateTable): Option[LogicalPlan] =
+    graftPath(u.table).map { path =>
+      UpdateGraftTableCommand(path,
+        u.assignments.map(a => assignmentName(a.key) -> byName(a.value)),
+        u.condition.map(byName))
+    }
+
+  /**
+   * `MergeIntoTable` → command for the canonical upsert shape:
+   * equality join condition, `WHEN MATCHED THEN UPDATE` (SET * or explicit
+   * assignments), optional `WHEN NOT MATCHED THEN INSERT` (* or aligned).
+   * Anything beyond (not-matched-by-source clauses, additional conditions)
+   * is refused loudly rather than half-executed.
+   */
+  def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
+    graftPath(m.targetTable).map { path =>
+      import org.apache.spark.sql.catalyst.plans.logical._
+      if (m.notMatchedBySourceActions.nonEmpty)
+        throw new UnsupportedOperationException(
+          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
+      // equality key pairs out of the merge condition
+      def keyPairs(e: Expression): Seq[(String, String)] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          keyPairs(l) ++ keyPairs(r)
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          Seq((attrName(l), attrName(r)))
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE condition must be a conjunction of equalities: $other")
+      }
+      def attrName(e: Expression): String = e match {
+        case a: AttributeReference => a.name
+        case u: UnresolvedAttribute => u.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE condition must compare columns: $other")
+      }
+      val targetCols = m.targetTable.output.map(_.name)
+      val pairs = keyPairs(m.mergeCondition).map { case (x, y) =>
+        // orient each pair as (target, source) using the target's columns
+        if (targetCols.exists(_.equalsIgnoreCase(x))) (x, y) else (y, x)
+      }
+      val doInsert = m.notMatchedActions match {
+        case Nil => false
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assignments))
+            if assignments.forall(a =>
+              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) => true
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports only WHEN NOT MATCHED THEN INSERT (*-aligned): $other")
+      }
+      m.matchedActions match {
+        case Seq(UpdateStarAction(None)) => ()
+        case Seq(UpdateAction(None, assignments, _))
+            if assignments.forall(a =>
+              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE supports only WHEN MATCHED THEN UPDATE SET * : $other")
+      }
+      MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
+    }
+  }
+}
+
+/** UPDATE <graft table> SET ... [WHERE ...] — returns rows_updated. */
+case class UpdateGraftTableCommand(
+    path: String,
+    assignments: Seq[(String, Column)],
+    condition: Option[Column]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("rows_updated", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = DeltaLog.forPath(spark, path)
+    val n = DeltaUpdate.update(spark, log,
+      condition.getOrElse(lit(true)), assignments.toMap)
+    Seq(Row(n))
+  }
+}
+
+/** MERGE (upsert shape) into a graft table — returns (updated, inserted). */
+case class MergeGraftTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    insertNotMatched: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = DeltaLog.forPath(spark, path)
+    val sourceDf = GraftColumnBridge.ofRows(spark, source)
+    val (up, ins) = DeltaMerge.upsert(spark, log, sourceDf, keyCols,
+      insertNotMatched = insertNotMatched)
+    Seq(Row(up, ins))
+  }
+}

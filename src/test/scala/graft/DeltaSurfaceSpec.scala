@@ -88,6 +88,127 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(expectAfterDelete < src.count())
   }
 
+  test("SQL UPDATE and MERGE route through the DV machinery") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val p = java.nio.file.Files.createTempDirectory("graft-sqldml").toString + "/t"
+    DeltaWriter.append(spark, src, p)
+    GraftCatalog.attach("dml_t", p)
+
+    // UPDATE ... WHERE: returns rows_updated; values change; others don't
+    val toHit = src.filter(col("s_nationkey") === 3).count()
+    val upd = spark.sql(
+      "UPDATE graft.dml_t SET s_acctbal = s_acctbal + 1000 WHERE s_nationkey = 3")
+      .collect()(0).getLong(0)
+    assert(upd == toHit && toHit > 0)
+    DeltaLog.clearCache()
+    val afterUpd = spark.sql("SELECT round(sum(s_acctbal),2) FROM graft.dml_t")
+      .collect()(0).getDouble(0)
+    val expected = src.agg(round(sum(col("s_acctbal") +
+      when(col("s_nationkey") === 3, 1000.0).otherwise(0.0)), 2)).collect()(0).getDouble(0)
+    assert(math.abs(afterUpd - expected) < 0.01, s"$afterUpd vs $expected")
+
+    // MERGE: half the rows mutated + some brand-new keys, canonical upsert
+    src.filter(col("s_suppkey") % 2 === 0)
+      .withColumn("s_acctbal", lit(-5.0))
+      .union(src.filter(col("s_suppkey") < 3)
+        .withColumn("s_suppkey", col("s_suppkey") + 1000000))
+      .createOrReplaceTempView("dml_source")
+    val mergeRow = spark.sql(
+      """MERGE INTO graft.dml_t t USING dml_source s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    DeltaLog.clearCache()
+    val evens = src.filter(col("s_suppkey") % 2 === 0).count()
+    val news = src.filter(col("s_suppkey") < 3).count()
+    assert(mergeRow.getLong(0) == evens && mergeRow.getLong(1) == news,
+      s"got $mergeRow, want ($evens, $news)")
+    assert(spark.sql("SELECT count(*) FROM graft.dml_t WHERE s_acctbal = -5.0")
+      .collect()(0).getLong(0) == evens)
+    assert(spark.sql("SELECT count(*) FROM graft.dml_t").collect()(0).getLong(0)
+      == src.count() + news)
+
+    // update-only MERGE (no NOT MATCHED clause): new keys are NOT inserted
+    val before = spark.sql("SELECT count(*) FROM graft.dml_t").collect()(0).getLong(0)
+    src.limit(5).withColumn("s_suppkey", col("s_suppkey") + 2000000)
+      .withColumn("s_acctbal", lit(7.0))
+      .createOrReplaceTempView("dml_source2")
+    val m2 = spark.sql(
+      """MERGE INTO graft.dml_t t USING dml_source2 s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()(0)
+    DeltaLog.clearCache()
+    assert(m2.getLong(0) == 0 && m2.getLong(1) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.dml_t").collect()(0).getLong(0) == before)
+
+    // unsupported shapes fail loudly, not half-run
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.dml_t t USING dml_source s
+        |ON t.s_suppkey > s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin) }
+    assert(e.getMessage.contains("conjunction of equalities"))
+  }
+
+  test("nested struct evolution: alter-add, old-shape append, mergeSchema") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("id"),
+        struct(col("n_name").as("a"), col("n_regionkey").as("b")).as("info"))
+    val p = java.nio.file.Files.createTempDirectory("graft-nested").toString + "/t"
+    DeltaWriter.append(spark, src, p)
+    val n = src.count()
+
+    // nested ADD COLUMNS via SQL: info gains c; old files read NULL
+    GraftCatalog.attach("nested_t", p)
+    spark.sql("ALTER TABLE graft.nested_t ADD COLUMNS (info.c STRING)")
+    DeltaLog.clearCache()
+    val evolved = DeltaTable.forPath(spark, p).toDF
+    assert(evolved.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(evolved.filter(col("info.c").isNotNull).count() == 0)
+
+    // OLD-shape append (struct without c) still works: null-filled
+    DeltaWriter.append(spark, src, p)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF.count() == 2 * n)
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("info.c").isNotNull).count() == 0)
+
+    // NEW-shape append fills c for its rows only
+    val withC = src.withColumn("info",
+      struct(col("info.a").as("a"), col("info.b").as("b"),
+        upper(col("info.a")).as("c")))
+    DeltaWriter.append(spark, withC, p)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("info.c").isNotNull).count() == n)
+
+    // mergeSchema evolves the struct from the DATA side: info gains d
+    val withD = withC.withColumn("info",
+      struct(col("info.a").as("a"), col("info.b").as("b"),
+        col("info.c").as("c"), lit(7L).as("d")))
+    DeltaWriter.append(spark, withD, p, mergeSchema = true)
+    DeltaLog.clearCache()
+    val afterMerge = DeltaTable.forPath(spark, p).toDF
+    assert(afterMerge.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a", "b", "c", "d"))
+    assert(afterMerge.filter(col("info.d") === 7L).count() == n)
+    // ...but WITHOUT mergeSchema a data-side new field is refused
+    val withE = withD.withColumn("info",
+      struct(col("info.a").as("a"), col("info.b").as("b"),
+        col("info.c").as("c"), col("info.d").as("d"), lit(true).as("e")))
+    intercept[IllegalArgumentException] { DeltaWriter.append(spark, withE, p) }
+
+    // adding under a non-struct path is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nested_t ADD COLUMNS (id.x STRING)")
+    }
+    assert(e.getMessage.contains("not a struct"))
+  }
+
   test("alter table: add columns, properties, check constraints") {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
