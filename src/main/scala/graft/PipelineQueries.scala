@@ -167,13 +167,11 @@ object PipelineQueries {
     // --- near-dup cluster canonicalization (drop-list materialization) ---
     "dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalize(Dedup.jaccardPairsDfCapped(docs(s, dir)))),
-    "emb_near_dup_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-      // plane count scales with corpus size (capped to the oracle's 24
-      // generated plane literals — enough for n up to ~10⁹)
-      Similarity.lshNearDupPairs(e, minSim = 0.2,
-        numPlanes = math.min(Similarity.planesFor(e.count()), 24))
-    }),
+    "emb_near_dup_lsh" -> ((s, dir) =>
+      // banded multi-table LSH (k=3 planes × 6 tables): recall ~0.69 for
+      // sim-0.2 pairs vs ~0.01 for one 8-plane table; the oracle embeds
+      // the same 18 plane literals and the same band structure
+      Similarity.lshNearDupPairsBanded(emb(s, dir), minSim = 0.2)),
 
     // --- streaming: availableNow micro-batch ingest → exactly-once delta
     //     sink, then aggregate the SINK — the stream result must equal the
@@ -418,31 +416,35 @@ object PipelineQueries {
        |WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qv.bucket)) <= 1
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
-  /** Near-dup oracle with the plane count derived FROM THE DATA, mirroring
-    * Similarity.planesFor exactly (integer bit-length, no float log): 24
-    * plane literals are generated and plane i only contributes when
-    * i < np. Spark's lshNearDupPairs with planesFor(count) buckets
-    * identically because radPlanes is prefix-stable in numPlanes. */
+  /** BANDED near-dup oracle mirroring Similarity.lshNearDupPairsBanded
+    * (k=3 planes × 6 tables, same 18 plane literals, same band slices):
+    * per-table bucket index → per-table bucket join → DISTINCT candidate
+    * pairs → exact cosine verify. Integer-quantized projections keep the
+    * buckets bit-identical across engines. */
   private val embNearDupSql = {
-    val maxPlanes = 24
-    val planes = Similarity.radPlanes(maxPlanes, 64, 42L)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.mkString("[", ", ", "]")
-      s"(CASE WHEN $i < np.np AND list_sum(list_transform(range(1, 65), j -> q[j] * ($lits)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString("\n    + ")
-    s"""WITH np AS (SELECT least(greatest(8, length(bin(
-       |    greatest(CAST(ceil(count(*) / 64.0) AS BIGINT), 2) - 1))), $maxPlanes) AS np
-       |  FROM embeddings),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    val k = 3; val tables = 6
+    val planes = Similarity.radPlanes(k * tables, 64, 42L)
+    def bucketExpr(t: Int): String =
+      (0 until k).map { i =>
+        val lits = planes(t * k + i).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), j -> q[j] * ($lits)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+    val index = (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl,\n    ${bucketExpr(t)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
-       |b AS (SELECT vec_id, v,
-       |    $bucket AS bucket
-       |  FROM e, np)
-       |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       |  round(list_cosine_similarity(a.v, c.v), 4) AS sim
-       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-       |WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.2
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |idx AS (
+       |  $index),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM idx a JOIN idx b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+       |FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
+       |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -222,6 +222,46 @@ object Similarity {
     lshNearDupPairs(emb, minSim, planesFor(emb.count()), seed)
 
   /**
+   * BANDED multi-table LSH near-dup pairs — the recall-bearing variant.
+   * A single k-plane table recalls only p^k of true pairs (p = 1 − θ/π);
+   * `numTables` independent tables recall 1 − (1 − p^k)^L. At the default
+   * (k=3, L=6) a sim-0.2 pair (p ≈ 0.56) is caught with ~0.69 probability
+   * vs ~0.01 for one 8-plane table — the MinHash band trick applied to
+   * hyperplane signatures.
+   *
+   * Scale shape: the unioned (vec_id, table, bucket) index carries NO
+   * vectors; candidates are distinct id pairs from the per-table bucket
+   * join, and embeddings are joined back only for the exact-cosine verify
+   * — so the 64-dim payload is never replicated L×, and each table's
+   * bucket join is bounded by its bucket sizes (n/2^k expected). Raising
+   * k (with L to match) keeps buckets bounded as n grows; recall then
+   * concentrates on genuinely-near pairs, which is the LSH contract.
+   */
+  def lshNearDupPairsBanded(emb: DataFrame, minSim: Double,
+      planesPerTable: Int = 3, numTables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val planes = radPlanes(planesPerTable * numTables, 64, seed)
+    val index = (0 until numTables).map { t =>
+      val slice = planes.slice(t * planesPerTable, (t + 1) * planesPerTable)
+      emb.select(col("vec_id"), lit(t).as("tbl"),
+        lshBucket(quantize(col("embedding")), slice).as("bucket"))
+    }.reduce(_ union _)
+    val candidates = index.as("a").join(index.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    candidates
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va.v"), col("vb.v")), 4).as("sim"))
+      .where(col("sim") >= minSim)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
    * IVF top-k with a DATA-SEEDED coarse quantizer: the cells are the
    * vectors with vec_id < numCells (deterministic, engine-reproducible —
    * no Lloyd iterations), distances are exact integer L2 over quantized

@@ -152,21 +152,25 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("doc_id")))
   }
 
-  test("lsh embedding near-dup pairs are exact-cosine verified") {
-    val pairs = Similarity.lshNearDupPairs(emb, minSim = 0.2).collect()
+  test("banded lsh near-dup pairs are exact-cosine verified with recall >= 0.5") {
+    val pairs = Similarity.lshNearDupPairsBanded(emb, minSim = 0.2).collect()
     pairs.foreach { r =>
       assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
       assert(r.getAs[Double]("sim") >= 0.2)
     }
-    // every LSH pair within the exact block must appear in the exact pairs
+    // precision: every banded pair within the exact block is a true pair;
+    // recall: the bands must catch >= 0.5 of the block's true pairs
+    // (expected 1-(1-p^3)^6 ~ 0.69 at sim 0.2)
     val exact = Similarity.pairsAboveThreshold(emb, 200L, 0.2).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val lshInBlock = pairs
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
       .filter { case (a, b) => a < 200 && b < 200 }.toSet
     assert(lshInBlock.subsetOf(exact))
-    info(s"lsh near-dup: ${pairs.length} pairs; block recall " +
-      s"${if (exact.isEmpty) "n/a" else lshInBlock.size.toDouble / exact.size}")
+    val recall = if (exact.isEmpty) 1.0 else lshInBlock.size.toDouble / exact.size
+    info(s"banded lsh near-dup: ${pairs.length} pairs; block recall $recall")
+    assert(recall >= 0.5, s"banded recall $recall below floor " +
+      s"(caught ${lshInBlock.size} of ${exact.size} block pairs)")
   }
 
   test("deterministic sampling: stable, unbiased-ish, shuffle-free") {
