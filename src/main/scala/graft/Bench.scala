@@ -370,11 +370,29 @@ object Bench {
       }
     }
 
+    // Fixed per-query JVM floor: a minimal 2-stage job (1-row shuffle →
+    // noop commit) — pure scheduling/AQE/commit overhead, zero data work.
+    // The floor-bound paired rows (events_hourly, dedup_exact, centroids:
+    // ~0.2s absolute at any plan quality) are launch-dominated; reporting
+    // the floor lets the artifact separate engine cost from JVM cost —
+    // on a real cluster this overhead amortizes across a session, it does
+    // not scale with data.
+    val jobFloor = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 32, 1, 4).groupBy((col("id") % 2).as("k"))
+          .agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
     val calibEnd = calibrate(spark)
     val (ccUsed, ccMax) = codeCache()
     val jitMs = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(-1L)
-    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"degraded_waits":${degradedWaits.get}"""
+    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$baselineJson}""")
     spark.stop()
