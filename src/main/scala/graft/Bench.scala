@@ -212,13 +212,14 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // ... but size the advisory for CPU-bound codegen'd joins, not bulk
       // IO: the default 64 MB coalesced the x10 lineitem⋈orders SMJ input
-      // (119 MB) onto 2 of 32 cores. 4 MB keeps ~all cores busy once a
-      // shuffle carries real volume while still collapsing the few-MB
-      // ones; interleaved A/B (BenchOne GRAFT_AB_CONF): q5 5.4→1.4s, q3 2.8→0.9s,
-      // q18 2.3→0.9s (4 MB A/B), every small query unchanged-or-better.
-      // Cluster equivalent: advisory ≈ stage input / total cores.
+      // (119 MB) onto 2 of 32 cores. 1 MB keeps ~all cores busy once a
+      // shuffle carries real volume while still collapsing the few-KB
+      // ones; interleaved A/B (BenchOne GRAFT_AB_CONF, 4MB vs 1MB at x10):
+      // q18 1.01→0.84s, q3 1.15→0.55s, q9 0.65→0.54s, q1/q_window/events
+      // unchanged, q5 0.66→0.72s (the one small regression). Cluster
+      // equivalent: advisory ≈ stage input / total cores.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        (4L * 1024 * 1024).toString)
+        (1L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

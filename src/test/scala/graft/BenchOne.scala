@@ -15,7 +15,7 @@ object BenchOne {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", (4L * 1024 * 1024).toString))
+        sys.env.getOrElse("GRAFT_ADVISORY_BYTES", (1L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
