@@ -297,24 +297,24 @@ object Bench {
         }.toMap
         var bigFailed = List.empty[String]
         val bigRows: Seq[(String, Double, Option[Double])] = big.map { n =>
-          // two interleaved (duckdb, spark) rounds, min per engine: a
-          // noise burst must now span both rounds of both engines to
+          // three interleaved (duckdb, spark) rounds, min per engine: a
+          // noise burst must now span every round of both engines to
           // reach the artifact (observed bursts poisoned single timed
           // passes in BOTH directions — r4 spark rows, r5 a 4.6s duckdb
-          // q_window_rank)
+          // q_window_rank and a 12.2x q3 that re-measured at 3.3x on an
+          // idle host)
           def round(): (Option[Double], Double, Boolean) = {
             val dd = duck.time(n)
             val (tt, okk, cc) = runOne(spark, n, bigDir, "x10 ", ccFracMax)
             ccFracMax = cc
             (dd, tt, okk)
           }
-          val (da, ta, oka) = round()
-          val (db, tb, okb) = round()
-          var t = math.min(ta, tb)
-          var ok = oka || okb
-          var d = (da, db) match {
-            case (Some(a), Some(b)) => Some(math.min(a, b))
-            case _ => da.orElse(db)
+          val rounds = Seq(round(), round(), round())
+          var t = rounds.map(_._2).min
+          var ok = rounds.exists(_._3)
+          var d = rounds.flatMap(_._1) match {
+            case Nil => None
+            case ds => Some(ds.min)
           }
           if (t > 1.0 && bigWarm.get(n).exists(w => w > 0 && t > 3 * w)) {
             waitForHealthyWindow(spark)
