@@ -240,6 +240,23 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    "delta_sql_merge_delete_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "customer")
+      graft.delta.GraftCatalog.attach("sql_mrgdel_t", p)
+      Fixtures.readParquet(s, dir, "customer")
+        .where(col("c_custkey") % 7 === 0).select(col("c_custkey"))
+        .createOrReplaceTempView("sql_mrgdel_tomb")
+      s.sql("""MERGE INTO graft.sql_mrgdel_t t USING sql_mrgdel_tomb s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --- MERGE-style upsert ---
     "delta_upsert_scan" -> ((s, dir) => {
       val p = freshCopy(s, dir, "region")
@@ -619,6 +636,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT n_nationkey + 500 AS n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY n_nationkey""".stripMargin,
+    "delta_sql_merge_delete_scan" ->
+      """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer WHERE NOT (c_custkey % 7 = 0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "delta_upsert_scan" ->
       """SELECT r_regionkey,
         | CASE WHEN r_regionkey <= 1 THEN r_name || '_v2' ELSE r_name END AS r_name

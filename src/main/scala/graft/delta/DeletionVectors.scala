@@ -358,6 +358,43 @@ object DeltaMerge {
         throw t
     }
   }
+
+  /** MERGE ... WHEN MATCHED THEN DELETE: soft-delete target rows whose
+    * key appears in `source` (the tombstone-list pattern — drop every
+    * doc id a dedup pass condemned). One semi join keyed on the merge
+    * keys → DV actions; nothing driver-side scales with row count.
+    * @return rows deleted */
+  def mergeDelete(spark: SparkSession, log: DeltaLog, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val snap = log.update()
+    require(snap.columnMappingMode == "none",
+      "MERGE not supported on column-mapped tables")
+    ProtocolGate.validateWrite(snap, "MERGE")
+    require(keyCols.nonEmpty, "merge keys required")
+    val missing = keyCols.filterNot(k =>
+      source.columns.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty, s"source lacks merge key(s): ${missing.mkString(", ")}")
+
+    val raw = snap.relationDF
+    val live =
+      if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
+      else raw
+    val keys = source.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    val hitRows = live
+      .join(keys, keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
+        "left_semi")
+      .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
+    val (dvActs, deletedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+    if (dvActs.isEmpty) return 0L
+    val commitActions =
+      Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
+        Map("keys" -> keyCols.mkString(","), "matched" -> "delete")))) ++
+      DeltaDelete.protocolUpgradeActions(snap) ++ dvActs
+    LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+    log.invalidateCache()
+    deletedRows
+  }
 }
 
 /**

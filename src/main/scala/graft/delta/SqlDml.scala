@@ -103,14 +103,19 @@ object SqlDml {
           s"graft MERGE supports only WHEN NOT MATCHED THEN INSERT (*-aligned): $other")
       }
       m.matchedActions match {
-        case Seq(UpdateStarAction(None)) => ()
+        case Seq(DeleteAction(None)) =>
+          if (doInsert) throw new UnsupportedOperationException(
+            "graft MERGE: WHEN MATCHED THEN DELETE cannot combine with INSERT")
+          MergeDeleteGraftTableCommand(path, m.sourceTable, pairs.map(_._1))
+        case Seq(UpdateStarAction(None)) =>
+          MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
         case Seq(UpdateAction(None, assignments, _))
             if assignments.forall(a =>
-              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) => ()
+              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) =>
+          MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
         case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports only WHEN MATCHED THEN UPDATE SET * : $other")
+          s"graft MERGE supports only WHEN MATCHED THEN UPDATE SET * or DELETE: $other")
       }
-      MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
     }
   }
 }
@@ -126,6 +131,22 @@ case class UpdateGraftTableCommand(
     val log = DeltaLog.forPath(spark, path)
     val n = DeltaUpdate.update(spark, log,
       condition.getOrElse(lit(true)), assignments.toMap)
+    Seq(Row(n))
+  }
+}
+
+/** MERGE ... WHEN MATCHED THEN DELETE — returns rows_deleted. */
+case class MergeDeleteGraftTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keyCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("rows_deleted", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = DeltaLog.forPath(spark, path)
+    val n = DeltaMerge.mergeDelete(spark, log,
+      GraftColumnBridge.ofRows(spark, source), keyCols)
     Seq(Row(n))
   }
 }

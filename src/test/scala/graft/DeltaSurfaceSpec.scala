@@ -143,6 +143,20 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(m2.getLong(0) == 0 && m2.getLong(1) == 0)
     assert(spark.sql("SELECT count(*) FROM graft.dml_t").collect()(0).getLong(0) == before)
 
+    // WHEN MATCHED THEN DELETE: tombstone-list deletion via semi join
+    spark.sql("SELECT * FROM graft.dml_t WHERE s_suppkey % 3 = 1")
+      .createOrReplaceTempView("dml_tombstones")
+    val delHit = spark.sql("SELECT count(*) FROM graft.dml_t WHERE s_suppkey % 3 = 1")
+      .collect()(0).getLong(0)
+    val m3 = spark.sql(
+      """MERGE INTO graft.dml_t t USING dml_tombstones s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN DELETE""".stripMargin).collect()(0).getLong(0)
+    DeltaLog.clearCache()
+    assert(m3 == delHit && delHit > 0, s"deleted $m3, expected $delHit")
+    assert(spark.sql("SELECT count(*) FROM graft.dml_t WHERE s_suppkey % 3 = 1")
+      .collect()(0).getLong(0) == 0)
+
     // unsupported shapes fail loudly, not half-run
     val e = intercept[Exception] { spark.sql(
       """MERGE INTO graft.dml_t t USING dml_source s
