@@ -39,11 +39,20 @@ object SqlDml {
     })
   }
 
-  private def assignmentName(key: Expression): String = key match {
-    case a: AttributeReference => a.name
-    case u: UnresolvedAttribute if u.nameParts.length == 1 => u.nameParts.head
+  private def assignmentName(key: Expression): String = assignmentPath(key) match {
+    case Seq(one) => one
     case other => throw new UnsupportedOperationException(
-      s"only top-level columns can be SET in graft UPDATE/MERGE: $other")
+      s"only top-level columns can be SET here: ${other.mkString(".")}")
+  }
+
+  /** SET target as a field path: `c` or `info.c` (nested struct field). */
+  private def assignmentPath(key: Expression): Seq[String] = key match {
+    case a: AttributeReference => Seq(a.name)
+    case u: UnresolvedAttribute => u.nameParts
+    case org.apache.spark.sql.catalyst.expressions.GetStructField(child, _, Some(name)) =>
+      assignmentPath(child) :+ name
+    case other => throw new UnsupportedOperationException(
+      s"unsupported SET target in graft UPDATE/MERGE: $other")
   }
 
   private[delta] def graftPath(plan: LogicalPlan): Option[String] =
@@ -56,7 +65,7 @@ object SqlDml {
   def rewriteUpdate(u: UpdateTable): Option[LogicalPlan] =
     graftPath(u.table).map { path =>
       UpdateGraftTableCommand(path,
-        u.assignments.map(a => assignmentName(a.key) -> byName(a.value)),
+        u.assignments.map(a => assignmentPath(a.key) -> byName(a.value)),
         u.condition.map(byName))
     }
 
@@ -120,17 +129,30 @@ object SqlDml {
   }
 }
 
-/** UPDATE <graft table> SET ... [WHERE ...] — returns rows_updated. */
+/** UPDATE <graft table> SET ... [WHERE ...] — returns rows_updated.
+  * Nested SET targets (`info.c = expr`) fold into a `withField` rebuild of
+  * their top-level column, so [[DeltaUpdate]] stays a whole-column
+  * assignment engine. */
 case class UpdateGraftTableCommand(
     path: String,
-    assignments: Seq[(String, Column)],
+    assignments: Seq[(Seq[String], Column)],
     condition: Option[Column]) extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
     Seq(AttributeReference("rows_updated", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
     val log = DeltaLog.forPath(spark, path)
+    val byTop = assignments.groupBy(_._1.head.toLowerCase)
+    val asg = byTop.map { case (_, as) =>
+      val top = as.head._1.head
+      val merged = as.foldLeft(col(s"`$top`")) {
+        case (_, (Seq(_), v)) => v // whole-column SET (last one wins)
+        case (acc, (path, v)) => acc.withField(path.tail.mkString("."), v)
+      }
+      top -> merged
+    }
     val n = DeltaUpdate.update(spark, log,
-      condition.getOrElse(lit(true)), assignments.toMap)
+      condition.getOrElse(lit(true)), asg)
     Seq(Row(n))
   }
 }

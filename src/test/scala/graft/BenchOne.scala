@@ -16,6 +16,8 @@ object BenchOne {
         sys.env.getOrElse("GRAFT_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_BYTES", (1L * 1024 * 1024).toString))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", (16L * 1024 * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

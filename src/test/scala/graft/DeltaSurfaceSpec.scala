@@ -221,6 +221,23 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft.nested_t ADD COLUMNS (id.x STRING)")
     }
     assert(e.getMessage.contains("not a struct"))
+
+    // nested-field SQL UPDATE: SET info.c rebuilds the struct via withField
+    val odd = spark.sql("SELECT count(*) FROM graft.nested_t WHERE id % 2 = 1")
+      .collect()(0).getLong(0)
+    val nUpd = spark.sql(
+      """UPDATE graft.nested_t SET info.c = upper(info.a)
+        |WHERE id % 2 = 1""".stripMargin).collect()(0).getLong(0)
+    DeltaLog.clearCache()
+    assert(nUpd == odd && odd > 0)
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.nested_t
+        |WHERE id % 2 = 1 AND info.c = upper(info.a)""".stripMargin)
+      .collect()(0).getLong(0) == odd)
+    // untouched sibling fields survive the rebuild
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.nested_t WHERE info.a IS NULL")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("alter table: add columns, properties, check constraints") {

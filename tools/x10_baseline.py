@@ -49,16 +49,19 @@ def main():
         con.execute(sql).fetchall()
         out[name] = round(time.time() - t0, 3)
         print(f"{name}: {out[name]}s", file=sys.stderr)
+    # derive the scale factor from the dir name (…_xN) so the blob and
+    # its filename say what was actually measured
+    factor = x10.rstrip("/").rsplit("_x", 1)[-1]
     result = {
         "engine": "duckdb-" + duckdb.__version__,
         "threads": 32,
-        "data": "synthetic 10x of sf0.1 (SyntheticScale, same replication Bench uses)",
+        "data": f"synthetic {factor}x of sf0.1 (SyntheticScale, same replication Bench uses)",
         "method": "oracle_sql.json per query, warm pass then timed pass, wall seconds",
         "queries": out,
         "total": round(sum(out.values()), 3),
     }
     os.makedirs("bench-baselines", exist_ok=True)
-    with open("bench-baselines/x10_duckdb.json", "w") as f:
+    with open(f"bench-baselines/x{factor}_duckdb.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
