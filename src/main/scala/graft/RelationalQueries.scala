@@ -150,9 +150,15 @@ object RelationalQueries {
         |ORDER BY c_mktsegment""".stripMargin,
 
     // --- windows ---
+    // SHUFFLE_HASH(customer): at scale customer outgrows the broadcast
+    // threshold and the join falls back to SMJ — sorting BOTH fact-sized
+    // sides just to join, when the windowed top-k afterwards needs no join
+    // ordering at all. A shuffled hash join keeps both sides unsorted;
+    // the partial WindowGroupLimit then bounds the window shuffle to
+    // k·|segments| rows per task.
     "q_window_rank" ->
       """SELECT c_mktsegment, o_orderkey, rnk
-        |FROM (SELECT c_mktsegment, o_orderkey,
+        |FROM (SELECT /*+ SHUFFLE_HASH(customer) */ c_mktsegment, o_orderkey,
         |        row_number() OVER (PARTITION BY c_mktsegment
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |      FROM orders JOIN customer ON c_custkey = o_custkey) t
