@@ -307,9 +307,16 @@ object DeltaMerge {
     ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
     val schemaCols = snap.schema.fieldNames.toSeq
-    require(source.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
+    // a source may omit generated columns (the engine computes them);
+    // everything else must match. Checks below enforce CHECK constraints
+    // and supplied-generated-value consistency — MERGE is a write path,
+    // not a constraint bypass.
+    val genFilled = DeltaWriter.fillGenerated(Some(snap), source)
+    require(genFilled.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
       s"source schema must match table: ${schemaCols.sorted}")
-    val aligned0 = source.select(schemaCols.map(c => col(s"`$c`")): _*)
+    val aligned0 = DeltaWriter.withWriteChecks(
+      genFilled.select(schemaCols.map(c => col(s"`$c`")): _*),
+      snap.schema, snap.metadata.configuration, log.tablePath.toString)
 
     val raw = snap.relationDF
     val live =
@@ -423,10 +430,25 @@ object DeltaUpdate {
       else raw
     val matched = live.where(condition)
 
-    // new row images, in logical column order
-    val newRows = matched.select(snap.schema.fields.map { f =>
+    // new row images, in logical column order. Generated columns NOT
+    // explicitly SET are recomputed from their expressions (an update to a
+    // source column must not leave a stale derived value); explicitly-SET
+    // generated columns and CHECK constraints are enforced below by the
+    // same write pass appends use — row-level DML must not be a constraint
+    // bypass.
+    val assigned = matched.select(snap.schema.fields.map { f =>
       assignments.get(f.name).map(_.as(f.name)).getOrElse(col(s"`${f.name}`"))
     }.toIndexedSeq: _*)
+    // second phase so generation expressions see POST-assignment values
+    val newRows0 = snap.schema.fields.foldLeft(assigned) { (d, f) =>
+      if (f.metadata.contains("delta.generationExpression") &&
+          !assignments.contains(f.name))
+        d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+          f.metadata.getString("delta.generationExpression")).cast(f.dataType))
+      else d
+    }
+    val newRows = DeltaWriter.withWriteChecks(newRows0, snap.schema,
+      snap.metadata.configuration, log.tablePath.toString)
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {

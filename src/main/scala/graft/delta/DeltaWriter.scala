@@ -164,7 +164,7 @@ object DeltaWriter {
     * column entirely — the engine computes it from the expression; a
     * supplied value is validated against the expression in the write pass
     * (withWriteChecks). */
-  private def fillGenerated(snapshot: Option[Snapshot], df: DataFrame): DataFrame =
+  private[delta] def fillGenerated(snapshot: Option[Snapshot], df: DataFrame): DataFrame =
     snapshot match {
       case Some(s) =>
         s.schema.fields.foldLeft(df) { (d, f) =>
@@ -278,7 +278,7 @@ object DeltaWriter {
     * generation expression. assert_true evaluates per row inside the write
     * scan (null when satisfied → row kept; throws naming the rule when
     * violated). */
-  private def withWriteChecks(
+  private[delta] def withWriteChecks(
       aligned: DataFrame,
       tableSchema: StructType,
       configuration: Map[String, String],

@@ -165,6 +165,62 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conjunction of equalities"))
   }
 
+  test("UPDATE/MERGE enforce CHECK constraints and recompute generated columns") {
+    import org.apache.spark.sql.types._
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    val p = java.nio.file.Files.createTempDirectory("graft-dml-ck").toString + "/t"
+    DeltaWriter.append(spark, src, p)
+    val t0 = DeltaTable.forPath(spark, p)
+    t0.addCheckConstraint("key_bound", "r_regionkey < 100")
+    // generated column added via metadata: lower(r_name)
+    val genField = StructField("r_lower", StringType, nullable = true,
+      metadata = new MetadataBuilder()
+        .putString("delta.generationExpression", "lower(r_name)").build())
+    t0.addColumns(genField)
+    DeltaLog.clearCache()
+    // backfill: update with no-op assignment recomputes r_lower
+    val t1 = DeltaTable.forPath(spark, p)
+    t1.update(col("r_regionkey") >= 0, Map("r_name" -> col("r_name")))
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("r_lower") =!= lower(col("r_name"))).count() == 0)
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("r_lower").isNull).count() == 0)
+
+    // UPDATE breaking the CHECK constraint must refuse the whole commit
+    val before = DeltaTable.forPath(spark, p).toDF.count()
+    intercept[Exception] {
+      DeltaTable.forPath(spark, p).update(col("r_regionkey") === 0,
+        Map("r_regionkey" -> lit(500L)))
+    }
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF.count() == before)
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("r_regionkey") === 500).count() == 0)
+
+    // generated column follows an UPDATE of its source column
+    DeltaTable.forPath(spark, p).update(col("r_regionkey") === 1,
+      Map("r_name" -> lit("RENAMED")))
+    DeltaLog.clearCache()
+    val renamed = DeltaTable.forPath(spark, p).toDF
+      .filter(col("r_regionkey") === 1).select(col("r_lower")).collect()
+    assert(renamed.forall(_.getString(0) == "renamed"))
+
+    // MERGE source may omit the generated column (engine computes it);
+    // a source that LIES about it is refused
+    val okSrc = src.limit(2).withColumn("r_name", lit("Merged"))
+    DeltaTable.forPath(spark, p).upsert(okSrc, Seq("r_regionkey"))
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, p).toDF
+      .filter(col("r_name") === "Merged" && col("r_lower") === "merged")
+      .count() == 2)
+    intercept[Exception] {
+      DeltaTable.forPath(spark, p).upsert(
+        okSrc.withColumn("r_lower", lit("WRONG")), Seq("r_regionkey"))
+    }
+  }
+
   test("nested struct evolution: alter-add, old-shape append, mergeSchema") {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
