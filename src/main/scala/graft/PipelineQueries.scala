@@ -172,6 +172,13 @@ object PipelineQueries {
       // sim-0.2 pairs vs ~0.01 for one 8-plane table; the oracle embeds
       // the same 18 plane literals and the same band structure
       Similarity.lshNearDupPairsBanded(emb(s, dir), minSim = 0.2)),
+    "emb_near_dup_clusters" -> ((s, dir) =>
+      // same banded pair graph → min-label fixpoint (connected
+      // components): the embedding-side drop-list, keep_id per vector
+      Dedup.canonicalize(
+        Similarity.lshNearDupPairsBanded(emb(s, dir), minSim = 0.2))
+        .select(col("doc_id").as("vec_id"), col("keep_id"))
+        .orderBy(col("vec_id"))),
 
     // --- streaming: availableNow micro-batch ingest → exactly-once delta
     //     sink, then aggregate the SINK — the stream result must equal the
@@ -421,7 +428,7 @@ object PipelineQueries {
     * per-table bucket index → per-table bucket join → DISTINCT candidate
     * pairs → exact cosine verify. Integer-quantized projections keep the
     * buckets bit-identical across engines. */
-  private val embNearDupSql = {
+  private val embNearDupCtes = {
     val k = 3; val tables = 6
     val planes = Similarity.radPlanes(k * tables, 64, 42L)
     def bucketExpr(t: Int): String =
@@ -432,7 +439,7 @@ object PipelineQueries {
     val index = (0 until tables).map { t =>
       s"SELECT vec_id, $t AS tbl,\n    ${bucketExpr(t)} AS bucket FROM e"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -440,13 +447,30 @@ object PipelineQueries {
        |  $index),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM idx a JOIN idx b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b,
-       |  round(list_cosine_similarity(va.v, vb.v), 4) AS sim
-       |FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
-       |WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.2
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |vpairs AS (SELECT id_a, id_b,
+       |    round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+       |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id
+       |  WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.2)""".stripMargin
   }
+
+  private val embNearDupSql =
+    s"""WITH $embNearDupCtes
+       |SELECT id_a, id_b, sim FROM vpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected components over the banded-LSH verified pair graph:
+    * keep_id = min reachable vec_id (recursive CTE) — the fixpoint
+    * Dedup.canonicalize converges to on the same pairs. */
+  private val embNearDupClustersSql =
+    s"""WITH RECURSIVE $embNearDupCtes,
+       |nbrs AS (SELECT id_a AS n, id_b AS m FROM vpairs
+       |  UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach AS (
+       |  SELECT n AS doc_id, n AS r FROM (SELECT DISTINCT n FROM nbrs)
+       |  UNION
+       |  SELECT nbrs.n AS doc_id, reach.r FROM reach JOIN nbrs ON nbrs.m = reach.doc_id)
+       |SELECT doc_id AS vec_id, min(r) AS keep_id
+       |FROM reach GROUP BY doc_id ORDER BY vec_id""".stripMargin
 
   /** Seeded-IVF oracle: cells = vectors with vec_id < 16, exact integer L2
     * assignment (ties → lower cell id), probe the 4 cells nearest the
@@ -530,6 +554,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "emb_near_dup_lsh" -> embNearDupSql,
+    "emb_near_dup_clusters" -> embNearDupClustersSql,
     "emb_centroids" ->
       """SELECT label, i, round(avg(embedding[i]), 4) AS v
         |FROM embeddings, range(1, 65) r(i)
