@@ -165,6 +165,35 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conjunction of equalities"))
   }
 
+  test("UPDATE moving rows across partitions lands them in the right partition") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val p = java.nio.file.Files.createTempDirectory("graft-part-upd").toString + "/t"
+    DeltaWriter.append(spark, src, p, partitionBy = Seq("s_nationkey"))
+    val srcNation = src.agg(min(col("s_nationkey"))).collect()(0).getInt(0)
+    val moved = src.filter(col("s_nationkey") === srcNation).count()
+    assert(moved > 0)
+
+    // move that nation's suppliers to nation 99 (a brand-new partition)
+    val n = DeltaTable.forPath(spark, p).update(col("s_nationkey") === srcNation,
+      Map("s_nationkey" -> lit(99)))
+    assert(n == moved)
+    DeltaLog.clearCache()
+    val t = DeltaTable.forPath(spark, p).toDF
+    assert(t.filter(col("s_nationkey") === srcNation).count() == 0)
+    assert(t.filter(col("s_nationkey") === 99).count() == moved)
+    assert(t.count() == src.count())
+    // partition pruning on the NEW partition actually prunes (the moved
+    // rows live in a real s_nationkey=99 directory, not a mislabeled one)
+    val files = new java.io.File(p).listFiles().map(_.getName)
+    assert(files.exists(_.startsWith("s_nationkey=99")), files.mkString(","))
+    // total content equals the logical expectation
+    val expect = src.withColumn("s_nationkey",
+      when(col("s_nationkey") === srcNation, 99).otherwise(col("s_nationkey")))
+    assert(t.select("s_suppkey", "s_name", "s_nationkey")
+      .exceptAll(expect).isEmpty)
+  }
+
   test("UPDATE/MERGE enforce CHECK constraints and recompute generated columns") {
     import org.apache.spark.sql.types._
     val src = Fixtures.readParquet(spark, sfDir, "region")
