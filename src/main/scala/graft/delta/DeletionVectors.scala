@@ -308,15 +308,14 @@ object DeltaMerge {
     require(keyCols.nonEmpty, "merge keys required")
     val schemaCols = snap.schema.fieldNames.toSeq
     // a source may omit generated columns (the engine computes them);
-    // everything else must match. Checks below enforce CHECK constraints
-    // and supplied-generated-value consistency — MERGE is a write path,
-    // not a constraint bypass.
+    // everything else must match. withWriteChecks is applied AFTER the
+    // update-only semi filter so only rows that will actually be written
+    // are validated — MERGE is a write path, not a constraint bypass, but
+    // a never-written source row must not abort it either.
     val genFilled = DeltaWriter.fillGenerated(Some(snap), source)
     require(genFilled.columns.map(_.toLowerCase).toSet == schemaCols.map(_.toLowerCase).toSet,
       s"source schema must match table: ${schemaCols.sorted}")
-    val aligned0 = DeltaWriter.withWriteChecks(
-      genFilled.select(schemaCols.map(c => col(s"`$c`")): _*),
-      snap.schema, snap.metadata.configuration, log.tablePath.toString)
+    val aligned0 = genFilled.select(schemaCols.map(c => col(s"`$c`")): _*)
 
     val raw = snap.relationDF
     val live =
@@ -324,7 +323,7 @@ object DeltaMerge {
       else raw
     // update-only MERGE (no WHEN NOT MATCHED clause): write only source
     // rows whose key exists in the target — a semi join, not a collect
-    val aligned =
+    val alignedKeyed =
       if (insertNotMatched) aligned0
       else {
         val tkeys = live.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
@@ -332,8 +331,29 @@ object DeltaMerge {
           keyCols.map(c => aligned0(s"`$c`") === tkeys(s"`$c`")).reduce(_ && _),
           "left_semi")
       }
-    // target physical rows whose key appears in the source → soft-delete
+    val aligned = DeltaWriter.withWriteChecks(alignedKeyed, snap.schema,
+      snap.metadata.configuration, log.tablePath.toString)
+
+    // MERGE precondition (the SQL-standard ambiguity guards): each key
+    // matches at most one target row and appears at most once in the
+    // source — otherwise "replace matched rows with the source row" would
+    // silently shrink or duplicate the table. Two bounded aggregates
+    // (first offending key only), refused BEFORE any file is written.
     val keys = aligned.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+    def firstDupKey(d: DataFrame, what: String): Unit = {
+      val dup = d.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE refused: $what has ${dup(0).getLong(keyCols.length)} rows " +
+            s"for key ${keyCols.zipWithIndex.map { case (c, i) => s"$c=${dup(0).get(i)}" }.mkString(", ")}")
+    }
+    firstDupKey(aligned0, "source")
+    firstDupKey(live.join(keys,
+      keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
+      "left_semi").select(keyCols.map(c => col(s"`$c`")): _*), "target")
+
+    // target physical rows whose key appears in the source → soft-delete
     val hitRows = live
       .join(keys, keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
         "left_semi")

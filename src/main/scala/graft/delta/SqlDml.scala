@@ -55,11 +55,19 @@ object SqlDml {
       s"unsupported SET target in graft UPDATE/MERGE: $other")
   }
 
-  private[delta] def graftPath(plan: LogicalPlan): Option[String] =
-    plan.collectFirst {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-        r.table.asInstanceOf[GraftTable].path
-    }
+  /** The graft table path when `plan` IS the bare table (alias wrappers
+    * only) — NOT when it merely contains one. A view target wraps the
+    * relation in its Project/Filter; rewriting through that would run the
+    * DML against the base table with the view's predicate silently
+    * dropped. Those targets fall through to Spark's own row-level
+    * planning, which refuses them. */
+  private[delta] def graftPath(plan: LogicalPlan): Option[String] = plan match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      graftPath(s.child)
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      Some(r.table.asInstanceOf[GraftTable].path)
+    case _ => None
+  }
 
   /** `UpdateTable` → command, when the target is a graft table. */
   def rewriteUpdate(u: UpdateTable): Option[LogicalPlan] =
@@ -82,25 +90,56 @@ object SqlDml {
       if (m.notMatchedBySourceActions.nonEmpty)
         throw new UnsupportedOperationException(
           "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
-      // equality key pairs out of the merge condition
-      def keyPairs(e: Expression): Seq[(String, String)] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-          keyPairs(l) ++ keyPairs(r)
-        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
-          Seq((attrName(l), attrName(r)))
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE condition must be a conjunction of equalities: $other")
-      }
+      // equality key pairs out of the merge condition (expr + its name)
+      def keyPairs(e: Expression): Seq[((Expression, String), (Expression, String))] =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            keyPairs(l) ++ keyPairs(r)
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+            Seq(((l, attrName(l)), (r, attrName(r))))
+          case other => throw new UnsupportedOperationException(
+            s"graft MERGE condition must be a conjunction of equalities: $other")
+        }
       def attrName(e: Expression): String = e match {
         case a: AttributeReference => a.name
         case u: UnresolvedAttribute => u.nameParts.last
+        // analyzer-inserted widening cast around a key column
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => attrName(c.child)
         case other => throw new UnsupportedOperationException(
           s"graft MERGE condition must compare columns: $other")
       }
+      // Orient each equality as (target, source). When the condition is
+      // resolved, exprId set membership attributes each side EXACTLY; only
+      // unresolved conditions fall back to name membership. The upsert
+      // engine joins target and source BY THE SAME NAME, so `t.a = s.b`
+      // with a ≠ b cannot be expressed — refuse it loudly rather than
+      // silently joining on the wrong column.
+      val targetAttrs = m.targetTable.outputSet
+      val sourceAttrs = m.sourceTable.outputSet
       val targetCols = m.targetTable.output.map(_.name)
-      val pairs = keyPairs(m.mergeCondition).map { case (x, y) =>
-        // orient each pair as (target, source) using the target's columns
-        if (targetCols.exists(_.equalsIgnoreCase(x))) (x, y) else (y, x)
+      def side(e: Expression): Option[Boolean] = e match { // Some(true)=target
+        case a: AttributeReference if targetAttrs.contains(a) => Some(true)
+        case a: AttributeReference if sourceAttrs.contains(a) => Some(false)
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => side(c.child)
+        case _ => None
+      }
+      val pairs = keyPairs(m.mergeCondition).map { case ((lx, lName), (rx, rName)) =>
+        val oriented = (side(lx), side(rx)) match {
+          case (Some(true), Some(false)) => (lName, rName)
+          case (Some(false), Some(true)) => (rName, lName)
+          case (Some(a), Some(b)) if a == b =>
+            throw new UnsupportedOperationException(
+              s"graft MERGE condition must compare a target column with a " +
+                s"source column, got same-side pair: $lx = $rx")
+          case _ => // unresolved: name-membership fallback
+            if (targetCols.exists(_.equalsIgnoreCase(lName))) (lName, rName)
+            else (rName, lName)
+        }
+        if (!oriented._1.equalsIgnoreCase(oriented._2))
+          throw new UnsupportedOperationException(
+            s"graft MERGE join keys must share a name (t.X = s.X); got " +
+              s"${oriented._1} = ${oriented._2}")
+        oriented._1
       }
       val doInsert = m.notMatchedActions match {
         case Nil => false
@@ -115,13 +154,13 @@ object SqlDml {
         case Seq(DeleteAction(None)) =>
           if (doInsert) throw new UnsupportedOperationException(
             "graft MERGE: WHEN MATCHED THEN DELETE cannot combine with INSERT")
-          MergeDeleteGraftTableCommand(path, m.sourceTable, pairs.map(_._1))
+          MergeDeleteGraftTableCommand(path, m.sourceTable, pairs)
         case Seq(UpdateStarAction(None)) =>
-          MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
+          MergeGraftTableCommand(path, m.sourceTable, pairs, doInsert)
         case Seq(UpdateAction(None, assignments, _))
             if assignments.forall(a =>
               assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) =>
-          MergeGraftTableCommand(path, m.sourceTable, pairs.map(_._1), doInsert)
+          MergeGraftTableCommand(path, m.sourceTable, pairs, doInsert)
         case other => throw new UnsupportedOperationException(
           s"graft MERGE supports only WHEN MATCHED THEN UPDATE SET * or DELETE: $other")
       }

@@ -233,9 +233,16 @@ object Similarity {
    * vectors; candidates are distinct id pairs from the per-table bucket
    * join, and embeddings are joined back only for the exact-cosine verify
    * — so the 64-dim payload is never replicated L×, and each table's
-   * bucket join is bounded by its bucket sizes (n/2^k expected). Raising
-   * k (with L to match) keeps buckets bounded as n grows; recall then
-   * concentrates on genuinely-near pairs, which is the LSH contract.
+   * bucket join is bounded by its bucket sizes (n/2^k expected).
+   *
+   * The FIXED k here sizes buckets at n/2^k — right for a known corpus
+   * (the oracle embeds the matching plane literals), wrong as n grows
+   * (n/8-sized buckets are quadratic death at 10M vectors). For unknown
+   * or growing corpora use [[lshNearDupPairsBandedAuto]], which scales k
+   * with n; recall then concentrates on genuinely-near pairs — the LSH
+   * contract (a sim-0.9 pair still survives k=14 bands at ~0.5 with
+   * L=6, a sim-0.2 pair effectively never — at corpus scale only true
+   * near-dups are worth catching).
    */
   def lshNearDupPairsBanded(emb: DataFrame, minSim: Double,
       planesPerTable: Int = 3, numTables: Int = 6,
@@ -259,6 +266,20 @@ object Similarity {
         round(cosine(col("va.v"), col("vb.v")), 4).as("sim"))
       .where(col("sim") >= minSim)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** [[lshNearDupPairsBanded]] with planes-per-table scaled to the corpus
+    * ([[planesFor]] without its 8-plane floor): expected bucket size stays
+    * ~targetBucket as n grows, so each table's bucket self-join stays
+    * near-linear in n instead of quadratic. One count() scan. */
+  def lshNearDupPairsBandedAuto(emb: DataFrame, minSim: Double,
+      numTables: Int = 6, targetBucket: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val m = math.max((n + targetBucket - 1) / targetBucket, 2L)
+    val k = math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+    lshNearDupPairsBanded(emb, minSim, planesPerTable = k,
+      numTables = numTables, seed = seed)
   }
 
   /**

@@ -163,6 +163,35 @@ class DeltaSurfaceSpec extends AnyFunSuite {
         |ON t.s_suppkey > s.s_suppkey
         |WHEN MATCHED THEN UPDATE SET *""".stripMargin) }
     assert(e.getMessage.contains("conjunction of equalities"))
+
+    // differently-named join keys would silently join on the wrong column
+    // in the by-name upsert engine — refused, not mis-executed
+    val eN = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.dml_t t USING dml_source s
+        |ON t.s_suppkey = s.s_nationkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin) }
+    assert(eN.getMessage.contains("share a name"), eN.getMessage)
+
+    // UPDATE through a filtered view must NOT silently hit the base table
+    spark.sql("SELECT * FROM graft.dml_t WHERE s_nationkey = 1")
+      .createOrReplaceTempView("dml_view")
+    intercept[Exception] {
+      spark.sql("UPDATE dml_view SET s_acctbal = 0")
+    }
+
+    // duplicate-key targets make 'replace matched with source' ambiguous
+    val dupP = java.nio.file.Files.createTempDirectory("graft-dup").toString + "/t"
+    DeltaWriter.append(spark, src.union(src.limit(3)), dupP)
+    GraftCatalog.attach("dup_t", dupP)
+    src.limit(5).createOrReplaceTempView("dup_src")
+    val eD = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.dup_t t USING dup_src s
+        |ON t.s_suppkey = s.s_suppkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect() }
+    assert(eD.getMessage.contains("MERGE refused"), eD.getMessage)
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, dupP).toDF.count() == src.count() + 3,
+      "refused merge must not have committed")
   }
 
   test("UPDATE moving rows across partitions lands them in the right partition") {

@@ -50,8 +50,13 @@ def main():
         out[name] = round(time.time() - t0, 3)
         print(f"{name}: {out[name]}s", file=sys.stderr)
     # derive the scale factor from the dir name (…_xN) so the blob and
-    # its filename say what was actually measured
-    factor = x10.rstrip("/").rsplit("_x", 1)[-1]
+    # its filename say what was actually measured; refuse unparseable
+    # names BEFORE the expensive measurement pass
+    import re
+    m = re.search(r"_x(\d+)/?$", x10)
+    if not m:
+        sys.exit(f"cannot derive scale factor from dir name: {x10} (expect …_xN)")
+    factor = m.group(1)
     result = {
         "engine": "duckdb-" + duckdb.__version__,
         "threads": 32,
