@@ -61,6 +61,56 @@ object PipelineQueries {
     target
   }
 
+  /** Streaming CDC-apply fixture: supplier rows split into 3 overlapping
+    * key-batches (nationkey tiers, deterministic file order by modTime),
+    * stream-UPSERTED into a Delta target — later batches overwrite
+    * earlier rows per s_suppkey, txnVersion=batchId makes replay no-ops.
+    * Returns the target path; the oracle recomputes last-batch-wins in
+    * SQL from the same tier rule. */
+  private def streamedUpsert(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val key = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+    val target = s"$root/stream-s1/$key/upsert_delta"
+    val marker = Paths.get(target, "_GRAFT_READY")
+    if (Files.exists(marker)) return target
+    Seq(target, s"$root/stream-s1/$key/upsert_src").foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val srcDir = s"$root/stream-s1/$key/upsert_src"
+    val supplier = Fixtures.readParquet(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    // batch 0: ALL suppliers at acctbal 0; batch 1: nation < 15 at +1000;
+    // batch 2: nation < 5 at +2000 — overlapping keys, deterministic tiers
+    val batches = Seq(
+      supplier.withColumn("s_acctbal", lit(0.0)),
+      supplier.where(col("s_nationkey") < 15).withColumn("s_acctbal", lit(1000.0)),
+      supplier.where(col("s_nationkey") < 5).withColumn("s_acctbal", lit(2000.0)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = Files.createTempDirectory("graft-ups-b").toString
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = Paths.get(srcDir, f"batch$i%02d.parquet")
+      Files.createDirectories(dest.getParent)
+      Files.move(part.toPath, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingOps.streamUpsertIntoDelta(
+      s, srcDir, schema, target, keyCols = Seq("s_suppkey"),
+      appId = s"stream-upsert-$key")
+    q.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    Files.createFile(marker)
+    target
+  }
+
   /** Builds (once per sf dir) a 3-append Delta events table, streams it
     * through the graftdelta SOURCE (AvailableNow → parquet sink), and
     * returns the sink dir. The sink contents must equal the batch table —
@@ -189,6 +239,16 @@ object PipelineQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- streaming UPSERT sink (CDC apply): 3 overlapping key-batches
+    //     MERGEd in file order; final state = last-batch-wins per key ---
+    "stream_upsert_agg" -> ((s, dir) => {
+      val target = streamedUpsert(s, dir)
+      graft.delta.DeltaTable.forPath(s, target).toDF
+        .groupBy(col("s_acctbal"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"))
+        .orderBy(col("s_acctbal"))
     }),
 
     // --- streaming SOURCE: version-offset readStream over a 3-append
@@ -566,6 +626,17 @@ object PipelineQueries {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // streaming CDC apply: last-batch-wins per supplier key, recomputed
+    // from the same nationkey tier rule the fixture batches encode
+    "stream_upsert_agg" ->
+      """SELECT acctbal AS s_acctbal, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+        |FROM (SELECT s_suppkey,
+        |        CASE WHEN s_nationkey < 5 THEN 2000.0
+        |             WHEN s_nationkey < 15 THEN 1000.0
+        |             ELSE 0.0 END AS acctbal
+        |      FROM supplier)
+        |GROUP BY acctbal ORDER BY acctbal""".stripMargin,
     // streaming source: the parquet sink fed by the version-offset stream
     // must equal the batch aggregate of the table's rows
     "stream_source_agg" ->

@@ -300,12 +300,20 @@ object DeltaMerge {
 
   /** @return (rowsUpdated, rowsInserted) */
   def upsert(spark: SparkSession, log: DeltaLog, source: DataFrame,
-      keyCols: Seq[String], insertNotMatched: Boolean = true): (Long, Long) = {
+      keyCols: Seq[String], insertNotMatched: Boolean = true,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): (Long, Long) = {
     val snap = log.update()
     require(snap.columnMappingMode == "none",
       "MERGE not supported on column-mapped tables")
     ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
+    // idempotent merge (streaming foreachBatch replay): a batch already
+    // recorded for this appId dedupes to a no-op before any work
+    for (app <- txnAppId; v <- txnVersion; cur <- snap.setTransactions.get(app)
+         if cur >= v) {
+      return (0L, 0L)
+    }
     val schemaCols = snap.schema.fieldNames.toSeq
     // a source may omit generated columns (the engine computes them);
     // everything else must match. withWriteChecks is applied AFTER the
@@ -370,11 +378,13 @@ object DeltaMerge {
       val sourceRows =
         if (perFile.forall(_.isDefined)) perFile.flatten.sum
         else aligned.count()
+      val txnActs = for (app <- txnAppId.toSeq; v <- txnVersion.toSeq)
+        yield Action(SetTransaction(app, v, Some(System.currentTimeMillis())))
       val commitActions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(","))))) ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
-        dvActs ++ adds.map(Action(_))
+        txnActs ++ dvActs ++ adds.map(Action(_))
       LogStore.write(log.fs, log.commitFile(snap.version + 1),
         commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
       log.invalidateCache()

@@ -59,6 +59,49 @@ object StreamingOps {
   }
 
   /**
+   * Exactly-once streaming UPSERT (CDC-apply): each micro-batch MERGEs
+   * into the Delta target on `keyCols` — later batches overwrite earlier
+   * rows with the same key (the change-data-capture apply pattern), and
+   * txnVersion=batchId makes replayed batches no-ops, so the sink state
+   * equals "last batch wins per key" exactly once, end to end. Batches
+   * carrying duplicate keys are refused by the MERGE precondition —
+   * dedupe upstream (`dropDuplicates`) when the feed can repeat keys
+   * within one batch.
+   */
+  def streamUpsertIntoDelta(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetTable: String,
+      keyCols: Seq[String],
+      appId: String = "graft-stream-upsert",
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val df = batch.toDF()
+        if (!df.isEmpty) {
+          val log = graft.delta.DeltaLog.forPath(spark, targetTable)
+          if (!log.tableExists) {
+            DeltaWriter.append(spark, df, targetTable,
+              txnAppId = Some(appId), txnVersion = Some(batchId),
+              operation = "STREAMING UPSERT")
+          } else {
+            graft.delta.DeltaMerge.upsert(spark, log, df, keyCols,
+              txnAppId = Some(appId), txnVersion = Some(batchId))
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /**
    * Exactly-once DEDUPLICATING ingest: `dropDuplicates(dedupCols)` holds
    * the seen-key set in the streaming state store, so a record arriving
    * again in a LATER micro-batch (at-least-once upstream delivery,

@@ -72,6 +72,46 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batches must dedupe to no-ops")
   }
 
+  test("streaming upsert (CDC apply) is last-batch-wins and replay-idempotent") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-ups-src")
+    def writeBatch(i: Int, keys: Range): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("stream-ups-b").toString
+      keys.map(k => (k.toLong, i, s"v$i-$k")).toDF("k", "batch", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = srcDir.resolve(f"batch$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      // deterministic batch order: FileStreamSource orders by timestamp
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    writeBatch(0, 0 until 10)   // keys 0..9  -> batch 0
+    writeBatch(1, 5 until 15)   // keys 5..14 -> batch 1 overwrites 5..9
+    writeBatch(2, 0 until 5)    // keys 0..4  -> batch 2 overwrites 0..4
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val target = java.nio.file.Files.createTempDirectory("stream-ups-t").toString + "/t"
+
+    val q = StreamingOps.streamUpsertIntoDelta(spark, srcDir.toString, schema,
+      target, keyCols = Seq("k"), appId = "ups-test")
+    q.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    def state() = DeltaTable.forPath(spark, target).toDF
+      .select(col("k"), col("batch")).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val expected = (0L until 5L).map(_ -> 2) ++ (5L until 15L).map(_ -> 1)
+    assert(state() == expected, s"got ${state()}")
+
+    // replay from scratch (fresh checkpoint): same batch ids -> all no-ops
+    val q2 = StreamingOps.streamUpsertIntoDelta(spark, srcDir.toString, schema,
+      target, keyCols = Seq("k"), appId = "ups-test")
+    q2.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    assert(state() == expected, "replayed upsert batches must dedupe to no-ops")
+    assert(DeltaTable.forPath(spark, target).toDF.count() == 15)
+  }
+
   test("stateful sessionize matches batch per-user aggregation") {
     import spark.implicits._
     val src = eventsBatch.where(col("user_id") < 50)
