@@ -502,6 +502,26 @@ object SparkEntry {
         .orderBy(col("_commit_version"))
     }),
 
+    // --- CDF WRITE path: with delta.enableChangeDataFeed=true the DML
+    //     ops stage _change_data parquet + cdc actions, and changes()
+    //     reads THEM as authoritative (update_pre/postimage rows exist
+    //     only on this path — derivation emits insert/delete alone) ---
+    "delta_cdf_write_read" -> ((s, dir) => {
+      val src = Fixtures.readNormalized(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val p = java.nio.file.Files.createTempDirectory("graft-cdfw").toString + "/t"
+      graft.delta.DeltaWriter.append(s, src, p,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val t = DeltaTable.forPath(s, p)
+      t.update(col("n_nationkey") % 2 === 0,                       // v1
+        Map("n_name" -> concat(col("n_name"), lit("_U"))))
+      t.delete(col("n_nationkey") % 5 === 1)                       // v2
+      t.changes(1, 2)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("_commit_version"), col("_change_type"))
+    }),
+
     // --- CDF over DV-encoded deletes (no cdc files): v1/v2 grow a file's
     //     deletion vector (bitmap-diff → delete rows), v3 deletes the
     //     file's remaining live rows (pure remove carrying its last DV),
@@ -728,6 +748,19 @@ object SparkEntry {
         | CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS _commit_version,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM nation GROUP BY 2 ORDER BY 2""".stripMargin,
+    "delta_cdf_write_read" ->
+      """WITH ev AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
+        |  FROM nation WHERE n_nationkey % 2 = 0),
+        |dl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
+        |  FROM nation WHERE n_nationkey % 5 = 1)
+        |SELECT * FROM (
+        |  SELECT 'update_postimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+        |    n, s AS sum_key FROM ev
+        |  UNION ALL
+        |  SELECT 'update_preimage', CAST(1 AS BIGINT), n, s FROM ev
+        |  UNION ALL
+        |  SELECT 'delete', CAST(2 AS BIGINT), n, s FROM dl)
+        |ORDER BY _commit_version, _change_type""".stripMargin,
     "delta_cdf_dv" ->
       """SELECT _change_type, _commit_version,
         | CAST(count(*) AS BIGINT) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sum_key

@@ -272,20 +272,43 @@ object DeltaDelete {
   def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
     val snap = log.update()
     ProtocolGate.validateWrite(snap, "DELETE")
+    val raw = snap.relationDF
     // raw (un-DV-filtered) relation: already-deleted rows union away
-    val hitRows = snap.relationDF.where(condition)
+    val hitRows = raw.where(condition)
       .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
-    val (actions, deletedRows) = dvActions(log, snap, hitRows)
-    if (actions.isEmpty) return 0L
-    val commitActions =
-      Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
-        Map("predicate" -> condition.toString)))) ++
-      protocolUpgradeActions(snap) ++ actions
-    // delete is not a blind append: version conflict = error (no retry)
-    LogStore.write(log.fs, log.commitFile(snap.version + 1),
-      commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
-    log.invalidateCache()
-    deletedRows
+    val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      // CDF: the newly deleted rows are the LIVE matches (already-deleted
+      // rows union into the bitmap as no-ops and must not re-emit)
+      val cdcLines =
+        if (!Cdc.enabled(snap)) Nil
+        else {
+          val live =
+            if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
+            else raw
+          Cdc.writeChangeData(spark, log,
+            Cdc.typed(live.where(condition), "delete"),
+            snap.metadata.partitionColumns, moved)
+        }
+      val (actions, deletedRows) = dvActions(log, snap, hitRows)
+      if (actions.isEmpty) {
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        return 0L
+      }
+      val commitActions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
+          Map("predicate" -> condition.toString)))) ++
+        protocolUpgradeActions(snap) ++ actions
+      // delete is not a blind append: version conflict = error (no retry)
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      deletedRows
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
   }
 }
 
@@ -371,6 +394,24 @@ object DeltaMerge {
     try {
       val adds = DeltaWriter.writeFiles(spark, log, aligned, snap.schema,
         snap.metadata.partitionColumns, moved)
+      // CDF: replaced target rows (preimage), their source replacements
+      // (postimage), and non-matching source rows (insert) — one stage
+      val cdcLines =
+        if (!Cdc.enabled(snap)) Nil
+        else {
+          val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
+          val tkeys = live.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
+          def srcJoin(tpe: String): DataFrame = Cdc.typed(
+            aligned.join(tkeys,
+              keyCols.map(c => aligned(s"`$c`") === tkeys(s"`$c`")).reduce(_ && _),
+              tpe), if (tpe == "left_semi") "update_postimage" else "insert")
+          val pre = Cdc.typed(live.join(keys,
+              keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
+              "left_semi").select(cols: _*), "update_preimage")
+          Cdc.writeChangeData(spark, log,
+            pre.unionByName(srcJoin("left_semi")).unionByName(srcJoin("left_anti")),
+            snap.metadata.partitionColumns, moved)
+        }
       val (dvActs, replacedRows) = DeltaDelete.dvActions(log, snap, hitRows)
       // source row count from the write's own per-file stats — recomputing
       // the source (a second full pass) doubled MERGE's source cost
@@ -386,7 +427,7 @@ object DeltaMerge {
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
         txnActs ++ dvActs ++ adds.map(Action(_))
       LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
       log.invalidateCache()
       (replacedRows, sourceRows - replacedRows)
     } catch {
@@ -417,20 +458,39 @@ object DeltaMerge {
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
       else raw
     val keys = source.select(keyCols.map(c => col(s"`$c`")): _*).distinct()
-    val hitRows = live
+    val matchedLive = live
       .join(keys, keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
         "left_semi")
+    val hitRows = matchedLive
       .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
-    val (dvActs, deletedRows) = DeltaDelete.dvActions(log, snap, hitRows)
-    if (dvActs.isEmpty) return 0L
-    val commitActions =
-      Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
-        Map("keys" -> keyCols.mkString(","), "matched" -> "delete")))) ++
-      DeltaDelete.protocolUpgradeActions(snap) ++ dvActs
-    LogStore.write(log.fs, log.commitFile(snap.version + 1),
-      commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
-    log.invalidateCache()
-    deletedRows
+    val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      val cdcLines =
+        if (!Cdc.enabled(snap)) Nil
+        else {
+          val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
+          Cdc.writeChangeData(spark, log,
+            Cdc.typed(matchedLive.select(cols: _*), "delete"),
+            snap.metadata.partitionColumns, moved)
+        }
+      val (dvActs, deletedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      if (dvActs.isEmpty) {
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        return 0L
+      }
+      val commitActions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
+          Map("keys" -> keyCols.mkString(","), "matched" -> "delete")))) ++
+        DeltaDelete.protocolUpgradeActions(snap) ++ dvActs
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      deletedRows
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
   }
 }
 
@@ -484,6 +544,16 @@ object DeltaUpdate {
     try {
       val adds = DeltaWriter.writeFiles(spark, log, newRows, snap.schema,
         snap.metadata.partitionColumns, moved)
+      // CDF: pre-assignment matches + their new images, one cdc stage
+      val cdcLines =
+        if (!Cdc.enabled(snap)) Nil
+        else {
+          val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
+          Cdc.writeChangeData(spark, log,
+            Cdc.typed(matched.select(cols: _*), "update_preimage")
+              .unionByName(Cdc.typed(newRows, "update_postimage")),
+            snap.metadata.partitionColumns, moved)
+        }
       val hitRows = matched.select(
         col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
       val (dvActs, updatedRows) = DeltaDelete.dvActions(log, snap, hitRows)
@@ -497,7 +567,7 @@ object DeltaUpdate {
         DeltaDelete.protocolUpgradeActions(snap) ++
         dvActs ++ adds.map(Action(_))
       LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        commitActions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
       log.invalidateCache()
       updatedRows
     } catch {

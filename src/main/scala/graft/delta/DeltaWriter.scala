@@ -603,14 +603,14 @@ object DeltaWriter {
 
   // -------------------------------------------------------------------------
 
-  private def listRecursive(fs: FileSystem, dir: Path): Seq[Path] = {
+  private[delta] def listRecursive(fs: FileSystem, dir: Path): Seq[Path] = {
     val out = ArrayBuffer.empty[Path]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) out += it.next().getPath
     out.toSeq
   }
 
-  private def relativize(base: Path, p: Path): String = {
+  private[delta] def relativize(base: Path, p: Path): String = {
     val b = base.toUri.getPath.stripSuffix("/")
     val s = p.toUri.getPath
     require(s.startsWith(b + "/"), s"$p not under $base")
@@ -618,14 +618,14 @@ object DeltaWriter {
   }
 
   /** URL-encode each path segment, keeping '/' (protocol `add.path` form). */
-  private def encodePath(rel: String): String =
+  private[delta] def encodePath(rel: String): String =
     rel.split('/').map(seg =>
       URLEncoder.encode(seg, StandardCharsets.UTF_8).replace("+", "%20")).mkString("/")
 
   /** Hive-style `col=val` dirs → protocol partitionValues (null for
     * __HIVE_DEFAULT_PARTITION__; values %-unescaped). Reference equivalent:
     * partition map from kernel transform, delta_multi_file_list.cpp:347-417. */
-  private def partitionValuesFromPath(rel: String, partCols: Seq[String]): Map[String, String] = {
+  private[delta] def partitionValuesFromPath(rel: String, partCols: Seq[String]): Map[String, String] = {
     if (partCols.isEmpty) return Map.empty
     val dirs = rel.split('/').dropRight(1)
     dirs.flatMap { d =>

@@ -194,6 +194,55 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       "refused merge must not have committed")
   }
 
+  test("CDF write path: DML emits authoritative _change_data files") {
+    import spark.implicits._
+    val src = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("id", "name")
+    val p = java.nio.file.Files.createTempDirectory("graft-cdf-w").toString + "/t"
+    DeltaWriter.append(spark, src, p,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+
+    val t = DeltaTable.forPath(spark, p)
+    t.update(col("id") === 1, Map("name" -> lit("B2")))          // v1
+    t.delete(col("id") === 2)                                    // v2
+    t.upsert(Seq((0L, "a9"), (100L, "new")).toDF("id", "name"),
+      Seq("id"))                                                 // v3
+    DeltaLog.clearCache()
+
+    assert(new java.io.File(s"$p/_change_data").exists(),
+      "_change_data dir must exist")
+
+    val ch = DeltaTable.forPath(spark, p).changes(1, 3)
+      .select(col("id"), col("name"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // update_preimage/postimage can ONLY come from cdc files — the
+    // derivation fallback emits insert/delete alone
+    assert(ch.contains((1L, "b", "update_preimage", 1L)), ch)
+    assert(ch.contains((1L, "B2", "update_postimage", 1L)), ch)
+    assert(ch.contains((2L, "c", "delete", 2L)), ch)
+    assert(ch.contains((0L, "a", "update_preimage", 3L)), ch)
+    assert(ch.contains((0L, "a9", "update_postimage", 3L)), ch)
+    assert(ch.contains((100L, "new", "insert", 3L)), ch)
+    assert(ch.size == 6, ch)
+
+    // the table itself reads correctly after all of it
+    val state = DeltaTable.forPath(spark, p).toDF
+      .select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((0L, "a9"), (1L, "B2"), (3L, "d"), (100L, "new")))
+
+    // mergeDelete also feeds CDF
+    DeltaTable.forPath(spark, p) // refresh
+    graft.delta.DeltaMerge.mergeDelete(spark,
+      DeltaLog.forPath(spark, p), Seq(3L).toDF("id"), Seq("id"))  // v4
+    DeltaLog.clearCache()
+    val ch4 = DeltaTable.forPath(spark, p).changes(4, 4)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch4 == Set((3L, "delete")), ch4)
+  }
+
   test("UPDATE moving rows across partitions lands them in the right partition") {
     val src = Fixtures.readParquet(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
