@@ -86,12 +86,32 @@ private[delta] object GraftProcedures {
         StructType(Seq(StructField("version", LongType))),
         args => new GenericInternalRow(
           Array[Any](Checkpoints.checkpoint(log(args.getString(0)))))))
+      case "history" => Some(procRows("history",
+        "Commit history (DESCRIBE HISTORY analog): one row per commit",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("version", LongType),
+          StructField("timestamp", LongType),
+          StructField("operation", StringType),
+          StructField("engine_info", StringType))),
+        args => {
+          val l = log(args.getString(0))
+          l.listCommitVersions().sorted.reverse.map { v =>
+            val ci = l.readCommit(v).flatMap(_.commitInfo).headOption
+            new GenericInternalRow(Array[Any](
+              v,
+              ci.map(_.timestamp).getOrElse(0L),
+              UTF8String.fromString(ci.map(_.operation).getOrElse("")),
+              UTF8String.fromString(ci.map(_.engineInfo).getOrElse(""))))
+          }.toArray[InternalRow]
+        }))
       case _ => None
     }
   }
 
   def names: Seq[String] =
-    Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint")
+    Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint",
+      "history")
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {
@@ -116,6 +136,25 @@ private[delta] object GraftProcedures {
         val row = body(new ArgsRow(input, params))
         Collections.singletonList[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    }
+
+  /** Multi-row-result procedure — same contract as [[proc]]. */
+  private def procRows(procName: String, desc: String,
+      params: Seq[ProcedureParameter], schema: StructType,
+      body: ArgsRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params.toArray
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val out = body(new ArgsRow(input, params))
+        Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
           override def readSchema(): StructType = schema
         }).iterator()
       }

@@ -83,6 +83,12 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(vac.getAs[Int]("files_deleted") > 0)
     DeltaLog.clearCache()
     assert(DeltaTable.forPath(spark, p).toDF.count() == src.count())
+    // HISTORY via CALL: one row per commit, latest first, real operations
+    val hist = spark.sql(s"CALL graft.history('$p')").collect()
+    assert(hist.length == DeltaLog.forPath(spark, p).listCommitVersions().length)
+    assert(hist.head.getAs[Long]("version") > hist.last.getAs[Long]("version"))
+    val ops = hist.map(_.getAs[String]("operation")).toSet
+    assert(ops.contains("DELETE") && ops.contains("OPTIMIZE"), ops)
     // an unknown procedure fails loudly
     intercept[Exception] { spark.sql(s"CALL graft.nope('$p')").collect() }
     assert(expectAfterDelete < src.count())
