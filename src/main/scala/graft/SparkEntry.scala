@@ -150,6 +150,26 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    // --- WRITES to a column-mapped table (beyond the reference, which
+    //     rejects them): logical-name append staged under physical names,
+    //     read back through the mapped scan ---
+    "delta_mapped_write_scan" -> ((s, dir) => {
+      val fixture = Fixtures.delta(s, dir, "nation", Fixtures.Mapped)
+      val p = java.nio.file.Files.createTempDirectory("graft-mapw").toString + "/t"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fixture), new java.io.File(p))
+      graft.delta.DeltaLog.clearCache()
+      val src = Fixtures.readNormalized(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.delta.DeltaWriter.append(s,
+        src.withColumn("n_nationkey", col("n_nationkey") + 1000), p)
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // --- column mapping (id mode): parquet columns resolved by field id,
     //     names in the files don't match (§2.1 #1; reference
     //     test/sql/generated/column_mapping_id_mode.test) ---
@@ -633,6 +653,13 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "delta_column_mapping_id" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "delta_mapped_write_scan" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM (SELECT n_nationkey, n_regionkey FROM nation
+        |      UNION ALL
+        |      SELECT n_nationkey + 1000, n_regionkey FROM nation)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "delta_list_files_agg" ->
       """SELECT l_returnflag AS pv, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -40,6 +40,36 @@ object Alter {
     require(cols.forall(_._2.nullable),
       "added columns must be nullable (existing files have no values for them)")
 
+    // column-mapped tables: mint a fresh physical name + column id per
+    // added field (delta-spark's col-<uuid> convention) and advance
+    // delta.columnMapping.maxColumnId — the logical name never reaches
+    // the files
+    var maxId: Long = {
+      def ids(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
+        case st: StructType => st.fields.toSeq.flatMap { f =>
+          (if (f.metadata.contains("delta.columnMapping.id"))
+            Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++ ids(f.dataType)
+        }
+        case _ => Nil
+      }
+      (snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
+        .map(_.toLong).toSeq ++ ids(snap.schema) :+ 0L).max
+    }
+    val mintedCols =
+      if (snap.columnMappingMode == "none") cols
+      else cols.map { case (parent, f) =>
+        maxId += 1
+        (parent, f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .putLong("delta.columnMapping.id", maxId).build()))
+      }
+    val newConfig =
+      if (snap.columnMappingMode == "none") snap.metadata.configuration
+      else snap.metadata.configuration +
+        ("delta.columnMapping.maxColumnId" -> maxId.toString)
+
     def insertAt(schema: StructType, parent: Seq[String],
         field: StructField, fullPath: String): StructType =
       parent match {
@@ -59,11 +89,11 @@ object Alter {
             schema.fields(idx).copy(dataType = updated)))
       }
 
-    val newSchema = cols.foldLeft(snap.schema) { case (sch, (parent, f)) =>
+    val newSchema = mintedCols.foldLeft(snap.schema) { case (sch, (parent, f)) =>
       insertAt(sch, parent, f, (parent :+ f.name).mkString("."))
     }
     commitMetadata(log, snap, "ADD COLUMNS",
-      snap.metadata.copy(schemaString = newSchema.json))
+      snap.metadata.copy(schemaString = newSchema.json, configuration = newConfig))
   }
 
   /** SET TBLPROPERTIES: merge `props` into the table configuration.

@@ -41,9 +41,22 @@ object Cdc {
   private[delta] def writeChangeData(
       spark: SparkSession,
       log: DeltaLog,
-      changeDf: DataFrame,
-      partCols: Seq[String],
+      snap: Snapshot,
+      changeDf0: DataFrame,
+      partCols0: Seq[String],
       moved: ArrayBuffer[Path]): Seq[String] = {
+    // column-mapped tables: change files are keyed physically like data
+    // files; _change_type stays literal (a metadata column, never mapped)
+    val (changeDf, partCols) =
+      if (snap.columnMappingMode == "none") (changeDf0, partCols0)
+      else {
+        val proj = changeDf0.select((snap.schema.fields.map { f =>
+          val pf = snap.physicalField(f)
+          org.apache.spark.sql.functions.col(s"`${f.name}`").as(pf.name, pf.metadata)
+        } :+ org.apache.spark.sql.functions.col("_change_type")).toIndexedSeq: _*)
+        (proj, partCols0.map(c => snap.physicalName(
+          snap.schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
+      }
     val fs = log.fs
     val staging = new Path(log.tablePath, s"tmp-stage-cdc-${UUID.randomUUID}")
     try {

@@ -272,7 +272,7 @@ object DeltaDelete {
   def delete(spark: SparkSession, log: DeltaLog, condition: Column): Long = {
     val snap = log.update()
     ProtocolGate.validateWrite(snap, "DELETE")
-    val raw = snap.relationDF
+    val raw = snap.dmlDF
     // raw (un-DV-filtered) relation: already-deleted rows union away
     val hitRows = raw.where(condition)
       .select(col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
@@ -286,7 +286,7 @@ object DeltaDelete {
           val live =
             if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
             else raw
-          Cdc.writeChangeData(spark, log,
+          Cdc.writeChangeData(spark, log, snap,
             Cdc.typed(live.where(condition), "delete"),
             snap.metadata.partitionColumns, moved)
         }
@@ -327,8 +327,6 @@ object DeltaMerge {
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None): (Long, Long) = {
     val snap = log.update()
-    require(snap.columnMappingMode == "none",
-      "MERGE not supported on column-mapped tables")
     ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
     // idempotent merge (streaming foreachBatch replay): a batch already
@@ -348,7 +346,7 @@ object DeltaMerge {
       s"source schema must match table: ${schemaCols.sorted}")
     val aligned0 = genFilled.select(schemaCols.map(c => col(s"`$c`")): _*)
 
-    val raw = snap.relationDF
+    val raw = snap.dmlDF
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
       else raw
@@ -392,8 +390,12 @@ object DeltaMerge {
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
-      val adds = DeltaWriter.writeFiles(spark, log, aligned, snap.schema,
-        snap.metadata.partitionColumns, moved)
+      val (stage, stageSchema, stagePartCols) =
+        if (snap.columnMappingMode == "none")
+          (aligned, snap.schema, snap.metadata.partitionColumns)
+        else DeltaWriter.toPhysical(spark, snap, aligned, snap.metadata.partitionColumns)
+      val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+        stagePartCols, moved)
       // CDF: replaced target rows (preimage), their source replacements
       // (postimage), and non-matching source rows (insert) — one stage
       val cdcLines =
@@ -408,7 +410,7 @@ object DeltaMerge {
           val pre = Cdc.typed(live.join(keys,
               keyCols.map(c => live(s"`$c`") === keys(s"`$c`")).reduce(_ && _),
               "left_semi").select(cols: _*), "update_preimage")
-          Cdc.writeChangeData(spark, log,
+          Cdc.writeChangeData(spark, log, snap,
             pre.unionByName(srcJoin("left_semi")).unionByName(srcJoin("left_anti")),
             snap.metadata.partitionColumns, moved)
         }
@@ -445,15 +447,13 @@ object DeltaMerge {
   def mergeDelete(spark: SparkSession, log: DeltaLog, source: DataFrame,
       keyCols: Seq[String]): Long = {
     val snap = log.update()
-    require(snap.columnMappingMode == "none",
-      "MERGE not supported on column-mapped tables")
     ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
     val missing = keyCols.filterNot(k =>
       source.columns.exists(_.equalsIgnoreCase(k)))
     require(missing.isEmpty, s"source lacks merge key(s): ${missing.mkString(", ")}")
 
-    val raw = snap.relationDF
+    val raw = snap.dmlDF
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
       else raw
@@ -469,7 +469,7 @@ object DeltaMerge {
         if (!Cdc.enabled(snap)) Nil
         else {
           val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
-          Cdc.writeChangeData(spark, log,
+          Cdc.writeChangeData(spark, log, snap,
             Cdc.typed(matchedLive.select(cols: _*), "delete"),
             snap.metadata.partitionColumns, moved)
         }
@@ -507,13 +507,11 @@ object DeltaUpdate {
   def update(spark: SparkSession, log: DeltaLog, condition: Column,
       assignments: Map[String, Column]): Long = {
     val snap = log.update()
-    require(snap.columnMappingMode == "none",
-      "UPDATE not supported on column-mapped tables")
     ProtocolGate.validateWrite(snap, "UPDATE")
     val bad = assignments.keys.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
 
-    val raw = snap.relationDF
+    val raw = snap.dmlDF
     // live rows only: resurrecting already-deleted rows would be corruption
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
@@ -542,14 +540,18 @@ object DeltaUpdate {
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
-      val adds = DeltaWriter.writeFiles(spark, log, newRows, snap.schema,
-        snap.metadata.partitionColumns, moved)
+      val (stage, stageSchema, stagePartCols) =
+        if (snap.columnMappingMode == "none")
+          (newRows, snap.schema, snap.metadata.partitionColumns)
+        else DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
+      val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+        stagePartCols, moved)
       // CDF: pre-assignment matches + their new images, one cdc stage
       val cdcLines =
         if (!Cdc.enabled(snap)) Nil
         else {
           val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
-          Cdc.writeChangeData(spark, log,
+          Cdc.writeChangeData(spark, log, snap,
             Cdc.typed(matched.select(cols: _*), "update_preimage")
               .unionByName(Cdc.typed(newRows, "update_postimage")),
             snap.metadata.partitionColumns, moved)

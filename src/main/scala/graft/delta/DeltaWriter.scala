@@ -52,12 +52,17 @@ object DeltaWriter {
     val exists = log.tableExists
     val snapshot = if (exists) Some(log.update()) else None
 
-    // reference behavior: writes to column-mapped tables are rejected
-    // (test/sql/generated/writing/append/basic_append.test:74+)
+    // BEYOND the reference (it rejects writes to column-mapped tables,
+    // test/sql/generated/writing/append/basic_append.test:74+): appends
+    // align on LOGICAL names, then stage under PHYSICAL names (files,
+    // stats keys and partitionValues are physical per protocol).
+    // mergeSchema evolution on mapped tables would need physical-name
+    // minting mid-append — use ALTER TABLE ADD COLUMNS first.
     snapshot.foreach { s =>
-      if (s.columnMappingMode != "none")
+      if (s.columnMappingMode != "none" && mergeSchema)
         throw new UnsupportedOperationException(
-          "Writes to tables with column mapping are not supported")
+          "mergeSchema append to a column-mapped table is not supported; " +
+            "ALTER TABLE ADD COLUMNS first")
       // writer-side protocol gate: never commit what we can't honor
       ProtocolGate.validateWrite(s, "WRITE")
     }
@@ -145,9 +150,14 @@ object DeltaWriter {
       snapshot.map(_.metadata.configuration).getOrElse(configuration), path)
 
     // stage + stats + move (executors), then commit with retry
+    val (toStage, stageSchema, stagePartCols) = snapshot match {
+      case Some(s) if s.columnMappingMode != "none" =>
+        toPhysical(spark, s, enforced, partCols)
+      case _ => (enforced, tableSchema, partCols)
+    }
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, enforced, tableSchema, partCols, moved)
+      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved)
       commitAppend(log, snapshot, adds, tableSchema, partCols,
         configuration, txnAppId, txnVersion, operation)
     } catch {
@@ -157,6 +167,25 @@ object DeltaWriter {
         moved.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
         throw t
     }
+  }
+
+  /** Project `df` (logical column names) to the snapshot's PHYSICAL
+    * rendition: parquet files, stats keys and partitionValues of
+    * column-mapped tables are keyed by physical name; id mode also stamps
+    * `parquet.field.id` so readers resolve by id. */
+  private[delta] def toPhysical(spark: SparkSession, s: Snapshot,
+      df: DataFrame, partCols: Seq[String]): (DataFrame, StructType, Seq[String]) = {
+    if (s.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physFields = s.schema.fields.map(s.physicalField)
+    val proj = df.select(s.schema.fields.zip(physFields).map { case (lf, pf) =>
+      col(s"`${lf.name}`").as(pf.name, pf.metadata)
+    }.toIndexedSeq: _*)
+    val physPart = partCols.map { c =>
+      s.physicalName(s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown partition column $c")))
+    }
+    (proj, StructType(physFields), physPart)
   }
 
   /** Generated columns (field metadata `delta.generationExpression`,
@@ -211,9 +240,6 @@ object DeltaWriter {
       return append(spark, df, path, partitionBy, configuration)
     }
     val snap = log.update()
-    if (snap.columnMappingMode != "none")
-      throw new UnsupportedOperationException(
-        "Writes to tables with column mapping are not supported")
     ProtocolGate.validateWrite(snap,
       if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE")
     val partCols = snap.metadata.partitionColumns
@@ -240,16 +266,19 @@ object DeltaWriter {
     val enforced = withWriteChecks(constrained, snap.schema,
       snap.metadata.configuration, path)
 
+    val (toStage, stageSchema, stagePartCols) =
+      if (snap.columnMappingMode != "none") toPhysical(spark, snap, enforced, partCols)
+      else (enforced, snap.schema, partCols)
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, enforced, snap.schema, partCols, moved)
+      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved)
       val now = System.currentTimeMillis()
       val (removeActs, upgradeActs) = replaceWhere match {
         case None =>
           (snap.allFiles.map(f => Action(RemoveFile(f.path, Some(now),
             dataChange = true, f.deletionVector))), Nil)
         case Some(cond) =>
-          val hitRows = snap.relationDF.where(cond)
+          val hitRows = snap.dmlDF.where(cond)
             .select(col("_metadata.file_path").as("p"),
               col("_metadata.row_index").as("i"))
           val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)

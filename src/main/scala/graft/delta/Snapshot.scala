@@ -164,6 +164,17 @@ class Snapshot(
     * Used by the DV write path to locate physical rows. */
   private[delta] def relationDF: DataFrame = relationDF(ScanOptions())
 
+  /** [[relationDF]] under LOGICAL column names (plus `_metadata` carried
+    * through explicitly): the row-level DML surface — user predicates and
+    * assignments are logical, files are physical. */
+  private[delta] def dmlDF: DataFrame = {
+    val df = relationDF
+    if (columnMappingMode == "none") df
+    else df.select((schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(s"`${physicalName(f)}`").as(f.name)) :+
+      org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
+  }
+
   private[delta] def relationDF(options: ScanOptions): DataFrame = {
     val spark = log.spark
     // id-mode physical schemas carry `parquet.field.id` metadata; field-id

@@ -227,7 +227,7 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(sums == expect)
   }
 
-  test("column mapping (name mode): logical names, filters, and rejection of writes") {
+  test("column mapping (name mode): logical names and filters on read") {
     val path = Fixtures.delta(spark, sfDir, "nation", Fixtures.Mapped)
     val t = DeltaTable.forPath(spark, path)
     val src = Fixtures.readParquet(spark, sfDir, "nation")
@@ -236,10 +236,8 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     // filter on a logical column works (pushed down against physical names)
     val got = t.toDF.where(col("n_regionkey") === 0).count()
     assert(got == src.where(col("n_regionkey") === 0).count())
-    // reference rejects writes to column-mapped tables
-    intercept[UnsupportedOperationException] {
-      DeltaWriter.append(spark, src, path)
-    }
+    // writes/DML to mapped tables are covered by DeltaSurfaceSpec on a
+    // COPY — this shared fixture must stay read-only
   }
 
   test("DELETE of 10^6+ rows builds bitmaps executor-side (no index collect)") {

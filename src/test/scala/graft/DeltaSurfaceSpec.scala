@@ -200,6 +200,74 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       "refused merge must not have committed")
   }
 
+  test("appends and overwrites to column-mapped tables write physical names") {
+    import org.apache.spark.sql.types._
+    for (variant <- Seq(Fixtures.Mapped, Fixtures.MappedId)) {
+      // fresh copy of the mapped fixture so mutations don't leak
+      val fixture = Fixtures.delta(spark, sfDir, "nation", variant)
+      val p = java.nio.file.Files.createTempDirectory("graft-cmw").toString + "/t"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fixture), new java.io.File(p))
+      DeltaLog.clearCache()
+
+      val before = DeltaTable.forPath(spark, p).toDF
+      val n0 = before.count()
+      val extra = before.limit(7)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000)
+
+      // logical-name append lands under PHYSICAL parquet names
+      DeltaWriter.append(spark, extra, p)
+      DeltaLog.clearCache()
+      val t = DeltaTable.forPath(spark, p).toDF
+      assert(t.count() == n0 + 7, s"$variant count")
+      assert(t.filter(col("n_nationkey") >= 1000).count() == 7)
+      // the staged file's parquet schema must NOT contain logical names
+      val newest = new java.io.File(p).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .maxBy(_.lastModified())
+      val fileCols = spark.read.parquet(newest.toString).columns.toSet
+      assert(!fileCols.contains("n_nationkey"),
+        s"$variant staged logical names: $fileCols")
+
+      // ALTER ADD COLUMNS mints a physical name + id and appends work
+      spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      DeltaTable.forPath(spark, p)
+        .addColumns(StructField("note", StringType, nullable = true))
+      DeltaLog.clearCache()
+      val snap = DeltaLog.forPath(spark, p).update()
+      val noteField = snap.schema("note")
+      assert(noteField.metadata.contains("delta.columnMapping.physicalName"))
+      assert(noteField.metadata.contains("delta.columnMapping.id"))
+      DeltaWriter.append(spark, extra.withColumn("note", lit("x"))
+        .withColumn("n_nationkey", col("n_nationkey") + 1000), p)
+      DeltaLog.clearCache()
+      val t2 = DeltaTable.forPath(spark, p).toDF
+      assert(t2.filter(col("note") === "x").count() == 7, s"$variant note")
+      assert(t2.filter(col("note").isNull).count() == n0 + 7)
+
+      // overwrite keeps the mapping intact
+      DeltaWriter.overwrite(spark,
+        before.withColumn("note", lit("ow")), p)
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, p).toDF
+        .filter(col("note") === "ow").count() == n0, s"$variant overwrite")
+
+      // row-level DML rides the same physical staging: UPDATE + DELETE
+      val updN = DeltaTable.forPath(spark, p).update(
+        col("n_nationkey") === 0, Map("note" -> lit("upd")))
+      DeltaLog.clearCache()
+      assert(updN == 1, s"$variant update count")
+      assert(DeltaTable.forPath(spark, p).toDF
+        .filter(col("note") === "upd").count() == 1)
+      val delN = DeltaTable.forPath(spark, p).delete(col("n_nationkey") === 1)
+      DeltaLog.clearCache()
+      assert(delN == 1, s"$variant delete count")
+      assert(DeltaTable.forPath(spark, p).toDF
+        .filter(col("n_nationkey") === 1).count() == 0)
+      assert(DeltaTable.forPath(spark, p).toDF.count() == n0 - 1, s"$variant final")
+    }
+  }
+
   test("CDF write path: DML emits authoritative _change_data files") {
     import spark.implicits._
     val src = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))

@@ -63,8 +63,8 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(t.toDF.columns.toSeq == src.columns.toSeq)
     assert(t.toDF.where(col("n_regionkey") === 1).count() ==
       src.where(col("n_regionkey") === 1).count())
-    // still read-only, like name mode
-    intercept[Exception] { DeltaWriter.append(spark, src, path) }
+    // writes to mapped tables are now SUPPORTED — exercised on a COPY in
+    // DeltaSurfaceSpec (never here: this fixture is shared and read-only)
   }
 
   test("graftdelta partition pruning works under mapping (logical names)") {
