@@ -45,26 +45,44 @@ object Alter {
     // delta.columnMapping.maxColumnId — the logical name never reaches
     // the files
     var maxId: Long = {
+      import org.apache.spark.sql.types.{ArrayType, MapType}
       def ids(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
         case st: StructType => st.fields.toSeq.flatMap { f =>
           (if (f.metadata.contains("delta.columnMapping.id"))
             Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++ ids(f.dataType)
         }
+        case ArrayType(e, _) => ids(e)
+        case MapType(k, v, _) => ids(k) ++ ids(v)
         case _ => Nil
       }
       (snap.metadata.configuration.get("delta.columnMapping.maxColumnId")
         .map(_.toLong).toSeq ++ ids(snap.schema) :+ 0L).max
     }
-    val mintedCols =
-      if (snap.columnMappingMode == "none") cols
-      else cols.map { case (parent, f) =>
-        maxId += 1
-        (parent, f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+    // mint RECURSIVELY: the column-mapping protocol requires every nested
+    // struct field (incl. inside array/map elements) to carry its own
+    // physical name + id, or conforming readers refuse the whole table
+    def mint(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField = {
+      import org.apache.spark.sql.types.{ArrayType, MapType}
+      def mintType(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case st: StructType => StructType(st.fields.map(mint))
+        case ArrayType(e, n) => ArrayType(mintType(e), n)
+        case MapType(k, v, n) => MapType(mintType(k), mintType(v), n)
+        case other => other
+      }
+      maxId += 1
+      f.copy(
+        dataType = mintType(f.dataType),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putString("delta.columnMapping.physicalName",
             s"col-${java.util.UUID.randomUUID()}")
-          .putLong("delta.columnMapping.id", maxId).build()))
-      }
+          .putLong("delta.columnMapping.id", maxId).build())
+    }
+    val mintedCols =
+      if (snap.columnMappingMode == "none") cols
+      else cols.map { case (parent, f) => (parent, mint(f)) }
     val newConfig =
       if (snap.columnMappingMode == "none") snap.metadata.configuration
       else snap.metadata.configuration +

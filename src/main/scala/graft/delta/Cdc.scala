@@ -47,6 +47,9 @@ object Cdc {
       moved: ArrayBuffer[Path]): Seq[String] = {
     // column-mapped tables: change files are keyed physically like data
     // files; _change_type stays literal (a metadata column, never mapped)
+    // id mode: change files must carry field ids like data files
+    if (snap.columnMappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val (changeDf, partCols) =
       if (snap.columnMappingMode == "none") (changeDf0, partCols0)
       else {

@@ -391,9 +391,7 @@ object DeltaMerge {
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
       val (stage, stageSchema, stagePartCols) =
-        if (snap.columnMappingMode == "none")
-          (aligned, snap.schema, snap.metadata.partitionColumns)
-        else DeltaWriter.toPhysical(spark, snap, aligned, snap.metadata.partitionColumns)
+        DeltaWriter.toPhysical(spark, snap, aligned, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved)
       // CDF: replaced target rows (preimage), their source replacements
@@ -541,9 +539,7 @@ object DeltaUpdate {
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
       val (stage, stageSchema, stagePartCols) =
-        if (snap.columnMappingMode == "none")
-          (newRows, snap.schema, snap.metadata.partitionColumns)
-        else DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
+        DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved)
       // CDF: pre-assignment matches + their new images, one cdc stage

@@ -331,6 +331,29 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   /** Paths of `cdc` actions in commit `v` (URL-encoded, as written). The
     * action model deliberately omits cdc (state replay skips them), so CDF
     * reads pull them straight off the wire format. */
+  /** (version, timestamp, operation, engineInfo) per commit, LATEST first
+    * — the single source for DESCRIBE-HISTORY-style surfaces. Parses only
+    * each commit's commitInfo line, not its add/remove actions (history on
+    * a table with large commits must not be O(total log bytes parsed)). */
+  def commitHistory(): Seq[(Long, Long, String, String)] =
+    listCommitVersions().sorted.reverse.map { v =>
+      val in = fs.open(commitFile(v))
+      val ci =
+        try {
+          val txt = new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+            .flatMap { line =>
+              Option(ActionJson.mapper.readTree(line).get("commitInfo"))
+                .filterNot(_.isNull)
+            }.nextOption()
+        } finally in.close()
+      (v,
+        ci.flatMap(n => Option(n.get("timestamp"))).map(_.asLong(0L)).getOrElse(0L),
+        ci.flatMap(n => Option(n.get("operation"))).map(_.asText("")).getOrElse(""),
+        ci.flatMap(n => Option(n.get("engineInfo"))).map(_.asText("")).getOrElse(""))
+    }
+
   def readCommitCdcPaths(v: Long): Seq[String] = {
     val in = fs.open(commitFile(v))
     try {

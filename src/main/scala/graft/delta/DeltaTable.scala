@@ -95,14 +95,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def getTransactionVersion(appId: String): Option[Long] =
     snapshot.setTransactions.get(appId)
 
-  /** Commit history from commitInfo actions (small helper; not in the
-    * reference surface but free given the log). */
+  /** Commit history (latest first; `CALL graft.history` is the SQL face
+    * of the same [[DeltaLog.commitHistory]]). */
   def history(): DataFrame = {
     import spark.implicits._
-    log.listCommitVersions().flatMap { v =>
-      log.readCommit(v).flatMap(_.commitInfo).map(ci =>
-        (v, ci.timestamp, ci.operation, ci.engineInfo))
-    }.toDF("version", "timestamp", "operation", "engineInfo")
+    log.commitHistory()
+      .toDF("version", "timestamp", "operation", "engineInfo")
   }
 
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
@@ -196,8 +194,16 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
           .withColumn("_commit_timestamp", lit(ts))
       }
       if (cdcPaths.nonEmpty) {
-        // cdc files are authoritative for the version's row-level changes
-        Seq(stamp(readData(cdcPaths.map(abs)), None))
+        // cdc files are authoritative for the version's row-level changes.
+        // On column-mapped tables they are keyed PHYSICALLY like data
+        // files — project back to logical names (+_change_type literal).
+        val raw = readData(cdcPaths.map(abs))
+        val logical =
+          if (snapshot.columnMappingMode == "none") raw
+          else raw.select((snapshot.schema.fields.map(f =>
+            col(s"`${snapshot.physicalName(f)}`").as(f.name)) :+
+            col("_change_type")).toIndexedSeq: _*)
+        Seq(stamp(logical, None))
       } else {
         val allAdds = acts.flatMap(_.add)
         val adds = allAdds.filter(_.dataChange)

@@ -149,7 +149,10 @@ object DeltaWriter {
     val enforced = withWriteChecks(aligned, tableSchema,
       snapshot.map(_.metadata.configuration).getOrElse(configuration), path)
 
-    // stage + stats + move (executors), then commit with retry
+    // stage + stats + move (executors), then commit with retry.
+    // (mergeSchema may have EVOLVED tableSchema beyond snap.schema — only
+    // the mapped branch may use the snapshot's schema, where mergeSchema
+    // is refused.)
     val (toStage, stageSchema, stagePartCols) = snapshot match {
       case Some(s) if s.columnMappingMode != "none" =>
         toPhysical(spark, s, enforced, partCols)
@@ -175,6 +178,7 @@ object DeltaWriter {
     * `parquet.field.id` so readers resolve by id. */
   private[delta] def toPhysical(spark: SparkSession, s: Snapshot,
       df: DataFrame, partCols: Seq[String]): (DataFrame, StructType, Seq[String]) = {
+    if (s.columnMappingMode == "none") return (df, s.schema, partCols)
     if (s.columnMappingMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val physFields = s.schema.fields.map(s.physicalField)
@@ -267,8 +271,7 @@ object DeltaWriter {
       snap.metadata.configuration, path)
 
     val (toStage, stageSchema, stagePartCols) =
-      if (snap.columnMappingMode != "none") toPhysical(spark, snap, enforced, partCols)
-      else (enforced, snap.schema, partCols)
+      toPhysical(spark, snap, enforced, partCols)
     val moved = ArrayBuffer.empty[Path]
     try {
       val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved)

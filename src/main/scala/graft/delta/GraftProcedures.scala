@@ -94,17 +94,12 @@ private[delta] object GraftProcedures {
           StructField("timestamp", LongType),
           StructField("operation", StringType),
           StructField("engine_info", StringType))),
-        args => {
-          val l = log(args.getString(0))
-          l.listCommitVersions().sorted.reverse.map { v =>
-            val ci = l.readCommit(v).flatMap(_.commitInfo).headOption
-            new GenericInternalRow(Array[Any](
-              v,
-              ci.map(_.timestamp).getOrElse(0L),
-              UTF8String.fromString(ci.map(_.operation).getOrElse("")),
-              UTF8String.fromString(ci.map(_.engineInfo).getOrElse(""))))
-          }.toArray[InternalRow]
-        }))
+        args => log(args.getString(0)).commitHistory().map {
+          case (v, ts, op, engine) =>
+            new GenericInternalRow(Array[Any](v, ts,
+              UTF8String.fromString(op),
+              UTF8String.fromString(engine))): InternalRow
+        }.toArray))
       case _ => None
     }
   }

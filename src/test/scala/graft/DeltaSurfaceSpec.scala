@@ -265,6 +265,20 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       assert(DeltaTable.forPath(spark, p).toDF
         .filter(col("n_nationkey") === 1).count() == 0)
       assert(DeltaTable.forPath(spark, p).toDF.count() == n0 - 1, s"$variant final")
+
+      // CDF on a MAPPED table: cdc files are keyed physically on disk but
+      // changes() must surface LOGICAL names
+      DeltaTable.forPath(spark, p)
+        .setProperties(Map("delta.enableChangeDataFeed" -> "true"))
+      DeltaLog.clearCache()
+      val t3 = DeltaTable.forPath(spark, p)
+      val v = t3.version
+      t3.delete(col("n_nationkey") === 2)
+      DeltaLog.clearCache()
+      val ch = DeltaTable.forPath(spark, p).changes(v + 1, v + 1)
+        .select(col("n_nationkey"), col("_change_type")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(ch == Set((2, "delete")), s"$variant mapped CDF: $ch")
     }
   }
 
