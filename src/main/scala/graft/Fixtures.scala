@@ -247,14 +247,23 @@ object Fixtures {
     * only through field-id resolution, never name matching. */
   private def buildMappedId(spark: SparkSession, src: DataFrame, dir: String): Unit = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val logicalFields = src.schema.fields
     val pqNames = logicalFields.indices.map(i => s"pq_$i")
     val withIds = src.select(logicalFields.zipWithIndex.map { case (f, i) =>
       col(s"`${f.name}`").as(pqNames(i), new MetadataBuilder()
         .putLong("parquet.field.id", i + 1L).build())
     }.toIndexedSeq: _*)
-    DeltaWriter.append(spark, withIds, dir)
+    // this fixture write predates the mapping commit (the table isn't
+    // id-mode yet), so the writer can't know to stamp field ids — enable
+    // the conf for just this write and restore the previous value
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try DeltaWriter.append(spark, withIds, dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
     val log = DeltaLog.forPath(spark, dir)
     val snap = log.update()
     val mappedSchema = StructType(logicalFields.zipWithIndex.map { case (f, i) =>

@@ -72,13 +72,16 @@ object Alter {
         case other => other
       }
       maxId += 1
+      // capture this field's id BEFORE recursing: mintType advances maxId
+      // for nested descendants, and copy() evaluates dataType first
+      val myId = maxId
       f.copy(
         dataType = mintType(f.dataType),
         metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putString("delta.columnMapping.physicalName",
             s"col-${java.util.UUID.randomUUID()}")
-          .putLong("delta.columnMapping.id", maxId).build())
+          .putLong("delta.columnMapping.id", myId).build())
     }
     val mintedCols =
       if (snap.columnMappingMode == "none") cols

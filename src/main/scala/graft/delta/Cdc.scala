@@ -46,16 +46,22 @@ object Cdc {
       partCols0: Seq[String],
       moved: ArrayBuffer[Path]): Seq[String] = {
     // column-mapped tables: change files are keyed physically like data
-    // files; _change_type stays literal (a metadata column, never mapped)
-    // id mode: change files must carry field ids like data files
-    if (snap.columnMappingMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // files (incl. nested struct renames via the positional cast);
+    // _change_type stays literal (a metadata column, never mapped).
+    // id mode: change files must carry field ids like data files —
+    // enabled per-write via a writer option, never session conf
+    val writeOpts =
+      if (snap.columnMappingMode == "id")
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")
+      else Map.empty[String, String]
     val (changeDf, partCols) =
       if (snap.columnMappingMode == "none") (changeDf0, partCols0)
       else {
         val proj = changeDf0.select((snap.schema.fields.map { f =>
           val pf = snap.physicalField(f)
-          org.apache.spark.sql.functions.col(s"`${f.name}`").as(pf.name, pf.metadata)
+          val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
+          val cc = if (pf.dataType == f.dataType) c else c.cast(pf.dataType)
+          cc.as(pf.name, pf.metadata)
         } :+ org.apache.spark.sql.functions.col("_change_type")).toIndexedSeq: _*)
         (proj, partCols0.map(c => snap.physicalName(
           snap.schema.fields.find(_.name.equalsIgnoreCase(c)).get)))
@@ -63,7 +69,7 @@ object Cdc {
     val fs = log.fs
     val staging = new Path(log.tablePath, s"tmp-stage-cdc-${UUID.randomUUID}")
     try {
-      changeDf.write.mode("overwrite").partitionBy(partCols: _*)
+      changeDf.write.mode("overwrite").options(writeOpts).partitionBy(partCols: _*)
         .parquet(staging.toString)
       val staged = DeltaWriter.listRecursive(fs, staging)
         .filter(_.getName.endsWith(".parquet"))

@@ -390,10 +390,10 @@ object DeltaMerge {
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
-      val (stage, stageSchema, stagePartCols) =
+      val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, aligned, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved)
+        stagePartCols, moved, stageOpts)
       // CDF: replaced target rows (preimage), their source replacements
       // (postimage), and non-matching source rows (insert) — one stage
       val cdcLines =
@@ -538,10 +538,10 @@ object DeltaUpdate {
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
-      val (stage, stageSchema, stagePartCols) =
+      val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved)
+        stagePartCols, moved, stageOpts)
       // CDF: pre-assignment matches + their new images, one cdc stage
       val cdcLines =
         if (!Cdc.enabled(snap)) Nil

@@ -200,8 +200,7 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
         val raw = readData(cdcPaths.map(abs))
         val logical =
           if (snapshot.columnMappingMode == "none") raw
-          else raw.select((snapshot.schema.fields.map(f =>
-            col(s"`${snapshot.physicalName(f)}`").as(f.name)) :+
+          else raw.select((snapshot.schema.fields.map(snapshot.logicalColumn) :+
             col("_change_type")).toIndexedSeq: _*)
         Seq(stamp(logical, None))
       } else {

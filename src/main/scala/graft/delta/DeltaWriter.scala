@@ -153,14 +153,14 @@ object DeltaWriter {
     // (mergeSchema may have EVOLVED tableSchema beyond snap.schema — only
     // the mapped branch may use the snapshot's schema, where mergeSchema
     // is refused.)
-    val (toStage, stageSchema, stagePartCols) = snapshot match {
+    val (toStage, stageSchema, stagePartCols, stageOpts) = snapshot match {
       case Some(s) if s.columnMappingMode != "none" =>
         toPhysical(spark, s, enforced, partCols)
-      case _ => (enforced, tableSchema, partCols)
+      case _ => (enforced, tableSchema, partCols, Map.empty[String, String])
     }
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved)
+      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
       commitAppend(log, snapshot, adds, tableSchema, partCols,
         configuration, txnAppId, txnVersion, operation)
     } catch {
@@ -175,21 +175,30 @@ object DeltaWriter {
   /** Project `df` (logical column names) to the snapshot's PHYSICAL
     * rendition: parquet files, stats keys and partitionValues of
     * column-mapped tables are keyed by physical name; id mode also stamps
-    * `parquet.field.id` so readers resolve by id. */
+    * `parquet.field.id` so readers resolve by id. Nested struct renames
+    * (and id-mode nested field ids) ride a positional cast to the physical
+    * TYPE. Returns the extra per-write options the staging write needs —
+    * id mode enables field-id writing via the job hadoopConf, never by
+    * mutating the session conf. */
   private[delta] def toPhysical(spark: SparkSession, s: Snapshot,
-      df: DataFrame, partCols: Seq[String]): (DataFrame, StructType, Seq[String]) = {
-    if (s.columnMappingMode == "none") return (df, s.schema, partCols)
-    if (s.columnMappingMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      df: DataFrame, partCols: Seq[String])
+      : (DataFrame, StructType, Seq[String], Map[String, String]) = {
+    if (s.columnMappingMode == "none") return (df, s.schema, partCols, Map.empty)
+    val writeOpts =
+      if (s.columnMappingMode == "id")
+        Map("spark.sql.parquet.fieldId.write.enabled" -> "true")
+      else Map.empty[String, String]
     val physFields = s.schema.fields.map(s.physicalField)
     val proj = df.select(s.schema.fields.zip(physFields).map { case (lf, pf) =>
-      col(s"`${lf.name}`").as(pf.name, pf.metadata)
+      val c = col(s"`${lf.name}`")
+      val cc = if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)
+      cc.as(pf.name, pf.metadata)
     }.toIndexedSeq: _*)
     val physPart = partCols.map { c =>
       s.physicalName(s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown partition column $c")))
     }
-    (proj, StructType(physFields), physPart)
+    (proj, StructType(physFields), physPart, writeOpts)
   }
 
   /** Generated columns (field metadata `delta.generationExpression`,
@@ -270,11 +279,11 @@ object DeltaWriter {
     val enforced = withWriteChecks(constrained, snap.schema,
       snap.metadata.configuration, path)
 
-    val (toStage, stageSchema, stagePartCols) =
+    val (toStage, stageSchema, stagePartCols, stageOpts) =
       toPhysical(spark, snap, enforced, partCols)
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved)
+      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
       val now = System.currentTimeMillis()
       val (removeActs, upgradeActs) = replaceWhere match {
         case None =>
@@ -344,7 +353,8 @@ object DeltaWriter {
       aligned: DataFrame,
       tableSchema: StructType,
       partCols: Seq[String],
-      moved: ArrayBuffer[Path]): Seq[AddFile] = {
+      moved: ArrayBuffer[Path],
+      writeOptions: Map[String, String] = Map.empty): Seq[AddFile] = {
     val fs = log.fs
     // no leading dot/underscore: the staging dir is read back with
     // spark.read for the stats pass, and hidden-path filters would skip it
@@ -352,6 +362,7 @@ object DeltaWriter {
     try {
       aligned.write
         .mode("overwrite")
+        .options(writeOptions)
         .partitionBy(partCols: _*)
         .parquet(staging.toString)
 

@@ -69,21 +69,71 @@ class GraftParquetFileFormat(
 
   /** Physical rendition of a requested field: physical name + field-id
     * metadata, but the REQUESTED dataType/nullability (nested pruning may
-    * have trimmed the struct). */
-  private def toPhysical(f: StructField): StructField =
-    logicalToPhysical.get(f.name)
+    * have trimmed the struct). Nested struct fields rename metadata-driven
+    * — pruned schemas keep each field's `delta.columnMapping.*` metadata,
+    * so the trimmed shape still renames correctly. */
+  private def toPhysical(f: StructField): StructField = {
+    val top = logicalToPhysical.get(f.name)
       .map(p => f.copy(name = p.name, metadata = p.metadata))
       .getOrElse(f)
+    top.copy(dataType = physType(top.dataType))
+  }
 
-  private def renameAttr(a: String): String = {
-    val i = a.indexOf('.')
-    val (head, rest) = if (i < 0) (a, "") else (a.substring(0, i), a.substring(i))
-    logicalToPhysical.get(head).map(_.name + rest).getOrElse(a)
+  private def physType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(physNested))
+    case ArrayType(e, n) => ArrayType(physType(e), n)
+    case MapType(k, v, n) => MapType(physType(k), physType(v), n)
+    case other => other
+  }
+
+  private def physNested(f: StructField): StructField = {
+    val named =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.copy(name = f.metadata.getString("delta.columnMapping.physicalName"))
+      else f
+    val stamped =
+      if (fieldIdMode && f.metadata.contains("delta.columnMapping.id"))
+        named.copy(metadata = new MetadataBuilder().withMetadata(named.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+      else named
+    stamped.copy(dataType = physType(stamped.dataType))
+  }
+
+  /** Rename a (possibly dotted nested) filter attribute to physical form:
+    * walk the LOGICAL data schema segment by segment, renaming each via
+    * its mapping metadata. Unresolvable paths fall back to a head-only
+    * rename — parquet pushdown is advisory, an unmatched name is simply
+    * not pushed and Spark re-applies the filter above. */
+  private def renameAttr(dataSchema: StructType, a: String): String = {
+    def walk(dt: DataType, segs: List[String]): Option[List[String]] = segs match {
+      case Nil => Some(Nil)
+      case s :: rest => dt match {
+        case st: StructType => st.fields.find(_.name == s).flatMap { f =>
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else logicalToPhysical.get(f.name).map(_.name).getOrElse(f.name)
+          walk(f.dataType, rest).map(phys :: _)
+        }
+        case _ => None
+      }
+    }
+    walk(dataSchema, a.split('.').toList) match {
+      case Some(renamed) => renamed.mkString(".")
+      case None =>
+        val i = a.indexOf('.')
+        val (head, rest) = if (i < 0) (a, "") else (a.substring(0, i), a.substring(i))
+        logicalToPhysical.get(head).map(_.name + rest).getOrElse(a)
+    }
   }
 
   /** Pushed filters under physical names; unsupported shapes are dropped
     * (parquet pushdown is advisory — Spark re-applies row filters above). */
-  private def renameFilter(f: Filter): Option[Filter] = f match {
+  private def renameFilter(schema: StructType)(f: Filter): Option[Filter] = {
+    def renameAttr(a: String): String = this.renameAttr(schema, a)
+    val renameFilter = this.renameFilter(schema) _
+    f match {
     case sources.EqualTo(a, v) => Some(sources.EqualTo(renameAttr(a), v))
     case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(renameAttr(a), v))
     case sources.GreaterThan(a, v) => Some(sources.GreaterThan(renameAttr(a), v))
@@ -102,7 +152,7 @@ class GraftParquetFileFormat(
       for { l2 <- renameFilter(l); r2 <- renameFilter(r) } yield sources.Or(l2, r2)
     case sources.Not(c) => renameFilter(c).map(sources.Not(_))
     case other => None
-  }
+  } }
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -115,7 +165,8 @@ class GraftParquetFileFormat(
 
     val physData = StructType(dataSchema.fields.map(toPhysical))
     val physRequired = StructType(requiredSchema.fields.map(toPhysical))
-    val physFilters = if (isMapped) filters.flatMap(renameFilter) else filters
+    val physFilters =
+      if (isMapped) filters.flatMap(renameFilter(dataSchema)) else filters
     // ParquetReadSupport reads this flag from the task hadoopConf (built
     // from the session conf BEFORE this method runs); resolution by field
     // id only applies to schemas carrying `parquet.field.id` metadata

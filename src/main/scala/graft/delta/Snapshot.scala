@@ -7,6 +7,28 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
+object Snapshot {
+  /** True when `a` and `b` agree on every (nested) field NAME — i.e. no
+    * physical rename applies anywhere inside the type. Metadata and
+    * nullability are ignored: only a NAME difference needs a restoring
+    * cast on read / a renaming cast on write. */
+  private[delta] def sameFieldNames(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && sameFieldNames(f.dataType, g.dataType)
+        }
+      case (ArrayType(x, _), ArrayType(y, _)) => sameFieldNames(x, y)
+      case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+        sameFieldNames(xk, yk) && sameFieldNames(xv, yv)
+      case _ => true
+    }
+  }
+}
+
 /**
  * Immutable table state at one log version — the analog of the reference's
  * resolved `DeltaMultiFileList` (snapshot version, schema, file list with
@@ -72,10 +94,12 @@ class Snapshot(
   /** Physical rendition of a logical field: physical name, plus — in id
     * mode — `parquet.field.id` metadata so Spark's parquet reader resolves
     * the column by field id (reference reads parquet field ids the same
-    * way, delta_utils.hpp:300-311). */
+    * way, delta_utils.hpp:300-311). Recurses through struct/array/map —
+    * the column-mapping protocol renames every NESTED struct field too
+    * (fields without minted metadata keep their logical names). */
   private[delta] def physicalField(
       f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
-    val renamed = f.copy(name = physicalName(f))
+    val renamed = f.copy(name = physicalName(f), dataType = physicalType(f.dataType))
     if (columnMappingMode == "id" && f.metadata.contains("delta.columnMapping.id")) {
       val m = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(renamed.metadata)
@@ -83,6 +107,31 @@ class Snapshot(
         .build()
       renamed.copy(metadata = m)
     } else renamed
+  }
+
+  /** [[physicalField]] applied to every nested struct field of a type. */
+  private[delta] def physicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    dt match {
+      case st: StructType => StructType(st.fields.map(physicalField))
+      case ArrayType(e, n) => ArrayType(physicalType(e), n)
+      case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+      case other => other
+    }
+  }
+
+  /** Column expression restoring a physically-named column back to its
+    * LOGICAL rendition: top-level alias, plus a positional struct cast
+    * when any NESTED field was physically renamed (cast-free otherwise —
+    * flat mapped tables keep their plans unchanged). */
+  private[delta] def logicalColumn(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    val c = col(s"`${physicalName(f)}`")
+    val restored =
+      if (Snapshot.sameFieldNames(physicalType(f.dataType), f.dataType)) c
+      else c.cast(f.dataType)
+    restored.as(f.name)
   }
 
   /** Data/partition schemas under physical names (what parquet + the log's
@@ -133,8 +182,8 @@ class Snapshot(
       if (hasDeletionVectors) DeletionVectors.filterDeleted(spark, this, df)
       else df
     // restore logical column order; alias physical → logical names
-    base.select(schema.fields.map(f =>
-      col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
+    // (incl. nested struct fields via logicalColumn's positional cast)
+    base.select(schema.fields.map(logicalColumn).toIndexedSeq: _*)
   }
 
   /** V1 BaseRelation for `spark.read.format("graftdelta")`, full-fidelity:
@@ -170,8 +219,7 @@ class Snapshot(
   private[delta] def dmlDF: DataFrame = {
     val df = relationDF
     if (columnMappingMode == "none") df
-    else df.select((schema.fields.map(f =>
-      org.apache.spark.sql.functions.col(s"`${physicalName(f)}`").as(f.name)) :+
+    else df.select((schema.fields.map(logicalColumn) :+
       org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
   }
 

@@ -282,6 +282,88 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("mapped tables: STRUCT column mints unique ids and nested physical names") {
+    import org.apache.spark.sql.types._
+    for (variant <- Seq(Fixtures.Mapped, Fixtures.MappedId)) {
+      val fixture = Fixtures.delta(spark, sfDir, "nation", variant)
+      val p = java.nio.file.Files.createTempDirectory("graft-cms").toString + "/t"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fixture), new java.io.File(p))
+      DeltaLog.clearCache()
+      val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+      val confBefore = spark.conf.getOption(fieldIdKey)
+
+      // ALTER ADD a struct-typed column: every nested field must get its
+      // OWN physical name + id, all ids unique across the schema
+      DeltaTable.forPath(spark, p).addColumns(
+        StructField("info", StructType(Seq(
+          StructField("a", IntegerType, nullable = true),
+          StructField("b", StringType, nullable = true))), nullable = true))
+      DeltaLog.clearCache()
+      val snap = DeltaLog.forPath(spark, p).update()
+      def allIds(dt: DataType): Seq[Long] = dt match {
+        case st: StructType => st.fields.toSeq.flatMap { f =>
+          (if (f.metadata.contains("delta.columnMapping.id"))
+            Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++
+            allIds(f.dataType)
+        }
+        case ArrayType(e, _) => allIds(e)
+        case MapType(k, v, _) => allIds(k) ++ allIds(v)
+        case _ => Nil
+      }
+      val ids = allIds(snap.schema)
+      assert(ids.distinct.size == ids.size, s"$variant duplicate mapping ids: $ids")
+      val infoField = snap.schema("info")
+      val nested = infoField.dataType.asInstanceOf[StructType]
+      assert(nested.fields.forall(_.metadata.contains("delta.columnMapping.physicalName")),
+        s"$variant nested fields missing physicalName")
+      assert(snap.metadata.configuration("delta.columnMapping.maxColumnId").toLong
+        == ids.max, s"$variant maxColumnId")
+
+      // append rows carrying the struct; parquet must contain PHYSICAL
+      // nested names, read-back must be logical
+      val before = DeltaTable.forPath(spark, p).toDF
+      val n0 = before.count()
+      val extra = before.limit(3)
+        .withColumn("n_nationkey", col("n_nationkey") + 5000)
+        .withColumn("info", struct(
+          (col("n_nationkey") % 100).cast("int").as("a"), lit("hi").as("b")))
+      DeltaWriter.append(spark, extra, p)
+      DeltaLog.clearCache()
+      val t = DeltaTable.forPath(spark, p).toDF
+      assert(t.filter(col("info").isNotNull).count() == 3, s"$variant struct rows")
+      assert(t.filter(col("info.b") === "hi").count() == 3, s"$variant nested read")
+      assert(t.schema("info").dataType.asInstanceOf[StructType].fieldNames.toSeq
+        == Seq("a", "b"), s"$variant logical nested names")
+      // raw parquet: nested names must be the minted physical ones
+      val newest = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.lastModified())
+      val rawSchema = spark.read.parquet(newest.toString).schema
+      val physInfo = snap.physicalName(infoField)
+      val rawInfo = rawSchema(physInfo).dataType.asInstanceOf[StructType]
+      val expectedNested = nested.fields.map(
+        _.metadata.getString("delta.columnMapping.physicalName")).toSet
+      assert(rawInfo.fieldNames.toSet == expectedNested,
+        s"$variant raw nested names ${rawInfo.fieldNames.toSet} != $expectedNested")
+
+      // nested UPDATE (DV rewrite path) keeps physical staging consistent
+      val updN = DeltaTable.forPath(spark, p).update(
+        col("n_nationkey") === 5000 + before.limit(3)
+          .select(min(col("n_nationkey"))).collect()(0).getInt(0),
+        Map("info" -> struct(lit(77).as("a"), lit("upd").as("b"))))
+      DeltaLog.clearCache()
+      assert(updN == 1, s"$variant nested update count")
+      assert(DeltaTable.forPath(spark, p).toDF
+        .filter(col("info.b") === "upd" && col("info.a") === 77).count() == 1,
+        s"$variant nested update readback")
+      assert(DeltaTable.forPath(spark, p).toDF.count() == n0 + 3)
+
+      // the fieldId write conf must not leak from any of the above writes
+      assert(spark.conf.getOption(fieldIdKey) == confBefore,
+        s"$variant leaked $fieldIdKey")
+    }
+  }
+
   test("CDF write path: DML emits authoritative _change_data files") {
     import spark.implicits._
     val src = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
