@@ -277,6 +277,36 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // CDC-apply MERGE: clause conditions route through the general
+    // prefixed-join engine (WHEN MATCHED AND s.op='D' THEN DELETE + SET *
+    // + conditional INSERT — the canonical change-feed application shape)
+    "delta_sql_merge_cond_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "supplier")
+      graft.delta.GraftCatalog.attach("sql_mrgc_t", p)
+      val src = Fixtures.readParquet(s, dir, "supplier")
+      src.where(col("s_suppkey") % 10 === 0).withColumn("op", lit("D"))
+        .union(src.where(col("s_suppkey") % 10 === 1)
+          .withColumn("s_acctbal", -col("s_acctbal")).withColumn("op", lit("U")))
+        .union(src.where(col("s_suppkey") % 10 === 2)
+          .withColumn("s_suppkey", col("s_suppkey") + 100000)
+          .withColumn("op", lit("U")))
+        .union(src.where(col("s_suppkey") % 10 === 3)
+          .withColumn("s_suppkey", col("s_suppkey") + 200000)
+          .withColumn("op", lit("D")))
+        .createOrReplaceTempView("sql_mrgc_src")
+      s.sql("""MERGE INTO graft.sql_mrgc_t t USING sql_mrgc_src s
+              |ON t.s_suppkey = s.s_suppkey
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin).collect()
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // --- MERGE-style upsert ---
     "delta_upsert_scan" -> ((s, dir) => {
       val p = freshCopy(s, dir, "region")
@@ -687,6 +717,30 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS sum_key
         |FROM customer WHERE NOT (c_custkey % 7 = 0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "delta_sql_merge_cond_scan" ->
+      """WITH src AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, 'D' AS op FROM supplier WHERE s_suppkey % 10 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, -s_acctbal, 'U' FROM supplier WHERE s_suppkey % 10 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_acctbal, 'U' FROM supplier WHERE s_suppkey % 10 = 2
+        |  UNION ALL
+        |  SELECT s_suppkey + 200000, s_name, s_acctbal, 'D' FROM supplier WHERE s_suppkey % 10 = 3
+        |), final AS (
+        |  SELECT t.s_suppkey, t.s_name, t.s_acctbal
+        |  FROM supplier t LEFT JOIN src s ON t.s_suppkey = s.s_suppkey
+        |  WHERE s.s_suppkey IS NULL
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |  FROM supplier t JOIN src s ON t.s_suppkey = s.s_suppkey
+        |  WHERE s.op <> 'D'
+        |  UNION ALL
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |  FROM src s LEFT JOIN supplier t ON t.s_suppkey = s.s_suppkey
+        |  WHERE t.s_suppkey IS NULL AND s.op <> 'D'
+        |)
+        |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        |FROM final ORDER BY s_suppkey""".stripMargin,
     "delta_upsert_scan" ->
       """SELECT r_regionkey,
         | CASE WHEN r_regionkey <= 1 THEN r_name || '_v2' ELSE r_name END AS r_name

@@ -437,6 +437,204 @@ object DeltaMerge {
     }
   }
 
+  /** One WHEN MATCHED clause for [[mergeClauses]]: optional condition and
+    * UPDATE assignments are Columns over the merge join's PREFIXED columns
+    * (`__t_<col>` = target side, `__s_<col>` = source side — the SQL
+    * rewrite tags each attribute's side, so `t.x`/`s.x` stay unambiguous
+    * even though both relations share names). Empty assignments on an
+    * UPDATE clause mean SET * (every column from the source row). The
+    * FIRST clause whose condition holds wins per row, SQL order. */
+  case class MergeClause(cond: Option[Column], isDelete: Boolean,
+      assignments: Seq[(String, Column)])
+
+  /**
+   * General MERGE with clause conditions and expression assignments — the
+   * CDC-apply surface (`WHEN MATCHED AND s.op='D' THEN DELETE` +
+   * `WHEN MATCHED THEN UPDATE SET *` + conditional INSERT) the plain
+   * [[upsert]] cannot express. Beyond the reference (its catalog rejects
+   * all DML, src/storage/delta_catalog.cpp:102-117).
+   *
+   * Scale shape: target and source meet in ONE inner equi-join on the
+   * merge keys with both sides' columns prefixed (`__t_`/`__s_`); clause
+   * selection is a codegen'd when-chain over that join; unmatched inserts
+   * are one anti join. Unassigned columns of a partial UPDATE keep the
+   * TARGET value (SQL semantics — a partial SET is never widened to
+   * SET *), and generated columns not explicitly assigned are recomputed
+   * from the final row. Driver traffic stays bounded: one clause-count
+   * aggregate, the DV file list, per-file add stats.
+   *
+   * @param notMatched None = no INSERT clause; Some((cond, assignments)) —
+   *   empty assignments = INSERT * (condition may reference SOURCE only).
+   * @return (rowsUpdated, rowsDeleted, rowsInserted)
+   */
+  def mergeClauses(spark: SparkSession, log: DeltaLog, source: DataFrame,
+      keyCols: Seq[String], matched: Seq[MergeClause],
+      notMatched: Option[(Option[Column], Seq[(String, Column)])]): (Long, Long, Long) = {
+    val snap = log.update()
+    ProtocolGate.validateWrite(snap, "MERGE")
+    require(keyCols.nonEmpty, "merge keys required")
+    require(matched.nonEmpty || notMatched.isDefined, "MERGE needs at least one clause")
+    val schemaCols = snap.schema.fieldNames.toSeq
+
+    // SET * / INSERT * write whole source rows — only then must the source
+    // carry every table column (a conditional-DELETE tombstone list may be
+    // keys + flags only)
+    val needAllSourceCols =
+      matched.exists(cl => !cl.isDelete && cl.assignments.isEmpty) ||
+      notMatched.exists(_._2.isEmpty)
+    val genFilled =
+      if (needAllSourceCols) DeltaWriter.fillGenerated(Some(snap), source) else source
+    if (needAllSourceCols) {
+      val missing = schemaCols.filterNot(c =>
+        genFilled.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"MERGE source must carry every table column for SET */INSERT *; missing ${missing.sorted}")
+    }
+    val missingKeys = keyCols.filterNot(k =>
+      genFilled.columns.exists(_.equalsIgnoreCase(k)))
+    require(missingKeys.isEmpty, s"source lacks merge key(s): ${missingKeys.mkString(", ")}")
+
+    // prefix EVERY source column (incl. extras like a CDC op flag, which
+    // only clause conditions see)
+    val sPref = genFilled.select(
+      genFilled.columns.toIndexedSeq.map(c => col(s"`$c`").as(s"__s_$c")): _*)
+    val raw = snap.dmlDF
+    val live =
+      if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
+      else raw
+    val tPref = live.select((schemaCols.map(c => col(s"`$c`").as(s"__t_$c")) ++ Seq(
+      col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__row"))).toIndexedSeq: _*)
+    val joinCond = keyCols.map(c => col(s"`__t_$c`") === col(s"`__s_$c`")).reduce(_ && _)
+    val joined = tPref.join(sPref, joinCond, "inner")
+
+    // MERGE cardinality guards (same contract as upsert): refuse BEFORE
+    // any file is written, first offending key only
+    def firstDup(d: DataFrame, cols: Seq[String], what: String): Unit = {
+      val dup = d.groupBy(cols.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE refused: $what has ${dup(0).getLong(cols.length)} rows for key " +
+            cols.zipWithIndex.map { case (c, i) => s"$c=${dup(0).get(i)}" }.mkString(", "))
+    }
+    firstDup(sPref, keyCols.map(c => s"__s_$c"), "source")
+    firstDup(joined, keyCols.map(c => s"__t_$c"), "matched target")
+
+    // first matching clause per row (SQL order; null = no clause applies,
+    // the target row stays and the source row is not written)
+    val actionCol = matched.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((cl, i), rest) => cl.cond match {
+        case Some(c) => when(coalesce(c, lit(false)), lit(i)).otherwise(rest)
+        case None => lit(i) // unconditional: later clauses unreachable
+      }
+    }
+    val acted = joined.withColumn("__action", actionCol)
+
+    val actionCounts: Map[Int, Long] = acted.groupBy(col("__action"))
+      .agg(count(lit(1)).as("n")).collect()
+      .collect { case r if !r.isNullAt(0) => r.getInt(0) -> r.getLong(1) }.toMap
+    val updatedRows = matched.zipWithIndex.collect {
+      case (cl, i) if !cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum
+    val deletedRows = matched.zipWithIndex.collect {
+      case (cl, i) if cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum
+
+    /** Final-row projection under LOGICAL names: assigned columns take the
+      * clause expression, unassigned keep the target value (updates) —
+      * empty assignments = whole source row. Generated columns not
+      * explicitly assigned recompute from the final values. */
+    def projectRow(d: DataFrame, asg: Seq[(String, Column)], fromTarget: Boolean): DataFrame = {
+      val base = d.select(schemaCols.map { c =>
+        asg.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, v)) => v.as(c)
+          case None if asg.isEmpty => col(s"`__s_$c`").as(c)
+          case None if fromTarget => col(s"`__t_$c`").as(c)
+          case None => throw new IllegalArgumentException(
+            s"INSERT assignments must cover every column; missing $c")
+        }
+      }.toIndexedSeq: _*)
+      snap.schema.fields.foldLeft(base) { (b, f) =>
+        if (f.metadata.contains("delta.generationExpression") &&
+            !asg.exists(_._1.equalsIgnoreCase(f.name)))
+          b.withColumn(f.name,
+            expr(f.metadata.getString("delta.generationExpression")).cast(f.dataType))
+        else b
+      }
+    }
+    val updateWrites = matched.zipWithIndex.collect { case (cl, i) if !cl.isDelete =>
+      projectRow(acted.where(col("__action") === i), cl.assignments, fromTarget = true)
+    }
+    val unmatched = sPref.join(
+      tPref.select(keyCols.map(c => col(s"`__t_$c`")): _*).distinct(),
+      joinCond, "left_anti")
+    val insertWrites = notMatched.toSeq.map { case (condOpt, asg) =>
+      val base = condOpt.map(c => unmatched.where(coalesce(c, lit(false))))
+        .getOrElse(unmatched)
+      projectRow(base, asg, fromTarget = false)
+    }
+    val toWrite = (updateWrites ++ insertWrites).reduceOption(_ unionByName _)
+      .map(w => DeltaWriter.withWriteChecks(w, snap.schema,
+        snap.metadata.configuration, log.tablePath.toString))
+
+    val hitRows = acted.where(col("__action").isNotNull)
+      .select(col("__file").as("p"), col("__row").as("i"))
+
+    val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    try {
+      val adds = toWrite match {
+        case Some(w) =>
+          val (stage, stageSchema, stagePartCols, stageOpts) =
+            DeltaWriter.toPhysical(spark, snap, w, snap.metadata.partitionColumns)
+          DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+            stagePartCols, moved, stageOpts)
+        case None => Nil
+      }
+      val cdcLines =
+        if (!Cdc.enabled(snap)) Nil
+        else {
+          val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+          matched.zipWithIndex.foreach { case (cl, i) =>
+            val rows = acted.where(col("__action") === i)
+            val tgtVals = rows.select(schemaCols.map(c => col(s"`__t_$c`").as(c)): _*)
+            if (cl.isDelete) parts += Cdc.typed(tgtVals, "delete")
+            else {
+              parts += Cdc.typed(tgtVals, "update_preimage")
+              parts += Cdc.typed(
+                projectRow(rows, cl.assignments, fromTarget = true), "update_postimage")
+            }
+          }
+          insertWrites.foreach(w => parts += Cdc.typed(w, "insert"))
+          if (parts.isEmpty) Nil
+          else Cdc.writeChangeData(spark, log, snap,
+            parts.reduce(_ unionByName _), snap.metadata.partitionColumns, moved)
+        }
+      val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)
+      if (dvActs.isEmpty && adds.isEmpty) {
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        return (0L, 0L, 0L)
+      }
+      val perFile = adds.map(_.parsedStats.flatMap(_.numRecords))
+      val writtenRows =
+        if (perFile.forall(_.isDefined)) perFile.flatten.sum
+        else toWrite.map(_.count()).getOrElse(0L)
+      val insertedRows = writtenRows - updatedRows
+      val commitActions =
+        Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
+          Map("keys" -> keyCols.mkString(","),
+            "matchedClauses" -> matched.length.toString)))) ++
+        (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
+        dvActs ++ adds.map(Action(_))
+      LogStore.write(log.fs, log.commitFile(snap.version + 1),
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
+      log.invalidateCache()
+      (updatedRows, deletedRows, insertedRows)
+    } catch {
+      case t: Throwable =>
+        moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
+
   /** MERGE ... WHEN MATCHED THEN DELETE: soft-delete target rows whose
     * key appears in `source` (the tombstone-list pattern — drop every
     * doc id a dedup pass condemned). One semi join keyed on the merge

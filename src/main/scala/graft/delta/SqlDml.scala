@@ -78,11 +78,14 @@ object SqlDml {
     }
 
   /**
-   * `MergeIntoTable` → command for the canonical upsert shape:
-   * equality join condition, `WHEN MATCHED THEN UPDATE` (SET * or explicit
-   * assignments), optional `WHEN NOT MATCHED THEN INSERT` (* or aligned).
-   * Anything beyond (not-matched-by-source clauses, additional conditions)
-   * is refused loudly rather than half-executed.
+   * `MergeIntoTable` → command. The canonical upsert shapes (unconditional
+   * `UPDATE SET *` / `DELETE`, `INSERT *`) keep their dedicated commands;
+   * everything else with clause conditions or expression assignments —
+   * incl. the CDC-apply pattern `WHEN MATCHED AND s.op='D' THEN DELETE` —
+   * routes to [[MergeClausesGraftTableCommand]], whose engine evaluates
+   * clauses over a two-sided prefixed join. A partial `SET x = s.x` is
+   * NEVER widened to SET * (unassigned columns keep target values there).
+   * `WHEN NOT MATCHED BY SOURCE` remains refused loudly.
    */
   def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
     graftPath(m.targetTable).map { path =>
@@ -141,28 +144,101 @@ object SqlDml {
               s"${oriented._1} = ${oriented._2}")
         oriented._1
       }
-      val doInsert = m.notMatchedActions match {
-        case Nil => false
-        case Seq(InsertStarAction(None)) => true
-        case Seq(InsertAction(None, assignments))
-            if assignments.forall(a =>
-              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) => true
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports only WHEN NOT MATCHED THEN INSERT (*-aligned): $other")
+      // Tag each attribute's SIDE into the clause engine's prefixed
+      // namespace (__t_/__s_): exprId membership is exact on resolved
+      // plans; anything unattributable is refused, never guessed.
+      def sided(e: Expression, allowTarget: Boolean, what: String): Column = {
+        e.foreach {
+          case s: SubqueryExpression => throw new UnsupportedOperationException(
+            s"subqueries are not supported in graft MERGE clauses: $s")
+          case _ => ()
+        }
+        GraftColumnBridge.column(e.transform {
+          case a: AttributeReference if sourceAttrs.contains(a) =>
+            UnresolvedAttribute.quoted(s"__s_${a.name}")
+          case a: AttributeReference if targetAttrs.contains(a) =>
+            if (!allowTarget) throw new UnsupportedOperationException(
+              s"graft MERGE: $what may reference only SOURCE columns, got target ${a.name}")
+            UnresolvedAttribute.quoted(s"__t_${a.name}")
+          case a: AttributeReference => throw new UnsupportedOperationException(
+            s"graft MERGE: cannot attribute column ${a.name} to source or target in $what")
+          case u: UnresolvedAttribute => throw new UnsupportedOperationException(
+            s"graft MERGE: unresolved column ${u.name} in $what")
+        })
       }
-      m.matchedActions match {
-        case Seq(DeleteAction(None)) =>
-          if (doInsert) throw new UnsupportedOperationException(
-            "graft MERGE: WHEN MATCHED THEN DELETE cannot combine with INSERT")
+
+      // SET * equivalence, STRICT: every target column assigned, each
+      // value the same-named SOURCE attribute (exprId-checked — `SET x =
+      // t.x` or a partial list must NOT take the replace-row fast path)
+      def isSetStar(assignments: Seq[Assignment]): Boolean = {
+        def srcAttr(e: Expression): Option[AttributeReference] = e match {
+          case a: AttributeReference if sourceAttrs.contains(a) => Some(a)
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => srcAttr(c.child)
+          case _ => None
+        }
+        val names = assignments.map(a => assignmentPath(a.key))
+        names.forall(_.length == 1) &&
+        targetCols.forall(c => names.exists(_.head.equalsIgnoreCase(c))) &&
+        assignments.forall(a => srcAttr(a.value)
+          .exists(_.name.equalsIgnoreCase(assignmentPath(a.key).head)))
+      }
+
+      val sourceMatchesSchema =
+        m.sourceTable.output.map(_.name.toLowerCase).toSet ==
+          targetCols.map(_.toLowerCase).toSet
+      val plainInsert: Option[Boolean] = m.notMatchedActions match {
+        case Nil => Some(false)
+        case Seq(InsertStarAction(None)) => Some(true)
+        case Seq(InsertAction(None, assignments)) if isSetStar(assignments) => Some(true)
+        case _ => None
+      }
+      val plainMatched: Option[Boolean] = m.matchedActions match { // Some(isDelete)
+        case Seq(DeleteAction(None)) => Some(true)
+        case Seq(UpdateStarAction(None)) => Some(false)
+        case Seq(UpdateAction(None, assignments, _)) if isSetStar(assignments) => Some(false)
+        case _ => None
+      }
+      (plainMatched, plainInsert) match {
+        case (Some(true), Some(false)) =>
           MergeDeleteGraftTableCommand(path, m.sourceTable, pairs)
-        case Seq(UpdateStarAction(None)) =>
-          MergeGraftTableCommand(path, m.sourceTable, pairs, doInsert)
-        case Seq(UpdateAction(None, assignments, _))
-            if assignments.forall(a =>
-              assignmentName(a.key).equalsIgnoreCase(attrName(a.value))) =>
-          MergeGraftTableCommand(path, m.sourceTable, pairs, doInsert)
-        case other => throw new UnsupportedOperationException(
-          s"graft MERGE supports only WHEN MATCHED THEN UPDATE SET * or DELETE: $other")
+        case (Some(false), Some(ins)) if sourceMatchesSchema =>
+          MergeGraftTableCommand(path, m.sourceTable, pairs, ins)
+        case _ =>
+          val clauses = m.matchedActions.map {
+            case DeleteAction(cond) => DeltaMerge.MergeClause(
+              cond.map(sided(_, allowTarget = true, "WHEN MATCHED condition")),
+              isDelete = true, Nil)
+            case UpdateStarAction(cond) => DeltaMerge.MergeClause(
+              cond.map(sided(_, allowTarget = true, "WHEN MATCHED condition")),
+              isDelete = false, Nil)
+            case UpdateAction(cond, assignments, _) =>
+              val asg = assignments.map(a => assignmentName(a.key) ->
+                sided(a.value, allowTarget = true, "UPDATE assignment"))
+              require(asg.nonEmpty, "graft MERGE: UPDATE requires assignments")
+              DeltaMerge.MergeClause(
+                cond.map(sided(_, allowTarget = true, "WHEN MATCHED condition")),
+                isDelete = false, asg)
+            case other => throw new UnsupportedOperationException(
+              s"graft MERGE: unsupported WHEN MATCHED action: $other")
+          }
+          val notM = m.notMatchedActions match {
+            case Nil => None
+            case Seq(InsertStarAction(cond)) =>
+              Some((cond.map(sided(_, allowTarget = false,
+                "WHEN NOT MATCHED condition")), Nil: Seq[(String, Column)]))
+            case Seq(InsertAction(cond, assignments)) =>
+              val asg = assignments.map(a => assignmentName(a.key) ->
+                sided(a.value, allowTarget = false, "INSERT value"))
+              val covered = asg.map(_._1.toLowerCase).toSet
+              val missing = targetCols.filterNot(c => covered.contains(c.toLowerCase))
+              if (missing.nonEmpty) throw new UnsupportedOperationException(
+                s"graft MERGE INSERT must assign every column; missing ${missing.mkString(", ")}")
+              Some((cond.map(sided(_, allowTarget = false,
+                "WHEN NOT MATCHED condition")), asg))
+            case other => throw new UnsupportedOperationException(
+              s"graft MERGE supports a single WHEN NOT MATCHED clause: $other")
+          }
+          MergeClausesGraftTableCommand(path, m.sourceTable, pairs, clauses, notM)
       }
     }
   }
@@ -209,6 +285,28 @@ case class MergeDeleteGraftTableCommand(
     val n = DeltaMerge.mergeDelete(spark, log,
       GraftColumnBridge.ofRows(spark, source), keyCols)
     Seq(Row(n))
+  }
+}
+
+/** General MERGE (clause conditions / expression assignments) — returns
+  * (rows_updated, rows_deleted, rows_inserted). */
+case class MergeClausesGraftTableCommand(
+    path: String,
+    source: LogicalPlan,
+    keyCols: Seq[String],
+    matched: Seq[DeltaMerge.MergeClause],
+    notMatched: Option[(Option[Column], Seq[(String, Column)])])
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("rows_updated", LongType, nullable = false)(),
+    AttributeReference("rows_deleted", LongType, nullable = false)(),
+    AttributeReference("rows_inserted", LongType, nullable = false)())
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = DeltaLog.forPath(spark, path)
+    val (up, del, ins) = DeltaMerge.mergeClauses(spark, log,
+      GraftColumnBridge.ofRows(spark, source), keyCols, matched, notMatched)
+    Seq(Row(up, del, ins))
   }
 }
 

@@ -200,6 +200,79 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       "refused merge must not have committed")
   }
 
+  test("SQL MERGE clause conditions: CDC apply, partial SET, conditional INSERT") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-mrgcond").toString + "/t"
+    DeltaWriter.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "name", "v"), p)
+    GraftCatalog.attach("cdc_t", p)
+
+    // canonical CDC apply: op column drives delete vs upsert; deleted ops
+    // must NOT be inserted when unmatched
+    Seq((2L, "b2", 21.0, "U"), (3L, "c", 30.0, "D"), (5L, "e", 50.0, "U"),
+      (6L, "x", 60.0, "D"))
+      .toDF("id", "name", "v", "op").createOrReplaceTempView("cdc_src")
+    val r = spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+      .collect()(0)
+    DeltaLog.clearCache()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)), s"counts $r")
+    val after = spark.sql("SELECT id, name, v FROM graft.cdc_t ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(after == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0),
+      (5L, "e", 50.0)), s"state $after")
+
+    // partial SET keeps unassigned TARGET columns (never widened to SET *)
+    Seq((1L, "IGNORED", 111.0, "U")).toDF("id", "name", "v", "op")
+      .createOrReplaceTempView("cdc_src2")
+    val r2 = spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src2 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin).collect()(0)
+    DeltaLog.clearCache()
+    assert(r2.getLong(0) == 1)
+    val row1 = spark.sql("SELECT name, v FROM graft.cdc_t WHERE id = 1").collect()(0)
+    assert(row1.getString(0) == "a" && row1.getDouble(1) == 112.0,
+      s"partial SET clobbered unassigned columns: $row1")
+
+    // expression assignment referencing BOTH sides
+    Seq((2L, "z", 5.0, "U")).toDF("id", "name", "v", "op")
+      .createOrReplaceTempView("cdc_src3")
+    spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src3 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin).collect()
+    DeltaLog.clearCache()
+    assert(spark.sql("SELECT v FROM graft.cdc_t WHERE id = 2")
+      .collect()(0).getDouble(0) == 26.0)
+
+    // conditional DELETE with a keys+flags-only source (no table columns)
+    Seq((4L, "D"), (5L, "K")).toDF("id", "op").createOrReplaceTempView("cdc_src4")
+    val r4 = spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src4 s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin).collect()(0)
+    DeltaLog.clearCache()
+    assert(r4.getLong(1) == 1, s"conditional delete $r4")
+    assert(spark.sql("SELECT count(*) FROM graft.cdc_t WHERE id = 4")
+      .collect()(0).getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft.cdc_t WHERE id = 5")
+      .collect()(0).getLong(0) == 1)
+
+    // WHEN NOT MATCHED BY SOURCE still refused loudly
+    val e = intercept[Exception] { spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin) }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
   test("appends and overwrites to column-mapped tables write physical names") {
     import org.apache.spark.sql.types._
     for (variant <- Seq(Fixtures.Mapped, Fixtures.MappedId)) {
