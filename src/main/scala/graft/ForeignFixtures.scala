@@ -417,6 +417,99 @@ object ForeignFixtures {
     dir
   }
 
+  /**
+   * Checkpoint carrying file metadata ONLY in struct form — the shape
+   * `delta.checkpoint.writeStatsAsStruct=true, writeStatsAsJson=false`
+   * writers emit (reference DAT `stats_as_struct`, test/sql/dat/all.test):
+   * `add.stats_parsed` / `add.partitionValues_parsed` structs, with NO
+   * JSON `stats` string and NO `partitionValues` string map. The table is
+   * `customer` partitioned by c_mktsegment, two files per segment split at
+   * the segment's median c_custkey, so BOTH partition pruning (from the
+   * restored string map) and min/max file skipping (from the restored JSON
+   * stats) are exercisable. v0's JSON is deleted — the checkpoint is the
+   * only source of its state.
+   */
+  def statsAsStruct(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "customer_statsstruct")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val segs = src.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+    // (path, segment, numRecords, minKey, maxKey, size)
+    val files = segs.flatMap { seg =>
+      val part = src.filter(col("c_mktsegment") === seg)
+      val mid = part.agg(expr("percentile(c_custkey, 0.5)")).collect()(0).getDouble(0)
+      Seq("lo" -> part.filter(col("c_custkey") <= mid),
+          "hi" -> part.filter(col("c_custkey") > mid)).map { case (half, slice) =>
+        val rel = s"c_mktsegment=$seg/$half.parquet"
+        writeOneFile(slice.drop("c_mktsegment"), s"$dir/$rel")
+        val st = slice.agg(count(lit(1)), min("c_custkey"), max("c_custkey")).collect()(0)
+        (rel, seg, st.getLong(0), st.getLong(1), st.getLong(2),
+          new java.io.File(s"$dir/$rel").length)
+      }
+    }
+
+    val metaLine =
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000008","format":{"provider":"parquet","options":{}},"schemaString":${jstr(src.schema.json)},"partitionColumns":["c_mktsegment"],"configuration":{},"createdTime":1700000000000}}"""
+    val (headFiles, tailFiles) = files.splitAt(files.size / 2)
+    def addLine(f: (String, String, Long, Long, Long, Long)): String =
+      s"""{"add":{"path":"${f._1}","partitionValues":{"c_mktsegment":"${f._2}"},"size":${f._6},"modificationTime":1700000000001,"dataChange":true}}"""
+    writeLines(s"$dir/_delta_log/00000000000000000000.json",
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine) ++
+        headFiles.map(addLine))
+    writeLines(s"$dir/_delta_log/00000000000000000001.json",
+      Seq("""{"commitInfo":{"timestamp":1700000001000,"operation":"WRITE","engineInfo":"foreign-writer/9.9.9"}}""") ++
+        tailFiles.map(addLine))
+
+    // checkpoint at v1: struct-form stats/partitionValues ONLY
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("partitionValues_parsed", StructType(Seq(
+          StructField("c_mktsegment", StringType)))),
+        StructField("stats_parsed", StructType(Seq(
+          StructField("numRecords", LongType),
+          StructField("minValues", StructType(Seq(
+            StructField("c_custkey", LongType)))),
+          StructField("maxValues", StructType(Seq(
+            StructField("c_custkey", LongType)))),
+          StructField("nullCount", StructType(Seq(
+            StructField("c_custkey", LongType))))))))))))
+    val cpRows =
+      Seq(Row(Row(1, 2), null, null),
+        Row(null, Row("f0e1d2c3-0000-0000-0000-000000000008", src.schema.json,
+          Seq("c_mktsegment"), Map.empty[String, String], 1700000000000L), null)) ++
+        files.map { case (rel, seg, n, lo, hi, size) =>
+          Row(null, null,
+            Row(rel, size, 1700000000001L, true, Row(seg),
+              Row(n, Row(lo), Row(hi), Row(0L))))
+        }
+    val cpDf = spark.createDataFrame(cpRows.asJavaList, cpSchema)
+    writeOneFile(cpDf, s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    writeLines(s"$dir/_delta_log/_last_checkpoint", Seq(
+      s"""{"version":1,"size":${2 + files.size}}"""))
+    Files.delete(Paths.get(dir, "_delta_log", "00000000000000000000.json"))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
   private implicit class SeqRows(rows: Seq[Row]) {
     def asJavaList: java.util.List[Row] = {
       val out = new java.util.ArrayList[Row](rows.size)

@@ -403,6 +403,18 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }),
 
+    // --- foreign checkpoint carrying stats/partitionValues ONLY as structs
+    //     (writeStatsAsStruct, no JSON stats): restoration must keep both
+    //     partition pruning and min/max skipping alive ---
+    "delta_foreign_struct_stats" -> ((s, dir) => {
+      val p = ForeignFixtures.statsAsStruct(s, dir)
+      DeltaTable.forPath(s, p).toDF
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 500)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --- foreign checkpoint layout: typed decode fails → JSON fallback;
     //     v0 JSON deleted so the checkpoint is the only v0 source ---
     "delta_foreign_checkpoint" -> ((s, dir) => {
@@ -776,6 +788,10 @@ object SparkEntry {
     "delta_foreign_stats_prune" ->
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_nationkey >= 10 ORDER BY n_nationkey""".stripMargin,
+    "delta_foreign_struct_stats" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 500
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "delta_foreign_checkpoint" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

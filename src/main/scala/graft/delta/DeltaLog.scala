@@ -432,14 +432,74 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           s"but is named for version $v — refusing a misplaced manifest")
     }
 
+  /** Foreign checkpoints may carry per-file stats as a TYPED STRUCT
+    * (`add.stats_parsed`, written under `delta.checkpoint.writeStatsAsStruct`)
+    * with the JSON `stats` string null or absent (`writeStatsAsJson=false` —
+    * the reference's DAT `stats_as_struct` table, test/sql/dat/all.test).
+    * Our snapshot keeps the protocol's JSON form, so without this the table
+    * still READ correctly but silently lost file skipping. Render the struct
+    * back to the JSON string (and `partitionValues_parsed` back to the
+    * canonical string map) before decode; the rendered form also survives
+    * the JSON fallback path. */
+  private def restoreParsedStructs(df0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, from_json, lit, struct, to_json, when}
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    if (!df0.columns.contains("add")) return df0
+    val addType = df0.schema("add").dataType match {
+      case s: StructType => s
+      case _ => return df0
+    }
+    val names = addType.fieldNames.toSet
+    if (!names.contains("stats_parsed") && !names.contains("partitionValues_parsed"))
+      return df0
+    def field(n: String) = col(s"add.`$n`")
+    val statsCol =
+      if (!names.contains("stats_parsed"))
+        if (names.contains("stats")) field("stats") else lit(null).cast(StringType)
+      else {
+        val rendered = to_json(field("stats_parsed"))
+        if (names.contains("stats")) coalesce(field("stats"), rendered) else rendered
+      }
+    val pvCol =
+      if (!names.contains("partitionValues_parsed"))
+        if (names.contains("partitionValues")) field("partitionValues")
+        else lit(null).cast(MapType(StringType, StringType))
+      else {
+        // keep nulls: a missing key and a null partition value differ for
+        // partition-column constant injection
+        val rendered = from_json(
+          to_json(field("partitionValues_parsed"), Map("ignoreNullFields" -> "false")),
+          MapType(StringType, StringType))
+        if (names.contains("partitionValues")) coalesce(field("partitionValues"), rendered)
+        else rendered
+      }
+    val kept = addType.fields.toIndexedSeq
+      .filterNot(f => f.name == "stats_parsed" || f.name == "partitionValues_parsed")
+      .map { f =>
+        (f.name match {
+          case "stats" => statsCol
+          case "partitionValues" => pvCol
+          case n => field(n)
+        }).as(f.name)
+      }
+    val missing =
+      (if (names.contains("stats")) Nil else Seq(statsCol.as("stats"))) ++
+        (if (names.contains("partitionValues")) Nil
+         else Seq(pvCol.as("partitionValues")))
+    df0.withColumn("add",
+      when(col("add").isNotNull, struct(kept ++ missing: _*)))
+  }
+
   /** Action-shaped DataFrame (checkpoint parts, v2 manifests, sidecars) →
     * actions, decoded as a TYPED Dataset (no per-row JSON render/parse
     * round-trip — at millions of add actions that was the snapshot
     * bottleneck). Missing top-level action columns are null-filled so files
     * from other writers still load; schema shapes the encoder can't resolve
     * fall back to the JSON path. */
-  private def decodeActionDf(df: org.apache.spark.sql.DataFrame, what: String): Seq[Action] = {
+  private def decodeActionDf(df0: org.apache.spark.sql.DataFrame, what: String): Seq[Action] = {
     import org.apache.spark.sql.functions.{col, lit}
+    val df = restoreParsedStructs(df0)
     val enc = org.apache.spark.sql.Encoders.product[Action]
     try {
       val aligned = df.select(enc.schema.fields.toIndexedSeq.map { f =>

@@ -42,8 +42,19 @@ private[graft] class LazySnapshot(
     * plus the tail's own adds. */
   @transient private[graft] lazy val addsDataset: Dataset[AddFile] = {
     val spark = log.spark
-    val df = spark.read.parquet(checkpointPaths.map(_.toString): _*)
+    val df0 = spark.read.parquet(checkpointPaths.map(_.toString): _*)
       .where(col("add").isNotNull).select("add.*")
+    // foreign struct-form stats (writeStatsAsStruct, JSON form absent):
+    // render back to the JSON string so file skipping keeps pruning —
+    // same restoration DeltaLog.restoreParsedStructs does on the eager path
+    val df =
+      if (!df0.columns.contains("stats_parsed")) df0
+      else {
+        val rendered = org.apache.spark.sql.functions.to_json(col("stats_parsed"))
+        if (df0.columns.contains("stats"))
+          df0.withColumn("stats", org.apache.spark.sql.functions.coalesce(col("stats"), rendered))
+        else df0.withColumn("stats", rendered)
+      }
     val aligned = df.select(addEncoder.schema.fields.toIndexedSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)

@@ -39,9 +39,12 @@ object TextOps {
       .otherwise(0.0)
   }
 
-  /** Ratio of lowercase-letter characters. */
+  /** Ratio of lowercase-letter characters. Native byte-scan expression —
+    * oracle-equivalent to `length(regexp_replace(text,'[^a-z]',''))` but
+    * zero-allocation (the regexp form copies every string through
+    * java.util.regex per row; it was 25% of the x30 bench wall). */
   def alphaRatio(text: Column, nChars: Column): Column =
-    length(regexp_replace(text, "[^a-z]", "")) * 1.0 / nChars
+    GraftFunctions.lowerAlphaCount(text) * 1.0 / nChars
 
   /** Composite quality score in [0,1]: length, alpha ratio, mean word
     * length (heuristic quality scoring for corpus filtering). */

@@ -40,6 +40,39 @@ class ForeignInteropSpec extends AnyFunSuite {
     assert(zero.count() == 1)
   }
 
+  test("struct-form checkpoint stats restore JSON stats + partition values") {
+    val p = ForeignFixtures.statsAsStruct(spark, sfDir)
+    assert(!new java.io.File(p, "_delta_log/00000000000000000000.json").exists())
+    val snap = DeltaTable.forPath(spark, p).snapshot
+    // every add restored a JSON stats string and the partition map
+    assert(snap.allFiles.nonEmpty)
+    snap.allFiles.foreach { f =>
+      assert(f.stats.nonEmpty, s"${f.path}: stats lost in struct-form decode")
+      assert(f.parsedStats.exists(_.numRecords.exists(_ > 0)),
+        s"${f.path}: restored stats unparseable: ${f.stats}")
+      assert(f.partitionValues != null && f.partitionValues.contains("c_mktsegment"),
+        s"${f.path}: partitionValues lost in struct-form decode")
+    }
+    // restored min/max stats actually PRUNE: a predicate below the global
+    // median keeps strictly fewer files than the table has
+    val keyAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "c_custkey", org.apache.spark.sql.types.LongType)()
+    val dataSchema = snap.dataSchema
+    val pruned = FileSkipping.prune(snap.allFiles, dataSchema, Seq(
+      org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(keyAttr,
+        org.apache.spark.sql.catalyst.expressions.Literal(5L))))
+    assert(pruned.size < snap.allFiles.size,
+      s"no file skipped (${pruned.size}/${snap.allFiles.size}) — struct stats not restored")
+    // end-to-end result matches the parquet oracle
+    val got = DeltaTable.forPath(spark, p).toDF
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 500)
+    val want = Fixtures.readNormalized(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 500)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    assert(got.count() == want.count())
+    assert(got.select(want.columns.map(col).toIndexedSeq: _*).exceptAll(want).isEmpty)
+  }
+
   test("foreign checkpoint layout decodes via fallback; v0 json deleted") {
     val p = ForeignFixtures.checkpointed(spark, sfDir)
     assert(!new java.io.File(p, "_delta_log/00000000000000000000.json").exists())

@@ -24,6 +24,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lower_alpha_count matches length(regexp_replace) incl. unicode and nulls") {
+    val rows = Seq(
+      "hello World 42!", "ÀÉîöü żółć", "混合 mixed 文本 text", "",
+      "abcdefghijklmnopqrstuvwxyz", "ABC", "aéz中b", null)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val got = df.select(
+      graft.functions.GraftFunctions.lowerAlphaCount(col("t")).as("fast"),
+      length(regexp_replace(col("t"), "[^a-z]", "")).cast("long").as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+    // and over real corpus text, where the oracle equivalence must hold
+    val agg = docs.select(
+      sum(graft.functions.GraftFunctions.lowerAlphaCount(col("text"))).as("fast"),
+      sum(length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")).as("ref"))
+      .collect()(0)
+    assert(agg.getLong(0) === agg.getLong(1))
+  }
+
   test("simhash: identical docs collide, near-identical docs are close") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again".split(" ")
     val t2 = "the quick brown fox jumps over the lazy cat again and again".split(" ")

@@ -30,6 +30,14 @@ def main():
         "/tmp/graft-scale/s2/_root_testdata_sf0.1_x10"
     oracle_path = sys.argv[2] if len(sys.argv) > 2 else \
         "/tmp/graft-verify/oracle_sql.json"
+    # derive the scale factor from the dir name (…_xN) so the blob and
+    # its filename say what was actually measured; refuse unparseable
+    # names BEFORE the expensive measurement pass
+    import re
+    m = re.search(r"_x(\d+)/?$", x10)
+    if not m:
+        sys.exit(f"cannot derive scale factor from dir name: {x10} (expect …_xN)")
+    factor = m.group(1)
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
@@ -49,14 +57,6 @@ def main():
         con.execute(sql).fetchall()
         out[name] = round(time.time() - t0, 3)
         print(f"{name}: {out[name]}s", file=sys.stderr)
-    # derive the scale factor from the dir name (…_xN) so the blob and
-    # its filename say what was actually measured; refuse unparseable
-    # names BEFORE the expensive measurement pass
-    import re
-    m = re.search(r"_x(\d+)/?$", x10)
-    if not m:
-        sys.exit(f"cannot derive scale factor from dir name: {x10} (expect …_xN)")
-    factor = m.group(1)
     result = {
         "engine": "duckdb-" + duckdb.__version__,
         "threads": 32,
