@@ -307,6 +307,30 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // --- MERGE WHEN NOT MATCHED BY SOURCE: conditional DELETE + UPDATE of
+    //     target rows absent from the source (target-only expressions) ---
+    "delta_sql_merge_bysource_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "supplier")
+      graft.delta.GraftCatalog.attach("sql_mrgbs_t", p)
+      Fixtures.readParquet(s, dir, "supplier")
+        .where(col("s_suppkey") % 4 === 0)
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .createOrReplaceTempView("sql_mrgbs_src")
+      s.sql(
+        """MERGE INTO graft.sql_mrgbs_t t USING sql_mrgbs_src s
+          |ON t.s_suppkey = s.s_suppkey
+          |WHEN MATCHED THEN UPDATE SET s_acctbal = s.s_acctbal + 1000
+          |WHEN NOT MATCHED BY SOURCE AND t.s_suppkey % 4 = 1 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s_name = concat(t.s_name, '*')
+          |""".stripMargin).collect()
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .select(col("s_suppkey"), col("s_name").as("name"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // --- MERGE-style upsert ---
     "delta_upsert_scan" -> ((s, dir) => {
       val p = freshCopy(s, dir, "region")
@@ -753,6 +777,13 @@ object SparkEntry {
         |)
         |SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
         |FROM final ORDER BY s_suppkey""".stripMargin,
+    "delta_sql_merge_bysource_scan" ->
+      """SELECT s_suppkey,
+        | CASE WHEN s_suppkey % 4 = 0 THEN s_name ELSE s_name || '*' END AS name,
+        | round(CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 1000
+        |            ELSE s_acctbal END, 2) AS acctbal
+        |FROM supplier WHERE NOT (s_suppkey % 4 = 1)
+        |ORDER BY s_suppkey""".stripMargin,
     "delta_upsert_scan" ->
       """SELECT r_regionkey,
         | CASE WHEN r_regionkey <= 1 THEN r_name || '_v2' ELSE r_name END AS r_name

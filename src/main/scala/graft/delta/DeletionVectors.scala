@@ -465,15 +465,20 @@ object DeltaMerge {
    *
    * @param notMatched None = no INSERT clause; Some((cond, assignments)) —
    *   empty assignments = INSERT * (condition may reference SOURCE only).
+   * @param bySource WHEN NOT MATCHED BY SOURCE clauses — applied to TARGET
+   *   rows whose merge key has no source match (one anti join on the key
+   *   set); conditions/assignments may reference TARGET columns only.
    * @return (rowsUpdated, rowsDeleted, rowsInserted)
    */
   def mergeClauses(spark: SparkSession, log: DeltaLog, source: DataFrame,
       keyCols: Seq[String], matched: Seq[MergeClause],
-      notMatched: Option[(Option[Column], Seq[(String, Column)])]): (Long, Long, Long) = {
+      notMatched: Option[(Option[Column], Seq[(String, Column)])],
+      bySource: Seq[MergeClause] = Nil): (Long, Long, Long) = {
     val snap = log.update()
     ProtocolGate.validateWrite(snap, "MERGE")
     require(keyCols.nonEmpty, "merge keys required")
-    require(matched.nonEmpty || notMatched.isDefined, "MERGE needs at least one clause")
+    require(matched.nonEmpty || notMatched.isDefined || bySource.nonEmpty,
+      "MERGE needs at least one clause")
     val schemaCols = snap.schema.fieldNames.toSeq
 
     // SET * / INSERT * write whole source rows — only then must the source
@@ -534,10 +539,38 @@ object DeltaMerge {
     val actionCounts: Map[Int, Long] = acted.groupBy(col("__action"))
       .agg(count(lit(1)).as("n")).collect()
       .collect { case r if !r.isNullAt(0) => r.getInt(0) -> r.getLong(1) }.toMap
+
+    // WHEN NOT MATCHED BY SOURCE: target rows whose key set has no source
+    // match (one anti join); clause chain sees only __t_ columns. Each
+    // target row appears at most once here, so no cardinality guard.
+    val bsActed: Option[DataFrame] =
+      if (bySource.isEmpty) None
+      else {
+        val tUnmatched = tPref.join(
+          sPref.select(keyCols.map(c => col(s"`__s_$c`")): _*).distinct(),
+          joinCond, "left_anti")
+        val bsActionCol = bySource.zipWithIndex.foldRight(lit(null).cast("int")) {
+          case ((cl, i), rest) => cl.cond match {
+            case Some(c) => when(coalesce(c, lit(false)), lit(i)).otherwise(rest)
+            case None => lit(i)
+          }
+        }
+        Some(tUnmatched.withColumn("__action", bsActionCol))
+      }
+    val bsCounts: Map[Int, Long] = bsActed match {
+      case None => Map.empty
+      case Some(d) => d.groupBy(col("__action")).agg(count(lit(1)).as("n")).collect()
+        .collect { case r if !r.isNullAt(0) => r.getInt(0) -> r.getLong(1) }.toMap
+    }
+
     val updatedRows = matched.zipWithIndex.collect {
-      case (cl, i) if !cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum
+      case (cl, i) if !cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum +
+      bySource.zipWithIndex.collect {
+        case (cl, i) if !cl.isDelete => bsCounts.getOrElse(i, 0L) }.sum
     val deletedRows = matched.zipWithIndex.collect {
-      case (cl, i) if cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum
+      case (cl, i) if cl.isDelete => actionCounts.getOrElse(i, 0L) }.sum +
+      bySource.zipWithIndex.collect {
+        case (cl, i) if cl.isDelete => bsCounts.getOrElse(i, 0L) }.sum
 
     /** Final-row projection under LOGICAL names: assigned columns take the
       * clause expression, unassigned keep the target value (updates) —
@@ -563,6 +596,10 @@ object DeltaMerge {
     }
     val updateWrites = matched.zipWithIndex.collect { case (cl, i) if !cl.isDelete =>
       projectRow(acted.where(col("__action") === i), cl.assignments, fromTarget = true)
+    } ++ bsActed.toSeq.flatMap { d =>
+      bySource.zipWithIndex.collect { case (cl, i) if !cl.isDelete =>
+        projectRow(d.where(col("__action") === i), cl.assignments, fromTarget = true)
+      }
     }
     val unmatched = sPref.join(
       tPref.select(keyCols.map(c => col(s"`__t_$c`")): _*).distinct(),
@@ -576,8 +613,11 @@ object DeltaMerge {
       .map(w => DeltaWriter.withWriteChecks(w, snap.schema,
         snap.metadata.configuration, log.tablePath.toString))
 
-    val hitRows = acted.where(col("__action").isNotNull)
-      .select(col("__file").as("p"), col("__row").as("i"))
+    val hitRows = (acted.where(col("__action").isNotNull)
+      .select(col("__file").as("p"), col("__row").as("i")) +:
+      bsActed.toSeq.map(_.where(col("__action").isNotNull)
+        .select(col("__file").as("p"), col("__row").as("i"))))
+      .reduce(_ union _)
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
@@ -601,6 +641,18 @@ object DeltaMerge {
               parts += Cdc.typed(tgtVals, "update_preimage")
               parts += Cdc.typed(
                 projectRow(rows, cl.assignments, fromTarget = true), "update_postimage")
+            }
+          }
+          bsActed.foreach { d =>
+            bySource.zipWithIndex.foreach { case (cl, i) =>
+              val rows = d.where(col("__action") === i)
+              val tgtVals = rows.select(schemaCols.map(c => col(s"`__t_$c`").as(c)): _*)
+              if (cl.isDelete) parts += Cdc.typed(tgtVals, "delete")
+              else {
+                parts += Cdc.typed(tgtVals, "update_preimage")
+                parts += Cdc.typed(
+                  projectRow(rows, cl.assignments, fromTarget = true), "update_postimage")
+              }
             }
           }
           insertWrites.foreach(w => parts += Cdc.typed(w, "insert"))

@@ -85,14 +85,13 @@ object SqlDml {
    * routes to [[MergeClausesGraftTableCommand]], whose engine evaluates
    * clauses over a two-sided prefixed join. A partial `SET x = s.x` is
    * NEVER widened to SET * (unassigned columns keep target values there).
-   * `WHEN NOT MATCHED BY SOURCE` remains refused loudly.
+   * `WHEN NOT MATCHED BY SOURCE` (UPDATE/DELETE of target rows without a
+   * source match, target-only expressions) rides the same engine via an
+   * anti join on the key set.
    */
   def rewriteMerge(m: MergeIntoTable): Option[LogicalPlan] = {
     graftPath(m.targetTable).map { path =>
       import org.apache.spark.sql.catalyst.plans.logical._
-      if (m.notMatchedBySourceActions.nonEmpty)
-        throw new UnsupportedOperationException(
-          "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
       // equality key pairs out of the merge condition (expr + its name)
       def keyPairs(e: Expression): Seq[((Expression, String), (Expression, String))] =
         e match {
@@ -147,7 +146,8 @@ object SqlDml {
       // Tag each attribute's SIDE into the clause engine's prefixed
       // namespace (__t_/__s_): exprId membership is exact on resolved
       // plans; anything unattributable is refused, never guessed.
-      def sided(e: Expression, allowTarget: Boolean, what: String): Column = {
+      def sided(e: Expression, allowTarget: Boolean, what: String,
+          allowSource: Boolean = true): Column = {
         e.foreach {
           case s: SubqueryExpression => throw new UnsupportedOperationException(
             s"subqueries are not supported in graft MERGE clauses: $s")
@@ -155,6 +155,8 @@ object SqlDml {
         }
         GraftColumnBridge.column(e.transform {
           case a: AttributeReference if sourceAttrs.contains(a) =>
+            if (!allowSource) throw new UnsupportedOperationException(
+              s"graft MERGE: $what may reference only TARGET columns, got source ${a.name}")
             UnresolvedAttribute.quoted(s"__s_${a.name}")
           case a: AttributeReference if targetAttrs.contains(a) =>
             if (!allowTarget) throw new UnsupportedOperationException(
@@ -198,10 +200,30 @@ object SqlDml {
         case Seq(UpdateAction(None, assignments, _)) if isSetStar(assignments) => Some(false)
         case _ => None
       }
+      // WHEN NOT MATCHED BY SOURCE clauses act on target rows alone — the
+      // clause engine evaluates them over the anti-joined target side, so
+      // conditions/assignments may reference TARGET columns only
+      val bySource = m.notMatchedBySourceActions.map {
+        case DeleteAction(cond) => DeltaMerge.MergeClause(
+          cond.map(sided(_, allowTarget = true,
+            "WHEN NOT MATCHED BY SOURCE condition", allowSource = false)),
+          isDelete = true, Nil)
+        case UpdateAction(cond, assignments, _) =>
+          val asg = assignments.map(a => assignmentName(a.key) ->
+            sided(a.value, allowTarget = true,
+              "NOT MATCHED BY SOURCE assignment", allowSource = false))
+          require(asg.nonEmpty, "graft MERGE: UPDATE requires assignments")
+          DeltaMerge.MergeClause(
+            cond.map(sided(_, allowTarget = true,
+              "WHEN NOT MATCHED BY SOURCE condition", allowSource = false)),
+            isDelete = false, asg)
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
       (plainMatched, plainInsert) match {
-        case (Some(true), Some(false)) =>
+        case (Some(true), Some(false)) if bySource.isEmpty =>
           MergeDeleteGraftTableCommand(path, m.sourceTable, pairs)
-        case (Some(false), Some(ins)) if sourceMatchesSchema =>
+        case (Some(false), Some(ins)) if sourceMatchesSchema && bySource.isEmpty =>
           MergeGraftTableCommand(path, m.sourceTable, pairs, ins)
         case _ =>
           val clauses = m.matchedActions.map {
@@ -238,7 +260,7 @@ object SqlDml {
             case other => throw new UnsupportedOperationException(
               s"graft MERGE supports a single WHEN NOT MATCHED clause: $other")
           }
-          MergeClausesGraftTableCommand(path, m.sourceTable, pairs, clauses, notM)
+          MergeClausesGraftTableCommand(path, m.sourceTable, pairs, clauses, notM, bySource)
       }
     }
   }
@@ -295,7 +317,8 @@ case class MergeClausesGraftTableCommand(
     source: LogicalPlan,
     keyCols: Seq[String],
     matched: Seq[DeltaMerge.MergeClause],
-    notMatched: Option[(Option[Column], Seq[(String, Column)])])
+    notMatched: Option[(Option[Column], Seq[(String, Column)])],
+    bySource: Seq[DeltaMerge.MergeClause] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("rows_updated", LongType, nullable = false)(),
@@ -305,7 +328,7 @@ case class MergeClausesGraftTableCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val log = DeltaLog.forPath(spark, path)
     val (up, del, ins) = DeltaMerge.mergeClauses(spark, log,
-      GraftColumnBridge.ofRows(spark, source), keyCols, matched, notMatched)
+      GraftColumnBridge.ofRows(spark, source), keyCols, matched, notMatched, bySource)
     Seq(Row(up, del, ins))
   }
 }

@@ -265,12 +265,34 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.cdc_t WHERE id = 5")
       .collect()(0).getLong(0) == 1)
 
-    // WHEN NOT MATCHED BY SOURCE still refused loudly
+    // WHEN NOT MATCHED BY SOURCE: conditional DELETE + UPDATE of target
+    // rows with no source match (state here: 1->(a,112.0), 2->(b2,26.0),
+    // 5->(e,50.0))
+    Seq((2L, "z", 100.0, "U")).toDF("id", "name", "v", "op")
+      .createOrReplaceTempView("cdc_src5")
+    val r5 = spark.sql(
+      """MERGE INTO graft.cdc_t t USING cdc_src5 s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 60 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = concat(t.name, '!')
+        |""".stripMargin).collect()(0)
+    DeltaLog.clearCache()
+    assert((r5.getLong(0), r5.getLong(1), r5.getLong(2)) == ((2L, 1L, 0L)),
+      s"by-source counts $r5")
+    val after5 = spark.sql("SELECT id, name, v FROM graft.cdc_t ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(after5 == Seq((2L, "b2", 100.0), (5L, "e!", 50.0)), s"state $after5")
+
+    // by-source expressions may reference TARGET columns only — Spark's
+    // analyzer already refuses `s.*` there (resolves by-source actions
+    // against the target alone); our sided() check is the backstop
     val e = intercept[Exception] { spark.sql(
       """MERGE INTO graft.cdc_t t USING cdc_src s
         |ON t.id = s.id
-        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin) }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = s.name""".stripMargin) }
+    assert(e.getMessage.contains("TARGET columns") ||
+      e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage)
   }
 
   test("appends and overwrites to column-mapped tables write physical names") {
