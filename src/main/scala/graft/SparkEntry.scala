@@ -215,6 +215,27 @@ object SparkEntry {
       DeltaTable.forPath(s, p).toDF.agg(count(lit(1)).as("n"))
     }),
 
+    // --- struct-form checkpoint WRITE (writeStatsAsStruct): checkpoint
+    //     carries typed stats_parsed/partitionValues_parsed; the scan
+    //     replays from that checkpoint alone ---
+    "delta_checkpoint_struct_write" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-cpstruct").toString + "/t"
+      val src = Fixtures.readParquet(s, dir, "supplier")
+      graft.delta.DeltaWriter.append(s, src.where(col("s_suppkey") % 2 === 0), p,
+        partitionBy = Seq("s_nationkey"),
+        configuration = Map("delta.checkpoint.writeStatsAsStruct" -> "true"))
+      graft.delta.DeltaWriter.append(s, src.where(col("s_suppkey") % 2 === 1), p,
+        partitionBy = Seq("s_nationkey"))
+      graft.delta.Checkpoints.checkpoint(graft.delta.DeltaLog.forPath(s, p))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p, "_delta_log",
+        "00000000000000000000.json")) // the checkpoint is the only v0 source
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- UPDATE via deletion vectors (one commit) ---
     "delta_update_scan" -> ((s, dir) => {
       val p = freshCopy(s, dir, "supplier")
@@ -735,6 +756,9 @@ object SparkEntry {
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
     "delta_snapshot_replay" ->
       """SELECT CAST(count(*) * 40 AS BIGINT) AS n FROM nation""",
+    "delta_checkpoint_struct_write" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_update_scan" ->
       """SELECT s_suppkey,
         | round(CASE WHEN s_nationkey = 0 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) AS acctbal

@@ -1,7 +1,9 @@
 package graft.delta
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Encoders, SaveMode}
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType,
+  MapType, Metadata, StructField, StructType}
 
 /**
  * Checkpointing: consolidate the reconciled snapshot state into
@@ -41,7 +43,12 @@ object Checkpoints {
       (actions.size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
     val tmpDir = new Path(log.logPath, s".cptmp-${java.util.UUID.randomUUID}")
     val ds = spark.createDataset(actions)(Encoders.product[Action])
-    ds.repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    val out =
+      if (snap.metadata.configuration
+          .getOrElse("delta.checkpoint.writeStatsAsStruct", "false")
+          .trim.equalsIgnoreCase("true")) withStructStats(ds.toDF(), snap)
+      else ds.toDF()
+    out.repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
     val fs = log.fs
     val written = fs.listStatus(tmpDir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -80,5 +87,54 @@ object Checkpoints {
     val partsField = if (k == 1) "" else s""","parts":$k"""
     LogStore.overwrite(fs, pointer,
       s"""{"version":${snap.version},"size":${actions.size}$partsField}""")
+  }
+
+  /** `delta.checkpoint.writeStatsAsStruct`: add typed
+    * `add.stats_parsed` (min/max/nullCount trees) and, on partitioned
+    * tables, `add.partitionValues_parsed` (typed partition values)
+    * ALONGSIDE the JSON string forms — the protocol's struct checkpoint
+    * layout, so engines that only read the struct form (the reference's
+    * DAT `stats_as_struct` corpus) still get file skipping from our
+    * checkpoints. Keys are PHYSICAL names on column-mapped tables, same
+    * as the stats strings. Our own reader keeps using the JSON form. */
+  private[delta] def withStructStats(df: DataFrame, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json, struct, when}
+    val dataS =
+      if (snap.columnMappingMode == "none") snap.dataSchema
+      else snap.physicalDataSchema
+    // min/max trees keep the leaf type where stats exist for it; nullCount
+    // mirrors the same leaves as longs (arrays/maps/binary/variant carry no
+    // bounds in the JSON stats, so they are absent from the struct too)
+    def tree(dt: DataType, leaf: DataType => Option[DataType]): Option[DataType] =
+      dt match {
+        case st: StructType =>
+          val fs = st.fields.flatMap(f => tree(f.dataType, leaf)
+            .map(t => StructField(f.name, t, nullable = true, Metadata.empty)))
+          if (fs.isEmpty) None else Some(StructType(fs.toIndexedSeq))
+        case _: ArrayType | _: MapType | BinaryType => None
+        case other if other.typeName == "variant" => None
+        case other => leaf(other)
+      }
+    val mm = tree(dataS, dt => Some(dt))
+    val cnt = tree(dataS, _ => Some(LongType))
+    val statsSchema = StructType(
+      Seq(StructField("numRecords", LongType)) ++
+        mm.map(StructField("minValues", _)) ++
+        mm.map(StructField("maxValues", _)) ++
+        cnt.map(StructField("nullCount", _)))
+    val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames
+    val partS =
+      if (snap.columnMappingMode == "none") snap.partitionSchema
+      else snap.physicalPartitionSchema
+    val pvParsed =
+      if (partS.isEmpty) None
+      else Some(struct(partS.fields.toIndexedSeq.map { f =>
+        col("add.partitionValues")(f.name).cast(f.dataType).as(f.name)
+      }: _*))
+    val newAdd = when(col("add").isNotNull, struct(
+      addFields.toIndexedSeq.map(n => col(s"add.`$n`").as(n)) ++
+        Seq(from_json(col("add.stats"), statsSchema).as("stats_parsed")) ++
+        pvParsed.map(_.as("partitionValues_parsed")): _*))
+    df.withColumn("add", newAdd)
   }
 }

@@ -41,6 +41,47 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(math.abs(s1 - s2) / math.max(1.0, math.abs(s2)) < 1e-12)
   }
 
+  test("writeStatsAsStruct checkpoints carry typed stats + partition values") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") < 20), path,
+      partitionBy = Seq("n_regionkey"),
+      configuration = Map("delta.checkpoint.writeStatsAsStruct" -> "true"))
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") >= 20), path,
+      partitionBy = Seq("n_regionkey"))
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, path))
+    val cp = spark.read.parquet(
+      path + "/_delta_log/00000000000000000001.checkpoint.parquet")
+    val addT = cp.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addT.fieldNames.contains("stats_parsed"), addT.fieldNames.mkString(","))
+    assert(addT.fieldNames.contains("partitionValues_parsed"))
+    val rows = cp.where(col("add").isNotNull).select(
+      col("add.stats_parsed.numRecords").as("n"),
+      col("add.stats_parsed.minValues.n_nationkey").as("lo"),
+      col("add.stats_parsed.maxValues.n_nationkey").as("hi"),
+      col("add.stats_parsed.nullCount.n_nationkey").as("nulls"),
+      col("add.partitionValues_parsed.n_regionkey").as("pv"),
+      col("add.partitionValues")("n_regionkey").as("pvStr")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // min/max/partition leaves keep the TABLE's types (int here)
+      assert(r.getLong(0) > 0, "numRecords must parse from the JSON stats")
+      assert(r.getAs[Number](1).longValue <= r.getAs[Number](2).longValue,
+        s"min>max: $r")
+      assert(r.getLong(3) == 0L)
+      assert(r.getAs[Number](4).longValue.toString == r.getString(5),
+        s"typed partition value disagrees with the string map: $r")
+    }
+    // our own reader still decodes + skips normally from this checkpoint
+    DeltaLog.clearCache()
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "_delta_log",
+      "00000000000000000000.json"))
+    val snap = DeltaTable.forPath(spark, path).snapshot
+    assert(snap.allFiles.forall(_.stats.nonEmpty))
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+  }
+
   test("multi-commit append reconciles; checkpoint + incremental replay") {
     val src = Fixtures.readParquet(spark, sfDir, "orders")
     val path = tmpTable()
