@@ -30,11 +30,19 @@ import org.apache.spark.sql.types.StructType
  * Scale: getOffset is one log listing; getBatch plans a bounded file
  * list (the range's adds) into an ordinary parquet scan — no state
  * beyond the engine's offset checkpoint.
+ *
+ * Admission control: implements [[SupportsTriggerAvailableNow]] (v1
+ * `Source` mixing in the connector interface, the same shape delta-spark
+ * uses), so `Trigger.AvailableNow` processes exactly the versions present
+ * at stream start — rate-limited into multiple micro-batches by
+ * `maxVersionsPerTrigger` — then stops, instead of falling back to one
+ * unbounded batch.
  */
 final class DeltaStreamSource(
     spark: SparkSession,
     log: DeltaLog,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
@@ -71,6 +79,39 @@ final class DeltaStreamSource(
   }
 
   @volatile private var lastPlannedEnd: Option[Long] = None
+
+  // ---- admission control (engine calls latestOffset, not getOffset,
+  //      when a source implements SupportsAdmissionControl) ----
+
+  /** Under Trigger.AvailableNow: the table version present at stream
+    * start — the fixed end the stream must drain to and then stop at,
+    * even if the table keeps growing underneath. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.update().version)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val latest = availableNowCap.getOrElse(log.update().version)
+    val floor = Option(start) match {
+      case Some(o: OffsetV1) => versionOf(o)
+      case Some(other) =>
+        ActionJson.mapper.readTree(other.json).get("version").asLong()
+      case None => startingVersion - 1
+    }
+    val end = maxVersionsPerTrigger match {
+      case Some(max) => math.min(latest, floor + max)
+      case None => latest
+    }
+    if (end <= floor) null else VersionOffset(end)
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)

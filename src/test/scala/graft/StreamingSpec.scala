@@ -211,6 +211,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() == 320)
   }
 
+  test("AvailableNow drains in rate-limited micro-batches, then stops") {
+    import graft.delta.DeltaWriter
+    val path = java.nio.file.Files.createTempDirectory("stream-anow").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-anow-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-anow-out").toString
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    DeltaWriter.append(spark, base.limit(50), path)                               // v0
+    DeltaWriter.append(spark, base.limit(100).exceptAll(base.limit(50)), path)    // v1
+    DeltaWriter.append(spark, base.limit(150).exceptAll(base.limit(100)), path)   // v2
+    val q = spark.readStream.format("graftdelta")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // true AvailableNow: terminates after draining
+    assert(spark.read.parquet(outDir).count() == 150)
+    // one micro-batch per version — the rate limit really paced the drain
+    val batchesWithRows = q.recentProgress.count(_.numInputRows > 0)
+    assert(batchesWithRows == 3,
+      s"expected 3 rate-limited batches, saw $batchesWithRows " +
+        q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}").mkString(","))
+  }
+
   test("CDF streaming source delivers row-level inserts and deletes") {
     import graft.delta.DeltaWriter
     val path = java.nio.file.Files.createTempDirectory("stream-cdf").toString + "/t"
