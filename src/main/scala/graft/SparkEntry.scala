@@ -375,6 +375,37 @@ object SparkEntry {
       q1Shape(t.toDF)
     }),
 
+    // --- partition-scoped OPTIMIZE: only the WHERE-matched partitions are
+    //     rewritten (bounded maintenance — the 100 TB shape); results
+    //     identical either way ---
+    "delta_optimize_where_scan" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-optw").toString + "/t"
+      graft.delta.DeltaWriter.append(s,
+        Fixtures.readParquet(s, dir, "customer").repartition(3), p,
+        partitionBy = Seq("c_mktsegment"))
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("c_custkey") % 10 === 7)
+      t.optimize(where = Some(col("c_mktsegment").isin("BUILDING", "MACHINERY")))
+      t.toDF.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // --- OPTIMIZE on a column-mapped table: rewrite stages physical
+    //     names; DVs purged; logical results unchanged ---
+    "delta_mapped_optimize_scan" -> ((s, dir) => {
+      val fixture = Fixtures.delta(s, dir, "nation", Fixtures.Mapped)
+      val p = java.nio.file.Files.createTempDirectory("graft-mapopt").toString + "/t"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fixture), new java.io.File(p))
+      graft.delta.DeltaLog.clearCache()
+      val t = DeltaTable.forPath(s, p)
+      t.delete(col("n_nationkey") % 5 === 2)
+      t.optimize()
+      t.toDF.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // --- OPTIMIZE ZORDER BY: Morton re-clustering preserves results
     //     (skip-effectiveness is asserted in OptimizeSpec) ---
     "delta_zorder_scan" -> ((s, dir) => {
@@ -818,6 +849,13 @@ object SparkEntry {
         |ORDER BY r_regionkey, r_name""".stripMargin,
     "delta_optimize_scan" -> q1Sql.replace("FROM lineitem",
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 3)"),
+    "delta_optimize_where_scan" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer WHERE NOT (c_custkey % 10 = 7)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "delta_mapped_optimize_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE NOT (n_nationkey % 5 = 2) ORDER BY n_nationkey""".stripMargin,
     "delta_zorder_scan" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
         |FROM lineitem WHERE l_partkey <= 100 AND l_suppkey <= 50""".stripMargin,

@@ -309,8 +309,9 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def restoreToTimestamp(tsMillis: Long): Optimize.Result =
     Optimize.restore(spark, log, log.versionAtTimestamp(tsMillis))
 
-  def optimize(smallFileThreshold: Long = 32L * 1024 * 1024): Optimize.Result =
-    Optimize.compact(spark, log, smallFileThreshold)
+  def optimize(smallFileThreshold: Long = 32L * 1024 * 1024,
+      where: Option[org.apache.spark.sql.Column] = None): Optimize.Result =
+    Optimize.compact(spark, log, smallFileThreshold, where = where)
 
   /** OPTIMIZE ... ZORDER BY: re-cluster data files on the Morton
     * interleave of `cols` so stats-based skipping prunes on any of them. */

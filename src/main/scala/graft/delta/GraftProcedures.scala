@@ -44,12 +44,19 @@ private[delta] object GraftProcedures {
 
     name.toLowerCase match {
       case "optimize" => Some(proc("optimize",
-        "Bin-pack small files and purge deletion vectors",
+        "Bin-pack small files and purge deletion vectors " +
+          "(optional `where` partition predicate bounds the rewrite)",
         Seq(in("table", StringType),
-          in("small_file_threshold", LongType, Some((32L * 1024 * 1024).toString))),
+          in("small_file_threshold", LongType, Some((32L * 1024 * 1024).toString)),
+          in("where", StringType, Some(""))),
         resultSchema,
-        args => resultRow(Optimize.compact(spark, log(args.getString(0)),
-          smallFileThreshold = args.getLong(1)))))
+        args => {
+          val whereStr = Option(args.getStringOrNull(2)).getOrElse("")
+          resultRow(Optimize.compact(spark, log(args.getString(0)),
+            smallFileThreshold = args.getLong(1),
+            where = Option(whereStr).map(_.trim).filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.expr)))
+        }))
       case "zorder" => Some(proc("zorder",
         "Rewrite the table clustered on the Morton interleave of `columns`",
         Seq(in("table", StringType), in("columns", StringType)),
@@ -165,5 +172,8 @@ private[delta] object GraftProcedures {
     }
     def getBoolean(i: Int): Boolean =
       row.get(i, BooleanType).asInstanceOf[java.lang.Boolean]
+    def getStringOrNull(i: Int): String =
+      if (row.isNullAt(i)) null
+      else row.get(i, StringType).asInstanceOf[UTF8String].toString
   }
 }

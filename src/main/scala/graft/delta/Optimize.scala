@@ -217,23 +217,55 @@ object Optimize {
     Result(snap.version + 1, toRemove.size, toAdd.size)
   }
 
+  /** Files selected by an `OPTIMIZE/ZORDER ... WHERE <partition predicate>`
+    * scope. The predicate is evaluated by Spark itself over the files'
+    * TYPED partition values (logical names — physical keys are translated
+    * on column-mapped tables); referencing a non-partition column fails
+    * resolution loudly. At 100 TB this is what makes maintenance runnable
+    * at all: you compact the partitions a backfill touched, not the table. */
+  private def partitionScope(spark: SparkSession, snap: Snapshot,
+      where: Option[org.apache.spark.sql.Column], what: String): AddFile => Boolean =
+    where match {
+      case None => _ => true
+      case Some(pred) =>
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val logical = snap.partitionSchema
+        require(logical.nonEmpty, s"$what WHERE requires a partitioned table")
+        val physical = snap.physicalPartitionSchema
+        val files = snap.allFiles.toIndexedSeq
+        val rows = files.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            i.toLong +: physical.fields.toSeq.map(pf =>
+              f.partitionValues.getOrElse(pf.name, null)))
+        }
+        val strSchema = StructType(StructField("__idx", LongType) +:
+          logical.fields.toSeq.map(f => StructField(f.name, StringType)))
+        val jRows = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+        rows.foreach(jRows.add)
+        val typed = spark.createDataFrame(jRows, strSchema).select(
+          col("__idx") +: logical.fields.toIndexedSeq.map(f =>
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+        val kept = typed.filter(pred).select("__idx").collect()
+          .map(_.getLong(0)).toSet
+        val keepPaths = files.zipWithIndex.collect {
+          case (f, i) if kept(i.toLong) => f.decodedPath }.toSet
+        f => keepPaths.contains(f.decodedPath)
+    }
+
   def compact(
       spark: SparkSession,
       log: DeltaLog,
       smallFileThreshold: Long = 32L * 1024 * 1024,
-      maxRowsPerFile: Long = 8L * 1024 * 1024): Result = {
+      maxRowsPerFile: Long = 8L * 1024 * 1024,
+      where: Option[org.apache.spark.sql.Column] = None): Result = {
     val snap = log.update()
-    // writeFiles emits parquet with LOGICAL column names; a column-mapped
-    // table's readers resolve PHYSICAL names — rewriting here would produce
-    // files that read back all-null. Guard like append/update/merge.
-    require(snap.columnMappingMode == "none",
-      "OPTIMIZE not supported on column-mapped tables")
     // removes here are dataChange=false, so appendOnly does not apply —
     // but version/feature support still must hold before committing
     ProtocolGate.validateWrite(snap, "OPTIMIZE")
 
-    val candidates = snap.allFiles.filter(f =>
-      f.size < smallFileThreshold || f.deletionVector.isDefined)
+    val inScope = partitionScope(spark, snap, where, "OPTIMIZE")
+    val candidates = snap.allFiles.filter(f => inScope(f) &&
+      (f.size < smallFileThreshold || f.deletionVector.isDefined))
     // nothing to do: one clean small file per partition is already optimal
     val byPartition = candidates.groupBy(_.partitionValues)
       .filter { case (_, fs) => fs.size > 1 || fs.exists(_.deletionVector.isDefined) }
@@ -256,8 +288,12 @@ object Optimize {
 
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = DeltaWriter.writeFiles(spark, log, repacked, snap.schema,
-        partCols, moved)
+      // column-mapped tables rewrite through the same physical-name staging
+      // as append/DML (logical frame → physical names + field ids)
+      val (stage, stageSchema, stagePartCols, stageOpts) =
+        DeltaWriter.toPhysical(spark, snap, repacked, partCols)
+      val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+        stagePartCols, moved, stageOpts)
       val actions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("filesRemoved" -> toRewrite.size.toString,
@@ -303,8 +339,6 @@ object Optimize {
     import org.apache.spark.sql.functions.{coalesce, conv, floor, greatest,
       hex, least, lit, max, min, substring}
     val snap = log.update()
-    require(snap.columnMappingMode == "none",
-      "OPTIMIZE ZORDER not supported on column-mapped tables")
     ProtocolGate.validateWrite(snap, "OPTIMIZE")
     val partCols = snap.metadata.partitionColumns
     require(cols.nonEmpty && cols.size <= 4,
@@ -348,8 +382,10 @@ object Optimize {
 
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = DeltaWriter.writeFiles(spark, log, repacked, snap.schema,
-        partCols, moved)
+      val (stage, stageSchema, stagePartCols, stageOpts) =
+        DeltaWriter.toPhysical(spark, snap, repacked, partCols)
+      val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+        stagePartCols, moved, stageOpts)
       val actions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("zorderBy" -> cols.mkString(","),

@@ -160,6 +160,72 @@ class OptimizeSpec extends AnyFunSuite {
     assert(before >= r.filesAdded)
   }
 
+  test("optimize WHERE bounds the rewrite to matching partitions") {
+    val src = Fixtures.readParquet(spark, sfDir, "customer")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(3), path,
+      partitionBy = Seq("c_mktsegment"))
+    val t = DeltaTable.forPath(spark, path)
+    def seg(f: graft.delta.AddFile) = f.partitionValues.get("c_mktsegment")
+    val before = t.snapshot.allFiles
+    val beforeOther = before.filterNot(seg(_).contains("BUILDING")).map(_.path).toSet
+    val beforeBuilding = before.count(seg(_).contains("BUILDING"))
+    assert(beforeBuilding > 1, "fixture must start with multiple BUILDING files")
+    val r = t.optimize(where = Some(col("c_mktsegment") === "BUILDING"))
+    graft.delta.DeltaLog.clearCache()
+    val t2 = DeltaTable.forPath(spark, path)
+    val after = t2.snapshot.allFiles
+    // untouched partitions keep their exact files; BUILDING was compacted
+    assert(after.filterNot(seg(_).contains("BUILDING")).map(_.path).toSet == beforeOther)
+    assert(r.filesRemoved == beforeBuilding && r.filesAdded > 0)
+    assert(after.count(seg(_).contains("BUILDING")) < beforeBuilding)
+    assert(t2.toDF.count() == src.count())
+    // a non-partition column in WHERE fails resolution loudly
+    intercept[Exception] { t2.optimize(where = Some(col("c_acctbal") > 0)) }
+    // and WHERE on an unpartitioned table is refused
+    val p2 = tmpTable()
+    DeltaWriter.append(spark, src.limit(10), p2)
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, p2).optimize(where = Some(col("c_custkey") > 0))
+    }
+  }
+
+  test("optimize and zorder rewrite column-mapped tables physically") {
+    for (variant <- Seq(Fixtures.Mapped, Fixtures.MappedId)) {
+      val fixture = Fixtures.delta(spark, sfDir, "nation", variant)
+      val p = java.nio.file.Files.createTempDirectory("graft-optmap").toString + "/t"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(fixture), new java.io.File(p))
+      graft.delta.DeltaLog.clearCache()
+      val t = DeltaTable.forPath(spark, p)
+      // small appends + a DV so compaction has real work
+      val base = t.toDF
+      DeltaWriter.append(spark, base.limit(3)
+        .withColumn("n_nationkey", col("n_nationkey") + 100), p)
+      t.delete(col("n_nationkey") === 1)
+      graft.delta.DeltaLog.clearCache()
+      val want = DeltaTable.forPath(spark, p).toDF.collect().toSet
+      val r = DeltaTable.forPath(spark, p).optimize()
+      assert(r.filesAdded > 0, s"$variant: optimize found nothing to rewrite")
+      graft.delta.DeltaLog.clearCache()
+      val t2 = DeltaTable.forPath(spark, p)
+      assert(t2.toDF.collect().toSet == want, s"$variant content after optimize")
+      assert(t2.snapshot.allFiles.forall(_.deletionVector.isEmpty),
+        s"$variant: optimize must purge DVs")
+      // rewritten parquet must carry PHYSICAL names, not logical
+      val newest = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.lastModified())
+      assert(!spark.read.parquet(newest.toString).columns.contains("n_nationkey"),
+        s"$variant: optimize staged logical column names")
+      // zorder on the mapped table keeps content + physical layout
+      val rz = t2.zorder(Seq("n_nationkey"))
+      assert(rz.filesAdded > 0)
+      graft.delta.DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, p).toDF.collect().toSet == want,
+        s"$variant content after zorder")
+    }
+  }
+
   test("zorder clusters files so skipping prunes on every listed column") {
     // two independent uniform dims: random row order makes every file's
     // (a, b) min/max span ~the full domain, so NO filter can skip anything
