@@ -48,7 +48,9 @@ private[delta] object GraftProcedures {
           "(optional `where` partition predicate bounds the rewrite)",
         Seq(in("table", StringType),
           in("small_file_threshold", LongType, Some((32L * 1024 * 1024).toString)),
-          in("where", StringType, Some(""))),
+          // default must PARSE as a SQL expression ('' is an empty
+          // statement → analyzer error on every call that omits it)
+          in("where", StringType, Some("NULL"))),
         resultSchema,
         args => {
           val whereStr = Option(args.getStringOrNull(2)).getOrElse("")
