@@ -61,6 +61,41 @@ object PipelineQueries {
     target
   }
 
+  /** Native-sink streaming fixture: the same 4-file events source drained
+    * by `writeStream.format("graftdelta")` (V1 StreamSinkProvider path —
+    * [[graft.delta.DeltaStreamSink]]) instead of foreachBatch; Append mode
+    * commits txnVersion=batchId per micro-batch for exactly-once. */
+  private def streamedSinkEvents(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val key = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
+    val root = sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures")
+    val target = s"$root/stream-sink1/$key/events_delta"
+    val marker = Paths.get(target, "_GRAFT_READY")
+    if (Files.exists(marker)) return target
+    Seq(target, s"$root/stream-sink1/$key/events_src",
+        s"$root/stream-sink1/$key/ckpt").foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val srcDir = s"$root/stream-sink1/$key/events_src"
+    Fixtures.readParquet(s, dir, "events").repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.format("graftdelta")
+      .option("checkpointLocation", s"$root/stream-sink1/$key/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(target)
+    q.awaitTermination()
+    graft.delta.DeltaLog.clearCache()
+    Files.createFile(marker)
+    target
+  }
+
   /** Streaming CDC-apply fixture: supplier rows split into 3 overlapping
     * key-batches (nationkey tiers, deterministic file order by modTime),
     * stream-UPSERTED into a Delta target — later batches overwrite
@@ -235,6 +270,17 @@ object PipelineQueries {
     //     batch oracle over the same source (end-to-end streaming proof) ---
     "stream_ingest_agg" -> ((s, dir) => {
       val target = streamedEvents(s, dir)
+      graft.delta.DeltaTable.forPath(s, target).toDF
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- NATIVE streaming sink (writeStream.format("graftdelta"), the V1
+    //     StreamSinkProvider path): same end-to-end proof via the public
+    //     writer API instead of foreachBatch ---
+    "stream_sink_agg" -> ((s, dir) => {
+      val target = streamedSinkEvents(s, dir)
       graft.delta.DeltaTable.forPath(s, target).toDF
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
@@ -623,6 +669,12 @@ object PipelineQueries {
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // native streaming sink: identical contract to stream_ingest_agg —
+    // the delta table the sink produced must equal the batch aggregate
+    "stream_sink_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 2) AS v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

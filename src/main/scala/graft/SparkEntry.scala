@@ -594,6 +594,26 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- DataFrameWriter format path (delta-spark df.write.format("delta")
+    //     analog): partitioned create → append → replaceWhere overwrite,
+    //     all through the public V1 writer API; scan via read.format ---
+    "delta_fmt_write_scan" -> ((s, dir) => {
+      val src = Fixtures.readParquet(s, dir, "supplier")
+      val p = java.nio.file.Files.createTempDirectory("graft-fmtw").toString + "/t"
+      src.filter(col("s_suppkey") % 2 === 0).write.format("graftdelta")
+        .partitionBy("s_nationkey").save(p)
+      src.filter(col("s_suppkey") % 2 === 1).write.format("graftdelta")
+        .mode("append").save(p)
+      src.filter(col("s_nationkey") < 5)
+        .withColumn("s_acctbal", col("s_acctbal") * 2)
+        .write.format("graftdelta").mode("overwrite")
+        .option("replaceWhere", "s_nationkey < 5").save(p)
+      s.read.format("graftdelta").load(p)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- RESTORE: DV delete then a duplicate append are both rolled back
     //     by one metadata-only commit; the table answers as at v0 ---
     "delta_restore_scan" -> ((s, dir) => {
@@ -925,6 +945,12 @@ object SparkEntry {
         | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
         |   ELSE s_acctbal END), 2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_fmt_write_scan" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
+        |   ELSE s_acctbal END), 2) AS sum_bal
+        |FROM supplier
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_restore_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal

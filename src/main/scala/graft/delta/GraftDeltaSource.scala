@@ -1,8 +1,9 @@
 package graft.delta
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.{Sink => StreamSink, Source => StreamSource}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -13,16 +14,24 @@ import org.apache.spark.sql.types.StructType
  *     .option("versionAsOf", 3)      // AT (VERSION => 3)
  *     .load(path)
  *
- * and the streaming read (beyond the reference — see
- * [[DeltaStreamSource]]):
+ * the batch write (delta-spark `df.write.format("delta")` analog):
+ *
+ *   df.write.format("graftdelta").mode("append")        // or overwrite/
+ *     .partitionBy("p").save(path)                      // ignore/error
+ *
+ * and the streaming read/write (beyond the reference — see
+ * [[DeltaStreamSource]] / [[DeltaStreamSink]]):
  *
  *   spark.readStream.format("graftdelta")
  *     .option("startingVersion", 0).load(path)
+ *   df.writeStream.format("graftdelta")
+ *     .option("checkpointLocation", ckpt).start(path)
  *
  * Registered via META-INF/services (DataSourceRegister), so the short
  * name works in any session without extra configuration.
  */
-class GraftDeltaSource extends RelationProvider with StreamSourceProvider
+class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graftdelta"
@@ -75,4 +84,56 @@ class GraftDeltaSource extends RelationProvider with StreamSourceProvider
       parameters.get("pushdownFilters").forall(_.toBoolean))
     snapshot.asRelation(opts)
   }
+
+  /** `.partitionBy(...)` on a V1 writer arrives JSON-encoded under this
+    * key (Spark's DataFrameWriter/DataStreamWriter contract for
+    * non-file-format sources). */
+  private def partitionColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("__partition_columns").map { json =>
+      val node = ActionJson.mapper.readTree(json)
+      (0 until node.size()).map(node.get(_).asText())
+    }.getOrElse(Nil)
+
+  /** Batch write: `df.write.format("graftdelta").mode(...).save(path)`.
+    * Supports `partitionBy`, `mergeSchema` (append) and `replaceWhere`
+    * (overwrite). Returns the freshly-written table's relation. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val partCols = partitionColsOf(parameters)
+    val exists = DeltaLog.forPath(spark, path).tableExists
+    mode match {
+      case SaveMode.Append =>
+        DeltaWriter.append(spark, data, path, partitionBy = partCols,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      case SaveMode.Overwrite =>
+        DeltaWriter.overwrite(spark, data, path,
+          replaceWhere = parameters.get("replaceWhere")
+            .map(org.apache.spark.sql.functions.expr),
+          partitionBy = partCols)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graftdelta: table already exists at $path (mode ErrorIfExists)")
+      case SaveMode.ErrorIfExists =>
+        DeltaWriter.append(spark, data, path, partitionBy = partCols)
+      case SaveMode.Ignore =>
+        if (!exists) DeltaWriter.append(spark, data, path, partitionBy = partCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming write: `df.writeStream.format("graftdelta").start(path)` —
+    * exactly-once Append (txnVersion=batchId) and idempotent Complete;
+    * see [[DeltaStreamSink]]. */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): StreamSink =
+    new DeltaStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters, partitionColumns, outputMode)
 }

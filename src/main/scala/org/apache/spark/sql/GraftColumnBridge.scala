@@ -42,4 +42,19 @@ object GraftColumnBridge {
       qe.analyzed.output, qe.toRdd, isStreaming = true)(spark)
     classic.Dataset.ofRows(spark, plan)
   }
+
+  /** The inverse of [[asStreamingBatch]]: the micro-batch DataFrame handed
+    * to a V1 `Sink.addBatch` wraps the IncrementalExecution's streaming
+    * plan — any batch action on it trips the streaming-source check. Wrap
+    * the ALREADY-PLANNED physical RDD in a batch `LogicalRDD` so the sink
+    * writes the micro-batch's exact output without re-planning the query
+    * (the same internalCreateDataFrame shape Spark's own file sink uses). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = cdf.sparkSession
+    val qe = cdf.queryExecution
+    val plan = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = false)(spark)
+    classic.Dataset.ofRows(spark, plan)
+  }
 }

@@ -929,4 +929,39 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(got == 2 * n, s"catalog TIMESTAMP AS OF got $got")
   }
+
+  test("""df.write.format("graftdelta"): all four SaveModes + partitionBy + replaceWhere""") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+
+    // default mode is ErrorIfExists: first save creates...
+    src.filter(col("n_regionkey") < 2).write.format("graftdelta")
+      .partitionBy("n_regionkey").save(path)
+    val snap = DeltaLog.forPath(spark, path).update()
+    assert(snap.metadata.partitionColumns == Seq("n_regionkey"))
+    // ...second save refuses
+    intercept[Exception] { src.write.format("graftdelta").save(path) }
+    // Ignore: existing table → silent no-op
+    src.write.format("graftdelta").mode("ignore").save(path)
+    assert(spark.read.format("graftdelta").load(path).count()
+      == src.filter(col("n_regionkey") < 2).count())
+    // Append
+    src.filter(col("n_regionkey") >= 2).write.format("graftdelta")
+      .mode("append").save(path)
+    val full = spark.read.format("graftdelta").load(path)
+    assert(full.count() == src.count())
+    assert(full.exceptAll(src).isEmpty && src.exceptAll(full).isEmpty)
+    // Overwrite with replaceWhere: swap out one partition only
+    val repl = src.filter(col("n_regionkey") === 3)
+      .withColumn("n_name", lit("REPLACED"))
+    repl.write.format("graftdelta").mode("overwrite")
+      .option("replaceWhere", "n_regionkey = 3").save(path)
+    val after = spark.read.format("graftdelta").load(path)
+    assert(after.count() == src.count())
+    assert(after.where(col("n_regionkey") === 3 && col("n_name") =!= "REPLACED").count() == 0)
+    assert(after.where(col("n_regionkey") =!= 3 && col("n_name") === "REPLACED").count() == 0)
+    // full Overwrite
+    src.limit(5).write.format("graftdelta").mode("overwrite").save(path)
+    assert(spark.read.format("graftdelta").load(path).count() == 5)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.delta.DeltaTable
+import graft.delta.{DeltaLog, DeltaTable}
 import graft.streaming.StreamingOps
 
 class StreamingSpec extends AnyFunSuite {
@@ -276,5 +276,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(feed2.where(col("_change_type") === "insert").count()
       - feed2.where(col("_change_type") === "delete").count()
       == DeltaTable.forPath(spark, path).toDF.count())
+  }
+
+  test("native sink: writeStream.format(graftdelta) is exactly-once across restarts") {
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-src").toString
+    val rows = eventsBatch.select("event_id", "event_type", "value").limit(900)
+    rows.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val target = java.nio.file.Files.createTempDirectory("sink-delta").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ck").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.format("graftdelta")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(target)
+      q.awaitTermination()
+    }
+    runOnce()
+    val t = DeltaTable.forPath(spark, target)
+    assert(t.toDF.count() == 900)
+    // multiple micro-batches → multiple commits, each txn-marked
+    assert(DeltaLog.forPath(spark, target).update().version >= 2)
+    // restart over the same checkpoint: nothing new upstream → no dupes
+    // force a real replay: drop the engine's last sink-commit marker so the
+    // restart re-delivers the final micro-batch; the sink's txnVersion
+    // check must turn the duplicate into a no-op
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    // drop the Hadoop-local .crc shadow too, or the re-commit's rename
+    // trips over the stale checksum and aborts the restarted query
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    runOnce()
+    assert(DeltaTable.forPath(spark, target).toDF.count() == 900)
+    assert(rows.exceptAll(t.toDF).isEmpty && t.toDF.exceptAll(rows).isEmpty)
+  }
+
+  test("native sink: Complete mode rewrites the aggregate each trigger") {
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-src-c").toString
+    val rows = eventsBatch.select("event_id", "event_type", "value").limit(500)
+    rows.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val target = java.nio.file.Files.createTempDirectory("sink-delta-c").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ck-c").toString
+
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graftdelta")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(target)
+    q.awaitTermination()
+
+    val got = DeltaTable.forPath(spark, target).toDF
+    val want = rows.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("native sink: Update mode is refused loudly") {
+    val srcDir = java.nio.file.Files.createTempDirectory("sink-src-u").toString
+    eventsBatch.select("event_id", "value").limit(10)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val target = java.nio.file.Files.createTempDirectory("sink-delta-u").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ck-u").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        .writeStream.format("graftdelta")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(target)
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[UnsupportedOperationException]))
   }
 }
