@@ -594,6 +594,29 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- column-mapping lifecycle: upgrade (metadata-only) → RENAME
+    //     COLUMN → DROP COLUMN → append under the new logical names →
+    //     re-add the dropped name (fresh physical name: no data
+    //     resurrection — count(s_name) must be 0) ---
+    "delta_rename_drop_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      DeltaTable.forPath(s, p).upgradeToColumnMapping()
+      DeltaTable.forPath(s, p).renameColumn("s_acctbal", "bal")
+      DeltaTable.forPath(s, p).dropColumn("s_name")
+      graft.delta.DeltaWriter.append(s,
+        Fixtures.readParquet(s, dir, "supplier")
+          .selectExpr("s_suppkey + 1000000 AS s_suppkey", "s_nationkey",
+            "s_acctbal AS bal"), p)
+      DeltaTable.forPath(s, p).addColumns(
+        org.apache.spark.sql.types.StructField("s_name",
+          org.apache.spark.sql.types.StringType))
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("sum_bal"),
+          count(col("s_name")).as("n_name"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- DataFrameWriter format path (delta-spark df.write.format("delta")
     //     analog): partitioned create → append → replaceWhere overwrite,
     //     all through the public V1 writer API; scan via read.format ---
@@ -945,6 +968,12 @@ object SparkEntry {
         | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
         |   ELSE s_acctbal END), 2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_rename_drop_scan" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(s_acctbal), 2) AS sum_bal, CAST(0 AS BIGINT) AS n_name
+        |FROM (SELECT s_nationkey, s_acctbal FROM supplier
+        |      UNION ALL SELECT s_nationkey, s_acctbal FROM supplier)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_fmt_write_scan" ->
       """SELECT s_nationkey, count(*) AS n,

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
  * predicate (delta-spark does the same) — one distributed count, the only
  * operation here that reads data.
  *
- * Rename/drop column are NOT offered: both require column-mapping writes
- * (physical names diverging from logical), which this engine's writer
- * rejects end-to-end — offering a rename that breaks subsequent appends
- * would be a trap.
+ * RENAME/DROP COLUMN require column mapping (the protocol's way of
+ * divorcing logical names from the names stored in parquet) — this
+ * engine reads AND writes mapped tables end-to-end (name + id mode), so
+ * both are offered, gated on the table being mapped;
+ * [[upgradeToColumnMapping]] converts an unmapped table in one
+ * metadata-only commit (delta-spark's
+ * `SET TBLPROPERTIES ('delta.columnMapping.mode'='name')` analog).
  */
 object Alter {
 
@@ -117,14 +120,182 @@ object Alter {
       snap.metadata.copy(schemaString = newSchema.json, configuration = newConfig))
   }
 
+  /** Upgrade an unmapped table to column mapping, NAME mode: each existing
+    * field's physicalName is set to its CURRENT name — the names already
+    * stored in every parquet file, so old data keeps resolving with zero
+    * rewrites — and ids are minted depth-first. After this, RENAME/DROP
+    * COLUMN are pure metadata operations and new ALTER-added columns get
+    * uuid physical names. Id-mode upgrade is refused: existing files carry
+    * no parquet field ids, so id resolution would read nothing.
+    * (delta-spark analog: `SET TBLPROPERTIES
+    * ('delta.columnMapping.mode'='name')`, same protocol floor.) */
+  def upgradeToColumnMapping(spark: SparkSession, log: DeltaLog): Long = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder}
+    val snap = log.update()
+    ProtocolGate.validateWrite(snap, "UPGRADE COLUMN MAPPING")
+    require(snap.columnMappingMode == "none",
+      s"column mapping is already '${snap.columnMappingMode}'")
+    var maxId = 0L
+    def tagType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(tag))
+      case ArrayType(e, n) => ArrayType(tagType(e), n)
+      case MapType(k, v, n) => MapType(tagType(k), tagType(v), n)
+      case other => other
+    }
+    def tag(f: StructField): StructField = {
+      maxId += 1
+      val myId = maxId
+      f.copy(
+        dataType = tagType(f.dataType),
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong("delta.columnMapping.id", myId).build())
+    }
+    val newSchema = StructType(snap.schema.fields.map(tag))
+    // protocol floor for columnMapping: reader 2 / writer 5, or the
+    // feature entry on feature-versioned protocols
+    val p0 = snap.protocol
+    val p1 =
+      if (p0.minReaderVersion >= 3) p0.copy(readerFeatures = Some(
+        (p0.readerFeatures.getOrElse(Nil) :+ "columnMapping").distinct))
+      else if (p0.minReaderVersion < 2) p0.copy(minReaderVersion = 2)
+      else p0
+    val p2 =
+      if (p1.minWriterVersion >= 7) p1.copy(writerFeatures = Some(
+        (p1.writerFeatures.getOrElse(Nil) :+ "columnMapping").distinct))
+      else if (p1.minWriterVersion < 5) p1.copy(minWriterVersion = 5)
+      else p1
+    commitMetadata(log, snap, "UPGRADE COLUMN MAPPING",
+      snap.metadata.copy(
+        schemaString = newSchema.json,
+        configuration = snap.metadata.configuration +
+          ("delta.columnMapping.mode" -> "name") +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString)),
+      if (p2 != p0) Some(p2) else None)
+  }
+
+  /** RENAME COLUMN (top-level or nested `a.b.c` path): logical-name-only
+    * change — physicalName and id travel with the field, so every existing
+    * file keeps resolving. Requires column mapping; refused when a CHECK
+    * constraint or generated column references the old name (their SQL
+    * would silently break — delta-spark refuses identically). */
+  def renameColumn(spark: SparkSession, log: DeltaLog,
+      path: Seq[String], newName: String): Long = {
+    val snap = log.update()
+    ProtocolGate.validateWrite(snap, "RENAME COLUMN")
+    requireMapped(snap, "RENAME COLUMN")
+    require(newName.nonEmpty && !newName.contains("."), s"bad column name: $newName")
+    refuseReferenced(snap, path.last, "rename")
+    val newSchema = transformParent(snap.schema, path, path.mkString(".")) {
+      (st, idx) =>
+        require(!st.fields.zipWithIndex.exists { case (x, i) =>
+          i != idx && x.name.equalsIgnoreCase(newName) },
+          s"column already exists: $newName")
+        StructType(st.fields.updated(idx, st.fields(idx).copy(name = newName)))
+    }
+    val newPartCols = snap.metadata.partitionColumns.map(c =>
+      if (path.length == 1 && c.equalsIgnoreCase(path.head)) newName else c)
+    commitMetadata(log, snap, "RENAME COLUMN",
+      snap.metadata.copy(schemaString = newSchema.json,
+        partitionColumns = newPartCols))
+  }
+
+  /** DROP COLUMN (top-level or nested): metadata-only — the physical data
+    * stays in the files, unreferenced (delta-spark's contract; VACUUM of
+    * history, not DROP, is what reclaims bytes). Requires column mapping;
+    * partition columns and constraint/generated-column references are
+    * refused. */
+  def dropColumn(spark: SparkSession, log: DeltaLog, path: Seq[String]): Long = {
+    val snap = log.update()
+    ProtocolGate.validateWrite(snap, "DROP COLUMN")
+    requireMapped(snap, "DROP COLUMN")
+    require(!(path.length == 1 &&
+      snap.metadata.partitionColumns.exists(_.equalsIgnoreCase(path.head))),
+      s"cannot drop partition column ${path.head}")
+    refuseReferenced(snap, path.last, "drop")
+    val newSchema = transformParent(snap.schema, path, path.mkString(".")) {
+      (st, idx) =>
+        require(st.fields.length > 1,
+          s"cannot drop ${path.mkString(".")}: it is the only column at its level")
+        StructType(st.fields.patch(idx, Nil, 1))
+    }
+    commitMetadata(log, snap, "DROP COLUMN",
+      snap.metadata.copy(schemaString = newSchema.json))
+  }
+
+  private def requireMapped(snap: Snapshot, op: String): Unit =
+    require(snap.columnMappingMode != "none",
+      s"$op requires column mapping (physical names divorced from logical); " +
+        "upgrade first: Alter.upgradeToColumnMapping / ALTER TABLE ... SET " +
+        "TBLPROPERTIES ('delta.columnMapping.mode'='name')")
+
+  /** Apply `f(parentStruct, fieldIndex)` at the struct containing `path`'s
+    * last segment, recursing through nested structs. */
+  private def transformParent(schema: StructType, path: Seq[String],
+      fullPath: String)(f: (StructType, Int) => StructType): StructType =
+    path match {
+      case Seq(last) =>
+        val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(last))
+        require(idx >= 0, s"no such column: $fullPath")
+        f(schema, idx)
+      case head +: rest =>
+        val idx = schema.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        require(idx >= 0, s"no such column: $fullPath")
+        schema.fields(idx).dataType match {
+          case st: StructType =>
+            StructType(schema.fields.updated(idx, schema.fields(idx)
+              .copy(dataType = transformParent(st, rest, fullPath)(f))))
+          case other => throw new IllegalArgumentException(
+            s"cannot alter nested column $fullPath: $head is ${other.sql}, not a struct")
+        }
+    }
+
+  /** A rename/drop of a column referenced by a CHECK constraint or a
+    * generated-column expression would leave that SQL silently broken. */
+  private def refuseReferenced(snap: Snapshot, name: String, what: String): Unit = {
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    snap.metadata.configuration.foreach { case (k, v) =>
+      if (k.startsWith("delta.constraints.") && word.findFirstIn(v).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $what column $name: referenced by CHECK constraint " +
+            s"${k.stripPrefix("delta.constraints.")} ($v)")
+    }
+    def walk(st: StructType): Unit = st.fields.foreach { fld =>
+      if (fld.metadata.contains("delta.generationExpression") &&
+          word.findFirstIn(fld.metadata.getString("delta.generationExpression")).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot $what column $name: referenced by generated column ${fld.name}")
+      fld.dataType match {
+        case s: StructType => walk(s)
+        case _ => ()
+      }
+    }
+    walk(snap.schema)
+  }
+
   /** SET TBLPROPERTIES: merge `props` into the table configuration.
     * Protocol-relevant keys (delta.appendOnly, delta.constraints.*, …)
-    * take effect on the NEXT write, exactly like delta-spark. */
+    * take effect on the NEXT write, exactly like delta-spark. Setting
+    * `delta.columnMapping.mode` routes through the real upgrade
+    * (physical-name minting + protocol floor) — writing the property
+    * alone would advertise a mapping the schema doesn't carry. */
   def setProperties(spark: SparkSession, log: DeltaLog,
       props: Map[String, String]): Long = {
     val snap = log.update()
     ProtocolGate.validateWrite(snap, "SET TBLPROPERTIES")
     require(props.nonEmpty, "no properties to set")
+    props.get("delta.columnMapping.mode") match {
+      case Some(m) if m != snap.columnMappingMode =>
+        require(m == "name" && snap.columnMappingMode == "none",
+          s"only the none -> name column-mapping upgrade is supported " +
+            s"(existing files carry no parquet field ids for id mode); " +
+            s"have '${snap.columnMappingMode}', asked '$m'")
+        val v = upgradeToColumnMapping(spark, log)
+        val rest = props - "delta.columnMapping.mode"
+        if (rest.isEmpty) return v
+        return setProperties(spark, log, rest)
+      case _ => ()
+    }
     commitMetadata(log, snap, "SET TBLPROPERTIES",
       snap.metadata.copy(configuration = snap.metadata.configuration ++ props))
   }

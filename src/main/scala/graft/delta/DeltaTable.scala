@@ -276,6 +276,20 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def unsetProperties(keys: String*): Long =
     Alter.unsetProperties(spark, log, keys)
 
+  /** Upgrade to column mapping, name mode: metadata-only, zero rewrites
+    * (see [[Alter.upgradeToColumnMapping]]); unlocks rename/drop column. */
+  def upgradeToColumnMapping(): Long = Alter.upgradeToColumnMapping(spark, log)
+
+  /** ALTER TABLE RENAME COLUMN (dotted path for nested fields); requires
+    * column mapping — metadata-only, files untouched. */
+  def renameColumn(path: String, newName: String): Long =
+    Alter.renameColumn(spark, log, path.split('.').toSeq, newName)
+
+  /** ALTER TABLE DROP COLUMN (dotted path for nested fields); requires
+    * column mapping — metadata-only, data stays in files unreferenced. */
+  def dropColumn(path: String): Long =
+    Alter.dropColumn(spark, log, path.split('.').toSeq)
+
   /** ALTER TABLE ADD CONSTRAINT name CHECK (sql) — existing rows are
     * verified first; future writes enforce it in the write pass. */
   def addCheckConstraint(name: String, sql: String): Long =

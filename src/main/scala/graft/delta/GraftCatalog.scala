@@ -126,6 +126,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val log = DeltaLog.forPath(spark, pathFor(ident))
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
+      c.isInstanceOf[TableChange.RenameColumn] ||
+      c.isInstanceOf[TableChange.DeleteColumn] ||
       c.isInstanceOf[TableChange.SetProperty] ||
       c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty)
@@ -140,6 +142,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val unsetProps = changes.collect {
       case r: TableChange.RemoveProperty => r.property }
     if (addCols.nonEmpty) Alter.addColumnsAt(spark, log, addCols)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        Alter.renameColumn(spark, log, r.fieldNames.toSeq, r.newName)
+      case d: TableChange.DeleteColumn =>
+        try Alter.dropColumn(spark, log, d.fieldNames.toSeq)
+        catch { case e: IllegalArgumentException
+            if d.ifExists && e.getMessage.contains("no such column") => () }
+      case _ => ()
+    }
     if (setProps.nonEmpty) Alter.setProperties(spark, log, setProps)
     if (unsetProps.nonEmpty) Alter.unsetProperties(spark, log, unsetProps)
     loadTable(ident)

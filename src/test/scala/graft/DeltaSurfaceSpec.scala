@@ -964,4 +964,79 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     src.limit(5).write.format("graftdelta").mode("overwrite").save(path)
     assert(spark.read.format("graftdelta").load(path).count() == 5)
   }
+
+  test("column-mapping upgrade, RENAME COLUMN and DROP COLUMN (API + SQL)") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+
+    // rename without mapping → loud refusal pointing at the upgrade
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).renameColumn("s_acctbal", "bal")
+    }
+    assert(e0.getMessage.contains("column mapping"))
+
+    // upgrade is metadata-only: physical names == original names
+    DeltaTable.forPath(spark, path).upgradeToColumnMapping()
+    val snapU = DeltaLog.forPath(spark, path).update()
+    assert(snapU.columnMappingMode == "name")
+    assert(snapU.schema.fields.forall(f =>
+      f.metadata.getString("delta.columnMapping.physicalName") == f.name))
+    assert(snapU.protocol.minReaderVersion >= 2 && snapU.protocol.minWriterVersion >= 5)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
+
+    // rename: old files keep resolving; appends under the new logical name
+    // land physically under the OLD name
+    DeltaTable.forPath(spark, path).renameColumn("s_acctbal", "bal")
+    val renamed = DeltaTable.forPath(spark, path).toDF
+    assert(renamed.columns.contains("bal") && !renamed.columns.contains("s_acctbal"))
+    assert(renamed.agg(round(sum(col("bal")), 2)).collect()(0).getDouble(0) ==
+      src.agg(round(sum(col("s_acctbal")), 2)).collect()(0).getDouble(0))
+    DeltaWriter.append(spark,
+      src.limit(10).withColumnRenamed("s_acctbal", "bal"), path)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == src.count() + 10)
+    // parquet on disk must carry the PHYSICAL (original) name
+    assert(spark.read.parquet(path).columns.contains("s_acctbal"))
+
+    // drop, then re-add the same logical name: fresh physical name, so the
+    // dropped data must NOT resurrect
+    DeltaTable.forPath(spark, path).dropColumn("s_name")
+    assert(!DeltaTable.forPath(spark, path).toDF.columns.contains("s_name"))
+    DeltaTable.forPath(spark, path).addColumns(
+      org.apache.spark.sql.types.StructField("s_name",
+        org.apache.spark.sql.types.StringType))
+    val readd = DeltaTable.forPath(spark, path).toDF
+    assert(readd.columns.contains("s_name"))
+    assert(readd.where(col("s_name").isNotNull).count() == 0,
+      "dropped column data resurrected through a re-added logical name")
+
+    // refusals: duplicate target name; constraint-referenced column
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).renameColumn("bal", "s_suppkey")
+    }
+    DeltaTable.forPath(spark, path).addCheckConstraint("bal_pos", "bal > -10000")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).renameColumn("bal", "bal2")
+    }
+    assert(e1.getMessage.contains("bal_pos"))
+    intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).dropColumn("bal")
+    }
+
+    // SQL paths through the catalog
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    GraftCatalog.attach("rdrop_t", path)
+    spark.sql("ALTER TABLE graft.rdrop_t RENAME COLUMN s_nationkey TO nat")
+    spark.sql("ALTER TABLE graft.rdrop_t DROP COLUMN s_name")
+    val viaSql = spark.table("graft.rdrop_t")
+    assert(viaSql.columns.contains("nat") && !viaSql.columns.contains("s_name"))
+    // SET TBLPROPERTIES upgrade path on a fresh table
+    val p2 = tmpTable()
+    DeltaWriter.append(spark, src.limit(20), p2)
+    DeltaTable.forPath(spark, p2).setProperties(
+      Map("delta.columnMapping.mode" -> "name"))
+    assert(DeltaLog.forPath(spark, p2).update().columnMappingMode == "name")
+    DeltaTable.forPath(spark, p2).renameColumn("s_name", "supplier_name")
+    assert(DeltaTable.forPath(spark, p2).toDF.columns.contains("supplier_name"))
+  }
 }
