@@ -363,11 +363,65 @@ object Bench {
           if (!ok) bigFailed ::= n
           (n, t, d)
         }
-        duck.close()
         bigFailed = bigFailed.reverse
-        val bigResults = bigRows.map { case (n, t, _) => n -> t }
+
+        // x10 pass BEFORE result assembly (hot JVM, short queries): powers
+        // both the scaling exponents and the noise-retry below.
+        val smallFactor = 10
+        val smallTimes: Map[String, Double] =
+          if (scaleFactor <= smallFactor) Map.empty
+          else try {
+            val smallDir = SyntheticScale.ensure(spark, sfDir, smallFactor)
+            RelationalQueries.ensureViews(spark, smallDir)
+            big.map { n =>
+              runOne(spark, n, smallDir, s"x$smallFactor warm ", ccFracMax)
+              val t1 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
+              val t2 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
+              n -> math.min(t1, t2)
+            }.toMap
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] x$smallFactor pass failed: ${e.getMessage}")
+            Map.empty
+          }
+        val lnRatio = math.log(scaleFactor.toDouble / smallFactor)
+        def exponent(n: String, tBig: Double): Option[Double] =
+          smallTimes.get(n).collect {
+            case tS if tS > 0 && tBig > 0 => math.log(tBig / tS) / lnRatio
+          }
+
+        // Noise retry (r7): min-of-3 interleaved rounds cannot escape a
+        // noise window that outlasts all three (r6→r7 runs carried q9 at
+        // 3.57s that an idle host measures at 1.42s). A big-scale row
+        // whose x10→x30 exponent is implausible for its plan (>1.4 — 3×
+        // data explaining >4.6× time) re-measures ONCE after waiting out
+        // the degraded window, Spark and DuckDB both, min-merged. Rows
+        // renoised this way are named in the artifact.
+        var rows = bigRows
+        val renoised = rows.collect {
+          case (n, t, _) if !bigFailed.contains(n) && t > 0.5 &&
+            exponent(n, t).exists(_ > 1.4) => n
+        }
+        if (renoised.nonEmpty) {
+          System.err.println(s"[bench] implausible scaling, re-measuring: ${renoised.mkString(", ")}")
+          waitForHealthyWindow(spark)
+          RelationalQueries.ensureViews(spark, bigDir)
+          rows = rows.map { case r @ (n, t, d) =>
+            if (!renoised.contains(n)) r
+            else {
+              val d1 = duck.time(n)
+              val (t1, _) = retryMin(spark, n, bigDir, t)
+              (n, t1, (d, d1) match {
+                case (Some(a), Some(b)) => Some(math.min(a, b))
+                case _ => d.orElse(d1)
+              })
+            }
+          }
+        }
+        duck.close()
+        val bigRowsFinal = rows
+        val bigResults = bigRowsFinal.map { case (n, t, _) => n -> t }
         val ok = bigResults.filterNot { case (n, _) => bigFailed.contains(n) }
-        val paired = bigRows.collect { case (n, t, Some(d)) if !bigFailed.contains(n) =>
+        val paired = bigRowsFinal.collect { case (n, t, Some(d)) if !bigFailed.contains(n) =>
           (n, t, d)
         }
         // Cross-check each paired DuckDB min-of-3 against the pre-measured
@@ -409,39 +463,24 @@ object Bench {
             f""","x${scaleFactor}%d_vs_idle_baseline_ratio":${sSum / math.max(dSum, 1e-9)}%.1f"""
           }
         }
-        // Per-query scaling exponents from a second, smaller scale point
-        // (x10 unless that IS the scale pass): e = ln(tN/t10)/ln(N/10).
-        // A linear operator sits near 1.0; the r6 regressions
-        // (text_token_stats 17.9x time on 3x rows) would have self-flagged.
-        // min-of-2 timed passes, warm first — exponents need less precision
-        // than ratios, and the pass reuses the already-hot JVM.
+        // Per-query scaling exponents e = ln(tN/t10)/ln(N/10) from the x10
+        // point measured above (post-noise-retry values). A linear operator
+        // sits near 1.0; the r6 regressions (text_token_stats 17.9x time on
+        // 3x rows) self-flag here — and since r7, implausible rows have
+        // already been re-measured once before reaching this report.
         val expJson =
-          if (scaleFactor <= 10) ""
-          else try {
-            val smallFactor = 10
-            val smallDir = SyntheticScale.ensure(spark, sfDir, smallFactor)
-            RelationalQueries.ensureViews(spark, smallDir)
-            val smallTimes = big.map { n =>
-              runOne(spark, n, smallDir, s"x$smallFactor warm ", ccFracMax)
-              val t1 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
-              val t2 = runOne(spark, n, smallDir, s"x$smallFactor ", ccFracMax)._1
-              n -> math.min(t1, t2)
-            }
-            val lnRatio = math.log(scaleFactor.toDouble / smallFactor)
-            val exps = smallTimes.flatMap { case (n, tSmall) =>
-              bigResults.toMap.get(n).collect {
-                case tBig if tSmall > 0 && tBig > 0 && !bigFailed.contains(n) =>
-                  n -> math.log(tBig / tSmall) / lnRatio
-              }
+          if (smallTimes.isEmpty) ""
+          else {
+            val exps = bigResults.collect {
+              case (n, tBig) if !bigFailed.contains(n) && exponent(n, tBig).isDefined =>
+                n -> exponent(n, tBig).get
             }
             // flag only rows with real work at the big scale: a 0.2s row's
             // exponent is JVM-floor noise, not a plan property
             val superlinear = exps.collect {
               case (n, e) if e > 1.3 && bigResults.toMap.getOrElse(n, 0.0) > 0.5 => n
             }
-            f""","x${smallFactor}%d_queries":${jsonTimings(smallTimes)},"scaling_exponents":${jsonTimings(exps)},"superlinear":${jsonArr(superlinear)}"""
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] scaling-exponent pass failed: ${e.getMessage}"); ""
+            f""","x${smallFactor}%d_queries":${jsonTimings(smallTimes.toSeq.sortBy(_._1))},"scaling_exponents":${jsonTimings(exps)},"superlinear":${jsonArr(superlinear)},"renoised":${jsonArr(renoised)}"""
           }
         f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson"""
       } catch { case e: Throwable =>

@@ -234,6 +234,12 @@ object PipelineQueries {
         .join(TextOps.simhashHexAgg(d, col("doc_id"), col("text")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "text_vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(docs(s, dir)).orderBy(col("cnt").desc, col("token"))),
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfIdfTopK(docs(s, dir))
+        .where(col("doc_id") < 500)
+        .orderBy(col("doc_id"), col("rk"))),
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -634,6 +640,35 @@ object PipelineQueries {
     "text_quality" -> qualitySql,
     "text_langid" -> langidSql,
     "text_fingerprint" -> fingerprintSql,
+    // vocab: identical tokenization (trim→lower→\s+ split), ties by token
+    "text_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    // tf-idf: integer-quantized score floor(tf*ln(N/df)*100) — raw doubles
+    // differ in the last ulp between libm implementations
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(floor(tf.tf * ln(n.n * 1.0 / dfreq.df) * 100) AS BIGINT) AS score
+        |  FROM tf, dfreq, n WHERE tf.token = dfreq.token),
+        |ranked AS (
+        |  SELECT doc_id, token, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+        |      AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, score FROM ranked
+        |WHERE rk <= 3 AND doc_id < 500
+        |ORDER BY doc_id, rk""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

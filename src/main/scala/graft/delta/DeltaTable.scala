@@ -95,6 +95,36 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def getTransactionVersion(appId: String): Option[Long] =
     snapshot.setTransactions.get(appId)
 
+  /** DESCRIBE DETAIL analog (delta-spark `DeltaTable.detail()`): one row
+    * of table-level facts — identity, layout, size, protocol. File counts
+    * and bytes come from the snapshot's add list (already in memory for
+    * planning; on ≥10⁶-add tables the Dataset-backed snapshot computes
+    * them distributed). */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    val files = s.allFiles
+    Seq((
+      "delta",
+      s.metadata.id,
+      s.metadata.name.getOrElse(""),
+      log.tablePath.toString,
+      s.metadata.createdTime.getOrElse(0L),
+      s.version,
+      files.size.toLong,
+      files.map(_.size).sum,
+      s.metadata.partitionColumns,
+      s.metadata.configuration,
+      s.protocol.minReaderVersion,
+      s.protocol.minWriterVersion,
+      s.protocol.readerFeatures.getOrElse(Nil),
+      s.protocol.writerFeatures.getOrElse(Nil)))
+      .toDF("format", "id", "name", "location", "created_at", "version",
+        "num_files", "size_in_bytes", "partition_columns", "properties",
+        "min_reader_version", "min_writer_version", "reader_features",
+        "writer_features")
+  }
+
   /** Commit history (latest first; `CALL graft.history` is the SQL face
     * of the same [[DeltaLog.commitHistory]]). */
   def history(): DataFrame = {

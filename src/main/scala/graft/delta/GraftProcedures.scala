@@ -95,6 +95,27 @@ private[delta] object GraftProcedures {
         StructType(Seq(StructField("version", LongType))),
         args => new GenericInternalRow(
           Array[Any](Checkpoints.checkpoint(log(args.getString(0)))))))
+      case "detail" => Some(procRows("detail",
+        "Table-level facts (DESCRIBE DETAIL analog): layout, size, protocol",
+        Seq(in("table", StringType)),
+        StructType(Seq(
+          StructField("location", StringType),
+          StructField("version", LongType),
+          StructField("num_files", LongType),
+          StructField("size_in_bytes", LongType),
+          StructField("partition_columns", StringType),
+          StructField("min_reader_version", IntegerType),
+          StructField("min_writer_version", IntegerType))),
+        args => {
+          val l = log(args.getString(0))
+          val s = l.update()
+          val files = s.allFiles
+          Array[InternalRow](new GenericInternalRow(Array[Any](
+            UTF8String.fromString(l.tablePath.toString),
+            s.version, files.size.toLong, files.map(_.size).sum,
+            UTF8String.fromString(s.metadata.partitionColumns.mkString(",")),
+            s.protocol.minReaderVersion, s.protocol.minWriterVersion)))
+        }))
       case "history" => Some(procRows("history",
         "Commit history (DESCRIBE HISTORY analog): one row per commit",
         Seq(in("table", StringType)),
@@ -115,7 +136,7 @@ private[delta] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint",
-      "history")
+      "history", "detail")
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -149,6 +149,51 @@ object TextOps {
       round(avg(alphaRatio(col("text"), col("n_chars"))), 4).as("alpha_ratio"))
       .orderBy(col("lang"))
 
+  /** Corpus vocabulary: top-`k` lowercase whitespace tokens by frequency
+    * (ties broken by token, fully deterministic). One map-side-combined
+    * token aggregate + a TakeOrdered(k) — no full sort, linear at corpus
+    * scale; the classic first step of tokenizer/vocab training. */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+
+  /**
+   * TF-IDF: top-`topPerDoc` tokens per document by tf·ln(N/df).
+   *
+   * The emitted score is quantized to an integer
+   * (`floor(tf * ln(N/df) * 100)`) so ranking and comparison are
+   * engine-portable — raw doubles differ in the last ulp between libm
+   * implementations, which would make cross-engine rank order flaky.
+   *
+   * Shuffle profile at 100 TB: one (doc,token) aggregate, one token-level
+   * document-frequency aggregate (vocab-sized — orders smaller than the
+   * corpus), one join on token (AQE broadcasts when the vocab side fits),
+   * one per-doc top-k via ranked window. N (corpus size) is a single
+   * driver scalar.
+   */
+  def tfIdfTopK(docs: DataFrame, topPerDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "token")
+      .withColumn("score",
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 100).cast("long"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))))
+      .where(col("rk") <= topPerDoc)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("token"), col("score"))
+  }
+
   /** Per-language quality profile. */
   def qualityStats(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(

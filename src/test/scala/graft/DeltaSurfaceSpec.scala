@@ -89,6 +89,17 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(hist.head.getAs[Long]("version") > hist.last.getAs[Long]("version"))
     val ops = hist.map(_.getAs[String]("operation")).toSet
     assert(ops.contains("DELETE") && ops.contains("OPTIMIZE"), ops)
+    // DETAIL via CALL + the API face: layout/size/protocol facts agree
+    // with the log
+    val det = spark.sql(s"CALL graft.detail('$p')").collect()(0)
+    val snapNow = DeltaLog.forPath(spark, p).update()
+    assert(det.getAs[Long]("version") == snapNow.version)
+    assert(det.getAs[Long]("num_files") == snapNow.allFiles.size.toLong)
+    assert(det.getAs[Long]("size_in_bytes") == snapNow.allFiles.map(_.size).sum)
+    val detDf = DeltaTable.forPath(spark, p).detail().collect()(0)
+    assert(detDf.getAs[String]("format") == "delta")
+    assert(detDf.getAs[Long]("num_files") == snapNow.allFiles.size.toLong)
+    assert(detDf.getAs[Int]("min_reader_version") == snapNow.protocol.minReaderVersion)
     // an unknown procedure fails loudly
     intercept[Exception] { spark.sql(s"CALL graft.nope('$p')").collect() }
     assert(expectAfterDelete < src.count())
