@@ -299,10 +299,12 @@ object DeltaDelete {
         Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
           Map("predicate" -> condition.toString)))) ++
         protocolUpgradeActions(snap) ++ actions
-      // delete is not a blind append: version conflict = error (no retry)
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
-      log.invalidateCache()
+      // optimistic concurrency: rebase over logically-disjoint winners
+      // (see ConflictChecker) — conflicts remain loud errors
+      ConflictChecker.commitWithRebase(log, snap,
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+        commitActions.flatMap(_.remove).map(_.path).toSet,
+        ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, condition)))
       deletedRows
     } catch {
       case t: Throwable =>
@@ -426,9 +428,12 @@ object DeltaMerge {
           Map("keys" -> keyCols.mkString(","))))) ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
         txnActs ++ dvActs ++ adds.map(Action(_))
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
-      log.invalidateCache()
+      // MERGE reads the whole target key set: any concurrent data change
+      // conflicts; disjoint winners (txn markers, compactions) rebase
+      ConflictChecker.commitWithRebase(log, snap,
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+        commitActions.flatMap(_.remove).map(_.path).toSet,
+        ConflictChecker.ReadScope.WholeTable)
       (replacedRows, sourceRows - replacedRows)
     } catch {
       case t: Throwable =>
@@ -676,9 +681,10 @@ object DeltaMerge {
             "matchedClauses" -> matched.length.toString)))) ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
         dvActs ++ adds.map(Action(_))
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
-      log.invalidateCache()
+      ConflictChecker.commitWithRebase(log, snap,
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+        commitActions.flatMap(_.remove).map(_.path).toSet,
+        ConflictChecker.ReadScope.WholeTable)
       (updatedRows, deletedRows, insertedRows)
     } catch {
       case t: Throwable =>
@@ -730,9 +736,10 @@ object DeltaMerge {
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(","), "matched" -> "delete")))) ++
         DeltaDelete.protocolUpgradeActions(snap) ++ dvActs
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
-      log.invalidateCache()
+      ConflictChecker.commitWithRebase(log, snap,
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+        commitActions.flatMap(_.remove).map(_.path).toSet,
+        ConflictChecker.ReadScope.WholeTable)
       deletedRows
     } catch {
       case t: Throwable =>
@@ -814,9 +821,10 @@ object DeltaUpdate {
           Map("predicate" -> condition.toString)))) ++
         DeltaDelete.protocolUpgradeActions(snap) ++
         dvActs ++ adds.map(Action(_))
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"))
-      log.invalidateCache()
+      ConflictChecker.commitWithRebase(log, snap,
+        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+        commitActions.flatMap(_.remove).map(_.path).toSet,
+        ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, condition)))
       updatedRows
     } catch {
       case t: Throwable =>

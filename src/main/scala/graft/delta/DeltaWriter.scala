@@ -303,10 +303,17 @@ object DeltaWriter {
           "filesRemoved" -> removeActs.size.toString) ++
           replaceWhere.map(p => "predicate" -> p.toString)))) ++
         upgradeActs ++ removeActs ++ adds.map(Action(_))
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
-      log.invalidateCache()
-      snap.version + 1
+      // full overwrite replaces EVERY live row its base snapshot listed —
+      // any concurrent data change invalidates the remove set; replaceWhere
+      // conflicts only with winners inside (or overlapping) the predicate
+      ConflictChecker.commitWithRebase(log, snap,
+        actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
+        actions.flatMap(_.remove).map(_.path).toSet,
+        replaceWhere match {
+          case Some(cond) =>
+            ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, cond))
+          case None => ConflictChecker.ReadScope.WholeTable
+        })
     } catch {
       case t: Throwable =>
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })

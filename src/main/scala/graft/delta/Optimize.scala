@@ -301,11 +301,13 @@ object Optimize {
         toRewrite.map(f => Action(RemoveFile(f.path,
           Some(System.currentTimeMillis()), dataChange = false, f.deletionVector))) ++
         adds.map(a => Action(a.copy(dataChange = false)))
-      // OPTIMIZE reads the table: conflicts are errors, no blind retry
-      LogStore.write(log.fs, log.commitFile(snap.version + 1),
-        actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
-      log.invalidateCache()
-      Result(snap.version + 1, toRewrite.size, adds.size)
+      // compaction changes no rows: concurrent commits conflict only when
+      // they touch the exact files being rewritten (ConflictChecker)
+      val v = ConflictChecker.commitWithRebase(log, snap,
+        actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
+        toRewrite.map(_.path).toSet,
+        ConflictChecker.ReadScope.FilesOnly)
+      Result(v, toRewrite.size, adds.size)
     } catch {
       case t: Throwable =>
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
