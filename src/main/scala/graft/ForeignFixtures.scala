@@ -127,6 +127,44 @@ object ForeignFixtures {
   }
 
   /**
+   * In-commit-timestamp table (writer feature `inCommitTimestamp`): three
+   * commits whose authoritative times live in
+   * `commitInfo.inCommitTimestamp` and deliberately DISAGREE with both
+   * `commitInfo.timestamp` (set far in the future) and the files' real
+   * modification times (now) — timestamp time travel is only correct if
+   * it reads the ICT field.
+   */
+  def inCommitTimestamps(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "nation_ict")
+    val marker = Paths.get(dir, "_GRAFT_READY")
+    if (Files.exists(marker)) return dir
+    val src = Fixtures.readNormalized(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val sliceA = src.filter(col("n_nationkey") % 2 === 0)
+    val sliceB = src.filter(col("n_nationkey") % 2 === 1)
+    writeOneFile(sliceA, s"$dir/ict-a.parquet")
+    writeOneFile(sliceB, s"$dir/ict-b.parquet")
+
+    val schemaJson = jstr(src.schema.json)
+    // decoy timestamp field 1000 days after each ICT
+    val decoy = 86400000L * 1000
+    writeLines(s"$dir/_delta_log/00000000000000000000.json", Seq(
+      s"""{"commitInfo":{"timestamp":${1600000000000L + decoy},"inCommitTimestamp":1600000000000,"operation":"CREATE TABLE","engineInfo":"foreign-writer/9.9.9"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":["inCommitTimestamp"]}}""",
+      s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-00000000001c","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true","delta.inCommitTimestampEnablementVersion":"0","delta.inCommitTimestampEnablementTimestamp":"1600000000000"},"createdTime":1600000000000}}""",
+      s"""{"add":{"path":"ict-a.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/ict-a.parquet").length},"modificationTime":1600000000001,"dataChange":true,"stats":${jstr(nationStats(sliceA, partial = false))}}}"""))
+    writeLines(s"$dir/_delta_log/00000000000000000001.json", Seq(
+      s"""{"commitInfo":{"timestamp":${1600000600000L + decoy},"inCommitTimestamp":1600000600000,"operation":"WRITE","engineInfo":"foreign-writer/9.9.9"}}""",
+      s"""{"add":{"path":"ict-b.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/ict-b.parquet").length},"modificationTime":1600000600001,"dataChange":true,"stats":${jstr(nationStats(sliceB, partial = false))}}}"""))
+    writeLines(s"$dir/_delta_log/00000000000000000002.json", Seq(
+      s"""{"commitInfo":{"timestamp":${1600001200000L + decoy},"inCommitTimestamp":1600001200000,"operation":"WRITE","engineInfo":"foreign-writer/9.9.9"}}"""))
+
+    Files.createFile(marker)
+    graft.delta.DeltaLog.clearCache()
+    dir
+  }
+
+  /**
    * Foreign-checkpoint table over `supplier`: two hand-written commits,
    * then a checkpoint parquet in a layout our writer never produces —
    * optional nested fields missing (no add.tags/deletionVector, no

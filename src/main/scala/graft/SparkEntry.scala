@@ -594,6 +594,24 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- fluent MERGE builder (delta-spark merge().whenMatched... shape):
+    //     CDC apply — conditional DELETE + expression SET in call order ---
+    "delta_merge_builder_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val src = Fixtures.readParquet(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val changes = src.where(col("s_suppkey") % 4 === 0)
+        .withColumn("op", when(col("s_suppkey") % 8 === 0, "D").otherwise("U"))
+      DeltaTable.forPath(s, p).merge(changes, "s_suppkey")
+        .whenMatchedDelete("s.op = 'D'")
+        .whenMatchedUpdate(Map("s_acctbal" -> "t.s_acctbal * 2"), "s.op = 'U'")
+        .execute()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- column-mapping lifecycle: upgrade (metadata-only) → RENAME
     //     COLUMN → DROP COLUMN → append under the new logical names →
     //     re-add the dropped name (fresh physical name: no data
@@ -968,6 +986,12 @@ object SparkEntry {
         | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
         |   ELSE s_acctbal END), 2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 2 = 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_merge_builder_scan" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(CASE WHEN s_suppkey % 4 = 0 AND s_suppkey % 8 <> 0
+        |   THEN s_acctbal * 2 ELSE s_acctbal END), 2) AS sum_bal
+        |FROM supplier WHERE s_suppkey % 8 <> 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_rename_drop_scan" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,

@@ -107,7 +107,8 @@ object ActionJson {
       timestamp = optLong(n, "timestamp").getOrElse(0L),
       operation = optStr(n, "operation").getOrElse(""),
       operationParameters = strMap(n, "operationParameters"),
-      engineInfo = optStr(n, "engineInfo").getOrElse(""))
+      engineInfo = optStr(n, "engineInfo").getOrElse(""),
+      inCommitTimestamp = optLong(n, "inCommitTimestamp"))
 
   // ---------------- write ----------------
 
@@ -129,6 +130,7 @@ object ActionJson {
     a.commitInfo.foreach { c =>
       val o = root.putObject("commitInfo")
       o.put("timestamp", c.timestamp)
+      c.inCommitTimestamp.foreach(o.put("inCommitTimestamp", _))
       o.put("operation", c.operation)
       putStrMap(o, "operationParameters", c.operationParameters)
       o.put("engineInfo", c.engineInfo)

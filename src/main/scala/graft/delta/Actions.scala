@@ -92,7 +92,12 @@ final case class CommitInfo(
     timestamp: Long,
     operation: String,
     operationParameters: Map[String, String] = Map.empty,
-    engineInfo: String = "graft-spark/0.1.0")
+    engineInfo: String = "graft-spark/0.1.0",
+    // in-commit timestamps (writer feature inCommitTimestamp): when the
+    // table enables delta.enableInCommitTimestamps, THIS field — not file
+    // modification time — is the authoritative commit time for time
+    // travel and history
+    inCommitTimestamp: Option[Long] = None)
 
 /** One line of a Delta log commit file. Exactly one field is set. */
 final case class Action(

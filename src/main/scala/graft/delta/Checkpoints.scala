@@ -21,11 +21,83 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType,
 object Checkpoints {
 
   /** Write a checkpoint at the snapshot's version. Idempotent: re-running
-    * at the same version overwrites the same content. */
+    * at the same version overwrites the same content. Afterwards, expired
+    * log entries are reclaimed per `delta.logRetentionDuration` unless
+    * `delta.enableExpiredLogCleanup` is false (delta-spark contract). */
   def checkpoint(log: DeltaLog, maxActionsPerPart: Int = 500000): Long = {
     val snap = log.update()
     writeCheckpoint(log, snap, maxActionsPerPart)
+    if (snap.metadata.configuration
+        .getOrElse("delta.enableExpiredLogCleanup", "true")
+        .trim.equalsIgnoreCase("true"))
+      cleanUpExpiredLogs(log, snap.metadata.configuration)
     snap.version
+  }
+
+  /** Parse a `delta.logRetentionDuration`-style value: "interval N
+    * days|hours|minutes|seconds" (delta-spark's CalendarInterval strings)
+    * or a plain millisecond count. Unparseable → the 30-day default. */
+  private[graft] def parseRetentionMs(s: Option[String]): Long = {
+    val DefaultMs = 30L * 24 * 60 * 60 * 1000
+    s.map(_.trim.toLowerCase) match {
+      case None => DefaultMs
+      case Some(v) =>
+        val iv = raw"(?:interval\s+)?(\d+)\s*(day|hour|minute|second|week)s?".r
+        v match {
+          case iv(n, unit) =>
+            val ms = unit match {
+              case "week" => 7L * 24 * 3600 * 1000
+              case "day" => 24L * 3600 * 1000
+              case "hour" => 3600L * 1000
+              case "minute" => 60L * 1000
+              case "second" => 1000L
+            }
+            n.toLong * ms
+          case _ => v.toLongOption.getOrElse(DefaultMs)
+        }
+    }
+  }
+
+  /**
+   * Metadata retention: delete commit JSONs (and superseded checkpoint
+   * files) that are BOTH below the latest complete checkpoint and older
+   * than `delta.logRetentionDuration` (default 30 days). The latest
+   * checkpoint plus every later JSON always survives, so the current
+   * state and recent time travel are untouched; history older than the
+   * retention window stops being addressable — the protocol's contract,
+   * and the only thing that stops a 100 TB table's log growing without
+   * bound.
+   *
+   * @return number of log files deleted
+   */
+  def cleanUpExpiredLogs(log: DeltaLog, config: Map[String, String],
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val fs = log.fs
+    val checkpoints = log.listCheckpointVersions()
+    if (checkpoints.isEmpty) return 0
+    val cp = checkpoints.max
+    val cutoff = nowMs - parseRetentionMs(config.get("delta.logRetentionDuration"))
+    var deleted = 0
+    log.listCommitVersions().filter(_ < cp).foreach { v =>
+      val f = log.commitFile(v)
+      if (fs.exists(f) && fs.getFileStatus(f).getModificationTime < cutoff) {
+        if (fs.delete(f, false)) deleted += 1
+      }
+    }
+    // classic checkpoints below the latest one are superseded the same
+    // way; V2 (uuid-manifest) checkpoints are left alone — their sidecars
+    // can be shared by newer checkpoints, so reclaiming them needs a
+    // reference count this engine doesn't keep (it never writes V2)
+    checkpoints.filter(_ < cp).foreach { v =>
+      val classic = try log.checkpointFiles(v) catch { case _: Exception => Nil }
+      classic.foreach { f =>
+        if (fs.exists(f) && fs.getFileStatus(f).getModificationTime < cutoff) {
+          if (fs.delete(f, false)) deleted += 1
+        }
+      }
+    }
+    if (deleted > 0) log.invalidateCache()
+    deleted
   }
 
   def writeCheckpoint(log: DeltaLog, snap: Snapshot,

@@ -163,8 +163,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   def versionAtTimestamp(tsMillis: Long): Long = {
     val versions = listCommitVersions()
     require(versions.nonEmpty, s"no commits for table $tablePath")
+    // in-commit timestamp (writer feature inCommitTimestamp) is
+    // authoritative when present; then commitInfo.timestamp; file modTime
+    // only as a last resort (foreign commits may omit commitInfo entirely)
     def tsOf(v: Long): Long =
-      readCommit(v).flatMap(_.commitInfo).headOption.map(_.timestamp)
+      readCommit(v).flatMap(_.commitInfo).headOption
+        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
         .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
     val atOrBefore = versions.filter(v => tsOf(v) <= tsMillis)
     require(atOrBefore.nonEmpty,
@@ -349,7 +353,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
             }.nextOption()
         } finally in.close()
       (v,
-        ci.flatMap(n => Option(n.get("timestamp"))).map(_.asLong(0L)).getOrElse(0L),
+        ci.flatMap(n => Option(n.get("inCommitTimestamp"))).map(_.asLong(0L))
+          .orElse(ci.flatMap(n => Option(n.get("timestamp"))).map(_.asLong(0L)))
+          .getOrElse(0L),
         ci.flatMap(n => Option(n.get("operation"))).map(_.asText("")).getOrElse(""),
         ci.flatMap(n => Option(n.get("engineInfo"))).map(_.asText("")).getOrElse(""))
     }

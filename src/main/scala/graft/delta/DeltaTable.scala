@@ -306,6 +306,12 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def unsetProperties(keys: String*): Long =
     Alter.unsetProperties(spark, log, keys)
 
+  /** Fluent MERGE builder (delta-spark `merge(...).whenMatched...` API
+    * shape): equi-merge on `keyCols`, clauses in call order; see
+    * [[MergeBuilder]]. */
+  def merge(source: DataFrame, keyCols: String*): MergeBuilder =
+    new MergeBuilder(this, source, keyCols)
+
   /** Upgrade to column mapping, name mode: metadata-only, zero rewrites
     * (see [[Alter.upgradeToColumnMapping]]); unlocks rename/drop column. */
   def upgradeToColumnMapping(): Long = Alter.upgradeToColumnMapping(spark, log)

@@ -185,6 +185,38 @@ class DeltaCoreSpec extends AnyFunSuite {
     assert(math.abs(s1 - s2) / math.abs(s2) < 1e-12)
   }
 
+  test("expired-log cleanup reclaims pre-checkpoint JSONs, state survives") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") < 10), path)   // v0
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") >= 10), path)  // v1
+    val log = DeltaLog.forPath(spark, path)
+    Checkpoints.checkpoint(log)                                            // cp @ v1
+    DeltaWriter.append(spark, src.limit(3), path)                          // v2
+    // retention parsing
+    assert(Checkpoints.parseRetentionMs(Some("interval 2 days")) == 2L * 86400000)
+    assert(Checkpoints.parseRetentionMs(Some("interval 1 hour")) == 3600000L)
+    assert(Checkpoints.parseRetentionMs(Some("12345")) == 12345L)
+    assert(Checkpoints.parseRetentionMs(None) == 30L * 86400000)
+    // a fresh checkpoint deletes nothing under the 30-day default
+    assert(new java.io.File(path, "_delta_log/00000000000000000000.json").exists())
+    // cleanup with a 1s retention, evaluated 1 minute in the future:
+    // v0 is below the checkpoint AND expired → reclaimed; v1 (the
+    // checkpoint version) and v2 survive
+    val n = Checkpoints.cleanUpExpiredLogs(log,
+      Map("delta.logRetentionDuration" -> "interval 1 second"),
+      nowMs = System.currentTimeMillis() + 60000)
+    assert(n == 1, s"expected 1 reclaimed file, got $n")
+    assert(!new java.io.File(path, "_delta_log/00000000000000000000.json").exists())
+    assert(new java.io.File(path, "_delta_log/00000000000000000001.json").exists())
+    DeltaLog.clearCache()
+    val t = DeltaTable.forPath(spark, path)
+    assert(t.version == 2L)
+    assert(t.toDF.count() == src.count() + 3)
+    // history older than retention is no longer addressable
+    intercept[Exception] { t.toDF(0L).count() }
+  }
+
   test("crashed re-checkpoint: mixed multi-part set without pointer is ignored") {
     val src = Fixtures.readParquet(spark, sfDir, "orders")
     val path = tmpTable()

@@ -976,6 +976,60 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(spark.read.format("graftdelta").load(path).count() == 5)
   }
 
+  test("fluent merge builder: CDC apply, expression SET, by-source, refusals") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    val n = src.count()
+
+    // CDC feed: delete keys 0-1, bump acctbal for 2-3, insert 100-101
+    val changes = src.where(col("s_suppkey") <= 3)
+      .withColumn("op", when(col("s_suppkey") <= 1, "D").otherwise("U"))
+      .unionByName(src.where(col("s_suppkey") <= 1)
+        .withColumn("s_suppkey", col("s_suppkey") + 100)
+        .withColumn("op", lit("I")))
+    val (upd, del, ins) = DeltaTable.forPath(spark, path)
+      .merge(changes, "s_suppkey")
+      .whenMatchedDelete("s.op = 'D'")
+      .whenMatchedUpdate(Map("s_acctbal" -> "t.s_acctbal + s.s_acctbal"), "s.op = 'U'")
+      .whenNotMatchedInsertAll("s.op <> 'D'")
+      .execute()
+    assert(del == 2 && upd == 2 && ins == 2, s"(u=$upd d=$del i=$ins)")
+    val after = DeltaTable.forPath(spark, path).toDF
+    assert(after.count() == n) // -2 deleted +2 inserted
+    assert(after.where(col("s_suppkey") <= 1).count() == 0)
+    val bumped = after.where(col("s_suppkey") === 2).select("s_acctbal")
+      .collect()(0).getDouble(0)
+    val orig = src.where(col("s_suppkey") === 2).select("s_acctbal")
+      .collect()(0).getDouble(0)
+    assert(math.abs(bumped - 2 * orig) < 1e-9)
+
+    // by-source: rows absent from the feed get flagged via an expression
+    // SET; the feed covers keys 2,3,100,101
+    val feed2 = after.where(col("s_suppkey").isin(2, 3, 100, 101))
+    val (u2, d2, _) = DeltaTable.forPath(spark, path)
+      .merge(feed2, "s_suppkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedBySourceDelete("t.s_suppkey >= 8 AND t.s_suppkey < 100")
+      .whenNotMatchedBySourceUpdate(Map("s_acctbal" -> "t.s_acctbal * 0"))
+      .execute()
+    val after2 = DeltaTable.forPath(spark, path).toDF
+    assert(after2.where(col("s_suppkey") >= 8 && col("s_suppkey") < 100).count() == 0)
+    // survivors outside the feed are zeroed
+    assert(after2.where(!col("s_suppkey").isin(2, 3, 100, 101)
+      && col("s_acctbal") =!= 0.0).count() == 0)
+    // 4 matched UPDATE-ALL rows + 4 by-source zeroed rows (keys 4-7)
+    assert(u2 == 8 && d2 > 0, s"(u=$u2 d=$d2)")
+
+    // bare names in a two-sided clause are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, path).merge(feed2, "s_suppkey")
+        .whenMatchedUpdate(Map("s_acctbal" -> "s_acctbal + 1"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("column-mapping upgrade, RENAME COLUMN and DROP COLUMN (API + SQL)") {
     val src = Fixtures.readParquet(spark, sfDir, "supplier")
     val path = tmpTable()

@@ -137,4 +137,29 @@ class ForeignInteropSpec extends AnyFunSuite {
       DeltaLog.clearCache()
     }
   }
+
+  test("in-commit timestamps drive time travel; ICT writes are refused") {
+    val p = ForeignFixtures.inCommitTimestamps(spark, sfDir)
+    val src = Fixtures.readNormalized(spark, sfDir, "nation")
+    val log = DeltaLog.forPath(spark, p)
+    // probe between ICT0 (1600000000000) and ICT1 (1600000600000): the
+    // decoy commitInfo.timestamp fields are ~1000 days later and the
+    // files' real modTimes are "now" — only the ICT field resolves v0
+    assert(log.versionAtTimestamp(1600000300000L) == 0L)
+    assert(log.versionAtTimestamp(1600000600000L) == 1L)
+    assert(log.versionAtTimestamp(1600009999999L) == 2L)
+    val v0 = DeltaTable.forPath(spark, p).toDF(0L)
+    assert(v0.count() == src.filter(org.apache.spark.sql.functions.col("n_nationkey") % 2 === 0).count())
+    assert(DeltaTable.forPath(spark, p).toDF.count() == src.count())
+    // history reports the ICT, not the decoy
+    val hist = DeltaTable.forPath(spark, p).history().collect()
+    assert(hist.map(_.getAs[Long]("timestamp")).toSet ==
+      Set(1600000000000L, 1600000600000L, 1600001200000L))
+    // the writer feature is not implemented on the write path → refuse
+    val e = intercept[Exception] {
+      graft.delta.DeltaWriter.append(spark,
+        src.select("n_nationkey", "n_name", "n_regionkey").limit(1), p)
+    }
+    assert(e.getMessage.toLowerCase.contains("incommittimestamp"))
+  }
 }
