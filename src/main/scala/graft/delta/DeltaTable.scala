@@ -291,8 +291,8 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     * window; time travel past them stops working (Delta's contract).
     * Retention below [[Optimize.MinRetentionMs]] requires `force=true`. */
   def vacuum(retentionMs: Long = Optimize.MinRetentionMs,
-      force: Boolean = false): Optimize.VacuumResult =
-    Optimize.vacuum(spark, log, retentionMs, force)
+      force: Boolean = false, dryRun: Boolean = false): Optimize.VacuumResult =
+    Optimize.vacuum(spark, log, retentionMs, force, dryRun)
 
   /** ALTER TABLE ADD COLUMNS (nullable; old files read them as null). */
   def addColumns(cols: org.apache.spark.sql.types.StructField*): Long =

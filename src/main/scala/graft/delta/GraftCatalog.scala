@@ -118,9 +118,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!ident.name().contains("/")) GraftCatalog.attach(ident.name(), path)
     GraftTable(path, None)(spark)
   }
-  /** SQL ALTER TABLE: ADD COLUMNS, SET/UNSET TBLPROPERTIES — mapped onto
-    * the metadata-commit ops in [[Alter]]; anything else (renames, type
-    * changes) is refused loudly (they need column-mapping writes). */
+  /** SQL ALTER TABLE: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, SET/UNSET
+    * TBLPROPERTIES — mapped onto the metadata-commit ops in [[Alter]]
+    * (rename/drop require column mapping and refuse with the upgrade hint
+    * otherwise); anything else (type changes, reorders) is refused
+    * loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val spark = owner()
     val log = DeltaLog.forPath(spark, pathFor(ident))
@@ -157,8 +159,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.registry.remove(ident.name()) != null
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME not supported")
+  /** ALTER TABLE RENAME TO: the attached NAME moves; the table's path and
+    * log are untouched (names here are registry bindings, not storage). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val path = Option(GraftCatalog.registry.get(oldIdent.name())).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    require(!GraftCatalog.registry.containsKey(newIdent.name()),
+      s"table ${newIdent.name()} already exists")
+    GraftCatalog.attach(newIdent.name(), path)
+    GraftCatalog.registry.remove(oldIdent.name())
+  }
 
   // -- ProcedureCatalog: CALL graft.optimize/zorder/vacuum/restore/clone/
   //    checkpoint('<path-or-name>', ...) — SQL-only maintenance

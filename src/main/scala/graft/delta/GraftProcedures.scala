@@ -66,15 +66,18 @@ private[delta] object GraftProcedures {
         args => resultRow(Optimize.zorder(spark, log(args.getString(0)),
           args.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))))
       case "vacuum" => Some(proc("vacuum",
-        "Delete unreferenced data files older than the retention window",
+        "Delete unreferenced data files older than the retention window " +
+          "(dry_run => true lists reclaimable counts without deleting)",
         Seq(in("table", StringType),
           in("retention_ms", LongType, Some(Optimize.MinRetentionMs.toString)),
-          in("force", BooleanType, Some("false"))),
+          in("force", BooleanType, Some("false")),
+          in("dry_run", BooleanType, Some("false"))),
         StructType(Seq(StructField("files_deleted", IntegerType),
           StructField("bytes_reclaimed", LongType))),
         args => {
           val r = Optimize.vacuum(spark, log(args.getString(0)),
-            retentionMs = args.getLong(1), force = args.getBoolean(2))
+            retentionMs = args.getLong(1), force = args.getBoolean(2),
+            dryRun = args.getBoolean(3))
           new GenericInternalRow(Array[Any](r.filesDeleted, r.bytesReclaimed))
         }))
       case "restore" => Some(proc("restore",

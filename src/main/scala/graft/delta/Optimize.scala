@@ -49,7 +49,8 @@ object Optimize {
    */
   def vacuum(spark: SparkSession, log: DeltaLog,
       retentionMs: Long = MinRetentionMs,
-      force: Boolean = false): VacuumResult = {
+      force: Boolean = false,
+      dryRun: Boolean = false): VacuumResult = {
     require(retentionMs >= 0, s"vacuum: negative retention $retentionMs")
     require(force || retentionMs >= MinRetentionMs,
       s"vacuum: retention ${retentionMs}ms is below the ${MinRetentionMs}ms " +
@@ -83,8 +84,12 @@ object Optimize {
         val p = st.getPath.toUri.getPath
         val cutoffBase = removedAt.getOrElse(p, st.getModificationTime)
         if (!live.contains(p) && now - cutoffBase >= retentionMs) {
-          bytes += st.getLen
-          if (fs.delete(st.getPath, false)) deleted += 1 else bytes -= st.getLen
+          // dry run (VACUUM ... DRY RUN analog): count candidates only
+          if (dryRun) { bytes += st.getLen; deleted += 1 }
+          else {
+            bytes += st.getLen
+            if (fs.delete(st.getPath, false)) deleted += 1 else bytes -= st.getLen
+          }
         }
       }
     }

@@ -1103,5 +1103,10 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     assert(DeltaLog.forPath(spark, p2).update().columnMappingMode == "name")
     DeltaTable.forPath(spark, p2).renameColumn("s_name", "supplier_name")
     assert(DeltaTable.forPath(spark, p2).toDF.columns.contains("supplier_name"))
+
+    // ALTER TABLE ... RENAME TO: the attached name moves, the path doesn't
+    spark.sql("ALTER TABLE graft.rdrop_t RENAME TO rdrop_t2")
+    assert(spark.table("graft.rdrop_t2").columns.contains("nat"))
+    intercept[Exception] { spark.table("graft.rdrop_t").collect() }
   }
 }

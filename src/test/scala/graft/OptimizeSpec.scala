@@ -36,10 +36,16 @@ class OptimizeSpec extends AnyFunSuite {
     val staged = new java.io.File(path, "tmp-stage-test/part-0.parquet")
     staged.getParentFile.mkdirs()
     java.nio.file.Files.writeString(staged.toPath, "inflight")
+    // dry run counts the reclaimable set without touching anything
+    val dry = DeltaTable.forPath(spark, path)
+      .vacuum(retentionMs = 0L, force = true, dryRun = true)
+    assert(dry.filesDeleted > 0 && dataFiles().size == before,
+      "dry run must not delete")
     // zero-retention vacuum (forced) reclaims the tombstones...
     val r = DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
     assert(staged.exists(), "vacuum must not delete in-flight staged files")
     staged.delete()
+    assert(r.filesDeleted == dry.filesDeleted && r.bytesReclaimed == dry.bytesReclaimed)
     assert(r.filesDeleted > 0 && r.bytesReclaimed > 0)
     assert(dataFiles().size == before - r.filesDeleted)
     // ...and the CURRENT snapshot still reads completely
