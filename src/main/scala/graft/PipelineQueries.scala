@@ -250,6 +250,7 @@ object PipelineQueries {
 
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), 0L, 10)),
+    "ann_int8_topk" -> ((s, dir) => Similarity.int8TopK(emb(s, dir), 0L, 10)),
     "ann_pairs_block" -> ((s, dir) => Similarity.pairsAboveThreshold(emb(s, dir), 200L, 0.25)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), 0L, 10)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKSeeded(emb(s, dir), 0L, 10)),
@@ -684,6 +685,20 @@ object PipelineQueries {
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim
         |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // int8-quantized ANN: floor(x*127/max|x|) per vector, cosine on the
+    // quantized integers (scales cancel) — exact 64-bit until the final
+    // division, so the ranking is engine-portable
+    "ann_int8_topk" ->
+      """WITH z AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(floor(x * 127 / greatest(list_max(
+        |        list_transform(embedding::DOUBLE[], y -> abs(y))), 1e-30)) AS DOUBLE)) AS q
+        |  FROM embeddings),
+        |qv AS (SELECT q AS qq FROM z WHERE vec_id = 0)
+        |SELECT z.vec_id, round(list_cosine_similarity(z.q, qv.qq), 4) AS sim
+        |FROM z, qv WHERE z.vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "ann_pairs_block" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)

@@ -38,6 +38,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of a float/double vector: q_i =
+    * floor(x_i · 127 / max|x|) ∈ [-127, 127]. floor (not round) so both
+    * engines agree with no tie-break concerns; all-zero vectors quantize
+    * to zeros via the ε guard. At 100 TB this is THE memory-bandwidth
+    * lever: 4× fewer bytes per vector scanned, integer dot products. */
+  def quantizeInt8(v: Column): Column = {
+    val d = v.cast("array<double>")
+    val maxAbs = greatest(
+      aggregate(d, lit(0.0), (a, x) => greatest(a, abs(x))), lit(1e-30))
+    transform(d, x => floor(x * 127.0 / maxAbs).cast("long"))
+  }
+
+  /**
+   * Top-k cosine neighbors over int8-QUANTIZED vectors — the quantized
+   * scale path of [[bruteForceTopK]]. Cosine is computed on the quantized
+   * integers directly (the per-vector scales cancel in the ratio), so
+   * every arithmetic step before the final division is EXACT 64-bit —
+   * bit-identical rankings in any engine. Recall vs the full-precision
+   * top-k is asserted in spec (quantization changes results only where
+   * full-precision similarities were already within ~1/127 of each other).
+   */
+  def int8TopK(emb: DataFrame, queryId: Long, k: Int = 10): DataFrame = {
+    val q = emb.where(col("vec_id") === queryId)
+      .select(quantizeInt8(col("embedding")).as("qv"))
+    emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(quantizeInt8(col("embedding")).cast("array<double>"),
+          col("qv").cast("array<double>")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** All similar pairs with cosine ≥ `minSim` within a bounded id block
     * (exact, used as oracle-checked baseline). */
   def pairsAboveThreshold(emb: DataFrame, maxId: Long, minSim: Double): DataFrame = {

@@ -124,6 +124,20 @@ class PipelineSpec extends AnyFunSuite {
     info(s"lsh recall@10 = $recall (candidates pruned by bucket)")
   }
 
+  test("int8-quantized topk tracks the full-precision ranking closely") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val q = Similarity.int8TopK(emb, 0L, 10).collect()
+    assert(q.length == 10)
+    q.foreach(r => assert(r.getAs[Double]("sim") <= 1.0001 && r.getAs[Double]("sim") >= -1.0001))
+    val recall = q.map(_.getAs[Long]("vec_id")).count(brute.contains) / 10.0
+    info(s"int8 recall@10 vs full precision = $recall")
+    assert(recall >= 0.7, s"int8 quantization recall too low: $recall")
+    // quantization is deterministic: two runs agree exactly
+    val again = Similarity.int8TopK(emb, 0L, 10).collect()
+    assert(q.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("ivf topk: deterministic, k results, bounded candidate scan") {
     val r1 = Similarity.ivfTopK(emb, 0L, 10).collect()
     val r2 = Similarity.ivfTopK(emb, 0L, 10).collect()
