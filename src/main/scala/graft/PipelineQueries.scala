@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * LLM-data-pipeline operator queries (beyond-reference surface per
@@ -240,6 +240,13 @@ object PipelineQueries {
       TextOps.tfIdfTopK(docs(s, dir))
         .where(col("doc_id") < 500)
         .orderBy(col("doc_id"), col("rk"))),
+
+    // --- corpus curation (chunking / decontamination / sharding / LM) ---
+    "text_chunks" -> ((s, dir) => Curation.chunk(docs(s, dir))),
+    "text_decontaminate" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
+    "shard_token_budget" -> ((s, dir) => Curation.shardByTokenBudget(docs(s, dir))),
+    "text_unigram_surprisal" -> ((s, dir) =>
+      Curation.unigramSurprisal(docs(s, dir))),
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -670,6 +677,53 @@ object PipelineQueries {
         |SELECT doc_id, rk, token, score FROM ranked
         |WHERE rk <= 3 AND doc_id < 500
         |ORDER BY doc_id, rk""".stripMargin,
+    // sliding-window chunking: 120-char windows, stride 100; chunk count
+    // via pure integer arithmetic so both engines agree on every edge
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    (greatest(length(text)-120,0)+99)//100 + 1 AS nc FROM documents),
+        |e AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM d)
+        |SELECT doc_id, chunk_id,
+        |  md5(substr(text, CAST(chunk_id*100+1 AS INT), 120)) AS h,
+        |  CAST(length(substr(text, CAST(chunk_id*100+1 AS INT), 120)) AS BIGINT) AS n
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
+    // pseudo-benchmark; word-count guard drops short-doc partial grams on
+    // both engines (NULL-concat in DuckDB, concat_ws null-skip in Spark)
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ng AS (SELECT DISTINCT doc_id, s FROM (
+        |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-3, 1)),
+        |     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
+        |   FROM toks) raw WHERE len(string_split(s,' ')) = 5),
+        |bench AS (SELECT DISTINCT s FROM ng WHERE doc_id % 31 = 0),
+        |hits AS (SELECT ng.doc_id, ng.s FROM ng JOIN bench USING (s)
+        |         WHERE ng.doc_id % 31 <> 0)
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // token-budget sharding: shard = exclusive-prefix-tokens div 2000 in
+    // doc_id order (the oracle's single window equals the distributed
+    // two-level prefix sum exactly)
+    "shard_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text),'\s+')) AS nt FROM documents),
+        |c AS (SELECT doc_id, nt, coalesce(sum(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS bef FROM t)
+        |SELECT CAST(bef//2000 AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unigram surprisal: per-word log integer-quantized BEFORE the doc
+    // sum, so accumulation is exact 64-bit on both engines
+    "text_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)),'\s+')) AS token FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |cnt AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(tf * CAST(floor(ln(t/c)*1000) AS BIGINT)) AS BIGINT) AS surprisal
+        |FROM tf JOIN cnt USING (token), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * beyond dedup/similarity: sliding-window chunking, benchmark
+ * decontamination, token-budget sharding and unigram-LM surprisal
+ * scoring. All are oracle-checked (DuckDB re-derives every row) and all
+ * are constant-shuffle-count plans:
+ *
+ * - chunking: per-row generate+explode, shuffle-free until the final
+ *   order;
+ * - decontamination: the benchmark n-gram set is orders smaller than the
+ *   corpus, so it broadcasts — the corpus is scanned once and never
+ *   shuffled (at larger benchmark sizes, put a bloom filter of the
+ *   benchmark set in front of the same join);
+ * - sharding: the classic two-level distributed prefix sum — parallel
+ *   windows inside coarse doc_id buckets plus one tiny bucket-prefix
+ *   table (|corpus|/bucketSize rows) that broadcasts back;
+ * - surprisal: two token aggregates (per-doc tf and the vocab count —
+ *   vocab is orders smaller than the corpus) and one broadcast join.
+ */
+object Curation {
+
+  /** Distinct word-`n`-gram strings per doc: (doc_id, s). Short docs
+    * (< n tokens) contribute nothing: concat_ws drops the null
+    * out-of-range accesses, and the word-count guard rejects the
+    * resulting short string. */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, greatest(size(t)-$n, 0)), " +
+          s"i -> concat_ws(' ', $parts)))")).as("s"))
+      .where(size(split(col("s"), " ")) === n)
+  }
+
+  /**
+   * Sliding-window character chunking: window `size` chars, stride
+   * `stride` (overlap = size - stride). Every doc yields
+   * `(len - size + stride - 1) div stride + 1` chunks (min 1); the last
+   * chunk may be short. Emits the chunk's md5 rather than its text so
+   * downstream exact-dedup of chunks is a plain hash-group — and the
+   * oracle result stays narrow.
+   *
+   * Per-row generate + explode: no shuffle until the caller aggregates.
+   */
+  def chunk(docs: DataFrame, size: Int = 120, stride: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        expr(s"(greatest(length(text)-$size, 0) + ${stride - 1}) div $stride + 1")
+          .as("nc"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, nc - 1)")).as("chunk_id"), col("text"))
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.GraftFunctions.md5(
+          expr(s"substr(text, cast(chunk_id * $stride + 1 as int), $size)")).as("h"),
+        expr(s"cast(length(substr(text, cast(chunk_id * $stride + 1 as int), $size)) as bigint)")
+          .as("n"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /**
+   * Benchmark decontamination: flag corpus docs sharing any word-`n`-gram
+   * with the benchmark set (here: docs with doc_id % benchMod == 0 stand
+   * in for a held-out eval set). Returns (doc_id, n_shared) for
+   * contaminated NON-benchmark docs, n_shared = distinct shared n-grams.
+   *
+   * The benchmark n-gram set is tiny relative to the corpus (real eval
+   * sets are ~MBs against TBs), so it is broadcast — the corpus-side
+   * n-gram stream is scanned once, never shuffled; the per-doc count is
+   * the only aggregation.
+   */
+  def decontaminate(docs: DataFrame, n: Int = 5, benchMod: Long = 31): DataFrame = {
+    val ng = wordNgrams(docs, n)
+    val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s")).distinct()
+    ng.where(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Token-budget sharding: assign docs (in doc_id order) to contiguous
+   * shards of ~`budget` whitespace tokens each — the standard layout step
+   * before writing training shards. shard(doc) = tokensBefore(doc) div
+   * budget, where tokensBefore is the exclusive prefix sum in doc_id
+   * order.
+   *
+   * A naive `Window.orderBy(doc_id)` global cumsum is a single-task
+   * bottleneck; this is the two-level distributed prefix sum instead:
+   * per-doc local cumsums run as parallel windows PARTITIONED by a coarse
+   * doc_id bucket, and only the per-bucket totals (|corpus|/bucketSize
+   * rows) pass through one tiny ordered window before broadcasting back.
+   * Returns the per-shard summary (shard, n_docs, toks, first_doc,
+   * last_doc).
+   */
+  def shardByTokenBudget(docs: DataFrame, budget: Long = 2000,
+      bucketSize: Long = 100): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+      expr(s"doc_id div $bucketSize").as("bucket"))
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = perDoc.withColumn("bef_local",
+      coalesce(sum(col("nt")).over(localW), lit(0L)))
+    val bucketW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = perDoc.groupBy(col("bucket")).agg(sum(col("nt")).as("bt"))
+      .withColumn("bef_bucket", coalesce(sum(col("bt")).over(bucketW), lit(0L)))
+      .select(col("bucket"), col("bef_bucket"))
+    local.join(broadcast(prefixes), "bucket")
+      .select(col("doc_id"), col("nt"),
+        expr(s"(bef_local + bef_bucket) div $budget").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  /**
+   * Unigram-LM surprisal per document: Σ over token occurrences of
+   * -ln p(token) under the corpus unigram model — the classic cheap
+   * quality/outlier score (high = rare-token-heavy docs). The per-word
+   * log is integer-quantized (floor(ln(T/c)·1000)) BEFORE the per-doc
+   * sum, so every accumulation is exact 64-bit and the score is
+   * engine-portable bit-for-bit.
+   *
+   * The corpus total T is a single driver scalar (one count); the vocab
+   * count table is orders smaller than the corpus and broadcasts into
+   * the tf join.
+   */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(counts), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") *
+        floor(log(lit(total.toDouble) / col("c")) * 1000).cast("long"))
+        .as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+}
