@@ -29,6 +29,9 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String): DataFrame = {
     RelationalQueries.ensureViews(s, dir); s.table("embeddings")
   }
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    RelationalQueries.ensureViews(s, dir); s.table("events")
+  }
 
   /** Runs the availableNow events→delta stream once per sf dir (4 staged
     * source files × maxFilesPerTrigger=1 = 4 real micro-batches, each an
@@ -247,6 +250,18 @@ object PipelineQueries {
     "shard_token_budget" -> ((s, dir) => Curation.shardByTokenBudget(docs(s, dir))),
     "text_unigram_surprisal" -> ((s, dir) =>
       Curation.unigramSurprisal(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => Curation.repetitionFlags(docs(s, dir))),
+
+    // --- session windows (native Spark session_window operator; the
+    //     oracle re-derives the same sessions as a gap-islands window,
+    //     proving the operator's merge semantics = diff >= gap) ---
+    "q_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("v"))
+        .orderBy(col("user_id"), col("session_start"))),
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -724,6 +739,36 @@ object PipelineQueries {
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY doc_id, token)
         |SELECT doc_id, CAST(sum(tf * CAST(floor(ln(t/c)*1000) AS BIGINT)) AS BIGINT) AS surprisal
         |FROM tf JOIN cnt USING (token), tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher-style repetition filter: most-frequent-bigram share >= 1/20
+    // with a 20-bigram floor; all-integer threshold
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |      i -> t[i] || ' ' || t[i+1])) AS b FROM toks),
+        |bg2 AS (SELECT doc_id, b FROM bg WHERE len(string_split(b, ' ')) = 2),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY doc_id, b),
+        |agg AS (SELECT doc_id, max(c) AS top_n, sum(c) AS total_n FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(top_n AS BIGINT) AS top_n, CAST(total_n AS BIGINT) AS total_n
+        |FROM agg WHERE top_n * 20 >= total_n AND total_n >= 20
+        |ORDER BY doc_id""".stripMargin,
+    // session_window semantics: windows [ts, ts+gap) merge while they
+    // overlap, i.e. a NEW session starts iff gap-to-previous >= 8h (the
+    // q_sessionize islands variant uses strict >; both are exercised);
+    // session_end = last event ts + gap
+    "q_session_window" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 8 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 8 HOUR AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value),2) AS v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,

@@ -445,6 +445,24 @@ object RelationalQueries {
         |WHERE event_type IN ('click','view')
         |GROUP BY h, event_type
         |ORDER BY h, event_type""".stripMargin,
+    // sessionization (the classic gap-based islands problem): new session
+    // when the per-user gap exceeds 8h; both windows partition by user_id,
+    // so the whole query is ONE user_id shuffle — the lag, the cumsum and
+    // the (user_id, sid) aggregate all reuse that partitioning, and
+    // per-user state never concentrates on one task at corpus scale
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 8 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end, round(sum(value),2) AS v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
 
     // ================= TPC-DS-shaped breadth =================
     // The DS-catalog query shapes TPC-H doesn't stress, adapted to the

@@ -122,6 +122,32 @@ object Curation {
   }
 
   /**
+   * Repetition-ratio quality filter (the Gopher-rules style "fraction of
+   * tokens in the most frequent n-gram" signal): flags docs whose single
+   * most frequent word-bigram accounts for ≥ 1/20 of all bigram
+   * occurrences (docs with < `minBigrams` bigrams are skipped — a
+   * 10-token doc trivially "repeats"). Integer-only threshold, so the
+   * flag set is engine-portable. Two doc-keyed aggregations, both
+   * map-side combined — linear at corpus scale.
+   */
+  def repetitionFlags(docs: DataFrame, minBigrams: Long = 20): DataFrame =
+    wordNgrams2WithMultiplicity(docs)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_n"), sum(col("c")).as("total_n"))
+      .where(col("top_n") * 20 >= col("total_n") && col("total_n") >= minBigrams)
+      .orderBy(col("doc_id"))
+
+  /** Word bigrams WITH multiplicity (repetition needs counts, unlike the
+    * distinct shingles dedup uses). */
+  private def wordNgrams2WithMultiplicity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, greatest(size(t)-2, 0)), " +
+          "i -> concat_ws(' ', t[i], t[i+1]))")).as("b"))
+      .where(size(split(col("b"), " ")) === 2)
+
+  /**
    * Unigram-LM surprisal per document: Σ over token occurrences of
    * -ln p(token) under the corpus unigram model — the classic cheap
    * quality/outlier score (high = rare-token-heavy docs). The per-word

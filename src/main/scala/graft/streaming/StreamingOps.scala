@@ -136,6 +136,26 @@ object StreamingOps {
       .start()
   }
 
+  /** Native session-window sessionization: per-user sessions that merge
+    * events closer than `gap` (new session iff gap-to-previous >= gap —
+    * the semantics the `q_session_window` oracle pins down). State is
+    * partitioned by (user, window) in the state store across executors;
+    * with a watermark the state is PRUNED as event time advances, so
+    * long-running streams hold only open sessions — the property that
+    * makes this viable on an unbounded 100 TB event stream. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "8 hours",
+      watermark: Option[String] = None): DataFrame = {
+    val src =
+      if (events.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+        events.withColumn("ts", col("ts").cast("timestamp"))
+      else events
+    val wm = watermark.map(src.withWatermark("ts", _)).getOrElse(src)
+    wm.groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("v"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserSession(user_id: Long, events: Long, total_value: Double)
 

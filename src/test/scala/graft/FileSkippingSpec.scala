@@ -75,6 +75,51 @@ class FileSkippingSpec extends AnyFunSuite {
     assert(FileSkipping.mayContain(st, schema, in))
   }
 
+  test("all-NULL stats (min/max absent) skip equality, keep IS NULL — issue-297 analog") {
+    // parquet omits min/max for all-NULL columns; the stats carry only
+    // nullCount == numRecords (reference issues/null_stats_conversion__issue_297.test)
+    val schema = StructType(Seq(StructField("x", DoubleType)))
+    val st = stats("""{"numRecords":3,"minValues":{},"maxValues":{},"nullCount":{"x":3}}""")
+    val x = AttributeReference("x", DoubleType)()
+    assert(!FileSkipping.mayContain(st, schema, EqualTo(x, Literal(42.0, DoubleType))),
+      "x = 42 cannot match a file whose every x is NULL")
+    assert(!FileSkipping.mayContain(st, schema,
+      GreaterThan(x, Literal(0.0, DoubleType))))
+    assert(FileSkipping.mayContain(st, schema, IsNull(x)))
+    assert(!FileSkipping.mayContain(st, schema, IsNotNull(x)))
+    // partially-null file with min/max present: everything keeps
+    val st2 = stats(
+      """{"numRecords":3,"minValues":{"x":42.0},"maxValues":{"x":42.0},"nullCount":{"x":2}}""")
+    assert(FileSkipping.mayContain(st2, schema, EqualTo(x, Literal(42.0, DoubleType))))
+    assert(FileSkipping.mayContain(st2, schema, IsNull(x)))
+    assert(FileSkipping.mayContain(st2, schema, IsNotNull(x)))
+  }
+
+  test("appending all-NULL rows writes min/max-absent stats and scans back") {
+    // write-path half of issue 297: an all-NULL DOUBLE batch must commit
+    // (no crash), omit its min/max, and record nullCount = numRecords
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("nullstats").toString + "/t"
+    // when-without-otherwise keeps the column NULLABLE (a plain lit would
+    // stamp NOT NULL into the table schema and correctly refuse the nulls)
+    val one = spark.range(1).select(when(col("id") >= 0, 42.0).as("x")).coalesce(1)
+    val nulls = spark.range(2).select(lit(null).cast("double").as("x")).coalesce(1)
+    graft.delta.DeltaWriter.append(spark, one, dir)
+    graft.delta.DeltaWriter.append(spark, nulls, dir)
+    val log = graft.delta.DeltaLog.forPath(spark, dir)
+    val adds = log.update().allFiles
+    assert(adds.length == 2)
+    val parsed = adds.flatMap(a => a.stats.flatMap(ParsedStats.parse))
+    assert(parsed.exists(p =>
+      p.nullCount.get("x").contains(2L) && !p.minValues.contains("x")),
+      s"all-NULL add must omit min/max and carry nullCount=2: " +
+        adds.flatMap(_.stats).mkString(" | "))
+    val back = graft.delta.DeltaTable.forPath(spark, dir).toDF
+    assert(back.count() == 3 && back.where(col("x").isNull).count() == 2)
+    // and the skipping layer prunes `x = 7` down to zero files
+    assert(back.where(col("x") === 7.0).count() == 0)
+  }
+
   test("long→int narrowing cast is not followed") {
     val schema = StructType(Seq(StructField("l", LongType)))
     val st = stats(

@@ -51,6 +51,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("win_counts_ntz").count() > 0)
   }
 
+  test("streaming session windows equal the batch session_window result") {
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-sess").toString
+    // multiple files => multiple micro-batches => cross-batch session merges
+    eventsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamingOps.sessionWindowAgg(stream)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess_win")
+    val batch = StreamingOps.sessionWindowAgg(eventsBatch)
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} sessions vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "cross-micro-batch session merges must converge to the batch result")
+  }
+
   test("foreachBatch streaming into delta is exactly-once under replay") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-src2").toString
     eventsBatch.limit(1000).coalesce(4).write.mode("overwrite").parquet(srcDir)
