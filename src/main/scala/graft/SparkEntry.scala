@@ -655,6 +655,23 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- dynamic partition overwrite (delta-spark
+    //     partitionOverwriteMode=dynamic): only the partitions present in
+    //     the incoming data are replaced; every other partition survives ---
+    "delta_dyn_overwrite_scan" -> ((s, dir) => {
+      val src = Fixtures.readParquet(s, dir, "supplier")
+      val p = java.nio.file.Files.createTempDirectory("graft-dynow").toString + "/t"
+      src.write.format("graftdelta").partitionBy("s_nationkey").save(p)
+      src.filter(col("s_nationkey") === 3)
+        .withColumn("s_acctbal", round(col("s_acctbal") * 3, 2))
+        .write.format("graftdelta").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(p)
+      s.read.format("graftdelta").load(p)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- RESTORE: DV delete then a duplicate append are both rolled back
     //     by one metadata-only commit; the table answers as at v0 ---
     "delta_restore_scan" -> ((s, dir) => {
@@ -767,6 +784,49 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // --- identity column (delta-spark GENERATED AS IDENTITY analog —
+    //     refused outright by the reference): auto-assigned on append via
+    //     the distributed prefix sum; the globally-sorted input makes the
+    //     assignment deterministic, so the oracle re-derives every id with
+    //     row_number. Two appends prove the high-water mark carries over. ---
+    "delta_identity_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = java.nio.file.Files.createTempDirectory("graft-ident").toString + "/t"
+      val schema = StructType(Seq(
+        StructField("rid", LongType, nullable = true,
+          graft.delta.Identity.metadataFor(start = 1000, step = 2)),
+        StructField("doc_id", LongType, nullable = true)))
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      graft.delta.DeltaWriter.append(s, empty, p)
+      val src = Fixtures.readNormalized(s, dir, "documents").select(col("doc_id"))
+      graft.delta.DeltaWriter.append(s,
+        src.where(col("doc_id") % 2 === 0).orderBy(col("doc_id")), p)
+      graft.delta.DeltaWriter.append(s,
+        src.where(col("doc_id") % 2 === 1).orderBy(col("doc_id")), p)
+      DeltaTable.forPath(s, p).toDF
+        .select(col("doc_id"), col("rid")).orderBy(col("doc_id"))
+    }),
+
+    // --- row tracking: fresh row ids assigned on append (baseRowId + file
+    //     position), stable under DV deletes; single-file sorted appends
+    //     make the assignment deterministic for the oracle ---
+    "delta_row_tracking_scan" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-rowtrack").toString + "/t"
+      val src = Fixtures.readNormalized(s, dir, "documents").select(col("doc_id"))
+      graft.delta.DeltaWriter.append(s,
+        src.where(col("doc_id") % 2 === 0).orderBy(col("doc_id")).coalesce(1), p,
+        configuration = Map("delta.enableRowTracking" -> "true"))
+      graft.delta.DeltaWriter.append(s,
+        src.where(col("doc_id") % 2 === 1).orderBy(col("doc_id")).coalesce(1), p)
+      // delete a slice: surviving rows keep their ids (DV, no movement)
+      DeltaTable.forPath(s, p).delete(col("doc_id") % 10 === 4)
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDFWithVirtualColumns
+        .select(col("doc_id"), col("row_id"), col("row_commit_version"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- V2 checkpoint, JSON-manifest form: action-per-line manifest with
     //     one relative and one absolute sidecar pointer ---
     "delta_foreign_v2_json" -> ((s, dir) => {
@@ -846,6 +906,29 @@ object SparkEntry {
       """SELECT 'graft.pipeline' AS domain, '{"v":1}' AS configuration""",
     "delta_txn_version" ->
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
+    // row tracking: evens get ids 0..k-1 (commit 1), odds continue (commit
+    // 2); the %10==4 deletes survive with ids UNCHANGED
+    "delta_row_tracking_scan" ->
+      """WITH evens AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |base AS (SELECT max(rid) AS m FROM evens),
+        |odds AS (SELECT doc_id, (SELECT m FROM base) + row_number() OVER (ORDER BY doc_id) AS rid
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT doc_id, rid, 0 AS v FROM evens
+        |      UNION ALL SELECT doc_id, rid, 1 AS v FROM odds)
+        |SELECT doc_id, CAST(rid AS BIGINT) AS row_id, CAST(v AS BIGINT) AS row_commit_version
+        |FROM u WHERE doc_id % 10 <> 4 ORDER BY doc_id""".stripMargin,
+    // identity: evens assigned 1000,1002,… in doc_id order, then odds
+    // continue from the carried-over mark
+    "delta_identity_scan" ->
+      """WITH evens AS (SELECT doc_id, 1000 + 2*(row_number() OVER (ORDER BY doc_id) - 1) AS rid
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |base AS (SELECT max(rid) AS m FROM evens),
+        |odds AS (SELECT doc_id, (SELECT m FROM base) + 2*row_number() OVER (ORDER BY doc_id) AS rid
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, CAST(rid AS BIGINT) AS rid FROM evens
+        |UNION ALL SELECT doc_id, CAST(rid AS BIGINT) AS rid FROM odds
+        |ORDER BY doc_id""".stripMargin,
     "delta_snapshot_replay" ->
       """SELECT CAST(count(*) * 40 AS BIGINT) AS n FROM nation""",
     "delta_checkpoint_struct_write" ->
@@ -1002,6 +1085,12 @@ object SparkEntry {
     "delta_fmt_write_scan" ->
       """SELECT s_nationkey, count(*) AS n,
         | round(sum(CASE WHEN s_nationkey < 5 THEN s_acctbal * 2
+        |   ELSE s_acctbal END), 2) AS sum_bal
+        |FROM supplier
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_dyn_overwrite_scan" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(CASE WHEN s_nationkey = 3 THEN round(s_acctbal * 3, 2)
         |   ELSE s_acctbal END), 2) AS sum_bal
         |FROM supplier
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

@@ -66,7 +66,9 @@ object ActionJson {
       dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
       stats = optStr(n, "stats"),
       deletionVector = Option(n.get("deletionVector")).filterNot(_.isNull).map(parseDv),
-      tags = strMap(n, "tags"))
+      tags = strMap(n, "tags"),
+      baseRowId = optLong(n, "baseRowId"),
+      defaultRowCommitVersion = optLong(n, "defaultRowCommitVersion"))
 
   def parseRemove(n: JsonNode): RemoveFile =
     RemoveFile(
@@ -165,6 +167,8 @@ object ActionJson {
       f.stats.foreach(o.put("stats", _))
       f.deletionVector.foreach(dv => dvNode(o.putObject("deletionVector"), dv))
       if (f.tags.nonEmpty) putStrMap(o, "tags", f.tags)
+      f.baseRowId.foreach(o.put("baseRowId", _))
+      f.defaultRowCommitVersion.foreach(o.put("defaultRowCommitVersion", _))
     }
     a.remove.foreach { r =>
       val o = root.putObject("remove")

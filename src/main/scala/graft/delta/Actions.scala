@@ -63,7 +63,11 @@ final case class AddFile(
     dataChange: Boolean = true,
     stats: Option[String] = None,
     deletionVector: Option[DeletionVectorDescriptor] = None,
-    tags: Map[String, String] = Map.empty) {
+    tags: Map[String, String] = Map.empty,
+    // row tracking (writer feature `rowTracking`): row i of this file has
+    // fresh row id baseRowId + i; preserved through checkpoints
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None) {
   /** URL-decoded relative path — the reconciliation key (reference decodes
     * paths the same way, delta_multi_file_list.cpp:26-42). */
   lazy val decodedPath: String =

@@ -296,6 +296,15 @@ object Alter {
         return setProperties(spark, log, rest)
       case _ => ()
     }
+    // enabling row tracking on a table with existing files would require a
+    // baseRowId backfill of every add action — refuse rather than leave a
+    // table whose old rows have no ids (delta-spark runs a backfill job
+    // here; enable at CREATE instead)
+    if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")) &&
+        !RowTracking.enabled(snap) && snap.allFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        "cannot enable row tracking on a non-empty table: existing files " +
+          "carry no baseRowId (enable delta.enableRowTracking at creation)")
     commitMetadata(log, snap, "SET TBLPROPERTIES",
       snap.metadata.copy(configuration = snap.metadata.configuration ++ props))
   }

@@ -509,8 +509,23 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val enc = org.apache.spark.sql.Encoders.product[Action]
     try {
       val aligned = df.select(enc.schema.fields.toIndexedSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+        else (f.dataType, df.schema(f.name).dataType) match {
+          // null-fill subfields the source lacks (e.g. a checkpoint written
+          // before row tracking existed has no add.baseRowId) so the typed
+          // decode keeps working instead of falling back to JSON
+          case (want: org.apache.spark.sql.types.StructType,
+                have: org.apache.spark.sql.types.StructType)
+              if !want.fieldNames.forall(have.fieldNames.contains) =>
+            org.apache.spark.sql.functions.when(col(f.name).isNotNull,
+              org.apache.spark.sql.functions.struct(
+                want.fields.toIndexedSeq.map { sf =>
+                  if (have.fieldNames.contains(sf.name))
+                    col(s"${f.name}.`${sf.name}`").as(sf.name)
+                  else lit(null).cast(sf.dataType).as(sf.name)
+                }: _*)).as(f.name)
+          case _ => col(f.name)
+        }
       }: _*)
       aligned.as[Action](enc).collect().toSeq
     } catch {

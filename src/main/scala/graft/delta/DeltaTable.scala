@@ -51,12 +51,29 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     val base =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, base0)
       else base0
+    // row tracking: fresh row id of row i in a file = baseRowId + i — a
+    // second path→literal map alongside the file ordinal, no join
+    val rowIdCols =
+      if (!snap.allFiles.exists(_.baseRowId.isDefined)) Nil
+      else {
+        def pathMap(value: AddFile => Option[Long]) = map(snap.allFiles.flatMap { f =>
+          val p = snap.absolutePath(f)
+          value(f).toSeq.flatMap(v =>
+            Seq(p.toString -> v, p.toUri.getPath -> v))
+        }.distinctBy(_._1).flatMap { case (p, v) => Seq(lit(p), lit(v)) }
+          .toIndexedSeq: _*)
+        Seq(
+          (element_at(pathMap(_.baseRowId), col("_metadata.file_path")) +
+            col("_metadata.row_index")).as("row_id"),
+          element_at(pathMap(_.defaultRowCommitVersion),
+            col("_metadata.file_path")).as("row_commit_version"))
+      }
     base.select(
       (snap.schema.fieldNames.map(col) ++ Seq(
         col("_metadata.file_path").as("filename"),
         col("_metadata.row_index").as("file_row_number"),
         element_at(map(mapArgs.toIndexedSeq: _*), col("_metadata.file_path"))
-          .as("delta_file_number"))).toIndexedSeq: _*)
+          .as("delta_file_number")) ++ rowIdCols).toIndexedSeq: _*)
   }
 
   /** ATTACH analog: register as a temp view (optionally pinned). */

@@ -75,14 +75,22 @@ object DeltaWriter {
 
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
 
-    val genFilled = fillGenerated(snapshot, df)
+    val genFilled0 = fillGenerated(snapshot, df)
+
+    // identity columns: auto-assign when missing (distributed prefix sum),
+    // sync the high-water mark when explicit; the new mark is committed in
+    // the SAME version via the schema re-emit below. At creation the
+    // supplied values seed the mark.
+    val (genFilled, identityMarks) = Identity.fill(spark,
+      snapshot.map(_.schema).getOrElse(df.schema), genFilled0,
+      creating = snapshot.isEmpty)
 
     // column alignment + schema validation against the table; with
     // mergeSchema, unseen columns extend the schema and existing columns
     // may WIDEN (int→long, float→double, decimal growth — the protocol's
     // type-widening evolution; old files upcast on read). Incoming columns
     // NARROWER than the table type are upcast before writing either way.
-    val (aligned, tableSchema) = snapshot match {
+    val (aligned, tableSchema0) = snapshot match {
       case Some(s) =>
         val have = genFilled.columns.map(_.toLowerCase).toSet
         val want = s.schema.fieldNames.map(_.toLowerCase).toSet
@@ -125,6 +133,9 @@ object DeltaWriter {
         }
       case None => (genFilled, genFilled.schema)
     }
+    // advanced identity high-water marks ride the same commit (the
+    // schemaString comparison in commitAppend re-emits metaData)
+    val tableSchema = Identity.withMarks(tableSchema0, identityMarks)
 
     // reference rejects appends to EXISTING tables whose schema carries
     // NOT NULL array-element constraints (delta_table_entry.cpp:99-103);
@@ -246,7 +257,8 @@ object DeltaWriter {
       path: String,
       replaceWhere: Option[org.apache.spark.sql.Column] = None,
       partitionBy: Seq[String] = Nil,
-      configuration: Map[String, String] = Map.empty): Long = {
+      configuration: Map[String, String] = Map.empty,
+      dynamicPartitions: Boolean = false): Long = {
     val log = DeltaLog.forPath(spark, path)
     if (!log.tableExists) {
       require(replaceWhere.isEmpty, "replaceWhere requires an existing table")
@@ -256,6 +268,10 @@ object DeltaWriter {
     ProtocolGate.validateWrite(snap,
       if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE")
     val partCols = snap.metadata.partitionColumns
+    require(!dynamicPartitions || replaceWhere.isEmpty,
+      "dynamic partition overwrite and replaceWhere are mutually exclusive")
+    require(!dynamicPartitions || partCols.nonEmpty,
+      s"dynamic partition overwrite requires a partitioned table ($path is unpartitioned)")
 
     val genFilled = fillGenerated(Some(snap), df)
     val have = genFilled.columns.map(_.toLowerCase).toSet
@@ -283,9 +299,26 @@ object DeltaWriter {
       toPhysical(spark, snap, enforced, partCols)
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
+      val adds0 = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
       val now = System.currentTimeMillis()
+      // row tracking: overwritten data is NEW data — fresh ids past the mark
+      val (adds, rtDomain) =
+        if (!RowTracking.enabled(snap)) (adds0, None)
+        else {
+          val (as, _, dm) = RowTracking.assign(adds0,
+            RowTracking.highWaterMark(snap), snap.version + 1)
+          (as, dm)
+        }
       val (removeActs, upgradeActs) = replaceWhere match {
+        case None if dynamicPartitions =>
+          // dynamic mode: replace exactly the partitions the incoming data
+          // touched — read off the staged adds' partitionValues, so no
+          // extra job runs and the physical-name encoding (column-mapped
+          // tables) matches the existing files by construction
+          val touched = adds.map(_.partitionValues).toSet
+          (snap.allFiles.filter(f => touched.contains(f.partitionValues))
+            .map(f => Action(RemoveFile(f.path, Some(now),
+              dataChange = true, f.deletionVector))), Nil)
         case None =>
           (snap.allFiles.map(f => Action(RemoveFile(f.path, Some(now),
             dataChange = true, f.deletionVector))), Nil)
@@ -296,12 +329,15 @@ object DeltaWriter {
           val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)
           (dvActs, DeltaDelete.protocolUpgradeActions(snap))
       }
-      val op = if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE"
+      val op =
+        if (dynamicPartitions) "OVERWRITE PARTITIONS"
+        else if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE"
       val actions =
         Seq(Action(CommitInfo(now, op, Map(
           "filesAdded" -> adds.size.toString,
           "filesRemoved" -> removeActs.size.toString) ++
           replaceWhere.map(p => "predicate" -> p.toString)))) ++
+        rtDomain.map(Action(_)).toSeq ++
         upgradeActs ++ removeActs ++ adds.map(Action(_))
       // full overwrite replaces EVERY live row its base snapshot listed —
       // any concurrent data change invalidates the remove set; replaceWhere
@@ -310,9 +346,12 @@ object DeltaWriter {
         actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
         actions.flatMap(_.remove).map(_.path).toSet,
         replaceWhere match {
-          case Some(cond) =>
+          // row-tracked tables: the staged ids were assigned against this
+          // snapshot's mark, so ANY concurrent commit (which may itself
+          // have assigned ids) must abort the rebase
+          case Some(cond) if !RowTracking.enabled(snap) =>
             ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, cond))
-          case None => ConflictChecker.ReadScope.WholeTable
+          case _ => ConflictChecker.ReadScope.WholeTable
         })
     } catch {
       case t: Throwable =>
@@ -726,11 +765,27 @@ object DeltaWriter {
     while (true) {
       attempt += 1
       val version = snapshot.map(_.version + 1).getOrElse(0L)
+      // row tracking: assign baseRowId continuing from the CURRENT
+      // snapshot's mark (recomputed per retry — ids live only in the log,
+      // so a rebase just re-assigns; nothing in the data files changes)
+      val rtEnabled = snapshot.map(RowTracking.enabled)
+        .getOrElse(RowTracking.enabledAtCreate(configuration))
+      val (addsOut, rtDomain) =
+        if (!rtEnabled) (adds, None)
+        else {
+          val hwm = snapshot.map(RowTracking.highWaterMark).getOrElse(-1L)
+          val (as, _, dm) = RowTracking.assign(adds, hwm, version)
+          (as, dm)
+        }
       val actions = ArrayBuffer.empty[Action]
       actions += Action(CommitInfo(System.currentTimeMillis(), operation,
         Map("partitionBy" -> partCols.mkString(","))))
       if (snapshot.isEmpty) {
-        actions += Action(Protocol())
+        actions += Action(
+          if (rtEnabled)
+            Protocol(minReaderVersion = 1, minWriterVersion = 7,
+              writerFeatures = Some(Seq("rowTracking", "domainMetadata")))
+          else Protocol())
         actions += Action(graft.delta.Metadata(
           id = UUID.randomUUID.toString,
           schemaString = schema.json,
@@ -743,7 +798,8 @@ object DeltaWriter {
       }
       for (app <- txnAppId; v <- txnVersion)
         actions += Action(SetTransaction(app, v, Some(System.currentTimeMillis())))
-      adds.foreach(a => actions += Action(a))
+      rtDomain.foreach(dm => actions += Action(dm))
+      addsOut.foreach(a => actions += Action(a))
 
       val content = actions.map(ActionJson.toJson).mkString("", "\n", "\n")
       try {
@@ -767,6 +823,15 @@ object DeltaWriter {
           require(latest.metadata.schemaString == schema.json ||
               latest.metadata.schema.fieldNames.sameElements(schema.fieldNames),
             s"Concurrent metadata change on ${log.tablePath}")
+          // identity safety: our staged files hold ids computed against the
+          // BASE snapshot's high-water mark — a concurrent commit that
+          // advanced any mark makes those ids collide, so abort (the
+          // caller's rollback removes the staged files)
+          baseSnapshot.foreach { b =>
+            require(Identity.hwmUnchanged(b.schema, latest.metadata.schema),
+              s"Concurrent identity assignment on ${log.tablePath}: " +
+                "staged ids were computed against a stale high-water mark")
+          }
           snapshot = Some(latest)
       }
     }

@@ -114,7 +114,11 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
         DeltaWriter.overwrite(spark, data, path,
           replaceWhere = parameters.get("replaceWhere")
             .map(org.apache.spark.sql.functions.expr),
-          partitionBy = partCols)
+          partitionBy = partCols,
+          // delta-spark's dynamic partition overwrite: replace only the
+          // partitions present in the incoming data
+          dynamicPartitions = parameters.get("partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic")))
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graftdelta: table already exists at $path (mode ErrorIfExists)")

@@ -82,15 +82,28 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
       if (options.pushdownFilters)
         FileSkipping.keeper(snapshot.physicalDataSchema, statsFilters)
       else None
+    // 1b. generated-column partition pruning: filters on the BASE column
+    //     of a monotonic generation expression imply partition filters
+    //     (delta-spark OptimizeGeneratedColumn analog) — `WHERE ts >= L`
+    //     prunes `PARTITIONED BY (year(ts))` partitions
+    val derivedPartFilters =
+      if (!options.pushdownFilters) Nil
+      else GeneratedPruning.derive(spark, snapshot, logicalNames, dataFilters)
+    if (derivedPartFilters.nonEmpty)
+      GraftMetrics.record(PushdownEvent(
+        snapshot.log.tablePath.toString, "generated",
+        derivedPartFilters.map(_.sql).mkString(" AND "),
+        snapshot.fileCount.toInt, -1))
+    val allPartFilters = partitionFilters ++ derivedPartFilters
     // 2. partition predicate, bound POSITIONALLY against the partition
     //    schema (row construction looks values up by the LOG's physical
     //    keys, so logical exposure stays consistent)
     val partitionBound: Option[Expression] =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
+      if (allPartFilters.isEmpty || partitionSchema.isEmpty) None
       else {
         val partAttrs: Seq[Attribute] = partitionSchema.fields.toSeq.map(f =>
           AttributeReference(f.name, f.dataType, f.nullable)())
-        Some(partitionFilters.reduce(And).transform {
+        Some(allPartFilters.reduce(And).transform {
           case a: AttributeReference =>
             val idx = partAttrs.indexWhere(p => p.name.equalsIgnoreCase(a.name))
             if (idx >= 0) BoundReference(idx, partAttrs(idx).dataType, partAttrs(idx).nullable)

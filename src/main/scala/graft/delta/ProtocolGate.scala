@@ -76,7 +76,16 @@ object ProtocolGate {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
-    "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck")
+    "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking")
+
+  /** Operations that MOVE rows between files. Row tracking requires a
+    * mover to materialize and carry row ids — this engine assigns fresh
+    * ids on append and preserves positions under DV deletes, but does not
+    * materialize ids through rewrites, so row-moving operations on
+    * row-tracked tables are refused loudly rather than silently breaking
+    * id stability. */
+  private val rowMovingOps =
+    Set("UPDATE", "MERGE", "OPTIMIZE", "ZORDER")
 
   /** Operations that remove rows with dataChange=true — forbidden on
     * `delta.appendOnly` tables per protocol. OPTIMIZE/VACUUM stay legal:
@@ -115,5 +124,10 @@ object ProtocolGate {
       throw new UnsupportedTableFeatureException(
         s"Cannot $operation $tablePath: table is append-only " +
           "(delta.appendOnly=true forbids dataChange removes)")
+    if (rowMovingOps.contains(operation) && RowTracking.enabled(snap))
+      throw new UnsupportedTableFeatureException(
+        s"Cannot $operation $tablePath: row tracking is enabled and this " +
+          "engine does not materialize row ids through rewrites " +
+          "(append, DELETE and OVERWRITE remain legal)")
   }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.{DeltaLog, DeltaTable, DeltaWriter, Identity}
+
+class IdentitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("identity").toString + "/t"
+
+  /** Empty table whose `rid` column is GENERATED ALWAYS AS IDENTITY
+    * (start 1000, step 2). */
+  private def createIdentityTable(dir: String,
+      allowExplicit: Boolean = false): Unit = {
+    val schema = StructType(Seq(
+      StructField("rid", LongType, nullable = true,
+        Identity.metadataFor(start = 1000, step = 2,
+          allowExplicitInsert = allowExplicit)),
+      StructField("name", StringType, nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    DeltaWriter.append(spark, empty, dir)
+  }
+
+  test("auto-assignment is contiguous from start, multi-partition, and bumps the mark") {
+    val dir = freshDir()
+    createIdentityTable(dir)
+    val data = spark.range(0, 100).repartition(7)
+      .select(concat(lit("u"), col("id")).as("name"))
+    DeltaWriter.append(spark, data, dir)
+
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select(col("rid")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0 until 100).map(i => 1000L + 2L * i),
+      "ids must be exactly start, start+step, …")
+
+    val hwm = Identity.identityCols(
+      DeltaLog.forPath(spark, dir).update().schema).head.highWaterMark
+    assert(hwm.contains(1000L + 2L * 99), s"high-water mark $hwm")
+
+    // second append continues from the mark — no overlap
+    DeltaWriter.append(spark, spark.range(0, 10)
+      .select(concat(lit("v"), col("id")).as("name")), dir)
+    val all = DeltaTable.forPath(spark, dir).toDF
+      .select(col("rid")).collect().map(_.getLong(0))
+    assert(all.length == 110 && all.distinct.length == 110, "ids must stay unique")
+    assert(all.max == 1000L + 2L * 109)
+  }
+
+  test("explicit insert refused on GENERATED ALWAYS, accepted + mark-synced when allowed") {
+    val always = freshDir()
+    createIdentityTable(always)
+    val withIds = spark.range(3).select(col("id").as("rid"),
+      lit("x").as("name"))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaWriter.append(spark, withIds, always)
+    }
+    assert(e.getMessage.contains("identity"))
+
+    val byDefault = freshDir()
+    createIdentityTable(byDefault, allowExplicit = true)
+    DeltaWriter.append(spark,
+      spark.range(1).select(lit(5000L).as("rid"), lit("seed").as("name")),
+      byDefault)
+    // mark synced to 5000 → next auto id is 5002
+    DeltaWriter.append(spark,
+      spark.range(1).select(lit("auto").as("name")), byDefault)
+    val rows = DeltaTable.forPath(spark, byDefault).toDF
+      .select("rid", "name").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(rows("seed") == 5000L && rows("auto") == 5002L, rows.toString)
+  }
+
+  test("concurrent identity appends cannot both commit against one mark") {
+    val dir = freshDir()
+    createIdentityTable(dir)
+    DeltaWriter.append(spark, spark.range(1).select(lit("a").as("name")), dir)
+    // simulate: writer B commits an identity append between A's snapshot
+    // read and A's commit — A must abort, not blind-append-retry
+    val log = DeltaLog.forPath(spark, dir)
+    val base = log.update()
+    DeltaWriter.append(spark, spark.range(1).select(lit("b").as("name")), dir)
+    // replay A's flow against the stale base: fill + direct commitAppend is
+    // internal, so drive it through append with a doctored log cache — the
+    // public path re-reads the log, so instead assert the GUARD itself
+    val latest = DeltaLog.forPath(spark, dir).update()
+    assert(!Identity.hwmUnchanged(base.schema, latest.schema),
+      "advanced mark must be detected as a conflict")
+    assert(Identity.hwmUnchanged(latest.schema, latest.schema))
+  }
+
+  test("creation with data seeds the mark from the supplied values") {
+    val dir = freshDir()
+    val schema = StructType(Seq(
+      StructField("rid", LongType, nullable = true,
+        Identity.metadataFor(start = 1, step = 1)),
+      StructField("name", StringType, nullable = true)))
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, "a"), org.apache.spark.sql.Row(9L, "b"))),
+      schema)
+    DeltaWriter.append(spark, seed, dir)
+    DeltaWriter.append(spark, spark.range(1).select(lit("c").as("name")), dir)
+    val rows = DeltaTable.forPath(spark, dir).toDF.collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(rows("c") == 10L, s"auto id must continue past the seeded max: $rows")
+  }
+
+  test("negative step descends and the mark follows") {
+    val dir = freshDir()
+    val schema = StructType(Seq(
+      StructField("rid", LongType, nullable = true,
+        Identity.metadataFor(start = 0, step = -5)),
+      StructField("name", StringType, nullable = true)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    DeltaWriter.append(spark, empty, dir)
+    DeltaWriter.append(spark, spark.range(4).select(lit("x").as("name")), dir)
+    val ids = DeltaTable.forPath(spark, dir).toDF
+      .select("rid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(-15L, -10L, -5L, 0L))
+  }
+}

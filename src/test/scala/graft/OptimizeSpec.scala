@@ -324,6 +324,41 @@ class OptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path, partitionBy = Seq("n_regionkey"))
+
+    // incoming data touches only region 1 — other partitions must survive
+    val recoded = src.filter(col("n_regionkey") === 1)
+      .withColumn("n_name", lower(col("n_name")))
+    val v = DeltaWriter.overwrite(spark, recoded, path, dynamicPartitions = true)
+    DeltaLog.clearCache()
+    val after = DeltaTable.forPath(spark, path).toDF
+    assert(after.count() == src.count())
+    assert(after.filter(col("n_regionkey") =!= 1).count() ==
+      src.filter(col("n_regionkey") =!= 1).count())
+    assert(after.filter(col("n_regionkey") === 1).collect()
+      .forall(_.getAs[String]("n_name").forall(c => !c.isUpper)))
+    // prior version still time-travels
+    assert(DeltaTable.forPath(spark, path).toDF(versionAsOf = v - 1)
+      .filter(col("n_regionkey") === 1).collect()
+      .exists(_.getAs[String]("n_name").exists(_.isUpper)))
+
+    // writer-option surface: history records OVERWRITE PARTITIONS
+    val ops = DeltaTable.forPath(spark, path).history()
+      .select("operation").collect().map(_.getString(0))
+    assert(ops.contains("OVERWRITE PARTITIONS"), ops.mkString(","))
+
+    // unpartitioned table refuses dynamic mode
+    val flat = tmpTable()
+    DeltaWriter.append(spark, src, flat)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.overwrite(spark, src, flat, dynamicPartitions = true)
+    }
+  }
+
   test("shallow clone references source files; clones evolve independently") {
     val src = Fixtures.readParquet(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))

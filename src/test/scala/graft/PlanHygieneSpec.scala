@@ -46,6 +46,43 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"partition pruning did not reduce files: $last")
   }
 
+  test("generated-column partition pruning: base-column filters prune year partitions") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val src = Fixtures.readParquet(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "year(o_orderdate)").build()
+    val p = java.nio.file.Files.createTempDirectory("graft-genprune").toString + "/t"
+    val withYear = src
+      .withColumn("o_year", expr("CAST(year(o_orderdate) AS BIGINT)"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_year").as("o_year", genMeta))
+    graft.delta.DeltaWriter.append(spark, withYear, p, partitionBy = Seq("o_year"))
+
+    GraftMetrics.clear()
+    val df = DeltaTable.forPath(spark, p).toDF
+      .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+    val n = df.count()
+    val expected = src.where(col("o_orderdate") >= "1996-01-01" &&
+      col("o_orderdate") < "1997-01-01").count()
+    assert(n == expected, s"pruned scan returned $n rows, want $expected")
+
+    val ev = GraftMetrics.pushdownLog(spark).collect()
+    assert(ev.exists(_.getAs[String]("filterType") == "generated"),
+      s"no generated-pruning event: ${ev.mkString(";")}")
+    val const = ev.filter(_.getAs[String]("filterType") == "constant")
+    assert(const.nonEmpty && const.last.getAs[Int]("filesAfter") <
+      const.last.getAs[Int]("filesBefore"),
+      s"derived partition filter did not prune files: ${const.mkString(";")}")
+
+    // equality and IN also derive
+    GraftMetrics.clear()
+    DeltaTable.forPath(spark, p).toDF
+      .where(col("o_orderdate") === "1995-06-15").count()
+    assert(GraftMetrics.pushdownLog(spark).collect()
+      .exists(_.getAs[String]("filterType") == "generated"))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     RelationalQueries.ensureViews(spark, sfDir)
     val df = spark.table("customer")

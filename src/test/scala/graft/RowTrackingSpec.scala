@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.delta.{DeltaLog, DeltaTable, DeltaWriter, RowTracking, UnsupportedTableFeatureException}
+
+class RowTrackingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("rowtrack").toString + "/t"
+
+  private val rtConf = Map("delta.enableRowTracking" -> "true")
+
+  test("appends assign contiguous fresh row ids and advance the mark") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    DeltaWriter.append(spark, src, dir)
+
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.protocol.writerFeatures.exists(_.contains("rowTracking")))
+    val n = src.count()
+    assert(RowTracking.highWaterMark(snap) == 2 * n - 1)
+    snap.allFiles.foreach { f =>
+      assert(f.baseRowId.isDefined && f.defaultRowCommitVersion.isDefined, f)
+    }
+
+    // read-side: row ids are exactly 0 .. 2n-1, each id once
+    val ids = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 2 * n).toSeq)
+    // commit version tracks which append created the row
+    val vers = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .groupBy(col("row_commit_version")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vers == Map(0L -> n, 1L -> n), vers.toString)
+  }
+
+  test("row ids survive DV deletes; row-moving ops are refused") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    val t = DeltaTable.forPath(spark, dir)
+    val before = t.toDFWithVirtualColumns
+      .select(col("n_nationkey").cast("long"), col("row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.delete(col("n_nationkey") % 2 === 0)
+    DeltaLog.clearCache()
+    val after = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .select(col("n_nationkey").cast("long"), col("row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.nonEmpty && after.keySet.forall(_ % 2 == 1))
+    after.foreach { case (k, id) =>
+      assert(before(k) == id, s"row id of surviving row $k changed: ${before(k)} -> $id")
+    }
+
+    intercept[UnsupportedTableFeatureException] {
+      DeltaTable.forPath(spark, dir)
+        .update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))
+    }
+    intercept[UnsupportedTableFeatureException] {
+      graft.delta.Optimize.compact(spark, DeltaLog.forPath(spark, dir))
+    }
+  }
+
+  test("enabling row tracking via ALTER on a non-empty table is refused") {
+    val dir = freshDir()
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region"), dir)
+    val e = intercept[UnsupportedOperationException] {
+      graft.delta.Alter.setProperties(spark, DeltaLog.forPath(spark, dir),
+        Map("delta.enableRowTracking" -> "true"))
+    }
+    assert(e.getMessage.contains("baseRowId"))
+  }
+
+  test("checkpoints preserve baseRowId and old checkpoints still decode") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    DeltaWriter.append(spark, src, dir)
+    val log = DeltaLog.forPath(spark, dir)
+    graft.delta.Checkpoints.writeCheckpoint(log, log.update())
+    DeltaLog.clearCache()
+    val replayed = DeltaLog.forPath(spark, dir).update()
+    assert(replayed.allFiles.forall(_.baseRowId.isDefined),
+      "checkpoint must carry baseRowId through")
+    assert(RowTracking.highWaterMark(replayed) == 2 * src.count() - 1)
+    // and the table still scans
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2 * src.count())
+  }
+
+  test("overwrite assigns fresh ids past the mark (old ids never reused)") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    val n = src.count()
+    DeltaWriter.overwrite(spark, src.limit(2).coalesce(1), dir)
+    DeltaLog.clearCache()
+    val ids = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(n, n + 1),
+      s"overwrite rows must get fresh ids past the mark: ${ids.toSeq}")
+  }
+}

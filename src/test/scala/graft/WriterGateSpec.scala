@@ -55,13 +55,13 @@ class WriterGateSpec extends AnyFunSuite {
     val path = tmpTable()
     DeltaWriter.append(spark, region, path)
     patchProtocol(path,
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV9"]}}""")
     val n = DeltaTable.forPath(spark, path).toDF.count() // read path unaffected
     assert(n == region.count())
     val e = intercept[UnsupportedTableFeatureException] {
       DeltaWriter.append(spark, region, path)
     }
-    assert(e.getMessage.contains("rowTracking"))
+    assert(e.getMessage.contains("icebergCompatV9"))
     intercept[UnsupportedTableFeatureException] {
       DeltaTable.forPath(spark, path).delete(col("r_regionkey") === 0)
     }
