@@ -251,6 +251,7 @@ object PipelineQueries {
     "text_unigram_surprisal" -> ((s, dir) =>
       Curation.unigramSurprisal(docs(s, dir))),
     "text_repetition" -> ((s, dir) => Curation.repetitionFlags(docs(s, dir))),
+    "curation_verdict" -> ((s, dir) => Curation.verdict(docs(s, dir))),
 
     // --- session windows (native Spark session_window operator; the
     //     oracle re-derives the same sessions as a gap-islands window,
@@ -444,6 +445,58 @@ object PipelineQueries {
        |  UNION
        |  SELECT nbrs.n AS doc_id, reach.r FROM reach JOIN nbrs ON nbrs.m = reach.doc_id)
        |SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Composed curation verdict oracle: the near-dup (canonicalization),
+    * contamination (5-gram), repetition (bigram) and length signals in ONE
+    * query — mirrors Curation.verdict's fixed reason order. Every flag is
+    * a concrete boolean (IS NOT NULL / direct comparison), so OR-logic has
+    * no three-valued surprises. */
+  private val curationVerdictSql =
+    s"""WITH RECURSIVE $shingleCtes,
+       |$jaccardCandCtes,
+       |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT ia, ib FROM (
+       |    SELECT ia, ib, len(list_intersect(sa.ss, sb.ss)) AS inter,
+       |           len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+       |    FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib)
+       |  WHERE inter * 7 >= uni * 2),
+       |nbrs AS (SELECT ia AS n, ib AS m FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+       |reach AS (
+       |  SELECT n AS doc_id, n AS r FROM (SELECT DISTINCT n FROM nbrs)
+       |  UNION
+       |  SELECT nbrs.n AS doc_id, reach.r FROM reach JOIN nbrs ON nbrs.m = reach.doc_id),
+       |dup AS (SELECT doc_id FROM (
+       |    SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY doc_id)
+       |  WHERE keep_id <> doc_id),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+       |      i -> t[i] || ' ' || t[i+1])) AS b FROM toks),
+       |bg2 AS (SELECT doc_id, b FROM bg WHERE len(string_split(b, ' ')) = 2),
+       |bcnt AS (SELECT doc_id, b, count(*) AS c FROM bg2 GROUP BY doc_id, b),
+       |rep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, max(c) AS top_n, sum(c) AS total_n FROM bcnt GROUP BY doc_id)
+       |  WHERE top_n * 20 >= total_n AND total_n >= 20),
+       |ng5 AS (SELECT DISTINCT doc_id, s5 FROM (
+       |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-3, 1)),
+       |     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s5
+       |   FROM toks) raw WHERE len(string_split(s5,' ')) = 5),
+       |bench AS (SELECT DISTINCT s5 FROM ng5 WHERE doc_id % 31 = 0),
+       |contam AS (SELECT DISTINCT ng5.doc_id FROM ng5 JOIN bench USING (s5)
+       |           WHERE ng5.doc_id % 31 <> 0),
+       |v AS (SELECT d.doc_id,
+       |  (dup.doc_id IS NOT NULL) AS f_dup,
+       |  (contam.doc_id IS NOT NULL) AS f_contam,
+       |  (rep.doc_id IS NOT NULL) AS f_rep,
+       |  (d.n_chars < 50) AS f_short
+       |  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |  LEFT JOIN contam ON d.doc_id = contam.doc_id
+       |  LEFT JOIN rep ON d.doc_id = rep.doc_id)
+       |SELECT doc_id,
+       |  (NOT (f_dup OR f_contam OR f_rep OR f_short)) AS keep,
+       |  concat_ws(',', CASE WHEN f_dup THEN 'dup' END,
+       |    CASE WHEN f_contam THEN 'contam' END,
+       |    CASE WHEN f_rep THEN 'rep' END,
+       |    CASE WHEN f_short THEN 'short' END) AS reasons
+       |FROM v ORDER BY doc_id""".stripMargin
 
   /** SimHash signature CTE body: per-doc 64-bit simhash as 16 hex chars
     * from md5 token hashes — mirrors TextOps.simhashHexAgg. Yields
@@ -780,6 +833,7 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> minhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_canonical" -> canonicalSql,
+    "curation_verdict" -> curationVerdictSql,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS sim

@@ -718,6 +718,26 @@ object SparkEntry {
         .orderBy(col("_commit_version"))
     }),
 
+    // --- batch CDF via format options (delta-spark surface):
+    //     read.format(...).option("readChangeFeed","true")
+    //     .option("startingVersion", 1).option("endingVersion", 1) —
+    //     versioned window selection through the options, not the API ---
+    "delta_cdf_options_read" -> ((s, dir) => {
+      val src = Fixtures.readNormalized(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val p = java.nio.file.Files.createTempDirectory("graft-cdfopt").toString + "/t"
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 0), p)
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 1), p)
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") < 5), p)
+      // only the middle commit's inserts (the odd keys)
+      s.read.format("graftdelta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "1")
+        .load(p)
+        .select(col("n_nationkey"), col("n_name"), col("_change_type"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // --- CDF WRITE path: with delta.enableChangeDataFeed=true the DML
     //     ops stage _change_data parquet + cdc actions, and changes()
     //     reads THEM as authoritative (update_pre/postimage rows exist
@@ -1015,6 +1035,9 @@ object SparkEntry {
     "delta_cdf_plain_read" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "delta_cdf_options_read" ->
+      """SELECT n_nationkey, n_name, 'insert' AS _change_type
+        |FROM nation WHERE n_nationkey % 2 = 1 ORDER BY n_nationkey""".stripMargin,
     "q_variant_json" ->
       """SELECT json_extract(props, '$.k')::INT % 10 AS k_mod, count(*) AS n,
         | round(sum(value), 2) AS v

@@ -177,6 +177,23 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     atOrBefore.max
   }
 
+  /** First commit version at or after `tsMillis` — the CDF
+    * `startingTimestamp` boundary (versionAtTimestamp is the time-travel
+    * complement: last version at or before). */
+  def firstVersionAtOrAfter(tsMillis: Long): Long = {
+    val versions = listCommitVersions()
+    require(versions.nonEmpty, s"no commits for table $tablePath")
+    def tsOf(v: Long): Long =
+      readCommit(v).flatMap(_.commitInfo).headOption
+        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
+        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
+    val atOrAfter = versions.filter(v => tsOf(v) >= tsMillis)
+    require(atOrAfter.nonEmpty,
+      s"startingTimestamp $tsMillis is after the last commit of $tablePath " +
+        s"(latest ${tsOf(versions.max)})")
+    atOrAfter.min
+  }
+
   /** Snapshot at a pinned version — time travel (`versionAsOf`). */
   def snapshotAt(version: Long): Snapshot = {
     val cached = versionCache.get(version)

@@ -63,12 +63,39 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
       DeltaLog.forPath(sqlContext.sparkSession, pathOf(parameters)), parameters)
 
   override def createRelation(
-      sqlContext: SQLContext,
+      sqlContext0: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    val sqlContext = sqlContext0
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graftdelta requires a path"))
     val spark = sqlContext.sparkSession
     val log = DeltaLog.forPath(spark, path)
+    // batch CDF read: spark.read.format("graftdelta")
+    //   .option("readChangeFeed","true").option("startingVersion"/-Timestamp, …)
+    //   [.option("endingVersion"/-Timestamp, …)] — delta-spark's surface
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      def millisOf(ts: String): Long = ts.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
+      require(!(parameters.contains("startingVersion") &&
+          parameters.contains("startingTimestamp")),
+        "graftdelta CDF: startingVersion and startingTimestamp are mutually exclusive")
+      val start = parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp")
+          .map(ts => log.firstVersionAtOrAfter(millisOf(ts))))
+        .getOrElse(throw new IllegalArgumentException(
+          "graftdelta CDF: startingVersion or startingTimestamp is required"))
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp")
+          .map(ts => log.versionAtTimestamp(millisOf(ts))))
+        .getOrElse(log.update().version)
+      val df = DeltaTable.forPath(spark, path).changes(start, end)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlContext0
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "graftdelta: versionAsOf and timestampAsOf are mutually exclusive")
     val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {

@@ -173,4 +173,35 @@ object Curation {
         .as("surprisal"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * Composed curation verdict — the end-to-end corpus filter a training
+   * pipeline runs: keep a doc unless it is a near-duplicate (non-canonical
+   * member of a Jaccard cluster), benchmark-contaminated, repetitive, or
+   * too short. Every signal is one of the oracle-checked operators in
+   * this package, so the composition is engine-reproducible end to end;
+   * each flag set is orders smaller than the corpus and broadcasts into
+   * the final join. Returns (doc_id, keep, reasons) with reasons a
+   * fixed-order CSV.
+   */
+  def verdict(docs: DataFrame, minChars: Long = 50): DataFrame = {
+    val short = docs.where(col("n_chars") < minChars)
+      .select(col("doc_id"), lit(true).as("f_short"))
+    val rep = repetitionFlags(docs).select(col("doc_id"), lit(true).as("f_rep"))
+    val dup = Dedup.canonicalize(Dedup.jaccardPairsDfCapped(docs))
+      .where(col("keep_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("f_dup"))
+    val contam = decontaminate(docs)
+      .select(col("doc_id"), lit(true).as("f_contam"))
+    val reasons = concat_ws(",",
+      when(col("f_dup"), "dup"), when(col("f_contam"), "contam"),
+      when(col("f_rep"), "rep"), when(col("f_short"), "short"))
+    docs.select(col("doc_id"))
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(broadcast(rep), Seq("doc_id"), "left")
+      .join(broadcast(short), Seq("doc_id"), "left")
+      .select(col("doc_id"), (reasons === "").as("keep"), reasons.as("reasons"))
+      .orderBy(col("doc_id"))
+  }
 }

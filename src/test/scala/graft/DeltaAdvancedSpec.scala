@@ -12,6 +12,30 @@ class DeltaAdvancedSpec extends AnyFunSuite {
   private def tmpTable(): String =
     java.nio.file.Files.createTempDirectory("graft-adv-test").toString + "/t"
 
+  test("batch CDF options: timestamp boundaries pick the right version window") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src.limit(1), dir)
+    Thread.sleep(30)
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(30)
+    DeltaWriter.append(spark, src.limit(2), dir)
+    val log = DeltaLog.forPath(spark, dir)
+    // startingTimestamp between the commits resolves to the SECOND commit;
+    // endingTimestamp between them resolves to the FIRST
+    assert(log.firstVersionAtOrAfter(betweenMillis) == 1L)
+    assert(log.versionAtTimestamp(betweenMillis) == 0L)
+    val changed = spark.read.format("graftdelta")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", betweenMillis.toString)
+      .load(dir)
+    assert(changed.count() == 2, "only the second commit's two inserts")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("readChangeFeed", "true").load(dir)
+        .count() // no starting boundary
+    }
+  }
+
   test("type widening: INT32 files read under the widened LONG schema") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Widen)
     val t = DeltaTable.forPath(spark, p)
