@@ -277,6 +277,7 @@ object PipelineQueries {
     "ann_pairs_block" -> ((s, dir) => Similarity.pairsAboveThreshold(emb(s, dir), 200L, 0.25)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), 0L, 10)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopKSeeded(emb(s, dir), 0L, 10)),
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(emb(s, dir), 0L, 10)),
     "emb_centroids" -> ((s, dir) => Similarity.centroids(emb(s, dir))),
 
     // --- near-dup cluster canonicalization (drop-list materialization) ---
@@ -603,6 +604,42 @@ object PipelineQueries {
        |  FROM e)""".stripMargin
   }
 
+  /** PQ + exact re-rank oracle — mirrors Similarity.pqTopK(m=8, K=32,
+    * cand=50): data-seeded codebook, struct-min code assignment (ties →
+    * smallest cid, the same (d, cid) ordering as Spark's array_min), ADC
+    * candidate scoring, exact integer re-rank. */
+  private val annPqTopkSql = {
+    val (m, k, sub, cand, qid, topk) = (8, 32, 8, 50, 0, 10)
+    val subcols = (0 until m).map(j =>
+      s"list_sum(list_transform(range(1,${sub + 1}), i -> " +
+        s"(z.q[${j * sub}+i]-c.q[${j * sub}+i])*(z.q[${j * sub}+i]-c.q[${j * sub}+i]))) AS d$j")
+      .mkString(",\n  ")
+    val codecols = (0 until m).map(j =>
+      s"(min({'d': d$j, 'cid': cid})).cid AS c$j").mkString(",\n  ")
+    val joins = (0 until m).map(j => s"JOIN qd q$j ON q$j.cid = codes.c$j").mkString("\n")
+    val addist = (0 until m).map(j => s"q$j.d$j").mkString(" + ")
+    val dcols = (0 until m).map(j => s"d$j").mkString(", ")
+    s"""WITH z AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, q FROM z ORDER BY vec_id LIMIT $k),
+       |sub AS (SELECT z.vec_id, c.cid,
+       |  $subcols
+       |  FROM z, cent c),
+       |codes AS (SELECT vec_id,
+       |  $codecols
+       |  FROM sub GROUP BY vec_id),
+       |qd AS (SELECT cid, $dcols FROM sub WHERE vec_id = $qid),
+       |cands AS (SELECT codes.vec_id, CAST($addist AS BIGINT) AS adist FROM codes
+       |$joins
+       |  WHERE codes.vec_id <> $qid ORDER BY adist, codes.vec_id LIMIT $cand),
+       |qv AS (SELECT q FROM z WHERE vec_id = $qid)
+       |SELECT c2.vec_id,
+       |  CAST(list_sum(list_transform(range(1,65), i -> (z.q[i]-qv.q[i])*(z.q[i]-qv.q[i]))) AS BIGINT) AS d2
+       |FROM cands c2 JOIN z ON z.vec_id = c2.vec_id, qv
+       |ORDER BY d2, c2.vec_id LIMIT $topk""".stripMargin
+  }
+
   private val annLshTopkSql =
     s"""WITH ${lshBucketCtes(6, 42L)},
        |qv AS (SELECT v, bucket FROM b WHERE vec_id = 0)
@@ -862,6 +899,7 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_pq_topk" -> annPqTopkSql,
     "emb_near_dup_lsh" -> embNearDupSql,
     "emb_near_dup_clusters" -> embNearDupClustersSql,
     "emb_centroids" ->

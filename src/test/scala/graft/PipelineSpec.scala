@@ -138,6 +138,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("pq topk: exact re-rank recovers most true neighbors; deterministic") {
+    // ground truth on the same quantized grid PQ uses (L2 on floor(x*1000))
+    val z = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val qv = z.where(col("vec_id") === 0L).select(col("q")).head().getSeq[Long](0).toArray
+    val exact = z.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), typedlit(qv.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopK(emb, 0L, 10).collect()
+    assert(pq.length == 10)
+    val recall = pq.map(_.getAs[Long]("vec_id")).count(exact.contains) / 10.0
+    info(s"pq+rerank recall@10 = $recall (32x code compression, ADC candidates)")
+    assert(recall >= 0.5, s"pq recall too low: $recall")
+    val again = Similarity.pqTopK(emb, 0L, 10).collect()
+    assert(pq.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("ivf topk: deterministic, k results, bounded candidate scan") {
     val r1 = Similarity.ivfTopK(emb, 0L, 10).collect()
     val r2 = Similarity.ivfTopK(emb, 0L, 10).collect()
