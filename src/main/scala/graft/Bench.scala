@@ -36,7 +36,7 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "delta_scan_agg", "delta_dv_scan", "delta_partition_prune",
     "q3_join", "q5_multi_join", "q_window_rank", "q_events_hourly",
-    "q_correlated_subquery", "dedup_exact", "dedup_jaccard_pairs",
+    "q_sessionize", "q_correlated_subquery", "dedup_exact", "dedup_jaccard_pairs",
     "dedup_minhash_pairs", "ann_cosine_topk", "emb_centroids",
     "text_token_stats", "multimodal_features", "delta_snapshot_replay",
     "q_variant_json", "q9_profit_by_nation", "q18_large_orders",
@@ -48,8 +48,8 @@ object Bench {
   private val scaleHeadline = Seq(
     "q1_agg", "delta_scan_agg", "q3_join", "q5_multi_join",
     "q9_profit_by_nation", "q18_large_orders", "q6_selective_filter",
-    "q_window_rank", "q_events_hourly", "dedup_exact", "text_token_stats",
-    "emb_centroids")
+    "q_window_rank", "q_events_hourly", "q_sessionize", "dedup_exact",
+    "text_token_stats", "emb_centroids")
 
   private def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble

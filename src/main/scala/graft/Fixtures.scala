@@ -191,7 +191,11 @@ object Fixtures {
       case Cdf => buildCdf(spark, src, dir, spec)
       case Many =>
         for (i <- 0 until 40) {
-          DeltaWriter.append(spark, src.coalesce(1), dir)
+          // auto-checkpointing off: this fixture's POINT is a long JSON
+          // tail after one manual checkpoint (full-replay oracle)
+          DeltaWriter.append(spark, src.coalesce(1), dir,
+            configuration =
+              if (i == 0) Map("delta.checkpointInterval" -> "0") else Map.empty)
           if (i == 19) Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
         }
     }

@@ -86,6 +86,7 @@ object ConflictChecker {
       try {
         LogStore.write(log.fs, log.commitFile(attemptVersion), content)
         log.invalidateCache()
+        log.maybeAutoCheckpoint(attemptVersion, base.metadata.configuration)
         return attemptVersion
       } catch {
         case e: CommitConflictException =>

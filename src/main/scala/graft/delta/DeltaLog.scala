@@ -565,6 +565,24 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     cachedLatest = None
     versionCache.clear()
   }
+
+  /** Auto-checkpoint after a successful commit, every
+    * `delta.checkpointInterval` versions (default 10, delta-spark's
+    * default; <= 0 disables). Failures never fail the commit that
+    * triggered them — the checkpoint is a replay accelerator, not part
+    * of the transaction. At 100 TB this is what keeps log replay O(1)
+    * commits instead of O(history): without it a long-lived table
+    * replays thousands of JSON files per snapshot. */
+  def maybeAutoCheckpoint(version: Long,
+      configuration: Map[String, String]): Unit = {
+    val interval = configuration.get("delta.checkpointInterval")
+      .flatMap(_.trim.toIntOption).getOrElse(10)
+    if (interval > 0 && version > 0 && version % interval == 0)
+      try Checkpoints.checkpoint(this)
+      catch { case scala.util.control.NonFatal(e) =>
+        DeltaLog.log.warn(s"auto-checkpoint at $version failed for $tablePath", e)
+      }
+  }
 }
 
 object DeltaLog {

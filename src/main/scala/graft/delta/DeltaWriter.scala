@@ -805,6 +805,8 @@ object DeltaWriter {
       try {
         LogStore.write(log.fs, log.commitFile(version), content)
         log.invalidateCache()
+        log.maybeAutoCheckpoint(version, configuration ++
+          snapshot.map(_.metadata.configuration).getOrElse(Map.empty))
         return version
       } catch {
         case _: CommitConflictException if attempt < 10 =>

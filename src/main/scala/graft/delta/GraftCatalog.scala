@@ -289,6 +289,11 @@ final case class GraftTable(path: String, versionAsOf: Option[Long])(
     snapshot.metadata.partitionColumns
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
+  /** `SHOW TBLPROPERTIES graft.t` — the table's live configuration. */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    snapshot.metadata.configuration.asJava
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)

@@ -719,6 +719,10 @@ class DeltaSurfaceSpec extends AnyFunSuite {
     GraftCatalog.attach("alter_t", p)
     spark.sql("ALTER TABLE graft.alter_t SET TBLPROPERTIES ('delta.appendOnly'='true')")
     DeltaLog.clearCache()
+    // SHOW TBLPROPERTIES surfaces the live configuration
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.alter_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("delta.appendOnly").contains("true"), shown.toString)
     intercept[Exception] {
       DeltaTable.forPath(spark, p).delete(col("n_nationkey") === 1)
     }

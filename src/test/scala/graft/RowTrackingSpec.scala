@@ -67,6 +67,29 @@ class RowTrackingSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-checkpoint fires every delta.checkpointInterval commits") {
+    val dir = freshDir()
+    val row = Fixtures.readParquet(spark, sfDir, "region").limit(1)
+    DeltaWriter.append(spark, row, dir,
+      configuration = Map("delta.checkpointInterval" -> "5"))
+    (1 to 5).foreach(_ => DeltaWriter.append(spark, row, dir))
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.fs.exists(log.checkpointFile(5L)),
+      "commit 5 must have auto-checkpointed (interval 5)")
+    assert(!log.fs.exists(log.checkpointFile(3L)))
+    // and the table replays correctly from it
+    DeltaLog.clearCache()
+    assert(graft.delta.DeltaTable.forPath(spark, dir).toDF.count() == 6)
+
+    // interval 0 disables
+    val dir2 = freshDir()
+    DeltaWriter.append(spark, row, dir2,
+      configuration = Map("delta.checkpointInterval" -> "0"))
+    (1 to 10).foreach(_ => DeltaWriter.append(spark, row, dir2))
+    val log2 = DeltaLog.forPath(spark, dir2)
+    assert(!log2.fs.exists(log2.checkpointFile(10L)))
+  }
+
   test("enabling row tracking via ALTER on a non-empty table is refused") {
     val dir = freshDir()
     DeltaWriter.append(spark,
