@@ -44,7 +44,18 @@ final class DeltaStreamSource(
     parameters: Map[String, String]) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private val startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+  require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+    "startingVersion and startingTimestamp are mutually exclusive")
+  private val startingVersion = parameters.get("startingVersion").map(_.toLong)
+    .orElse(parameters.get("startingTimestamp").map { ts =>
+      // first commit at-or-after the timestamp (CDF boundary semantics,
+      // same rule as the batch readChangeFeed path)
+      val millis = ts.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
+      log.firstVersionAtOrAfter(millis)
+    })
+    .getOrElse(0L)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
   private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
   private val readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)

@@ -232,6 +232,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() == 320)
   }
 
+  test("delta stream source: startingTimestamp selects the right first version") {
+    import graft.delta.DeltaWriter
+    val path = java.nio.file.Files.createTempDirectory("stream-sts").toString + "/t"
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    DeltaWriter.append(spark, base.limit(50), path) // v0
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    DeltaWriter.append(spark, base.limit(80).exceptAll(base.limit(50)), path) // v1
+
+    val out = java.nio.file.Files.createTempDirectory("stream-sts-out").toString
+    val q = spark.readStream.format("graftdelta")
+      .option("startingTimestamp", between.toString).load(path)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stream-sts-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 30,
+      "only the post-timestamp commit's rows stream")
+    intercept[Exception] {
+      spark.readStream.format("graftdelta")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", between.toString).load(path)
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+  }
+
   test("AvailableNow drains in rate-limited micro-batches, then stops") {
     import graft.delta.DeltaWriter
     val path = java.nio.file.Files.createTempDirectory("stream-anow").toString + "/t"
