@@ -828,6 +828,29 @@ object SparkEntry {
         .select(col("doc_id"), col("rid")).orderBy(col("doc_id"))
     }),
 
+    // --- column defaults (writer feature allowColumnDefaults): frames
+    //     omitting a defaulted column get the default EXPRESSION filled at
+    //     write time; files written before stay as-is ---
+    "delta_column_default_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val p = java.nio.file.Files.createTempDirectory("graft-coldef").toString + "/t"
+      val src = Fixtures.readNormalized(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val defMeta = new MetadataBuilder()
+        .putString("CURRENT_DEFAULT", "'unreviewed'").build()
+      val seeded = src.where(col("s_suppkey") % 2 === 0)
+        .withColumn("status", lit("legacy"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          col("status").as("status", defMeta))
+      graft.delta.DeltaWriter.append(s, seeded, p)
+      // second append omits `status` entirely → default fills
+      graft.delta.DeltaWriter.append(s, src.where(col("s_suppkey") % 2 === 1), p)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("s_suppkey")).as("sum_key"))
+        .orderBy(col("status"))
+    }),
+
     // --- row tracking: fresh row ids assigned on append (baseRowId + file
     //     position), stable under DV deletes; single-file sorted appends
     //     make the assignment deterministic for the oracle ---
@@ -926,6 +949,10 @@ object SparkEntry {
       """SELECT 'graft.pipeline' AS domain, '{"v":1}' AS configuration""",
     "delta_txn_version" ->
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
+    "delta_column_default_scan" ->
+      """SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'legacy' ELSE 'unreviewed' END AS status,
+        | count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sum_key
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     // row tracking: evens get ids 0..k-1 (commit 1), odds continue (commit
     // 2); the %10==4 deletes survive with ids UNCHANGED
     "delta_row_tracking_scan" ->

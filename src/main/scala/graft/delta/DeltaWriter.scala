@@ -75,7 +75,9 @@ object DeltaWriter {
 
     val partCols = snapshot.map(_.metadata.partitionColumns).getOrElse(partitionBy)
 
-    val genFilled0 = fillGenerated(snapshot, df)
+    val genFilled00 = fillGenerated(snapshot, df)
+    val genFilled0 = fillDefaults(
+      snapshot.map(_.schema).getOrElse(genFilled00.schema), genFilled00)
 
     // identity columns: auto-assign when missing (distributed prefix sum),
     // sync the high-water mark when explicit; the new mark is committed in
@@ -211,6 +213,25 @@ object DeltaWriter {
     }
     (proj, StructType(physFields), physPart, writeOpts)
   }
+
+  /** Column defaults (field metadata `CURRENT_DEFAULT` — Spark's own
+    * default-value metadata key — protocol writer feature
+    * `allowColumnDefaults`): an incoming frame may omit the column and the
+    * engine fills the default EXPRESSION at write time. Write-time only,
+    * per the Delta feature: rows in files written before the column
+    * existed still read as NULL. */
+  private[delta] def fillDefaults(schema: StructType, df: DataFrame): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (f.metadata.contains("CURRENT_DEFAULT") &&
+          !d.columns.exists(_.equalsIgnoreCase(f.name)))
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(
+            f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
+      else d
+    }
+
+  private[delta] def hasDefaults(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT"))
 
   /** Generated columns (field metadata `delta.generationExpression`,
     * protocol writer feature `generatedColumns`): a writer may omit the
@@ -781,10 +802,13 @@ object DeltaWriter {
       actions += Action(CommitInfo(System.currentTimeMillis(), operation,
         Map("partitionBy" -> partCols.mkString(","))))
       if (snapshot.isEmpty) {
+        val createFeatures =
+          (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil) ++
+            (if (hasDefaults(schema)) Seq("allowColumnDefaults") else Nil)
         actions += Action(
-          if (rtEnabled)
+          if (createFeatures.nonEmpty)
             Protocol(minReaderVersion = 1, minWriterVersion = 7,
-              writerFeatures = Some(Seq("rowTracking", "domainMetadata")))
+              writerFeatures = Some(createFeatures))
           else Protocol())
         actions += Action(graft.delta.Metadata(
           id = UUID.randomUUID.toString,

@@ -76,7 +76,8 @@ object ProtocolGate {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
-    "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking")
+    "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
+    "allowColumnDefaults")
 
   /** Operations that MOVE rows between files. Row tracking requires a
     * mover to materialize and carry row ids — this engine assigns fresh

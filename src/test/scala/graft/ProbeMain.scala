@@ -84,6 +84,33 @@ object ProbeMain {
       try DeltaTable.forPath(spark, lpath).toDF.count()
       finally spark.conf.unset("spark.graft.lazySnapshot.minActions")
     }
+    probe("explicit insert into GENERATED ALWAYS identity is refused") {
+      val ipath = java.nio.file.Files.createTempDirectory("probe-id").toString + "/t"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rid",
+          org.apache.spark.sql.types.LongType, nullable = true,
+          Identity.metadataFor(start = 1, step = 1)),
+        org.apache.spark.sql.types.StructField("r_name",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      DeltaWriter.append(spark, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), ipath)
+      DeltaWriter.append(spark,
+        src.select(col("r_regionkey").cast("long").as("rid"), col("r_name")), ipath)
+    }
+    probe("UPDATE on a row-tracked table is refused (no id materialization)") {
+      val rpath = java.nio.file.Files.createTempDirectory("probe-rt").toString + "/t"
+      DeltaWriter.append(spark, src, rpath,
+        configuration = Map("delta.enableRowTracking" -> "true"))
+      DeltaTable.forPath(spark, rpath).update(col("r_regionkey") === 0,
+        Map("r_name" -> lit("x")))
+    }
+    probe("dynamic partition overwrite on an unpartitioned table is refused") {
+      DeltaWriter.overwrite(spark, src, path, dynamicPartitions = true)
+    }
+    probe("batch CDF read without a starting boundary is refused") {
+      spark.read.format("graftdelta").option("readChangeFeed", "true")
+        .load(path).count()
+    }
     probe("unsupported reader feature fails loudly") {
       val fpath = java.nio.file.Files.createTempDirectory("probe-ft").toString + "/t"
       DeltaWriter.append(spark, src, fpath)

@@ -67,6 +67,24 @@ class RowTrackingSpec extends AnyFunSuite {
     }
   }
 
+  test("column defaults fill omitted columns and stamp the writer feature") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val defMeta = new MetadataBuilder().putString("CURRENT_DEFAULT", "42").build()
+    val seeded = Fixtures.readParquet(spark, sfDir, "region")
+      .select(col("r_regionkey"), lit(7L).as("score", defMeta))
+    DeltaWriter.append(spark, seeded, dir)
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.protocol.writerFeatures.exists(_.contains("allowColumnDefaults")))
+    // omit `score` → default expression fills
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region").select(col("r_regionkey")), dir)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .groupBy(col("score")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(7L, 42L) && got(7L) == got(42L), got.toString)
+  }
+
   test("auto-checkpoint fires every delta.checkpointInterval commits") {
     val dir = freshDir()
     val row = Fixtures.readParquet(spark, sfDir, "region").limit(1)
