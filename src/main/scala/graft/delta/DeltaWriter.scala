@@ -173,7 +173,9 @@ object DeltaWriter {
     }
     val moved = ArrayBuffer.empty[Path]
     try {
-      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
+      val adds = writeFiles(spark, log, toStage, stageSchema, stagePartCols,
+        moved, stageOpts,
+        snapshot.map(_.metadata.configuration).getOrElse(configuration))
       commitAppend(log, snapshot, adds, tableSchema, partCols,
         configuration, txnAppId, txnVersion, operation)
     } catch {
@@ -421,7 +423,11 @@ object DeltaWriter {
       tableSchema: StructType,
       partCols: Seq[String],
       moved: ArrayBuffer[Path],
-      writeOptions: Map[String, String] = Map.empty): Seq[AddFile] = {
+      writeOptions: Map[String, String] = Map.empty,
+      /** table configuration governing stats collection; empty → read the
+        * live table's (callers on the create path must pass the create
+        * config — no snapshot exists yet) */
+      configuration: Map[String, String] = Map.empty): Seq[AddFile] = {
     val fs = log.fs
     // no leading dot/underscore: the staging dir is read back with
     // spark.read for the stats pass, and hidden-path filters would skip it
@@ -438,7 +444,12 @@ object DeltaWriter {
       if (!listRecursive(fs, staging).exists(_.getName.endsWith(".parquet")))
         return Seq.empty
 
-      val statsByFile = collectStats(spark, staging.toString, tableSchema, partCols)
+      val tableConf =
+        if (configuration.nonEmpty) configuration
+        else if (log.tableExists) log.update().metadata.configuration
+        else Map.empty[String, String]
+      val statsByFile =
+        collectStats(spark, staging.toString, tableSchema, partCols, tableConf)
 
       // NOT NULL enforcement from stats (reference delta_insert.cpp:151-247)
       val notNullCols = tableSchema.fields.filterNot(_.nullable).map(_.name)
@@ -641,11 +652,12 @@ object DeltaWriter {
       spark: SparkSession,
       staging: String,
       tableSchema: StructType,
-      partCols: Seq[String]): Map[String, FileStats] = {
+      partCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): Map[String, FileStats] = {
     val dataFields = tableSchema.fields.filterNot(f => partCols.contains(f.name))
     // stat targets: top-level leaves plus first-level struct leaves,
     // keyed by dotted path (nested stat tree on write)
-    val statKeys: Seq[(String, org.apache.spark.sql.Column, DataType)] =
+    val allStatKeys: Seq[(String, org.apache.spark.sql.Column, DataType)] =
       dataFields.toSeq.flatMap { f =>
         f.dataType match {
           case s: StructType =>
@@ -658,6 +670,26 @@ object DeltaWriter {
           case _ => Seq((f.name, col(s"`${f.name}`"), f.dataType))
         }
       }
+    // delta.dataSkippingNumIndexedCols (delta-spark default 32, -1 = all):
+    // cap the LEAF stat targets at the first N in schema order. A 1000-col
+    // schema would otherwise pay 2000+ aggregates per write for skipping
+    // stats nobody filters on; NOT NULL enforcement below is NOT capped —
+    // it is a constraint, not an optimization.
+    val numIndexed = configuration.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(_.trim.toIntOption).getOrElse(32)
+    val statKeys =
+      if (numIndexed < 0) allStatKeys else allStatKeys.take(numIndexed)
+    // NOT NULL columns beyond the cap still need their nullCount — the
+    // write-path constraint check reads it; only min/max skipping stats
+    // are capped
+    val ncOnlyKeys: Seq[(String, org.apache.spark.sql.Column)] = {
+      val kept = statKeys.map(_._1).toSet
+      val nonNullable = dataFields.filterNot(_.nullable).map(_.name).toSet
+      allStatKeys.collect {
+        case (key, c, _) if !kept.contains(key) && nonNullable.contains(key) =>
+          (key, c)
+      }
+    }
     // nested NOT NULL constraint paths: parent struct present, child null
     val nnKeys: Seq[(String, org.apache.spark.sql.Column)] =
       dataFields.toSeq.flatMap { f =>
@@ -680,6 +712,9 @@ object DeltaWriter {
       }
       aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nc_$key")
     }
+    ncOnlyKeys.foreach { case (key, c) =>
+      aggs += sum(when(c.isNull, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nc_$key")
+    }
     nnKeys.foreach { case (key, violated) =>
       aggs += sum(when(violated, 1L).otherwise(0L)).as(s"${STATS_PREFIX}nnv_$key")
     }
@@ -699,6 +734,10 @@ object DeltaWriter {
           if (mn != null) mins += key -> mn
           if (mx != null) maxs += key -> mx
         }
+        val nc = r.getAs[Any](s"${STATS_PREFIX}nc_$key")
+        if (nc != null) ncs += key -> nc.asInstanceOf[Long]
+      }
+      ncOnlyKeys.foreach { case (key, _) =>
         val nc = r.getAs[Any](s"${STATS_PREFIX}nc_$key")
         if (nc != null) ncs += key -> nc.asInstanceOf[Long]
       }

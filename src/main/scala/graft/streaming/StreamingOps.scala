@@ -136,6 +136,47 @@ object StreamingOps {
       .start()
   }
 
+  /**
+   * BOUNDED-state deduplicating ingest: like [[streamDedupIntoDelta]] but
+   * the seen-key state EXPIRES once event time passes `watermark` beyond a
+   * key's arrival (`dropDuplicatesWithinWatermark`) — the production shape
+   * for an unbounded 100 TB feed, where the plain dropDuplicates state
+   * would grow without bound. Duplicates delivered within the watermark
+   * window are dropped; a re-delivery later than the watermark is the
+   * upstream's contract violation, not state the pipeline can afford to
+   * keep. Sink commits stay exactly-once via txnVersion=batchId.
+   */
+  def streamDedupWithinWatermarkIntoDelta(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      targetTable: String,
+      dedupCols: Seq[String],
+      watermark: String = "1 hour",
+      appId: String = "graft-stream-dedup-wm",
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val ts =
+      if (src.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      else src
+    ts.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(dedupCols)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        DeltaWriter.append(spark, batch.toDF(), targetTable,
+          txnAppId = Some(appId), txnVersion = Some(batchId),
+          operation = "STREAMING DEDUP WM")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Native session-window sessionization: per-user sessions that merge
     * events closer than `gap` (new session iff gap-to-previous >= gap —
     * the semantics the `q_session_window` oracle pins down). State is

@@ -67,6 +67,41 @@ class RowTrackingSpec extends AnyFunSuite {
     }
   }
 
+  test("dataSkippingNumIndexedCols caps min/max stats but never NOT NULL enforcement") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    // 5 columns, cap at 2: min/max only for the first two leaves
+    val wide = spark.range(10).select(
+      col("id").as("a"), (col("id") * 2).as("b"), (col("id") * 3).as("c"),
+      (col("id") * 4).as("d"), concat(lit("x"), col("id")).as("e"))
+    DeltaWriter.append(spark, wide.coalesce(1), dir,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    // second append so stats collection runs under the EXISTING table conf
+    DeltaWriter.append(spark, wide.coalesce(1), dir)
+    val adds = DeltaLog.forPath(spark, dir).update().allFiles
+    adds.flatMap(_.stats).foreach { s =>
+      val node = graft.delta.ActionJson.mapper.readTree(s)
+      val mins = node.get("minValues")
+      assert(mins.has("a") && mins.has("b") && !mins.has("c") && !mins.has("e"),
+        s"min stats must stop after 2 indexed cols: $s")
+    }
+    // NOT NULL columns beyond the cap still enforce
+    val dir2 = freshDir()
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true),
+      StructField("c", LongType, nullable = true),
+      StructField("z", LongType, nullable = false)))
+    val ok = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, 2L, 3L, 4L))), schema)
+    DeltaWriter.append(spark, ok, dir2,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, 2L, 3L, null))),
+      StructType(schema.fields.map(_.copy(nullable = true))))
+    intercept[Exception] { DeltaWriter.append(spark, bad, dir2) }
+  }
+
   test("column defaults fill omitted columns and stamp the writer feature") {
     import org.apache.spark.sql.types._
     val dir = freshDir()

@@ -232,6 +232,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() == 320)
   }
 
+  test("watermark-bounded dedup drops in-window duplicates with expiring state") {
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-wmdd").toString
+    // double-deliver the first 500 events (same event_id, same ts) — the
+    // duplicate arrives within any watermark window of the original
+    val base = eventsBatch.limit(1000).select("event_id", "ts", "event_type", "value")
+    base.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    base.limit(500).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val target = java.nio.file.Files.createTempDirectory("stream-wmdd-t").toString + "/t"
+
+    val q = StreamingOps.streamDedupWithinWatermarkIntoDelta(
+      spark, srcDir, schema, target, dedupCols = Seq("event_id"),
+      watermark = "365 days") // all testdata ts fall within one window
+    q.awaitTermination()
+    val out = DeltaTable.forPath(spark, target).toDF
+    assert(out.count() == 1000L,
+      s"in-watermark duplicates must be dropped, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 1000L)
+  }
+
   test("delta stream source: startingTimestamp selects the right first version") {
     import graft.delta.DeltaWriter
     val path = java.nio.file.Files.createTempDirectory("stream-sts").toString + "/t"
