@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // join-derived runtime file re-pruning (data columns; DPP covers
     // partitions) — preCBO so it sees the optimized join tree exactly once
     e.injectPreCBORule(s => new graft.delta.DynamicFilePruning(s))
+    // unfiltered count(*) answered from the log (DV-aware) — no scan
+    e.injectPreCBORule(s => new graft.delta.MetadataOnlyCount(s))
     // graft catalog identifiers → full-fidelity V1 delta scan
     e.injectResolutionRule(s => new graft.delta.GraftCatalogResolution(s))
     e.injectFunction((

@@ -130,6 +130,14 @@ object SparkEntry {
       q1Shape(s.read.format("graftdelta").load(p))
     }),
 
+    // --- metadata-only count(*): answered from Σ numRecords − Σ DV
+    //     cardinalities, zero data files read (MetadataOnlyCount rule;
+    //     PlanHygieneSpec asserts the plan is a LocalRelation) ---
+    "delta_count_meta" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Dv)
+      DeltaTable.forPath(s, p).toDF.groupBy().agg(count(lit(1)).as("n"))
+    }),
+
     // --- schema evolution: old files yield NULL for the added column (§2.1 #8) ---
     "delta_schema_evolution" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "orders", Fixtures.Evolve)
@@ -926,6 +934,8 @@ object SparkEntry {
     "delta_multi_commit" -> q1Sql,
     "delta_dv_scan" -> q1Sql.replace("FROM lineitem",
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 7)"),
+    "delta_count_meta" ->
+      """SELECT count(*) AS n FROM lineitem WHERE NOT (l_orderkey % 10 = 7)""",
     "delta_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS BIGINT) AS sum_bonus,

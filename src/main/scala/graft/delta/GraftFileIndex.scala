@@ -45,6 +45,10 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
   def withDynamicThunk(t: () => Seq[Expression]): GraftFileIndex =
     new GraftFileIndex(spark, snapshot, options, logicalNames, dynamicThunks :+ t)
 
+  /** Exact live row count from log metadata (DV-aware) — the
+    * [[MetadataOnlyCount]] rewrite's input; None bails to a real scan. */
+  def snapshotExactRowCount: Option[Long] = snapshot.exactRowCount
+
   /** Evaluated once; a failing thunk degrades to no dynamic pruning. */
   @transient private lazy val dynamicFilters: Seq[Expression] =
     dynamicThunks.flatMap(t =>

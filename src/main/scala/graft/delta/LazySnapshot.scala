@@ -98,6 +98,22 @@ private[graft] class LazySnapshot(
   override lazy val hasDeletionVectors: Boolean =
     !addsDataset.filter((f: AddFile) => f.deletionVector.isDefined).isEmpty
 
+  override lazy val exactRowCount: Option[Long] = {
+    val (total, missing) = addsDataset
+      .mapPartitions { it =>
+        var s = 0L; var miss = 0L
+        it.foreach { f =>
+          f.parsedStats.flatMap(_.numRecords) match {
+            case Some(n) => s += n - f.deletionVector.map(_.cardinality).getOrElse(0L)
+            case None => miss += 1
+          }
+        }
+        Iterator((s, miss))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .collect().foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    if (missing == 0) Some(total) else None
+  }
+
   override private[graft] def scanCandidates(
       statsKeeper: Option[AddFile => Boolean],
       partitionBound: Option[Expression]): Seq[AddFile] = {

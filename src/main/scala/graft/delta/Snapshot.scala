@@ -158,6 +158,14 @@ class Snapshot(
 
   def hasDeletionVectors: Boolean = allFiles.exists(_.deletionVector.isDefined)
 
+  /** EXACT live row count from metadata alone: Σ per-file numRecords minus
+    * Σ deletion-vector cardinalities — both protocol-authoritative. None
+    * if any file lacks numRecords (foreign writers may omit stats).
+    * Powers the metadata-only `count(*)` rewrite ([[MetadataOnlyCount]]). */
+  lazy val exactRowCount: Option[Long] =
+    numRecordsEstimate.map(total =>
+      total - allFiles.map(_.deletionVector.map(_.cardinality).getOrElse(0L)).sum)
+
   /** DV registry broadcast, built + shipped ONCE per snapshot (the registry
     * eagerly reads every deletion vector on the driver — repeated reads of
     * a DV table must not re-read them or accumulate broadcasts). */

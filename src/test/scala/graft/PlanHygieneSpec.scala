@@ -83,6 +83,38 @@ class PlanHygieneSpec extends AnyFunSuite {
       .exists(_.getAs[String]("filterType") == "generated"))
   }
 
+  test("unfiltered count(*) is answered from metadata — no scan, DV-aware") {
+    val p = Fixtures.delta(spark, sfDir, "supplier", Fixtures.Plain)
+    val t = DeltaTable.forPath(spark, p)
+    val df = t.toDF.groupBy().count()
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"count(*) must not scan:\n$optimized")
+    val expected = Fixtures.readParquet(spark, sfDir, "supplier").count()
+    assert(df.collect()(0).getLong(0) == expected)
+    // spark.sql COUNT(*) over an attached view takes the same path
+    t.attach("meta_count_t")
+    val viaSql = spark.sql("SELECT count(*) AS n FROM meta_count_t")
+    assert(viaSql.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(viaSql.collect()(0).getLong(0) == expected)
+
+    // DV table: count subtracts the deletion-vector cardinalities
+    val dv = Fixtures.delta(spark, sfDir, "supplier", Fixtures.Dv)
+    val dvt = DeltaTable.forPath(spark, dv)
+    val dvCount = dvt.toDF.groupBy().count()
+    assert(dvCount.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "DV cardinality is metadata — the rewrite must still fire")
+    assert(dvCount.collect()(0).getLong(0) == dvt.toDF.where(lit(true)).count())
+
+    // a filter bails to the real scan (and still answers correctly)
+    val filtered = t.toDF.where(col("s_nationkey") > 5).groupBy().count()
+    assert(!filtered.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     RelationalQueries.ensureViews(spark, sfDir)
     val df = spark.table("customer")
@@ -95,8 +127,10 @@ class PlanHygieneSpec extends AnyFunSuite {
 
   test("DV scan keeps a single stage up to the aggregate (no extra shuffle)") {
     val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    // a column aggregate, NOT count(*): the metadata-only count rewrite
+    // would otherwise answer from the log and skip the DV filter entirely
     val df = DeltaTable.forPath(spark, p).toDF
-      .agg(count(lit(1)))
+      .agg(sum(col("l_quantity")))
     val plan = executedPlan(df).toString
     // the dv filter must not introduce a join
     assert(!plan.contains("Join"), plan.take(2000))
