@@ -395,7 +395,7 @@ object DeltaMerge {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, aligned, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts)
+        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
       // CDF: replaced target rows (preimage), their source replacements
       // (postimage), and non-matching source rows (insert) — one stage
       val cdcLines =
@@ -631,7 +631,7 @@ object DeltaMerge {
           val (stage, stageSchema, stagePartCols, stageOpts) =
             DeltaWriter.toPhysical(spark, snap, w, snap.metadata.partitionColumns)
           DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-            stagePartCols, moved, stageOpts)
+            stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
         case None => Nil
       }
       val cdcLines =
@@ -765,6 +765,11 @@ object DeltaUpdate {
     ProtocolGate.validateWrite(snap, "UPDATE")
     val bad = assignments.keys.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"unknown columns in SET: ${bad.mkString(", ")}")
+    val idCols = Identity.identityCols(snap.schema).map(_.field.name.toLowerCase).toSet
+    val idHit = assignments.keys.filter(k => idCols.contains(k.toLowerCase))
+    if (idHit.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"UPDATE cannot assign identity column(s) ${idHit.mkString(", ")}")
 
     val raw = snap.dmlDF
     // live rows only: resurrecting already-deleted rows would be corruption
@@ -798,7 +803,7 @@ object DeltaUpdate {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts)
+        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
       // CDF: pre-assignment matches + their new images, one cdc stage
       val cdcLines =
         if (!Cdc.enabled(snap)) Nil

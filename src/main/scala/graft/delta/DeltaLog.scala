@@ -160,20 +160,23 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
    * version list reading only the small JSON commits — the same driver
    * cost as any log listing.
    */
+  /** Authoritative commit timestamp: in-commit timestamp (writer feature
+    * inCommitTimestamp) when present; then commitInfo.timestamp; file
+    * modTime only as a last resort (foreign commits may omit commitInfo).
+    * SHARED by time travel and both CDF timestamp boundaries — one rule,
+    * one place. */
+  private def commitTimestamp(v: Long): Long =
+    readCommit(v).flatMap(_.commitInfo).headOption
+      .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
+      .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
+
   def versionAtTimestamp(tsMillis: Long): Long = {
     val versions = listCommitVersions()
     require(versions.nonEmpty, s"no commits for table $tablePath")
-    // in-commit timestamp (writer feature inCommitTimestamp) is
-    // authoritative when present; then commitInfo.timestamp; file modTime
-    // only as a last resort (foreign commits may omit commitInfo entirely)
-    def tsOf(v: Long): Long =
-      readCommit(v).flatMap(_.commitInfo).headOption
-        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
-        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
-    val atOrBefore = versions.filter(v => tsOf(v) <= tsMillis)
+    val atOrBefore = versions.filter(v => commitTimestamp(v) <= tsMillis)
     require(atOrBefore.nonEmpty,
       s"timestampAsOf $tsMillis predates the first commit of $tablePath " +
-        s"(earliest ${tsOf(versions.min)})")
+        s"(earliest ${commitTimestamp(versions.min)})")
     atOrBefore.max
   }
 
@@ -183,14 +186,10 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   def firstVersionAtOrAfter(tsMillis: Long): Long = {
     val versions = listCommitVersions()
     require(versions.nonEmpty, s"no commits for table $tablePath")
-    def tsOf(v: Long): Long =
-      readCommit(v).flatMap(_.commitInfo).headOption
-        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
-        .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
-    val atOrAfter = versions.filter(v => tsOf(v) >= tsMillis)
+    val atOrAfter = versions.filter(v => commitTimestamp(v) >= tsMillis)
     require(atOrAfter.nonEmpty,
       s"startingTimestamp $tsMillis is after the last commit of $tablePath " +
-        s"(latest ${tsOf(versions.max)})")
+        s"(latest ${commitTimestamp(versions.max)})")
     atOrAfter.min
   }
 

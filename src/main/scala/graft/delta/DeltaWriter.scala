@@ -296,7 +296,12 @@ object DeltaWriter {
     require(!dynamicPartitions || partCols.nonEmpty,
       s"dynamic partition overwrite requires a partitioned table ($path is unpartitioned)")
 
-    val genFilled = fillGenerated(Some(snap), df)
+    val genFilled1 = fillDefaults(snap.schema, fillGenerated(Some(snap), df))
+    // identity columns: same contract as append — missing columns
+    // auto-assign from the mark, explicit values refuse unless
+    // allowExplicitInsert and sync the mark (committed via the metadata
+    // re-emit below); overwritten rows are NEW data, never id reuse
+    val (genFilled, identityMarks) = Identity.fill(spark, snap.schema, genFilled1)
     val have = genFilled.columns.map(_.toLowerCase).toSet
     val want = snap.schema.fieldNames.map(_.toLowerCase).toSet
     require(have == want,
@@ -360,6 +365,10 @@ object DeltaWriter {
           "filesAdded" -> adds.size.toString,
           "filesRemoved" -> removeActs.size.toString) ++
           replaceWhere.map(p => "predicate" -> p.toString)))) ++
+        (if (identityMarks.nonEmpty)
+           Seq(Action(snap.metadata.copy(schemaString =
+             Identity.withMarks(snap.schema, identityMarks).json)))
+         else Nil) ++
         rtDomain.map(Action(_)).toSeq ++
         upgradeActs ++ removeActs ++ adds.map(Action(_))
       // full overwrite replaces EVERY live row its base snapshot listed —
@@ -369,10 +378,10 @@ object DeltaWriter {
         actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
         actions.flatMap(_.remove).map(_.path).toSet,
         replaceWhere match {
-          // row-tracked tables: the staged ids were assigned against this
-          // snapshot's mark, so ANY concurrent commit (which may itself
-          // have assigned ids) must abort the rebase
-          case Some(cond) if !RowTracking.enabled(snap) =>
+          // row-tracked/identity tables: the staged ids/marks were
+          // computed against this snapshot, so ANY concurrent commit
+          // (which may itself have assigned) must abort the rebase
+          case Some(cond) if !RowTracking.enabled(snap) && identityMarks.isEmpty =>
             ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, cond))
           case _ => ConflictChecker.ReadScope.WholeTable
         })
@@ -843,7 +852,11 @@ object DeltaWriter {
       if (snapshot.isEmpty) {
         val createFeatures =
           (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil) ++
-            (if (hasDefaults(schema)) Seq("allowColumnDefaults") else Nil)
+            (if (hasDefaults(schema)) Seq("allowColumnDefaults") else Nil) ++
+            // declare the feature so foreign writers that don't implement
+            // identity assignment refuse instead of planting stale ids
+            (if (Identity.identityCols(schema).nonEmpty) Seq("identityColumns")
+             else Nil)
         actions += Action(
           if (createFeatures.nonEmpty)
             Protocol(minReaderVersion = 1, minWriterVersion = 7,

@@ -48,7 +48,20 @@ object GeneratedPruning {
         val parsed = spark.sessionState.sqlParser.parseExpression(
           pf.metadata.getString("delta.generationExpression"))
         val bases = parsed.collect { case a: UnresolvedAttribute => a.name }.distinct
-        if (bases.length != 1 || !monotonic(parsed)) None
+        // function-based rules are monotonic only over temporal bases: a
+        // STRING base compares lexicographically in the filter but parses
+        // chronologically inside year()/to_date() — deriving there prunes
+        // rows whose strings don't parse (null partition). Identity
+        // (p = base) is order-preserving for any type.
+        def temporalBase: Boolean = bases.headOption.exists { b =>
+          snapshot.dataSchema.fields.find(_.name.equalsIgnoreCase(b))
+            .exists(f => f.dataType == org.apache.spark.sql.types.DateType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType ||
+              f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        }
+        val isIdentityExpr = parsed.isInstanceOf[UnresolvedAttribute]
+        if (bases.length != 1 || !monotonic(parsed) ||
+            (!isIdentityExpr && !temporalBase)) None
         else {
           val base = bases.head
           val exposed =

@@ -47,13 +47,28 @@ private[graft] class LazySnapshot(
     // foreign struct-form stats (writeStatsAsStruct, JSON form absent):
     // render back to the JSON string so file skipping keeps pruning —
     // same restoration DeltaLog.restoreParsedStructs does on the eager path
-    val df =
+    val df1 =
       if (!df0.columns.contains("stats_parsed")) df0
       else {
         val rendered = org.apache.spark.sql.functions.to_json(col("stats_parsed"))
         if (df0.columns.contains("stats"))
           df0.withColumn("stats", org.apache.spark.sql.functions.coalesce(col("stats"), rendered))
         else df0.withColumn("stats", rendered)
+      }
+    // ... and the partitionValues_parsed struct form likewise (a foreign
+    // struct-stats checkpoint may carry partition values ONLY as the typed
+    // struct; null-filling them would break constant injection + pruning)
+    val df =
+      if (!df1.columns.contains("partitionValues_parsed")) df1
+      else {
+        import org.apache.spark.sql.functions.{coalesce, from_json, to_json}
+        import org.apache.spark.sql.types.{MapType, StringType}
+        val rendered = from_json(
+          to_json(col("partitionValues_parsed"), Map("ignoreNullFields" -> "false")),
+          MapType(StringType, StringType))
+        if (df1.columns.contains("partitionValues"))
+          df1.withColumn("partitionValues", coalesce(col("partitionValues"), rendered))
+        else df1.withColumn("partitionValues", rendered)
       }
     val aligned = df.select(addEncoder.schema.fields.toIndexedSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name)

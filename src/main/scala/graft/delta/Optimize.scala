@@ -298,7 +298,7 @@ object Optimize {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, repacked, partCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts)
+        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
       val actions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("filesRemoved" -> toRewrite.size.toString,
@@ -392,7 +392,7 @@ object Optimize {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, repacked, partCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts)
+        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
       val actions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("zorderBy" -> cols.mkString(","),

@@ -77,7 +77,7 @@ object ProtocolGate {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
-    "allowColumnDefaults")
+    "allowColumnDefaults", "identityColumns")
 
   /** Operations that MOVE rows between files. Row tracking requires a
     * mover to materialize and carry row ids — this engine assigns fresh
@@ -130,5 +130,14 @@ object ProtocolGate {
         s"Cannot $operation $tablePath: row tracking is enabled and this " +
           "engine does not materialize row ids through rewrites " +
           "(append, DELETE and OVERWRITE remain legal)")
+    // MERGE copies source rows wholesale (incl. identity values) without
+    // assignment or high-water-mark sync — refuse rather than let a merge
+    // plant ids a later append would collide with. Append/overwrite gate
+    // and sync identity properly; UPDATE refuses identity ASSIGNMENTS at
+    // its own entry (values are otherwise preserved).
+    if (operation == "MERGE" && Identity.identityCols(snap.schema).nonEmpty)
+      throw new UnsupportedTableFeatureException(
+        s"Cannot MERGE into $tablePath: table has identity column(s) and " +
+          "MERGE does not assign or sync them (use append/overwrite)")
   }
 }

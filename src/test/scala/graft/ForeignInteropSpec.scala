@@ -71,6 +71,20 @@ class ForeignInteropSpec extends AnyFunSuite {
       .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     assert(got.count() == want.count())
     assert(got.select(want.columns.map(col).toIndexedSeq: _*).exceptAll(want).isEmpty)
+
+    // the LAZY (Dataset-backed) decode path restores partition values too —
+    // it aligns checkpoint columns independently of the eager path
+    graft.delta.DeltaLog.clearCache()
+    spark.conf.set("spark.graft.lazySnapshot.minActions", "1")
+    try {
+      val lazyGot = DeltaTable.forPath(spark, p).toDF
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 500)
+      assert(lazyGot.count() == want.count(),
+        "lazy checkpoint decode must restore partitionValues_parsed")
+    } finally {
+      spark.conf.unset("spark.graft.lazySnapshot.minActions")
+      graft.delta.DeltaLog.clearCache()
+    }
   }
 
   test("foreign checkpoint layout decodes via fallback; v0 json deleted") {

@@ -93,6 +93,48 @@ class IdentitySpec extends AnyFunSuite {
     assert(Identity.hwmUnchanged(latest.schema, latest.schema))
   }
 
+  test("overwrite and DML honor the identity contract (no silent id reuse)") {
+    // GENERATED ALWAYS: overwrite with explicit values refused
+    val always = freshDir()
+    createIdentityTable(always)
+    DeltaWriter.append(spark, spark.range(3).select(lit("a").as("name")), always)
+    intercept[UnsupportedOperationException] {
+      DeltaWriter.overwrite(spark,
+        spark.range(1).select(lit(9000L).as("rid"), lit("x").as("name")), always)
+    }
+    // UPDATE assigning the identity column refused; other columns fine
+    intercept[UnsupportedOperationException] {
+      DeltaTable.forPath(spark, always).update(lit(true), Map("rid" -> lit(1L)))
+    }
+    DeltaTable.forPath(spark, always).update(col("rid") === 1000L,
+      Map("name" -> lit("renamed")))
+    // MERGE refused outright on identity tables
+    intercept[Exception] {
+      DeltaTable.forPath(spark, always).upsert(
+        spark.range(1).select(lit(1000L).as("rid"), lit("z").as("name")),
+        Seq("rid"))
+    }
+
+    // BY DEFAULT: explicit overwrite allowed and the mark syncs, so the
+    // next append cannot collide
+    val byDefault = freshDir()
+    createIdentityTable(byDefault, allowExplicit = true)
+    DeltaWriter.append(spark, spark.range(3).select(lit("a").as("name")), byDefault)
+    DeltaWriter.overwrite(spark,
+      spark.range(1).select(lit(9000L).as("rid"), lit("seed").as("name")),
+      byDefault)
+    DeltaWriter.append(spark, spark.range(1).select(lit("next").as("name")), byDefault)
+    DeltaLog.clearCache()
+    val rows = DeltaTable.forPath(spark, byDefault).toDF.collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(rows("seed") == 9000L && rows("next") == 9002L,
+      s"append after explicit overwrite must continue past the synced mark: $rows")
+
+    // protocol declares the feature at creation
+    val snap = DeltaLog.forPath(spark, byDefault).update()
+    assert(snap.protocol.writerFeatures.exists(_.contains("identityColumns")))
+  }
+
   test("creation with data seeds the mark from the supplied values") {
     val dir = freshDir()
     val schema = StructType(Seq(
