@@ -142,6 +142,48 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
         "writer_features")
   }
 
+  /**
+   * Symlink-format manifest generation (delta-spark
+   * `GENERATE symlink_format_manifest` analog): writes
+   * `_symlink_format_manifest/[partition dirs/]manifest` files listing the
+   * snapshot's live data files as absolute URIs, one per line — the layout
+   * Presto/Trino/Athena external tables consume. Partitioned tables get
+   * one manifest per partition directory. Tables carrying deletion vectors
+   * refuse: a symlink reader would resurrect deleted rows.
+   *
+   * @return number of manifest files written
+   */
+  def generateSymlinkManifest(): Int = {
+    val s = snapshot
+    require(!s.hasDeletionVectors,
+      "cannot generate a symlink manifest for a table with deletion " +
+        "vectors: external readers would resurrect deleted rows")
+    val fs = log.fs
+    val root = new org.apache.hadoop.fs.Path(log.tablePath, "_symlink_format_manifest")
+    if (fs.exists(root)) fs.delete(root, true)
+    val partCols = s.metadata.partitionColumns
+    val groups = s.allFiles.groupBy { f =>
+      if (partCols.isEmpty) ""
+      else partCols.map { c =>
+        val k = s.physicalPartitionSchema.fieldNames
+          .find(_.equalsIgnoreCase(c)).getOrElse(c)
+        val v = f.partitionValues.get(k) match {
+          case Some(null) | None => "__HIVE_DEFAULT_PARTITION__"
+          case Some(x) => x
+        }
+        s"$k=$v"
+      }.mkString("/")
+    }
+    groups.foreach { case (dir, files) =>
+      val target = if (dir.isEmpty) new org.apache.hadoop.fs.Path(root, "manifest")
+        else new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, dir), "manifest")
+      val content = files.map(f => s.absolutePath(f).toUri.toString)
+        .sorted.mkString("", "\n", "\n")
+      LogStore.overwrite(fs, target, content)
+    }
+    groups.size
+  }
+
   /** Commit history (latest first; `CALL graft.history` is the SQL face
     * of the same [[DeltaLog.commitHistory]]). */
   def history(): DataFrame = {

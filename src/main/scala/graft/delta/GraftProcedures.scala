@@ -98,6 +98,13 @@ private[delta] object GraftProcedures {
         StructType(Seq(StructField("version", LongType))),
         args => new GenericInternalRow(
           Array[Any](Checkpoints.checkpoint(log(args.getString(0)))))))
+      case "generate" => Some(proc("generate",
+        "GENERATE symlink_format_manifest analog for external readers",
+        Seq(in("table", StringType)),
+        StructType(Seq(StructField("manifests_written", IntegerType))),
+        args => new GenericInternalRow(Array[Any](
+          DeltaTable.forPath(spark, log(args.getString(0)).tablePath.toString)
+            .generateSymlinkManifest()))))
       case "detail" => Some(procRows("detail",
         "Table-level facts (DESCRIBE DETAIL analog): layout, size, protocol",
         Seq(in("table", StringType)),
@@ -139,7 +146,7 @@ private[delta] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint",
-      "history", "detail")
+      "generate", "history", "detail")
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -283,9 +283,16 @@ object Optimize {
     val scoped = new Snapshot(log, snap.version, snap.protocol, snap.metadata,
       toRewrite, snap.setTransactions, snap.domainMetadata)
     val rows = scoped.toDF
-    val numFiles = math.max(1L,
-      toRewrite.map(f => f.parsedStats.flatMap(_.numRecords).getOrElse(0L)).sum
-        / maxRowsPerFile + 1).toInt
+    // delta.targetFileSize (bytes) takes precedence over the row cap when
+    // set — size output files by byte volume like delta-spark's OPTIMIZE
+    val numFiles = snap.metadata.configuration.get("delta.targetFileSize")
+      .flatMap(_.trim.toLongOption).filter(_ > 0) match {
+      case Some(target) =>
+        math.max(1L, toRewrite.map(_.size).sum / target + 1).toInt
+      case None => math.max(1L,
+        toRewrite.map(f => f.parsedStats.flatMap(_.numRecords).getOrElse(0L)).sum
+          / maxRowsPerFile + 1).toInt
+    }
     val partCols = snap.metadata.partitionColumns
     val repacked =
       if (partCols.nonEmpty) rows.repartition(numFiles, partCols.map(col): _*)

@@ -306,6 +306,45 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage)
   }
 
+  test("symlink manifest lists exactly the live files; DV tables refuse") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    DeltaWriter.append(spark, src, dir, partitionBy = Seq("s_nationkey"))
+    val t = DeltaTable.forPath(spark, dir)
+    val n = t.generateSymlinkManifest()
+    assert(n == src.select("s_nationkey").distinct().count(),
+      "one manifest per partition")
+    // reading exactly the manifest-listed parquet files reproduces the table
+    val root = new java.io.File(dir, "_symlink_format_manifest")
+    val listed = new scala.collection.mutable.ArrayBuffer[String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles.foreach(walk)
+      else if (f.getName == "manifest")
+        listed ++= scala.io.Source.fromFile(f).getLines()
+    walk(root)
+    assert(listed.nonEmpty && listed.forall(_.endsWith(".parquet")))
+    val viaManifest = spark.read.parquet(listed.toSeq.map(_.stripPrefix("file:")): _*)
+    assert(viaManifest.count() == src.count())
+    // SQL face
+    GraftCatalog.attach("manifest_t", dir)
+    val viaSql = spark.sql("CALL graft.generate('manifest_t')").collect()
+    assert(viaSql(0).getInt(0) == n)
+
+    // DV tables refuse: a symlink reader would resurrect deleted rows
+    // (unpartitioned copy: the tiny per-partition files above would be
+    // whole-file deletes, which produce removes, not DVs)
+    val dvDir = java.nio.file.Files.createTempDirectory("graft-manifest-dv").toString + "/t"
+    DeltaWriter.append(spark, src.coalesce(1), dvDir)
+    DeltaTable.forPath(spark, dvDir).delete(col("s_suppkey") % 5 === 0)
+    graft.delta.DeltaLog.clearCache()
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.forPath(spark, dvDir).generateSymlinkManifest()
+    }
+    assert(e.getMessage.contains("deletion"))
+  }
+
   test("appends and overwrites to column-mapped tables write physical names") {
     import org.apache.spark.sql.types._
     for (variant <- Seq(Fixtures.Mapped, Fixtures.MappedId)) {
