@@ -66,6 +66,10 @@ object SparkEntry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Foreign-written Delta tables shipped by the reference (read-only; the
+    * DAT interop gate reads them in place — see DatInteropSpec). */
+  private val datBase = "/root/reference/data/inlined"
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.sql.map { case (name, q) =>
@@ -518,6 +522,48 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
         .orderBy(col("p_brand"))
+    }),
+
+    // --- TRUE foreign-writer interop (DAT, reference data/inlined): tables
+    //     written by delta-rs 1.2 and delta-spark 3.3/4.x that our code did
+    //     NOT synthesize — pretty-printed multi-line logs, delta-rs classic
+    //     checkpoints, orphan data files, variant columns. Oracle side reads
+    //     the live parquet files directly (the reference's DAT pattern,
+    //     test/sql/dat/all.test:13-287). ---
+    "delta_dat_simple" -> ((s, _) => {
+      DeltaTable.forPath(s, s"$datBase/simple_table/delta_lake").toDF
+        .orderBy(col("i"))
+    }),
+    "delta_dat_issue303" -> ((s, _) => {
+      // delta-rs log + checkpoint; partition equality must not prune all
+      DeltaTable.forPath(s, s"$datBase/issue_303_partitioned/delta_lake").toDF
+        .filter(col("part") === 42)
+        .agg(count(lit(1)).as("n"), sum(col("i")).as("sum_i"))
+    }),
+    "delta_dat_null_lists" -> ((s, _) => {
+      // pretty-printed multi-line commit JSON; list-of-struct column
+      DeltaTable.forPath(s, s"$datBase/null_constraints_lists/delta_lake").toDF
+        .select(col("i"),
+          element_at(col("list_of_struct"), 1).getField("value").as("first_value"))
+        .orderBy(col("i"))
+    }),
+    "delta_dat_null_structs" -> ((s, _) => {
+      DeltaTable.forPath(s, s"$datBase/null_constraints_structs/delta_lake").toDF
+        .select(col("i"), col("struct").getField("value").as("sv"),
+          col("nested_struct").getField("value").getField("a").as("na"),
+          col("nested_struct").getField("value").getField("b").as("nb"))
+        .orderBy(col("i"))
+    }),
+    "delta_dat_variant" -> ((s, _) => {
+      // 3 parquet files on disk, only 1 referenced by an add — the oracle
+      // reads just the live file, so reading an orphan breaks the match
+      DeltaTable.forPath(s, s"$datBase/variant/basic").toDF
+        .agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("sum_id"))
+    }),
+    "delta_dat_unshredded" -> ((s, _) => {
+      // delta-spark-written classic checkpoint at v2 replays
+      DeltaTable.forPath(s, s"$datBase/unshredded-variant").toDF
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
     }),
 
     // --- pure-SQL write path: CTAS seeds the table, INSERT INTO appends,
@@ -1097,6 +1143,32 @@ object SparkEntry {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "delta_foreign_v2_json" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+    "delta_dat_simple" ->
+      s"""SELECT i FROM read_parquet(
+         |  '$datBase/simple_table/delta_lake/part-00000.snappy.parquet')
+         |ORDER BY i""".stripMargin,
+    "delta_dat_issue303" ->
+      s"""SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i
+         |FROM read_parquet(
+         |  '$datBase/issue_303_partitioned/delta_lake/part=42/*.parquet',
+         |  hive_partitioning=true)
+         |WHERE part = 42""".stripMargin,
+    "delta_dat_null_lists" ->
+      s"""SELECT i, list_of_struct[1].value AS first_value
+         |FROM read_parquet('$datBase/null_constraints_lists/delta_lake/*.parquet')
+         |ORDER BY i""".stripMargin,
+    "delta_dat_null_structs" ->
+      s"""SELECT i, struct.value AS sv, nested_struct.value.a AS na,
+         |  nested_struct.value.b AS nb
+         |FROM read_parquet('$datBase/null_constraints_structs/delta_lake/*.parquet')
+         |ORDER BY i""".stripMargin,
+    "delta_dat_variant" ->
+      s"""SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+         |FROM read_parquet(
+         |  '$datBase/variant/basic/part-00013-84e4060b-787f-498b-988e-f6707b796a52-c000.snappy.parquet')""".stripMargin,
+    "delta_dat_unshredded" ->
+      s"""SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+         |FROM read_parquet('$datBase/unshredded-variant/part-*.parquet')""".stripMargin,
     "delta_struct_evolution" ->
       """SELECT n_nationkey AS id, n_name AS a, n_regionkey AS b,
         | CASE WHEN n_nationkey % 2 = 1 THEN upper(n_name) END AS c

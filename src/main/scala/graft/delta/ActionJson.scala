@@ -22,7 +22,27 @@ object ActionJson {
   def parseLine(line: String): Option[Action] = {
     val t = line.trim
     if (t.isEmpty) return None
-    val n = mapper.readTree(t)
+    fromNode(mapper.readTree(t))
+  }
+
+  /** All JSON documents in a commit file, tolerant of layout: the Delta
+    * spec says one action per line, but real foreign-written fixtures
+    * exist with pretty-printed multi-line actions (reference
+    * data/inlined/null_constraints_lists/.../00000000000000000000.json is
+    * a concatenation of indented objects). Jackson's MappingIterator
+    * consumes concatenated JSON documents regardless of whitespace, so
+    * both layouts parse identically. */
+  def parseDocuments(txt: String): Seq[JsonNode] = {
+    val it = mapper.readerFor(classOf[JsonNode]).readValues[JsonNode](txt)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Parse a whole commit file's text into actions (layout-tolerant). */
+  def parseAll(txt: String): Seq[Action] = parseDocuments(txt).flatMap(fromNode)
+
+  def fromNode(n: JsonNode): Option[Action] = {
     if (n.has("add")) Some(Action(add = Some(parseAdd(n.get("add")))))
     else if (n.has("remove")) Some(Action(remove = Some(parseRemove(n.get("remove")))))
     else if (n.has("metaData")) Some(Action(metaData = Some(parseMetadata(n.get("metaData")))))

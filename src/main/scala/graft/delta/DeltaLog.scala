@@ -344,7 +344,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val in = fs.open(commitFile(v))
     try {
       val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      txt.split('\n').toSeq.flatMap(ActionJson.parseLine)
+      ActionJson.parseAll(txt)
     } finally in.close()
   }
 
@@ -362,11 +362,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
         try {
           val txt = new String(
             org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-          txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-            .flatMap { line =>
-              Option(ActionJson.mapper.readTree(line).get("commitInfo"))
-                .filterNot(_.isNull)
-            }.nextOption()
+          ActionJson.parseDocuments(txt).iterator
+            .flatMap(n => Option(n.get("commitInfo")).filterNot(_.isNull))
+            .nextOption()
         } finally in.close()
       (v,
         ci.flatMap(n => Option(n.get("inCommitTimestamp"))).map(_.asLong(0L))
@@ -380,8 +378,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val in = fs.open(commitFile(v))
     try {
       val txt = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
-      txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        val n = ActionJson.mapper.readTree(line)
+      ActionJson.parseDocuments(txt).flatMap { n =>
         Option(n.get("cdc")).filterNot(_.isNull).map(_.get("path").asText)
       }
     } finally in.close()
@@ -409,13 +406,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
         val txt =
           try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
           finally in.close()
-        val lines = txt.split('\n').toSeq.filter(_.trim.nonEmpty)
-        val nodes = lines.map(ActionJson.mapper.readTree)
+        val nodes = ActionJson.parseDocuments(txt)
         validateCheckpointMetadata(v, manifest,
           nodes.find(_.has("checkpointMetadata"))
             .map(_.get("checkpointMetadata").get("version").asLong))
         val scs = nodes.filter(_.has("sidecar")).map(_.get("sidecar").get("path").asText)
-        (lines.flatMap(ActionJson.parseLine), scs) // sidecar/cpMeta lines drop out
+        (nodes.flatMap(ActionJson.fromNode), scs) // sidecar/cpMeta lines drop out
       } else {
         val df = spark.read.parquet(manifest.toString)
         val cols = df.columns.toSet
