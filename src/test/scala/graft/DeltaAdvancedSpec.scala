@@ -289,4 +289,74 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(t.toDF(versionAsOf = 0).count() == src.count())
     assert(t.toDF.count() == src.filter(col("s_suppkey") % 2 === 1).count())
   }
+
+  // ---- DV known-answer tests: every expected byte below was produced by
+  // an INDEPENDENT implementation (python: struct + zlib.crc32 + a
+  // from-scratch Z85 encoder), assembled straight from the public specs —
+  // ZeroMQ RFC 32/Z85, RoaringFormatSpec, and the Delta protocol's
+  // "Deletion Vector Format". Decoding bytes the codec did not produce
+  // breaks the encode/decode symmetry that round-trip tests can't.
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Portable RoaringBitmapArray for rows {1,2,3, 2^32+1}: magic LE, count
+    * i64 LE, then per part [key i32 LE][RoaringFormatSpec 32-bit bitmap
+    * with SERIAL_COOKIE_NO_RUNCONTAINER=12346]. */
+  private val katPortableHex =
+    "d1d339640200000000000000000000003a3000000100000000000200100000000100" +
+    "02000300010000003a3000000100000000000000100000000100"
+  private val katRows = Set(1L, 2L, 3L, (1L << 32) | 1L)
+
+  test("DV KAT: z85 codec matches the ZeroMQ RFC test vector") {
+    val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
+    assert(DvCodec.z85Encode(bytes) == "HelloWorld")
+    assert(DvCodec.z85Decode("HelloWorld").sameElements(bytes))
+  }
+
+  test("DV KAT: hand-assembled portable bitmap bytes decode to the expected rows") {
+    val bm = DvCodec.deserialize(hex(katPortableHex))
+    assert(bm.cardinality == 4)
+    katRows.foreach(r => assert(bm.contains(r), s"row $r missing"))
+    assert(!bm.contains(0L) && !bm.contains(4L) && !bm.contains(1L << 32))
+    // and our encoder emits the magic + count + key framing byte-for-byte
+    // (container payloads may legally differ, e.g. run encoding, so only
+    // the 12-byte array header is asserted against the spec literal)
+    val enc = DvCodec.serialize(bm)
+    assert(enc.take(12).sameElements(hex(katPortableHex).take(12)))
+    assert(DvCodec.deserialize(enc).cardinality == 4)
+  }
+
+  test("DV KAT: framed DV file with independently-computed CRC32 reads back") {
+    val frame = hex(
+      "010000003c" + katPortableHex + "38896a26") // ver 1, size BE, data, crc BE
+    val data = DvCodec.readFramed(frame, 1)
+    assert(data.sameElements(hex(katPortableHex)))
+    assert(DvCodec.deserialize(data).cardinality == 4)
+    // corrupting one payload byte must fail the CRC check loudly
+    val bad = frame.clone(); bad(10) = (bad(10) ^ 1).toByte
+    assertThrows[IllegalArgumentException](DvCodec.readFramed(bad, 1))
+  }
+
+  test("DV KAT: inline 'i' descriptor with foreign-encoded z85 payload decodes") {
+    val inline = "^Bg9^0SSi20000000000iXQKl0rr91000625c8Xg0rrf30@@u40025l0003100000000Mg00031"
+    val dv = DeletionVectorDescriptor("i", inline, None, 60, 4)
+    val bm = DeletionVectorStore.read(
+      new org.apache.hadoop.fs.Path("/nonexistent"),
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      dv)
+    assert(bm.cardinality == 4)
+    katRows.foreach(r => assert(bm.contains(r)))
+  }
+
+  test("DV KAT: 'u' descriptor z85 uuid resolves to the spec'd file name") {
+    val u = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
+    val z = "01*zhl@^&yH)+oP+?.Z!" // independent z85 of the 16 BE uuid bytes
+    assert(DvCodec.uuidToZ85(u) == z)
+    assert(DvCodec.z85ToUuid(z) == u)
+    val p = DeletionVectorStore.resolvePath(
+      new org.apache.hadoop.fs.Path("/tbl"),
+      DeletionVectorDescriptor("u", s"ab$z", Some(1), 60, 4))
+    assert(p.toString == s"/tbl/ab/deletion_vector_$u.bin")
+  }
 }
