@@ -117,7 +117,13 @@ object Alter {
       insertAt(sch, parent, f, (parent :+ f.name).mkString("."))
     }
     commitMetadata(log, snap, "ADD COLUMNS",
-      snap.metadata.copy(schemaString = newSchema.json, configuration = newConfig))
+      snap.metadata.copy(schemaString = newSchema.json, configuration = newConfig),
+      // a defaulted column on a table created without defaults must stamp
+      // allowColumnDefaults here — create-path stamping doesn't cover it
+      protocol =
+        if (cols.exists(_._2.metadata.contains("CURRENT_DEFAULT")))
+          featureUpgrade(snap.protocol, Seq("allowColumnDefaults"))
+        else None)
   }
 
   /** Upgrade an unmapped table to column mapping, NAME mode: each existing
@@ -300,13 +306,47 @@ object Alter {
     // baseRowId backfill of every add action — refuse rather than leave a
     // table whose old rows have no ids (delta-spark runs a backfill job
     // here; enable at CREATE instead)
-    if (props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")) &&
-        !RowTracking.enabled(snap) && snap.allFiles.nonEmpty)
+    val enablingRt =
+      props.get("delta.enableRowTracking").exists(_.equalsIgnoreCase("true")) &&
+        !RowTracking.enabled(snap)
+    // zero-record files need no backfill; files WITHOUT stats must be
+    // assumed non-empty
+    val hasRows = snap.allFiles.exists(f =>
+      !f.parsedStats.flatMap(_.numRecords).contains(0L))
+    if (enablingRt && hasRows)
       throw new UnsupportedOperationException(
         "cannot enable row tracking on a non-empty table: existing files " +
           "carry no baseRowId (enable delta.enableRowTracking at creation)")
+    // …and on an EMPTY table the protocol must advertise the writer
+    // features in the SAME commit: subsequent appends write baseRowId
+    // fields + the delta.rowTracking domainMetadata, which foreign writers
+    // only honor under minWriterVersion 7 + rowTracking/domainMetadata
     commitMetadata(log, snap, "SET TBLPROPERTIES",
-      snap.metadata.copy(configuration = snap.metadata.configuration ++ props))
+      snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
+      protocol =
+        if (enablingRt)
+          featureUpgrade(snap.protocol, Seq("rowTracking", "domainMetadata"))
+        else None)
+  }
+
+  /** Writer-feature protocol upgrade: returns the protocol to commit when
+    * `needed` features are not yet advertised (None = already covered).
+    * Upgrading a legacy protocol to table features (minWriterVersion 7)
+    * must carry the features the legacy version implied, per the protocol
+    * spec's "Table Features" upgrade rule. */
+  private[delta] def featureUpgrade(p: Protocol, needed: Seq[String]): Option[Protocol] = {
+    val have = p.writerFeatures.getOrElse(Nil).toSet
+    val missing = needed.filterNot(have.contains)
+    if (missing.isEmpty && p.minWriterVersion >= 7) None
+    else {
+      val legacyImplied =
+        if (p.writerFeatures.isDefined) Nil
+        else Seq("appendOnly", "invariants").take(if (p.minWriterVersion >= 2) 2 else 0) ++
+          (if (p.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
+          (if (p.minWriterVersion >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+      Some(p.copy(minWriterVersion = 7,
+        writerFeatures = Some((have.toSeq ++ legacyImplied ++ missing).distinct)))
+    }
   }
 
   /** UNSET TBLPROPERTIES (missing keys are ignored, like delta-spark's

@@ -78,11 +78,18 @@ object Checkpoints {
     val cp = checkpoints.max
     val cutoff = nowMs - parseRetentionMs(config.get("delta.logRetentionDuration"))
     var deleted = 0
-    log.listCommitVersions().filter(_ < cp).foreach { v =>
+    // Prefix-safe: delete only a CONTIGUOUS run of expired commits from the
+    // low end. Per-file mtime alone is not monotone in version (clock skew,
+    // copies); deleting a mid-range commit while an older one survives
+    // would leave a gap that a later replay could silently read through
+    // (delta-spark's BufferingLogDeletionIterator solves the same hazard).
+    val candidates = log.listCommitVersions().sorted.takeWhile(_ < cp)
+    val expiredPrefix = candidates.takeWhile { v =>
       val f = log.commitFile(v)
-      if (fs.exists(f) && fs.getFileStatus(f).getModificationTime < cutoff) {
-        if (fs.delete(f, false)) deleted += 1
-      }
+      fs.exists(f) && fs.getFileStatus(f).getModificationTime < cutoff
+    }
+    expiredPrefix.foreach { v =>
+      if (fs.delete(log.commitFile(v), false)) deleted += 1
     }
     // classic checkpoints below the latest one are superseded the same
     // way; V2 (uuid-manifest) checkpoints are left alone — their sidecars

@@ -77,6 +77,20 @@ object ConflictChecker {
       content: String,
       touchedFiles: Set[String],
       scope: => ReadScope,
+      maxAttempts: Int = 10): Long =
+    commitWithRebaseAt(log, base, _ => content, touchedFiles, scope, maxAttempts)
+
+  /** As [[commitWithRebase]], but the commit content is a function of the
+    * version it actually lands at — required whenever the staged actions
+    * embed the commit version itself (row tracking's
+    * defaultRowCommitVersion), which a rebase over disjoint winners
+    * would otherwise misreport. */
+  def commitWithRebaseAt(
+      log: DeltaLog,
+      base: Snapshot,
+      contentAt: Long => String,
+      touchedFiles: Set[String],
+      scope: => ReadScope,
       maxAttempts: Int = 10): Long = {
     lazy val resolvedScope = scope // predicate resolution only on conflict
     var attemptVersion = base.version + 1
@@ -84,7 +98,7 @@ object ConflictChecker {
     while (true) {
       attempts += 1
       try {
-        LogStore.write(log.fs, log.commitFile(attemptVersion), content)
+        LogStore.write(log.fs, log.commitFile(attemptVersion), contentAt(attemptVersion))
         log.invalidateCache()
         log.maybeAutoCheckpoint(attemptVersion, base.metadata.configuration)
         return attemptVersion

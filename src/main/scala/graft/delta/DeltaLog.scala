@@ -256,6 +256,21 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
         case Some((cv, acts)) => (Some(cv), acts)
         case None => (None, Nil)
       }
+    // Contiguity guard: the replay basis is [checkpoint at cp] + every
+    // commit in (cp, version]. A hole in that range (mid-range commit
+    // deleted by an unsafe cleaner, partial copy) must fail loudly — a
+    // gapped replay can "succeed" whenever a surviving commit re-emits
+    // metaData (e.g. SET TBLPROPERTIES) and then silently returns wrong
+    // table state.
+    val replayRange = (cpVersion.getOrElse(-1L) + 1) to version
+    val have = versions.toSet
+    val missing = replayRange.filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"Cannot reconstruct $tablePath at version $version: commit file(s) " +
+          s"${missing.take(5).mkString(", ")}${if (missing.size > 5) ", …" else ""} " +
+          s"missing between checkpoint ${cpVersion.getOrElse(-1L)} and the target " +
+          "(expired-log cleanup past this version, or a partially copied log)")
     val replay = new LogReplay
     base.foreach(replay.apply)
     versions.filter(v => v > cpVersion.getOrElse(-1L) && v <= version)
@@ -266,6 +281,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   }
 
   private def replayOnTop(base: Snapshot, newerVersions: Seq[Long]): Snapshot = {
+    // same contiguity contract as snapshotAt: a hole between the cached
+    // snapshot and the tip must not be silently replayed through
+    val expected = (base.version + 1) to newerVersions.last
+    require(newerVersions == expected,
+      s"Non-contiguous commits after v${base.version} at $tablePath: " +
+        s"have ${newerVersions.mkString(",")}")
     val replay = LogReplay.fromSnapshot(base)
     newerVersions.foreach(v => readCommit(v).foreach(replay.apply))
     replay.toSnapshot(this, newerVersions.last)
@@ -311,7 +332,11 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           // actions reconcile against the checkpoint by decoded path
           val tailAdds = new mutable.LinkedHashMap[String, AddFile]
           val shadowed = mutable.Set.empty[String]
-          versions.filter(v => v > cv && v <= version).foreach { v =>
+          val tail = versions.filter(v => v > cv && v <= version)
+          if (tail != ((cv + 1) to version))
+            throw new IllegalStateException(
+              s"Non-contiguous commit tail after checkpoint v$cv at $tablePath")
+          tail.foreach { v =>
             readCommit(v).foreach { a =>
               a.add.foreach { f =>
                 tailAdds.put(f.decodedPath, f); shadowed += f.decodedPath

@@ -39,7 +39,12 @@ final class DeltaStreamSink(
   private def txnAppId: String =
     parameters.getOrElse("txnAppId",
       Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-        .getOrElse("graft-delta-sink"))
+        .getOrElse(throw new IllegalStateException(
+          "graftdelta sink cannot derive a transaction app id: the " +
+            "sql.streaming.queryId local property is unset. A shared " +
+            "fallback id would make two queries appending to the same " +
+            "table treat each other's batch ids as replays and silently " +
+            "skip data — pass .option(\"txnAppId\", <unique id>) instead")))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = GraftColumnBridge.asBatch(data)

@@ -142,6 +142,17 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
         "writer_features")
   }
 
+  /** Hive partition-path escaping (the rule Hive's FileUtils.escapePathName
+    * and Spark's ExternalCatalogUtils apply): '/', '=', '%', ':' etc. in a
+    * partition key or value become %XX so the directory layout stays
+    * unambiguous for Presto/Trino/Athena. */
+  private def escapePathName(s: String): String = {
+    def needsEscaping(c: Char): Boolean =
+      c < ' ' || c == '\u007F' || "\"#%'*/:=?\\{[]^".indexOf(c) >= 0
+    if (!s.exists(needsEscaping)) s
+    else s.flatMap(c => if (needsEscaping(c)) f"%%${c.toInt}%02X" else c.toString)
+  }
+
   /**
    * Symlink-format manifest generation (delta-spark
    * `GENERATE symlink_format_manifest` analog): writes
@@ -165,13 +176,15 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     val groups = s.allFiles.groupBy { f =>
       if (partCols.isEmpty) ""
       else partCols.map { c =>
+        // partitionValues is keyed by PHYSICAL name; the directory layout
+        // external readers (Presto/Trino/Athena) see uses LOGICAL names
         val k = s.physicalPartitionSchema.fieldNames
           .find(_.equalsIgnoreCase(c)).getOrElse(c)
         val v = f.partitionValues.get(k) match {
           case Some(null) | None => "__HIVE_DEFAULT_PARTITION__"
-          case Some(x) => x
+          case Some(x) => escapePathName(x)
         }
-        s"$k=$v"
+        s"${escapePathName(c)}=$v"
       }.mkString("/")
     }
     groups.foreach { case (dir, files) =>

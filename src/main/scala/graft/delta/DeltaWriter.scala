@@ -329,14 +329,19 @@ object DeltaWriter {
     try {
       val adds0 = writeFiles(spark, log, toStage, stageSchema, stagePartCols, moved, stageOpts)
       val now = System.currentTimeMillis()
-      // row tracking: overwritten data is NEW data — fresh ids past the mark
-      val (adds, rtDomain) =
+      // row tracking: overwritten data is NEW data — fresh ids past the
+      // mark. defaultRowCommitVersion must name the version the commit
+      // ACTUALLY lands at, so assignment is deferred into the rebase loop
+      // (a rebase over disjoint winners — SetTransaction-only,
+      // dataChange=false — moves the target version).
+      def assignAt(commitVersion: Long): (Seq[AddFile], Option[DomainMetadata]) =
         if (!RowTracking.enabled(snap)) (adds0, None)
         else {
           val (as, _, dm) = RowTracking.assign(adds0,
-            RowTracking.highWaterMark(snap), snap.version + 1)
+            RowTracking.highWaterMark(snap), commitVersion)
           (as, dm)
         }
+      val adds = assignAt(snap.version + 1)._1
       val (removeActs, upgradeActs) = replaceWhere match {
         case None if dynamicPartitions =>
           // dynamic mode: replace exactly the partitions the incoming data
@@ -360,9 +365,10 @@ object DeltaWriter {
       val op =
         if (dynamicPartitions) "OVERWRITE PARTITIONS"
         else if (replaceWhere.isDefined) "REPLACE WHERE" else "OVERWRITE"
-      val actions =
+      def actionsAt(commitVersion: Long): Seq[Action] = {
+        val (addsV, rtDomain) = assignAt(commitVersion)
         Seq(Action(CommitInfo(now, op, Map(
-          "filesAdded" -> adds.size.toString,
+          "filesAdded" -> addsV.size.toString,
           "filesRemoved" -> removeActs.size.toString) ++
           replaceWhere.map(p => "predicate" -> p.toString)))) ++
         (if (identityMarks.nonEmpty)
@@ -370,13 +376,14 @@ object DeltaWriter {
              Identity.withMarks(snap.schema, identityMarks).json)))
          else Nil) ++
         rtDomain.map(Action(_)).toSeq ++
-        upgradeActs ++ removeActs ++ adds.map(Action(_))
+        upgradeActs ++ removeActs ++ addsV.map(Action(_))
+      }
       // full overwrite replaces EVERY live row its base snapshot listed —
       // any concurrent data change invalidates the remove set; replaceWhere
       // conflicts only with winners inside (or overlapping) the predicate
-      ConflictChecker.commitWithRebase(log, snap,
-        actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
-        actions.flatMap(_.remove).map(_.path).toSet,
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => actionsAt(v).map(ActionJson.toJson).mkString("", "\n", "\n"),
+        (removeActs.flatMap(_.remove) ++ upgradeActs.flatMap(_.remove)).map(_.path).toSet,
         replaceWhere match {
           // row-tracked/identity tables: the staged ids/marks were
           // computed against this snapshot, so ANY concurrent commit
@@ -495,7 +502,11 @@ object DeltaWriter {
           size = st.getLen,
           modificationTime = st.getModificationTime,
           dataChange = true,
-          stats = fileStats.map(_.toJson))
+          // a staged file with no stats group is EMPTY (every row feeds its
+          // file's group): record that, so readers (metadata-only count,
+          // row-tracking enablement) can prove zero rows instead of
+          // assuming unknown
+          stats = fileStats.map(_.toJson).orElse(Some("""{"numRecords":0}""")))
       }.toSeq
     } finally {
       try fs.delete(staging, true) catch { case _: Exception => () }

@@ -217,6 +217,42 @@ class DeltaCoreSpec extends AnyFunSuite {
     intercept[Exception] { t.toDF(0L).count() }
   }
 
+  test("expired-log cleanup is prefix-safe: a fresh v0 shields later expired commits") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.limit(5), path)  // v0
+    DeltaWriter.append(spark, src.limit(3), path)  // v1
+    DeltaWriter.append(spark, src.limit(2), path)  // v2
+    val log = DeltaLog.forPath(spark, path)
+    Checkpoints.checkpoint(log)                    // cp @ v2
+    // age ONLY v1 (mtime skew: copies, clock drift). v0 stays fresh, so
+    // the expired prefix is empty — nothing may be deleted, else replay
+    // to v1/v2 from JSON would cross a hole.
+    val v1 = new java.io.File(path, "_delta_log/00000000000000000001.json")
+    assert(v1.setLastModified(System.currentTimeMillis() - 90L * 86400000))
+    val n = Checkpoints.cleanUpExpiredLogs(log,
+      Map("delta.logRetentionDuration" -> "interval 30 days"))
+    assert(n == 0, s"non-prefix deletion: reclaimed $n files")
+    assert(v1.exists())
+  }
+
+  test("gapped log fails loudly instead of replaying through the hole") {
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.limit(5), path)                       // v0
+    DeltaWriter.append(spark, src.limit(3), path)                       // v1
+    // v2 re-emits metaData — exactly the shape that let a gapped replay
+    // "succeed" silently before the contiguity guard
+    Alter.setProperties(spark, DeltaLog.forPath(spark, path), Map("foo.bar" -> "1")) // v2
+    DeltaWriter.append(spark, src.limit(2), path)                       // v3
+    assert(new java.io.File(path, "_delta_log/00000000000000000001.json").delete())
+    DeltaLog.clearCache()
+    val e = intercept[IllegalStateException] {
+      DeltaTable.forPath(spark, path).toDF.count()
+    }
+    assert(e.getMessage.contains("missing"), e.getMessage)
+  }
+
   test("crashed re-checkpoint: mixed multi-part set without pointer is ignored") {
     val src = Fixtures.readParquet(spark, sfDir, "orders")
     val path = tmpTable()

@@ -306,6 +306,21 @@ class DeltaSurfaceSpec extends AnyFunSuite {
       e.getMessage.contains("UNRESOLVED_COLUMN"), e.getMessage)
   }
 
+  test("symlink manifest Hive-escapes special partition values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-esc").toString + "/t"
+    val src = Seq((1L, "a/b=c:d%e"), (2L, "plain")).toDF("id", "seg")
+    DeltaWriter.append(spark, src, dir, partitionBy = Seq("seg"))
+    assert(DeltaTable.forPath(spark, dir).generateSymlinkManifest() == 2)
+    val root = new java.io.File(dir, "_symlink_format_manifest")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    // '/', '=', ':', '%' all escape — one unambiguous directory per value
+    assert(dirs.toSeq == Seq("seg=a%2Fb%3Dc%3Ad%25e", "seg=plain"), dirs.mkString(","))
+    dirs.foreach { d =>
+      assert(new java.io.File(new java.io.File(root, d), "manifest").isFile)
+    }
+  }
+
   test("symlink manifest lists exactly the live files; DV tables refuse") {
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"

@@ -154,6 +154,53 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("baseRowId"))
   }
 
+  test("enabling row tracking via ALTER on an EMPTY table upgrades the protocol") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src.limit(0), dir) // empty table, legacy protocol
+    graft.delta.Alter.setProperties(spark, DeltaLog.forPath(spark, dir),
+      Map("delta.enableRowTracking" -> "true"))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    // the SAME commit must advertise the writer features — appends write
+    // baseRowId + the rowTracking domainMetadata, which foreign writers
+    // only honor under minWriterVersion 7
+    assert(snap.protocol.minWriterVersion == 7)
+    val wf = snap.protocol.writerFeatures.getOrElse(Nil)
+    assert(wf.contains("rowTracking") && wf.contains("domainMetadata"), wf.toString)
+    DeltaWriter.append(spark, src.limit(4), dir)
+    val after = DeltaLog.forPath(spark, dir).update()
+    // the pre-existing ZERO-row file needs no id; every row-bearing file does
+    assert(after.allFiles
+      .filter(f => !f.parsedStats.flatMap(_.numRecords).contains(0L))
+      .forall(_.baseRowId.isDefined))
+    assert(RowTracking.highWaterMark(after) == 3L)
+  }
+
+  test("ADD COLUMNS with a default on a legacy table stamps allowColumnDefaults") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region").select(col("r_regionkey")), dir)
+    val before = DeltaLog.forPath(spark, dir).update()
+    assert(!before.protocol.writerFeatures.exists(_.contains("allowColumnDefaults")))
+    val defMeta = new MetadataBuilder().putString("CURRENT_DEFAULT", "99").build()
+    graft.delta.Alter.addColumns(spark, DeltaLog.forPath(spark, dir),
+      Seq(StructField("score", LongType, nullable = true, defMeta)))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.protocol.minWriterVersion == 7)
+    assert(snap.protocol.writerFeatures.exists(_.contains("allowColumnDefaults")),
+      snap.protocol.toString)
+    // legacy-implied features carried through the upgrade, per spec
+    assert(snap.protocol.writerFeatures.exists(_.contains("appendOnly")))
+    // and the default actually fills on the next write
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region").select(col("r_regionkey")).limit(2), dir)
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .filter(col("score") === 99).count()
+    assert(got == 2, s"default fill produced $got rows")
+  }
+
   test("checkpoints preserve baseRowId and old checkpoints still decode") {
     val dir = freshDir()
     val src = Fixtures.readParquet(spark, sfDir, "region")
