@@ -919,6 +919,10 @@ object SparkEntry {
       // delete a slice: surviving rows keep their ids (DV, no movement)
       DeltaTable.forPath(s, p).delete(col("doc_id") % 10 === 4)
       graft.delta.DeltaLog.clearCache()
+      // …and an id-stable rewrite: compaction materializes each row's id
+      // into the rewritten file, so the scan below must be unchanged by it
+      graft.delta.Optimize.compact(s, graft.delta.DeltaLog.forPath(s, p))
+      graft.delta.DeltaLog.clearCache()
       DeltaTable.forPath(s, p).toDFWithVirtualColumns
         .select(col("doc_id"), col("row_id"), col("row_commit_version"))
         .orderBy(col("doc_id"))

@@ -47,12 +47,21 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       val p = snap.absolutePath(f)
       Seq(p.toString -> i, p.toUri.getPath -> i)
     }.distinctBy(_._1).flatMap { case (p, i) => Seq(lit(p), lit(i)) }
-    val base0 = snap.relationDF
+    // materialized row-id columns (written by id-stable rewrites) join the
+    // read schema when configured; files lacking them read null
+    val matNames = RowTracking.materializedNames(snap.metadata)
+    val base0 = snap.relationDF(ScanOptions(),
+      matNames.toSeq.flatMap { case (mid, mver) =>
+        Seq(org.apache.spark.sql.types.StructField(mid,
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField(mver,
+              org.apache.spark.sql.types.LongType, nullable = true))
+      })
     val base =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, base0)
       else base0
-    // row tracking: fresh row id of row i in a file = baseRowId + i — a
-    // second path→literal map alongside the file ordinal, no join
+    // row tracking: row id = materialized value if present, else fresh id
+    // baseRowId + i — path→literal maps (codegen'd element_at), no join
     val rowIdCols =
       if (!snap.allFiles.exists(_.baseRowId.isDefined)) Nil
       else {
@@ -62,11 +71,16 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
             Seq(p.toString -> v, p.toUri.getPath -> v))
         }.distinctBy(_._1).flatMap { case (p, v) => Seq(lit(p), lit(v)) }
           .toIndexedSeq: _*)
-        Seq(
-          (element_at(pathMap(_.baseRowId), col("_metadata.file_path")) +
-            col("_metadata.row_index")).as("row_id"),
-          element_at(pathMap(_.defaultRowCommitVersion),
-            col("_metadata.file_path")).as("row_commit_version"))
+        val freshId = element_at(pathMap(_.baseRowId), col("_metadata.file_path")) +
+          col("_metadata.row_index")
+        val freshVer = element_at(pathMap(_.defaultRowCommitVersion),
+          col("_metadata.file_path"))
+        matNames match {
+          case Some((mid, mver)) => Seq(
+            coalesce(col(s"`$mid`"), freshId).as("row_id"),
+            coalesce(col(s"`$mver`"), freshVer).as("row_commit_version"))
+          case None => Seq(freshId.as("row_id"), freshVer.as("row_commit_version"))
+        }
       }
     base.select(
       (snap.schema.fieldNames.map(col) ++ Seq(

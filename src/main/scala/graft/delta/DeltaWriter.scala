@@ -196,19 +196,24 @@ object DeltaWriter {
     * id mode enables field-id writing via the job hadoopConf, never by
     * mutating the session conf. */
   private[delta] def toPhysical(spark: SparkSession, s: Snapshot,
-      df: DataFrame, partCols: Seq[String])
+      df: DataFrame, partCols: Seq[String],
+      /** physical pass-through columns beyond the table schema (the
+        * row-tracking rewrite's materialized id columns) */
+      extraCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
       : (DataFrame, StructType, Seq[String], Map[String, String]) = {
-    if (s.columnMappingMode == "none") return (df, s.schema, partCols, Map.empty)
+    if (s.columnMappingMode == "none")
+      return (df, StructType(s.schema.fields ++ extraCols), partCols, Map.empty)
     val writeOpts =
       if (s.columnMappingMode == "id")
         Map("spark.sql.parquet.fieldId.write.enabled" -> "true")
       else Map.empty[String, String]
-    val physFields = s.schema.fields.map(s.physicalField)
-    val proj = df.select(s.schema.fields.zip(physFields).map { case (lf, pf) =>
-      val c = col(s"`${lf.name}`")
-      val cc = if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)
-      cc.as(pf.name, pf.metadata)
-    }.toIndexedSeq: _*)
+    val physFields = s.schema.fields.map(s.physicalField) ++ extraCols
+    val proj = df.select((s.schema.fields.zip(s.schema.fields.map(s.physicalField))
+      .map { case (lf, pf) =>
+        val c = col(s"`${lf.name}`")
+        val cc = if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)
+        cc.as(pf.name, pf.metadata)
+      } ++ extraCols.map(f => col(s"`${f.name}`"))).toIndexedSeq: _*)
     val physPart = partCols.map { c =>
       s.physicalName(s.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown partition column $c")))

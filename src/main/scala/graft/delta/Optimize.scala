@@ -282,7 +282,19 @@ object Optimize {
     // as toDF (DV filtering, partition values, logical order)
     val scoped = new Snapshot(log, snap.version, snap.protocol, snap.metadata,
       toRewrite, snap.setTransactions, snap.domainMetadata)
-    val rows = scoped.toDF
+    // row-tracked tables rewrite id-stably: each row carries its id in the
+    // materialized columns (minted into the configuration on first rewrite)
+    val rtEnabled = RowTracking.enabled(snap)
+    val (mdAction, matNames) =
+      if (!rtEnabled) (None, None)
+      else {
+        val (md, names, minted) = RowTracking.ensureMaterializedNames(snap.metadata)
+        (if (minted) Some(md) else None, Some(names))
+      }
+    val rows = matNames match {
+      case Some((mid, mver)) => RowTracking.preservedRowsDF(spark, scoped, mid, mver)
+      case None => scoped.toDF
+    }
     // delta.targetFileSize (bytes) takes precedence over the row cap when
     // set — size output files by byte volume like delta-spark's OPTIMIZE
     val numFiles = snap.metadata.configuration.get("delta.targetFileSize")
@@ -302,21 +314,39 @@ object Optimize {
     try {
       // column-mapped tables rewrite through the same physical-name staging
       // as append/DML (logical frame → physical names + field ids)
+      val extraCols = matNames.toSeq.flatMap { case (mid, mver) =>
+        Seq(org.apache.spark.sql.types.StructField(mid,
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField(mver,
+              org.apache.spark.sql.types.LongType, nullable = true))
+      }
       val (stage, stageSchema, stagePartCols, stageOpts) =
-        DeltaWriter.toPhysical(spark, snap, repacked, partCols)
+        DeltaWriter.toPhysical(spark, snap, repacked, partCols, extraCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
-      val actions =
+      def actionsAt(commitVersion: Long): Seq[Action] = {
+        // fresh baseRowId for the compacted files (ids are never reused;
+        // readers prefer the materialized per-row values)
+        val (addsV, rtDomain) =
+          if (!rtEnabled) (adds, None)
+          else {
+            val (as, _, dm) = RowTracking.assign(adds,
+              RowTracking.highWaterMark(snap), commitVersion)
+            (as, dm)
+          }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("filesRemoved" -> toRewrite.size.toString,
             "filesAdded" -> adds.size.toString)))) ++
+        mdAction.map(Action(_)).toSeq ++
+        rtDomain.map(Action(_)).toSeq ++
         toRewrite.map(f => Action(RemoveFile(f.path,
           Some(System.currentTimeMillis()), dataChange = false, f.deletionVector))) ++
-        adds.map(a => Action(a.copy(dataChange = false)))
+        addsV.map(a => Action(a.copy(dataChange = false)))
+      }
       // compaction changes no rows: concurrent commits conflict only when
       // they touch the exact files being rewritten (ConflictChecker)
-      val v = ConflictChecker.commitWithRebase(log, snap,
-        actions.map(ActionJson.toJson).mkString("", "\n", "\n"),
+      val v = ConflictChecker.commitWithRebaseAt(log, snap,
+        cv => actionsAt(cv).map(ActionJson.toJson).mkString("", "\n", "\n"),
         toRewrite.map(_.path).toSet,
         ConflictChecker.ReadScope.FilesOnly)
       Result(v, toRewrite.size, adds.size)
@@ -365,7 +395,18 @@ object Optimize {
     val toRewrite = snap.allFiles
     if (toRewrite.isEmpty) return Result(snap.version, 0, 0)
 
-    val rows = snap.toDF
+    // id-stable rewrite on row-tracked tables, same mechanism as compact
+    val rtEnabled = RowTracking.enabled(snap)
+    val (mdAction, matNames) =
+      if (!rtEnabled) (None, None)
+      else {
+        val (md, names, minted) = RowTracking.ensureMaterializedNames(snap.metadata)
+        (if (minted) Some(md) else None, Some(names))
+      }
+    val rows = matNames match {
+      case Some((mid, mver)) => RowTracking.preservedRowsDF(spark, snap, mid, mver)
+      case None => snap.toDF
+    }
     // 16-bit bucket code per column: min/max-scaled rank for orderable
     // types; first-two-bytes code for strings; null → 0
     def numericBucket(c: String, lo: Double, hi: Double) =
@@ -396,15 +437,30 @@ object Optimize {
 
     val moved = ArrayBuffer.empty[Path]
     try {
+      val extraCols = matNames.toSeq.flatMap { case (mid, mver) =>
+        Seq(org.apache.spark.sql.types.StructField(mid,
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField(mver,
+              org.apache.spark.sql.types.LongType, nullable = true))
+      }
       val (stage, stageSchema, stagePartCols, stageOpts) =
-        DeltaWriter.toPhysical(spark, snap, repacked, partCols)
-      val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+        DeltaWriter.toPhysical(spark, snap, repacked, partCols, extraCols)
+      val adds0 = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
+      val (adds, rtDomain) =
+        if (!rtEnabled) (adds0, None)
+        else {
+          val (as, _, dm) = RowTracking.assign(adds0,
+            RowTracking.highWaterMark(snap), snap.version + 1)
+          (as, dm)
+        }
       val actions =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("zorderBy" -> cols.mkString(","),
             "filesRemoved" -> toRewrite.size.toString,
             "filesAdded" -> adds.size.toString)))) ++
+        mdAction.map(Action(_)).toSeq ++
+        rtDomain.map(Action(_)).toSeq ++
         toRewrite.map(f => Action(RemoveFile(f.path,
           Some(System.currentTimeMillis()), dataChange = false, f.deletionVector))) ++
         adds.map(a => Action(a.copy(dataChange = false)))

@@ -79,14 +79,13 @@ object ProtocolGate {
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
     "allowColumnDefaults", "identityColumns")
 
-  /** Operations that MOVE rows between files. Row tracking requires a
-    * mover to materialize and carry row ids — this engine assigns fresh
-    * ids on append and preserves positions under DV deletes, but does not
-    * materialize ids through rewrites, so row-moving operations on
-    * row-tracked tables are refused loudly rather than silently breaking
-    * id stability. */
+  /** Operations that MOVE rows between files without id materialization.
+    * OPTIMIZE/ZORDER rewrite id-stably (each row carries its id in the
+    * materialized row-id columns, [[RowTracking.preservedRowsDF]]);
+    * UPDATE/MERGE do not yet, so they refuse on row-tracked tables rather
+    * than silently breaking id stability. */
   private val rowMovingOps =
-    Set("UPDATE", "MERGE", "OPTIMIZE", "ZORDER")
+    Set("UPDATE", "MERGE")
 
   /** Operations that remove rows with dataChange=true — forbidden on
     * `delta.appendOnly` tables per protocol. OPTIMIZE/VACUUM stay legal:

@@ -231,7 +231,15 @@ class Snapshot(
       org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
   }
 
-  private[delta] def relationDF(options: ScanOptions): DataFrame = {
+  private[delta] def relationDF(options: ScanOptions): DataFrame =
+    relationDF(options, Nil)
+
+  /** As [[relationDF]], optionally widening the read schema with extra
+    * physical columns (nullable; files lacking them read as null) — the
+    * row-tracking rewrite path reads previously-materialized row ids
+    * this way. */
+  private[delta] def relationDF(options: ScanOptions,
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     val spark = log.spark
     // id-mode physical schemas carry `parquet.field.id` metadata; field-id
     // resolution is enabled per-scan in the reader's hadoopConf (no
@@ -244,7 +252,7 @@ class Snapshot(
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = physicalPartitionSchema,
-      dataSchema = physicalDataSchema,
+      dataSchema = StructType(physicalDataSchema.fields ++ extraDataCols),
       bucketSpec = None,
       fileFormat = format,
       options = Map.empty)(spark)

@@ -62,9 +62,67 @@ class RowTrackingSpec extends AnyFunSuite {
       DeltaTable.forPath(spark, dir)
         .update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))
     }
+  }
+
+  test("OPTIMIZE preserves row ids by materializing them; repeat rewrites stable") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    // two small files → compaction candidates
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") < 10), dir,
+      configuration = rtConf)
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") >= 10), dir)
+    def idsByKey(): Map[Long, (Long, Long)] =
+      DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+        .select(col("n_nationkey").cast("long"), col("row_id"),
+          col("row_commit_version")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = idsByKey()
+    assert(before.nonEmpty)
+
+    val res = graft.delta.Optimize.compact(spark, DeltaLog.forPath(spark, dir))
+    assert(res.filesRemoved == 2 && res.filesAdded >= 1)
+    DeltaLog.clearCache()
+    val snap1 = DeltaLog.forPath(spark, dir).update()
+    // materialized column names minted into the configuration
+    val names = RowTracking.materializedNames(snap1.metadata)
+    assert(names.isDefined, snap1.metadata.configuration.toString)
+    assert(idsByKey() == before, "row ids changed across OPTIMIZE")
+
+    // DV-delete, then a SECOND rewrite — must read the ids the first
+    // rewrite materialized, not re-derive from baseRowId
+    DeltaTable.forPath(spark, dir).delete(col("n_nationkey") % 2 === 0)
+    DeltaLog.clearCache()
+    val afterDelete = idsByKey()
+    afterDelete.foreach { case (k, v) => assert(before(k) == v) }
+    graft.delta.Optimize.compact(spark, DeltaLog.forPath(spark, dir))
+    DeltaLog.clearCache()
+    val afterSecond = idsByKey()
+    assert(afterSecond == afterDelete,
+      s"ids changed across second OPTIMIZE: $afterSecond vs $afterDelete")
+    // high-water mark only ever advances; UPDATE/MERGE still refuse
+    assert(RowTracking.highWaterMark(DeltaLog.forPath(spark, dir).update()) >=
+      RowTracking.highWaterMark(snap1))
     intercept[UnsupportedTableFeatureException] {
-      graft.delta.Optimize.compact(spark, DeltaLog.forPath(spark, dir))
+      DeltaTable.forPath(spark, dir)
+        .update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))
     }
+  }
+
+  test("ZORDER preserves row ids on a row-tracked table") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    DeltaWriter.append(spark, src.repartition(3), dir, configuration = rtConf)
+    def ids(): Map[Long, Long] =
+      DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+        .select(col("c_custkey").cast("long"), col("row_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    graft.delta.Optimize.zorder(spark, DeltaLog.forPath(spark, dir),
+      Seq("c_custkey", "c_acctbal"))
+    DeltaLog.clearCache()
+    assert(ids() == before, "row ids changed across ZORDER")
   }
 
   test("dataSkippingNumIndexedCols caps min/max stats but never NOT NULL enforcement") {
