@@ -125,6 +125,11 @@ object ConflictChecker {
           "re-run the operation against the current table state")
     if (acts.exists(a => a.metaData.isDefined || a.protocol.isDefined))
       fail("changed table metadata/protocol")
+    // domain metadata carries cross-commit state (the row-id high-water
+    // mark): a staged commit computed against the old value would regress
+    // it on rebase (id reuse) — even when the winner was dataChange=false
+    if (acts.exists(_.domainMetadata.isDefined))
+      fail("changed domain metadata (e.g. the row-id high-water mark)")
     val removes = acts.flatMap(_.remove)
     val hitTouched = removes.map(_.path).filter(touchedFiles)
     if (hitTouched.nonEmpty)

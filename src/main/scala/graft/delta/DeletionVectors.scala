@@ -508,13 +508,28 @@ object DeltaMerge {
     // only clause conditions see)
     val sPref = genFilled.select(
       genFilled.columns.toIndexedSeq.map(c => col(s"`$c`").as(s"__s_$c")): _*)
-    val raw = snap.dmlDF
+    // row-tracked tables: updated images keep their stable id via the
+    // materialized id column; inserted rows get fresh ids from the new
+    // file's baseRowId (their materialized slot stays null)
+    val rtEnabled = RowTracking.enabled(snap)
+    val (mdAction, matNames) =
+      if (!rtEnabled) (None, None)
+      else {
+        val (md, names, minted) = RowTracking.ensureMaterializedNames(snap.metadata)
+        (if (minted) Some(md) else None, Some(names))
+      }
+    val extraCols = matNames.toSeq.map { case (mid, _) =>
+      org.apache.spark.sql.types.StructField(mid,
+        org.apache.spark.sql.types.LongType, nullable = true) }
+    val raw = snap.dmlDF(extraCols)
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
       else raw
     val tPref = live.select((schemaCols.map(c => col(s"`$c`").as(s"__t_$c")) ++ Seq(
       col("_metadata.file_path").as("__file"),
-      col("_metadata.row_index").as("__row"))).toIndexedSeq: _*)
+      col("_metadata.row_index").as("__row")) ++
+      matNames.toSeq.map { case (mid, _) =>
+        RowTracking.preservedIdCol(snap, mid).as("__rowid") }).toIndexedSeq: _*)
     val joinCond = keyCols.map(c => col(s"`__t_$c`") === col(s"`__s_$c`")).reduce(_ && _)
     val joined = tPref.join(sPref, joinCond, "inner")
 
@@ -581,8 +596,15 @@ object DeltaMerge {
       * clause expression, unassigned keep the target value (updates) —
       * empty assignments = whole source row. Generated columns not
       * explicitly assigned recompute from the final values. */
-    def projectRow(d: DataFrame, asg: Seq[(String, Column)], fromTarget: Boolean): DataFrame = {
-      val base = d.select(schemaCols.map { c =>
+    def projectRow(d: DataFrame, asg: Seq[(String, Column)], fromTarget: Boolean,
+        withId: Boolean = false): DataFrame = {
+      val idCol =
+        if (!withId) Nil
+        else matNames.toSeq.map { case (mid, _) =>
+          if (fromTarget) col("__rowid").as(mid)
+          else lit(null).cast("long").as(mid) // insert: fresh id from baseRowId
+        }
+      val base = d.select((schemaCols.map { c =>
         asg.find(_._1.equalsIgnoreCase(c)) match {
           case Some((_, v)) => v.as(c)
           case None if asg.isEmpty => col(s"`__s_$c`").as(c)
@@ -590,7 +612,7 @@ object DeltaMerge {
           case None => throw new IllegalArgumentException(
             s"INSERT assignments must cover every column; missing $c")
         }
-      }.toIndexedSeq: _*)
+      } ++ idCol).toIndexedSeq: _*)
       snap.schema.fields.foldLeft(base) { (b, f) =>
         if (f.metadata.contains("delta.generationExpression") &&
             !asg.exists(_._1.equalsIgnoreCase(f.name)))
@@ -600,10 +622,12 @@ object DeltaMerge {
       }
     }
     val updateWrites = matched.zipWithIndex.collect { case (cl, i) if !cl.isDelete =>
-      projectRow(acted.where(col("__action") === i), cl.assignments, fromTarget = true)
+      projectRow(acted.where(col("__action") === i), cl.assignments,
+        fromTarget = true, withId = rtEnabled)
     } ++ bsActed.toSeq.flatMap { d =>
       bySource.zipWithIndex.collect { case (cl, i) if !cl.isDelete =>
-        projectRow(d.where(col("__action") === i), cl.assignments, fromTarget = true)
+        projectRow(d.where(col("__action") === i), cl.assignments,
+          fromTarget = true, withId = rtEnabled)
       }
     }
     val unmatched = sPref.join(
@@ -612,7 +636,7 @@ object DeltaMerge {
     val insertWrites = notMatched.toSeq.map { case (condOpt, asg) =>
       val base = condOpt.map(c => unmatched.where(coalesce(c, lit(false))))
         .getOrElse(unmatched)
-      projectRow(base, asg, fromTarget = false)
+      projectRow(base, asg, fromTarget = false, withId = rtEnabled)
     }
     val toWrite = (updateWrites ++ insertWrites).reduceOption(_ unionByName _)
       .map(w => DeltaWriter.withWriteChecks(w, snap.schema,
@@ -629,7 +653,8 @@ object DeltaMerge {
       val adds = toWrite match {
         case Some(w) =>
           val (stage, stageSchema, stagePartCols, stageOpts) =
-            DeltaWriter.toPhysical(spark, snap, w, snap.metadata.partitionColumns)
+            DeltaWriter.toPhysical(spark, snap, w,
+              snap.metadata.partitionColumns, extraCols)
           DeltaWriter.writeFiles(spark, log, stage, stageSchema,
             stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
         case None => Nil
@@ -675,15 +700,26 @@ object DeltaMerge {
         if (perFile.forall(_.isDefined)) perFile.flatten.sum
         else toWrite.map(_.count()).getOrElse(0L)
       val insertedRows = writtenRows - updatedRows
-      val commitActions =
+      def commitActionsAt(commitVersion: Long): Seq[Action] = {
+        val (addsV, rtDomain) =
+          if (!rtEnabled) (adds, None)
+          else {
+            val (as, _, dm) = RowTracking.assign(adds,
+              RowTracking.highWaterMark(snap), commitVersion)
+            (as, dm)
+          }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(","),
             "matchedClauses" -> matched.length.toString)))) ++
+        mdAction.map(Action(_)).toSeq ++
+        rtDomain.map(Action(_)).toSeq ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
-        dvActs ++ adds.map(Action(_))
-      ConflictChecker.commitWithRebase(log, snap,
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
-        commitActions.flatMap(_.remove).map(_.path).toSet,
+        dvActs ++ addsV.map(Action(_))
+      }
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => (commitActionsAt(v).map(ActionJson.toJson) ++ cdcLines)
+          .mkString("", "\n", "\n"),
+        dvActs.flatMap(_.remove).map(_.path).toSet,
         ConflictChecker.ReadScope.WholeTable)
       (updatedRows, deletedRows, insertedRows)
     } catch {
@@ -771,7 +807,23 @@ object DeltaUpdate {
       throw new UnsupportedOperationException(
         s"UPDATE cannot assign identity column(s) ${idHit.mkString(", ")}")
 
-    val raw = snap.dmlDF
+    // row-tracked tables: the rewritten images carry each row's stable id
+    // in the materialized id column (names minted on first rewrite); the
+    // commit version intentionally stays unmaterialized — the updated
+    // row's row_commit_version falls back to the new file's
+    // defaultRowCommitVersion, i.e. THIS commit, per protocol
+    val rtEnabled = RowTracking.enabled(snap)
+    val (mdAction, matNames) =
+      if (!rtEnabled) (None, None)
+      else {
+        val (md, names, minted) = RowTracking.ensureMaterializedNames(snap.metadata)
+        (if (minted) Some(md) else None, Some(names))
+      }
+    val extraCols = matNames.toSeq.map { case (mid, _) =>
+      org.apache.spark.sql.types.StructField(mid,
+        org.apache.spark.sql.types.LongType, nullable = true) }
+
+    val raw = snap.dmlDF(extraCols)
     // live rows only: resurrecting already-deleted rows would be corruption
     val live =
       if (snap.hasDeletionVectors) DeletionVectors.filterDeleted(spark, snap, raw)
@@ -784,9 +836,10 @@ object DeltaUpdate {
     // generated columns and CHECK constraints are enforced below by the
     // same write pass appends use — row-level DML must not be a constraint
     // bypass.
-    val assigned = matched.select(snap.schema.fields.map { f =>
+    val assigned = matched.select((snap.schema.fields.map { f =>
       assignments.get(f.name).map(_.as(f.name)).getOrElse(col(s"`${f.name}`"))
-    }.toIndexedSeq: _*)
+    } ++ matNames.toSeq.map { case (mid, _) =>
+      RowTracking.preservedIdCol(snap, mid).as(mid) }).toIndexedSeq: _*)
     // second phase so generation expressions see POST-assignment values
     val newRows0 = snap.schema.fields.foldLeft(assigned) { (d, f) =>
       if (f.metadata.contains("delta.generationExpression") &&
@@ -801,7 +854,8 @@ object DeltaUpdate {
     val moved = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
     try {
       val (stage, stageSchema, stagePartCols, stageOpts) =
-        DeltaWriter.toPhysical(spark, snap, newRows, snap.metadata.partitionColumns)
+        DeltaWriter.toPhysical(spark, snap, newRows,
+          snap.metadata.partitionColumns, extraCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
       // CDF: pre-assignment matches + their new images, one cdc stage
@@ -811,7 +865,7 @@ object DeltaUpdate {
           val cols = snap.schema.fieldNames.map(c => col(s"`$c`")).toIndexedSeq
           Cdc.writeChangeData(spark, log, snap,
             Cdc.typed(matched.select(cols: _*), "update_preimage")
-              .unionByName(Cdc.typed(newRows, "update_postimage")),
+              .unionByName(Cdc.typed(newRows.select(cols: _*), "update_postimage")),
             snap.metadata.partitionColumns, moved)
         }
       val hitRows = matched.select(
@@ -821,15 +875,29 @@ object DeltaUpdate {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L
       }
-      val commitActions =
+      def commitActionsAt(commitVersion: Long): Seq[Action] = {
+        val (addsV, rtDomain) =
+          if (!rtEnabled) (adds, None)
+          else {
+            val (as, _, dm) = RowTracking.assign(adds,
+              RowTracking.highWaterMark(snap), commitVersion)
+            (as, dm)
+          }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "UPDATE",
           Map("predicate" -> condition.toString)))) ++
+        mdAction.map(Action(_)).toSeq ++
+        rtDomain.map(Action(_)).toSeq ++
         DeltaDelete.protocolUpgradeActions(snap) ++
-        dvActs ++ adds.map(Action(_))
-      ConflictChecker.commitWithRebase(log, snap,
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
-        commitActions.flatMap(_.remove).map(_.path).toSet,
-        ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, condition)))
+        dvActs ++ addsV.map(Action(_))
+      }
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => (commitActionsAt(v).map(ActionJson.toJson) ++ cdcLines)
+          .mkString("", "\n", "\n"),
+        (dvActs.flatMap(_.remove)).map(_.path).toSet,
+        // row-tracked: any concurrent commit may have assigned ids from
+        // the same high-water mark — conflict instead of rebasing
+        if (rtEnabled) ConflictChecker.ReadScope.WholeTable
+        else ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, condition)))
       updatedRows
     } catch {
       case t: Throwable =>

@@ -79,13 +79,11 @@ object ProtocolGate {
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
     "allowColumnDefaults", "identityColumns")
 
-  /** Operations that MOVE rows between files without id materialization.
-    * OPTIMIZE/ZORDER rewrite id-stably (each row carries its id in the
-    * materialized row-id columns, [[RowTracking.preservedRowsDF]]);
-    * UPDATE/MERGE do not yet, so they refuse on row-tracked tables rather
-    * than silently breaking id stability. */
-  private val rowMovingOps =
-    Set("UPDATE", "MERGE")
+  /** Row-moving operations (UPDATE/MERGE/OPTIMIZE/ZORDER) all rewrite
+    * id-stably on row-tracked tables: each rewritten row carries its id in
+    * the materialized row-id columns ([[RowTracking.preservedRowsDF]] /
+    * `preservedIdCol`), so none need refusing anymore. */
+  private val rowMovingOps = Set.empty[String]
 
   /** Operations that remove rows with dataChange=true — forbidden on
     * `delta.appendOnly` tables per protocol. OPTIMIZE/VACUUM stay legal:

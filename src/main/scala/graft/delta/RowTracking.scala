@@ -55,7 +55,7 @@ object RowTracking {
 
   /** Per-file lookup column: absolute path → value, as a codegen'd literal
     * map (no join). Null when no file carries the value. */
-  private def pathMapCol(scoped: Snapshot, value: AddFile => Option[Long]): Column = {
+  private[delta] def pathMapCol(scoped: Snapshot, value: AddFile => Option[Long]): Column = {
     val args = scoped.allFiles.flatMap { f =>
       val p = scoped.absolutePath(f)
       value(f).toSeq.flatMap(v => Seq(p.toString -> v, p.toUri.getPath -> v))
@@ -63,6 +63,13 @@ object RowTracking {
     if (args.isEmpty) lit(null).cast(LongType)
     else element_at(map(args.toIndexedSeq: _*), col("_metadata.file_path"))
   }
+
+  /** The current row's stable id inside a DML scan that carries
+    * `_metadata` plus the materialized id column: a previously
+    * materialized value wins, else baseRowId + row_index. */
+  private[delta] def preservedIdCol(snap: Snapshot, matId: String): Column =
+    coalesce(col(s"`$matId`"),
+      pathMapCol(snap, _.baseRowId) + col("_metadata.row_index"))
 
   /** Rows of `scoped`'s files under LOGICAL column names plus the two
     * materialized row-id columns, each surviving row keeping its id: a

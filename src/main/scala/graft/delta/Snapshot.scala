@@ -224,10 +224,16 @@ class Snapshot(
   /** [[relationDF]] under LOGICAL column names (plus `_metadata` carried
     * through explicitly): the row-level DML surface — user predicates and
     * assignments are logical, files are physical. */
-  private[delta] def dmlDF: DataFrame = {
-    val df = relationDF
+  private[delta] def dmlDF: DataFrame = dmlDF(Nil)
+
+  /** [[dmlDF]] widened with extra physical pass-through columns (the
+    * materialized row-id columns a row-tracked DML must preserve). */
+  private[delta] def dmlDF(
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    val df = relationDF(ScanOptions(), extraDataCols)
     if (columnMappingMode == "none") df
-    else df.select((schema.fields.map(logicalColumn) :+
+    else df.select((schema.fields.map(logicalColumn) ++
+      extraDataCols.map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")) :+
       org.apache.spark.sql.functions.col("_metadata")).toIndexedSeq: _*)
   }
 

@@ -39,7 +39,7 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(vers == Map(0L -> n, 1L -> n), vers.toString)
   }
 
-  test("row ids survive DV deletes; row-moving ops are refused") {
+  test("row ids survive DV deletes and UPDATE rewrites") {
     val dir = freshDir()
     val src = Fixtures.readParquet(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"))
@@ -58,10 +58,51 @@ class RowTrackingSpec extends AnyFunSuite {
       assert(before(k) == id, s"row id of surviving row $k changed: ${before(k)} -> $id")
     }
 
-    intercept[UnsupportedTableFeatureException] {
-      DeltaTable.forPath(spark, dir)
-        .update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))
-    }
+    // UPDATE preserves the updated row's stable id (materialized into the
+    // rewritten image) and stamps the UPDATE's commit version
+    val preId = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .filter(col("n_nationkey") === 1).select(col("row_id")).collect()(0).getLong(0)
+    val updV = DeltaTable.forPath(spark, dir)
+      .update(col("n_nationkey") === 1, Map("n_name" -> lit("renamed")))
+    assert(updV == 1L, s"expected 1 updated row, got $updV")
+    DeltaLog.clearCache()
+    val postRow = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .filter(col("n_nationkey") === 1)
+      .select(col("n_name"), col("row_id"), col("row_commit_version")).collect()(0)
+    assert(postRow.getString(0) == "renamed")
+    assert(postRow.getLong(1) == preId, "UPDATE changed the stable row id")
+    assert(postRow.getLong(2) ==
+      DeltaLog.forPath(spark, dir).update().version,
+      "updated row must carry the UPDATE's commit version")
+  }
+
+  test("MERGE keeps updated rows' ids, inserted rows get fresh unique ids") {
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    val n = src.count()
+    def ids(): Map[Long, Long] =
+      DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+        .select(col("n_nationkey").cast("long"), col("row_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = ids()
+    // source: update keys 0..4, insert keys 100..102
+    val source = src.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(lit("upd_"), col("n_name")))
+      .unionByName(spark.range(100, 103)
+        .select(col("id").cast("int").as("n_nationkey"), lit("new").as("n_name")))
+    DeltaTable.forPath(spark, dir).merge(source, "n_nationkey")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    DeltaLog.clearCache()
+    val after = ids()
+    // updated + untouched rows keep their ids
+    before.foreach { case (k, id) => assert(after(k) == id, s"key $k id changed") }
+    // inserted rows: fresh ids, no collision with anything
+    val inserted = after.filter(_._1 >= 100).values.toSet
+    assert(inserted.size == 3)
+    assert(inserted.forall(_ > before.values.max), s"inserted ids not fresh: $inserted")
+    assert(after.values.toSet.size == after.size, "duplicate row ids after MERGE")
   }
 
   test("OPTIMIZE preserves row ids by materializing them; repeat rewrites stable") {
@@ -100,13 +141,9 @@ class RowTrackingSpec extends AnyFunSuite {
     val afterSecond = idsByKey()
     assert(afterSecond == afterDelete,
       s"ids changed across second OPTIMIZE: $afterSecond vs $afterDelete")
-    // high-water mark only ever advances; UPDATE/MERGE still refuse
+    // high-water mark only ever advances
     assert(RowTracking.highWaterMark(DeltaLog.forPath(spark, dir).update()) >=
       RowTracking.highWaterMark(snap1))
-    intercept[UnsupportedTableFeatureException] {
-      DeltaTable.forPath(spark, dir)
-        .update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))
-    }
   }
 
   test("ZORDER preserves row ids on a row-tracked table") {
