@@ -308,6 +308,10 @@ object Bench {
     // is host-noise-immune even when absolute numbers are not.
     val scaleFactor =
       sys.env.getOrElse("SPARK_GRAFT_SCALE", "30").toIntOption.getOrElse(30)
+    // compact headline pieces, re-emitted as the LAST stdout line: the
+    // driver's tail capture truncated BENCH_r07 mid-line, losing x30_total
+    // and two paired rows — the final line is small enough to always survive
+    var hlCore = ""
     val scaleJson =
       if (scaleFactor <= 1) ""
       else try {
@@ -438,6 +442,8 @@ object Bench {
             d / math.max(b, 1e-9) > 3.0 || b / math.max(d, 1e-9) > 3.0)
           (n, t, d, susp)
         }
+        var pairedRatioOpt: Option[Double] = None
+        var suspectsList: Seq[String] = Nil
         val pairedJson =
           if (paired.isEmpty) ""
           else {
@@ -449,17 +455,21 @@ object Bench {
             val sSum = trusted.map(_._2).sum
             val dSum = trusted.map(_._3).sum
             val suspects = pairedChecked.collect { case (n, _, _, true) => n }
+            pairedRatioOpt = Some(sSum / math.max(dSum, 1e-9))
+            suspectsList = suspects
             f""","x${scaleFactor}%d_paired":$entries,"x${scaleFactor}%d_paired_total_ratio":${sSum / math.max(dSum, 1e-9)}%.1f,"x${scaleFactor}%d_paired_suspect":${jsonArr(suspects)}"""
           }
         // Spark total vs the idle baseline over the queries both cover —
         // the comparator a judge would compute by hand; noise-asymmetry
         // shows up as paired-vs-idle disagreement, not as a hidden bias.
+        var idleRatioOpt: Option[Double] = None
         val vsIdleJson = {
           val covered = ok.filter { case (n, _) => idle.contains(n) }
           if (covered.isEmpty) ""
           else {
             val sSum = covered.map(_._2).sum
             val dSum = covered.map { case (n, _) => idle(n) }.sum
+            idleRatioOpt = Some(sSum / math.max(dSum, 1e-9))
             f""","x${scaleFactor}%d_vs_idle_baseline_ratio":${sSum / math.max(dSum, 1e-9)}%.1f"""
           }
         }
@@ -482,9 +492,61 @@ object Bench {
             }
             f""","x${smallFactor}%d_queries":${jsonTimings(smallTimes.toSeq.sortBy(_._1))},"scaling_exponents":${jsonTimings(exps)},"superlinear":${jsonArr(superlinear)},"renoised":${jsonArr(renoised)}"""
           }
+        hlCore = {
+          val pr = pairedRatioOpt.map(r => f""","paired_ratio":$r%.2f""").getOrElse("")
+          val ir = idleRatioOpt.map(r => f""","vs_idle_ratio":$r%.2f""").getOrElse("")
+          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
+        }
         f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] x$scaleFactor pass failed: ${e.getMessage}"); ""
+      }
+
+    // x100 micro-sample: the sub-second rows whose x30 ratios are
+    // constant-dominated (VERDICT r7: dedup_exact 5.6x at 0.37s,
+    // emb_centroids 3.7x at 0.19s, q_events_hourly 3.3x at 0.31s). Only
+    // their three fact tables replicate to x100 — if the ratio falls with
+    // scale the constants amortize (no defect); if it grows, audit.
+    val microFactor = sys.env
+      .getOrElse("SPARK_GRAFT_MICRO_SCALE", "100").toIntOption.getOrElse(100)
+    val microQueries = Seq("dedup_exact", "emb_centroids", "q_events_hourly")
+    var microHeadline = ""
+    val microJson =
+      if (scaleFactor <= 1 || microFactor <= scaleFactor) ""
+      else try {
+        val microDir = SyntheticScale.ensure(spark, sfDir, microFactor,
+          replicateOnly = Some(Set("documents", "embeddings", "events")))
+        RelationalQueries.ensureViews(spark, microDir)
+        val sqlPath = java.nio.file.Files.createTempFile("graft-oracle-micro", ".json")
+        val node = graft.delta.ActionJson.mapper.createObjectNode()
+        SparkEntry.oracleSql.foreach { case (k, v) => node.put(k, v) }
+        java.nio.file.Files.writeString(sqlPath,
+          graft.delta.ActionJson.mapper.writeValueAsString(node))
+        val duck = new DuckRunner(microDir, sqlPath.toString)
+        val rows = microQueries.filter(SparkEntry.queries.contains).map { n =>
+          runOne(spark, n, microDir, s"x$microFactor warm ", ccFracMax)
+          def round(): (Option[Double], Double) = {
+            val d = duck.time(n)
+            val (t, _, cc) = runOne(spark, n, microDir, s"x$microFactor ", ccFracMax)
+            ccFracMax = cc
+            (d, t)
+          }
+          val rs = Seq(round(), round())
+          val t = rs.map(_._2).min
+          val d = rs.flatMap(_._1) match { case Nil => None; case ds => Some(ds.min) }
+          (n, t, d)
+        }
+        duck.close()
+        val entries = rows.map { case (n, t, d) =>
+          val dj = d.map(dd =>
+            f""","duckdb":$dd%.3f,"ratio":${t / math.max(dd, 1e-9)}%.2f""").getOrElse("")
+          f""""$n":{"spark":$t%.3f$dj}"""
+        }.mkString("{", ",", "}")
+        microHeadline = f""","x${microFactor}%d_sample":$entries"""
+        microHeadline
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] x$microFactor micro pass failed: ${e.getMessage}")
+        ""
       }
 
     // pre-measured DuckDB numbers for the same scale data (written by
@@ -532,7 +594,10 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(-1L)
     val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$baselineJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$baselineJson}""")
+    // LAST line: compact headline that survives any tail truncation
+    if (hlCore.nonEmpty)
+      println(s"""{"metric":"headline",$hlCore$microHeadline}""")
     spark.stop()
   }
 }

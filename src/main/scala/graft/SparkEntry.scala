@@ -524,6 +524,28 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- V2 checkpoint WRITE (delta.checkpointPolicy=v2): uuid manifest +
+    //     _sidecars/ become the only state source for early versions ---
+    "delta_v2_write_scan" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-v2w").toString + "/t"
+      val src = Fixtures.readParquet(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      graft.delta.DeltaWriter.append(s,
+        src.filter(col("s_suppkey") % 2 === 0).repartition(2), p)
+      graft.delta.Alter.setProperties(s, graft.delta.DeltaLog.forPath(s, p),
+        Map("delta.checkpointPolicy" -> "v2"))
+      graft.delta.DeltaWriter.append(s,
+        src.filter(col("s_suppkey") % 2 === 1).repartition(2), p)
+      graft.delta.Checkpoints.checkpoint(graft.delta.DeltaLog.forPath(s, p))
+      (0 to 1).foreach(v => new java.io.File(p,
+        f"_delta_log/$v%020d.json").delete())
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- TRUE foreign-writer interop (DAT, reference data/inlined): tables
     //     written by delta-rs 1.2 and delta-spark 3.3/4.x that our code did
     //     NOT synthesize — pretty-printed multi-line logs, delta-rs classic
@@ -1147,6 +1169,9 @@ object SparkEntry {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "delta_foreign_v2_json" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+    "delta_v2_write_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_dat_simple" ->
       s"""SELECT i FROM read_parquet(
          |  '$datBase/simple_table/delta_lake/part-00000.snappy.parquet')

@@ -17,10 +17,15 @@ object SyntheticScale {
   private val GEN = "s2" // s2: replicas coalesced into few well-sized files
 
   /** Build (once) and return a parquet dir shaped like the driver's sfN
-    * dirs, containing `factor`× the base data. */
-  def ensure(spark: SparkSession, baseDir: String, factor: Int): String = synchronized {
+    * dirs, containing `factor`× the base data. With `replicateOnly`, only
+    * the named fact tables replicate; every other table is written at base
+    * size (a cheap targeted dir for sampling a few queries at a scale the
+    * full corpus would make expensive to generate). */
+  def ensure(spark: SparkSession, baseDir: String, factor: Int,
+      replicateOnly: Option[Set[String]] = None): String = synchronized {
     val key = baseDir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"/tmp/graft-scale/$GEN/${key}_x$factor"
+    val sub = replicateOnly.map(_ => "_min").getOrElse("")
+    val dir = s"/tmp/graft-scale/$GEN/${key}_x$factor$sub"
     val marker = Paths.get(dir, "_GRAFT_READY")
     if (Files.exists(marker)) return dir
     val dirPath = Paths.get(dir)
@@ -45,6 +50,10 @@ object SyntheticScale {
       * parquet files whose per-task/open overhead is what gets measured,
       * not the engine (same small-file problem OPTIMIZE exists to fix). */
     def replicate(t: String, shifts: Map[String, Long], files: Int = 4): Unit = {
+      if (replicateOnly.exists(!_.contains(t))) {
+        base(t).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        return
+      }
       val src = base(t)
       val reps = (0 until factor).map { i =>
         shifts.foldLeft(src) { case (df, (c, off)) =>

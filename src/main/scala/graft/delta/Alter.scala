@@ -321,12 +321,34 @@ object Alter {
     // features in the SAME commit: subsequent appends write baseRowId
     // fields + the delta.rowTracking domainMetadata, which foreign writers
     // only honor under minWriterVersion 7 + rowTracking/domainMetadata
+    // v2 checkpoints are a reader-visible layout change: stamp the
+    // v2Checkpoint reader+writer features with the policy property
+    val enablingV2 =
+      props.get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2")) &&
+        !snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))
+    val p1 =
+      if (enablingRt)
+        featureUpgrade(snap.protocol, Seq("rowTracking", "domainMetadata"))
+      else None
+    val p2 =
+      if (enablingV2) Some(v2CheckpointUpgrade(p1.getOrElse(snap.protocol)))
+      else p1
     commitMetadata(log, snap, "SET TBLPROPERTIES",
       snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
-      protocol =
-        if (enablingRt)
-          featureUpgrade(snap.protocol, Seq("rowTracking", "domainMetadata"))
-        else None)
+      protocol = p2)
+  }
+
+  /** `v2Checkpoint` is both a reader and a writer feature: writer side
+    * through [[featureUpgrade]], reader side to minReaderVersion 3 with
+    * legacy-implied reader features carried along. */
+  private[delta] def v2CheckpointUpgrade(p: Protocol): Protocol = {
+    val wUp = featureUpgrade(p, Seq("v2Checkpoint")).getOrElse(p)
+    val haveR = wUp.readerFeatures.getOrElse(Nil).toSet
+    val impliedR =
+      if (wUp.readerFeatures.isDefined) Nil
+      else if (wUp.minReaderVersion >= 2) Seq("columnMapping") else Nil
+    wUp.copy(minReaderVersion = 3,
+      readerFeatures = Some((haveR.toSeq ++ impliedR ++ Seq("v2Checkpoint")).distinct))
   }
 
   /** Writer-feature protocol upgrade: returns the protocol to commit when

@@ -109,6 +109,89 @@ object Checkpoints {
 
   def writeCheckpoint(log: DeltaLog, snap: Snapshot,
       maxActionsPerPart: Int = 500000): Unit = {
+    if (snap.metadata.configuration.get("delta.checkpointPolicy")
+        .exists(_.trim.equalsIgnoreCase("v2"))) {
+      writeV2Checkpoint(log, snap, maxActionsPerPart)
+      return
+    }
+    writeClassicCheckpoint(log, snap, maxActionsPerPart)
+  }
+
+  /** V2 checkpoint (`delta.checkpointPolicy=v2`, reader feature
+    * `v2Checkpoint`): file actions go to `_delta_log/_sidecars/<uuid>
+    * .parquet` files; a uuid-named manifest `<v>.checkpoint.<uuid>.parquet`
+    * holds protocol/metaData/txn/domainMetadata plus `checkpointMetadata`
+    * and one `sidecar` pointer per sidecar file. Unlike classic multi-part
+    * sets, every file is attempt-unique — a crashed re-checkpoint can
+    * never leave a mixed set, so no pointer-retraction dance is needed;
+    * `_last_checkpoint` is written last, pure optimization. */
+  private def writeV2Checkpoint(log: DeltaLog, snap: Snapshot,
+      maxActionsPerPart: Int): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = log.spark
+    val fs = log.fs
+    require(maxActionsPerPart > 0, "maxActionsPerPart must be positive")
+
+    val fileActions: Seq[Action] = snap.allFiles.map(Action(_))
+    val nonFile: Seq[Action] =
+      Seq(Action(snap.protocol), Action(snap.metadata)) ++
+        snap.setTransactions.map { case (app, v) =>
+          Action(SetTransaction(app, v, None)) }.toSeq ++
+        snap.domainMetadata.map(Action(_))
+
+    // sidecars: the file actions, split in maxActionsPerPart chunks, one
+    // uuid-named parquet each (add/remove columns only, per protocol)
+    val sidecarDir = new Path(log.logPath, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val tmpDir = new Path(log.logPath, s".cptmp-${java.util.UUID.randomUUID}")
+    val nParts = math.max(1L,
+      (fileActions.size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
+    spark.createDataset(fileActions)(Encoders.product[Action]).toDF()
+      .select(col("add"), col("remove"))
+      .repartition(nParts).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+    val sidecarInfos = fs.listStatus(tmpDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).map { part =>
+        val name = s"${java.util.UUID.randomUUID}.parquet"
+        val target = new Path(sidecarDir, name)
+        if (!fs.rename(part, target))
+          throw new IllegalStateException(s"Failed to move sidecar to $target")
+        (name, fs.getFileStatus(target).getLen)
+      }.toSeq
+
+    // manifest: non-file actions + checkpointMetadata + sidecar pointers
+    val base = spark.createDataset(nonFile)(Encoders.product[Action]).toDF()
+      .withColumn("checkpointMetadata",
+        lit(null).cast("struct<version:bigint>"))
+      .withColumn("sidecar",
+        lit(null).cast("struct<path:string,sizeInBytes:bigint>"))
+    val schema = base.schema
+    def rowWith(field: String, value: Row): Row =
+      Row.fromSeq(schema.fields.map(f => if (f.name == field) value else null))
+    val extraRows = rowWith("checkpointMetadata", Row(snap.version)) +:
+      sidecarInfos.map { case (p, sz) => rowWith("sidecar", Row(p, sz)) }
+    val manifestDF = base.unionByName(
+      spark.createDataFrame(spark.sparkContext.parallelize(extraRows, 1), schema))
+    val tmpManifest = new Path(log.logPath, s".cptmp-${java.util.UUID.randomUUID}")
+    manifestDF.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpManifest.toString)
+    val written = fs.listStatus(tmpManifest).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    require(written.length == 1, s"expected 1 manifest part, got ${written.length}")
+    val manifestTarget = new Path(log.logPath,
+      f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID}.parquet")
+    if (!fs.rename(written(0), manifestTarget))
+      throw new IllegalStateException(s"Failed to move manifest to $manifestTarget")
+    fs.delete(tmpDir, true)
+    fs.delete(tmpManifest, true)
+    // v2 semantics for `size`: actions IN the manifest (readers must not
+    // compare it against sidecar contents — ours already exempts uuid
+    // manifests from the count check)
+    LogStore.overwrite(fs, new Path(log.logPath, "_last_checkpoint"),
+      s"""{"version":${snap.version},"size":${nonFile.size + 1 + sidecarInfos.size}}""")
+  }
+
+  private def writeClassicCheckpoint(log: DeltaLog, snap: Snapshot,
+      maxActionsPerPart: Int): Unit = {
     val spark = log.spark
     require(maxActionsPerPart > 0, "maxActionsPerPart must be positive")
     val actions: Seq[Action] =

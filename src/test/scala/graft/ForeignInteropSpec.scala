@@ -123,6 +123,43 @@ class ForeignInteropSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("v2 checkpoint WRITE: delta.checkpointPolicy=v2 emits manifest + sidecars " +
+       "our own reader replays without the JSON log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2write").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    DeltaWriter.append(spark, src.filter(col("s_suppkey") % 2 === 0).repartition(2), dir)
+    Alter.setProperties(spark, DeltaLog.forPath(spark, dir),
+      Map("delta.checkpointPolicy" -> "v2"))
+    // protocol stamped in the SAME commit as the policy
+    val snapP = DeltaLog.forPath(spark, dir).update()
+    assert(snapP.protocol.readerFeatures.exists(_.contains("v2Checkpoint")))
+    assert(snapP.protocol.writerFeatures.exists(_.contains("v2Checkpoint")))
+    DeltaWriter.append(spark, src.filter(col("s_suppkey") % 2 === 1).repartition(2), dir)
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))           // v2 layout @ v2
+    val logDir = new java.io.File(dir, "_delta_log")
+    val manifest = logDir.listFiles().filter(_.getName.matches(
+      raw"\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"))
+    assert(manifest.length == 1, logDir.listFiles().map(_.getName).mkString(","))
+    val sidecars = new java.io.File(logDir, "_sidecars")
+    assert(sidecars.isDirectory && sidecars.listFiles().nonEmpty)
+    // no classic checkpoint written
+    assert(!new java.io.File(logDir, "00000000000000000002.checkpoint.parquet").exists())
+    // the checkpoint is the ONLY state source for v0/v1 once their JSONs
+    // go (the checkpointed version's own commit stays, as after cleanup)
+    (0 to 1).foreach(v =>
+      new java.io.File(logDir, f"$v%020d.json").delete())
+    DeltaLog.clearCache()
+    val got = DeltaTable.forPath(spark, dir).toDF
+    assert(got.count() == src.count())
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+    // a later append + re-checkpoint keeps working on the v2 layout
+    DeltaWriter.append(spark, src.limit(3), dir)
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == src.count() + 3)
+  }
+
   test("misplaced v2 manifest is refused; reader falls back to older checkpoint") {
     val p = ForeignFixtures.v2checkpointed(spark, sfDir)
     val logDir = new java.io.File(p, "_delta_log")
