@@ -302,15 +302,30 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     try spark.conf.get("spark.graft.lazySnapshot.minActions", "1000000").toLong
     catch { case _: Exception => 1000000L }
 
+  /** Byte-size companion to [[lazyThreshold]]: a checkpoint whose parquet
+    * exceeds this (default 256 MB) goes lazy even when its ACTION count is
+    * modest — few-files-but-huge-stats tables (1000-column schemas, giant
+    * min/max strings) would otherwise materialize all of it on the
+    * driver. */
+  private def lazyThresholdBytes: Long =
+    try spark.conf.get("spark.graft.lazySnapshot.minBytes",
+      (256L * 1024 * 1024).toString).toLong
+    catch { case _: Exception => 256L * 1024 * 1024 }
+
   /** Build a [[LazySnapshot]] when `_last_checkpoint` names a huge classic
-    * checkpoint at or below `version`. None → use the eager path. The
-    * pointer's recorded action count is validated against the checkpoint's
-    * parquet row count (metadata-only) — the same mixed-set defense the
-    * eager path gets from decoding. */
-  private def buildLazyIfHuge(version: Long, versions: Seq[Long]): Option[Snapshot] =
+    * checkpoint at or below `version` — huge by action count OR by parquet
+    * bytes. None → use the eager path. The pointer's recorded action count
+    * is validated against the checkpoint's parquet row count
+    * (metadata-only) — the same mixed-set defense the eager path gets from
+    * decoding. */
+  private def buildLazyIfHuge(version: Long, versions: Seq[Long]): Option[Snapshot] = {
+    def checkpointBytes(cv: Long): Long =
+      try checkpointFiles(cv).map(p => fs.getFileStatus(p).getLen).sum
+      catch { case scala.util.control.NonFatal(_) => 0L }
     lastCheckpointInfo() match {
       case Some((cv, Some(sz)))
-          if cv <= version && sz >= lazyThreshold && uuidManifest(cv).isEmpty =>
+          if cv <= version && uuidManifest(cv).isEmpty &&
+            (sz >= lazyThreshold || checkpointBytes(cv) >= lazyThresholdBytes) =>
         try {
           val paths = checkpointFiles(cv)
           val df = spark.read.parquet(paths.map(_.toString): _*)
@@ -364,6 +379,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
         }
       case _ => None
     }
+  }
 
   def readCommit(v: Long): Seq[Action] = {
     val in = fs.open(commitFile(v))

@@ -692,6 +692,10 @@ object DeltaWriter {
                   (s"${f.name}.${sub.name}",
                     col(s"`${f.name}`").getField(sub.name), sub.dataType)
               }
+          // variant columns carry NO stats fields at all — not even
+          // nullCount (delta-kernel refuses variant stats; reference
+          // inlined/variant/write_stats_no_variant_stats.test)
+          case dt if dt == org.apache.spark.sql.types.VariantType => Nil
           case _ => Seq((f.name, col(s"`${f.name}`"), f.dataType))
         }
       }
@@ -725,6 +729,11 @@ object DeltaWriter {
                 col(s"`${f.name}`").isNotNull &&
                   col(s"`${f.name}`").getField(sub.name).isNull)
           }
+          // NOT NULL variant: enforced through the JSON-invisible
+          // violation channel, since variant emits no nullCount stat
+          case dt if dt == org.apache.spark.sql.types.VariantType &&
+              !f.nullable =>
+            Seq((f.name, col(s"`${f.name}`").isNull))
           case _ => Nil
         }
       }

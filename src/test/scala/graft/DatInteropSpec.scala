@@ -114,6 +114,70 @@ class DatInteropSpec extends AnyFunSuite {
     (1 to 3).foreach(i => assert(one.getString(i) != null && one.getString(i).nonEmpty))
   }
 
+  private def copyTable(src: String): String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft-dat-copy").toString + "/t"
+    val srcPath = java.nio.file.Paths.get(src)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(srcPath).iterator().asScala.foreach { p =>
+      val rel = srcPath.relativize(p).toString
+      val target = java.nio.file.Paths.get(dst, rel)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(target)
+      else {
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.copy(p, target)
+      }
+    }
+    dst
+  }
+
+  test("DAT write-interop: append to a copied foreign table; all-NULL stats " +
+       "omit min/max (reference issue 297)") {
+    val p = copyTable(s"$base/simple_table/delta_lake")
+    DeltaWriter.append(spark, spark.sql("SELECT CAST(42 AS BIGINT) AS i"), p)
+    DeltaWriter.append(spark, spark.sql("SELECT CAST(NULL AS BIGINT) AS i"), p)
+    val t = DeltaTable.forPath(spark, p)
+    assert(t.toDF.count() == 12)
+    assert(t.toDF.filter(col("i").isNull || col("i") === 42).count() == 2)
+    val byVersion = DeltaLog.forPath(spark, p).update().allFiles
+      .flatMap(f => f.stats.map(s => ActionJson.mapper.readTree(s)))
+    // v1 (42): min=max=42, nullCount 0; v2 (NULL): min/max ABSENT, nullCount 1
+    val s42 = byVersion.find(n => Option(n.get("minValues"))
+      .exists(m => Option(m.get("i")).exists(_.asLong(-1) == 42L)))
+    assert(s42.isDefined, byVersion.mkString(";"))
+    val sNull = byVersion.find(n =>
+      Option(n.get("nullCount")).exists(m => Option(m.get("i")).exists(_.asLong(0) == 1L)))
+    assert(sNull.isDefined, byVersion.mkString(";"))
+    sNull.foreach { n =>
+      assert(!Option(n.get("minValues")).exists(_.has("i")),
+        s"all-NULL column must omit minValues: $n")
+      assert(!Option(n.get("maxValues")).exists(_.has("i")),
+        s"all-NULL column must omit maxValues: $n")
+    }
+  }
+
+  test("DAT write-interop: append to the foreign variant table; no variant stats " +
+       "(reference write_stats_no_variant_stats)") {
+    val p = copyTable(s"$base/variant/basic")
+    val two = spark.sql(
+      "SELECT CAST(100 AS INT) AS id, parse_json('{\"x\":1}') AS data " +
+      "UNION ALL SELECT CAST(200 AS INT), CAST(NULL AS VARIANT)")
+    DeltaWriter.append(spark, two, p)
+    val got = DeltaTable.forPath(spark, p).toDF
+    assert(got.count() == 3)
+    assert(got.filter(col("id") === 100)
+      .select(to_json(col("data"))).collect()(0).getString(0) == """{"x":1}""")
+    // the new add's stats must not mention the variant column in ANY field
+    val snap = DeltaLog.forPath(spark, p).update()
+    val newAdd = snap.allFiles.filter(_.path.contains("part-")).sortBy(_.modificationTime).last
+    newAdd.stats.foreach { s =>
+      val n = ActionJson.mapper.readTree(s)
+      Seq("minValues", "maxValues", "nullCount").foreach { f =>
+        assert(!Option(n.get(f)).exists(_.has("data")),
+          s"variant column leaked into stats.$f: $s")
+      }
+    }
+  }
+
   test("DAT file skipping still sound on foreign stats (issue_303 i-bounds)") {
     val p = s"$base/issue_303_partitioned/delta_lake"
     val df = DeltaTable.forPath(spark, p).toDF

@@ -78,6 +78,27 @@ class LazySnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-size guard: a big-by-bytes checkpoint goes lazy at any action count") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lazybytes").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    DeltaWriter.append(spark, src, path)
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, path))
+    DeltaLog.clearCache()
+    // few actions (far below minActions) but a 1-byte size threshold:
+    // few-files-huge-stats tables must not materialize on the driver
+    spark.conf.set("spark.graft.lazySnapshot.minBytes", "1")
+    try {
+      val snap = DeltaLog.forPath(spark, path).update()
+      assert(snap.isInstanceOf[LazySnapshot],
+        s"byte threshold ignored: ${snap.getClass.getSimpleName}")
+      assert(snap.toDF.count() == src.count())
+    } finally {
+      spark.conf.unset("spark.graft.lazySnapshot.minBytes")
+      DeltaLog.clearCache()
+    }
+  }
+
   test("maintenance surfaces still work (materialize lazily, stay exact)") {
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
     val path = tmpTable()
