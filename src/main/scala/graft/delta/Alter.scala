@@ -118,12 +118,20 @@ object Alter {
     }
     commitMetadata(log, snap, "ADD COLUMNS",
       snap.metadata.copy(schemaString = newSchema.json, configuration = newConfig),
-      // a defaulted column on a table created without defaults must stamp
-      // allowColumnDefaults here — create-path stamping doesn't cover it
-      protocol =
-        if (cols.exists(_._2.metadata.contains("CURRENT_DEFAULT")))
-          featureUpgrade(snap.protocol, Seq("allowColumnDefaults"))
-        else None)
+      // features a new column can introduce that create-path stamping
+      // doesn't cover: defaults, generation expressions
+      protocol = {
+        val needed =
+          (if (cols.exists(_._2.metadata.contains("CURRENT_DEFAULT")))
+             Seq("allowColumnDefaults") else Nil) ++
+          (if (cols.exists(_._2.metadata.contains("delta.generationExpression")) &&
+               !(snap.protocol.writerFeatures match {
+                 case Some(fs) => fs.contains("generatedColumns")
+                 case None => snap.protocol.minWriterVersion >= 4
+               }))
+             Seq("generatedColumns") else Nil)
+        if (needed.isEmpty) None else featureUpgrade(snap.protocol, needed)
+      })
   }
 
   /** Upgrade an unmapped table to column mapping, NAME mode: each existing
@@ -326,16 +334,31 @@ object Alter {
     val enablingV2 =
       props.get("delta.checkpointPolicy").exists(_.trim.equalsIgnoreCase("v2")) &&
         !snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))
+    // enabling CDF on an existing table: same writer-contract stamping
+    // legacy versions ≥4 imply the feature ONLY when the protocol has no
+    // feature list; a feature-versioned protocol must name it explicitly
+    def hasWriterFeature(name: String, legacyFloor: Int): Boolean =
+      snap.protocol.writerFeatures match {
+        case Some(fs) => fs.contains(name)
+        case None => snap.protocol.minWriterVersion >= legacyFloor
+      }
+    val enablingCdf =
+      props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")) &&
+        !hasWriterFeature("changeDataFeed", 4)
     val p1 =
       if (enablingRt)
         featureUpgrade(snap.protocol, Seq("rowTracking", "domainMetadata"))
       else None
     val p2 =
-      if (enablingV2) Some(v2CheckpointUpgrade(p1.getOrElse(snap.protocol)))
+      if (enablingCdf) featureUpgrade(p1.getOrElse(snap.protocol), Seq("changeDataFeed"))
+        .orElse(p1)
       else p1
+    val p3 =
+      if (enablingV2) Some(v2CheckpointUpgrade(p2.getOrElse(snap.protocol)))
+      else p2
     commitMetadata(log, snap, "SET TBLPROPERTIES",
       snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
-      protocol = p2)
+      protocol = p3)
   }
 
   /** `v2Checkpoint` is both a reader and a writer feature: writer side

@@ -881,6 +881,16 @@ object DeltaWriter {
             // declare the feature so foreign writers that don't implement
             // identity assignment refuse instead of planting stale ids
             (if (Identity.identityCols(schema).nonEmpty) Seq("identityColumns")
+             else Nil) ++
+            // CDF and generated columns are writer contracts too: a foreign
+            // writer that can't emit change data / recompute generation
+            // expressions must refuse, not corrupt
+            (if (configuration.get("delta.enableChangeDataFeed")
+                 .exists(_.equalsIgnoreCase("true"))) Seq("changeDataFeed")
+             else Nil) ++
+            (if (schema.fields.exists(
+                 _.metadata.contains("delta.generationExpression")))
+               Seq("generatedColumns")
              else Nil)
         actions += Action(
           if (createFeatures.nonEmpty)

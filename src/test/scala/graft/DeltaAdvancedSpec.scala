@@ -290,6 +290,42 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(t.toDF.count() == src.filter(col("s_suppkey") % 2 === 1).count())
   }
 
+  test("CDF and generated columns stamp their writer features at create and ALTER") {
+    import org.apache.spark.sql.types._
+    // create with CDF enabled
+    val d1 = tmpTable()
+    DeltaWriter.append(spark, Fixtures.readParquet(spark, sfDir, "region"), d1,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val p1 = DeltaLog.forPath(spark, d1).update().protocol
+    assert(p1.writerFeatures.exists(_.contains("changeDataFeed")), p1.toString)
+    // enable CDF via ALTER on a legacy table
+    val d2 = tmpTable()
+    DeltaWriter.append(spark, Fixtures.readParquet(spark, sfDir, "region"), d2)
+    Alter.setProperties(spark, DeltaLog.forPath(spark, d2),
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val p2 = DeltaLog.forPath(spark, d2).update().protocol
+    assert(p2.writerFeatures.exists(_.contains("changeDataFeed")), p2.toString)
+    // create with a generated column
+    val d3 = tmpTable()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "r_regionkey * 2").build()
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region")
+        .withColumn("dbl", col("r_regionkey") * 2)
+        .select(col("r_regionkey"), col("r_name"), col("dbl").as("dbl", genMeta)),
+      d3)
+    val p3 = DeltaLog.forPath(spark, d3).update().protocol
+    assert(p3.writerFeatures.exists(_.contains("generatedColumns")), p3.toString)
+    // add a generated column to a legacy table
+    val d4 = tmpTable()
+    DeltaWriter.append(spark,
+      Fixtures.readParquet(spark, sfDir, "region").select(col("r_regionkey")), d4)
+    Alter.addColumns(spark, DeltaLog.forPath(spark, d4),
+      Seq(StructField("dbl", LongType, nullable = true, genMeta)))
+    val p4 = DeltaLog.forPath(spark, d4).update().protocol
+    assert(p4.writerFeatures.exists(_.contains("generatedColumns")), p4.toString)
+  }
+
   // ---- DV known-answer tests: every expected byte below was produced by
   // an INDEPENDENT implementation (python: struct + zlib.crc32 + a
   // from-scratch Z85 encoder), assembled straight from the public specs —
