@@ -345,6 +345,18 @@ object Alter {
     val enablingCdf =
       props.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")) &&
         !hasWriterFeature("changeDataFeed", 4)
+    // enabling ICT mid-history: stamp the feature plus the enablement
+    // provenance properties (which version/timestamp ICT starts at — time
+    // travel below it falls back to file timestamps, per protocol)
+    val enablingIct =
+      props.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true")) &&
+        !DeltaLog.ictEnabled(snap.metadata.configuration)
+    val ictProps: Map[String, String] =
+      if (!enablingIct) Map.empty
+      else Map(
+        "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
+        "delta.inCommitTimestampEnablementTimestamp" ->
+          System.currentTimeMillis().toString)
     val p1 =
       if (enablingRt)
         featureUpgrade(snap.protocol, Seq("rowTracking", "domainMetadata"))
@@ -354,11 +366,17 @@ object Alter {
         .orElse(p1)
       else p1
     val p3 =
-      if (enablingV2) Some(v2CheckpointUpgrade(p2.getOrElse(snap.protocol)))
+      if (enablingIct)
+        featureUpgrade(p2.getOrElse(snap.protocol), Seq("inCommitTimestamp"))
+          .orElse(p2)
       else p2
+    val p4 =
+      if (enablingV2) Some(v2CheckpointUpgrade(p3.getOrElse(snap.protocol)))
+      else p3
     commitMetadata(log, snap, "SET TBLPROPERTIES",
-      snap.metadata.copy(configuration = snap.metadata.configuration ++ props),
-      protocol = p3)
+      snap.metadata.copy(
+        configuration = snap.metadata.configuration ++ props ++ ictProps),
+      protocol = p4)
   }
 
   /** `v2Checkpoint` is both a reader and a writer feature: writer side
@@ -455,7 +473,11 @@ object Alter {
   private def commitMetadata(log: DeltaLog, snap: Snapshot, op: String,
       md: Metadata, protocol: Option[Protocol] = None): Long = {
     val actions =
-      Seq(Action(CommitInfo(System.currentTimeMillis(), op))) ++
+      Seq(Action(CommitInfo(System.currentTimeMillis(), op,
+        // the NEW configuration: the commit that ENABLES ICT already
+        // carries one, per protocol
+        inCommitTimestamp =
+          log.nextInCommitTimestamp(md.configuration, snap.version + 1)))) ++
       protocol.map(Action(_)) ++ Seq(Action(md))
     // metadata changes read current state: conflicts are errors, no retry
     LogStore.write(log.fs, log.commitFile(snap.version + 1),

@@ -256,11 +256,33 @@ object DeltaDelete {
     (actions.toSeq, deletedRows)
   }
 
-  private[delta] def protocolUpgradeActions(snap: Snapshot): Seq[Action] =
-    if (snap.protocol.minReaderVersion < 3)
+  private[delta] def protocolUpgradeActions(snap: Snapshot): Seq[Action] = {
+    val p = snap.protocol
+    // deletionVectors is never legacy-implied: presence means an explicit
+    // feature entry on both sides
+    if (p.readerFeatures.exists(_.contains("deletionVectors")) &&
+        p.writerFeatures.exists(_.contains("deletionVectors"))) Nil
+    else {
+      // MERGE into the existing protocol — replacing it wholesale would
+      // silently drop features the table already advertises (rowTracking,
+      // identityColumns, inCommitTimestamp, …), a protocol corruption
+      // foreign writers would then violate
+      val legacyImpliedW =
+        if (p.writerFeatures.isDefined) Nil
+        else Seq("appendOnly", "invariants").take(if (p.minWriterVersion >= 2) 2 else 0) ++
+          (if (p.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
+          (if (p.minWriterVersion >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+      val legacyImpliedR =
+        if (p.readerFeatures.isDefined) Nil
+        else if (p.minReaderVersion >= 2) Seq("columnMapping")
+        else Nil
       Seq(Action(Protocol(3, 7,
-        Some(Seq("deletionVectors")), Some(Seq("deletionVectors")))))
-    else Nil
+        Some((p.readerFeatures.getOrElse(Nil) ++ legacyImpliedR :+
+          "deletionVectors").distinct),
+        Some((p.writerFeatures.getOrElse(Nil) ++ legacyImpliedW :+
+          "deletionVectors").distinct))))
+    }
+  }
 
   /**
    * Soft-delete rows matching `condition`: per affected file, write a new
@@ -295,14 +317,18 @@ object DeltaDelete {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L
       }
-      val commitActions =
+      def commitActionsAt(v: Long) =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
-          Map("predicate" -> condition.toString)))) ++
+          Map("predicate" -> condition.toString),
+          inCommitTimestamp =
+            log.nextInCommitTimestamp(snap.metadata.configuration, v)))) ++
         protocolUpgradeActions(snap) ++ actions
+      val commitActions = commitActionsAt(snap.version + 1)
       // optimistic concurrency: rebase over logically-disjoint winners
       // (see ConflictChecker) — conflicts remain loud errors
-      ConflictChecker.commitWithRebase(log, snap,
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => (commitActionsAt(v).map(ActionJson.toJson) ++ cdcLines)
+          .mkString("", "\n", "\n"),
         commitActions.flatMap(_.remove).map(_.path).toSet,
         ConflictChecker.ReadScope.Predicate(ConflictChecker.resolve(snap, condition)))
       deletedRows
@@ -423,15 +449,19 @@ object DeltaMerge {
         else aligned.count()
       val txnActs = for (app <- txnAppId.toSeq; v <- txnVersion.toSeq)
         yield Action(SetTransaction(app, v, Some(System.currentTimeMillis())))
-      val commitActions =
+      def commitActionsAt(cv: Long) =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
-          Map("keys" -> keyCols.mkString(","))))) ++
+          Map("keys" -> keyCols.mkString(",")),
+          inCommitTimestamp =
+            log.nextInCommitTimestamp(snap.metadata.configuration, cv)))) ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
         txnActs ++ dvActs ++ adds.map(Action(_))
+      val commitActions = commitActionsAt(snap.version + 1)
       // MERGE reads the whole target key set: any concurrent data change
       // conflicts; disjoint winners (txn markers, compactions) rebase
-      ConflictChecker.commitWithRebase(log, snap,
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => (commitActionsAt(v).map(ActionJson.toJson) ++ cdcLines)
+          .mkString("", "\n", "\n"),
         commitActions.flatMap(_.remove).map(_.path).toSet,
         ConflictChecker.ReadScope.WholeTable)
       (replacedRows, sourceRows - replacedRows)
@@ -710,7 +740,9 @@ object DeltaMerge {
           }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(","),
-            "matchedClauses" -> matched.length.toString)))) ++
+            "matchedClauses" -> matched.length.toString),
+          inCommitTimestamp = log.nextInCommitTimestamp(
+            snap.metadata.configuration, commitVersion)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
@@ -768,12 +800,16 @@ object DeltaMerge {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L
       }
-      val commitActions =
+      def commitActionsAt(v: Long) =
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
-          Map("keys" -> keyCols.mkString(","), "matched" -> "delete")))) ++
+          Map("keys" -> keyCols.mkString(","), "matched" -> "delete"),
+          inCommitTimestamp =
+            log.nextInCommitTimestamp(snap.metadata.configuration, v)))) ++
         DeltaDelete.protocolUpgradeActions(snap) ++ dvActs
-      ConflictChecker.commitWithRebase(log, snap,
-        (commitActions.map(ActionJson.toJson) ++ cdcLines).mkString("", "\n", "\n"),
+      val commitActions = commitActionsAt(snap.version + 1)
+      ConflictChecker.commitWithRebaseAt(log, snap,
+        v => (commitActionsAt(v).map(ActionJson.toJson) ++ cdcLines)
+          .mkString("", "\n", "\n"),
         commitActions.flatMap(_.remove).map(_.path).toSet,
         ConflictChecker.ReadScope.WholeTable)
       deletedRows
@@ -884,7 +920,9 @@ object DeltaUpdate {
             (as, dm)
           }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "UPDATE",
-          Map("predicate" -> condition.toString)))) ++
+          Map("predicate" -> condition.toString),
+          inCommitTimestamp = log.nextInCommitTimestamp(
+            snap.metadata.configuration, commitVersion)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         DeltaDelete.protocolUpgradeActions(snap) ++

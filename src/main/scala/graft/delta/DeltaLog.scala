@@ -170,6 +170,24 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp))
       .getOrElse(fs.getFileStatus(commitFile(v)).getModificationTime)
 
+  /** In-commit timestamp for a commit landing at `version` on a table
+    * whose configuration enables `delta.enableInCommitTimestamps`:
+    * max(now, previous commit's ICT + 1) — the protocol's monotonicity
+    * rule (clock skew between writers must never make history go
+    * backwards). None when the table doesn't enable ICT. Callers inside a
+    * rebase loop must re-invoke per attempt with the actual target
+    * version, so the previous-commit read always sees the latest winner. */
+  def nextInCommitTimestamp(conf: Map[String, String], version: Long): Option[Long] =
+    if (!DeltaLog.ictEnabled(conf)) None
+    else {
+      val prev =
+        if (version <= 0) -1L
+        else
+          try commitTimestamp(version - 1)
+          catch { case scala.util.control.NonFatal(_) => -1L }
+      Some(math.max(System.currentTimeMillis(), prev + 1))
+    }
+
   def versionAtTimestamp(tsMillis: Long): Long = {
     val versions = listCommitVersions()
     require(versions.nonEmpty, s"no commits for table $tablePath")
@@ -624,6 +642,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
 object DeltaLog {
   private[delta] val log = org.slf4j.LoggerFactory.getLogger(classOf[DeltaLog])
   private val cache = new ConcurrentHashMap[String, DeltaLog]()
+
+  def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
 
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)

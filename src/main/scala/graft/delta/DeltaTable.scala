@@ -473,7 +473,9 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
     val snap = log.update()
     val actions = Seq(
       Action(CommitInfo(System.currentTimeMillis(), "SET DOMAIN METADATA",
-        Map("domain" -> domain))),
+        Map("domain" -> domain),
+        inCommitTimestamp = log.nextInCommitTimestamp(
+          snap.metadata.configuration, snap.version + 1))),
       Action(DomainMetadata(domain, configuration, removed)))
     LogStore.write(log.fs, log.commitFile(snap.version + 1),
       actions.map(ActionJson.toJson).mkString("", "\n", "\n"))

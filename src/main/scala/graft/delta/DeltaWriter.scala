@@ -375,7 +375,9 @@ object DeltaWriter {
         Seq(Action(CommitInfo(now, op, Map(
           "filesAdded" -> addsV.size.toString,
           "filesRemoved" -> removeActs.size.toString) ++
-          replaceWhere.map(p => "predicate" -> p.toString)))) ++
+          replaceWhere.map(p => "predicate" -> p.toString),
+          inCommitTimestamp = log.nextInCommitTimestamp(
+            snap.metadata.configuration, commitVersion)))) ++
         (if (identityMarks.nonEmpty)
            Seq(Action(snap.metadata.copy(schemaString =
              Identity.withMarks(snap.schema, identityMarks).json)))
@@ -873,7 +875,10 @@ object DeltaWriter {
         }
       val actions = ArrayBuffer.empty[Action]
       actions += Action(CommitInfo(System.currentTimeMillis(), operation,
-        Map("partitionBy" -> partCols.mkString(","))))
+        Map("partitionBy" -> partCols.mkString(",")),
+        inCommitTimestamp = log.nextInCommitTimestamp(
+          snapshot.map(_.metadata.configuration).getOrElse(configuration),
+          version)))
       if (snapshot.isEmpty) {
         val createFeatures =
           (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil) ++
@@ -891,6 +896,8 @@ object DeltaWriter {
             (if (schema.fields.exists(
                  _.metadata.contains("delta.generationExpression")))
                Seq("generatedColumns")
+             else Nil) ++
+            (if (DeltaLog.ictEnabled(configuration)) Seq("inCommitTimestamp")
              else Nil)
         actions += Action(
           if (createFeatures.nonEmpty)

@@ -142,7 +142,10 @@ object Optimize {
         Action(CommitInfo(now, "CLONE", Map(
           "source" -> log.tablePath.toString,
           "sourceVersion" -> snap.version.toString,
-          "filesAdded" -> adds.size.toString))),
+          "filesAdded" -> adds.size.toString),
+          inCommitTimestamp =
+            if (DeltaLog.ictEnabled(snap.metadata.configuration)) Some(now)
+            else None)),
         Action(snap.protocol),
         Action(snap.metadata.copy(
           id = java.util.UUID.randomUUID.toString,
@@ -204,7 +207,9 @@ object Optimize {
     actions += Action(CommitInfo(now, "RESTORE", Map(
       "version" -> targetVersion.toString,
       "filesAdded" -> toAdd.size.toString,
-      "filesRemoved" -> toRemove.size.toString)))
+      "filesRemoved" -> toRemove.size.toString),
+      inCommitTimestamp =
+        log.nextInCommitTimestamp(snap.metadata.configuration, snap.version + 1)))
     if (snap.metadata.schemaString != target.metadata.schemaString ||
         snap.metadata.configuration != target.metadata.configuration ||
         snap.metadata.partitionColumns != target.metadata.partitionColumns)
@@ -336,7 +341,9 @@ object Optimize {
           }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("filesRemoved" -> toRewrite.size.toString,
-            "filesAdded" -> adds.size.toString)))) ++
+            "filesAdded" -> adds.size.toString),
+          inCommitTimestamp = log.nextInCommitTimestamp(
+            snap.metadata.configuration, commitVersion)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         toRewrite.map(f => Action(RemoveFile(f.path,
@@ -458,7 +465,9 @@ object Optimize {
         Seq(Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE",
           Map("zorderBy" -> cols.mkString(","),
             "filesRemoved" -> toRewrite.size.toString,
-            "filesAdded" -> adds.size.toString)))) ++
+            "filesAdded" -> adds.size.toString),
+          inCommitTimestamp = log.nextInCommitTimestamp(
+            snap.metadata.configuration, snap.version + 1)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         toRewrite.map(f => Action(RemoveFile(f.path,

@@ -77,7 +77,7 @@ object ProtocolGate {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
-    "allowColumnDefaults", "identityColumns")
+    "allowColumnDefaults", "identityColumns", "inCommitTimestamp")
 
   /** Row-moving operations (UPDATE/MERGE/OPTIMIZE/ZORDER) all rewrite
     * id-stably on row-tracked tables: each rewritten row carries its id in

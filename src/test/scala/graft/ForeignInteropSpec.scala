@@ -189,7 +189,7 @@ class ForeignInteropSpec extends AnyFunSuite {
     }
   }
 
-  test("in-commit timestamps drive time travel; ICT writes are refused") {
+  test("in-commit timestamps drive time travel; ICT appends stay monotone") {
     val p = ForeignFixtures.inCommitTimestamps(spark, sfDir)
     val src = Fixtures.readNormalized(spark, sfDir, "nation")
     val log = DeltaLog.forPath(spark, p)
@@ -206,11 +206,76 @@ class ForeignInteropSpec extends AnyFunSuite {
     val hist = DeltaTable.forPath(spark, p).history().collect()
     assert(hist.map(_.getAs[Long]("timestamp")).toSet ==
       Set(1600000000000L, 1600000600000L, 1600001200000L))
-    // the writer feature is not implemented on the write path → refuse
-    val e = intercept[Exception] {
-      graft.delta.DeltaWriter.append(spark,
-        src.select("n_nationkey", "n_name", "n_regionkey").limit(1), p)
+    // ICT WRITE: our append to (a COPY of — the fixture is cached) the
+    // foreign ICT table must stamp a monotone in-commit timestamp —
+    // strictly above the (far-future-decoyed) v2 ICT even though
+    // wall-clock "now" is far below it
+    val pc = {
+      val dst = java.nio.file.Files.createTempDirectory("graft-ictw").toString + "/t"
+      val srcP = java.nio.file.Paths.get(p)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcP).iterator().asScala.foreach { f =>
+        val t = java.nio.file.Paths.get(dst, srcP.relativize(f).toString)
+        if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(t)
+        else { java.nio.file.Files.createDirectories(t.getParent); java.nio.file.Files.copy(f, t) }
+      }
+      dst
     }
-    assert(e.getMessage.toLowerCase.contains("incommittimestamp"))
+    graft.delta.DeltaWriter.append(spark,
+      src.select("n_nationkey", "n_name", "n_regionkey").limit(1), pc)
+    DeltaLog.clearCache()
+    val log2 = DeltaLog.forPath(spark, pc)
+    val hist2 = DeltaTable.forPath(spark, pc).history().collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("timestamp")).toMap
+    assert(hist2(3L) > hist2(2L), s"ICT not monotone: $hist2")
+    assert(hist2(3L) == 1600001200001L || hist2(3L) >= System.currentTimeMillis() - 3600000,
+      s"v3 ICT neither prev+1 nor wall clock: ${hist2(3L)}")
+    // time travel resolves the new commit through its ICT
+    assert(log2.versionAtTimestamp(hist2(3L)) == 3L)
+  }
+
+  test("enabling ICT via ALTER stamps the feature + enablement provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ict").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir)
+    Alter.setProperties(spark, DeltaLog.forPath(spark, dir),
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(snap.protocol.writerFeatures.exists(_.contains("inCommitTimestamp")),
+      snap.protocol.toString)
+    assert(snap.metadata.configuration
+      .get("delta.inCommitTimestampEnablementVersion").contains("1"))
+    // the enabling commit and every later one carry ICTs; v0 has none
+    DeltaWriter.append(spark, src.limit(1), dir)
+    val byV = DeltaLog.forPath(spark, dir).commitHistory()
+      .map(h => h._1 -> h._2).toMap
+    val v1 = DeltaLog.forPath(spark, dir).readCommit(1L)
+      .flatMap(_.commitInfo).head
+    val v2 = DeltaLog.forPath(spark, dir).readCommit(2L)
+      .flatMap(_.commitInfo).head
+    assert(v1.inCommitTimestamp.isDefined && v2.inCommitTimestamp.isDefined)
+    assert(v2.inCommitTimestamp.get > v1.inCommitTimestamp.get)
+    val v0 = DeltaLog.forPath(spark, dir).readCommit(0L).flatMap(_.commitInfo).head
+    assert(v0.inCommitTimestamp.isEmpty)
+  }
+
+  test("ICT at create: feature stamped, DML commits stay monotone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ict2").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(col("n_nationkey") % 2 === 0)                                 // v1
+    t.update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))          // v2
+    graft.delta.Optimize.compact(spark, DeltaLog.forPath(spark, dir))      // maybe v3
+    DeltaLog.clearCache()
+    val log = DeltaLog.forPath(spark, dir)
+    assert(log.update().protocol.writerFeatures.exists(_.contains("inCommitTimestamp")))
+    val icts = log.listCommitVersions().map(v =>
+      log.readCommit(v).flatMap(_.commitInfo).head.inCommitTimestamp)
+    assert(icts.forall(_.isDefined), icts.toString)
+    val vals = icts.flatten
+    assert(vals == vals.sorted && vals.distinct == vals, s"ICTs not monotone: $vals")
   }
 }
