@@ -524,6 +524,49 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- in-commit timestamps WRITE: every commit stamps a monotone ICT;
+    //     ICT (not file mtime) resolves timestampAsOf ---
+    "delta_ict_scan" -> ((s, _) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ict").toString + "/t"
+      val one = s.range(1).select(col("id"))
+      graft.delta.DeltaWriter.append(s, one, p,
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.delta.DeltaWriter.append(s, one, p)
+      graft.delta.DeltaWriter.append(s, one, p)
+      val log = graft.delta.DeltaLog.forPath(s, p)
+      val icts = log.listCommitVersions()
+        .map(v => log.readCommit(v).flatMap(_.commitInfo).head.inCommitTimestamp)
+      val vals = icts.flatten
+      val monotone = icts.forall(_.isDefined) &&
+        vals == vals.sorted && vals.distinct == vals
+      // timestampAsOf through the middle ICT resolves v1
+      val midV = log.versionAtTimestamp(vals(1))
+      val featured = log.update().protocol.writerFeatures
+        .exists(_.contains("inCommitTimestamp"))
+      import s.implicits._
+      Seq((monotone, featured, midV, vals.length.toLong))
+        .toDF("ict_monotone", "ict_featured", "mid_version", "n_commits")
+    }),
+
+    // --- shredded variant: physically-shredded parquet (typed_value
+    //     subtree) reconstructs through the delta scan ---
+    "delta_shredded_variant_scan" -> ((s, _) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-shredq").toString + "/t"
+      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+      try {
+        graft.delta.DeltaWriter.append(s, s.sql(
+          """SELECT id, parse_json(format_string('{"key": %s}', id)) AS v
+            |FROM range(0, 100)""".stripMargin), p)
+      } finally {
+        s.conf.unset("spark.sql.variant.writeShredding.enabled")
+        s.conf.unset("spark.sql.variant.inferShreddingSchema")
+      }
+      DeltaTable.forPath(s, p).toDF
+        .select(expr("variant_get(v, '$.key', 'long')").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
     // --- V2 checkpoint WRITE (delta.checkpointPolicy=v2): uuid manifest +
     //     _sidecars/ become the only state source for early versions ---
     "delta_v2_write_scan" -> ((s, dir) => {
@@ -1172,6 +1215,11 @@ object SparkEntry {
     "delta_v2_write_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_ict_scan" ->
+      """SELECT true AS ict_monotone, true AS ict_featured,
+        |  CAST(1 AS BIGINT) AS mid_version, CAST(3 AS BIGINT) AS n_commits""".stripMargin,
+    "delta_shredded_variant_scan" ->
+      """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS sum_k""".stripMargin,
     "delta_dat_simple" ->
       s"""SELECT i FROM read_parquet(
          |  '$datBase/simple_table/delta_lake/part-00000.snappy.parquet')
