@@ -524,6 +524,27 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- liquid clustering: CLUSTER BY + clustered OPTIMIZE; scan result
+    //     unchanged, files re-clustered with clusteringProvider=liquid ---
+    "delta_cluster_scan" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/t"
+      val src = Fixtures.readParquet(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.delta.DeltaWriter.append(s, src.repartition(4), p)
+      graft.delta.GraftCatalog.attach("cluster_t", p)
+      s.sql("CALL graft.cluster_by('cluster_t', 'c_custkey')").collect()
+      s.sql("CALL graft.optimize_cluster('cluster_t')").collect()
+      graft.delta.DeltaLog.clearCache()
+      val snap = graft.delta.DeltaLog.forPath(s, p).update()
+      require(snap.allFiles.forall(_.clusteringProvider.contains("liquid")),
+        "optimize_cluster must stamp clusteringProvider")
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // --- in-commit timestamps WRITE: every commit stamps a monotone ICT;
     //     ICT (not file mtime) resolves timestampAsOf ---
     "delta_ict_scan" -> ((s, _) => {
@@ -1215,6 +1236,9 @@ object SparkEntry {
     "delta_v2_write_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_cluster_scan" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "delta_ict_scan" ->
       """SELECT true AS ict_monotone, true AS ict_featured,
         |  CAST(1 AS BIGINT) AS mid_version, CAST(3 AS BIGINT) AS n_commits""".stripMargin,

@@ -88,7 +88,8 @@ object ActionJson {
       deletionVector = Option(n.get("deletionVector")).filterNot(_.isNull).map(parseDv),
       tags = strMap(n, "tags"),
       baseRowId = optLong(n, "baseRowId"),
-      defaultRowCommitVersion = optLong(n, "defaultRowCommitVersion"))
+      defaultRowCommitVersion = optLong(n, "defaultRowCommitVersion"),
+      clusteringProvider = optStr(n, "clusteringProvider"))
 
   def parseRemove(n: JsonNode): RemoveFile =
     RemoveFile(
@@ -189,6 +190,7 @@ object ActionJson {
       if (f.tags.nonEmpty) putStrMap(o, "tags", f.tags)
       f.baseRowId.foreach(o.put("baseRowId", _))
       f.defaultRowCommitVersion.foreach(o.put("defaultRowCommitVersion", _))
+      f.clusteringProvider.foreach(o.put("clusteringProvider", _))
     }
     a.remove.foreach { r =>
       val o = root.putObject("remove")

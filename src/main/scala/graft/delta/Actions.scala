@@ -67,7 +67,11 @@ final case class AddFile(
     // row tracking (writer feature `rowTracking`): row i of this file has
     // fresh row id baseRowId + i; preserved through checkpoints
     baseRowId: Option[Long] = None,
-    defaultRowCommitVersion: Option[Long] = None) {
+    defaultRowCommitVersion: Option[Long] = None,
+    // liquid clustering (writer feature `clustering`): name of the
+    // algorithm that clustered this file's rows ("liquid"); informational
+    // per protocol, preserved through commits + checkpoints
+    clusteringProvider: Option[String] = None) {
   /** URL-decoded relative path — the reconciliation key (reference decodes
     * paths the same way, delta_multi_file_list.cpp:26-42). */
   lazy val decodedPath: String =

@@ -65,6 +65,19 @@ private[delta] object GraftProcedures {
         resultSchema,
         args => resultRow(Optimize.zorder(spark, log(args.getString(0)),
           args.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))))
+      case "cluster_by" => Some(proc("cluster_by",
+        "ALTER TABLE ... CLUSTER BY: record liquid-clustering columns " +
+          "(empty string = CLUSTER BY NONE)",
+        Seq(in("table", StringType), in("columns", StringType)),
+        StructType(Seq(StructField("version", LongType))),
+        args => new GenericInternalRow(Array[Any](
+          Clustering.clusterBy(spark, log(args.getString(0)),
+            args.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)))))
+      case "optimize_cluster" => Some(proc("optimize_cluster",
+        "Rewrite data files clustered on the table's recorded clustering columns",
+        Seq(in("table", StringType)),
+        resultSchema,
+        args => resultRow(Clustering.optimize(spark, log(args.getString(0))))))
       case "vacuum" => Some(proc("vacuum",
         "Delete unreferenced data files older than the retention window " +
           "(dry_run => true lists reclaimable counts without deleting)",
@@ -145,8 +158,8 @@ private[delta] object GraftProcedures {
   }
 
   def names: Seq[String] =
-    Seq("optimize", "zorder", "vacuum", "restore", "clone", "checkpoint",
-      "generate", "history", "detail")
+    Seq("optimize", "zorder", "cluster_by", "optimize_cluster", "vacuum",
+      "restore", "clone", "checkpoint", "generate", "history", "detail")
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -386,7 +386,9 @@ object Optimize {
       spark: SparkSession,
       log: DeltaLog,
       cols: Seq[String],
-      maxRowsPerFile: Long = 8L * 1024 * 1024): Result = {
+      maxRowsPerFile: Long = 8L * 1024 * 1024,
+      /** stamped on the rewritten adds (liquid-clustered OPTIMIZE) */
+      clusteringProvider: Option[String] = None): Result = {
     import org.apache.spark.sql.functions.{coalesce, conv, floor, greatest,
       hex, least, lit, max, min, substring}
     val snap = log.update()
@@ -452,8 +454,12 @@ object Optimize {
       }
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, repacked, partCols, extraCols)
-      val adds0 = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
+      val adds1 = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
         stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
+      val adds0 = clusteringProvider match {
+        case Some(p) => adds1.map(_.copy(clusteringProvider = Some(p)))
+        case None => adds1
+      }
       val (adds, rtDomain) =
         if (!rtEnabled) (adds0, None)
         else {

@@ -77,7 +77,8 @@ object ProtocolGate {
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
-    "allowColumnDefaults", "identityColumns", "inCommitTimestamp")
+    "allowColumnDefaults", "identityColumns", "inCommitTimestamp",
+    "clustering")
 
   /** Row-moving operations (UPDATE/MERGE/OPTIMIZE/ZORDER) all rewrite
     * id-stably on row-tracked tables: each rewritten row carries its id in

@@ -326,6 +326,40 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(p4.writerFeatures.exists(_.contains("generatedColumns")), p4.toString)
   }
 
+  test("liquid clustering: CLUSTER BY records columns, OPTIMIZE re-clusters " +
+       "and stamps clusteringProvider") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    DeltaWriter.append(spark, src.repartition(4), dir)
+    Clustering.clusterBy(spark, DeltaLog.forPath(spark, dir),
+      Seq("c_custkey", "c_acctbal"))
+    val snap = DeltaLog.forPath(spark, dir).update()
+    assert(Clustering.columns(snap) == Seq("c_custkey", "c_acctbal"))
+    assert(snap.protocol.writerFeatures.exists(f =>
+      f.contains("clustering") && f.contains("domainMetadata")), snap.protocol.toString)
+    val res = Clustering.optimize(spark, DeltaLog.forPath(spark, dir))
+    assert(res.filesRemoved == 4 && res.filesAdded >= 1)
+    DeltaLog.clearCache()
+    val after = DeltaLog.forPath(spark, dir).update()
+    assert(after.allFiles.forall(_.clusteringProvider.contains("liquid")),
+      after.allFiles.map(_.clusteringProvider).toString)
+    // content identical, and the rewrite tightened per-file c_custkey bounds:
+    // files must now be disjoint on the leading clustered column
+    val got = DeltaTable.forPath(spark, dir).toDF
+    assert(got.count() == src.count())
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+    // provider survives a checkpoint round-trip
+    Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
+    new java.io.File(dir, "_delta_log/00000000000000000000.json").delete()
+    new java.io.File(dir, "_delta_log/00000000000000000001.json").delete()
+    DeltaLog.clearCache()
+    val replayed = DeltaLog.forPath(spark, dir).update()
+    assert(replayed.allFiles.forall(_.clusteringProvider.contains("liquid")),
+      "clusteringProvider lost through checkpoint")
+    assert(Clustering.columns(replayed) == Seq("c_custkey", "c_acctbal"))
+  }
+
   // ---- DV known-answer tests: every expected byte below was produced by
   // an INDEPENDENT implementation (python: struct + zlib.crc32 + a
   // from-scratch Z85 encoder), assembled straight from the public specs —
