@@ -57,6 +57,12 @@ final class DeltaStreamSource(
     })
     .getOrElse(0L)
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+  /** File-granular admission: at most N data files per micro-batch, even
+    * when one commit carries more — the cap a 100 TB table needs (one
+    * OPTIMIZE-d ingest commit can hold thousands of files; version
+    * granularity would admit them all at once). */
+  private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong)
+  require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be positive")
   private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
   private val readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
 
@@ -71,10 +77,37 @@ final class DeltaStreamSource(
     override def json: String = s"""{"version":$version}"""
   }
 
-  private def versionOf(o: OffsetV1): Long = o match {
-    case VersionOffset(v) => v
+  /** Sub-version offset for file-granular rate limiting
+    * (`maxFilesPerTrigger`): the stream has consumed all versions < v
+    * plus the first `index` data files of version v. A plain
+    * {"version":v} offset (older checkpoints, unlimited streams) decodes
+    * as "all of v consumed". */
+  private case class FileOffset(version: Long, index: Long) extends OffsetV1 {
+    override def json: String = s"""{"version":$version,"index":$index}"""
+  }
+
+  private def versionOf(o: OffsetV1): Long = decode(o)._1
+
+  /** (version, consumed-file-count); Long.MaxValue = whole version. */
+  private def decode(o: OffsetV1): (Long, Long) = o match {
+    case VersionOffset(v) => (v, Long.MaxValue)
+    case FileOffset(v, i) => (v, i)
     // checkpoint restore hands back a SerializedOffset (raw json)
-    case other => ActionJson.mapper.readTree(other.json).get("version").asLong()
+    case other =>
+      val n = ActionJson.mapper.readTree(other.json)
+      (n.get("version").asLong(),
+        Option(n.get("index")).filterNot(_.isNull).map(_.asLong)
+          .getOrElse(Long.MaxValue))
+  }
+
+  /** Data files a plain stream emits for version v — dataChange adds
+    * without DVs, in commit order (stable: the commit file is immutable).
+    * Cached: admission control touches each commit once per count. */
+  private val fileCountCache = scala.collection.mutable.Map.empty[Long, Long]
+  private def fileCount(v: Long): Long = synchronized {
+    fileCountCache.getOrElseUpdate(v,
+      log.readCommit(v).flatMap(_.add)
+        .count(a => a.dataChange && a.deletionVector.isEmpty).toLong)
   }
 
   override def getOffset: Option[OffsetV1] = {
@@ -111,25 +144,64 @@ final class DeltaStreamSource(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val latest = availableNowCap.getOrElse(log.update().version)
-    val floor = Option(start) match {
-      case Some(o: OffsetV1) => versionOf(o)
+    val (fv, fiRaw) = Option(start) match {
+      case Some(o: OffsetV1) => decode(o)
       case Some(other) =>
-        ActionJson.mapper.readTree(other.json).get("version").asLong()
-      case None => startingVersion - 1
+        val n = ActionJson.mapper.readTree(other.json)
+        (n.get("version").asLong(),
+          Option(n.get("index")).filterNot(_.isNull).map(_.asLong)
+            .getOrElse(Long.MaxValue))
+      case None => (startingVersion - 1, Long.MaxValue)
     }
-    val end = maxVersionsPerTrigger match {
-      case Some(max) => math.min(latest, floor + max)
+    val capped = maxVersionsPerTrigger match {
+      case Some(max) => math.min(latest, fv + max)
       case None => latest
     }
-    if (end <= floor) null else VersionOffset(end)
+    // file-granular admission (CDF streams stay version-granular: their
+    // unit of change is the version, not the data file)
+    maxFilesPerTrigger.filter(_ => !readChangeFeed) match {
+      case None =>
+        if (capped <= fv) null else VersionOffset(capped)
+      case Some(mft) =>
+        val have = log.listCommitVersions().toSet
+        val fiNorm =
+          if (fv < startingVersion || !have.contains(fv)) 0L
+          else math.min(fiRaw, fileCount(fv))
+        var remaining = mft
+        var end: (Long, Long) = (fv, fiNorm)
+        var v = if (fv < startingVersion || !have.contains(fv) ||
+          fiNorm >= fileCount(fv)) fv + 1 else fv
+        while (v <= capped && remaining > 0) {
+          if (have.contains(v)) {
+            val cnt = fileCount(v)
+            val from = if (v == fv) fiNorm else 0L
+            val avail = cnt - from
+            if (avail <= remaining) { end = (v, cnt); remaining -= avail }
+            else { end = (v, from + remaining); remaining = 0 }
+          } else end = (v, 0L)
+          if (remaining > 0) v += 1
+        }
+        val progressed = end._1 > fv || (end._1 == fv && end._2 > fiNorm)
+        val fullyConsumed =
+          !have.contains(end._1) || end._2 >= fileCount(end._1)
+        if (!progressed) null
+        else if (fullyConsumed) VersionOffset(end._1)
+        else FileOffset(end._1, end._2)
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = versionOf(end)
-    val fromV = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val (endV, endIdx) = decode(end)
+    val (startV, startIdxRaw) =
+      start.map(decode).getOrElse((startingVersion - 1, Long.MaxValue))
     lastPlannedEnd = Some(endV)
     val have = log.listCommitVersions().toSet
-    val versions = (fromV to endV).filter(have.contains)
+    // a partially-consumed start version contributes its remaining files
+    val startPartial = startV >= startingVersion && have.contains(startV) &&
+      startIdxRaw != Long.MaxValue && startIdxRaw < fileCount(startV)
+    val versions =
+      ((if (startPartial) Seq(startV) else Nil) ++
+        ((startV + 1) to endV)).filter(have.contains)
     if (readChangeFeed) return getChangeBatch(versions)
     val partitioned = log.update().metadata.partitionColumns.nonEmpty
     val adds = versions.flatMap { v =>
@@ -143,7 +215,12 @@ final class DeltaStreamSource(
             "row deletions (DELETE/UPDATE/MERGE); a plain stream would " +
             "under-report change. Set ignoreChanges=true to stream only " +
             "its added rows, or consume DeltaTable.changes for a full feed")
-      acts.flatMap(_.add).filter(a => a.dataChange && a.deletionVector.isEmpty)
+      val all = acts.flatMap(_.add).filter(a => a.dataChange && a.deletionVector.isEmpty)
+      // slice by the sub-version offsets: files are in commit order, which
+      // is immutable — the same index always names the same file
+      val from = if (v == startV && startPartial) startIdxRaw else 0L
+      val until = if (v == endV) math.min(endIdx, all.size.toLong) else all.size.toLong
+      all.slice(from.toInt, until.toInt)
     }
     val batch = if (adds.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

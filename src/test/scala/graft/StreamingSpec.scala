@@ -232,6 +232,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).count() == 320)
   }
 
+  test("maxFilesPerTrigger splits a many-file commit across micro-batches, " +
+       "exactly once") {
+    import graft.delta.DeltaWriter
+    val path = java.nio.file.Files.createTempDirectory("stream-mft").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-mft-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("stream-mft-out").toString
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    // v0: ONE commit with 8 files; v1: 3 more files
+    DeltaWriter.append(spark, base.limit(200).repartition(8), path)
+    DeltaWriter.append(spark,
+      base.limit(260).exceptAll(base.limit(200)).repartition(3), path)
+
+    var batches = 0
+    val q = spark.readStream.format("graftdelta")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        df.write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    // exactly-once: 260 distinct rows, no duplicates, no loss
+    assert(out.count() == 260, s"delivered ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 260)
+    // 11 files at 2 per micro-batch → at least 6 batches (the cap binds
+    // WITHIN the 8-file commit, not only at version boundaries)
+    assert(batches >= 6, s"cap did not split the commit: $batches batches")
+
+    // restart with nothing new: no re-delivery across the FileOffset
+    var redelivered = 0L
+    val q2 = spark.readStream.format("graftdelta")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        redelivered += df.count()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(redelivered == 0L, s"restart re-delivered $redelivered rows")
+  }
+
   test("watermark-bounded dedup drops in-window duplicates with expiring state") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-wmdd").toString
     // double-deliver the first 500 events (same event_id, same ts) — the
