@@ -98,6 +98,27 @@ object Bench {
     }
   }
 
+  /** Healthy calibration on this host when it's quiet (fixed 50M-row
+    * CPU-bound job): ~0.33s. The host's Spark throughput oscillates on
+    * ~10-minute scales (r8: calib drifted 0.33→0.50 while DuckDB times
+    * held EXACTLY at baseline — a JVM-side-only degradation that would
+    * read as a 2× code regression). Before the scale pass, wait — bounded
+    * — for a window near reference, and always RECORD the at-scale calib
+    * so a still-degraded run is diagnosable instead of misleading. */
+  private val ReferenceCalibSec = 0.33
+  private def waitForNearReferenceWindow(spark: SparkSession): Double = {
+    var tries = 0
+    var c = calibrate(spark)
+    while (c > ReferenceCalibSec * 1.25 && tries < 20) {
+      System.err.println(
+        f"[bench] calib $c%.3fs vs reference $ReferenceCalibSec%.2fs — waiting 15s")
+      degradedWaits.incrementAndGet()
+      Thread.sleep(15000); tries += 1
+      c = calibrate(spark)
+    }
+    c
+  }
+
   // ---------------------------------------------------------------------
   // Paired DuckDB side-runner (dev oracle over the same data, spawned as a
   // subprocess; absence — no python/duckdb on the host — degrades to an
@@ -312,12 +333,16 @@ object Bench {
     // driver's tail capture truncated BENCH_r07 mid-line, losing x30_total
     // and two paired rows — the final line is small enough to always survive
     var hlCore = ""
+    var calibAtScale = -1.0
     val scaleJson =
       if (scaleFactor <= 1) ""
       else try {
         val bigDir = SyntheticScale.ensure(spark, sfDir, scaleFactor)
         val big = scaleHeadline.filter(SparkEntry.queries.contains)
         RelationalQueries.ensureViews(spark, bigDir)
+        // bounded wait for a near-reference host window; the measured
+        // calib is recorded either way (headline + artifact)
+        calibAtScale = waitForNearReferenceWindow(spark)
         // dump the oracle SQL for the side-runner (same map Verify dumps)
         val sqlPath = java.nio.file.Files.createTempFile("graft-oracle", ".json")
         val node = graft.delta.ActionJson.mapper.createObjectNode()
@@ -495,7 +520,7 @@ object Bench {
         hlCore = {
           val pr = pairedRatioOpt.map(r => f""","paired_ratio":$r%.2f""").getOrElse("")
           val ir = idleRatioOpt.map(r => f""","vs_idle_ratio":$r%.2f""").getOrElse("")
-          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
+          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
         }
         f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson"""
       } catch { case e: Throwable =>
@@ -592,7 +617,7 @@ object Bench {
     val (ccUsed, ccMax) = codeCache()
     val jitMs = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(-1L)
-    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
+    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$baselineJson}""")
     // LAST line: compact headline that survives any tail truncation
