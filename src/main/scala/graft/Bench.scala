@@ -106,6 +106,25 @@ object Bench {
     * — for a window near reference, and always RECORD the at-scale calib
     * so a still-degraded run is diagnosable instead of misleading. */
   private val ReferenceCalibSec = 0.33
+
+  /** Single-thread memory bandwidth (GiB/s), min-of-3 256 MiB copies.
+    * The r8 diagnosis lever: the host's bandwidth oscillates (observed
+    * 1.3 GiB/s in windows where a healthy x86 does 5-15) — cache-resident
+    * CPU probes and DuckDB barely notice, while Spark's shuffle/scan rows
+    * degrade 2-3×. Recording it makes a degraded-window artifact
+    * self-explaining. */
+  private def memBandwidthGiBs(): Double = {
+    val n = 256 * 1024 * 1024
+    val a = new Array[Byte](n)
+    val b = new Array[Byte](n)
+    java.util.Arrays.fill(a, 1.toByte)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      System.arraycopy(a, 0, b, 0, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (n.toDouble / dt) / (1024 * 1024 * 1024)
+    }.max
+  }
   private def waitForNearReferenceWindow(spark: SparkSession): Double = {
     var tries = 0
     var c = calibrate(spark)
@@ -334,6 +353,7 @@ object Bench {
     // and two paired rows — the final line is small enough to always survive
     var hlCore = ""
     var calibAtScale = -1.0
+    var memBwAtScale = -1.0
     val scaleJson =
       if (scaleFactor <= 1) ""
       else try {
@@ -341,8 +361,10 @@ object Bench {
         val big = scaleHeadline.filter(SparkEntry.queries.contains)
         RelationalQueries.ensureViews(spark, bigDir)
         // bounded wait for a near-reference host window; the measured
-        // calib is recorded either way (headline + artifact)
+        // calib + memory bandwidth are recorded either way (headline +
+        // artifact)
         calibAtScale = waitForNearReferenceWindow(spark)
+        memBwAtScale = memBandwidthGiBs()
         // dump the oracle SQL for the side-runner (same map Verify dumps)
         val sqlPath = java.nio.file.Files.createTempFile("graft-oracle", ".json")
         val node = graft.delta.ActionJson.mapper.createObjectNode()
@@ -520,7 +542,7 @@ object Bench {
         hlCore = {
           val pr = pairedRatioOpt.map(r => f""","paired_ratio":$r%.2f""").getOrElse("")
           val ir = idleRatioOpt.map(r => f""","vs_idle_ratio":$r%.2f""").getOrElse("")
-          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
+          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
         }
         f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson"""
       } catch { case e: Throwable =>
@@ -617,7 +639,7 @@ object Bench {
     val (ccUsed, ccMax) = codeCache()
     val jitMs = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(-1L)
-    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
+    val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$baselineJson}""")
     // LAST line: compact headline that survives any tail truncation

@@ -130,7 +130,15 @@ object Alter {
                  case None => snap.protocol.minWriterVersion >= 4
                }))
              Seq("generatedColumns") else Nil)
-        if (needed.isEmpty) None else featureUpgrade(snap.protocol, needed)
+        val base =
+          if (needed.isEmpty) None else featureUpgrade(snap.protocol, needed)
+        // a new TIMESTAMP_NTZ/VARIANT column needs the reader+writer
+        // type features too
+        ProtocolGate.readerWriterFeatureUpgrade(
+          base.getOrElse(snap.protocol),
+          ProtocolGate.typeFeatures(
+            org.apache.spark.sql.types.StructType(cols.map(_._2))))
+          .orElse(base)
       })
   }
 

@@ -899,10 +899,16 @@ object DeltaWriter {
              else Nil) ++
             (if (DeltaLog.ictEnabled(configuration)) Seq("inCommitTimestamp")
              else Nil)
+        // TIMESTAMP_NTZ / VARIANT columns imply reader+writer features:
+        // readers that can't decode them must refuse, not misread
+        val typeFeats = ProtocolGate.typeFeatures(schema)
         actions += Action(
-          if (createFeatures.nonEmpty)
-            Protocol(minReaderVersion = 1, minWriterVersion = 7,
-              writerFeatures = Some(createFeatures))
+          if (createFeatures.nonEmpty || typeFeats.nonEmpty)
+            Protocol(
+              minReaderVersion = if (typeFeats.nonEmpty) 3 else 1,
+              minWriterVersion = 7,
+              readerFeatures = if (typeFeats.nonEmpty) Some(typeFeats) else None,
+              writerFeatures = Some((createFeatures ++ typeFeats).distinct))
           else Protocol())
         actions += Action(graft.delta.Metadata(
           id = UUID.randomUUID.toString,
@@ -911,7 +917,11 @@ object DeltaWriter {
           configuration = configuration,
           createdTime = Some(System.currentTimeMillis())))
       } else if (snapshot.get.metadata.schemaString != schema.json) {
-        // schema evolution: re-emit metaData with the merged schema
+        // schema evolution: re-emit metaData with the merged schema; a new
+        // TIMESTAMP_NTZ/VARIANT column upgrades the protocol in the same
+        // commit
+        ProtocolGate.readerWriterFeatureUpgrade(snapshot.get.protocol,
+          ProtocolGate.typeFeatures(schema)).foreach(p => actions += Action(p))
         actions += Action(snapshot.get.metadata.copy(schemaString = schema.json))
       }
       for (app <- txnAppId; v <- txnVersion)

@@ -80,6 +80,44 @@ object ProtocolGate {
     "allowColumnDefaults", "identityColumns", "inCommitTimestamp",
     "clustering")
 
+  /** Reader+writer features a schema's TYPES imply: a table carrying a
+    * TIMESTAMP_NTZ or VARIANT column must advertise the feature on BOTH
+    * sides — a reader that can't decode those physical encodings must
+    * refuse, not misread. Recursed through struct/array/map. */
+  def typeFeatures(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val found = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(dt: DataType): Unit = dt match {
+      case s: StructType => s.fields.foreach(f => walk(f.dataType))
+      case a: ArrayType => walk(a.elementType)
+      case m: MapType => walk(m.keyType); walk(m.valueType)
+      case _: TimestampNTZType => found += "timestampNtz"
+      case v if v == VariantType => found += "variantType"
+      case _ => ()
+    }
+    walk(schema)
+    found.toSeq
+  }
+
+  /** Reader+writer feature upgrade: None when `needed` is already fully
+    * advertised. Carries legacy-implied features through, like
+    * [[Alter.featureUpgrade]] does for the writer side. */
+  def readerWriterFeatureUpgrade(p: Protocol, needed: Seq[String]): Option[Protocol] = {
+    val haveR = p.readerFeatures.getOrElse(Nil).toSet
+    val haveW = p.writerFeatures.getOrElse(Nil).toSet
+    val missing = needed.filterNot(f => haveR.contains(f) && haveW.contains(f))
+    if (missing.isEmpty) None
+    else {
+      val wUp = Alter.featureUpgrade(p, needed).getOrElse(p)
+      val impliedR =
+        if (p.readerFeatures.isDefined) Nil
+        else if (p.minReaderVersion >= 2) Seq("columnMapping")
+        else Nil
+      Some(wUp.copy(minReaderVersion = 3,
+        readerFeatures = Some((haveR.toSeq ++ impliedR ++ needed).distinct)))
+    }
+  }
+
   /** Row-moving operations (UPDATE/MERGE/OPTIMIZE/ZORDER) all rewrite
     * id-stably on row-tracked tables: each rewritten row carries its id in
     * the materialized row-id columns ([[RowTracking.preservedRowsDF]] /

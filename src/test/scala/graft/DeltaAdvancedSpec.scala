@@ -326,6 +326,44 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(p4.writerFeatures.exists(_.contains("generatedColumns")), p4.toString)
   }
 
+  test("TIMESTAMP_NTZ and VARIANT columns stamp reader+writer type features") {
+    import org.apache.spark.sql.types._
+    // create with a variant column
+    val d1 = tmpTable()
+    DeltaWriter.append(spark,
+      spark.sql("""SELECT id, parse_json('{"a":1}') AS v FROM range(3)"""), d1)
+    val p1 = DeltaLog.forPath(spark, d1).update().protocol
+    assert(p1.minReaderVersion == 3, p1.toString)
+    assert(p1.readerFeatures.exists(_.contains("variantType")), p1.toString)
+    assert(p1.writerFeatures.exists(_.contains("variantType")), p1.toString)
+    // create with a TIMESTAMP_NTZ column
+    val d2 = tmpTable()
+    DeltaWriter.append(spark,
+      spark.sql("SELECT id, TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts FROM range(3)"), d2)
+    val p2 = DeltaLog.forPath(spark, d2).update().protocol
+    assert(p2.readerFeatures.exists(_.contains("timestampNtz")) &&
+      p2.writerFeatures.exists(_.contains("timestampNtz")), p2.toString)
+    // mergeSchema evolution adding a variant column to a legacy table
+    val d3 = tmpTable()
+    DeltaWriter.append(spark, spark.range(3).toDF("id"), d3)
+    assert(DeltaLog.forPath(spark, d3).update().protocol.readerFeatures.isEmpty)
+    DeltaWriter.append(spark,
+      spark.sql("""SELECT id, parse_json('{"b":2}') AS v FROM range(3, 6)"""), d3,
+      mergeSchema = true)
+    val p3 = DeltaLog.forPath(spark, d3).update().protocol
+    assert(p3.minReaderVersion == 3 &&
+      p3.readerFeatures.exists(_.contains("variantType")) &&
+      p3.writerFeatures.exists(_.contains("variantType")), p3.toString)
+    // ADD COLUMNS introducing TIMESTAMP_NTZ
+    val d4 = tmpTable()
+    DeltaWriter.append(spark, spark.range(3).toDF("id"), d4)
+    Alter.addColumns(spark, DeltaLog.forPath(spark, d4),
+      Seq(StructField("ts", TimestampNTZType, nullable = true)))
+    val p4 = DeltaLog.forPath(spark, d4).update().protocol
+    assert(p4.readerFeatures.exists(_.contains("timestampNtz")) &&
+      p4.writerFeatures.exists(_.contains("timestampNtz")), p4.toString)
+  }
+
   test("liquid clustering: CLUSTER BY records columns, OPTIMIZE re-clusters " +
        "and stamps clusteringProvider") {
     val dir = tmpTable()
