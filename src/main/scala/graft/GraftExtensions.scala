@@ -23,6 +23,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPreCBORule(s => new graft.delta.MetadataOnlyCount(s))
     // graft catalog identifiers → full-fidelity V1 delta scan
     e.injectResolutionRule(s => new graft.delta.GraftCatalogResolution(s))
+    // the reference's flagship SQL surface: `SELECT … FROM
+    // delta_scan('path' [, version])` as a genuine table function
+    // (reference src/functions/delta_scan/delta_scan.cpp:83-121)
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_scan"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_scan"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.nonEmpty && args.size <= 2,
+          "delta_scan(path[, version]) takes 1-2 literal arguments")
+        val path = GraftExtensions.literalString(args.head, "delta_scan path")
+        val t = graft.delta.DeltaTable.forPath(spark, path)
+        val df = args.lift(1) match {
+          case Some(v) => t.toDF(GraftExtensions.literalLong(v, "delta_scan version"))
+          case None => t.toDF
+        }
+        df.queryExecution.logical
+      }))
+    // `table_changes` by path: the CDF read surface as a table function
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_changes"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_changes"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.size == 3,
+          "delta_changes(path, startVersion, endVersion) takes 3 literal arguments")
+        val path = GraftExtensions.literalString(args.head, "delta_changes path")
+        graft.delta.DeltaTable.forPath(spark, path)
+          .changes(GraftExtensions.literalLong(args(1), "startVersion"),
+            GraftExtensions.literalLong(args(2), "endVersion"))
+          .queryExecution.logical
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -37,5 +69,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "rolling_fingerprint(text[, k])")
       }))
+  }
+}
+
+object GraftExtensions {
+  private def literalString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+  private def literalLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString.toLong
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 }

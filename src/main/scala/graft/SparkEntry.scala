@@ -524,6 +524,18 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- delta_scan SQL table function (the reference's flagship surface:
+    //     SELECT ... FROM delta_scan('path'), reference delta_scan.cpp) ---
+    "delta_scan_fn" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "orders", Fixtures.Plain)
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS sum_price
+           |FROM delta_scan('$p')
+           |WHERE o_orderstatus = 'F'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // --- liquid clustering: CLUSTER BY + clustered OPTIMIZE; scan result
     //     unchanged, files re-clustered with clusteringProvider=liquid ---
     "delta_cluster_scan" -> ((s, dir) => {
@@ -1239,6 +1251,10 @@ object SparkEntry {
     "delta_cluster_scan" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "delta_scan_fn" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "delta_ict_scan" ->
       """SELECT true AS ict_monotone, true AS ict_featured,
         |  CAST(1 AS BIGINT) AS mid_version, CAST(3 AS BIGINT) AS n_commits""".stripMargin,

@@ -10,6 +10,41 @@ import graft.delta._
 class GraftSourceSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("delta_scan / delta_changes SQL table functions (reference flagship UX)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") < 10), dir)   // v0
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") >= 10), dir)  // v1
+    // full scan, WHERE pushdown intact
+    val n = spark.sql(s"SELECT count(*) AS n FROM delta_scan('$dir')")
+      .collect()(0).getLong(0)
+    assert(n == src.count())
+    val filtered = spark.sql(
+      s"SELECT n_name FROM delta_scan('$dir') WHERE n_nationkey = 3")
+    assert(filtered.count() == 1)
+    // time travel arg
+    val v0 = spark.sql(s"SELECT count(*) AS n FROM delta_scan('$dir', 0)")
+      .collect()(0).getLong(0)
+    assert(v0 == src.filter(col("n_nationkey") < 10).count())
+    // joins against it work like any relation
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM delta_scan('$dir') a
+         |JOIN delta_scan('$dir', 0) b ON a.n_nationkey = b.n_nationkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(joined == v0)
+    // CDF table function
+    val changes = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM delta_changes('$dir', 1, 1) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes == Map("insert" -> src.filter(col("n_nationkey") >= 10).count()))
+    // non-literal args refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_scan(repeat('x', 2))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("graftdelta reads a DV table: deleted rows dropped, values exact") {
     val path = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
