@@ -55,6 +55,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             GraftExtensions.literalLong(args(2), "endVersion"))
           .queryExecution.logical
       }))
+    // metadata table functions, the reference's delta_list_files /
+    // delta_domain_metadata UX (delta_metadata_scan.cpp:17-148,
+    // delta_domain_metadata.cpp:11-77); optional trailing version arg
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_list_files"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_list_files"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.nonEmpty && args.size <= 2,
+          "delta_list_files(path[, version]) takes 1-2 literal arguments")
+        graft.delta.DeltaTable
+          .forPath(spark, GraftExtensions.literalString(args.head, "path"))
+          .listFiles(args.lift(1).map(GraftExtensions.literalLong(_, "version")))
+          .queryExecution.logical
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_domain_metadata"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_domain_metadata"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.nonEmpty && args.size <= 2,
+          "delta_domain_metadata(path[, version]) takes 1-2 literal arguments")
+        graft.delta.DeltaTable
+          .forPath(spark, GraftExtensions.literalString(args.head, "path"))
+          .domainMetadata(args.lift(1).map(GraftExtensions.literalLong(_, "version")))
+          .queryExecution.logical
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

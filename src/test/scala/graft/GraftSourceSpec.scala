@@ -43,6 +43,20 @@ class GraftSourceSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM delta_scan(repeat('x', 2))").collect()
     }
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // metadata table functions
+    val files = spark.sql(
+      s"SELECT sum(cardinality) AS rows, count(*) AS files FROM delta_list_files('$dir')")
+      .collect()(0)
+    assert(files.getLong(0) == src.count() && files.getLong(1) >= 2)
+    val filesV0 = spark.sql(
+      s"SELECT sum(cardinality) AS rows FROM delta_list_files('$dir', 0)")
+      .collect()(0).getLong(0)
+    assert(filesV0 == v0)
+    DeltaTable.forPath(spark, dir).setDomainMetadata("app.test", """{"k":1}""")
+    val dm = spark.sql(
+      s"SELECT configuration FROM delta_domain_metadata('$dir') WHERE domain = 'app.test'")
+      .collect()
+    assert(dm.length == 1 && dm(0).getString(0) == """{"k":1}""")
   }
 
   test("graftdelta reads a DV table: deleted rows dropped, values exact") {
