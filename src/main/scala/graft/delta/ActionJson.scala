@@ -131,7 +131,8 @@ object ActionJson {
       operation = optStr(n, "operation").getOrElse(""),
       operationParameters = strMap(n, "operationParameters"),
       engineInfo = optStr(n, "engineInfo").getOrElse(""),
-      inCommitTimestamp = optLong(n, "inCommitTimestamp"))
+      inCommitTimestamp = optLong(n, "inCommitTimestamp"),
+      operationMetrics = strMap(n, "operationMetrics"))
 
   // ---------------- write ----------------
 
@@ -156,6 +157,8 @@ object ActionJson {
       c.inCommitTimestamp.foreach(o.put("inCommitTimestamp", _))
       o.put("operation", c.operation)
       putStrMap(o, "operationParameters", c.operationParameters)
+      if (c.operationMetrics.nonEmpty)
+        putStrMap(o, "operationMetrics", c.operationMetrics)
       o.put("engineInfo", c.engineInfo)
     }
     a.protocol.foreach { p =>

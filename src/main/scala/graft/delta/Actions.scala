@@ -105,7 +105,11 @@ final case class CommitInfo(
     // table enables delta.enableInCommitTimestamps, THIS field — not file
     // modification time — is the authoritative commit time for time
     // travel and history
-    inCommitTimestamp: Option[Long] = None)
+    inCommitTimestamp: Option[Long] = None,
+    // operation OUTCOMES (numOutputRows, numDeletedRows, …), the
+    // delta-spark DESCRIBE HISTORY operationMetrics column; parameters
+    // above are the operation's INPUTS
+    operationMetrics: Map[String, String] = Map.empty)
 
 /** One line of a Delta log commit file. Exactly one field is set. */
 final case class Action(

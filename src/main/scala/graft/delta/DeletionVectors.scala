@@ -321,7 +321,11 @@ object DeltaDelete {
         Seq(Action(CommitInfo(System.currentTimeMillis(), "DELETE",
           Map("predicate" -> condition.toString),
           inCommitTimestamp =
-            log.nextInCommitTimestamp(snap.metadata.configuration, v)))) ++
+            log.nextInCommitTimestamp(snap.metadata.configuration, v),
+          operationMetrics = Map(
+            "numDeletedRows" -> deletedRows.toString,
+            "numDeletionVectorsAdded" ->
+              actions.count(_.add.exists(_.deletionVector.isDefined)).toString)))) ++
         protocolUpgradeActions(snap) ++ actions
       val commitActions = commitActionsAt(snap.version + 1)
       // optimistic concurrency: rebase over logically-disjoint winners
@@ -742,7 +746,11 @@ object DeltaMerge {
           Map("keys" -> keyCols.mkString(","),
             "matchedClauses" -> matched.length.toString),
           inCommitTimestamp = log.nextInCommitTimestamp(
-            snap.metadata.configuration, commitVersion)))) ++
+            snap.metadata.configuration, commitVersion),
+          operationMetrics = Map(
+            "numTargetRowsUpdated" -> updatedRows.toString,
+            "numTargetRowsDeleted" -> deletedRows.toString,
+            "numTargetRowsInserted" -> insertedRows.toString)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
@@ -922,7 +930,8 @@ object DeltaUpdate {
         Seq(Action(CommitInfo(System.currentTimeMillis(), "UPDATE",
           Map("predicate" -> condition.toString),
           inCommitTimestamp = log.nextInCommitTimestamp(
-            snap.metadata.configuration, commitVersion)))) ++
+            snap.metadata.configuration, commitVersion),
+          operationMetrics = Map("numUpdatedRows" -> updatedRows.toString)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         DeltaDelete.protocolUpgradeActions(snap) ++

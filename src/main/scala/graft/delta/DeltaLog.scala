@@ -414,7 +414,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     * — the single source for DESCRIBE-HISTORY-style surfaces. Parses only
     * each commit's commitInfo line, not its add/remove actions (history on
     * a table with large commits must not be O(total log bytes parsed)). */
-  def commitHistory(): Seq[(Long, Long, String, String)] =
+  def commitHistory(): Seq[(Long, Long, String, String, Map[String, String])] =
     listCommitVersions().sorted.reverse.map { v =>
       val in = fs.open(commitFile(v))
       val ci =
@@ -430,7 +430,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           .orElse(ci.flatMap(n => Option(n.get("timestamp"))).map(_.asLong(0L)))
           .getOrElse(0L),
         ci.flatMap(n => Option(n.get("operation"))).map(_.asText("")).getOrElse(""),
-        ci.flatMap(n => Option(n.get("engineInfo"))).map(_.asText("")).getOrElse(""))
+        ci.flatMap(n => Option(n.get("engineInfo"))).map(_.asText("")).getOrElse(""),
+        ci.flatMap(n => Option(n.get("operationMetrics"))).filterNot(_.isNull)
+          .map { m =>
+            import scala.jdk.CollectionConverters._
+            m.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          }.getOrElse(Map.empty[String, String]))
     }
 
   def readCommitCdcPaths(v: Long): Seq[String] = {

@@ -216,7 +216,8 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def history(): DataFrame = {
     import spark.implicits._
     log.commitHistory()
-      .toDF("version", "timestamp", "operation", "engineInfo")
+      .toDF("version", "timestamp", "operation", "engineInfo",
+        "operationMetrics")
   }
 
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,

@@ -878,7 +878,12 @@ object DeltaWriter {
         Map("partitionBy" -> partCols.mkString(",")),
         inCommitTimestamp = log.nextInCommitTimestamp(
           snapshot.map(_.metadata.configuration).getOrElse(configuration),
-          version)))
+          version),
+        operationMetrics = Map(
+          "numFiles" -> addsOut.size.toString,
+          "numOutputRows" ->
+            addsOut.flatMap(_.parsedStats.flatMap(_.numRecords)).sum.toString,
+          "numOutputBytes" -> addsOut.map(_.size).sum.toString)))
       if (snapshot.isEmpty) {
         val createFeatures =
           (if (rtEnabled) Seq("rowTracking", "domainMetadata") else Nil) ++

@@ -146,12 +146,17 @@ private[delta] object GraftProcedures {
           StructField("version", LongType),
           StructField("timestamp", LongType),
           StructField("operation", StringType),
-          StructField("engine_info", StringType))),
+          StructField("engine_info", StringType),
+          StructField("operation_metrics", StringType))),
         args => log(args.getString(0)).commitHistory().map {
-          case (v, ts, op, engine) =>
+          case (v, ts, op, engine, metrics) =>
+            val mj = ActionJson.mapper.createObjectNode()
+            metrics.toSeq.sortBy(_._1).foreach { case (k, x) => mj.put(k, x) }
             new GenericInternalRow(Array[Any](v, ts,
               UTF8String.fromString(op),
-              UTF8String.fromString(engine))): InternalRow
+              UTF8String.fromString(engine),
+              UTF8String.fromString(
+                ActionJson.mapper.writeValueAsString(mj)))): InternalRow
         }.toArray))
       case _ => None
     }

@@ -179,6 +179,12 @@ object Optimize {
    * re-added file; no data is read or written — restore of a 100 TB table
    * is a metadata-only commit.
    */
+  /** RESTORE TABLE ... TO TIMESTAMP AS OF: resolve via the same commit-
+    * timestamp rule time travel uses (ICT-aware), then restore by
+    * version. */
+  def restoreToTimestamp(spark: SparkSession, log: DeltaLog, tsMillis: Long): Result =
+    restore(spark, log, log.versionAtTimestamp(tsMillis))
+
   def restore(spark: SparkSession, log: DeltaLog, targetVersion: Long): Result = {
     val snap = log.update()
     require(targetVersion >= 0 && targetVersion <= snap.version,
@@ -343,7 +349,12 @@ object Optimize {
           Map("filesRemoved" -> toRewrite.size.toString,
             "filesAdded" -> adds.size.toString),
           inCommitTimestamp = log.nextInCommitTimestamp(
-            snap.metadata.configuration, commitVersion)))) ++
+            snap.metadata.configuration, commitVersion),
+          operationMetrics = Map(
+            "numRemovedFiles" -> toRewrite.size.toString,
+            "numAddedFiles" -> adds.size.toString,
+            "numRemovedBytes" -> toRewrite.map(_.size).sum.toString,
+            "numAddedBytes" -> adds.map(_.size).sum.toString)))) ++
         mdAction.map(Action(_)).toSeq ++
         rtDomain.map(Action(_)).toSeq ++
         toRewrite.map(f => Action(RemoveFile(f.path,

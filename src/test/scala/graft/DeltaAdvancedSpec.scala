@@ -326,6 +326,36 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(p4.writerFeatures.exists(_.contains("generatedColumns")), p4.toString)
   }
 
+  test("DESCRIBE HISTORY carries operationMetrics per operation type") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir)                                   // v0 WRITE
+    val t = DeltaTable.forPath(spark, dir)
+    t.delete(col("n_nationkey") % 5 === 0)                                // v1 DELETE
+    t.update(col("n_nationkey") === 1, Map("n_name" -> lit("x")))         // v2 UPDATE
+    DeltaLog.clearCache()
+    val hist = DeltaTable.forPath(spark, dir).history().collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[String]("operation"),
+         r.getAs[Map[String, String]]("operationMetrics"))).toMap
+    val (op0, m0) = hist(0L)
+    assert(op0 == "WRITE" && m0("numOutputRows") == src.count().toString &&
+      m0("numFiles").toInt >= 1, m0.toString)
+    val (op1, m1) = hist(1L)
+    assert(op1 == "DELETE" &&
+      m1("numDeletedRows") == src.filter(col("n_nationkey") % 5 === 0).count().toString,
+      m1.toString)
+    val (op2, m2) = hist(2L)
+    assert(op2 == "UPDATE" && m2("numUpdatedRows") == "1", m2.toString)
+    // SQL face serializes the map as JSON
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    GraftCatalog.attach("hist_t", dir)
+    val sqlRow = spark.sql("CALL graft.history('hist_t')")
+      .filter(col("version") === 1).collect()(0)
+    assert(sqlRow.getAs[String]("operation_metrics").contains("numDeletedRows"))
+  }
+
   test("TIMESTAMP_NTZ and VARIANT columns stamp reader+writer type features") {
     import org.apache.spark.sql.types._
     // create with a variant column
