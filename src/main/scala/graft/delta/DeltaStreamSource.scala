@@ -161,7 +161,13 @@ final class DeltaStreamSource(
     // unit of change is the version, not the data file)
     maxFilesPerTrigger.filter(_ => !readChangeFeed) match {
       case None =>
-        if (capped <= fv) null else VersionOffset(capped)
+        // a PARTIAL floor (checkpoint written under maxFilesPerTrigger,
+        // option since removed) must still drain the rest of its version
+        val floorPartial = fiRaw != Long.MaxValue &&
+          fv >= startingVersion && log.listCommitVersions().contains(fv) &&
+          fiRaw < fileCount(fv)
+        if (capped <= fv && !floorPartial) null
+        else VersionOffset(math.max(capped, fv))
       case Some(mft) =>
         val have = log.listCommitVersions().toSet
         val fiNorm =
