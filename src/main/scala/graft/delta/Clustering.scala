@@ -20,7 +20,8 @@ object Clustering {
 
   val DomainName = "delta.clustering"
 
-  /** Logical clustering column paths (dotted), Nil when unclustered. */
+  /** LOGICAL clustering column paths (the domain stores physical names;
+    * they map back through the snapshot's schema), Nil when unclustered. */
   def columns(snap: Snapshot): Seq[String] =
     snap.domainMetadata.find(d => d.domain == DomainName && !d.removed)
       .toSeq.flatMap { d =>
@@ -30,7 +31,9 @@ object Clustering {
           else {
             import scala.jdk.CollectionConverters._
             n.elements().asScala.map { path =>
-              path.elements().asScala.map(_.asText).mkString(".")
+              val phys = path.elements().asScala.map(_.asText).mkString(".")
+              snap.schema.fields.find(f => snap.physicalName(f) == phys)
+                .map(_.name).getOrElse(phys)
             }.toSeq
           }
         } catch { case _: Exception => Nil }
@@ -49,8 +52,16 @@ object Clustering {
       require(!snap.metadata.partitionColumns.exists(_.equalsIgnoreCase(c)),
         s"CLUSTER BY: $c is a partition column")
     }
-    val config = cols.map(c => s"""["$c"]""").mkString(
-      """{"clusteringColumns":[""", ",", "]}")
+    // store PHYSICAL name paths (the protocol's convention for
+    // column-mapped tables; logical == physical when unmapped), JSON-built
+    // so exotic column names can't break the encoding
+    val root = ActionJson.mapper.createObjectNode()
+    val arr = root.putArray("clusteringColumns")
+    cols.foreach { c =>
+      val field = snap.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+      arr.addArray().add(snap.physicalName(field))
+    }
+    val config = ActionJson.mapper.writeValueAsString(root)
     val p = snap.protocol
     val upgraded = Alter.featureUpgrade(p, Seq("clustering", "domainMetadata"))
     val actions =
