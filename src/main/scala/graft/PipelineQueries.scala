@@ -228,6 +228,23 @@ object PipelineQueries {
         .agg(sum(TextOps.subwordCount(col("text"))).as("subtoks"))
         .orderBy(col("lang"))),
     "text_quality" -> ((s, dir) => TextOps.qualityStats(docs(s, dir))),
+    // PII scrubbing: deterministic synthetic PII is injected per doc, then
+    // redacted — the oracle applies the identical portable regexes, so a
+    // scrub that misses (or over-matches) fails the compare
+    "text_pii_scrub" -> ((s, dir) => {
+      val pii = docs(s, dir).withColumn("txt",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or 555-123-4567 ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      pii.select(col("doc_id"), TextOps.scrubPii(col("txt")).as("scrubbed"),
+          col("txt"))
+        .agg(
+          count(when(col("scrubbed").contains("[EMAIL]"), 1)).as("emails"),
+          count(when(col("scrubbed").contains("[PHONE]"), 1)).as("phones"),
+          count(when(col("scrubbed").contains("[SSN]"), 1)).as("ssns"),
+          sum(length(col("txt")) - length(col("scrubbed"))).as("chars_redacted"))
+    }),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.langId(col("text")).as("pred"))
         .agg(count(lit(1)).as("n")).orderBy(col("pred"))),
@@ -740,6 +757,26 @@ object PipelineQueries {
        |GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "text_pii_scrub" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com' ||
+        |      ' or 555-123-4567 ssn 123-45-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents),
+        |scr AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(txt, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+        |        '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS scrubbed
+        |  FROM pii)
+        |SELECT count(*) FILTER (scrubbed LIKE '%[EMAIL]%') AS emails,
+        |  count(*) FILTER (scrubbed LIKE '%[PHONE]%') AS phones,
+        |  count(*) FILTER (scrubbed LIKE '%[SSN]%') AS ssns,
+        |  CAST(sum(length(txt) - length(scrubbed)) AS BIGINT) AS chars_redacted
+        |FROM scr""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n,
         | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks,

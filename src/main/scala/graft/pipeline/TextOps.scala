@@ -82,6 +82,23 @@ object TextOps {
 
   /** 64-bit SimHash over whitespace tokens (native expression; FNV-1a —
     * the fastest scale path, not oracle-reproducible). */
+  /** PII scrubbing patterns a training-data pipeline redacts before
+    * publishing a corpus. Deliberately dialect-portable regexes (no
+    * lookaround, no shorthand classes that differ between engines) so
+    * the DuckDB oracle can apply the identical patterns. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Redact emails/phones/SSNs; entirely codegen'd regexp_replace — the
+    * scan-local shape that costs one pass at 100 TB, no shuffle. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, SsnRe, "[SSN]"),
+        PhoneRe, "[PHONE]"),
+      EmailRe, "[EMAIL]")
+
   def simhash(text: Column): Column = GraftFunctions.simhash64(tokens(text))
 
   /** Winnowing-style rolling-hash fingerprint (native expression). */
