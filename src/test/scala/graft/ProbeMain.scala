@@ -97,7 +97,7 @@ object ProbeMain {
       DeltaWriter.append(spark,
         src.select(col("r_regionkey").cast("long").as("rid"), col("r_name")), ipath)
     }
-    probe("UPDATE on a row-tracked table is refused (no id materialization)") {
+    probe("UPDATE on a row-tracked table materializes ids (row count back)") {
       val rpath = java.nio.file.Files.createTempDirectory("probe-rt").toString + "/t"
       DeltaWriter.append(spark, src, rpath,
         configuration = Map("delta.enableRowTracking" -> "true"))
