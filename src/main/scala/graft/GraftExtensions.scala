@@ -82,6 +82,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .domainMetadata(args.lift(1).map(GraftExtensions.literalLong(_, "version")))
           .queryExecution.logical
       }))
+    // scalar: the reference's delta_get_transaction_version(path, appId)
+    // (idempotency_helpers.cpp:41-145); resolves at analysis time from
+    // literal args — NULL when the app has no recorded version
+    e.injectFunction((
+      new FunctionIdentifier("delta_get_transaction_version"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_get_transaction_version"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.size == 2,
+          "delta_get_transaction_version(path, appId) takes 2 literal arguments")
+        val v = graft.delta.DeltaTable
+          .forPath(spark, GraftExtensions.literalString(args.head, "path"))
+          .getTransactionVersion(GraftExtensions.literalString(args(1), "appId"))
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          v.map(Long.box).orNull, org.apache.spark.sql.types.LongType)
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

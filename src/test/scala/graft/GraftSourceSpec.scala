@@ -57,6 +57,14 @@ class GraftSourceSpec extends AnyFunSuite {
       s"SELECT configuration FROM delta_domain_metadata('$dir') WHERE domain = 'app.test'")
       .collect()
     assert(dm.length == 1 && dm(0).getString(0) == """{"k":1}""")
+    // scalar: transaction version lookup
+    DeltaWriter.append(spark, src.limit(1), dir,
+      txnAppId = Some("etl-app"), txnVersion = Some(7L))
+    val tv = spark.sql(
+      s"SELECT delta_get_transaction_version('$dir', 'etl-app') AS v," +
+        s" delta_get_transaction_version('$dir', 'nope') AS missing")
+      .collect()(0)
+    assert(tv.getLong(0) == 7L && tv.isNullAt(1))
   }
 
   test("graftdelta reads a DV table: deleted rows dropped, values exact") {
