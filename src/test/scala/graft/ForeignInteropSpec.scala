@@ -158,6 +158,30 @@ class ForeignInteropSpec extends AnyFunSuite {
     Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
     DeltaLog.clearCache()
     assert(DeltaTable.forPath(spark, dir).toDF.count() == src.count() + 3)
+
+    // misplaced-manifest defense applies to OUR OWN v2 writes too: copy
+    // the v3 manifest under a v4 name + an empty v4 commit — the bogus
+    // candidate must be rejected (checkpointMetadata.version mismatch)
+    // and replay must land on the true state
+    val manifests = logDir.listFiles().filter(_.getName.matches(
+      raw"\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet")).sortBy(_.getName)
+    val good = manifests.last
+    val bogus = new java.io.File(logDir,
+      good.getName.replaceFirst(raw"^\d{20}", f"${4L}%020d"))
+    java.nio.file.Files.copy(good.toPath, bogus.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${4L}%020d.json").toPath,
+      """{"commitInfo":{"timestamp":1700000009000,"operation":"NOOP"}}
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, dir).toDF.count() == src.count() + 3)
+      assert(DeltaTable.forPath(spark, dir).snapshot.version == 4)
+    } finally {
+      bogus.delete()
+      new java.io.File(logDir, f"${4L}%020d.json").delete()
+      DeltaLog.clearCache()
+    }
   }
 
   test("misplaced v2 manifest is refused; reader falls back to older checkpoint") {
