@@ -446,6 +446,69 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     "02000300010000003a3000000100000000000000100000000100"
   private val katRows = Set(1L, 2L, 3L, (1L << 32) | 1L)
 
+  test("DV file with MULTIPLE framed vectors reads at a non-initial offset") {
+    // foreign writers pack several DVs per .bin file; the descriptor's
+    // offset selects the frame. Build a two-frame file by hand and read
+    // the SECOND frame through the store.
+    import java.nio.ByteBuffer
+    val bm1 = Bitmap64.fromValues(Seq(1L, 2L))
+    val bm2 = Bitmap64.fromValues(Seq(7L, 8L, 9L))
+    def frame(data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32; crc.update(data)
+      val bb = ByteBuffer.allocate(4 + data.length + 4)
+      bb.putInt(data.length); bb.put(data); bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val d1 = DvCodec.serialize(bm1)
+    val d2 = DvCodec.serialize(bm2)
+    val file = Array(1.toByte) ++ frame(d1) ++ frame(d2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-multidv")
+    val p = dir.resolve("deletion_vector_multi.bin")
+    java.nio.file.Files.write(p, file)
+    val offset2 = 1 + 4 + d1.length + 4
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val got2 = DvCodec.deserialize(DvCodec.readFramed(
+      java.nio.file.Files.readAllBytes(p), offset2))
+    assert(got2.cardinality == 3 && got2.contains(7L) && got2.contains(9L) &&
+      !got2.contains(1L))
+    val got1 = DvCodec.deserialize(DvCodec.readFramed(
+      java.nio.file.Files.readAllBytes(p), 1))
+    assert(got1.cardinality == 2 && got1.contains(1L))
+  }
+
+  test("concurrent commits on a row-tracked table conflict loudly, never reuse ids") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    DeltaWriter.append(spark, src, dir,
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    // stage an OPTIMIZE-like competitor: write a commit advancing the
+    // high-water mark at the version UPDATE will target
+    val log = DeltaLog.forPath(spark, dir)
+    val snap = log.update()
+    val hwm = RowTracking.highWaterMark(snap)
+    LogStore.write(log.fs, log.commitFile(snap.version + 1),
+      Seq(
+        Action(CommitInfo(System.currentTimeMillis(), "OPTIMIZE")),
+        Action(DomainMetadata(RowTracking.DomainName,
+          s"""{"rowIdHighWaterMark":${hwm + 100}}""", removed = false)))
+        .map(ActionJson.toJson).mkString("", "\n", "\n"))
+    // a commit staged against the STALE snapshot must CONFLICT on the
+    // domain-metadata winner (rebasing over it would regress the mark) —
+    // driven at the ConflictChecker level, where the race is controllable
+    val staleContent = Seq(Action(CommitInfo(System.currentTimeMillis(), "UPDATE")))
+      .map(ActionJson.toJson).mkString("", "\n", "\n")
+    val e = intercept[Exception] {
+      ConflictChecker.commitWithRebase(log, snap, staleContent,
+        Set.empty, ConflictChecker.ReadScope.FilesOnly)
+    }
+    assert(e.getMessage.contains("domain metadata"), e.getMessage)
+    // the mark from the winner is intact
+    DeltaLog.clearCache()
+    assert(RowTracking.highWaterMark(DeltaLog.forPath(spark, dir).update()) == hwm + 100)
+  }
+
   test("DV KAT: z85 codec matches the ZeroMQ RFC test vector") {
     val bytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)
     assert(DvCodec.z85Encode(bytes) == "HelloWorld")
