@@ -395,7 +395,7 @@ object Alter {
     val haveR = wUp.readerFeatures.getOrElse(Nil).toSet
     val impliedR =
       if (wUp.readerFeatures.isDefined) Nil
-      else if (wUp.minReaderVersion >= 2) Seq("columnMapping") else Nil
+      else ProtocolGate.legacyImpliedReaderFeatures(wUp.minReaderVersion)
     wUp.copy(minReaderVersion = 3,
       readerFeatures = Some((haveR.toSeq ++ impliedR ++ Seq("v2Checkpoint")).distinct))
   }
@@ -412,9 +412,7 @@ object Alter {
     else {
       val legacyImplied =
         if (p.writerFeatures.isDefined) Nil
-        else Seq("appendOnly", "invariants").take(if (p.minWriterVersion >= 2) 2 else 0) ++
-          (if (p.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
-          (if (p.minWriterVersion >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+        else ProtocolGate.legacyImpliedWriterFeatures(p.minWriterVersion)
       Some(p.copy(minWriterVersion = 7,
         writerFeatures = Some((have.toSeq ++ legacyImplied ++ missing).distinct)))
     }

@@ -269,13 +269,10 @@ object DeltaDelete {
       // foreign writers would then violate
       val legacyImpliedW =
         if (p.writerFeatures.isDefined) Nil
-        else Seq("appendOnly", "invariants").take(if (p.minWriterVersion >= 2) 2 else 0) ++
-          (if (p.minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
-          (if (p.minWriterVersion >= 4) Seq("changeDataFeed", "generatedColumns") else Nil)
+        else ProtocolGate.legacyImpliedWriterFeatures(p.minWriterVersion)
       val legacyImpliedR =
         if (p.readerFeatures.isDefined) Nil
-        else if (p.minReaderVersion >= 2) Seq("columnMapping")
-        else Nil
+        else ProtocolGate.legacyImpliedReaderFeatures(p.minReaderVersion)
       Seq(Action(Protocol(3, 7,
         Some((p.readerFeatures.getOrElse(Nil) ++ legacyImpliedR :+
           "deletionVectors").distinct),
@@ -901,7 +898,11 @@ object DeltaUpdate {
         DeltaWriter.toPhysical(spark, snap, newRows,
           snap.metadata.partitionColumns, extraCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
+        stagePartCols, moved, stageOpts,
+            // post-mint config: the FIRST id-materializing rewrite must
+            // already exempt the minted columns from stats
+            configuration = mdAction.map(_.configuration)
+              .getOrElse(snap.metadata.configuration))
       // CDF: pre-assignment matches + their new images, one cdc stage
       val cdcLines =
         if (!Cdc.enabled(snap)) Nil

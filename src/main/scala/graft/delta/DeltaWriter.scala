@@ -681,7 +681,15 @@ object DeltaWriter {
       tableSchema: StructType,
       partCols: Seq[String],
       configuration: Map[String, String] = Map.empty): Map[String, FileStats] = {
-    val dataFields = tableSchema.fields.filterNot(f => partCols.contains(f.name))
+    // row-tracked rewrites stage the materialized row-id/commit-version
+    // columns alongside the data; they are NOT table-schema columns, so
+    // emitting min/max/nullCount for them would both diverge from the
+    // protocol's stats shape and burn dataSkippingNumIndexedCols slots
+    val matRowCols: Set[String] = Set(
+      RowTracking.MatRowIdProp, RowTracking.MatRowVerProp)
+      .flatMap(configuration.get)
+    val dataFields = tableSchema.fields.filterNot(f =>
+      partCols.contains(f.name) || matRowCols.contains(f.name))
     // stat targets: top-level leaves plus first-level struct leaves,
     // keyed by dotted path (nested stat tree on write)
     val allStatKeys: Seq[(String, org.apache.spark.sql.Column, DataType)] =

@@ -334,7 +334,11 @@ object Optimize {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, repacked, partCols, extraCols)
       val adds = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
+        stagePartCols, moved, stageOpts,
+            // post-mint config: the FIRST id-materializing rewrite must
+            // already exempt the minted columns from stats
+            configuration = mdAction.map(_.configuration)
+              .getOrElse(snap.metadata.configuration))
       def actionsAt(commitVersion: Long): Seq[Action] = {
         // fresh baseRowId for the compacted files (ids are never reused;
         // readers prefer the materialized per-row values)
@@ -466,7 +470,11 @@ object Optimize {
       val (stage, stageSchema, stagePartCols, stageOpts) =
         DeltaWriter.toPhysical(spark, snap, repacked, partCols, extraCols)
       val adds1 = DeltaWriter.writeFiles(spark, log, stage, stageSchema,
-        stagePartCols, moved, stageOpts, configuration = snap.metadata.configuration)
+        stagePartCols, moved, stageOpts,
+            // post-mint config: the FIRST id-materializing rewrite must
+            // already exempt the minted columns from stats
+            configuration = mdAction.map(_.configuration)
+              .getOrElse(snap.metadata.configuration))
       val adds0 = clusteringProvider match {
         case Some(p) => adds1.map(_.copy(clusteringProvider = Some(p)))
         case None => adds1

@@ -99,6 +99,26 @@ object ProtocolGate {
     found.toSeq
   }
 
+  /** Writer features a LEGACY protocol (no explicit feature list) implies
+    * at `minWriterVersion`, per the protocol's table-features upgrade rule:
+    * rewriting such a protocol to version 7 must carry every implied
+    * feature along, or spec-conformant writers reject the table as
+    * protocol/metadata-inconsistent (e.g. a (2,5) column-mapped table
+    * whose upgrade forgets columnMapping while `delta.columnMapping.mode`
+    * is still set). ONE list, shared by every upgrade path — the r8 bug
+    * was two hand-kept copies that both stopped at version 4. */
+  def legacyImpliedWriterFeatures(minWriterVersion: Int): Seq[String] =
+    (if (minWriterVersion >= 2) Seq("appendOnly", "invariants") else Nil) ++
+      (if (minWriterVersion >= 3) Seq("checkConstraints") else Nil) ++
+      (if (minWriterVersion >= 4) Seq("changeDataFeed", "generatedColumns") else Nil) ++
+      (if (minWriterVersion >= 5) Seq("columnMapping") else Nil) ++
+      (if (minWriterVersion >= 6) Seq("identityColumns") else Nil)
+
+  /** Reader-side companion: features a legacy `minReaderVersion` implies
+    * when upgrading to reader version 3. */
+  def legacyImpliedReaderFeatures(minReaderVersion: Int): Seq[String] =
+    if (minReaderVersion >= 2) Seq("columnMapping") else Nil
+
   /** Reader+writer feature upgrade: None when `needed` is already fully
     * advertised. Carries legacy-implied features through, like
     * [[Alter.featureUpgrade]] does for the writer side. */
@@ -111,8 +131,7 @@ object ProtocolGate {
       val wUp = Alter.featureUpgrade(p, needed).getOrElse(p)
       val impliedR =
         if (p.readerFeatures.isDefined) Nil
-        else if (p.minReaderVersion >= 2) Seq("columnMapping")
-        else Nil
+        else legacyImpliedReaderFeatures(p.minReaderVersion)
       Some(wUp.copy(minReaderVersion = 3,
         readerFeatures = Some((haveR.toSeq ++ impliedR ++ needed).distinct)))
     }

@@ -100,4 +100,26 @@ class WriterGateSpec extends AnyFunSuite {
     DeltaWriter.append(spark, region, p2) // protocol is now (3,7) with DV feature
     assert(DeltaTable.forPath(spark, p2).toDF.count() == 2 * region.count() - 1)
   }
+
+  test("row-tracked rewrite emits no stats for materialized row-id columns") {
+    val path = tmpTable()
+    DeltaWriter.append(spark, region, path,
+      configuration = Map("delta.enableRowTracking" -> "true"))
+    DeltaWriter.append(spark, region, path) // 2 files so OPTIMIZE has work
+    DeltaTable.forPath(spark, path).optimize(smallFileThreshold = 64L * 1024 * 1024)
+    val log = DeltaLog.forPath(spark, path)
+    val snap = log.update()
+    val (mid, mver) = RowTracking.materializedNames(snap.metadata).get
+    // the rewritten files carry the materialized COLUMNS but their stats
+    // must cover only table-schema leaves (ADVICE r9 #4)
+    val rewritten = snap.allFiles.filter(_.stats.isDefined)
+    assert(rewritten.nonEmpty)
+    rewritten.foreach { f =>
+      val s = f.stats.get
+      assert(!s.contains(mid) && !s.contains(mver),
+        s"materialized row-id columns leaked into stats: $s")
+      assert(s.contains("numRecords"))
+      assert(s.contains("r_regionkey"), s"table-column stats missing: $s")
+    }
+  }
 }
