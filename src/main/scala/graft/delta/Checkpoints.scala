@@ -36,11 +36,12 @@ object Checkpoints {
 
   /** Parse a `delta.logRetentionDuration`-style value: "interval N
     * days|hours|minutes|seconds" (delta-spark's CalendarInterval strings)
-    * or a plain millisecond count. Unparseable → the 30-day default. */
-  private[graft] def parseRetentionMs(s: Option[String]): Long = {
-    val DefaultMs = 30L * 24 * 60 * 60 * 1000
+    * or a plain millisecond count. Unparseable → `defaultMs` (30 days,
+    * the log-retention default; deleted-file retention passes 7 days). */
+  private[graft] def parseRetentionMs(s: Option[String],
+      defaultMs: Long = 30L * 24 * 60 * 60 * 1000): Long = {
     s.map(_.trim.toLowerCase) match {
-      case None => DefaultMs
+      case None => defaultMs
       case Some(v) =>
         val iv = raw"(?:interval\s+)?(\d+)\s*(day|hour|minute|second|week)s?".r
         v match {
@@ -53,9 +54,24 @@ object Checkpoints {
               case "second" => 1000L
             }
             n.toLong * ms
-          case _ => v.toLongOption.getOrElse(DefaultMs)
+          case _ => v.toLongOption.getOrElse(defaultMs)
         }
     }
+  }
+
+  /** Remove tombstones a checkpoint must RETAIN: the protocol keeps
+    * removes within `delta.deletedFileRetentionDuration` (default 1 week)
+    * so engines can still reason about recently deleted files — and
+    * VACUUM can honor their deletion timestamps — once the commit JSONs
+    * that carried them are cleaned up. A remove without a
+    * deletionTimestamp is treated as old (already expired), matching
+    * delta-spark. */
+  private[delta] def liveTombstones(snap: Snapshot,
+      nowMs: Long = System.currentTimeMillis()): Seq[RemoveFile] = {
+    val cutoff = nowMs - parseRetentionMs(
+      snap.metadata.configuration.get("delta.deletedFileRetentionDuration"),
+      defaultMs = 7L * 24 * 3600 * 1000)
+    snap.tombstones.filter(_.deletionTimestamp.getOrElse(0L) >= cutoff)
   }
 
   /**
@@ -91,10 +107,7 @@ object Checkpoints {
     expiredPrefix.foreach { v =>
       if (fs.delete(log.commitFile(v), false)) deleted += 1
     }
-    // classic checkpoints below the latest one are superseded the same
-    // way; V2 (uuid-manifest) checkpoints are left alone — their sidecars
-    // can be shared by newer checkpoints, so reclaiming them needs a
-    // reference count this engine doesn't keep (it never writes V2)
+    // classic checkpoints below the latest one are superseded the same way
     checkpoints.filter(_ < cp).foreach { v =>
       val classic = try log.checkpointFiles(v) catch { case _: Exception => Nil }
       classic.foreach { f =>
@@ -103,6 +116,49 @@ object Checkpoints {
         }
       }
     }
+    // V2 (uuid-manifest) checkpoints: expired manifests below the latest
+    // checkpoint are superseded; after dropping them, reclaim `_sidecars`
+    // parquets no SURVIVING manifest references — each manifest enumerates
+    // its sidecars, so the live set is exact. The mtime cutoff additionally
+    // shields an IN-FLIGHT attempt's sidecars (renamed into place before
+    // their manifest exists) and fresh crash orphans; long-expired orphans
+    // from crashed attempts are reclaimed here, by design.
+    val manifests = log.listUuidManifests()
+    manifests.filter(_._1 < cp).foreach { case (_, m) =>
+      if (fs.exists(m) && fs.getFileStatus(m).getModificationTime < cutoff &&
+          fs.delete(m, false)) deleted += 1
+    }
+    if (manifests.nonEmpty) {
+      val sidecarDir = new Path(log.logPath, "_sidecars")
+      if (fs.exists(sidecarDir)) {
+        var refsOk = true
+        val referenced = log.listUuidManifests().flatMap { case (_, m) =>
+          try log.manifestSidecarPaths(m).map(_.toUri.getPath)
+          catch { case scala.util.control.NonFatal(e) =>
+            // unreadable manifest → unknown references → GC nothing:
+            // deleting a sidecar a live checkpoint still needs would
+            // corrupt replay, while keeping garbage merely wastes bytes
+            DeltaLog.log.warn(s"cannot read sidecar refs of $m — skipping sidecar GC", e)
+            refsOk = false
+            Nil
+          }
+        }.toSet
+        if (refsOk) {
+          fs.listStatus(sidecarDir).foreach { st =>
+            if (!st.isDirectory && !referenced.contains(st.getPath.toUri.getPath) &&
+                st.getModificationTime < cutoff) {
+              if (fs.delete(st.getPath, false)) deleted += 1
+            }
+          }
+        }
+      }
+    }
+    // crashed checkpoint attempts leave `.cptmp-*` staging dirs; expired
+    // ones are abandoned by definition (a live attempt is seconds old)
+    fs.listStatus(log.logPath).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".cptmp-") &&
+        st.getModificationTime < cutoff)
+      .foreach { st => if (fs.delete(st.getPath, true)) deleted += 1 }
     if (deleted > 0) log.invalidateCache()
     deleted
   }
@@ -133,7 +189,8 @@ object Checkpoints {
     val fs = log.fs
     require(maxActionsPerPart > 0, "maxActionsPerPart must be positive")
 
-    val fileActions: Seq[Action] = snap.allFiles.map(Action(_))
+    val fileActions: Seq[Action] = snap.allFiles.map(Action(_)) ++
+      liveTombstones(snap).map(Action(_))
     val nonFile: Seq[Action] =
       Seq(Action(snap.protocol), Action(snap.metadata)) ++
         snap.setTransactions.map { case (app, v) =>
@@ -199,7 +256,8 @@ object Checkpoints {
         snap.setTransactions.map { case (app, v) =>
           Action(SetTransaction(app, v, None)) }.toSeq ++
         snap.domainMetadata.map(Action(_)) ++
-        snap.allFiles.map(Action(_))
+        snap.allFiles.map(Action(_)) ++
+        liveTombstones(snap).map(Action(_))
 
     val nParts = math.max(1L,
       (actions.size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt

@@ -91,6 +91,41 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
       .sortBy(_.getName).lastOption
   }
 
+  /** Every uuid-named V2 manifest in the log, as (version, path) — all
+    * attempts, all versions. Cleanup ref-counts sidecars against these. */
+  private[delta] def listUuidManifests(): Seq[(Long, Path)] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case uuidCheckpointRe(v, _, _) => Some(v.toLong -> p)
+        case _ => None
+      }
+    }.sortBy(_._2.getName)
+  }
+
+  /** Sidecar files a V2 manifest references, resolved to absolute paths —
+    * the ref-count set for `_sidecars` garbage collection. Reads only the
+    * `sidecar` column (json lines or parquet), not the file actions. */
+  private[delta] def manifestSidecarPaths(manifest: Path): Seq[Path] = {
+    import org.apache.spark.sql.functions.col
+    val raw: Seq[String] =
+      if (manifest.getName.endsWith(".json")) {
+        val in = fs.open(manifest)
+        val txt =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+          finally in.close()
+        ActionJson.parseDocuments(txt)
+          .filter(n => n.has("sidecar") && !n.get("sidecar").isNull)
+          .map(_.get("sidecar").get("path").asText)
+      } else {
+        val df = spark.read.parquet(manifest.toString)
+        if (!df.columns.contains("sidecar")) Nil
+        else df.select(col("sidecar.path")).where(col("sidecar").isNotNull)
+          .collect().map(_.getString(0)).toSeq
+      }
+    raw.map(resolveSidecarPath)
+  }
+
   /** All parquet files of the checkpoint at `v` (1 or n parts). Part sets
     * are grouped by their `of` count and only a COMPLETE set is returned —
     * a leftover part from a different-shaped prior checkpoint (crash during
@@ -364,6 +399,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           // JSON tail: protocol/metadata/txns/domains apply as usual; file
           // actions reconcile against the checkpoint by decoded path
           val tailAdds = new mutable.LinkedHashMap[String, AddFile]
+          val tailRemoves = new mutable.LinkedHashMap[String, RemoveFile]
           val shadowed = mutable.Set.empty[String]
           val tail = versions.filter(v => v > cv && v <= version)
           if (tail != ((cv + 1) to version))
@@ -373,9 +409,11 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
             readCommit(v).foreach { a =>
               a.add.foreach { f =>
                 tailAdds.put(f.decodedPath, f); shadowed += f.decodedPath
+                tailRemoves.remove(f.decodedPath)
               }
               a.remove.foreach { r =>
                 tailAdds.remove(r.decodedPath); shadowed += r.decodedPath
+                tailRemoves.put(r.decodedPath, r)
               }
               replay.apply(a.copy(add = None, remove = None))
             }
@@ -388,7 +426,8 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
               s"${tailAdds.size} tail adds, ${shadowed.size} shadowed paths")
           Some(new LazySnapshot(this, version, replay.protocol, replay.metadata,
             paths, tailAdds.values.toSeq, shadowed.toSet,
-            replay.txns.toMap, replay.domains.values.toVector))
+            replay.txns.toMap, replay.domains.values.toVector,
+            tailRemoves.values.toVector))
         } catch {
           case scala.util.control.NonFatal(e) =>
             DeltaLog.log.warn(
@@ -670,14 +709,18 @@ private[delta] class LogReplay {
   var protocol: Protocol = Protocol()
   var metadata: Metadata = _
   val adds = new mutable.LinkedHashMap[String, AddFile]
+  // latest-action-wins per path: a remove tombstones the path until a
+  // later add resurrects it; retained so checkpoints can carry unexpired
+  // tombstones per delta.deletedFileRetentionDuration
+  val tombstones = new mutable.LinkedHashMap[String, RemoveFile]
   val txns = new mutable.HashMap[String, Long]
   val domains = new mutable.LinkedHashMap[String, DomainMetadata]
 
   def apply(a: Action): Unit = {
     a.protocol.foreach(protocol = _)
     a.metaData.foreach(metadata = _)
-    a.add.foreach(f => adds.put(f.decodedPath, f))
-    a.remove.foreach(r => adds.remove(r.decodedPath))
+    a.add.foreach { f => adds.put(f.decodedPath, f); tombstones.remove(f.decodedPath) }
+    a.remove.foreach { r => adds.remove(r.decodedPath); tombstones.put(r.decodedPath, r) }
     a.txn.foreach(t => txns.put(t.appId, t.version))
     a.domainMetadata.foreach { d =>
       if (d.removed) domains.remove(d.domain) else domains.put(d.domain, d)
@@ -688,7 +731,7 @@ private[delta] class LogReplay {
     require(metadata != null, s"No metaData action found replaying ${log.tablePath} @ $version")
     ProtocolGate.validate(protocol, log.tablePath.toString)
     new Snapshot(log, version, protocol, metadata, adds.values.toVector,
-      txns.toMap, domains.values.toVector)
+      txns.toMap, domains.values.toVector, tombstones.values.toVector)
   }
 }
 
@@ -698,6 +741,7 @@ private[delta] object LogReplay {
     r.protocol = s.protocol
     r.metadata = s.metadata
     s.allFiles.foreach(f => r.adds.put(f.decodedPath, f))
+    s.tombstones.foreach(t => r.tombstones.put(t.decodedPath, t))
     r.txns ++= s.setTransactions
     s.domainMetadata.foreach(d => r.domains.put(d.domain, d))
     r

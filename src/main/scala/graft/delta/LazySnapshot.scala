@@ -31,9 +31,10 @@ private[graft] class LazySnapshot(
     tailAdds: Seq[AddFile],
     tailRemovedPaths: Set[String],
     setTransactions: Map[String, Long],
-    domainMetadata: Seq[DomainMetadata])
+    domainMetadata: Seq[DomainMetadata],
+    tailRemoves: Seq[RemoveFile] = Nil)
   extends Snapshot(log, version, protocol, metadata, Nil,
-    setTransactions, domainMetadata) {
+    setTransactions, domainMetadata, tailRemoves) {
 
   @transient private lazy val addEncoder = Encoders.product[AddFile]
 

@@ -42,7 +42,14 @@ class Snapshot(
     val metadata: Metadata,
     filesEager: Seq[AddFile],
     val setTransactions: Map[String, Long],
-    val domainMetadata: Seq[DomainMetadata]) {
+    val domainMetadata: Seq[DomainMetadata],
+    /** Remove tombstones still in replay scope (latest action per path is
+      * a remove). Carried so checkpoints retain them within
+      * `delta.deletedFileRetentionDuration` — foreign engines (and VACUUM)
+      * must still see recent deletions once older commit JSONs are cleaned
+      * up, per protocol. [[LazySnapshot]] carries only its JSON-tail
+      * removes (checkpoint-held tombstones stay in the parquet). */
+    val tombstones: Seq[RemoveFile] = Nil) {
 
   /** Full reconciled file list. [[LazySnapshot]] (checkpoint-backed, 10⁶+
     * adds) materializes this only for maintenance operations — scans go
