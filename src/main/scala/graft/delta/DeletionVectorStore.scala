@@ -33,7 +33,10 @@ object DeletionVectorStore {
   def read(log: DeltaLog, dv: DeletionVectorDescriptor): Bitmap64 =
     read(log.tablePath, log.fs, dv)
 
-  /** Context-free variant, callable from executors (lazy DV slots). */
+  /** Context-free variant, callable from executors (lazy DV slots).
+    * File-backed DVs use a POSITIONED read of just this descriptor's frame
+    * — multi-DV files (one file holding many files' bitmaps, written by
+    * broad DML) would otherwise cost O(file size) per bitmap fetched. */
   def read(tablePath: Path, fs: org.apache.hadoop.fs.FileSystem,
       dv: DeletionVectorDescriptor): Bitmap64 = {
     val data = dv.storageType match {
@@ -41,12 +44,46 @@ object DeletionVectorStore {
       case _ =>
         val p = resolvePath(tablePath, dv)
         val in = fs.open(p)
-        val bytes =
-          try org.apache.commons.io.IOUtils.toByteArray(in)
-          finally in.close()
-        DvCodec.readFramed(bytes, dv.offset.getOrElse(1))
+        try {
+          in.seek(dv.offset.getOrElse(1).toLong)
+          val head = new Array[Byte](4)
+          in.readFully(head)
+          val size = java.nio.ByteBuffer.wrap(head).getInt
+          require(size >= 0 && size <= (1 << 30), s"implausible DV frame size $size in $p")
+          val body = new Array[Byte](size + 4) // data + crc32
+          in.readFully(body)
+          val crc = new java.util.zip.CRC32
+          crc.update(body, 0, size)
+          val expected = java.nio.ByteBuffer.wrap(body, size, 4).getInt
+          require(crc.getValue.toInt == expected, s"DV checksum mismatch in $p")
+          java.util.Arrays.copyOfRange(body, 0, size)
+        } finally in.close()
     }
     DvCodec.deserialize(data)
+  }
+
+  /** Write several serialized bitmaps into ONE "u"-typed multi-DV file
+    * under `tablePath` (executor-callable — broad DML builds and writes
+    * DVs distributed, shipping only descriptors to the driver); returns
+    * descriptors aligned with the input, all sharing the file's uuid and
+    * differing in offset. */
+  def writeMany(tablePath: Path, fs: org.apache.hadoop.fs.FileSystem,
+      datas: Seq[Array[Byte]], cardinalities: Seq[Long])
+      : (Path, Seq[DeletionVectorDescriptor]) = {
+    require(datas.nonEmpty && datas.size == cardinalities.size)
+    val uuid = UUID.randomUUID()
+    val (fileBytes, offsets) = DvCodec.frameMany(datas)
+    val path = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val out = fs.create(path, false)
+    try out.write(fileBytes) finally out.close()
+    (path, datas.indices.map { i =>
+      DeletionVectorDescriptor(
+        storageType = "u",
+        pathOrInlineDv = DvCodec.uuidToZ85(uuid),
+        offset = Some(offsets(i)),
+        sizeInBytes = datas(i).length,
+        cardinality = cardinalities(i))
+    })
   }
 
   /** Write a bitmap as a new "u"-typed DV file under the table root;

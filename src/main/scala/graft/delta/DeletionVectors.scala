@@ -198,6 +198,44 @@ object DvBitmapAgg
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
+/** Per-file facts the executor-side DV build needs (existing descriptor
+  * fields + row count), keyed by the canonical URI-path rendering. */
+private[delta] final case class DvFileFact(
+    k: String,
+    dvStorageType: Option[String],
+    dvPathOrInline: Option[String],
+    dvOffset: Option[Int],
+    dvSizeInBytes: Option[Int],
+    dvCardinality: Option[Long],
+    numRecords: Option[Long])
+
+/** One affected file's aggregated bitmap joined to its facts — the input
+  * row of the executor-side DV build. `matched` is null for a hit in a
+  * file the snapshot doesn't know (fail loudly, never drop). */
+private[delta] final case class DvBuildInput(
+    p: String,
+    dv: Array[Byte],
+    matched: Option[String],
+    dvStorageType: Option[String],
+    dvPathOrInline: Option[String],
+    dvOffset: Option[Int],
+    dvSizeInBytes: Option[Int],
+    dvCardinality: Option[Long],
+    numRecords: Option[Long])
+
+/** What the driver gets back per affected file: a DESCRIPTOR (or a
+  * fully-deleted marker), never a bitmap. */
+private[delta] final case class DvBuildResult(
+    p: String,
+    fullyDeleted: Boolean,
+    newlyDeleted: Long,
+    dvFile: Option[String],
+    storageType: Option[String],
+    pathOrInlineDv: Option[String],
+    offset: Option[Int],
+    sizeInBytes: Option[Int],
+    cardinality: Option[Long])
+
 /**
  * DELETE via deletion vectors — beyond the reference's own surface (it
  * rejects DELETE, src/storage/delta_catalog.cpp:102-117) but required for
@@ -208,50 +246,125 @@ object DeltaDelete {
 
   /** Build the remove+re-add-with-DV actions for the physical rows in
     * `hitRows` (columns p = file path, i = row index). Shared by DELETE
-    * and UPDATE. Returns (actions, newly-deleted row count).
+    * and UPDATE. Returns (actions, newly-deleted row count). DV files
+    * written along the way are appended to `moved` (when given) so a
+    * failed commit can reclaim them.
     *
-    * Scale shape: one shuffle keyed by file path, bitmaps built and merged
-    * executor-side ([[DvBitmapAgg]]); the driver handles O(#affected files)
-    * serialized bitmaps, never O(#deleted rows) indexes. */
+    * Scale shape: one shuffle keyed by file path; bitmaps are built,
+    * MERGED with any existing DV, and WRITTEN as multi-DV files entirely
+    * on executors — the driver receives only small descriptor rows, never
+    * a bitmap. A DELETE/MERGE touching 10⁵–10⁶ files at 100 TB therefore
+    * writes its DVs with full cluster parallelism instead of funneling
+    * every bitmap through one process (delta-spark's shape). */
   private[delta] def dvActions(log: DeltaLog, snap: Snapshot,
-      hitRows: org.apache.spark.sql.DataFrame): (Seq[Action], Long) = {
+      hitRows: org.apache.spark.sql.DataFrame,
+      moved: scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path] = null)
+      : (Seq[Action], Long) = {
     import org.apache.spark.sql.Encoders
-    val hits: Array[(String, Array[Byte])] = hitRows
+    val spark = log.spark
+    val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    // canonical path rendering = URI path: `_metadata.file_path` carries a
+    // scheme ("file:/…"), the snapshot's absolute paths may not
+    val hitsDf = hitRows
       .select(col("p"), col("i"))
-      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .as[(String, Long)](tupEnc)
+      .map { pi: (String, Long) =>
+        (new org.apache.hadoop.fs.Path(pi._1).toUri.getPath, pi._2) }(tupEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .agg(DvBitmapAgg.toColumn.name("dv"))
-      .collect()
-    if (hits.isEmpty) return (Nil, 0L)
+      .toDF("p", "dv")
 
-    val byPath = snap.allFiles.flatMap { f =>
-      val p = snap.absolutePath(f)
-      Seq(p.toString -> f, p.toUri.getPath -> f)
-    }.toMap
+    val byPath: Map[String, AddFile] =
+      snap.allFiles.map(f => snap.absolutePath(f).toUri.getPath -> f).toMap
+    val facts: Seq[DvFileFact] = byPath.toSeq.map { case (k, f) =>
+      DvFileFact(k,
+        f.deletionVector.map(_.storageType),
+        f.deletionVector.map(_.pathOrInlineDv),
+        f.deletionVector.flatMap(_.offset),
+        f.deletionVector.map(_.sizeInBytes),
+        f.deletionVector.map(_.cardinality),
+        f.parsedStats.flatMap(_.numRecords))
+    }
+    val factsDf = spark.createDataset(facts)(Encoders.product[DvFileFact]).toDF()
 
+    val inputEnc = Encoders.product[DvBuildInput]
+    val inputDs = hitsDf.join(factsDf, hitsDf("p") === factsDf("k"), "left")
+      .select(hitsDf("p"), col("dv"), factsDf("k").as("matched"),
+        col("dvStorageType"), col("dvPathOrInline"), col("dvOffset"),
+        col("dvSizeInBytes"), col("dvCardinality"), col("numRecords"))
+      .as[DvBuildInput](inputEnc)
+
+    val tablePathStr = log.tablePath.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val results: Array[DvBuildResult] = inputDs.mapPartitions { it =>
+      val tp = new org.apache.hadoop.fs.Path(tablePathStr)
+      lazy val fs = tp.getFileSystem(conf.value)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DvBuildResult]
+      // one multi-DV file per partition (rotated at ~16 MB so no single
+      // file grows unbounded under a very broad delete)
+      val pend = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long, Long)]
+      var pendBytes = 0L
+      def flush(): Unit = if (pend.nonEmpty) {
+        val (file, descs) = DeletionVectorStore.writeMany(tp, fs,
+          pend.map(_._2).toSeq, pend.map(_._3).toSeq)
+        pend.indices.foreach { i =>
+          val d = descs(i)
+          out += DvBuildResult(pend(i)._1, fullyDeleted = false, pend(i)._4,
+            Some(file.toString), Some(d.storageType), Some(d.pathOrInlineDv),
+            d.offset, Some(d.sizeInBytes), Some(d.cardinality))
+        }
+        pend.clear(); pendBytes = 0L
+      }
+      it.foreach { in =>
+        if (in.matched.isEmpty)
+          throw new IllegalStateException(s"hit in unknown file ${in.p}")
+        val fresh = DvCodec.deserialize(in.dv)
+        val existing = in.dvStorageType.map { st =>
+          DeletionVectorStore.read(tp, fs, DeletionVectorDescriptor(st,
+            in.dvPathOrInline.get, in.dvOffset, in.dvSizeInBytes.get,
+            in.dvCardinality.get))
+        }
+        val merged = existing match {
+          case Some(e) => Bitmap64.or(e, fresh)
+          case None => fresh
+        }
+        val newly = merged.cardinality - existing.map(_.cardinality).getOrElse(0L)
+        if (in.numRecords.contains(merged.cardinality)) {
+          // fully deleted → plain remove, no DV to write
+          out += DvBuildResult(in.p, fullyDeleted = true, newly,
+            None, None, None, None, None, None)
+        } else {
+          val bytes = DvCodec.serialize(merged)
+          pend += ((in.p, bytes, merged.cardinality, newly))
+          pendBytes += bytes.length
+          if (pendBytes >= 16L * 1024 * 1024) flush()
+        }
+      }
+      flush()
+      out.iterator
+    }(Encoders.product[DvBuildResult]).collect()
+    if (results.isEmpty) return (Nil, 0L)
+
+    if (moved != null)
+      results.flatMap(_.dvFile).distinct
+        .foreach(f => moved += new org.apache.hadoop.fs.Path(f))
     var deletedRows = 0L
     val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
-    hits.foreach { case (path, dvBytes) =>
-      val f = byPath.getOrElse(path, byPath.getOrElse(new org.apache.hadoop.fs.Path(path).toUri.getPath,
-        throw new IllegalStateException(s"hit in unknown file $path")))
-      val fresh = DvCodec.deserialize(dvBytes)
-      val existing = f.deletionVector.map(dv => DeletionVectorStore.read(log, dv))
-      val merged = existing match {
-        case Some(e) => Bitmap64.or(e, fresh)
-        case None => fresh
-      }
-      val numRecords = f.parsedStats.flatMap(_.numRecords)
-      deletedRows += merged.cardinality - existing.map(_.cardinality).getOrElse(0L)
-      actions += Action(RemoveFile(f.path, Some(System.currentTimeMillis()),
+    val now = System.currentTimeMillis()
+    results.foreach { r =>
+      val f = byPath(r.p)
+      deletedRows += r.newlyDeleted
+      actions += Action(RemoveFile(f.path, Some(now),
         dataChange = true, f.deletionVector))
-      if (!numRecords.contains(merged.cardinality)) {
+      if (!r.fullyDeleted) {
         // file still has live rows → re-add with the merged DV. dataChange
         // is set explicitly: `f` may be replayed from an OPTIMIZE commit
         // (dataChange=false), but THIS commit deletes rows — copying the
         // stale flag would hide the change from CDF/streaming consumers
-        val desc = DeletionVectorStore.write(log, merged)
+        val desc = DeletionVectorDescriptor(r.storageType.get,
+          r.pathOrInlineDv.get, r.offset, r.sizeInBytes.get, r.cardinality.get)
         actions += Action(f.copy(deletionVector = Some(desc), dataChange = true))
-      } // else: fully deleted → plain remove
+      }
     }
     (actions.toSeq, deletedRows)
   }
@@ -309,7 +422,7 @@ object DeltaDelete {
             Cdc.typed(live.where(condition), "delete"),
             snap.metadata.partitionColumns, moved)
         }
-      val (actions, deletedRows) = dvActions(log, snap, hitRows)
+      val (actions, deletedRows) = dvActions(log, snap, hitRows, moved)
       if (actions.isEmpty) {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L
@@ -441,7 +554,7 @@ object DeltaMerge {
             pre.unionByName(srcJoin("left_semi")).unionByName(srcJoin("left_anti")),
             snap.metadata.partitionColumns, moved)
         }
-      val (dvActs, replacedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      val (dvActs, replacedRows) = DeltaDelete.dvActions(log, snap, hitRows, moved)
       // source row count from the write's own per-file stats — recomputing
       // the source (a second full pass) doubled MERGE's source cost
       val perFile = adds.map(_.parsedStats.flatMap(_.numRecords))
@@ -721,7 +834,7 @@ object DeltaMerge {
           else Cdc.writeChangeData(spark, log, snap,
             parts.reduce(_ unionByName _), snap.metadata.partitionColumns, moved)
         }
-      val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)
+      val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows, moved)
       if (dvActs.isEmpty && adds.isEmpty) {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return (0L, 0L, 0L)
@@ -800,7 +913,7 @@ object DeltaMerge {
             Cdc.typed(matchedLive.select(cols: _*), "delete"),
             snap.metadata.partitionColumns, moved)
         }
-      val (dvActs, deletedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      val (dvActs, deletedRows) = DeltaDelete.dvActions(log, snap, hitRows, moved)
       if (dvActs.isEmpty) {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L
@@ -915,7 +1028,7 @@ object DeltaUpdate {
         }
       val hitRows = matched.select(
         col("_metadata.file_path").as("p"), col("_metadata.row_index").as("i"))
-      val (dvActs, updatedRows) = DeltaDelete.dvActions(log, snap, hitRows)
+      val (dvActs, updatedRows) = DeltaDelete.dvActions(log, snap, hitRows, moved)
       if (updatedRows == 0L) {
         moved.foreach(p => try log.fs.delete(p, false) catch { case _: Exception => () })
         return 0L

@@ -364,7 +364,7 @@ object DeltaWriter {
           val hitRows = snap.dmlDF.where(cond)
             .select(col("_metadata.file_path").as("p"),
               col("_metadata.row_index").as("i"))
-          val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows)
+          val (dvActs, _) = DeltaDelete.dvActions(log, snap, hitRows, moved)
           (dvActs, DeltaDelete.protocolUpgradeActions(snap))
       }
       val op =

@@ -130,6 +130,28 @@ object DvCodec {
     (out.toByteArray, offset, data.length)
   }
 
+  /** Frame several DV blobs into ONE file's bytes (a multi-DV file — the
+    * protocol allows many DVs per file, each addressed by its offset);
+    * returns (fileBytes, per-blob offsets aligned with `datas`). */
+  def frameMany(datas: Seq[Array[Byte]]): (Array[Byte], Seq[Int]) = {
+    val out = new ByteArrayOutputStream()
+    out.write(1) // format version, once per file
+    val offsets = Seq.newBuilder[Int]
+    var pos = 1
+    datas.foreach { data =>
+      offsets += pos
+      val crc = new CRC32
+      crc.update(data)
+      val bb = ByteBuffer.allocate(4 + data.length + 4) // big-endian frame
+      bb.putInt(data.length)
+      bb.put(data)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array())
+      pos += 4 + data.length + 4
+    }
+    (out.toByteArray, offsets.result())
+  }
+
   /** Read one framed DV from file bytes at `offset`, verifying CRC. */
   def readFramed(file: Array[Byte], offset: Int): Array[Byte] = {
     val bb = ByteBuffer.wrap(file)
