@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.StructType
  * OPTIMIZE rewrites (`dataChange=false`) are skipped: not a change.
  *
  * Options: `startingVersion`, `maxVersionsPerTrigger` (rate limit),
- * `ignoreChanges`.
+ * `maxFilesPerTrigger` / `maxBytesPerTrigger` (file-granular rate limits;
+ * the tighter bound wins, at least one file per batch — delta-spark
+ * semantics), `ignoreChanges`.
  *
  * Scale: getOffset is one log listing; getBatch plans a bounded file
  * list (the range's adds) into an ordinary parquet scan — no state
@@ -63,6 +65,13 @@ final class DeltaStreamSource(
     * granularity would admit them all at once). */
   private val maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map(_.toLong)
   require(maxFilesPerTrigger.forall(_ > 0), "maxFilesPerTrigger must be positive")
+  /** Byte-granular admission: cumulative add-file `size` per micro-batch —
+    * the cap users actually set on variably-sized files ("1g" etc.). Soft:
+    * a batch admits files until the budget is exhausted, so it may exceed
+    * the cap by one file but always makes progress. */
+  private val maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+    .map(DeltaStreamSource.parseBytes)
+  require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be positive")
   private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
   private val readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
 
@@ -101,28 +110,35 @@ final class DeltaStreamSource(
   }
 
   /** Data files a plain stream emits for version v — dataChange adds
-    * without DVs, in commit order (stable: the commit file is immutable).
-    * Cached: admission control touches each commit once per count. */
-  private val fileCountCache = scala.collection.mutable.Map.empty[Long, Long]
-  private def fileCount(v: Long): Long = synchronized {
-    fileCountCache.getOrElseUpdate(v,
+    * without DVs, in commit order (stable: the commit file is immutable) —
+    * as their SIZES (byte admission needs them; count = size of the seq).
+    * Cached: admission control touches each commit once. */
+  private val fileSizeCache = scala.collection.mutable.Map.empty[Long, IndexedSeq[Long]]
+  private def fileSizes(v: Long): IndexedSeq[Long] = synchronized {
+    fileSizeCache.getOrElseUpdate(v,
       log.readCommit(v).flatMap(_.add)
-        .count(a => a.dataChange && a.deletionVector.isEmpty).toLong)
+        .filter(a => a.dataChange && a.deletionVector.isEmpty)
+        .map(_.size).toIndexedSeq)
   }
+  private def fileCount(v: Long): Long = fileSizes(v).size.toLong
 
+  /** Same planning as [[latestOffset]] so the legacy getOffset path honors
+    * maxFilesPerTrigger/maxBytesPerTrigger too (without admission control
+    * the file-granular caps would otherwise silently not apply). The start
+    * floor is the last end this source planned (the engine only hands the
+    * committed start back in getBatch). */
   override def getOffset: Option[OffsetV1] = {
     val latest = log.update().version
-    if (latest < startingVersion) None
-    else Some(VersionOffset(maxVersionsPerTrigger match {
-      // rate limit counts from the last planned end (engine passes it
-      // back as getBatch's start; we only see it there, so cap against
-      // the committed floor we know: startingVersion or the last batch)
-      case Some(max) => math.min(latest, lastPlannedEnd.getOrElse(startingVersion - 1) + max)
+    if (latest < startingVersion) return None
+    val (fv, fiRaw) = lastPlannedOffset.getOrElse((startingVersion - 1, Long.MaxValue))
+    val capped = maxVersionsPerTrigger match {
+      case Some(max) => math.min(latest, fv + max)
       case None => latest
-    }))
+    }
+    planOffset(fv, fiRaw, capped)
   }
 
-  @volatile private var lastPlannedEnd: Option[Long] = None
+  @volatile private var lastPlannedOffset: Option[(Long, Long)] = None
 
   // ---- admission control (engine calls latestOffset, not getOffset,
   //      when a source implements SupportsAdmissionControl) ----
@@ -157,42 +173,58 @@ final class DeltaStreamSource(
       case Some(max) => math.min(latest, fv + max)
       case None => latest
     }
-    // file-granular admission (CDF streams stay version-granular: their
-    // unit of change is the version, not the data file)
-    maxFilesPerTrigger.filter(_ => !readChangeFeed) match {
-      case None =>
-        // a PARTIAL floor (checkpoint written under maxFilesPerTrigger,
-        // option since removed) must still drain the rest of its version
-        val floorPartial = fiRaw != Long.MaxValue &&
-          fv >= startingVersion && log.listCommitVersions().contains(fv) &&
-          fiRaw < fileCount(fv)
-        if (capped <= fv && !floorPartial) null
-        else VersionOffset(math.max(capped, fv))
-      case Some(mft) =>
-        val have = log.listCommitVersions().toSet
-        val fiNorm =
-          if (fv < startingVersion || !have.contains(fv)) 0L
-          else math.min(fiRaw, fileCount(fv))
-        var remaining = mft
-        var end: (Long, Long) = (fv, fiNorm)
-        var v = if (fv < startingVersion || !have.contains(fv) ||
-          fiNorm >= fileCount(fv)) fv + 1 else fv
-        while (v <= capped && remaining > 0) {
-          if (have.contains(v)) {
-            val cnt = fileCount(v)
-            val from = if (v == fv) fiNorm else 0L
-            val avail = cnt - from
-            if (avail <= remaining) { end = (v, cnt); remaining -= avail }
-            else { end = (v, from + remaining); remaining = 0 }
-          } else end = (v, 0L)
-          if (remaining > 0) v += 1
-        }
-        val progressed = end._1 > fv || (end._1 == fv && end._2 > fiNorm)
-        val fullyConsumed =
-          !have.contains(end._1) || end._2 >= fileCount(end._1)
-        if (!progressed) null
-        else if (fullyConsumed) VersionOffset(end._1)
-        else FileOffset(end._1, end._2)
+    planOffset(fv, fiRaw, capped).orNull
+  }
+
+  /** Plan the next end offset from floor (fv, fiRaw) up to version
+    * `capped`, honoring the file-granular caps (maxFilesPerTrigger /
+    * maxBytesPerTrigger — the TIGHTER bound wins; at least one file per
+    * batch so the stream always progresses). CDF streams stay
+    * version-granular: their unit of change is the version, not the data
+    * file. None = no new data. */
+  private def planOffset(fv: Long, fiRaw: Long, capped: Long): Option[OffsetV1] = {
+    val have = log.listCommitVersions().toSet
+    val fileLimited = !readChangeFeed &&
+      (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)
+    if (!fileLimited) {
+      // a PARTIAL floor (checkpoint written under a file-granular cap,
+      // option since removed) must still drain the rest of its version
+      val floorPartial = fiRaw != Long.MaxValue &&
+        fv >= startingVersion && have.contains(fv) && fiRaw < fileCount(fv)
+      if (capped <= fv && !floorPartial) None
+      else Some(VersionOffset(math.max(capped, fv)))
+    } else {
+      val fiNorm =
+        if (fv < startingVersion || !have.contains(fv)) 0L
+        else math.min(fiRaw, fileCount(fv))
+      var remFiles = maxFilesPerTrigger.getOrElse(Long.MaxValue)
+      var remBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      var end: (Long, Long) = (fv, fiNorm)
+      var v = if (fv < startingVersion || !have.contains(fv) ||
+        fiNorm >= fileCount(fv)) fv + 1 else fv
+      var exhausted = false
+      while (v <= capped && !exhausted) {
+        if (have.contains(v)) {
+          val sizes = fileSizes(v)
+          var i = (if (v == fv) fiNorm else 0L).toInt
+          while (i < sizes.size && !exhausted) {
+            if (remFiles <= 0 || remBytes <= 0) exhausted = true
+            else {
+              remFiles -= 1
+              remBytes -= sizes(i)
+              i += 1
+              end = (v, i.toLong)
+            }
+          }
+        } else end = (v, 0L)
+        if (!exhausted) v += 1
+      }
+      val progressed = end._1 > fv || (end._1 == fv && end._2 > fiNorm)
+      val fullyConsumed =
+        !have.contains(end._1) || end._2 >= fileCount(end._1)
+      if (!progressed) None
+      else if (fullyConsumed) Some(VersionOffset(end._1))
+      else Some(FileOffset(end._1, end._2))
     }
   }
 
@@ -200,7 +232,7 @@ final class DeltaStreamSource(
     val (endV, endIdx) = decode(end)
     val (startV, startIdxRaw) =
       start.map(decode).getOrElse((startingVersion - 1, Long.MaxValue))
-    lastPlannedEnd = Some(endV)
+    lastPlannedOffset = Some((endV, endIdx))
     val have = log.listCommitVersions().toSet
     // a partially-consumed start version contributes its remaining files
     val startPartial = startV >= startingVersion && have.contains(startV) &&
@@ -272,6 +304,26 @@ final class DeltaStreamSource(
 }
 
 object DeltaStreamSource {
+  /** "10m"/"1g"-style byte strings (delta-spark accepts these for
+    * maxBytesPerTrigger) or a plain byte count. */
+  private[delta] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = raw"(\d+)\s*([kmgt]?)b?".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "k" => 1L << 10
+          case "m" => 1L << 20
+          case "g" => 1L << 30
+          case "t" => 1L << 40
+          case _ => 1L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"maxBytesPerTrigger: cannot parse '$s' (use e.g. 10485760, 10m, 1g)")
+    }
+  }
+
   /** Table schema + the CDF columns `changes` stamps. */
   def cdfSchema(table: StructType): StructType = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
