@@ -189,8 +189,12 @@ object Checkpoints {
     val fs = log.fs
     require(maxActionsPerPart > 0, "maxActionsPerPart must be positive")
 
-    val fileActions: Seq[Action] = snap.allFiles.map(Action(_)) ++
-      liveTombstones(snap).map(Action(_))
+    // file actions are normalized to dataChange=false per the protocol's
+    // checkpoint guidance (delta-spark does the same); change detection
+    // always reads the COMMIT JSONs, never checkpoint state
+    val fileActions: Seq[Action] =
+      snap.allFiles.map(f => Action(f.copy(dataChange = false))) ++
+        liveTombstones(snap).map(r => Action(r.copy(dataChange = false)))
     val nonFile: Seq[Action] =
       Seq(Action(snap.protocol), Action(snap.metadata)) ++
         snap.setTransactions.map { case (app, v) =>
@@ -256,8 +260,10 @@ object Checkpoints {
         snap.setTransactions.map { case (app, v) =>
           Action(SetTransaction(app, v, None)) }.toSeq ++
         snap.domainMetadata.map(Action(_)) ++
-        snap.allFiles.map(Action(_)) ++
-        liveTombstones(snap).map(Action(_))
+        // dataChange=false per the protocol's checkpoint guidance (same
+        // normalization as the V2 path; commits stay the change source)
+        snap.allFiles.map(f => Action(f.copy(dataChange = false))) ++
+        liveTombstones(snap).map(r => Action(r.copy(dataChange = false)))
 
     val nParts = math.max(1L,
       (actions.size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt

@@ -198,35 +198,20 @@ object DvBitmapAgg
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-/** Per-file facts the executor-side DV build needs (existing descriptor
-  * fields + row count), keyed by the canonical URI-path rendering. */
-private[delta] final case class DvFileFact(
-    k: String,
-    dvStorageType: Option[String],
-    dvPathOrInline: Option[String],
-    dvOffset: Option[Int],
-    dvSizeInBytes: Option[Int],
-    dvCardinality: Option[Long],
-    numRecords: Option[Long])
-
-/** One affected file's aggregated bitmap joined to its facts — the input
-  * row of the executor-side DV build. `matched` is null for a hit in a
+/** One affected file's aggregated bitmap joined to its snapshot entry —
+  * the input row of the executor-side DV build. `f` is None for a hit in a
   * file the snapshot doesn't know (fail loudly, never drop). */
 private[delta] final case class DvBuildInput(
     p: String,
     dv: Array[Byte],
-    matched: Option[String],
-    dvStorageType: Option[String],
-    dvPathOrInline: Option[String],
-    dvOffset: Option[Int],
-    dvSizeInBytes: Option[Int],
-    dvCardinality: Option[Long],
-    numRecords: Option[Long])
+    f: Option[AddFile])
 
-/** What the driver gets back per affected file: a DESCRIPTOR (or a
-  * fully-deleted marker), never a bitmap. */
+/** What the driver gets back per affected file: the file's snapshot entry
+  * plus a DESCRIPTOR (or a fully-deleted marker), never a bitmap. Results
+  * are O(#affected files) — the action assembly needs no table-wide
+  * lookup. */
 private[delta] final case class DvBuildResult(
-    p: String,
+    f: AddFile,
     fullyDeleted: Boolean,
     newlyDeleted: Long,
     dvFile: Option[String],
@@ -274,35 +259,44 @@ object DeltaDelete {
       .agg(DvBitmapAgg.toColumn.name("dv"))
       .toDF("p", "dv")
 
-    val byPath: Map[String, AddFile] =
-      snap.allFiles.map(f => snap.absolutePath(f).toUri.getPath -> f).toMap
-    val facts: Seq[DvFileFact] = byPath.toSeq.map { case (k, f) =>
-      DvFileFact(k,
-        f.deletionVector.map(_.storageType),
-        f.deletionVector.map(_.pathOrInlineDv),
-        f.deletionVector.flatMap(_.offset),
-        f.deletionVector.map(_.sizeInBytes),
-        f.deletionVector.map(_.cardinality),
-        f.parsedStats.flatMap(_.numRecords))
-    }
-    val factsDf = spark.createDataset(facts)(Encoders.product[DvFileFact]).toDF()
+    // Per-file facts, DISTRIBUTED: derived from the Dataset-backed file
+    // list (LazySnapshot streams its checkpoint parquet; eager snapshots
+    // wrap their in-memory list) and joined to the hits as a real join —
+    // the driver never re-renders the whole table's file facts into a
+    // local relation. On a 10⁶-file LazySnapshot table a single-row DELETE
+    // previously cost an O(#table-files) driver materialization here.
+    val tablePathStr = log.tablePath.toString
+    val factEnc = Encoders.tuple(Encoders.STRING, Encoders.product[AddFile])
+    val factsDf = snap.filesDataset.map { f =>
+      val p0 = new org.apache.hadoop.fs.Path(f.decodedPath)
+      val abs =
+        if (p0.isAbsolute) p0
+        else new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(tablePathStr), p0)
+      (abs.toUri.getPath, f)
+    }(factEnc).toDF("k", "f")
 
     val inputEnc = Encoders.product[DvBuildInput]
-    val inputDs = hitsDf.join(factsDf, hitsDf("p") === factsDf("k"), "left")
-      .select(hitsDf("p"), col("dv"), factsDf("k").as("matched"),
-        col("dvStorageType"), col("dvPathOrInline"), col("dvOffset"),
-        col("dvSizeInBytes"), col("dvCardinality"), col("numRecords"))
+    // right outer from facts so the (small, pre-aggregated) hits side is
+    // the broadcastable build side; a hit with no fact row (f null) is a
+    // hit in a file the snapshot doesn't know — loud failure downstream
+    val inputDs = factsDf.join(hitsDf, factsDf("k") === hitsDf("p"), "right")
+      .select(hitsDf("p"), col("dv"), col("f"))
       .as[DvBuildInput](inputEnc)
 
-    val tablePathStr = log.tablePath.toString
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val results: Array[DvBuildResult] = inputDs.mapPartitions { it =>
       val tp = new org.apache.hadoop.fs.Path(tablePathStr)
       lazy val fs = tp.getFileSystem(conf.value)
       val out = scala.collection.mutable.ArrayBuffer.empty[DvBuildResult]
       // one multi-DV file per partition (rotated at ~16 MB so no single
-      // file grows unbounded under a very broad delete)
-      val pend = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Long, Long)]
+      // file grows unbounded under a very broad delete). A FAILED or
+      // speculative task attempt may leave its multi-DV file orphaned in
+      // the table root (it was never collected, so neither the commit nor
+      // `moved` knows it): orphans are unreferenced by every snapshot and
+      // are reclaimed by VACUUM once past retention — bounded garbage,
+      // same contract as an orphaned parquet from a failed write task.
+      val pend = scala.collection.mutable.ArrayBuffer.empty[(AddFile, Array[Byte], Long, Long)]
       var pendBytes = 0L
       def flush(): Unit = if (pend.nonEmpty) {
         val (file, descs) = DeletionVectorStore.writeMany(tp, fs,
@@ -316,26 +310,22 @@ object DeltaDelete {
         pend.clear(); pendBytes = 0L
       }
       it.foreach { in =>
-        if (in.matched.isEmpty)
-          throw new IllegalStateException(s"hit in unknown file ${in.p}")
+        val af = in.f.getOrElse(throw new IllegalStateException(
+          s"hit in unknown file ${in.p}"))
         val fresh = DvCodec.deserialize(in.dv)
-        val existing = in.dvStorageType.map { st =>
-          DeletionVectorStore.read(tp, fs, DeletionVectorDescriptor(st,
-            in.dvPathOrInline.get, in.dvOffset, in.dvSizeInBytes.get,
-            in.dvCardinality.get))
-        }
+        val existing = af.deletionVector.map(DeletionVectorStore.read(tp, fs, _))
         val merged = existing match {
           case Some(e) => Bitmap64.or(e, fresh)
           case None => fresh
         }
         val newly = merged.cardinality - existing.map(_.cardinality).getOrElse(0L)
-        if (in.numRecords.contains(merged.cardinality)) {
+        if (af.parsedStats.flatMap(_.numRecords).contains(merged.cardinality)) {
           // fully deleted → plain remove, no DV to write
-          out += DvBuildResult(in.p, fullyDeleted = true, newly,
+          out += DvBuildResult(af, fullyDeleted = true, newly,
             None, None, None, None, None, None)
         } else {
           val bytes = DvCodec.serialize(merged)
-          pend += ((in.p, bytes, merged.cardinality, newly))
+          pend += ((af, bytes, merged.cardinality, newly))
           pendBytes += bytes.length
           if (pendBytes >= 16L * 1024 * 1024) flush()
         }
@@ -352,7 +342,7 @@ object DeltaDelete {
     val actions = scala.collection.mutable.ArrayBuffer.empty[Action]
     val now = System.currentTimeMillis()
     results.foreach { r =>
-      val f = byPath(r.p)
+      val f = r.f
       deletedRows += r.newlyDeleted
       actions += Action(RemoveFile(f.path, Some(now),
         dataChange = true, f.deletionVector))

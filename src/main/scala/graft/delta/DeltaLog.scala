@@ -390,12 +390,28 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
             return None
           }
           // non-add actions are few: protocol/metaData/txn/domainMetadata
-          // (+ remove tombstones, irrelevant to state) — decode driver-side
+          // (+ remove tombstones) — decode driver-side
           val nonAdd = decodeActionDf(
             df.where(org.apache.spark.sql.functions.col("add").isNull),
             s"$logPath v$cv (lazy, non-add)")
           val replay = new LogReplay
           nonAdd.foreach(a => replay.apply(a.copy(remove = None)))
+          // Checkpoint-held remove tombstones must flow into the NEXT
+          // checkpoint within delta.deletedFileRetentionDuration: dropping
+          // them here would silently expire every tombstone one checkpoint
+          // cycle early on exactly the ≥10⁶-action tables this path exists
+          // for (a foreign VACUUM could then reclaim recently-removed files
+          // before retention ends). Bounded: only UNexpired removes are
+          // kept — expired ones are dead weight by the same contract.
+          val tombCutoff = System.currentTimeMillis() -
+            Checkpoints.parseRetentionMs(
+              Option(replay.metadata)
+                .flatMap(_.configuration.get("delta.deletedFileRetentionDuration")),
+              defaultMs = 7L * 24 * 3600 * 1000)
+          val baseTombstones = new mutable.LinkedHashMap[String, RemoveFile]
+          nonAdd.flatMap(_.remove)
+            .filter(_.deletionTimestamp.getOrElse(0L) >= tombCutoff)
+            .foreach(r => baseTombstones.put(r.decodedPath, r))
           // JSON tail: protocol/metadata/txns/domains apply as usual; file
           // actions reconcile against the checkpoint by decoded path
           val tailAdds = new mutable.LinkedHashMap[String, AddFile]
@@ -410,10 +426,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
               a.add.foreach { f =>
                 tailAdds.put(f.decodedPath, f); shadowed += f.decodedPath
                 tailRemoves.remove(f.decodedPath)
+                baseTombstones.remove(f.decodedPath) // re-add resurrects
               }
               a.remove.foreach { r =>
                 tailAdds.remove(r.decodedPath); shadowed += r.decodedPath
                 tailRemoves.put(r.decodedPath, r)
+                baseTombstones.remove(r.decodedPath) // latest remove wins
               }
               replay.apply(a.copy(add = None, remove = None))
             }
@@ -423,11 +441,12 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           ProtocolGate.validate(replay.protocol, tablePath.toString)
           DeltaLog.log.info(
             s"Lazy snapshot for $tablePath @ $version: $sz checkpoint actions, " +
-              s"${tailAdds.size} tail adds, ${shadowed.size} shadowed paths")
+              s"${tailAdds.size} tail adds, ${shadowed.size} shadowed paths, " +
+              s"${baseTombstones.size} retained checkpoint tombstones")
           Some(new LazySnapshot(this, version, replay.protocol, replay.metadata,
             paths, tailAdds.values.toSeq, shadowed.toSet,
             replay.txns.toMap, replay.domains.values.toVector,
-            tailRemoves.values.toVector))
+            (baseTombstones.values ++ tailRemoves.values).toVector))
         } catch {
           case scala.util.control.NonFatal(e) =>
             DeltaLog.log.warn(

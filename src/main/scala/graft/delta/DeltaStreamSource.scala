@@ -206,6 +206,11 @@ final class DeltaStreamSource(
       while (v <= capped && !exhausted) {
         if (have.contains(v)) {
           val sizes = fileSizes(v)
+          // a data-file-free version (metadata-only / remove-only commit)
+          // is consumed by advancing past it — otherwise a tail of such
+          // commits would keep planOffset at None and Trigger.AvailableNow
+          // runs would replan the same versions forever
+          if (sizes.isEmpty) end = (v, 0L)
           var i = (if (v == fv) fiNorm else 0L).toInt
           while (i < sizes.size && !exhausted) {
             if (remFiles <= 0 || remBytes <= 0) exhausted = true

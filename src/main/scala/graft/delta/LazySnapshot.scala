@@ -86,6 +86,10 @@ private[graft] class LazySnapshot(
     * (scans should never trigger one). */
   @volatile private[graft] var materializedFull: Boolean = false
 
+  /** DML's per-file facts come straight from the checkpoint-backed
+    * Dataset — a DELETE on a 10⁶-file table never collects the list. */
+  override private[delta] def filesDataset: Dataset[AddFile] = addsDataset
+
   override lazy val allFiles: Seq[AddFile] = {
     materializedFull = true
     addsDataset.collect().toSeq

@@ -47,8 +47,9 @@ class Snapshot(
       * a remove). Carried so checkpoints retain them within
       * `delta.deletedFileRetentionDuration` — foreign engines (and VACUUM)
       * must still see recent deletions once older commit JSONs are cleaned
-      * up, per protocol. [[LazySnapshot]] carries only its JSON-tail
-      * removes (checkpoint-held tombstones stay in the parquet). */
+      * up, per protocol. [[LazySnapshot]] carries its JSON-tail removes
+      * plus the base checkpoint's UNexpired tombstones (bounded by the
+      * retention window), so its next checkpoint keeps the contract too. */
     val tombstones: Seq[RemoveFile] = Nil) {
 
   /** Full reconciled file list. [[LazySnapshot]] (checkpoint-backed, 10⁶+
@@ -57,6 +58,15 @@ class Snapshot(
   def allFiles: Seq[AddFile] = filesEager
 
   def fileCount: Long = allFiles.size
+
+  /** Typed Dataset over the full file list — the DISTRIBUTED surface for
+    * passes that must not funnel O(#table-files) through the driver (the
+    * DML path's per-file facts join). Eager snapshots wrap their
+    * in-memory list; [[LazySnapshot]] overrides with its checkpoint-backed
+    * Dataset so the list never materializes driver-side. */
+  private[delta] def filesDataset: org.apache.spark.sql.Dataset[AddFile] =
+    log.spark.createDataset(allFiles)(
+      org.apache.spark.sql.Encoders.product[AddFile])
 
   /** Scan-time candidate files after stats skipping + partition pruning.
     * `statsKeeper` is [[FileSkipping.keeper]]'s serializable per-file

@@ -99,6 +99,32 @@ class LazySnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE through a lazy snapshot never materializes the file list") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartitionByRange(16, col("l_orderkey")), path)
+    DeltaTable.forPath(spark, path).checkpoint()
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val log = DeltaLog.forPath(spark, path)
+      val snap = log.update()
+      assert(snap.isInstanceOf[LazySnapshot])
+      val lazySnap = snap.asInstanceOf[LazySnapshot]
+      val total = src.count()
+      val hit = src.where(col("l_orderkey") < 100).count()
+      assert(hit > 0)
+      // the per-file facts join must come from the Dataset-backed list:
+      // a driver-side materialization on a 10⁶-file table would undo the
+      // executor-side DV write this path exists for
+      val deleted = DeltaDelete.delete(spark, log, col("l_orderkey") < 100)
+      assert(deleted == hit)
+      assert(!lazySnap.materializedFull,
+        "DELETE materialized the full file list on the driver")
+      DeltaLog.clearCache()
+      assert(DeltaTable.forPath(spark, path).toDF.count() == total - hit)
+    }
+  }
+
   test("maintenance surfaces still work (materialize lazily, stay exact)") {
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
     val path = tmpTable()

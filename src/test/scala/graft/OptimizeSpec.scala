@@ -58,6 +58,31 @@ class OptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum reclaims orphan multi-DV files from failed task attempts, " +
+       "never referenced ones") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src.repartition(4), path)
+    val t = DeltaTable.forPath(spark, path)
+    t.delete(col("s_suppkey") % 10 === 3) // live DV file(s)
+    val expect = DeltaTable.forPath(spark, path).toDF.count()
+    // a failed/speculative executor attempt leaves its multi-DV file in the
+    // table root, never collected, never in `moved` — the documented leak
+    // path; it must be reclaimable as an ordinary unreferenced file
+    val orphan = new java.io.File(path,
+      s"deletion_vector_${java.util.UUID.randomUUID}.bin")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3, 4))
+    val liveDvs = new java.io.File(path).listFiles().toSeq
+      .filter(f => f.getName.startsWith("deletion_vector_") && f != orphan)
+    assert(liveDvs.nonEmpty)
+    val r = DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
+    assert(r.filesDeleted >= 1)
+    assert(!orphan.exists(), "orphan DV file survived vacuum")
+    liveDvs.foreach(f => assert(f.exists(), s"live DV deleted: ${f.getName}"))
+    DeltaLog.clearCache()
+    assert(DeltaTable.forPath(spark, path).toDF.count() == expect)
+  }
+
   test("optimize compacts small files; data and time travel preserved") {
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
     val path = tmpTable()

@@ -279,6 +279,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelivered == 0L, s"restart re-delivered $redelivered rows")
   }
 
+  test("file-capped stream consumes metadata-only commits: the offset " +
+       "advances past a data-file-free tail") {
+    import graft.delta.{DeltaWriter, DeltaLog}
+    val path = java.nio.file.Files.createTempDirectory("stream-meta").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-meta-ck").toString
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    DeltaWriter.append(spark, base.limit(50).repartition(2), path) // v0: data
+    def drain(): Unit = {
+      val q = spark.readStream.format("graftdelta")
+        .option("maxFilesPerTrigger", "1").load(path)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // consumes v0
+    // v1: metadata-only commit (no data files) — under a file-granular cap
+    // the planner must still mark it consumed, or AvailableNow runs replan
+    // it forever
+    DeltaTable.forPath(spark, path).setProperties(Map("graft.test" -> "1"))
+    assert(DeltaLog.forPath(spark, path).update().version == 1L)
+    drain()
+    val offsets = new java.io.File(ckpt, "offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = new String(
+      java.nio.file.Files.readAllBytes(offsets.last.toPath))
+    assert(last.contains("\"version\":1"),
+      s"offset never advanced past the metadata-only commit: $last")
+  }
+
   test("watermark-bounded dedup drops in-window duplicates with expiring state") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-wmdd").toString
     // double-deliver the first 500 events (same event_id, same ts) — the

@@ -51,6 +51,40 @@ class CheckpointGcSpec extends AnyFunSuite {
     assert(l0.readCheckpoint(l0.update().version).flatMap(_.remove).isEmpty)
   }
 
+  test("checkpoints written from a LazySnapshot keep checkpoint-held " +
+       "tombstones (no one-cycle-early expiry on huge tables)") {
+    val path = tmpTable()
+    DeltaWriter.append(spark, region, path)                      // v0
+    DeltaTable.forPath(spark, path).overwrite(region.limit(3))  // v1: tombstones
+    val log = DeltaLog.forPath(spark, path)
+    Checkpoints.checkpoint(log)                                  // cp@v1 holds them
+    val removedPaths = log.readCheckpoint(log.update().version)
+      .flatMap(_.remove).map(_.path).toSet
+    assert(removedPaths.nonEmpty)
+    DeltaWriter.append(spark, region.limit(2), path)             // v2: JSON tail
+    DeltaLog.clearCache()
+    spark.conf.set("spark.graft.lazySnapshot.minActions", "1")
+    try {
+      val log2 = DeltaLog.forPath(spark, path)
+      val snap = log2.update()
+      assert(snap.isInstanceOf[LazySnapshot], "expected the lazy path")
+      // the base checkpoint's unexpired tombstones surface on the snapshot…
+      assert(removedPaths.subsetOf(snap.tombstones.map(_.path).toSet),
+        s"lazy snapshot lost checkpoint tombstones: ${snap.tombstones.map(_.path)}")
+      // …and survive into the NEXT checkpoint, written FROM the lazy snap
+      Checkpoints.writeCheckpoint(log2, snap)
+      val second = log2.readCheckpoint(snap.version).flatMap(_.remove)
+      assert(removedPaths.subsetOf(second.map(_.path).toSet),
+        "second checkpoint (from LazySnapshot) dropped retained tombstones")
+      // checkpoint file actions are normalized per protocol guidance
+      assert(second.forall(!_.dataChange), "checkpoint removes keep dataChange=true")
+      assert(log2.readCheckpoint(snap.version).flatMap(_.add).forall(!_.dataChange))
+    } finally {
+      spark.conf.unset("spark.graft.lazySnapshot.minActions")
+      DeltaLog.clearCache()
+    }
+  }
+
   test("v2 checkpoint carries tombstones in sidecars and GC reclaims " +
        "superseded manifests + unreferenced sidecars") {
     val path = tmpTable()
