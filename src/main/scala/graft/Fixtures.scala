@@ -59,6 +59,11 @@ object Fixtures {
     * `delta.enableChangeDataFeed` set, a `_change_data/` dir with a change
     * parquet, and a `cdc` log action — plain reads ignore both. */
   case object Cdf extends Variant { val name = "cdf" }
+  /** Plain-shaped clone DEDICATED to the DML bench row (`delta_dv_delete`):
+    * each invocation RESTOREs it to version 0 and re-deletes, so no other
+    * query may share it. Auto-checkpointing off — repeated restore/delete
+    * pairs must not pay a checkpoint mid-measurement. */
+  case object DmlArena extends Variant { val name = "dmlarena" }
 
   private case class Spec(splitCol: String, rangeCol: String, partCol: String)
   private val specs: Map[String, Spec] = Map(
@@ -153,6 +158,10 @@ object Fixtures {
     variant match {
       case Plain =>
         DeltaWriter.append(spark, src.repartitionByRange(nFiles, col(spec.rangeCol)), dir)
+      case DmlArena =>
+        DeltaWriter.append(spark,
+          src.repartitionByRange(nFiles, col(spec.rangeCol)), dir,
+          configuration = Map("delta.checkpointInterval" -> "0"))
       case Multi =>
         for (i <- 0 to 2) {
           val slice = src.filter(col(spec.splitCol) % 3 === i)

@@ -134,6 +134,25 @@ object SparkEntry {
       q1Shape(s.read.format("graftdelta").load(p))
     }),
 
+    // --- DV DELETE at scale (the bench's only DML row): restore the
+    //     dedicated arena clone to v0, soft-delete ~2% of rows via
+    //     executor-built deletion vectors, aggregate the survivors through
+    //     the DV-filtered scan. A regression in the DV build/write shuffle
+    //     or the commit path shows up HERE, not only in specs. The oracle
+    //     pairs it with a MATERIALIZED anti-join — DuckDB does the work of
+    //     materializing the survivors, the closest single-statement analog
+    //     of a soft delete. ---
+    "delta_dv_delete" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.DmlArena)
+      val t = DeltaTable.forPath(s, p)
+      if (t.snapshot.version > 0) t.restore(0)
+      t.delete(col("l_quantity") < 2)
+      DeltaTable.forPath(s, p).toDF.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // --- metadata-only count(*): answered from Σ numRecords − Σ DV
     //     cardinalities, zero data files read (MetadataOnlyCount rule;
     //     PlanHygieneSpec asserts the plan is a LocalRelation) ---
@@ -853,6 +872,41 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }),
 
+    // --- tombstone retention end-to-end: overwrite → checkpoint (carries
+    //     the unexpired remove tombstones) → expired-log cleanup deletes
+    //     the pre-checkpoint JSONs (the tombstones are now addressable
+    //     ONLY through the checkpoint) → a retention-respecting VACUUM
+    //     reclaims nothing, a forced 0-retention VACUUM reclaims exactly
+    //     the dead files, and the surviving table still answers exactly.
+    //     The hard correctness row behind CheckpointGcSpec's strongest
+    //     property. ---
+    "delta_tombstone_scan" -> ((s, dir) => {
+      val p = freshCopy(s, dir, "supplier")
+      val t = DeltaTable.forPath(s, p)
+      t.overwrite(Fixtures.readParquet(s, dir, "supplier")
+        .where(col("s_suppkey") % 3 === 0))
+      val log = graft.delta.DeltaLog.forPath(s, p)
+      graft.delta.Checkpoints.checkpoint(log)
+      graft.delta.Checkpoints.cleanUpExpiredLogs(log,
+        log.update().metadata.configuration,
+        nowMs = System.currentTimeMillis() + 40L * 24 * 3600 * 1000)
+      graft.delta.DeltaLog.clearCache()
+      val log2 = graft.delta.DeltaLog.forPath(s, p)
+      require(log2.update().tombstones.nonEmpty,
+        "expired-log cleanup lost the checkpoint-held tombstones")
+      val kept = graft.delta.Optimize.vacuum(s, log2)
+      require(kept.filesDeleted == 0,
+        s"retention-respecting VACUUM reclaimed young tombstones: $kept")
+      val reclaimed = graft.delta.Optimize.vacuum(s, log2,
+        retentionMs = 0L, force = true)
+      require(reclaimed.filesDeleted > 0,
+        "tombstoned files were not reclaimable after retention")
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- CDF read (table_changes analog): two appends then an OPTIMIZE;
     //     inserts surface with their commit versions and the
     //     dataChange=false rewrite is skipped per protocol ---
@@ -1084,6 +1138,14 @@ object SparkEntry {
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 7)"),
     "delta_count_meta" ->
       """SELECT count(*) AS n FROM lineitem WHERE NOT (l_orderkey % 10 = 7)""",
+    // MATERIALIZED: DuckDB must actually build the survivor set (the
+    // anti-join a hard delete materializes), not fold the filter into the
+    // aggregate — the paired-timing analog of the Spark side's DV write
+    "delta_dv_delete" ->
+      """WITH survivors AS MATERIALIZED (
+        |  SELECT * FROM lineitem WHERE NOT (l_quantity < 2))
+        |SELECT count(*) AS n, round(sum(l_extendedprice),2) AS sum_price,
+        | round(sum(l_quantity),2) AS sum_qty FROM survivors""".stripMargin,
     "delta_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 7 END) AS BIGINT) AS sum_bonus,
@@ -1349,6 +1411,10 @@ object SparkEntry {
     "delta_vacuum_scan" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier WHERE s_suppkey % 10 <> 3
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "delta_tombstone_scan" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
+        |FROM supplier WHERE s_suppkey % 3 = 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "delta_cdf_changes" ->
       """SELECT 'insert' AS _change_type,

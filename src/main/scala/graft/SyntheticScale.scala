@@ -24,7 +24,12 @@ object SyntheticScale {
   def ensure(spark: SparkSession, baseDir: String, factor: Int,
       replicateOnly: Option[Set[String]] = None): String = synchronized {
     val key = baseDir.stripSuffix("/").replaceAll("[^A-Za-z0-9.]", "_")
-    val sub = replicateOnly.map(_ => "_min").getOrElse("")
+    // the targeted-dir name encodes WHICH tables replicate: growing the
+    // micro-sample's table set must build a new dir, not silently reuse a
+    // cached one that lacks the new fact tables at scale
+    val sub = replicateOnly.map(s => s"_min${s.size}-" +
+      Integer.toHexString(s.toSeq.sorted.mkString(",").hashCode).take(4))
+      .getOrElse("")
     val dir = s"/tmp/graft-scale/$GEN/${key}_x$factor$sub"
     val marker = Paths.get(dir, "_GRAFT_READY")
     if (Files.exists(marker)) return dir

@@ -311,6 +311,51 @@ class StreamingSpec extends AnyFunSuite {
       s"offset never advanced past the metadata-only commit: $last")
   }
 
+  test("maxBytesPerTrigger composes with maxFilesPerTrigger: the tighter " +
+       "bound wins; CDF streams stay version-granular under both caps") {
+    import graft.delta.{DeltaWriter, DeltaLog}
+    val path = java.nio.file.Files.createTempDirectory("stream-mbt").toString + "/t"
+    val base = eventsBatch.select("event_id", "event_type", "value")
+    // v0: ONE commit of 8 roughly-equal files
+    DeltaWriter.append(spark, base.limit(400).repartition(8), path,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val sizes = DeltaLog.forPath(spark, path).update().allFiles.map(_.size)
+    assert(sizes.size == 8)
+    val oneFile = sizes.max
+
+    def run(opts: Map[String, String]): Long = {
+      var batches = 0L
+      val reader = opts.foldLeft(spark.readStream.format("graftdelta")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(path).writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("stream-mbt-ck").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (df.count() > 0) batches += 1
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches
+    }
+    // byte cap ~1.5 files is TIGHTER than the 4-file cap → ~2 files/batch
+    val byteBound = run(Map(
+      "maxFilesPerTrigger" -> "4",
+      "maxBytesPerTrigger" -> (oneFile * 3 / 2).toString))
+    assert(byteBound >= 4, s"byte cap did not bind: $byteBound batches")
+    // 1-file cap is TIGHTER than a huge byte cap → 8 batches
+    val fileBound = run(Map(
+      "maxFilesPerTrigger" -> "1", "maxBytesPerTrigger" -> "1g"))
+    assert(fileBound == 8, s"file cap did not bind under a loose byte cap: $fileBound")
+    // CDF: unit of change is the VERSION — both caps present, one batch
+    val cdf = run(Map(
+      "readChangeFeed" -> "true", "startingVersion" -> "0",
+      "maxFilesPerTrigger" -> "1",
+      "maxBytesPerTrigger" -> (oneFile / 2).toString))
+    assert(cdf == 1, s"CDF stream must stay version-granular under caps: $cdf")
+  }
+
   test("watermark-bounded dedup drops in-window duplicates with expiring state") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream-wmdd").toString
     // double-deliver the first 500 events (same event_id, same ts) — the

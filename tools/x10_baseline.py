@@ -19,7 +19,7 @@ SCALE_HEADLINE = [
     "q1_agg", "delta_scan_agg", "q3_join", "q5_multi_join",
     "q9_profit_by_nation", "q18_large_orders", "q6_selective_filter",
     "q_window_rank", "q_events_hourly", "q_sessionize", "dedup_exact",
-    "text_token_stats", "emb_centroids"]
+    "text_token_stats", "emb_centroids", "delta_dv_delete"]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
