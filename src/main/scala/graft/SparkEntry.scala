@@ -604,18 +604,43 @@ object SparkEntry {
     //     subtree) reconstructs through the delta scan ---
     "delta_shredded_variant_scan" -> ((s, _) => {
       val p = java.nio.file.Files.createTempDirectory("graft-shredq").toString + "/t"
-      s.conf.set("spark.sql.variant.writeShredding.enabled", "true")
-      s.conf.set("spark.sql.variant.inferShreddingSchema", "true")
-      try {
-        graft.delta.DeltaWriter.append(s, s.sql(
-          """SELECT id, parse_json(format_string('{"key": %s}', id)) AS v
-            |FROM range(0, 100)""".stripMargin), p)
-      } finally {
-        s.conf.unset("spark.sql.variant.writeShredding.enabled")
-        s.conf.unset("spark.sql.variant.inferShreddingSchema")
-      }
+      // property-gated since r10 (the writer toggles Spark's shredding
+      // parquet writer itself and stamps the protocol feature)
+      graft.delta.DeltaWriter.append(s, s.sql(
+        """SELECT id, parse_json(format_string('{"key": %s}', id)) AS v
+          |FROM range(0, 100)""".stripMargin), p,
+        configuration = Map("delta.enableVariantShredding" -> "true"))
       DeltaTable.forPath(s, p).toDF
         .select(expr("variant_get(v, '$.key', 'long')").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
+    // --- shredded variant WRITE behind the table property
+    //     (delta.enableVariantShredding): the WRITER shreds — no session
+    //     conf set here — the protocol advertises
+    //     variantShredding-preview on both sides, the parquet footer
+    //     physically carries a typed_value subtree, and the scan
+    //     reconstructs the variant exactly ---
+    "delta_shredded_write_scan" -> ((s, _) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-shredw").toString + "/t"
+      graft.delta.DeltaWriter.append(s, s.sql(
+        """SELECT id, parse_json(format_string('{"k": %s}', id)) AS v
+          |FROM range(0, 200)""".stripMargin), p,
+        configuration = Map("delta.enableVariantShredding" -> "true"))
+      val snap = graft.delta.DeltaLog.forPath(s, p).update()
+      require(snap.protocol.readerFeatures.exists(_.contains("variantShredding-preview")) &&
+        snap.protocol.writerFeatures.exists(_.contains("variantShredding-preview")),
+        s"shredding feature not stamped: ${snap.protocol}")
+      val file = snap.absolutePath(snap.allFiles.head)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          file, s.sessionState.newHadoopConf()))
+      val physSchema = try footer.getFooter.getFileMetaData.getSchema.toString
+        finally footer.close()
+      require(physSchema.contains("typed_value"),
+        s"table property did not shred the parquet: $physSchema")
+      DeltaTable.forPath(s, p).toDF
+        .select(expr("variant_get(v, '$.k', 'long')").as("k"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
 
@@ -1322,6 +1347,8 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS mid_version, CAST(3 AS BIGINT) AS n_commits""".stripMargin,
     "delta_shredded_variant_scan" ->
       """SELECT CAST(100 AS BIGINT) AS n, CAST(4950 AS BIGINT) AS sum_k""".stripMargin,
+    "delta_shredded_write_scan" ->
+      """SELECT CAST(200 AS BIGINT) AS n, CAST(19900 AS BIGINT) AS sum_k""".stripMargin,
     "delta_dat_simple" ->
       s"""SELECT i FROM read_parquet(
          |  '$datBase/simple_table/delta_lake/part-00000.snappy.parquet')

@@ -381,10 +381,21 @@ object Alter {
     val p4 =
       if (enablingV2) Some(v2CheckpointUpgrade(p3.getOrElse(snap.protocol)))
       else p3
+    // enabling variant shredding mid-history: shredded files are a
+    // reader-visible layout, so the feature stamps BOTH sides in the same
+    // commit that sets the property (only meaningful on variant tables)
+    val enablingShred =
+      props.get("delta.enableVariantShredding").exists(_.equalsIgnoreCase("true")) &&
+        ProtocolGate.typeFeatures(snap.schema).contains("variantType")
+    val p5 =
+      if (enablingShred)
+        ProtocolGate.readerWriterFeatureUpgrade(p4.getOrElse(snap.protocol),
+          Seq("variantShredding-preview")).orElse(p4)
+      else p4
     commitMetadata(log, snap, "SET TBLPROPERTIES",
       snap.metadata.copy(
         configuration = snap.metadata.configuration ++ props ++ ictProps),
-      protocol = p4)
+      protocol = p5)
   }
 
   /** `v2Checkpoint` is both a reader and a writer feature: writer side

@@ -439,6 +439,9 @@ object DeltaWriter {
    * return the (uncommitted) add actions. The caller commits; on failure
    * it must delete the `moved` files.
    */
+  private[delta] def shreddingEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableVariantShredding").exists(_.equalsIgnoreCase("true"))
+
   private[delta] def writeFiles(
       spark: SparkSession,
       log: DeltaLog,
@@ -456,21 +459,42 @@ object DeltaWriter {
     // spark.read for the stats pass, and hidden-path filters would skip it
     val staging = new Path(log.tablePath, s"tmp-stage-${UUID.randomUUID}")
     try {
-      aligned.write
-        .mode("overwrite")
-        .options(writeOptions)
-        .partitionBy(partCols: _*)
-        .parquet(staging.toString)
+      val tableConf =
+        if (configuration.nonEmpty) configuration
+        else if (log.tableExists) log.update().metadata.configuration
+        else Map.empty[String, String]
+      // delta.enableVariantShredding governs the PHYSICAL variant layout
+      // in BOTH directions: with the property, variant columns write
+      // SHREDDED (parquet variant-shredding layout, typed_value subtree)
+      // and the protocol carries variantShredding-preview on both sides
+      // (stamped at create / SET TBLPROPERTIES); without it, shredding is
+      // explicitly DISABLED for the write — Spark 4.1 defaults
+      // writeShredding+inferShreddingSchema to TRUE, which would silently
+      // put shredded files into tables advertising only variantType, a
+      // layout spec-conformant foreign readers may refuse. Session confs
+      // are toggled around the write and restored: the property governs
+      // the TABLE, never the session.
+      val hasVariant = ProtocolGate.typeFeatures(tableSchema).contains("variantType")
+      val shred = shreddingEnabled(tableConf) && hasVariant
+      val shredKeys = Seq("spark.sql.variant.writeShredding.enabled",
+        "spark.sql.variant.inferShreddingSchema")
+      val prevShred = shredKeys.map(k => k -> spark.conf.getOption(k))
+      if (hasVariant) shredKeys.foreach(spark.conf.set(_, shred.toString))
+      try {
+        aligned.write
+          .mode("overwrite")
+          .options(writeOptions)
+          .partitionBy(partCols: _*)
+          .parquet(staging.toString)
+      } finally if (hasVariant) prevShred.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
 
       // empty input (e.g. CREATE TABLE with no rows) stages no part files;
       // spark.read over a file-less dir cannot infer a schema
       if (!listRecursive(fs, staging).exists(_.getName.endsWith(".parquet")))
         return Seq.empty
-
-      val tableConf =
-        if (configuration.nonEmpty) configuration
-        else if (log.tableExists) log.update().metadata.configuration
-        else Map.empty[String, String]
       val statsByFile =
         collectStats(spark, staging.toString, tableSchema, partCols, tableConf)
 
@@ -913,8 +937,15 @@ object DeltaWriter {
             (if (DeltaLog.ictEnabled(configuration)) Seq("inCommitTimestamp")
              else Nil)
         // TIMESTAMP_NTZ / VARIANT columns imply reader+writer features:
-        // readers that can't decode them must refuse, not misread
-        val typeFeats = ProtocolGate.typeFeatures(schema)
+        // readers that can't decode them must refuse, not misread. A
+        // shredding-enabled variant table additionally advertises
+        // variantShredding-preview on BOTH sides — shredded files are a
+        // reader-visible physical layout.
+        val typeFeats0 = ProtocolGate.typeFeatures(schema)
+        val typeFeats =
+          if (shreddingEnabled(configuration) && typeFeats0.contains("variantType"))
+            typeFeats0 :+ "variantShredding-preview"
+          else typeFeats0
         actions += Action(
           if (createFeatures.nonEmpty || typeFeats.nonEmpty)
             Protocol(

@@ -30,6 +30,9 @@ object ProtocolGate {
     "columnMapping",
     "timestampNtz",
     "variantType", "variantType-preview",
+    // physically-shredded variant files (parquet variant-shredding layout:
+    // typed_value subtree) — Spark 4.1's parquet reader reconstructs them
+    "variantShredding", "variantShredding-preview",
     "typeWidening", "typeWidening-preview",
     "v2Checkpoint",
     "vacuumProtocolCheck")
@@ -76,6 +79,7 @@ object ProtocolGate {
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "deletionVectors", "timestampNtz",
     "variantType", "variantType-preview", "typeWidening", "typeWidening-preview",
+    "variantShredding", "variantShredding-preview",
     "domainMetadata", "v2Checkpoint", "vacuumProtocolCheck", "rowTracking",
     "allowColumnDefaults", "identityColumns", "inCommitTimestamp",
     "clustering")

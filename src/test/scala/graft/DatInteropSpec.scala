@@ -179,37 +179,35 @@ class DatInteropSpec extends AnyFunSuite {
   }
 
   test("shredded variant: writeShredding parquet round-trips through the delta scan") {
+    // property-gated since r10: the WRITER toggles Spark's shredding
+    // parquet writer per table (session confs, which default TRUE in
+    // Spark 4.1, no longer leak shredded files into plain variant tables
+    // — VariantShreddingSpec pins both directions)
     val dir = java.nio.file.Files.createTempDirectory("graft-shred").toString + "/t"
-    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
-    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
-    try {
-      val df = spark.sql(
-        """SELECT id, parse_json(format_string('{"key": %s}', id)) AS v
-          |FROM range(0, 100)""".stripMargin)
-      DeltaWriter.append(spark, df, dir)
-      // prove the files are PHYSICALLY shredded: the parquet footer's
-      // variant group must carry a typed_value field, not just value/metadata
-      val part = new java.io.File(dir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        spark.sparkContext.hadoopConfiguration,
-        new org.apache.hadoop.fs.Path(part.getAbsolutePath))
-      val vGroup = footer.getFileMetaData.getSchema
-        .getType(Seq("v"): _*).asGroupType()
-      assert(vGroup.getFields.toString.contains("typed_value"),
-        s"variant not shredded: $vGroup")
-      // and our scan reconstructs the logical variant exactly
-      val got = DeltaTable.forPath(spark, dir).toDF
-        .select(col("id"), to_json(col("v")).as("j")).collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(got.size == 100)
-      (0L until 100L).foreach(i => assert(got(i) == s"""{"key":$i}""", s"id $i: ${got(i)}"))
-      // file skipping on the sibling scalar column still applies
-      assert(DeltaTable.forPath(spark, dir).toDF.filter(col("id") === 7).count() == 1)
-    } finally {
-      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
-      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
-    }
+    val df = spark.sql(
+      """SELECT id, parse_json(format_string('{"key": %s}', id)) AS v
+        |FROM range(0, 100)""".stripMargin)
+    DeltaWriter.append(spark, df, dir,
+      configuration = Map("delta.enableVariantShredding" -> "true"))
+    // prove the files are PHYSICALLY shredded: the parquet footer's
+    // variant group must carry a typed_value field, not just value/metadata
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath))
+    val vGroup = footer.getFileMetaData.getSchema
+      .getType(Seq("v"): _*).asGroupType()
+    assert(vGroup.getFields.toString.contains("typed_value"),
+      s"variant not shredded: $vGroup")
+    // and our scan reconstructs the logical variant exactly
+    val got = DeltaTable.forPath(spark, dir).toDF
+      .select(col("id"), to_json(col("v")).as("j")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100)
+    (0L until 100L).foreach(i => assert(got(i) == s"""{"key":$i}""", s"id $i: ${got(i)}"))
+    // file skipping on the sibling scalar column still applies
+    assert(DeltaTable.forPath(spark, dir).toDF.filter(col("id") === 7).count() == 1)
   }
 
   test("DAT file skipping still sound on foreign stats (issue_303 i-bounds)") {
