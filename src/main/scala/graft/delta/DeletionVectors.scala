@@ -39,10 +39,17 @@ object DeletionVectors {
     val tablePath = snapshot.log.tablePath.toString
     val conf = new SerializableHadoopConf(
       snapshot.log.spark.sessionState.newHadoopConf())
-    snapshot.allFiles.flatMap { f =>
-      val slot = f.deletionVector
-        .map(dv => new DvSlot(dv, tablePath, conf)).orNull
-      val p = snapshot.absolutePath(f)
+    // (path, descriptor) pairs only: on a LazySnapshot this collects a
+    // distributed PROJECTION of the checkpoint-backed file list — never
+    // the stats-bearing AddFiles (the registry is inherently O(#files),
+    // but descriptor pairs are ~10× smaller than full file entries and
+    // the driver-side list materialization is avoided entirely)
+    snapshot.dvRegistryPairs.flatMap { case (decodedPath, dv) =>
+      val slot = dv.map(d => new DvSlot(d, tablePath, conf)).orNull
+      val p0 = new org.apache.hadoop.fs.Path(decodedPath)
+      val p =
+        if (p0.isAbsolute) p0
+        else new org.apache.hadoop.fs.Path(snapshot.log.tablePath, p0)
       Seq(p.toString -> slot, p.toUri.getPath -> slot, p.toUri.toString -> slot)
     }.toMap
   }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions.{col, lit, sum}
  * nature. `delta-kernel`-style engines make the same split: scans stream
  * the checkpoint, maintenance reads it whole.
  */
+/** (decodedPath, descriptor) projection row for the distributed DV
+  * registry collect. */
+private[delta] final case class DvRegPair(
+    p: String, dv: Option[DeletionVectorDescriptor])
+
 private[graft] class LazySnapshot(
     log: DeltaLog,
     version: Long,
@@ -89,6 +94,14 @@ private[graft] class LazySnapshot(
   /** DML's per-file facts come straight from the checkpoint-backed
     * Dataset — a DELETE on a 10⁶-file table never collects the list. */
   override private[delta] def filesDataset: Dataset[AddFile] = addsDataset
+
+  /** DV registry input as a distributed projection collect: descriptor
+    * pairs only, never the stats-bearing AddFiles. */
+  override private[delta] def dvRegistryPairs
+      : Seq[(String, Option[DeletionVectorDescriptor])] =
+    addsDataset.mapPartitions(
+      _.map(f => DvRegPair(f.decodedPath, f.deletionVector)))(
+      Encoders.product[DvRegPair]).collect().toSeq.map(e => (e.p, e.dv))
 
   override lazy val allFiles: Seq[AddFile] = {
     materializedFull = true

@@ -68,6 +68,13 @@ class Snapshot(
     log.spark.createDataset(allFiles)(
       org.apache.spark.sql.Encoders.product[AddFile])
 
+  /** (decodedPath, deletionVector) projection of the file list — the DV
+    * registry's input. Eager snapshots read the in-memory list;
+    * [[LazySnapshot]] collects the projection distributed so DV-table
+    * scans never materialize stats-bearing AddFiles on the driver. */
+  private[delta] def dvRegistryPairs: Seq[(String, Option[DeletionVectorDescriptor])] =
+    allFiles.map(f => (f.decodedPath, f.deletionVector))
+
   /** Scan-time candidate files after stats skipping + partition pruning.
     * `statsKeeper` is [[FileSkipping.keeper]]'s serializable per-file
     * decision; `partitionBound` is the partition predicate bound

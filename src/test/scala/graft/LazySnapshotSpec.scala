@@ -66,6 +66,11 @@ class LazySnapshotSpec extends AnyFunSuite {
       assert(snap.isInstanceOf[LazySnapshot])
       val expect = 2 * src.count() - 2 * src.where(col("s_suppkey") % 10 === 3).count()
       assert(snap.toDF.count() == expect)
+      // the DV registry collects a distributed (path, descriptor)
+      // projection — scanning a DV-carrying lazy table must not
+      // materialize the stats-bearing file list on the driver
+      assert(!snap.asInstanceOf[LazySnapshot].materializedFull,
+        "DV-table scan materialized the full file list")
       // eager path agrees exactly
       spark.conf.set("spark.graft.lazySnapshot.minActions", Long.MaxValue.toString)
       DeltaLog.clearCache()
