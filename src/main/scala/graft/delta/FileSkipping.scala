@@ -352,6 +352,19 @@ object FileSkipping {
         case _ => true
       }
 
+    // BooleanSimplification rewrites `k = true` to the bare attribute and
+    // `k = false` / `NOT k` to Not(attr) before pushdown — desugar back to
+    // equality so boolean columns skip on their min/max like every other
+    // stats type (reference covers bool in file_skipping_all_types.test)
+    case Not(a) if a.dataType == org.apache.spark.sql.types.BooleanType &&
+        attrOf(a).isDefined =>
+      mayContain(st, schema, EqualTo(a,
+        Literal(false, org.apache.spark.sql.types.BooleanType)))
+    case a if a.dataType == org.apache.spark.sql.types.BooleanType &&
+        attrOf(a).isDefined =>
+      mayContain(st, schema, EqualTo(a,
+        Literal(true, org.apache.spark.sql.types.BooleanType)))
+
     case _ => true // unsupported → keep file
   }
 
