@@ -473,7 +473,11 @@ object DeltaWriter {
       // put shredded files into tables advertising only variantType, a
       // layout spec-conformant foreign readers may refuse. Session confs
       // are toggled around the write and restored: the property governs
-      // the TABLE, never the session.
+      // the TABLE, never the session. (Each query snapshots SQL confs at
+      // submission, so executors see a consistent setting; two concurrent
+      // variant-table writes with OPPOSITE settings in one session could
+      // race the toggle window — both outcomes stay readable, and the
+      // protocol stamp is what foreign readers key on.)
       val hasVariant = ProtocolGate.typeFeatures(tableSchema).contains("variantType")
       val shred = shreddingEnabled(tableConf) && hasVariant
       val shredKeys = Seq("spark.sql.variant.writeShredding.enabled",
