@@ -496,8 +496,17 @@ object Bench {
           smallTimes.get(n).map(_ * (scaleFactor.toDouble / smallFactor))
         def overPrediction(n: String, t: Double): Boolean =
           predicted(n).exists(p => p > 0 && t > 1.5 * p)
+        // The DML row is a WRITE (restore + DV build + two commits +
+        // survivor scan) paired against a read-only DuckDB materialized
+        // anti-join — the idle ratio compares different workloads by
+        // construction and would brand the row `persistent` every run,
+        // diluting the flag. It keeps the self-relative x10-extrapolation
+        // guard, which is the check that actually catches a DV-path
+        // regression; the artifact marks it "dml" so the asymmetry is
+        // visible rather than silently exempted.
+        val dmlRows = Set("delta_dv_delete")
         def overIdle(n: String, t: Double): Boolean =
-          idle.get(n).exists(b => b > 0 && t > 2.0 * b)
+          !dmlRows(n) && idle.get(n).exists(b => b > 0 && t > 2.0 * b)
         var rows = bigRows
         val renoised = rows.collect {
           case (n, t, _) if !bigFailed.contains(n) &&
@@ -549,7 +558,8 @@ object Bench {
           if (paired.isEmpty) ""
           else {
             val entries = pairedChecked.map { case (n, t, d, susp) =>
-              val flag = if (susp) ""","suspect":true""" else ""
+              val flag = (if (susp) ""","suspect":true""" else "") +
+                (if (dmlRows(n)) ""","dml":true""" else "")
               // inline self-evidence: this row's number was confirmed (or
               // not) inside a named calibration window — the judge-facing
               // proof that >2×-vs-idle is host state, not a regression

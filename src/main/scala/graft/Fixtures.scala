@@ -118,7 +118,10 @@ object Fixtures {
       variant: Variant = Plain): String = synchronized {
     val dir = dirFor(sfDir, table, variant)
     val marker = Paths.get(dir, "_GRAFT_READY")
-    if (Files.exists(marker)) return dir
+    if (Files.exists(marker)) {
+      if (variant == DmlArena) maybeCompactArenaLog(spark, dir)
+      return dir
+    }
     // wipe partial builds
     val dirPath = Paths.get(dir)
     if (Files.exists(dirPath)) {
@@ -211,6 +214,23 @@ object Fixtures {
     Files.createFile(marker)
     dir
   }
+
+  /** Bound the DML arena's log replay: every `delta_dv_delete` invocation
+    * appends restore+delete commits with auto-checkpointing OFF, so a
+    * long-lived cached arena would otherwise replay an ever-growing JSON
+    * tail INSIDE the timed row — monotonic drift the bench's evidence pass
+    * would misread as a plan regression. A manual checkpoint every ~24
+    * commits keeps latest-snapshot builds bounded, runs on fixture
+    * ACQUISITION (usually the warm pass; min-of-rounds absorbs a stray
+    * timed hit), and leaves the young pre-checkpoint JSONs in place so
+    * `restore(0)` keeps replaying v0 directly. */
+  private def maybeCompactArenaLog(spark: SparkSession, dir: String): Unit =
+    try {
+      val log = DeltaLog.forPath(spark, dir)
+      val v = log.update().version
+      if (v - log.lastCheckpointVersion().getOrElse(0L) > 24)
+        Checkpoints.checkpoint(log)
+    } catch { case _: Exception => () }
 
   /** CDF table: enableChangeDataFeed property, then a fabricated
     * UPDATE-style commit carrying a `cdc` action pointing into

@@ -133,11 +133,18 @@ object Alter {
         val base =
           if (needed.isEmpty) None else featureUpgrade(snap.protocol, needed)
         // a new TIMESTAMP_NTZ/VARIANT column needs the reader+writer
-        // type features too
-        ProtocolGate.readerWriterFeatureUpgrade(
-          base.getOrElse(snap.protocol),
-          ProtocolGate.typeFeatures(
-            org.apache.spark.sql.types.StructType(cols.map(_._2))))
+        // type features too; on a table whose delta.enableVariantShredding
+        // was set while no variant column existed (setProperties skips the
+        // stamp then), the first variant column makes every subsequent
+        // write shred, so variantShredding-preview must stamp HERE
+        val tf0 = ProtocolGate.typeFeatures(
+          org.apache.spark.sql.types.StructType(cols.map(_._2)))
+        val tf =
+          if (tf0.contains("variantType") &&
+              DeltaWriter.shreddingEnabled(snap.metadata.configuration))
+            tf0 :+ "variantShredding-preview"
+          else tf0
+        ProtocolGate.readerWriterFeatureUpgrade(base.getOrElse(snap.protocol), tf)
           .orElse(base)
       })
   }

@@ -46,10 +46,7 @@ object DeletionVectors {
     // the driver-side list materialization is avoided entirely)
     snapshot.dvRegistryPairs.flatMap { case (decodedPath, dv) =>
       val slot = dv.map(d => new DvSlot(d, tablePath, conf)).orNull
-      val p0 = new org.apache.hadoop.fs.Path(decodedPath)
-      val p =
-        if (p0.isAbsolute) p0
-        else new org.apache.hadoop.fs.Path(snapshot.log.tablePath, p0)
+      val p = Snapshot.absolutePathOf(tablePath, decodedPath)
       Seq(p.toString -> slot, p.toUri.getPath -> slot, p.toUri.toString -> slot)
     }.toMap
   }
@@ -275,18 +272,16 @@ object DeltaDelete {
     val tablePathStr = log.tablePath.toString
     val factEnc = Encoders.tuple(Encoders.STRING, Encoders.product[AddFile])
     val factsDf = snap.filesDataset.map { f =>
-      val p0 = new org.apache.hadoop.fs.Path(f.decodedPath)
-      val abs =
-        if (p0.isAbsolute) p0
-        else new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(tablePathStr), p0)
-      (abs.toUri.getPath, f)
+      (Snapshot.absolutePathOf(tablePathStr, f.decodedPath).toUri.getPath, f)
     }(factEnc).toDF("k", "f")
 
     val inputEnc = Encoders.product[DvBuildInput]
-    // right outer from facts so the (small, pre-aggregated) hits side is
-    // the broadcastable build side; a hit with no fact row (f null) is a
-    // hit in a file the snapshot doesn't know — loud failure downstream
+    // right outer from facts preserves every hit: one with no fact row
+    // (f null) is a hit in a file the snapshot doesn't know — loud failure
+    // downstream, never a silently skipped delete. Spark cannot broadcast
+    // the preserved side of an outer join, so at scale this is a shuffled
+    // join — facts O(#table-files) but fully distributed (same order as
+    // any metadata pass; AQE may still broadcast facts when small).
     val inputDs = factsDf.join(hitsDf, factsDf("k") === hitsDf("p"), "right")
       .select(hitsDf("p"), col("dv"), col("f"))
       .as[DvBuildInput](inputEnc)

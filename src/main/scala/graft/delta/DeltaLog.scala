@@ -401,16 +401,14 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           // them here would silently expire every tombstone one checkpoint
           // cycle early on exactly the ≥10⁶-action tables this path exists
           // for (a foreign VACUUM could then reclaim recently-removed files
-          // before retention ends). Bounded: only UNexpired removes are
-          // kept — expired ones are dead weight by the same contract.
-          val tombCutoff = System.currentTimeMillis() -
-            Checkpoints.parseRetentionMs(
-              Option(replay.metadata)
-                .flatMap(_.configuration.get("delta.deletedFileRetentionDuration")),
-              defaultMs = 7L * 24 * 3600 * 1000)
+          // before retention ends). The expiry FILTER is deferred until
+          // after the JSON tail replays: a tail commit may lengthen
+          // retention, and cutting with the checkpoint-era window would
+          // expire tombstones the final metadata still protects. (nonAdd
+          // already holds every remove in driver memory, so deferring
+          // costs nothing.)
           val baseTombstones = new mutable.LinkedHashMap[String, RemoveFile]
           nonAdd.flatMap(_.remove)
-            .filter(_.deletionTimestamp.getOrElse(0L) >= tombCutoff)
             .foreach(r => baseTombstones.put(r.decodedPath, r))
           // JSON tail: protocol/metadata/txns/domains apply as usual; file
           // actions reconcile against the checkpoint by decoded path
@@ -439,6 +437,15 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
           require(replay.metadata != null,
             s"No metaData action in checkpoint $logPath v$cv")
           ProtocolGate.validate(replay.protocol, tablePath.toString)
+          // expire checkpoint tombstones under the FINAL (tail-replayed)
+          // metadata's retention window; only unexpired ones are carried
+          // — expired ones are dead weight by the same contract
+          val tombCutoff = System.currentTimeMillis() -
+            Checkpoints.parseRetentionMs(
+              replay.metadata.configuration.get("delta.deletedFileRetentionDuration"),
+              defaultMs = 7L * 24 * 3600 * 1000)
+          baseTombstones.filterInPlace(
+            (_, r) => r.deletionTimestamp.getOrElse(0L) >= tombCutoff)
           DeltaLog.log.info(
             s"Lazy snapshot for $tablePath @ $version: $sz checkpoint actions, " +
               s"${tailAdds.size} tail adds, ${shadowed.size} shadowed paths, " +

@@ -967,9 +967,19 @@ object DeltaWriter {
       } else if (snapshot.get.metadata.schemaString != schema.json) {
         // schema evolution: re-emit metaData with the merged schema; a new
         // TIMESTAMP_NTZ/VARIANT column upgrades the protocol in the same
-        // commit
+        // commit. On a shredding-enabled table (the property can be set
+        // BEFORE any variant column exists — the create/setProperties
+        // stamps skip it then) the commit that first brings a variant
+        // column also brings the first shredded files, so
+        // variantShredding-preview must ride the SAME upgrade.
+        val evoFeats0 = ProtocolGate.typeFeatures(schema)
+        val evoFeats =
+          if (shreddingEnabled(snapshot.get.metadata.configuration) &&
+              evoFeats0.contains("variantType"))
+            evoFeats0 :+ "variantShredding-preview"
+          else evoFeats0
         ProtocolGate.readerWriterFeatureUpgrade(snapshot.get.protocol,
-          ProtocolGate.typeFeatures(schema)).foreach(p => actions += Action(p))
+          evoFeats).foreach(p => actions += Action(p))
         actions += Action(snapshot.get.metadata.copy(schemaString = schema.json))
       }
       for (app <- txnAppId; v <- txnVersion)

@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 object Snapshot {
+  /** THE canonical decoded-path → absolute-Path rule (absolute paths pass
+    * through; relative ones resolve against the table root). A pure
+    * function of strings so executor-side closures can use it without
+    * capturing a Snapshot; every site that renders file-list paths for
+    * matching against `_metadata.file_path` MUST go through this — a
+    * second copy that drifts makes DV registry keys silently stop
+    * matching and deleted rows resurface. */
+  private[delta] def absolutePathOf(tablePath: String, decodedPath: String): Path = {
+    val p = new Path(decodedPath)
+    if (p.isAbsolute) p else new Path(new Path(tablePath), p)
+  }
+
   /** True when `a` and `b` agree on every (nested) field NAME — i.e. no
     * physical rename applies anywhere inside the type. Metadata and
     * nullability are ignored: only a NAME difference needs a restoring
@@ -165,10 +177,8 @@ class Snapshot(
   private[delta] def physicalPartitionSchema: StructType =
     StructType(partitionSchema.fields.map(physicalField))
 
-  def absolutePath(f: AddFile): Path = {
-    val p = new Path(f.decodedPath)
-    if (p.isAbsolute) p else new Path(log.tablePath, p)
-  }
+  def absolutePath(f: AddFile): Path =
+    Snapshot.absolutePathOf(log.tablePath.toString, f.decodedPath)
 
   def sizeInBytes: Long = allFiles.map(_.size).sum
 

@@ -85,6 +85,37 @@ class CheckpointGcSpec extends AnyFunSuite {
     }
   }
 
+  test("lazy build expires tombstones under the FINAL metadata: a tail " +
+       "commit that lengthens retention protects checkpoint-held tombstones") {
+    val path = tmpTable()
+    DeltaWriter.append(spark, region, path,                      // v0: 1s retention
+      configuration = Map("delta.deletedFileRetentionDuration" -> "interval 1 seconds"))
+    DeltaTable.forPath(spark, path).overwrite(region.limit(3))  // v1: tombstones
+    val log = DeltaLog.forPath(spark, path)
+    Checkpoints.checkpoint(log)                                  // cp@v1 (age≈0 < 1s)
+    val removedPaths = log.readCheckpoint(log.update().version)
+      .flatMap(_.remove).map(_.path).toSet
+    assert(removedPaths.nonEmpty)
+    Thread.sleep(1500) // now EXPIRED under the checkpoint-era 1s window
+    // v2 (JSON tail): retention extended to 7 days — the final metadata
+    // protects those tombstones again
+    Alter.setProperties(spark, log,
+      Map("delta.deletedFileRetentionDuration" -> "interval 7 days"))
+    DeltaLog.clearCache()
+    spark.conf.set("spark.graft.lazySnapshot.minActions", "1")
+    try {
+      val snap = DeltaLog.forPath(spark, path).update()
+      assert(snap.isInstanceOf[LazySnapshot], "expected the lazy path")
+      // cutting with the checkpoint-era window would drop these
+      assert(removedPaths.subsetOf(snap.tombstones.map(_.path).toSet),
+        s"lazy build expired tombstones under stale retention: " +
+          s"${snap.tombstones.map(_.path)}")
+    } finally {
+      spark.conf.unset("spark.graft.lazySnapshot.minActions")
+      DeltaLog.clearCache()
+    }
+  }
+
   test("v2 checkpoint carries tombstones in sidecars and GC reclaims " +
        "superseded manifests + unreferenced sidecars") {
     val path = tmpTable()

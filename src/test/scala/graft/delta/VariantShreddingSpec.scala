@@ -92,4 +92,46 @@ class VariantShreddingSpec extends AnyFunSuite {
     val phys = try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
     assert(phys.contains("typed_value"), "post-property append not shredded")
   }
+
+  test("property set BEFORE any variant column: the evolving append that " +
+      "brings the first variant column stamps the feature in the same commit") {
+    val path = tmpTable()
+    // create with the property but no variant column — nothing to stamp yet
+    DeltaWriter.append(spark,
+      spark.range(0, 10).select(col("id")), path,
+      configuration = Map("delta.enableVariantShredding" -> "true"))
+    val log = DeltaLog.forPath(spark, path)
+    assert(!log.update().protocol.readerFeatures.exists(
+      _.contains("variantShredding-preview")))
+    // schema evolution adds the variant column; its files ARE shredded, so
+    // variantShredding-preview must ride this exact commit
+    DeltaWriter.append(spark, variantRows(10).withColumn("id", col("id") + 10),
+      path, mergeSchema = true)
+    val snap = log.update()
+    assert(snap.protocol.readerFeatures.exists(_.contains("variantShredding-preview")),
+      s"evolution commit did not stamp the reader feature: ${snap.protocol}")
+    assert(snap.protocol.writerFeatures.exists(_.contains("variantShredding-preview")))
+    assert(snap.protocol.readerFeatures.exists(_.contains("variantType")))
+    val newFile = log.readCommit(snap.version).flatMap(_.add).head
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        snap.absolutePath(newFile), spark.sessionState.newHadoopConf()))
+    val phys = try r.getFooter.getFileMetaData.getSchema.toString finally r.close()
+    assert(phys.contains("typed_value"), "evolving append not shredded")
+  }
+
+  test("ADD COLUMNS of a variant column on a shredding-enabled table " +
+      "stamps the feature") {
+    val path = tmpTable()
+    DeltaWriter.append(spark,
+      spark.range(0, 5).select(col("id")), path,
+      configuration = Map("delta.enableVariantShredding" -> "true"))
+    val log = DeltaLog.forPath(spark, path)
+    Alter.addColumns(spark, log, Seq(org.apache.spark.sql.types.StructField(
+      "v", org.apache.spark.sql.types.VariantType, nullable = true)))
+    val snap = log.update()
+    assert(snap.protocol.readerFeatures.exists(_.contains("variantShredding-preview")),
+      s"ADD COLUMNS did not stamp the reader feature: ${snap.protocol}")
+    assert(snap.protocol.writerFeatures.exists(_.contains("variantShredding-preview")))
+  }
 }
