@@ -94,15 +94,27 @@ object Bench {
     * each row's surrounding window part of the evidence. */
   private val calibSeries =
     scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+  /** Bandwidth twin of [[calibSeries]], sampled at the same labels — the
+    * artifact carries BOTH dimensions of host state per waypoint. */
+  private val bwSeries =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
   private def probeCalib(spark: SparkSession, at: String): Double = {
     val c = calibrate(spark)
     calibSeries += ((at, c))
+    bwSeries += ((at, memBwQuickGiBs()))
     c
   }
-  private def calibSeriesJson: String =
-    if (calibSeries.isEmpty) ""
-    else calibSeries.map { case (at, c) => f"""{"at":"$at","sec":$c%.3f}""" }
-      .mkString(""","calib_series":[""", ",", "]")
+  private def calibSeriesJson: String = {
+    val cal =
+      if (calibSeries.isEmpty) ""
+      else calibSeries.map { case (at, c) => f"""{"at":"$at","sec":$c%.3f}""" }
+        .mkString(""","calib_series":[""", ",", "]")
+    val bw =
+      if (bwSeries.isEmpty) ""
+      else bwSeries.map { case (at, v) => f"""{"at":"$at","gibs":$v%.2f}""" }
+        .mkString(""","mem_bw_series":[""", ",", "]")
+    cal + bw
+  }
 
   /** Before re-measuring suspects, wait (bounded) until the calibration
     * probe reports a sane window — retrying inside the same host-noise
@@ -144,15 +156,41 @@ object Bench {
       (n.toDouble / dt) / (1024 * 1024 * 1024)
     }.max
   }
+
+  /** Quick DRAM-copy probe (~0.1s healthy): MEDIAN of 3 reps of a 64 MiB
+    * copy. Measured on this host (2026-08, 12 samples 4s apart): 0.19,
+    * 6.9, 0.7, 0.2, 0.4, 0.4, 0.7, 1.3, then 7.2–7.3 steady — bandwidth
+    * flips between ~7 GiB/s and sub-1 GiB/s on a SECONDS scale while the
+    * cache-resident CPU probe reads near-reference throughout. Spark's
+    * memory-bound phases (shuffle, row buffers, parquet decode) are what
+    * degrade, so in-window evidence must gate on BANDWIDTH too, and must
+    * bracket the measurement on both sides — a pre-wait alone vouches for
+    * an instant, not for the seconds the row actually runs in. */
+  private val MemBwFloorGiBs = 4.5
+  private def memBwQuickGiBs(): Double = {
+    val n = 64 * 1024 * 1024
+    val a = new Array[Byte](n)
+    val b = new Array[Byte](n)
+    java.util.Arrays.fill(a, 1.toByte)
+    val xs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      System.arraycopy(a, 0, b, 0, n)
+      (n.toDouble / ((System.nanoTime() - t0) / 1e9)) / (1024 * 1024 * 1024)
+    }.sorted
+    xs(1)
+  }
   private def waitForNearReferenceWindow(spark: SparkSession): Double = {
     var tries = 0
     var c = calibrate(spark)
-    while (c > ReferenceCalibSec * 1.25 && tries < 20) {
+    var bw = memBwQuickGiBs()
+    while ((c > ReferenceCalibSec * 1.25 || bw < MemBwFloorGiBs) && tries < 20) {
       System.err.println(
-        f"[bench] calib $c%.3fs vs reference $ReferenceCalibSec%.2fs — waiting 15s")
+        f"[bench] calib $c%.3fs (ref $ReferenceCalibSec%.2fs) / " +
+          f"bw $bw%.1f GiB/s (floor $MemBwFloorGiBs%.1f) — waiting 15s")
       degradedWaits.incrementAndGet()
       Thread.sleep(15000); tries += 1
       c = calibrate(spark)
+      bw = memBwQuickGiBs()
     }
     c
   }
@@ -252,16 +290,23 @@ object Bench {
     } catch { case _: Exception => Map.empty }
   }
 
-  /** Per-row self-evidence from the scale pass: rows re-measured inside a
-    * verified near-reference window → (that window's calibration probe,
-    * still-over-threshold-after-re-measure). A `persistent=true` row is
-    * plan debt by construction — the artifact itself carries the proof
-    * that host noise was ruled out. */
-  @volatile private var rowEvidence: Map[String, (Double, Boolean)] = Map.empty
+  /** Per-row self-evidence from the scale pass. A re-measure only counts
+    * as in-window when the BANDWIDTH probe was healthy on BOTH sides of
+    * the row (`windowHeld`) — this host's DRAM throughput flips on a
+    * seconds scale, so an unbracketed "clean window" claim vouches for an
+    * instant, not for the seconds the row ran in. `persistent=true`
+    * (still over threshold inside a HELD bracket) is plan debt by
+    * construction; `windowHeld=false` after all attempts means the host
+    * never offered a provable window — reported as `window_lost`, neither
+    * plan debt nor proof of noise. */
+  private case class RowEv(windowCalib: Double, persistent: Boolean,
+      windowHeld: Boolean, bwPre: Double, bwPost: Double, attempts: Int)
+  @volatile private var rowEvidence: Map[String, RowEv] = Map.empty
   private def evidenceJson: String =
     if (rowEvidence.isEmpty) ""
-    else rowEvidence.toSeq.sortBy(_._1).map { case (n, (c, p)) =>
-      f""""$n":{"window_calib":$c%.3f,"persistent":$p}"""
+    else rowEvidence.toSeq.sortBy(_._1).map { case (n, e) =>
+      val lost = if (e.windowHeld) "" else ""","window_lost":true"""
+      f""""$n":{"window_calib":${e.windowCalib}%.3f,"bw_pre":${e.bwPre}%.2f,"bw_post":${e.bwPost}%.2f,"attempts":${e.attempts}%d,"persistent":${e.persistent}$lost}"""
     }.mkString(""","row_evidence":{""", ",", "}")
 
   private def jsonTimings(ts: Seq[(String, Double)]): String =
@@ -517,15 +562,33 @@ object Bench {
             s"[bench] over prediction/idle bar, re-measuring in-window: ${renoised.mkString(", ")}")
           val windowCalib = waitForNearReferenceWindow(spark)
           calibSeries += (("evidence_window", windowCalib))
+          bwSeries += (("evidence_window", memBwQuickGiBs()))
           RelationalQueries.ensureViews(spark, bigDir)
           rows = rows.map { case r @ (n, t, d) =>
             if (!renoised.contains(n)) r
             else {
               val d1 = duck.time(n)
-              val (t1, _) = retryMin(spark, n, bigDir, t)
-              rowEvidence += n ->
-                ((windowCalib, overPrediction(n, t1) || overIdle(n, t1)))
-              (n, t1, (d, d1) match {
+              // bracketed re-measure: an attempt is evidence only when the
+              // bandwidth probe holds on BOTH sides of the row — retry
+              // (bounded) otherwise; every attempt still min-replaces
+              var best = t
+              var held = false
+              var pre = 0.0; var post = 0.0; var att = 0
+              while (att < 3 && !held) {
+                att += 1
+                pre = memBwQuickGiBs()
+                if (pre < MemBwFloorGiBs) Thread.sleep(5000)
+                else {
+                  val (t1, _) = retryMin(spark, n, bigDir, best)
+                  post = memBwQuickGiBs()
+                  best = t1
+                  if (post >= MemBwFloorGiBs) held = true
+                }
+              }
+              rowEvidence += n -> RowEv(windowCalib,
+                persistent = held && (overPrediction(n, best) || overIdle(n, best)),
+                windowHeld = held, bwPre = pre, bwPost = post, attempts = att)
+              (n, best, (d, d1) match {
                 case (Some(a), Some(b)) => Some(math.min(a, b))
                 case _ => d.orElse(d1)
               })
@@ -563,8 +626,9 @@ object Bench {
               // inline self-evidence: this row's number was confirmed (or
               // not) inside a named calibration window — the judge-facing
               // proof that >2×-vs-idle is host state, not a regression
-              val ev = rowEvidence.get(n).map { case (c, p) =>
-                f""","remeasured_in_window":true,"window_calib":$c%.3f,"persistent":$p"""
+              val ev = rowEvidence.get(n).map { e =>
+                val lost = if (e.windowHeld) "" else ""","window_lost":true"""
+                f""","remeasured_in_window":${e.windowHeld},"window_calib":${e.windowCalib}%.3f,"bw_pre":${e.bwPre}%.2f,"bw_post":${e.bwPost}%.2f,"persistent":${e.persistent}$lost"""
               }.getOrElse("")
               f""""$n":{"spark":$t%.3f,"duckdb":$d%.3f,"ratio":${t / math.max(d, 1e-9)}%.1f$flag$ev}"""
             }.mkString("{", ",", "}")
@@ -646,22 +710,35 @@ object Bench {
         val duck = new DuckRunner(microDir, sqlPath.toString)
         val rows = microQueries.filter(SparkEntry.queries.contains).map { n =>
           runOne(spark, n, microDir, s"x$microFactor warm ", ccFracMax)
-          def round(): (Option[Double], Double) = {
+          // each round is BRACKETED by bandwidth probes; the x100 point is
+          // the weak-row closure evidence, so a round that ran through a
+          // bandwidth collapse must not stand in for the host's real
+          // throughput — rounds continue (bounded) until one bracket holds
+          def round(): (Option[Double], Double, Boolean) = {
+            val pre = memBwQuickGiBs()
             val d = duck.time(n)
             val (t, _, cc) = runOne(spark, n, microDir, s"x$microFactor ", ccFracMax)
             ccFracMax = cc
-            (d, t)
+            val post = memBwQuickGiBs()
+            (d, t, pre >= MemBwFloorGiBs && post >= MemBwFloorGiBs)
           }
-          val rs = Seq(round(), round())
+          var rs = Seq(round(), round())
+          var extra = 0
+          while (!rs.exists(_._3) && extra < 3) {
+            extra += 1
+            Thread.sleep(5000)
+            rs = rs :+ round()
+          }
           val t = rs.map(_._2).min
           val d = rs.flatMap(_._1) match { case Nil => None; case ds => Some(ds.min) }
-          (n, t, d)
+          (n, t, d, rs.exists(_._3))
         }
         duck.close()
-        val entries = rows.map { case (n, t, d) =>
+        val entries = rows.map { case (n, t, d, held) =>
           val dj = d.map(dd =>
             f""","duckdb":$dd%.3f,"ratio":${t / math.max(dd, 1e-9)}%.2f""").getOrElse("")
-          f""""$n":{"spark":$t%.3f$dj}"""
+          val lost = if (held) "" else ""","window_lost":true"""
+          f""""$n":{"spark":$t%.3f$dj$lost}"""
         }.mkString("{", ",", "}")
         microHeadline = f""","x${microFactor}%d_sample":$entries"""
         microHeadline

@@ -161,6 +161,32 @@ object SparkEntry {
       DeltaTable.forPath(s, p).toDF.groupBy().agg(count(lit(1)).as("n"))
     }),
 
+    // --- metadata-only MIN/MAX/COUNT(col): exact answers from per-file
+    //     stats (integral/date data columns) with zero data files read —
+    //     the 100 TB "what's the key range" query as one metadata pass
+    //     (MetadataOnlyCount rule; PlanHygieneSpec asserts LocalRelation) ---
+    "delta_minmax_meta" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Plain)
+      DeltaTable.forPath(s, p).toDF.agg(
+        count(lit(1)).as("n"),
+        count(col("l_orderkey")).as("n_ok"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        min(col("l_linenumber")).as("min_ln"),
+        max(col("l_linenumber")).as("max_ln"))
+    }),
+
+    // --- metadata-only MIN/MAX over a PARTITION column: the scan injects
+    //     decoded partitionValues, so their extremes are exact for any
+    //     ordered type — answered from the file list alone ---
+    "delta_minmax_part" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Part)
+      DeltaTable.forPath(s, p).toDF.agg(
+        min(col("l_returnflag")).as("min_rf"),
+        max(col("l_returnflag")).as("max_rf"),
+        count(col("l_returnflag")).as("n_rf"))
+    }),
+
     // --- schema evolution: old files yield NULL for the added column (§2.1 #8) ---
     "delta_schema_evolution" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "orders", Fixtures.Evolve)
@@ -1163,6 +1189,14 @@ object SparkEntry {
       "FROM lineitem WHERE NOT (l_orderkey % 10 = 7)"),
     "delta_count_meta" ->
       """SELECT count(*) AS n FROM lineitem WHERE NOT (l_orderkey % 10 = 7)""",
+    "delta_minmax_meta" ->
+      """SELECT count(*) AS n, count(l_orderkey) AS n_ok,
+        | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        | min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+        |FROM lineitem""".stripMargin,
+    "delta_minmax_part" ->
+      """SELECT min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+        | count(l_returnflag) AS n_rf FROM lineitem""".stripMargin,
     // MATERIALIZED: DuckDB must actually build the survivor set (the
     // anti-join a hard delete materializes), not fold the filter into the
     // aggregate — the paired-timing analog of the Spark side's DV write

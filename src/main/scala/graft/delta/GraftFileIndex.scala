@@ -49,6 +49,13 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
     * [[MetadataOnlyCount]] rewrite's input; None bails to a real scan. */
   def snapshotExactRowCount: Option[Long] = snapshot.exactRowCount
 
+  /** For the metadata-only MIN/MAX/COUNT(col) rewrite: the snapshot, and
+    * whether this relation's column names are LOGICAL (mapped-table
+    * format) or the log's physical names — the rewrite must resolve its
+    * attributes in the same namespace the relation exposes. */
+  private[delta] def snapshotRef: Snapshot = snapshot
+  private[delta] def exposesLogicalNames: Boolean = logicalNames
+
   /** Evaluated once; a failing thunk degrades to no dynamic pruning. */
   @transient private lazy val dynamicFilters: Seq[Expression] =
     dynamicThunks.flatMap(t =>

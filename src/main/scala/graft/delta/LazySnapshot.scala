@@ -131,6 +131,30 @@ private[graft] class LazySnapshot(
   override lazy val hasDeletionVectors: Boolean =
     !addsDataset.filter((f: AddFile) => f.deletionVector.isDefined).isEmpty
 
+  /** Distributed per-partition fold of the metadata MIN/MAX/COUNT(col)
+    * contributions; partial extremes cross the wire as round-trip strings
+    * (one small job instead of an O(#files) driver materialization). */
+  override private[delta] def exactColumnFacts(key: String, isPartition: Boolean,
+      dt: org.apache.spark.sql.types.DataType): Option[(Long, Any, Any)] = {
+    val fn = ColumnFacts.fileFacts(key, isPartition, dt) _
+    val partials = addsDataset.mapPartitions { it =>
+      val fold = new ColumnFacts.Fold(dt)
+      while (it.hasNext && !fold.bailed) fold.add(fn(it.next()))
+      Iterator(fold.result match {
+        case None => (1L, 0L, null: String, null: String)
+        case Some((c, mn, mx)) =>
+          (0L, c, ColumnFacts.encode(dt, mn), ColumnFacts.encode(dt, mx))
+      })
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.STRING, Encoders.STRING)).collect()
+    val fold = new ColumnFacts.Fold(dt)
+    partials.foreach { case (bail, c, mn, mx) =>
+      fold.add(if (bail != 0L) None
+        else Some((c, ColumnFacts.decode(dt, mn), ColumnFacts.decode(dt, mx))))
+    }
+    fold.result
+  }
+
   override lazy val exactRowCount: Option[Long] = {
     val (total, missing) = addsDataset
       .mapPartitions { it =>

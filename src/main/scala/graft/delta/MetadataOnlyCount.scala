@@ -1,65 +1,250 @@
 package graft.delta
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
 
 /**
- * Metadata-only `count(*)` (delta-spark's OptimizeMetadataOnlyDeltaQuery
- * analog): an unfiltered `SELECT count(*) FROM <delta table>` is answered
- * from the log — Σ per-file numRecords minus Σ deletion-vector
- * cardinalities, both protocol-authoritative — instead of scanning data.
- * On a 100 TB table that is the difference between one log replay and a
- * full-corpus read.
+ * Metadata-only global aggregates (delta-spark's
+ * OptimizeMetadataOnlyDeltaQuery analog): an unfiltered global
+ * `count(*)` / `count(col)` / `min(col)` / `max(col)` over a delta table
+ * is answered from the LOG — per-file numRecords/nullCount/min/max stats
+ * for data columns, typed partitionValues for partition columns — instead
+ * of scanning data. On a 100 TB table that is the difference between one
+ * metadata pass and a full-corpus read.
  *
- * Deliberately narrow: global aggregation only, every aggregate a plain
- * unfiltered `count(1)`, child a bare (possibly column-pruned-to-nothing)
- * scan of a [[GraftFileIndex]]-backed relation with NO filters. Any file
- * missing numRecords stats (foreign writers may omit them) bails to the
- * real scan — a wrong fast count is worse than a slow right one.
+ * Safety contract (a wrong fast answer is worse than a slow right one):
+ *  - `count(*)`: Σ numRecords − Σ DV cardinalities, both
+ *    protocol-authoritative; any file missing numRecords bails.
+ *  - `count(col)` / `min(col)` / `max(col)`: bail if ANY file carries a
+ *    deletion vector (deleted rows could be the extreme / the non-null
+ *    ones — cardinality alone can't prove otherwise).
+ *  - data-column min/max only for types whose stats round-trip EXACTLY:
+ *    integral types and dates. Strings and timestamps are excluded —
+ *    writers may legally store truncated/widened bounds (delta-spark cuts
+ *    strings at 32 chars with a tie-breaker increment and rounds
+ *    timestamp maxima up to the next millisecond), which skip files
+ *    correctly but are not the true extremes. Floats are excluded for
+ *    NaN/-0.0 ordering.
+ *  - partition-column min/max for any ordered type: the scan itself
+ *    injects the decoded partitionValue, so the min over those values IS
+ *    the column minimum — exact by construction (Spark's
+ *    OptimizeMetadataOnlyQuery for hive layouts makes the same argument).
+ *  - a file whose column is provably all-null (nullCount == numRecords)
+ *    contributes no extreme and needs no min/max stat.
+ *
+ * The child must be a bare (possibly column-pruned) scan of a
+ * [[GraftFileIndex]]-backed relation with no filters; the DV row filter is
+ * tolerated for the `count(*)` path only (its cardinality is already
+ * subtracted). Anything else keeps the real scan.
  */
 class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def exactCount(plan: LogicalPlan): Option[Long] = plan match {
+  /** The scan under projections, plus whether a DV row filter was seen. */
+  private def unwrap(plan: LogicalPlan, dvSeen: Boolean = false)
+      : Option[(GraftFileIndex, Boolean)] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case g: GraftFileIndex => g.snapshotExactRowCount
+        case g: GraftFileIndex => Some((g, dvSeen))
         case _ => None
       }
       case _ => None
     }
-    // column pruning collapses count(*)'s required columns to none
-    case p: Project if p.projectList.isEmpty => exactCount(p.child)
-    // the DV row filter is METADATA (its cardinality is already subtracted
-    // in exactRowCount) — a filter that is exactly `NOT DvRowDeleted(...)`
-    // does not disqualify the rewrite; any other filter does
+    // column pruning projects the scan down to the aggregated columns
+    // (or to nothing, for count(*)); attributes keep identity through it
+    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(p.child, dvSeen)
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
       f.condition match {
         case org.apache.spark.sql.catalyst.expressions.Not(_: DvRowDeleted) =>
-          exactCount(f.child)
+          unwrap(f.child, dvSeen = true)
         case _ => None
       }
     case _ => None
   }
 
-  private def isPlainCountStar(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(
-        Count(Seq(Literal(1, _))), Complete, false, None, _), _) => true
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a @ Aggregate(groups, aggs, child, _)
+        if groups.isEmpty && aggs.nonEmpty && aggs.forall(supportedShape) =>
+      rewrite(a, child).getOrElse(a)
+  }
+
+  private def supportedShape(e: NamedExpression): Boolean = e match {
+    case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+      case Count(Seq(Literal(1, _))) => true
+      case Count(Seq(_: AttributeReference)) => true
+      case Min(_: AttributeReference) => true
+      case Max(_: AttributeReference) => true
+      case _ => false
+    }
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case a @ Aggregate(groups, aggs, child, _)
-        if groups.isEmpty && aggs.nonEmpty && aggs.forall(isPlainCountStar) =>
-      exactCount(child) match {
-        case Some(n) =>
-          LocalRelation(a.output.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]),
-            Seq(InternalRow(aggs.map(_ => n): _*)))
-        case None => a
+  private def rewrite(a: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    val (index, _) = unwrap(child).getOrElse(return None)
+    val snap = index.snapshotRef
+    // one metadata pass per distinct column, shared across its aggregates
+    val factsCache = scala.collection.mutable.Map.empty[String, Option[(Long, Any, Any)]]
+    def factsFor(attr: AttributeReference): Option[(Long, Any, Any)] =
+      factsCache.getOrElseUpdate(attr.name, {
+        ColumnFacts.resolve(snap, index.exposesLogicalNames, attr.name).flatMap {
+          case (key, isPartition, dt) =>
+            if (dt != attr.dataType) None
+            else if (!ColumnFacts.supported(dt, isPartition)) None
+            else snap.exactColumnFacts(key, isPartition, dt)
+        }
+      })
+    val values: Seq[Any] = a.aggregateExpressions.map {
+      case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+        case Count(Seq(Literal(1, _))) =>
+          index.snapshotExactRowCount.getOrElse(return None)
+        case Count(Seq(attr: AttributeReference)) =>
+          factsFor(attr).getOrElse(return None)._1
+        case Min(attr: AttributeReference) =>
+          factsFor(attr).getOrElse(return None)._2
+        case Max(attr: AttributeReference) =>
+          factsFor(attr).getOrElse(return None)._3
+        case _ => return None
       }
+      case _ => return None
+    }
+    Some(LocalRelation(a.output.map(_.asInstanceOf[Attribute]),
+      Seq(InternalRow(values: _*))))
   }
+}
+
+/** Per-file exact column contributions for [[MetadataOnlyCount]]'s
+  * MIN/MAX/COUNT(col) rewrite. Pure functions of the AddFile so a
+  * LazySnapshot can fold them on executors. */
+private[delta] object ColumnFacts {
+
+  /** Resolve an aggregate's attribute name to (statsKey, isPartitionCol,
+    * dataType). The namespace the relation exposes decides which schema
+    * the NAME matches (logical for mapped-format relations, physical
+    * otherwise) — matching the wrong one on a mapped table would read
+    * another column's stats. */
+  def resolve(snap: Snapshot, logicalNames: Boolean, name: String)
+      : Option[(String, Boolean, DataType)] = {
+    val dataNames =
+      if (logicalNames) snap.dataSchema else snap.physicalDataSchema
+    val partNames =
+      if (logicalNames) snap.partitionSchema else snap.physicalPartitionSchema
+    val di = dataNames.indexWhere(_.name == name)
+    if (di >= 0)
+      Some((snap.physicalDataSchema(di).name, false, snap.dataSchema(di).dataType))
+    else {
+      val pi = partNames.indexWhere(_.name == name)
+      if (pi < 0) None
+      else Some((snap.physicalPartitionSchema(pi).name, true,
+        snap.partitionSchema(pi).dataType))
+    }
+  }
+
+  /** Data-column stats must round-trip exactly; partition values are exact
+    * for every ordered type by construction (the scan injects them). */
+  def supported(dt: DataType, isPartition: Boolean): Boolean =
+    if (isPartition) dt match {
+      case _: StringType | _: ByteType | _: ShortType | _: IntegerType |
+           _: LongType | _: FloatType | _: DoubleType | _: BooleanType |
+           _: DecimalType | _: DateType | _: TimestampType |
+           _: TimestampNTZType => true
+      case _ => false
+    }
+    else dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: DateType => true
+      case _ => false
+    }
+
+  /** Stats JSON → Catalyst internal, EXACT or None. Only integral-encoded
+    * numbers are trusted (a fractional or textual rendering of an integral
+    * stat means a writer this rule doesn't understand). */
+  private def decodeStat(dt: DataType, n: JsonNode): Option[Any] =
+    try dt match {
+      case _: ByteType if n.isIntegralNumber => Some(n.asLong.toByte)
+      case _: ShortType if n.isIntegralNumber => Some(n.asLong.toShort)
+      case _: IntegerType if n.isIntegralNumber => Some(n.asLong.toInt)
+      case _: LongType if n.isIntegralNumber => Some(n.asLong)
+      case _: DateType if n.isTextual =>
+        Some(java.time.LocalDate.parse(n.asText).toEpochDay.toInt)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** One file's contribution: (nonNullRows, min, max) with nulls for "no
+    * extreme" (all-null file). None = the file cannot PROVE its
+    * contribution and the whole rewrite must bail. */
+  def fileFacts(key: String, isPartition: Boolean, dt: DataType)(f: AddFile)
+      : Option[(Long, Any, Any)] = {
+    if (f.deletionVector.isDefined) return None
+    val st = f.parsedStats.getOrElse(return None)
+    val nr = st.numRecords.getOrElse(return None)
+    if (isPartition) {
+      if (!f.partitionValues.contains(key)) return None
+      val raw = f.partitionValues(key)
+      val v = try PartitionUtil.toInternal(raw, dt)
+        catch { case _: Exception => return None }
+      if (v == null || nr == 0L) Some((0L, null, null))
+      else Some((nr, v, v))
+    } else {
+      st.nullCount.get(key) match {
+        case None => None
+        case Some(nc) if nc == nr => Some((0L, null, null))
+        case Some(nc) =>
+          for {
+            mnN <- st.minValues.get(key); mn <- decodeStat(dt, mnN)
+            mxN <- st.maxValues.get(key); mx <- decodeStat(dt, mxN)
+          } yield (nr - nc, mn, mx)
+      }
+    }
+  }
+
+  /** Streaming combiner over file contributions (driver- or
+    * executor-side). */
+  final class Fold(dt: DataType) {
+    private val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    private var bail = false
+    private var nonNull = 0L
+    private var mn: Any = null
+    private var mx: Any = null
+    def bailed: Boolean = bail
+    def add(ff: Option[(Long, Any, Any)]): Unit = ff match {
+      case None => bail = true
+      case Some((c, a, b)) =>
+        nonNull += c
+        if (a != null && (mn == null || ord.lt(a, mn))) mn = a
+        if (b != null && (mx == null || ord.gt(b, mx))) mx = b
+    }
+    def result: Option[(Long, Any, Any)] =
+      if (bail) None else Some((nonNull, mn, mx))
+  }
+
+  /** Round-trip encoding so LazySnapshot partials cross the wire as
+    * strings (no Any-typed Dataset encoder needed). */
+  def encode(dt: DataType, v: Any): String = v match {
+    case null => null
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal.toString
+    case other => other.toString
+  }
+  def decode(dt: DataType, s: String): Any =
+    if (s == null) null
+    else dt match {
+      case _: StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case _: ByteType => s.toByte
+      case _: ShortType => s.toShort
+      case _: IntegerType | _: DateType => s.toInt
+      case _: LongType | _: TimestampType | _: TimestampNTZType => s.toLong
+      case _: FloatType => s.toFloat
+      case _: DoubleType => s.toDouble
+      case _: BooleanType => s.toBoolean
+      case d: DecimalType => Decimal(BigDecimal(s), d.precision, d.scale)
+      case _ => throw new IllegalArgumentException(s"decode: $dt")
+    }
 }

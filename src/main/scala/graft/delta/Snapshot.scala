@@ -200,6 +200,21 @@ class Snapshot(
     numRecordsEstimate.map(total =>
       total - allFiles.map(_.deletionVector.map(_.cardinality).getOrElse(0L)).sum)
 
+  /** EXACT (nonNullCount, min, max) for one column from metadata alone —
+    * per-file stats for data columns, typed partitionValues for partition
+    * columns. None unless EVERY file proves its contribution and no file
+    * carries a deletion vector (a DV could remove the extreme or the
+    * non-null rows). Values are Catalyst-internal. Powers the
+    * metadata-only MIN/MAX/COUNT(col) rewrite ([[MetadataOnlyCount]]). */
+  private[delta] def exactColumnFacts(key: String, isPartition: Boolean,
+      dt: org.apache.spark.sql.types.DataType): Option[(Long, Any, Any)] = {
+    val fn = ColumnFacts.fileFacts(key, isPartition, dt) _
+    val fold = new ColumnFacts.Fold(dt)
+    val it = allFiles.iterator
+    while (it.hasNext && !fold.bailed) fold.add(fn(it.next()))
+    fold.result
+  }
+
   /** DV registry broadcast, built + shipped ONCE per snapshot (the registry
     * eagerly reads every deletion vector on the driver — repeated reads of
     * a DV table must not re-read them or accumulate broadcasts). */

@@ -48,6 +48,17 @@ class LazySnapshotSpec extends AnyFunSuite {
       assert(!lazySnap.materializedFull)
       // an UNfiltered scan still answers exactly (full list is inherent)
       assert(snap.toDF.count() == src.count())
+      // metadata-only MIN/MAX folds file stats on EXECUTORS: one small
+      // job over the checkpoint-backed list, never a driver collect
+      val mm = snap.toDF.agg(min(col("l_orderkey")).as("mn"),
+        max(col("l_orderkey")).as("mx"), count(col("l_orderkey")).as("c"))
+      assert(mm.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"lazy min/max must not scan:\n${mm.queryExecution.optimizedPlan}")
+      assert(mm.collect()(0) == src.agg(min(col("l_orderkey")),
+        max(col("l_orderkey")), count(col("l_orderkey"))).collect()(0))
+      assert(!lazySnap.materializedFull,
+        "metadata min/max must not collect the full file list")
     }
   }
 

@@ -115,6 +115,57 @@ class PlanHygieneSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
   }
 
+  test("unfiltered MIN/MAX/COUNT(col) answer from metadata; DVs, strings " +
+       "and filters bail to the real scan") {
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val p = Fixtures.delta(spark, sfDir, "supplier", Fixtures.Plain)
+    val t = DeltaTable.forPath(spark, p)
+    val df = t.toDF.agg(min(col("s_suppkey")).as("mn"),
+      max(col("s_suppkey")).as("mx"), count(col("s_suppkey")).as("c"),
+      count(lit(1)).as("n"))
+    assert(isLocal(df), s"min/max must not scan:\n${df.queryExecution.optimizedPlan}")
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val exp = src.agg(min(col("s_suppkey")), max(col("s_suppkey")),
+      count(col("s_suppkey")), count(lit(1))).collect()(0)
+    assert(df.collect()(0) == exp)
+
+    // a STRING data column's stats may be truncated bounds — bail
+    assert(!isLocal(t.toDF.agg(min(col("s_name")).as("mn"))))
+    // a filter disqualifies the rewrite
+    assert(!isLocal(t.toDF.where(col("s_suppkey") > 5)
+      .agg(max(col("s_suppkey")).as("mx"))))
+    // DVs could have deleted the extreme row — min/max bails…
+    val dvt = DeltaTable.forPath(spark,
+      Fixtures.delta(spark, sfDir, "supplier", Fixtures.Dv))
+    val dvMin = dvt.toDF.agg(min(col("s_suppkey")).as("mn"))
+    assert(!isLocal(dvMin))
+    // …but still answers right through the scan
+    assert(dvMin.collect()(0).getLong(0) ==
+      src.where(col("s_suppkey") % 10 =!= 7).agg(min(col("s_suppkey")))
+        .collect()(0).getLong(0))
+
+    // PARTITION column extremes come from typed partitionValues — exact
+    // for strings too (the scan injects these very values)
+    val pp = Fixtures.delta(spark, sfDir, "supplier", Fixtures.Part)
+    val pdf = DeltaTable.forPath(spark, pp).toDF.agg(
+      min(col("s_nationkey")).as("mn"), max(col("s_nationkey")).as("mx"),
+      count(col("s_nationkey")).as("c"))
+    assert(isLocal(pdf), s"partition min/max must not scan:\n${pdf.queryExecution.optimizedPlan}")
+    assert(pdf.collect()(0) == src.agg(min(col("s_nationkey")),
+      max(col("s_nationkey")), count(col("s_nationkey"))).collect()(0))
+
+    // type-widened history: old files wrote INT stats under the widened
+    // LONG schema — integral decode still exact
+    val wp = Fixtures.delta(spark, sfDir, "supplier", Fixtures.Widen)
+    val wdf = DeltaTable.forPath(spark, wp).toDF.agg(
+      min(col("s_suppkey")).as("mn"), max(col("s_suppkey")).as("mx"))
+    assert(isLocal(wdf), s"widened min/max must not scan:\n${wdf.queryExecution.optimizedPlan}")
+    assert(wdf.collect()(0) == src.agg(min(col("s_suppkey")),
+      max(col("s_suppkey"))).collect()(0))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     RelationalQueries.ensureViews(spark, sfDir)
     val df = spark.table("customer")
