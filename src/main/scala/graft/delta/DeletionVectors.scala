@@ -355,11 +355,31 @@ object DeltaDelete {
         // stale flag would hide the change from CDF/streaming consumers
         val desc = DeletionVectorDescriptor(r.storageType.get,
           r.pathOrInlineDv.get, r.offset, r.sizeInBytes.get, r.cardinality.get)
-        actions += Action(f.copy(deletionVector = Some(desc), dataChange = true))
+        actions += Action(f.copy(deletionVector = Some(desc), dataChange = true,
+          stats = wideBoundsStats(f.stats)))
       }
     }
     (actions.toSeq, deletedRows)
   }
+
+  /** Stats carried onto a DV-carrying add are no longer exact — the DV may
+    * have removed the extreme or the null rows. Per the protocol these
+    * must be flagged `tightBounds: false` (min/max/nullCount become
+    * bounds; numRecords stays the exact PHYSICAL count). Foreign engines
+    * key metadata-only answers on this flag, and so does our own
+    * MetadataOnlyCount. Unparseable stats pass through unchanged. */
+  private def wideBoundsStats(stats: Option[String]): Option[String] =
+    stats.map { s =>
+      try {
+        val n = ActionJson.mapper.readTree(s)
+        n match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            o.put("tightBounds", false)
+            ActionJson.mapper.writeValueAsString(o)
+          case _ => s
+        }
+      } catch { case _: Exception => s }
+    }
 
   private[delta] def protocolUpgradeActions(snap: Snapshot): Seq[Action] = {
     val p = snap.protocol

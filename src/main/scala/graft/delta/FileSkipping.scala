@@ -11,7 +11,12 @@ final case class ParsedStats(
     numRecords: Option[Long],
     minValues: Map[String, JsonNode],
     maxValues: Map[String, JsonNode],
-    nullCount: Map[String, Long])
+    nullCount: Map[String, Long],
+    /** Protocol `tightBounds`: absent/true = stats are exact; false =
+      * min/max (and per-column nullCount) are only BOUNDS — e.g. stats
+      * carried over a DV update without recomputation. Bounds still skip
+      * files correctly but must never be served as exact extremes. */
+    tightBounds: Option[Boolean] = None)
 
 object ParsedStats {
   def parse(json: String): Option[ParsedStats] =
@@ -28,7 +33,9 @@ object ParsedStats {
         numRecords = Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong),
         minValues = fields("minValues"),
         maxValues = fields("maxValues"),
-        nullCount = fields("nullCount").collect { case (k, v) if v.isNumber => k -> v.asLong }))
+        nullCount = fields("nullCount").collect { case (k, v) if v.isNumber => k -> v.asLong },
+        tightBounds = Option(n.get("tightBounds"))
+          .filterNot(_.isNull).map(_.asBoolean)))
     } catch { case _: Exception => None }
 }
 

@@ -135,8 +135,9 @@ private[graft] class LazySnapshot(
     * contributions; partial extremes cross the wire as round-trip strings
     * (one small job instead of an O(#files) driver materialization). */
   override private[delta] def exactColumnFacts(key: String, isPartition: Boolean,
-      dt: org.apache.spark.sql.types.DataType): Option[(Long, Any, Any)] = {
-    val fn = ColumnFacts.fileFacts(key, isPartition, dt) _
+      dt: org.apache.spark.sql.types.DataType,
+      needExtremes: Boolean): Option[(Long, Any, Any)] = {
+    val fn = ColumnFacts.fileFacts(key, isPartition, dt, needExtremes) _
     val partials = addsDataset.mapPartitions { it =>
       val fold = new ColumnFacts.Fold(dt)
       while (it.hasNext && !fold.bailed) fold.add(fn(it.next()))

@@ -38,11 +38,19 @@ import org.apache.spark.sql.types._
  *    OptimizeMetadataOnlyQuery for hive layouts makes the same argument).
  *  - a file whose column is provably all-null (nullCount == numRecords)
  *    contributes no extreme and needs no min/max stat.
+ *  - stats flagged `tightBounds: false` (protocol: bounds carried over a
+ *    DV update without recomputation) serve file skipping but never an
+ *    exact answer — column facts bail on such files.
+ *  - `count(col)` needs only numRecords/nullCount arithmetic, so it is
+ *    answered for ANY column type (the truncated-bounds argument only
+ *    constrains extremes).
  *
  * The child must be a bare (possibly column-pruned) scan of a
- * [[GraftFileIndex]]-backed relation with no filters; the DV row filter is
- * tolerated for the `count(*)` path only (its cardinality is already
- * subtracted). Anything else keeps the real scan.
+ * [[GraftFileIndex]]-backed relation with no filters. `count(*)` equals
+ * the metadata live count only when the scan excludes DV-deleted rows:
+ * mapped-format relations (reader-applied DVs), a plan carrying the DV
+ * row filter, or a DV-free table — the RAW physical relation on a DV
+ * table keeps its real scan. Anything else keeps the real scan.
  */
 class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -87,23 +95,41 @@ class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(a: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
-    val (index, _) = unwrap(child).getOrElse(return None)
+    val (index, dvFilterSeen) = unwrap(child).getOrElse(return None)
     val snap = index.snapshotRef
+    // Which columns need EXACT extremes (min/max) vs only nullCount
+    // arithmetic (count(col))? count(col) is answerable for ANY type —
+    // the truncated-bounds argument only constrains extremes.
+    val needsExtremes: Set[String] = a.aggregateExpressions.collect {
+      case Alias(AggregateExpression(Min(attr: AttributeReference), _, _, _, _), _) => attr.name
+      case Alias(AggregateExpression(Max(attr: AttributeReference), _, _, _, _), _) => attr.name
+    }.toSet
     // one metadata pass per distinct column, shared across its aggregates
     val factsCache = scala.collection.mutable.Map.empty[String, Option[(Long, Any, Any)]]
     def factsFor(attr: AttributeReference): Option[(Long, Any, Any)] =
       factsCache.getOrElseUpdate(attr.name, {
         ColumnFacts.resolve(snap, index.exposesLogicalNames, attr.name).flatMap {
           case (key, isPartition, dt) =>
+            val extremes = needsExtremes(attr.name)
             if (dt != attr.dataType) None
-            else if (!ColumnFacts.supported(dt, isPartition)) None
-            else snap.exactColumnFacts(key, isPartition, dt)
+            else if (extremes && !ColumnFacts.supported(dt, isPartition)) None
+            else snap.exactColumnFacts(key, isPartition, dt, extremes)
         }
       })
+    // count(*) from Σ numRecords − Σ DV cardinality is the LIVE count.
+    // That is what this relation scans only when the reader applies DVs
+    // itself (mapped-format relations), when the plan carries the DV row
+    // filter, or when the table has no DVs at all — the RAW physical
+    // relation (Snapshot.relationDF) without the filter counts deleted
+    // rows too and must not be rewritten.
+    def countStar: Option[Long] =
+      if (index.exposesLogicalNames || dvFilterSeen || !snap.hasDeletionVectors)
+        index.snapshotExactRowCount
+      else None
     val values: Seq[Any] = a.aggregateExpressions.map {
       case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
         case Count(Seq(Literal(1, _))) =>
-          index.snapshotExactRowCount.getOrElse(return None)
+          countStar.getOrElse(return None)
         case Count(Seq(attr: AttributeReference)) =>
           factsFor(attr).getOrElse(return None)._1
         case Min(attr: AttributeReference) =>
@@ -177,24 +203,36 @@ private[delta] object ColumnFacts {
     } catch { case _: Exception => None }
 
   /** One file's contribution: (nonNullRows, min, max) with nulls for "no
-    * extreme" (all-null file). None = the file cannot PROVE its
-    * contribution and the whole rewrite must bail. */
-  def fileFacts(key: String, isPartition: Boolean, dt: DataType)(f: AddFile)
-      : Option[(Long, Any, Any)] = {
+    * extreme" (all-null file, or `needExtremes=false`). None = the file
+    * cannot PROVE its contribution and the whole rewrite must bail.
+    * `needExtremes=false` (a bare count(col)) needs only
+    * numRecords/nullCount arithmetic — valid for any column type. */
+  def fileFacts(key: String, isPartition: Boolean, dt: DataType,
+      needExtremes: Boolean)(f: AddFile): Option[(Long, Any, Any)] = {
     if (f.deletionVector.isDefined) return None
     val st = f.parsedStats.getOrElse(return None)
     val nr = st.numRecords.getOrElse(return None)
     if (isPartition) {
+      // partitionValues are exact regardless of tightBounds (they are the
+      // values the scan injects, not derived statistics)
       if (!f.partitionValues.contains(key)) return None
       val raw = f.partitionValues(key)
-      val v = try PartitionUtil.toInternal(raw, dt)
-        catch { case _: Exception => return None }
-      if (v == null || nr == 0L) Some((0L, null, null))
-      else Some((nr, v, v))
+      val isNull = raw == null || (raw.isEmpty && !dt.isInstanceOf[StringType])
+      if (isNull || nr == 0L) Some((0L, null, null))
+      else if (!needExtremes) Some((nr, null, null))
+      else {
+        val v = try PartitionUtil.toInternal(raw, dt)
+          catch { case _: Exception => return None }
+        if (v == null) Some((0L, null, null)) else Some((nr, v, v))
+      }
     } else {
+      // tightBounds=false (protocol): min/max AND per-column nullCount are
+      // bounds, not values — nothing column-derived is servable
+      if (st.tightBounds.contains(false)) return None
       st.nullCount.get(key) match {
         case None => None
         case Some(nc) if nc == nr => Some((0L, null, null))
+        case Some(nc) if !needExtremes => Some((nr - nc, null, null))
         case Some(nc) =>
           for {
             mnN <- st.minValues.get(key); mn <- decodeStat(dt, mnN)
@@ -205,9 +243,11 @@ private[delta] object ColumnFacts {
   }
 
   /** Streaming combiner over file contributions (driver- or
-    * executor-side). */
+    * executor-side). The ordering is lazy: a count-only fold never
+    * compares values, so types without an interpreted ordering still
+    * count fine. */
   final class Fold(dt: DataType) {
-    private val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+    private lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(dt)
     private var bail = false
     private var nonNull = 0L

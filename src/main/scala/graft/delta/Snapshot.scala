@@ -207,8 +207,9 @@ class Snapshot(
     * non-null rows). Values are Catalyst-internal. Powers the
     * metadata-only MIN/MAX/COUNT(col) rewrite ([[MetadataOnlyCount]]). */
   private[delta] def exactColumnFacts(key: String, isPartition: Boolean,
-      dt: org.apache.spark.sql.types.DataType): Option[(Long, Any, Any)] = {
-    val fn = ColumnFacts.fileFacts(key, isPartition, dt) _
+      dt: org.apache.spark.sql.types.DataType,
+      needExtremes: Boolean): Option[(Long, Any, Any)] = {
+    val fn = ColumnFacts.fileFacts(key, isPartition, dt, needExtremes) _
     val fold = new ColumnFacts.Fold(dt)
     val it = allFiles.iterator
     while (it.hasNext && !fold.bailed) fold.add(fn(it.next()))

@@ -131,8 +131,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       count(col("s_suppkey")), count(lit(1))).collect()(0)
     assert(df.collect()(0) == exp)
 
-    // a STRING data column's stats may be truncated bounds — bail
+    // a STRING data column's stats may be truncated bounds — min/max bails…
     assert(!isLocal(t.toDF.agg(min(col("s_name")).as("mn"))))
+    // …but count(col) needs only numRecords/nullCount — any type rewrites
+    val cName = t.toDF.agg(count(col("s_name")).as("c"))
+    assert(isLocal(cName), s"count(string col) must not scan:\n${cName.queryExecution.optimizedPlan}")
+    assert(cName.collect()(0).getLong(0) ==
+      src.agg(count(col("s_name"))).collect()(0).getLong(0))
     // a filter disqualifies the rewrite
     assert(!isLocal(t.toDF.where(col("s_suppkey") > 5)
       .agg(max(col("s_suppkey")).as("mx"))))
@@ -145,6 +150,10 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(dvMin.collect()(0).getLong(0) ==
       src.where(col("s_suppkey") % 10 =!= 7).agg(min(col("s_suppkey")))
         .collect()(0).getLong(0))
+    // the DV-filtered surface still rewrites count(*) (cardinality is
+    // metadata); the RAW physical relation's non-rewrite is asserted in
+    // MetadataAggSpec (package-private surface)
+    assert(isLocal(dvt.toDF.groupBy().count()))
 
     // PARTITION column extremes come from typed partitionValues — exact
     // for strings too (the scan injects these very values)
