@@ -98,6 +98,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.Literal(
           v.map(Long.box).orNull, org.apache.spark.sql.types.LongType)
       }))
+    // the reference's delta_set_transaction_version(path, appId, version
+    // [, expectedVersion]) idempotency CAS (idempotency_helpers.cpp:67-151):
+    // 4-arg form verifies the CURRENTLY recorded version first (NULL =
+    // must record nothing yet) and errors on mismatch; 3-arg form sets
+    // unconditionally. Literal args; the commit happens at resolution,
+    // like every literal-args table function here. Returns (success).
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_set_transaction_version"),
+      new ExpressionInfo("graft.delta.DeltaTable", "delta_set_transaction_version"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.size == 3 || args.size == 4,
+          "delta_set_transaction_version(path, appId, version[, expectedVersion]) " +
+            "takes 3-4 literal arguments")
+        val expected: Option[Option[Long]] = args.lift(3).map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => None
+          case e => Some(GraftExtensions.literalLong(e, "expectedVersion"))
+        }
+        graft.delta.DeltaTable
+          .forPath(spark, GraftExtensions.literalString(args.head, "path"))
+          .setTransactionVersion(
+            GraftExtensions.literalString(args(1), "appId"),
+            GraftExtensions.literalLong(args(2), "version"), expected)
+        import spark.implicits._
+        Seq(Tuple1(true)).toDF("success").queryExecution.logical
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -264,6 +264,30 @@ object SparkEntry {
       Seq(("fixture-loader", v.getOrElse(-1L))).toDF("app_id", "version")
     }),
 
+    // --- delta_set_transaction_version: the reference's idempotency CAS
+    //     (idempotency_helpers.cpp:67-151) — record an app's transaction
+    //     version only if the currently recorded one matches; a stale
+    //     expectation is a loud error. Fresh temp table per invocation
+    //     so the CAS sequence (and therefore the output) is fixed. ---
+    "delta_set_txn_cas" -> ((s, dir) => {
+      import s.implicits._
+      val p = java.nio.file.Files.createTempDirectory("graft-settxn").toString + "/t"
+      graft.delta.DeltaWriter.append(s, Fixtures.readParquet(s, dir, "nation"), p)
+      // SQL surface: CAS from <nothing recorded> via NULL expected
+      s.sql(s"SELECT * FROM delta_set_transaction_version('$p', 'graft-cas-app', 7, NULL)")
+        .collect()
+      val t = DeltaTable.forPath(s, p)
+      t.setTransactionVersion("graft-cas-app", 42L, Some(Some(7L))) // CAS bump
+      val staleRefused =
+        try { t.setTransactionVersion("graft-cas-app", 99L, Some(Some(7L))); false }
+        catch { case _: IllegalStateException => true }
+      val v = s.sql(
+        s"SELECT delta_get_transaction_version('$p', 'graft-cas-app') AS v")
+        .collect()(0).getLong(0)
+      Seq(("graft-cas-app", v, staleRefused))
+        .toDF("app_id", "version", "stale_cas_refused")
+    }),
+
     // --- snapshot replay stress: 40 commits + checkpoint (§6 micro bench) ---
     "delta_snapshot_replay" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "nation", Fixtures.Many)
@@ -1228,6 +1252,9 @@ object SparkEntry {
       """SELECT 'graft.pipeline' AS domain, '{"v":1}' AS configuration""",
     "delta_txn_version" ->
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
+    "delta_set_txn_cas" ->
+      """SELECT 'graft-cas-app' AS app_id, CAST(42 AS BIGINT) AS version,
+        | true AS stale_cas_refused""".stripMargin,
     "delta_column_default_scan" ->
       """SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'legacy' ELSE 'unreviewed' END AS status,
         | count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS sum_key

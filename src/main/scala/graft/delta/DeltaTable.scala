@@ -126,6 +126,52 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def getTransactionVersion(appId: String): Option[Long] =
     snapshot.setTransactions.get(appId)
 
+  /** `delta_set_transaction_version` analog (reference
+    * idempotency_helpers.cpp:67-151 + commit-time verification,
+    * delta_transaction.cpp:411-470): record an application's transaction
+    * version with compare-and-set semantics. With `expected = Some(e)`,
+    * the commit happens only if the table currently records `e` for
+    * `appId` (`Some(None)` = must record NOTHING yet); a mismatch is an
+    * ERROR, matching the reference — the caller's idempotency assumption
+    * is broken, silence would hide lost updates. With `expected = None`
+    * the set is unconditional. The check re-runs after every version
+    * conflict, so the CAS is atomic under concurrent writers.
+    *
+    * @return the commit version that recorded the new transaction version
+    */
+  def setTransactionVersion(appId: String, newVersion: Long,
+      expected: Option[Option[Long]] = None): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = log.update()
+      ProtocolGate.validateWrite(snap, "SET TRANSACTION")
+      for (e <- expected) {
+        val cur = snap.setTransactions.get(appId)
+        if (cur != e) throw new IllegalStateException(
+          s"delta_set_transaction_version: app '$appId' expected " +
+            s"${e.map(_.toString).getOrElse("<none>")} but table records " +
+            s"${cur.map(_.toString).getOrElse("<none>")} (lost update?)")
+      }
+      val now = System.currentTimeMillis()
+      val actions = Seq(
+        Action(CommitInfo(now, "SET TRANSACTION", Map("appId" -> appId),
+          inCommitTimestamp =
+            log.nextInCommitTimestamp(snap.metadata.configuration, snap.version + 1))),
+        Action(SetTransaction(appId, newVersion, Some(now))))
+      try {
+        LogStore.write(log.fs, log.commitFile(snap.version + 1),
+          actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
+        log.invalidateCache()
+        return snap.version + 1
+      } catch {
+        case _: CommitConflictException if attempt < 10 =>
+          attempt += 1
+          log.invalidateCache()
+      }
+    }
+    -1L // unreachable
+  }
+
   /** DESCRIBE DETAIL analog (delta-spark `DeltaTable.detail()`): one row
     * of table-level facts — identity, layout, size, protocol. File counts
     * and bytes come from the snapshot's add list (already in memory for
