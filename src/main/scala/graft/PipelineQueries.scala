@@ -264,6 +264,7 @@ object PipelineQueries {
     // --- corpus curation (chunking / decontamination / sharding / LM) ---
     "text_chunks" -> ((s, dir) => Curation.chunk(docs(s, dir))),
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
+    "text_decontaminate_bloom" -> ((s, dir) => Curation.decontaminateBloom(docs(s, dir))),
     "shard_token_budget" -> ((s, dir) => Curation.shardByTokenBudget(docs(s, dir))),
     "text_unigram_surprisal" -> ((s, dir) =>
       Curation.unigramSurprisal(docs(s, dir))),
@@ -756,6 +757,24 @@ object PipelineQueries {
        |FROM byt WHERE pos < len
        |GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
 
+  // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
+  // pseudo-benchmark; word-count guard drops short-doc partial grams on
+  // both engines (NULL-concat in DuckDB, concat_ws null-skip in Spark).
+  // Shared by text_decontaminate and its bloom-prefiltered variant — the
+  // prefilter is approximate but the verify join is exact, so both
+  // queries answer the SAME oracle.
+  private val decontaminateSql =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |ng AS (SELECT DISTINCT doc_id, s FROM (
+      |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-3, 1)),
+      |     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
+      |   FROM toks) raw WHERE len(string_split(s,' ')) = 5),
+      |bench AS (SELECT DISTINCT s FROM ng WHERE doc_id % 31 = 0),
+      |hits AS (SELECT ng.doc_id, ng.s FROM ng JOIN bench USING (s)
+      |         WHERE ng.doc_id % 31 <> 0)
+      |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_pii_scrub" ->
       """WITH pii AS (
@@ -832,17 +851,10 @@ object PipelineQueries {
     // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
     // pseudo-benchmark; word-count guard drops short-doc partial grams on
     // both engines (NULL-concat in DuckDB, concat_ws null-skip in Spark)
-    "text_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |ng AS (SELECT DISTINCT doc_id, s FROM (
-        |   SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-3, 1)),
-        |     i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS s
-        |   FROM toks) raw WHERE len(string_split(s,' ')) = 5),
-        |bench AS (SELECT DISTINCT s FROM ng WHERE doc_id % 31 = 0),
-        |hits AS (SELECT ng.doc_id, ng.s FROM ng JOIN bench USING (s)
-        |         WHERE ng.doc_id % 31 <> 0)
-        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
-        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" -> decontaminateSql,
+    // bloom-prefiltered variant: prefilter is approximate, the verify join
+    // is exact, so the ORACLE IS IDENTICAL to text_decontaminate
+    "text_decontaminate_bloom" -> decontaminateSql,
     // token-budget sharding: shard = exclusive-prefix-tokens div 2000 in
     // doc_id order (the oracle's single window equals the distributed
     // two-level prefix sum exactly)

@@ -84,6 +84,44 @@ object Curation {
   }
 
   /**
+   * [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
+   * A broadcast of the EXACT benchmark n-gram set is O(total string
+   * bytes); at real benchmark sizes (10⁸ n-grams) that broadcast
+   * dominates. Instead:
+   *  1. the benchmark n-grams collapse into ONE Bloom filter blob
+   *     (`BloomFilterAggregate` over xxhash64 — a few MB at any string
+   *     volume; the same sketch Spark's runtime bloom join injects),
+   *  2. corpus n-grams are prefiltered by codegen'd
+   *     `BloomFilterMightContain` — a scan-side predicate, no join, no
+   *     shuffle — leaving ~fpp·|corpus| survivors plus the true hits,
+   *  3. survivors verify against the exact set with the same broadcast
+   *     join, so false positives cost only verify work and the result is
+   *     EXACT (same oracle as [[decontaminate]]).
+   */
+  def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val ng = wordNgrams(docs, n)
+    val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s")).distinct()
+    val corpus = ng.where(col("doc_id") % benchMod =!= 0)
+    val blobCol = column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(xxhash64(col("s"))), expectedItems)
+        .toAggregateExpression())
+    val blob = bench.agg(blobCol.as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(blob,
+          org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col("s")))))
+    corpus.where(mightContain)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Token-budget sharding: assign docs (in doc_id order) to contiguous
    * shards of ~`budget` whitespace tokens each — the standard layout step
    * before writing training shards. shard(doc) = tokensBefore(doc) div

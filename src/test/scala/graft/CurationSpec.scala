@@ -48,6 +48,22 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged.keys.forall(_ % 31 != 0))
   }
 
+  test("bloom-prefiltered decontaminate is EXACTLY equal to the exact path " +
+       "and prefilters on a scan-side might_contain predicate") {
+    val exact = Curation.decontaminate(docs, n = 5, benchMod = 31).collect().toSeq
+    val bloom = Curation.decontaminateBloom(docs, n = 5, benchMod = 31)
+    assert(bloom.collect().toSeq == exact,
+      "bloom false positives must be removed by the verify join")
+    // the prefilter sits in the plan as a BloomFilterMightContain predicate
+    // (codegen'd scan-side filter, not a join)
+    val hasMightContain = bloom.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+    }.nonEmpty
+    assert(hasMightContain, "expected a BloomFilterMightContain prefilter in the plan")
+  }
+
   test("token-budget shards are contiguous and within one doc of the budget") {
     val budget = 2000L
     val shards = Curation.shardByTokenBudget(docs, budget).collect()
