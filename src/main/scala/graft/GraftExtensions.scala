@@ -102,8 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [, expectedVersion]) idempotency CAS (idempotency_helpers.cpp:67-151):
     // 4-arg form verifies the CURRENTLY recorded version first (NULL =
     // must record nothing yet) and errors on mismatch; 3-arg form sets
-    // unconditionally. Literal args; the commit happens at resolution,
-    // like every literal-args table function here. Returns (success).
+    // unconditionally. Literal args; like the other literal-args table
+    // functions here the commit happens at RESOLUTION — so EXPLAIN or a
+    // view that re-resolves this text re-commits (and a 4-arg form then
+    // errors on its own previous write). Programs that need proper
+    // execute-time semantics use `CALL graft.set_transaction_version(...)`
+    // or the DeltaTable API. Returns (success).
     e.injectTableFunction((
       new FunctionIdentifier("delta_set_transaction_version"),
       new ExpressionInfo("graft.delta.DeltaTable", "delta_set_transaction_version"),

@@ -271,13 +271,18 @@ object SparkEntry {
     //     so the CAS sequence (and therefore the output) is fixed. ---
     "delta_set_txn_cas" -> ((s, dir) => {
       import s.implicits._
-      val p = java.nio.file.Files.createTempDirectory("graft-settxn").toString + "/t"
-      graft.delta.DeltaWriter.append(s, Fixtures.readParquet(s, dir, "nation"), p)
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      val p = freshCopy(s, dir, "nation")
       // SQL surface: CAS from <nothing recorded> via NULL expected
       s.sql(s"SELECT * FROM delta_set_transaction_version('$p', 'graft-cas-app', 7, NULL)")
         .collect()
       val t = DeltaTable.forPath(s, p)
       t.setTransactionVersion("graft-cas-app", 42L, Some(Some(7L))) // CAS bump
+      // CALL surface (execute-time semantics, unlike the resolve-time
+      // table function): CAS 42 → 43 through the procedure catalog
+      s.sql(s"CALL graft.set_transaction_version(`table` => '$p', " +
+        "app_id => 'graft-cas-app', version => 43, expected_version => 42)")
+        .collect()
       val staleRefused =
         try { t.setTransactionVersion("graft-cas-app", 99L, Some(Some(7L))); false }
         catch { case _: IllegalStateException => true }
@@ -1253,7 +1258,7 @@ object SparkEntry {
     "delta_txn_version" ->
       """SELECT 'fixture-loader' AS app_id, CAST(2 AS BIGINT) AS version""",
     "delta_set_txn_cas" ->
-      """SELECT 'graft-cas-app' AS app_id, CAST(42 AS BIGINT) AS version,
+      """SELECT 'graft-cas-app' AS app_id, CAST(43 AS BIGINT) AS version,
         | true AS stale_cas_refused""".stripMargin,
     "delta_column_default_scan" ->
       """SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'legacy' ELSE 'unreviewed' END AS status,

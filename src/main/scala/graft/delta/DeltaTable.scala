@@ -162,6 +162,10 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
         LogStore.write(log.fs, log.commitFile(snap.version + 1),
           actions.map(ActionJson.toJson).mkString("", "\n", "\n"))
         log.invalidateCache()
+        // same contract as every other commit loop: a table updated
+        // predominantly through this path (a streaming writer recording
+        // progress) must not grow an unbounded JSON tail
+        log.maybeAutoCheckpoint(snap.version + 1, snap.metadata.configuration)
         return snap.version + 1
       } catch {
         case _: CommitConflictException if attempt < 10 =>

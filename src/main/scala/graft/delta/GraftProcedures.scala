@@ -65,6 +65,24 @@ private[delta] object GraftProcedures {
         resultSchema,
         args => resultRow(Optimize.zorder(spark, log(args.getString(0)),
           args.getString(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))))
+      case "set_transaction_version" => Some(proc("set_transaction_version",
+        "Record an application's transaction version (idempotency CAS): " +
+          "with expected_version set (or expected_none => true), errors " +
+          "unless the table currently records exactly that",
+        Seq(in("table", StringType), in("app_id", StringType),
+          in("version", LongType),
+          in("expected_version", LongType, Some("NULL")),
+          in("expected_none", BooleanType, Some("false"))),
+        StructType(Seq(StructField("commit_version", LongType))),
+        args => {
+          val expected: Option[Option[Long]] =
+            if (args.getBoolean(4)) Some(None)
+            else args.getLongOrNull(3).map(v => Some(v))
+          val l = log(args.getString(0))
+          new GenericInternalRow(Array[Any](
+            DeltaTable.forPath(spark, l.tablePath.toString)
+              .setTransactionVersion(args.getString(1), args.getLong(2), expected)))
+        }))
       case "cluster_by" => Some(proc("cluster_by",
         "ALTER TABLE ... CLUSTER BY: record liquid-clustering columns " +
           "(empty string = CLUSTER BY NONE)",
@@ -164,7 +182,8 @@ private[delta] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("optimize", "zorder", "cluster_by", "optimize_cluster", "vacuum",
-      "restore", "clone", "checkpoint", "generate", "history", "detail")
+      "restore", "clone", "checkpoint", "generate", "history", "detail",
+      "set_transaction_version")
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {
@@ -226,5 +245,7 @@ private[delta] object GraftProcedures {
     def getStringOrNull(i: Int): String =
       if (row.isNullAt(i)) null
       else row.get(i, StringType).asInstanceOf[UTF8String].toString
+    def getLongOrNull(i: Int): Option[Long] =
+      if (row.isNullAt(i)) None else Some(getLong(i))
   }
 }

@@ -94,15 +94,24 @@ object Curation {
    *  2. corpus n-grams are prefiltered by codegen'd
    *     `BloomFilterMightContain` — a scan-side predicate, no join, no
    *     shuffle — leaving ~fpp·|corpus| survivors plus the true hits,
-   *  3. survivors verify against the exact set with the same broadcast
-   *     join, so false positives cost only verify work and the result is
-   *     EXACT (same oracle as [[decontaminate]]).
+   *  3. survivors verify against the exact set with a SHUFFLED join (the
+   *     exact set never passes through the driver), so false positives
+   *     cost only verify work and the result is EXACT (same oracle as
+   *     [[decontaminate]]).
+   * The benchmark n-gram set is cached (it feeds the blob aggregation and
+   * the verify join); callers running this repeatedly can unpersist via
+   * `spark.catalog.clearCache()` or let LRU eviction handle it.
    */
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
       expectedItems: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val ng = wordNgrams(docs, n)
-    val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s")).distinct()
+    // cached: the benchmark lineage feeds BOTH the blob aggregation (runs
+    // now) and the verify join in the returned plan — without the cache
+    // the scan+tokenize+explode+distinct would run twice
+    val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = ng.where(col("doc_id") % benchMod =!= 0)
     val blobCol = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -114,8 +123,12 @@ object Curation {
         org.apache.spark.sql.catalyst.expressions.Literal(blob,
           org.apache.spark.sql.types.BinaryType),
         expression(xxhash64(col("s")))))
+    // verify join is SHUFFLED, not broadcast: at real benchmark sizes the
+    // exact set is exactly what must never funnel through the driver —
+    // the bloom already shrank the probe side to ~fpp·|corpus| + hits, so
+    // both join inputs are one distributed pass
     corpus.where(mightContain)
-      .join(broadcast(bench), "s")
+      .join(bench, "s")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared"))
       .orderBy(col("doc_id"))
