@@ -187,6 +187,18 @@ object SparkEntry {
         count(col("l_returnflag")).as("n_rf"))
     }),
 
+    // --- metadata-only GROUP BY over a partition column: per-group live
+    //     counts from Σ(numRecords − DV cardinality) per partition tuple —
+    //     the "count per partition" query on 100 TB as one metadata pass
+    //     (O(#partitions), never O(rows)) ---
+    "delta_group_meta" -> ((s, dir) => {
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Part)
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- schema evolution: old files yield NULL for the added column (§2.1 #8) ---
     "delta_schema_evolution" -> ((s, dir) => {
       val p = Fixtures.delta(s, dir, "orders", Fixtures.Evolve)
@@ -1226,6 +1238,9 @@ object SparkEntry {
     "delta_minmax_part" ->
       """SELECT min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
         | count(l_returnflag) AS n_rf FROM lineitem""".stripMargin,
+    "delta_group_meta" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // MATERIALIZED: DuckDB must actually build the survivor set (the
     // anti-join a hard delete materializes), not fold the filter into the
     // aggregate — the paired-timing analog of the Spark side's DV write

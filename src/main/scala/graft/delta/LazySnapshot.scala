@@ -131,6 +131,35 @@ private[graft] class LazySnapshot(
   override lazy val hasDeletionVectors: Boolean =
     !addsDataset.filter((f: AddFile) => f.deletionVector.isDefined).isEmpty
 
+  /** Distributed grouped live counts: executor-side partial sums keyed by
+    * the escaped partition tuple, merged on the driver — partials are
+    * O(#distinct tuples), never the file list. */
+  override private[delta] def partitionLiveFacts(keys: Seq[String])
+      : Option[Seq[(Seq[String], Long)]] = {
+    val fn = ColumnFacts.partitionLiveRow(keys) _
+    val partials = addsDataset.mapPartitions { it =>
+      var bail = false
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { f =>
+        if (!bail) fn(f) match {
+          case None => bail = true
+          case Some((vals, live)) =>
+            val k = ColumnFacts.encodeKey(vals)
+            acc.update(k, acc.getOrElse(k, 0L) + live)
+        }
+      }
+      if (bail) Iterator((null: String, 0L))
+      else acc.iterator.map { case (k, v) => (k, v) }
+    }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).collect()
+    if (partials.exists(_._1 == null)) return None
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Long]
+    partials.foreach { case (k, v) =>
+      val vals = ColumnFacts.decodeKey(k)
+      acc.update(vals, acc.getOrElse(vals, 0L) + v)
+    }
+    Some(acc.toSeq)
+  }
+
   /** Distributed per-partition fold of the metadata MIN/MAX/COUNT(col)
     * contributions; partial extremes cross the wire as round-trip strings
     * (one small job instead of an O(#files) driver materialization). */

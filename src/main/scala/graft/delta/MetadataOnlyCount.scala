@@ -81,6 +81,11 @@ class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
     case a @ Aggregate(groups, aggs, child, _)
         if groups.isEmpty && aggs.nonEmpty && aggs.forall(supportedShape) =>
       rewrite(a, child).getOrElse(a)
+    case a @ Aggregate(groups, aggs, child, _)
+        if groups.nonEmpty && aggs.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) &&
+          aggs.forall(groupedShape) =>
+      rewriteGrouped(a, child).getOrElse(a)
   }
 
   private def supportedShape(e: NamedExpression): Boolean = e match {
@@ -92,6 +97,103 @@ class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     case _ => false
+  }
+
+  /** Grouped shapes additionally pass grouping attrs through unaliased
+    * (`SELECT DISTINCT pc` / `GROUP BY pc` output columns). */
+  private def groupedShape(e: NamedExpression): Boolean = e match {
+    case _: AttributeReference => true
+    case other => supportedShape(other)
+  }
+
+  /** GROUP BY over PARTITION columns answered from the file list alone
+    * (Spark's OptimizeMetadataOnlyQuery for hive layouts, generalized to
+    * delta with DV-exact liveness): grouping keys, counts and extremes
+    * all derive from (partitionValues, numRecords − DV cardinality).
+    * DV-SAFE — every row of a file shares its partition tuple and the DV
+    * cardinality is protocol-exact, so per-group liveness needs no
+    * stats; groups whose live count reaches 0 are dropped (a real scan
+    * yields no row for them). Every referenced column must be a
+    * partition column of a decodable ordered type; anything else keeps
+    * the real scan. `SELECT DISTINCT pc` and `GROUP BY pc` count/min/max
+    * over a 100 TB table become one metadata pass, O(#partitions). */
+  private def rewriteGrouped(a: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    val (index, dvFilterSeen) = unwrap(child).getOrElse(return None)
+    val snap = index.snapshotRef
+    // the answer is the LIVE grouping; the raw physical relation on a DV
+    // table includes deleted rows — bail exactly like the global count
+    if (!(index.exposesLogicalNames || dvFilterSeen || !snap.hasDeletionVectors))
+      return None
+    val groupAttrs = a.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    def partCol(attr: AttributeReference): Option[(String, DataType)] =
+      ColumnFacts.resolve(snap, index.exposesLogicalNames, attr.name) match {
+        case Some((key, true, dt)) if dt == attr.dataType &&
+            ColumnFacts.supported(dt, isPartition = true) => Some((key, dt))
+        case _ => None
+      }
+    val aggAttrs: Seq[AttributeReference] = a.aggregateExpressions.flatMap {
+      case attr: AttributeReference => Seq(attr)
+      case Alias(AggregateExpression(f, _, _, _, _), _) => f match {
+        case Count(Seq(attr: AttributeReference)) => Seq(attr)
+        case Min(attr: AttributeReference) => Seq(attr)
+        case Max(attr: AttributeReference) => Seq(attr)
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    // full key = grouping cols ++ extra referenced partition cols (an
+    // aggregated column outside the grouping varies within a group, so
+    // the fold runs per FULL tuple and rolls up)
+    val refs = (groupAttrs ++ aggAttrs)
+      .foldLeft(Vector.empty[AttributeReference]) { (acc, at) =>
+        if (acc.exists(_.exprId == at.exprId)) acc else acc :+ at
+      }
+    val resolved: Seq[(String, DataType)] =
+      refs.map(at => partCol(at).getOrElse(return None))
+    val facts = snap.partitionLiveFacts(resolved.map(_._1)).getOrElse(return None)
+    val attrIdx = refs.map(_.exprId).zipWithIndex.toMap
+    val decoded: Seq[(Seq[Any], Long)] = facts.collect {
+      case (raw, live) if live > 0L =>
+        (raw.zip(resolved).map { case (rv, (_, dt)) =>
+          try PartitionUtil.toInternal(rv, dt)
+          catch { case _: Exception => return None }
+        }, live)
+    }
+    val gIdx = groupAttrs.map(at => attrIdx(at.exprId))
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], scala.collection.mutable.ArrayBuffer[(Seq[Any], Long)]]
+    decoded.foreach { case (vals, live) =>
+      grouped.getOrElseUpdate(gIdx.map(vals(_)),
+        scala.collection.mutable.ArrayBuffer.empty) += ((vals, live))
+    }
+    val rows: Seq[InternalRow] = grouped.toSeq.map { case (gk, members) =>
+      val values: Seq[Any] = a.aggregateExpressions.map {
+        case attr: AttributeReference =>
+          gk(groupAttrs.indexWhere(_.exprId == attr.exprId))
+        case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+          case Count(Seq(Literal(1, _))) => members.map(_._2).sum
+          case Count(Seq(attr: AttributeReference)) =>
+            val i = attrIdx(attr.exprId)
+            members.collect { case (v, l) if v(i) != null => l }.sum
+          case Min(attr: AttributeReference) =>
+            val i = attrIdx(attr.exprId)
+            val vs = members.map(_._1(i)).filter(_ != null)
+            if (vs.isEmpty) null
+            else vs.min(org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(attr.dataType))
+          case Max(attr: AttributeReference) =>
+            val i = attrIdx(attr.exprId)
+            val vs = members.map(_._1(i)).filter(_ != null)
+            if (vs.isEmpty) null
+            else vs.max(org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(attr.dataType))
+          case _ => return None
+        }
+        case _ => return None
+      }
+      InternalRow(values: _*)
+    }
+    Some(LocalRelation(a.output.map(_.asInstanceOf[Attribute]), rows))
   }
 
   private def rewrite(a: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
@@ -241,6 +343,54 @@ private[delta] object ColumnFacts {
       }
     }
   }
+
+  /** One file's (raw partition tuple, live rows) for the grouped rewrite:
+    * live = numRecords − DV cardinality (both protocol-exact; every row
+    * of a file shares its partition tuple, so DVs are file-granular here,
+    * no stats needed). None = missing key or numRecords → bail. */
+  def partitionLiveRow(keys: Seq[String])(f: AddFile)
+      : Option[(Seq[String], Long)] = {
+    val st = f.parsedStats.getOrElse(return None)
+    val nr = st.numRecords.getOrElse(return None)
+    val vals = keys.map { k =>
+      if (!f.partitionValues.contains(k)) return None
+      f.partitionValues(k)
+    }
+    Some((vals, nr - f.deletionVector.map(_.cardinality).getOrElse(0L)))
+  }
+
+  /** Round-trip escape for a raw partition tuple (nullable strings) so
+    * LazySnapshot partials can key a Dataset row on it. Separator \\u0000,
+    * null marker \\u0001, escape char \\u0002 — all three are escaped
+    * inside values, so any raw partition string round-trips exactly. */
+  def encodeKey(vals: Seq[String]): String =
+    vals.map { v =>
+      if (v == null) "\u0001"
+      else v.replace("\u0002", "\u0002e")
+        .replace("\u0000", "\u0002s")
+        .replace("\u0001", "\u0002n")
+    }.mkString("\u0000")
+  def decodeKey(s: String): Seq[String] =
+    s.split("\u0000", -1).toSeq.map { v =>
+      if (v == "\u0001") null
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < v.length) {
+          val c = v.charAt(i)
+          if (c == '\u0002' && i + 1 < v.length) {
+            v.charAt(i + 1) match {
+              case 'e' => sb.append('\u0002')
+              case 's' => sb.append('\u0000')
+              case 'n' => sb.append('\u0001')
+              case other => sb.append(c).append(other)
+            }
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
+    }
 
   /** Streaming combiner over file contributions (driver- or
     * executor-side). The ordering is lazy: a count-only fold never

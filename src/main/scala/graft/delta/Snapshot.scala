@@ -216,6 +216,29 @@ class Snapshot(
     fold.result
   }
 
+  /** EXACT live row counts per partition-value tuple for `keys` (physical
+    * partition column names): Σ(numRecords − DV cardinality) grouped by
+    * the files' raw partitionValues. DV-SAFE at file granularity — every
+    * row of a file shares its partition tuple, and the DV cardinality is
+    * protocol-exact, so group liveness needs no stats beyond numRecords.
+    * None when any file misses a key or its numRecords. Powers the
+    * GROUP-BY-partition metadata rewrite ([[MetadataOnlyCount]]); result
+    * size is O(#distinct partition tuples), never O(#files). */
+  private[delta] def partitionLiveFacts(keys: Seq[String])
+      : Option[Seq[(Seq[String], Long)]] = {
+    val acc = new scala.collection.mutable.LinkedHashMap[Seq[String], Long]
+    val it = allFiles.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      ColumnFacts.partitionLiveRow(keys)(f) match {
+        case None => return None
+        case Some((vals, live)) =>
+          acc.update(vals, acc.getOrElse(vals, 0L) + live)
+      }
+    }
+    Some(acc.toSeq)
+  }
+
   /** DV registry broadcast, built + shipped ONCE per snapshot (the registry
     * eagerly reads every deletion vector on the driver — repeated reads of
     * a DV table must not re-read them or accumulate broadcasts). */

@@ -62,6 +62,30 @@ class LazySnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped metadata count over a partition column folds partials on " +
+       "executors (no file-list materialization)") {
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path, partitionBy = Seq("s_nationkey"))
+    DeltaTable.forPath(spark, path).checkpoint()
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val snap = DeltaLog.forPath(spark, path).update()
+      assert(snap.isInstanceOf[LazySnapshot], "expected the lazy path")
+      val lazySnap = snap.asInstanceOf[LazySnapshot]
+      val df = snap.toDF.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+      assert(df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"lazy grouped count must not scan:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().toSeq ==
+        src.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("s_nationkey")).collect().toSeq)
+      assert(!lazySnap.materializedFull,
+        "grouped metadata count must not collect the full file list")
+    }
+  }
+
   test("JSON tail reconciles over the checkpoint: adds and DV removes") {
     val src = Fixtures.readParquet(spark, sfDir, "supplier")
     val path = tmpTable()

@@ -175,6 +175,37 @@ class PlanHygieneSpec extends AnyFunSuite {
       max(col("s_suppkey"))).collect()(0))
   }
 
+  test("GROUP BY partition column answers from the file list — DV-exact " +
+       "per-group liveness; grouping by a data column keeps the scan") {
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val src = Fixtures.readParquet(spark, sfDir, "supplier")
+    // partitioned table + DV DELETE: per-group counts stay exact because
+    // every row of a file shares its partition tuple and the DV
+    // cardinality is protocol metadata
+    val p = java.nio.file.Files.createTempDirectory("graft-gmeta").toString + "/t"
+    DeltaWriter.append(spark, src, p, partitionBy = Seq("s_nationkey"))
+    DeltaTable.forPath(spark, p).delete(col("s_suppkey") % 3 === 1)
+    val t = DeltaTable.forPath(spark, p)
+    val df = t.toDF.groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+    assert(isLocal(df),
+      s"grouped count must not scan:\n${df.queryExecution.optimizedPlan}")
+    val exp = src.where(col("s_suppkey") % 3 =!= 1)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey")).collect().toSeq
+    assert(df.collect().toSeq == exp, "grouped metadata counts must be DV-exact")
+    // DISTINCT over the partition column is the same rewrite
+    val d = t.toDF.select(col("s_nationkey")).distinct()
+    assert(isLocal(d), s"DISTINCT partition col must not scan:\n${d.queryExecution.optimizedPlan}")
+    assert(d.collect().map(_.getInt(0)).sorted.toSeq ==
+      exp.map(_.getInt(0)).sorted.toSeq)
+    // grouping by a DATA column keeps the real scan (and stays right)
+    val byData = t.toDF.groupBy(col("s_name")).agg(count(lit(1)).as("n"))
+    assert(!isLocal(byData))
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     RelationalQueries.ensureViews(spark, sfDir)
     val df = spark.table("customer")
