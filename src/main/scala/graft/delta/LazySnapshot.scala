@@ -140,8 +140,10 @@ private[graft] class LazySnapshot(
     val partials = addsDataset.mapPartitions { it =>
       var bail = false
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { f =>
-        if (!bail) fn(f) match {
+      // short-circuit on bail: no point decoding the rest of a 10⁶-add
+      // checkpoint partition just to emit the sentinel
+      while (it.hasNext && !bail) {
+        fn(it.next()) match {
           case None => bail = true
           case Some((vals, live)) =>
             val k = ColumnFacts.encodeKey(vals)

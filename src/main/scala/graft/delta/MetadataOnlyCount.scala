@@ -152,10 +152,18 @@ class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
       refs.map(at => partCol(at).getOrElse(return None))
     val facts = snap.partitionLiveFacts(resolved.map(_._1)).getOrElse(return None)
     val attrIdx = refs.map(_.exprId).zipWithIndex.toMap
+    // -0.0 normalizes to 0.0 like Spark's NormalizeFloatingNumbers does
+    // for GROUP BY keys — java boxed equality would otherwise split one
+    // SQL group into two rows (boxed NaNs already compare equal)
+    def norm(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+      case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     val decoded: Seq[(Seq[Any], Long)] = facts.collect {
       case (raw, live) if live > 0L =>
         (raw.zip(resolved).map { case (rv, (_, dt)) =>
-          try PartitionUtil.toInternal(rv, dt)
+          try norm(PartitionUtil.toInternal(rv, dt))
           catch { case _: Exception => return None }
         }, live)
     }
