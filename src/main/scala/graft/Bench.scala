@@ -525,6 +525,11 @@ object Bench {
     // driver's tail capture truncated BENCH_r07 mid-line, losing x30_total
     // and two paired rows — the final line is small enough to always survive
     var hlCore = ""
+    // tiny trailer (≤300 chars) re-emitted as the very LAST stdout line:
+    // the rich headline line outgrew the driver's 2,000-char tail window in
+    // r10 (row evidence + calib series pushed the leading x30_total past the
+    // cut), leaving BENCH_r10.json with parsed:null — core scalars only here
+    var hlTiny = ""
     var calibAtScale = -1.0
     var memBwAtScale = -1.0
     val scaleJson =
@@ -807,6 +812,11 @@ object Bench {
           val ir = idleRatioOpt.map(r => f""","vs_idle_ratio":$r%.2f""").getOrElse("")
           f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"queries":${jsonTimings(bigResults)},"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
         }
+        hlTiny = {
+          val pr = pairedRatioOpt.map(r => f""","paired_ratio":$r%.2f""").getOrElse("")
+          val ir = idleRatioOpt.map(r => f""","vs_idle_ratio":$r%.2f""").getOrElse("")
+          f""""scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f$pr$ir,"calib_at_scale_sec":$calibAtScale%.3f,"mem_bw_gibs":$memBwAtScale%.2f,"suspect":${jsonArr(suspectsList)},"failed":${jsonArr(bigFailed)}"""
+        }
         f""","scale_factor":$scaleFactor%d,"x${scaleFactor}%d_total":${ok.map(_._2).sum}%.3f,"x${scaleFactor}%d_queries":${jsonTimings(bigResults)},"x${scaleFactor}%d_failed":${jsonArr(bigFailed)}$pairedJson$vsIdleJson$expJson$evidenceJson"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] x$scaleFactor pass failed: ${e.getMessage}"); ""
@@ -824,12 +834,14 @@ object Bench {
     val microQueries = Seq("dedup_exact", "emb_centroids", "q_events_hourly",
       "q1_agg", "q18_large_orders", "q_sessionize")
     var microHeadline = ""
-    val microJson =
-      if (scaleFactor <= 1 || microFactor <= scaleFactor) ""
-      else try {
-        val microDir = SyntheticScale.ensure(spark, sfDir, microFactor,
-          replicateOnly = Some(Set("documents", "embeddings", "events",
-            "lineitem", "orders", "customer")))
+
+    /** One amortization-evidence pass at `factor`× with only `tables`
+      * replicated: paired bracketed rounds per query, fresh-JVM re-measure
+      * of unclosed rows. Returns the `,"xN_sample":{...}` JSON piece. */
+    def microPass(factor: Int, queries: Seq[String], tables: Set[String]): String =
+      try {
+        val microDir = SyntheticScale.ensure(spark, sfDir, factor,
+          replicateOnly = Some(tables))
         RelationalQueries.ensureViews(spark, microDir)
         val sqlPath = java.nio.file.Files.createTempFile("graft-oracle-micro", ".json")
         val node = graft.delta.ActionJson.mapper.createObjectNode()
@@ -837,16 +849,16 @@ object Bench {
         java.nio.file.Files.writeString(sqlPath,
           graft.delta.ActionJson.mapper.writeValueAsString(node))
         val duck = new DuckRunner(microDir, sqlPath.toString)
-        val rows0 = microQueries.filter(SparkEntry.queries.contains).map { n =>
-          runOne(spark, n, microDir, s"x$microFactor warm ", ccFracMax)
-          // each round is BRACKETED by bandwidth probes; the x100 point is
+        val rows0 = queries.filter(SparkEntry.queries.contains).map { n =>
+          runOne(spark, n, microDir, s"x$factor warm ", ccFracMax)
+          // each round is BRACKETED by bandwidth probes; the micro point is
           // the weak-row closure evidence, so a round that ran through a
           // bandwidth collapse must not stand in for the host's real
           // throughput — rounds continue (bounded) until one bracket holds
           def round(): (Option[Double], Double, Boolean) = {
             val pre = memBwQuickGiBs()
             val d = duck.time(n)
-            val (t, _, cc) = runOne(spark, n, microDir, s"x$microFactor ", ccFracMax)
+            val (t, _, cc) = runOne(spark, n, microDir, s"x$factor ", ccFracMax)
             ccFracMax = cc
             val post = memBwQuickGiBs()
             (d, t, pre >= MemBwFloorGiBs && post >= MemBwFloorGiBs)
@@ -864,7 +876,7 @@ object Bench {
         }
         duck.close()
         // fresh-JVM pass for micro rows still far over DuckDB (or never
-        // bracketed): the x100 point is the weak-row closure evidence and
+        // bracketed): the micro point is the weak-row closure evidence and
         // JVM aging hits it hardest (measured: q_sessionize 12.2s aged vs
         // 3.6s fresh on the same host minute)
         val microOver = rows0.collect {
@@ -877,7 +889,7 @@ object Bench {
           if (microOver.isEmpty) Map.empty[String, Double]
           else {
             System.err.println(
-              s"[bench] x$microFactor fresh-JVM re-measure: ${microOver.mkString(", ")}")
+              s"[bench] x$factor fresh-JVM re-measure: ${microOver.mkString(", ")}")
             val pre = memBwQuickGiBs()
             val m = freshJvmTimes(microDir, microOver)
             val post = memBwQuickGiBs()
@@ -897,12 +909,28 @@ object Bench {
           val lost = if (held) "" else ""","window_lost":true"""
           f""""$n":{"spark":$t%.3f$dj$fj$lost}"""
         }.mkString("{", ",", "}")
-        microHeadline = f""","x${microFactor}%d_sample":$entries"""
-        microHeadline
+        val piece = f""","x${factor}%d_sample":$entries"""
+        microHeadline += piece
+        piece
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] x$microFactor micro pass failed: ${e.getMessage}")
+        System.err.println(s"[bench] x$factor micro pass failed: ${e.getMessage}")
         ""
       }
+
+    val microJson =
+      if (scaleFactor <= 1 || microFactor <= scaleFactor) ""
+      else microPass(microFactor, microQueries,
+        Set("documents", "embeddings", "events", "lineitem", "orders", "customer"))
+    // deeper point for the LAST two weak rows (r10: q_sessionize 2.23×,
+    // q1_agg 2.04× at x100, exponents ≤0.5): an x300 bracketed sample is
+    // the measured continuation of the amortization curve — only the two
+    // fact tables those queries touch replicate
+    val micro2Factor = sys.env
+      .getOrElse("SPARK_GRAFT_MICRO2_SCALE", "300").toIntOption.getOrElse(300)
+    val micro2Json =
+      if (scaleFactor <= 1 || micro2Factor <= microFactor) ""
+      else microPass(micro2Factor, Seq("q1_agg", "q_sessionize"),
+        Set("lineitem", "events"))
 
     // pre-measured DuckDB numbers for the same scale data (written by
     // tools/x10_baseline.py with the scale dir; provenance inside the
@@ -949,12 +977,16 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(-1L)
     val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}$calibSeriesJson"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$baselineJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$micro2Json$baselineJson}""")
     // LAST line: compact headline that survives any tail truncation —
     // since r10 it also carries the per-row evidence and the calibration
     // series, the two artifacts the judge needs to adjudicate slow rows
     if (hlCore.nonEmpty)
       println(s"""{"metric":"headline",$hlCore$microHeadline$evidenceJson$calibSeriesJson}""")
+    // the ≤300-char core line goes LAST so the driver's bounded tail capture
+    // always retains a parseable x30_total / ratios / suspect / failed set
+    if (hlTiny.nonEmpty)
+      println(s"""{"metric":"headline_core",$hlTiny}""")
     spark.stop()
   }
 }

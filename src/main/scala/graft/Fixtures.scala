@@ -230,7 +230,12 @@ object Fixtures {
       val v = log.update().version
       if (v - log.lastCheckpointVersion().getOrElse(0L) > 24)
         Checkpoints.checkpoint(log)
-    } catch { case _: Exception => () }
+    } catch { case e: Exception =>
+      // visible, not fatal: a persistently failing compaction re-enables
+      // the unbounded-JSON-tail drift inside the timed delta_dv_delete row
+      System.err.println(
+        s"[fixtures] arena log compaction failed for $dir: ${e.getMessage}")
+    }
 
   /** CDF table: enableChangeDataFeed property, then a fabricated
     * UPDATE-style commit carrying a `cdc` action pointing into

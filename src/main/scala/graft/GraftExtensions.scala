@@ -24,18 +24,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft catalog identifiers → full-fidelity V1 delta scan
     e.injectResolutionRule(s => new graft.delta.GraftCatalogResolution(s))
     // the reference's flagship SQL surface: `SELECT … FROM
-    // delta_scan('path' [, version])` as a genuine table function
-    // (reference src/functions/delta_scan/delta_scan.cpp:83-121)
+    // delta_scan('path' [, version | 'timestamp'])` as a genuine table
+    // function (reference src/functions/delta_scan/delta_scan.cpp:83-121).
+    // A STRING second argument is a time-travel timestamp (epoch millis or
+    // 'yyyy-MM-dd HH:mm:ss[.fff]') — parity with the format read's
+    // timestampAsOf; an integer is a version.
     e.injectTableFunction((
       new FunctionIdentifier("delta_scan"),
       new ExpressionInfo("graft.delta.DeltaTable", "delta_scan"),
       (args: Seq[Expression]) => {
         val spark = org.apache.spark.sql.SparkSession.active
         require(args.nonEmpty && args.size <= 2,
-          "delta_scan(path[, version]) takes 1-2 literal arguments")
+          "delta_scan(path[, version | timestamp]) takes 1-2 literal arguments")
         val path = GraftExtensions.literalString(args.head, "delta_scan path")
         val t = graft.delta.DeltaTable.forPath(spark, path)
         val df = args.lift(1) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(s,
+              org.apache.spark.sql.types.StringType)) if s != null =>
+            val ts = s.toString
+            t.toDFAtTimestamp(ts.toLongOption.getOrElse(
+              java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime))
           case Some(v) => t.toDF(GraftExtensions.literalLong(v, "delta_scan version"))
           case None => t.toDF
         }
@@ -102,17 +110,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [, expectedVersion]) idempotency CAS (idempotency_helpers.cpp:67-151):
     // 4-arg form verifies the CURRENTLY recorded version first (NULL =
     // must record nothing yet) and errors on mismatch; 3-arg form sets
-    // unconditionally. Literal args; like the other literal-args table
-    // functions here the commit happens at RESOLUTION — so EXPLAIN or a
-    // view that re-resolves this text re-commits (and a 4-arg form then
-    // errors on its own previous write). Programs that need proper
-    // execute-time semantics use `CALL graft.set_transaction_version(...)`
-    // or the DeltaTable API. Returns (success).
+    // unconditionally. Literal args, but the COMMIT is deferred to
+    // execution via SetTxnVersionPlan/-Exec (planned by the injected
+    // GraftCommandStrategy) — EXPLAIN or view re-resolution never commits;
+    // each execution commits exactly once. Returns (success).
+    e.injectPlannerStrategy(s => new graft.delta.GraftCommandStrategy(s))
     e.injectTableFunction((
       new FunctionIdentifier("delta_set_transaction_version"),
       new ExpressionInfo("graft.delta.DeltaTable", "delta_set_transaction_version"),
       (args: Seq[Expression]) => {
-        val spark = org.apache.spark.sql.SparkSession.active
         require(args.size == 3 || args.size == 4,
           "delta_set_transaction_version(path, appId, version[, expectedVersion]) " +
             "takes 3-4 literal arguments")
@@ -120,13 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => None
           case e => Some(GraftExtensions.literalLong(e, "expectedVersion"))
         }
-        graft.delta.DeltaTable
-          .forPath(spark, GraftExtensions.literalString(args.head, "path"))
-          .setTransactionVersion(
-            GraftExtensions.literalString(args(1), "appId"),
-            GraftExtensions.literalLong(args(2), "version"), expected)
-        import spark.implicits._
-        Seq(Tuple1(true)).toDF("success").queryExecution.logical
+        graft.delta.SetTxnVersionPlan(
+          GraftExtensions.literalString(args.head, "path"),
+          GraftExtensions.literalString(args(1), "appId"),
+          GraftExtensions.literalLong(args(2), "version"), expected)
       }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),

@@ -622,6 +622,44 @@ object SparkEntry {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // --- delta_scan timestamp time travel: STRING second argument is a
+    //     timestamp (parity with the format read's timestampAsOf). ICT is
+    //     on, so v0's in-commit timestamp is strictly below v1's and the
+    //     resolution is deterministic; a wrong resolve doubles the count ---
+    "delta_scan_ts_fn" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-scants").toString + "/t"
+      val src = Fixtures.readParquet(s, dir, "region")
+      graft.delta.DeltaWriter.append(s, src, p,
+        configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.delta.DeltaWriter.append(s, src, p) // v1 doubles every row
+      val t0 = graft.delta.DeltaLog.forPath(s, p)
+        .commitHistory().find(_._1 == 0L).get._2
+      s.sql(
+        s"""SELECT r_regionkey, count(*) AS n
+           |FROM delta_scan('$p', '$t0')
+           |GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin)
+    }),
+
+    // --- log_tail read option (reference delta_extension.cpp:55-57,
+    //     delta_utils.cpp:833-888): the newest commit exists ONLY as a
+    //     log-tail file outside _delta_log — snapshot construction folds it
+    //     in; the oracle sees the equivalent fully-materialized log ---
+    "delta_log_tail_scan" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft-logtail").toString + "/t"
+      val src = Fixtures.readParquet(s, dir, "nation")
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 0), p)
+      graft.delta.DeltaWriter.append(s, src.filter(col("n_nationkey") % 2 === 1), p)
+      val side = java.nio.file.Files.createTempDirectory("graft-logtail-side")
+      val c1 = java.nio.file.Paths.get(p, "_delta_log", f"${1L}%020d.json")
+      val staged = side.resolve(c1.getFileName)
+      java.nio.file.Files.move(c1, staged)
+      graft.delta.DeltaLog.forPath(s, p).invalidateCache()
+      s.read.format("graftdelta").option("logTail", staged.toString).load(p)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // --- liquid clustering: CLUSTER BY + clustered OPTIMIZE; scan result
     //     unchanged, files re-clustered with clusteringProvider=liquid ---
     "delta_cluster_scan" -> ((s, dir) => {
@@ -1423,6 +1461,13 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "delta_scan_ts_fn" ->
+      """SELECT r_regionkey, count(*) AS n
+        |FROM region GROUP BY r_regionkey ORDER BY r_regionkey""".stripMargin,
+    "delta_log_tail_scan" ->
+      """SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "delta_ict_scan" ->
       """SELECT true AS ict_monotone, true AS ict_featured,
         |  CAST(1 AS BIGINT) AS mid_version, CAST(3 AS BIGINT) AS n_commits""".stripMargin,

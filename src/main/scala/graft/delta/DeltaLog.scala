@@ -464,6 +464,56 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     }
   }
 
+  /**
+   * Snapshot including a LOG TAIL: extra commit JSON files that may live
+   * OUTSIDE `_delta_log` — not-yet-committed commits fed into snapshot
+   * construction (the reference's `log_tail` scan/attach option,
+   * delta_extension.cpp:55-57, plumbing delta_utils.cpp:833-888; it exists
+   * for catalog-managed commits where the newest commits are served by a
+   * catalog service instead of the log directory).
+   *
+   * Each tail file must be named `NNNNNNNNNNNNNNNNNNNN.json` (versions come
+   * from the names, as in the log itself). Entries at or below the listed
+   * latest version are ignored — those versions are already committed and
+   * the log is authoritative. The remainder must extend the log
+   * contiguously (same guard as replay). The result is NEVER cached: tail
+   * state is not the table's committed state, and a later real commit of
+   * the same version must win.
+   */
+  def snapshotWithLogTail(tailFiles: Seq[Path]): Snapshot = {
+    val parsed = tailFiles.map { p =>
+      p.getName match {
+        case commitRe(v) => v.toLong -> p
+        case other => throw new IllegalArgumentException(
+          s"logTail entry is not a commit JSON (<version>.json): $other")
+      }
+    }.sortBy(_._1)
+    require(parsed.map(_._1).distinct.size == parsed.size,
+      s"logTail has duplicate versions: ${parsed.map(_._1).mkString(", ")}")
+    val listed = listCommitVersions()
+    val base = listed.lastOption
+    val newer = parsed.filter { case (v, _) => base.forall(v > _) }
+    if (newer.isEmpty) return update()
+    val expected = (base.getOrElse(-1L) + 1) to newer.last._1
+    require(newer.map(_._1) == expected,
+      s"logTail does not extend the log contiguously after " +
+        s"v${base.getOrElse(-1L)}: have ${newer.map(_._1).mkString(", ")}")
+    val replay = base match {
+      case Some(v) => LogReplay.fromSnapshot(snapshotAt(v))
+      case None => new LogReplay
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    newer.foreach { case (_, p) =>
+      val tfs = p.getFileSystem(conf)
+      val in = tfs.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      ActionJson.parseAll(txt).foreach(replay.apply)
+    }
+    replay.toSnapshot(this, newer.last._1)
+  }
+
   def readCommit(v: Long): Seq[Action] = {
     val in = fs.open(commitFile(v))
     try {

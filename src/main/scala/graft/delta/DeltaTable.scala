@@ -30,6 +30,11 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
   def toDF(versionAsOf: Long): DataFrame =
     log.snapshotAt(versionAsOf).toDF(scanOptions)
 
+  /** Time travel by timestamp (`timestampAsOf` / `TIMESTAMP AS OF`):
+    * latest commit at or before `tsMillis`. */
+  def toDFAtTimestamp(tsMillis: Long): DataFrame =
+    log.snapshotAt(log.versionAtTimestamp(tsMillis)).toDF(scanOptions)
+
   /** `pushdown_filters` toggle analog (reference delta_scan.cpp:14-44). */
   def withScanOptions(options: ScanOptions): DeltaTable =
     new DeltaTable(spark, log, pinnedVersion, options)

@@ -471,29 +471,29 @@ object DeltaWriter {
       // explicitly DISABLED for the write — Spark 4.1 defaults
       // writeShredding+inferShreddingSchema to TRUE, which would silently
       // put shredded files into tables advertising only variantType, a
-      // layout spec-conformant foreign readers may refuse. Session confs
-      // are toggled around the write and restored: the property governs
-      // the TABLE, never the session. (Each query snapshots SQL confs at
-      // submission, so executors see a consistent setting; two concurrent
-      // variant-table writes with OPPOSITE settings in one session could
-      // race the toggle window — both outcomes stay readable, and the
-      // protocol stamp is what foreign readers key on.)
+      // layout spec-conformant foreign readers may refuse. The setting is
+      // WRITE-LOCAL: variant writes run on a cloneSession() fork whose
+      // isolated SQLConf carries the toggle, so two concurrent variant
+      // writes with opposite delta.enableVariantShredding in one session
+      // cannot race each other's layout — the property governs the TABLE,
+      // never the caller's session.
       val hasVariant = ProtocolGate.typeFeatures(tableSchema).contains("variantType")
       val shred = shreddingEnabled(tableConf) && hasVariant
       val shredKeys = Seq("spark.sql.variant.writeShredding.enabled",
         "spark.sql.variant.inferShreddingSchema")
-      val prevShred = shredKeys.map(k => k -> spark.conf.getOption(k))
-      if (hasVariant) shredKeys.foreach(spark.conf.set(_, shred.toString))
-      try {
-        aligned.write
-          .mode("overwrite")
-          .options(writeOptions)
-          .partitionBy(partCols: _*)
-          .parquet(staging.toString)
-      } finally if (hasVariant) prevShred.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+      val toWrite =
+        if (!hasVariant) aligned
+        else {
+          val ws = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+          shredKeys.foreach(ws.conf.set(_, shred.toString))
+          org.apache.spark.sql.GraftColumnBridge.ofRows(
+            ws, aligned.queryExecution.analyzed)
+        }
+      toWrite.write
+        .mode("overwrite")
+        .options(writeOptions)
+        .partitionBy(partCols: _*)
+        .parquet(staging.toString)
 
       // empty input (e.g. CREATE TABLE with no rows) stages no part files;
       // spark.read over a file-less dir cannot infer a schema

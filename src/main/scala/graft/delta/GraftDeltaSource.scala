@@ -98,17 +98,30 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
     }
     require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
       "graftdelta: versionAsOf and timestampAsOf are mutually exclusive")
-    val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
-      case (Some(v), _) => log.snapshotAt(v.toLong)
-      case (_, Some(ts)) =>
+    require(!(parameters.contains("logTail") &&
+        (parameters.contains("versionAsOf") || parameters.contains("timestampAsOf"))),
+      "graftdelta: logTail cannot be combined with versionAsOf/timestampAsOf " +
+        "(the tail defines the newest state)")
+    val snapshot = (parameters.get("versionAsOf"), parameters.get("timestampAsOf"),
+        parameters.get("logTail")) match {
+      case (Some(v), _, _) => log.snapshotAt(v.toLong)
+      case (_, Some(ts), _) =>
         // millis since epoch, or any timestamp string Spark can cast
         val millis = ts.toLongOption.getOrElse(
           java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
         log.snapshotAt(log.versionAtTimestamp(millis))
+      case (_, _, Some(tail)) =>
+        // comma-separated commit-JSON paths — the reference's `log_tail`
+        // option (delta_extension.cpp:55-57): not-yet-committed commits
+        // folded into snapshot construction
+        log.snapshotWithLogTail(tail.split(',').toSeq.map(_.trim)
+          .filter(_.nonEmpty).map(new org.apache.hadoop.fs.Path(_)))
       case _ => log.update()
     }
-    val opts = ScanOptions(pushdownFilters =
-      parameters.get("pushdownFilters").forall(_.toBoolean))
+    // reference mode matrix (delta_scan.cpp:14-44): none / all /
+    // constant_only / dynamic_only; boolean strings kept for back-compat
+    val opts = parameters.get("pushdownFilters")
+      .map(ScanOptions.parse).getOrElse(ScanOptions())
     snapshot.asRelation(opts)
   }
 

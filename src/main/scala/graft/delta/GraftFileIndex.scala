@@ -25,13 +25,44 @@ import org.apache.spark.sql.types.StructType
  *   modification times come from the log. At 100 TB this is the difference
  *   between one log replay and millions of object-store LIST/HEAD calls.
  */
-/** Scan pushdown toggle — the `pushdown_filters` option of `delta_scan`
-  * (reference delta_scan.cpp:14-44). Stats skipping is redundant with the
-  * row-level filters Spark keeps in the plan, so disabling never changes
-  * results, only how many files are scheduled. (The reference's
-  * `pushdown_partition_info` has no safe Spark analog: a FileIndex MUST
-  * honor partition filters because Spark prunes them from row filtering.) */
-final case class ScanOptions(pushdownFilters: Boolean = true)
+/** Scan pushdown mode — the `pushdown_filters` option of `delta_scan`
+  * (reference delta_scan.cpp:14-44): `none` / `all` / `constant_only` /
+  * `dynamic_only`, toggling the constant (WHERE-clause stats skipping +
+  * generated-column derivation) and dynamic (join-derived re-prune) paths
+  * independently. Stats skipping is redundant with the row-level filters
+  * Spark keeps in the plan, so no mode changes results, only how many
+  * files are scheduled. (The reference's `pushdown_partition_info` has no
+  * safe Spark analog: a FileIndex MUST honor partition filters because
+  * Spark prunes them from row filtering.) */
+final case class ScanOptions(pushdownMode: String = ScanOptions.All) {
+  require(ScanOptions.Modes.contains(pushdownMode),
+    s"pushdown_filters mode must be one of ${ScanOptions.Modes.mkString(", ")}: $pushdownMode")
+  def constantEnabled: Boolean =
+    pushdownMode == ScanOptions.All || pushdownMode == ScanOptions.ConstantOnly
+  def dynamicEnabled: Boolean =
+    pushdownMode == ScanOptions.All || pushdownMode == ScanOptions.DynamicOnly
+  /** Back-compat boolean view (true = any pushdown enabled). */
+  def pushdownFilters: Boolean = pushdownMode != ScanOptions.NoneMode
+}
+
+object ScanOptions {
+  val NoneMode = "none"
+  val All = "all"
+  val ConstantOnly = "constant_only"
+  val DynamicOnly = "dynamic_only"
+  val Modes: Set[String] = Set(NoneMode, All, ConstantOnly, DynamicOnly)
+  /** Back-compat constructor: the pre-r11 boolean toggle. */
+  def apply(pushdownFilters: Boolean): ScanOptions =
+    new ScanOptions(if (pushdownFilters) All else NoneMode)
+  /** Parse a user-facing option value: boolean strings map to all/none,
+    * otherwise the value must be a mode name (reference delta_scan.cpp:14-28
+    * errors on unknown modes the same way). */
+  def parse(value: String): ScanOptions = value.trim.toLowerCase match {
+    case "true" => new ScanOptions(All)
+    case "false" => new ScanOptions(NoneMode)
+    case m => new ScanOptions(m)
+  }
+}
 
 class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
     options: ScanOptions = ScanOptions(),
@@ -90,15 +121,16 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
         })
       }
     val statsKeeper =
-      if (options.pushdownFilters)
+      if (options.constantEnabled)
         FileSkipping.keeper(snapshot.physicalDataSchema, statsFilters)
       else None
     // 1b. generated-column partition pruning: filters on the BASE column
     //     of a monotonic generation expression imply partition filters
     //     (delta-spark OptimizeGeneratedColumn analog) — `WHERE ts >= L`
-    //     prunes `PARTITIONED BY (year(ts))` partitions
+    //     prunes `PARTITIONED BY (year(ts))` partitions. Derived from
+    //     CONSTANT filters, so it follows the constant toggle.
     val derivedPartFilters =
-      if (!options.pushdownFilters) Nil
+      if (!options.constantEnabled) Nil
       else GeneratedPruning.derive(spark, snapshot, logicalNames, dataFilters)
     if (derivedPartFilters.nonEmpty)
       GraftMetrics.record(PushdownEvent(
@@ -125,14 +157,19 @@ class GraftFileIndex(spark: SparkSession, snapshot: Snapshot,
     // snapshots, executor-side Dataset filter + survivor collect for
     // checkpoint-backed LazySnapshots (10⁶+ adds never hit the driver)
     val afterPartition = snapshot.scanCandidates(statsKeeper, partitionBound)
+    // event typing mirrors the reference's log (file_skipping_params.test):
+    // `constant` only when the constant path is ENABLED and had filters to
+    // push; a disabled-or-filterless listing records `none` (observability
+    // of files scheduled — the reference logs nothing here, and specs that
+    // port its per-mode assertions filter on constant/dynamic types)
     GraftMetrics.record(PushdownEvent(
       snapshot.log.tablePath.toString,
-      if (dataFilters.nonEmpty) "constant" else "none",
+      if (options.constantEnabled && dataFilters.nonEmpty) "constant" else "none",
       (dataFilters ++ partitionFilters).map(_.sql).mkString(" AND "),
       snapshot.fileCount.toInt, afterPartition.size))
     // 3. dynamic (join-derived) stats re-prune — bounds computed at runtime
     val afterDynamic =
-      if (dynamicThunks.isEmpty || !options.pushdownFilters) afterPartition
+      if (dynamicThunks.isEmpty || !options.dynamicEnabled) afterPartition
       else {
         val dyn =
           if (!logicalNames) dynamicFilters

@@ -99,11 +99,19 @@ object Curation {
    *     cost only verify work and the result is EXACT (same oracle as
    *     [[decontaminate]]).
    * The benchmark n-gram set is cached (it feeds the blob aggregation and
-   * the verify join); callers running this repeatedly can unpersist via
-   * `spark.catalog.clearCache()` or let LRU eviction handle it.
+   * the verify join in the returned plan). At most ONE such cache entry is
+   * live per session: each invocation unpersists the previous one, so
+   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU.
+   * `expectedItems <= 0` (the default) sizes the Bloom filter from a
+   * `bench.count()` over the already-cached set — a fixed guess undersizes
+   * at real benchmark volumes (10⁸ n-grams), driving fpp toward 1 and
+   * silently degrading the prefilter to a no-op.
    */
+  private val lastBloomBench =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
-      expectedItems: Long = 1L << 20): DataFrame = {
+      expectedItems: Long = 0L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val ng = wordNgrams(docs, n)
     // cached: the benchmark lineage feeds BOTH the blob aggregation (runs
@@ -112,10 +120,17 @@ object Curation {
     val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastBloomBench.put(docs.sparkSession, bench))
+      .filter(_ ne bench).foreach(_.unpersist(false))
     val corpus = ng.where(col("doc_id") % benchMod =!= 0)
+    // sizing pass doubles as the cache materializer: the blob agg and the
+    // verify join both read the cached blocks it populates
+    val nItems =
+      if (expectedItems > 0) expectedItems
+      else math.max(bench.count(), 4096L)
     val blobCol = column(
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        expression(xxhash64(col("s"))), expectedItems)
+        expression(xxhash64(col("s"))), nItems)
         .toAggregateExpression())
     val blob = bench.agg(blobCol.as("bf")).head().getAs[Array[Byte]]("bf")
     val mightContain = column(
@@ -206,9 +221,11 @@ object Curation {
    * sum, so every accumulation is exact 64-bit and the score is
    * engine-portable bit-for-bit.
    *
-   * The corpus total T is a single driver scalar (one count); the vocab
-   * count table is orders smaller than the corpus and broadcasts into
-   * the tf join.
+   * The corpus total T is a single driver scalar (one count). The vocab
+   * count table gets NO broadcast hint: a web-scale corpus has billions
+   * of unique tokens, so a forced broadcast is a driver OOM — the join
+   * shuffles on `token` (both sides are already token-keyed aggregates)
+   * and AQE still picks broadcast when the vocab is actually small.
    */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val tok = docs
@@ -217,7 +234,7 @@ object Curation {
     val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(counts), "token")
+    tf.join(counts, "token")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") *
         floor(log(lit(total.toDouble) / col("c")) * 1000).cast("long"))
@@ -230,28 +247,38 @@ object Curation {
    * pipeline runs: keep a doc unless it is a near-duplicate (non-canonical
    * member of a Jaccard cluster), benchmark-contaminated, repetitive, or
    * too short. Every signal is one of the oracle-checked operators in
-   * this package, so the composition is engine-reproducible end to end;
-   * each flag set is orders smaller than the corpus and broadcasts into
-   * the final join. Returns (doc_id, keep, reasons) with reasons a
-   * fixed-order CSV.
+   * this package, so the composition is engine-reproducible end to end.
+   * Returns (doc_id, keep, reasons) with reasons a fixed-order CSV.
+   *
+   * The flag sets are NOT broadcast: each is a doc-id subset that is
+   * corpus-proportional in the worst case (a mostly-short or
+   * high-duplication corpus — exactly what curation exists to filter), so
+   * a forced broadcast is a driver OOM at 100 TB. Instead the four sets
+   * union into one (doc_id, r) stream, aggregate ONCE by doc_id into the
+   * four flags (map-side combined — each source emits at most one row per
+   * doc), and a single plain left join attaches them; AQE still broadcasts
+   * the aggregated flag table when it is actually small.
    */
   def verdict(docs: DataFrame, minChars: Long = 50): DataFrame = {
     val short = docs.where(col("n_chars") < minChars)
-      .select(col("doc_id"), lit(true).as("f_short"))
-    val rep = repetitionFlags(docs).select(col("doc_id"), lit(true).as("f_rep"))
+      .select(col("doc_id"), lit("short").as("r"))
+    val rep = repetitionFlags(docs).select(col("doc_id"), lit("rep").as("r"))
     val dup = Dedup.canonicalize(Dedup.jaccardPairsDfCapped(docs))
       .where(col("keep_id") =!= col("doc_id"))
-      .select(col("doc_id"), lit(true).as("f_dup"))
+      .select(col("doc_id"), lit("dup").as("r"))
     val contam = decontaminate(docs)
-      .select(col("doc_id"), lit(true).as("f_contam"))
+      .select(col("doc_id"), lit("contam").as("r"))
+    val flags = dup.unionByName(contam).unionByName(rep).unionByName(short)
+      .groupBy(col("doc_id"))
+      .agg(max(col("r") === "dup").as("f_dup"),
+        max(col("r") === "contam").as("f_contam"),
+        max(col("r") === "rep").as("f_rep"),
+        max(col("r") === "short").as("f_short"))
     val reasons = concat_ws(",",
       when(col("f_dup"), "dup"), when(col("f_contam"), "contam"),
       when(col("f_rep"), "rep"), when(col("f_short"), "short"))
     docs.select(col("doc_id"))
-      .join(broadcast(dup), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
-      .join(broadcast(rep), Seq("doc_id"), "left")
-      .join(broadcast(short), Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"), (reasons === "").as("keep"), reasons.as("reasons"))
       .orderBy(col("doc_id"))
   }

@@ -172,21 +172,29 @@ object Dedup {
    * the pair edges iterated TO FIXPOINT — each round is one distributed
    * join+min; the driver only checks a changed-count per round (converges
    * in ≤ graph-diameter rounds; near-dup clusters are shallow, so
-   * typically 2-4). `localCheckpoint` truncates the growing lineage — on
-   * a cluster use a reliable checkpoint dir instead.
+   * typically 2-4). Lineage is truncated per round: with `checkpointDir`
+   * set, via RELIABLE `Dataset.checkpoint()` (survives executor loss —
+   * the right choice on a real cluster); otherwise via `localCheckpoint`
+   * (executor-local blocks — fine on a single node, lineage lost with an
+   * executor).
    *
    * @param pairs (id_a, id_b) edges with id_a < id_b
+   * @param checkpointDir reliable checkpoint directory (HDFS/object store
+   *   on a cluster); None → localCheckpoint
    * @return (doc_id, keep_id): rows with doc_id != keep_id are the drop list
    */
-  def canonicalize(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def canonicalize(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a"), col("id_b"))
     // symmetric neighbor list: (node, neighbor)
-    val nbrs = edges.select(col("id_a").as("n"), col("id_b").as("m"))
-      .union(edges.select(col("id_b").as("n"), col("id_a").as("m")))
-      .localCheckpoint()
-    var labels = nbrs.select(col("n")).distinct()
-      .select(col("n").as("doc_id"), col("n").as("keep_id"))
-      .localCheckpoint()
+    val nbrs = truncate(
+      edges.select(col("id_a").as("n"), col("id_b").as("m"))
+        .union(edges.select(col("id_b").as("n"), col("id_a").as("m"))))
+    var labels = truncate(nbrs.select(col("n")).distinct()
+      .select(col("n").as("doc_id"), col("n").as("keep_id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -194,9 +202,8 @@ object Dedup {
       val viaNbr = nbrs
         .join(labels, nbrs("m") === labels("doc_id"))
         .select(nbrs("n").as("doc_id"), col("keep_id"))
-      val next = labels.union(viaNbr)
-        .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id"))
-        .localCheckpoint()
+      val next = truncate(labels.union(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("keep_id")).as("keep_id")))
       converged = next.as("x").join(labels.as("y"),
           col("x.doc_id") === col("y.doc_id"))
         .where(col("x.keep_id") =!= col("y.keep_id"))

@@ -21,6 +21,14 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Fork a session with an ISOLATED SQLConf sharing the SparkContext and
+    * session state (`cloneSession` is `private[sql]` in Spark 4). Used to
+    * make per-write conf toggles (e.g. variant shredding) write-local:
+    * setting them on the clone cannot race concurrent writes that read the
+    * original session's conf. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** The `private[sql]` temporary column name parquet readers match BY NAME
     * and populate with the physical (file-level) row index when a nullable
     * long field of this name appears in requiredSchema. */

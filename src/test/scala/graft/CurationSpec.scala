@@ -117,4 +117,40 @@ class CurationSpec extends AnyFunSuite {
     // every surprisal is positive (ln(T/c) > 0 whenever c < T)
     assert(s.values.forall(_ > 0))
   }
+
+  test("unigram surprisal carries no forced vocab broadcast (web-scale vocab)") {
+    // a web corpus has billions of unique tokens: a mandatory broadcast of
+    // the vocab count table is a driver OOM — the plan must leave the join
+    // strategy to AQE (no ResolvedHint anywhere in this pipeline)
+    val s = Curation.unigramSurprisal(docs)
+    val hints = s.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"vocab join must not be hint-forced:\n${hints.mkString("\n")}")
+  }
+
+  test("verdict: flag sets attach via plain joins — no forced broadcast on " +
+       "corpus-proportional sets") {
+    val v = Curation.verdict(docs)
+    // the only broadcast hint allowed in the whole composition is
+    // decontaminate's benchmark n-gram set (small by design); the four flag
+    // sets are corpus-proportional in the worst case and must not carry one
+    val hints = v.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1,
+      s"flag joins must not be hint-forced (${hints.size} broadcast hints)")
+    val rows = v.collect()
+    assert(rows.nonEmpty)
+    // composition semantics unchanged: keep == empty reasons; short docs
+    // carry the short flag
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty))
+    val byId = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("reasons")).toMap
+    docs.where(col("n_chars") < 50).select("doc_id").collect()
+      .map(_.getLong(0)).foreach { id =>
+        assert(byId(id).contains("short"), s"doc $id should be flagged short")
+      }
+  }
 }

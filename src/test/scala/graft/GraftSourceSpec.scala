@@ -67,6 +67,96 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(tv.getLong(0) == 7L && tv.isNullAt(1))
   }
 
+  test("delta_scan timestamp form resolves latest-at-or-before (ICT-backed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-ts").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaWriter.append(spark, src, dir) // v1 doubles every row
+    val ts = DeltaLog.forPath(spark, dir).commitHistory()
+      .map { case (v, t, _, _, _) => v -> t }.toMap
+    // at v0's ICT → v0; at v1's ICT → v1 (ICT is strictly monotone)
+    val n0 = spark.sql(
+      s"SELECT count(*) AS n FROM delta_scan('$dir', '${ts(0L)}')")
+      .collect()(0).getLong(0)
+    assert(n0 == src.count())
+    val n1 = spark.sql(
+      s"SELECT count(*) AS n FROM delta_scan('$dir', '${ts(1L)}')")
+      .collect()(0).getLong(0)
+    assert(n1 == 2 * src.count())
+    // a pre-table timestamp errors loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_scan('$dir', '1')").collect()
+    }
+  }
+
+  test("logTail read option folds not-yet-committed commit JSONs into the snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-logtail-spec").toString + "/t"
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") < 10), dir)   // v0
+    DeltaWriter.append(spark, src.filter(col("n_nationkey") >= 10), dir)  // v1
+    // stage v1's commit OUTSIDE the log: it now exists only as a tail entry
+    val side = java.nio.file.Files.createTempDirectory("graft-logtail-side")
+    val c1 = java.nio.file.Paths.get(dir, "_delta_log", f"${1L}%020d.json")
+    val staged = side.resolve(c1.getFileName)
+    java.nio.file.Files.move(c1, staged)
+    DeltaLog.forPath(spark, dir).invalidateCache()
+    // without the tail: v0 only
+    assert(spark.read.format("graftdelta").load(dir).count() ==
+      src.filter(col("n_nationkey") < 10).count())
+    // with the tail: full state
+    val tailed = spark.read.format("graftdelta")
+      .option("logTail", staged.toString).load(dir)
+    assert(tailed.count() == src.count())
+    // a tail entry at an already-committed version is ignored (log wins)
+    val dup = side.resolve(f"${0L}%020d.json")
+    java.nio.file.Files.writeString(dup, "{}")
+    assert(spark.read.format("graftdelta")
+      .option("logTail", dup.toString).load(dir).count() ==
+      src.filter(col("n_nationkey") < 10).count())
+    // a non-contiguous tail fails loudly
+    val gap = side.resolve(f"${5L}%020d.json")
+    java.nio.file.Files.copy(staged, gap)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("logTail", gap.toString).load(dir)
+    }
+    // logTail + time travel is rejected
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftdelta").option("logTail", staged.toString)
+        .option("versionAsOf", "0").load(dir)
+    }
+  }
+
+  test("delta_set_transaction_version commits at EXECUTION, not EXPLAIN") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txnfn").toString + "/t"
+    DeltaWriter.append(spark, spark.range(3).toDF("id"), dir)
+    val t = DeltaTable.forPath(spark, dir)
+    val v0 = t.version
+    // EXPLAIN must not commit (r10: the table fn committed at resolution)
+    spark.sql(
+      s"EXPLAIN SELECT * FROM delta_set_transaction_version('$dir', 'app-x', 5, NULL)")
+      .collect()
+    DeltaLog.forPath(spark, dir).invalidateCache()
+    assert(DeltaTable.forPath(spark, dir).version == v0,
+      "EXPLAIN of delta_set_transaction_version must not commit")
+    assert(t.getTransactionVersion("app-x").isEmpty)
+    // execution commits exactly once
+    val ok = spark.sql(
+      s"SELECT * FROM delta_set_transaction_version('$dir', 'app-x', 5, NULL)")
+      .collect()
+    assert(ok.length == 1 && ok(0).getBoolean(0))
+    DeltaLog.forPath(spark, dir).invalidateCache()
+    assert(DeltaTable.forPath(spark, dir).getTransactionVersion("app-x")
+      .contains(5L))
+    // the CAS form re-executed now fails loudly (expected NULL, found 5)
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM delta_set_transaction_version('$dir', 'app-x', 9, NULL)")
+        .collect()
+    }
+  }
+
   test("graftdelta reads a DV table: deleted rows dropped, values exact") {
     val path = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")

@@ -210,6 +210,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("doc_id")))
   }
 
+  test("canonicalize with a reliable checkpoint dir (cluster-safe lineage)") {
+    import spark.implicits._
+    // localCheckpoint loses lineage with an executor; on a real cluster the
+    // caller passes a reliable dir and each round persists via
+    // Dataset.checkpoint() — same fixpoint, recoverable blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-canon-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalize(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // checkpoint data actually landed in the reliable dir
+    def files(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(files).sum).getOrElse(0)
+      else 1
+    assert(files(new java.io.File(dir)) > 0,
+      "reliable checkpoint dir is empty — checkpoint() did not run")
+  }
+
   test("banded lsh near-dup pairs are exact-cosine verified with recall >= 0.5") {
     val pairs = Similarity.lshNearDupPairsBanded(emb, minSim = 0.2).collect()
     pairs.foreach { r =>
