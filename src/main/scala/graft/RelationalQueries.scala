@@ -445,24 +445,9 @@ object RelationalQueries {
         |WHERE event_type IN ('click','view')
         |GROUP BY h, event_type
         |ORDER BY h, event_type""".stripMargin,
-    // sessionization (the classic gap-based islands problem): new session
-    // when the per-user gap exceeds 8h; both windows partition by user_id,
-    // so the whole query is ONE user_id shuffle — the lag, the cumsum and
-    // the (user_id, sid) aggregate all reuse that partitioning, and
-    // per-user state never concentrates on one task at corpus scale
-    "q_sessionize" ->
-      """WITH g AS (SELECT user_id, event_id, ts, value,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 8 HOUR
-        |       THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |s AS (SELECT user_id, ts, value,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM g)
-        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end, round(sum(value),2) AS v
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    // q_sessionize moved to dataframeQueries: Spark's native session_window
+    // aggregate beats the portable lag+cumsum SQL ~2.4× (measured x100:
+    // 1.2s vs 2.9s) — the DuckDB oracle keeps the SQL formulation there
 
     // ================= TPC-DS-shaped breadth =================
     // The DS-catalog query shapes TPC-H doesn't stress, adapted to the
@@ -1728,6 +1713,46 @@ object RelationalQueries {
   /** DataFrame-API-flavored queries (same semantics, idiomatic Dataset
     * code): name → (impl, oracle SQL). */
   def dataframeQueries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    // sessionization (the classic gap-based islands problem): new session
+    // when the per-user gap exceeds 8h. Spark side: the NATIVE
+    // session_window aggregate — ONE user_id shuffle feeding a specialized
+    // merging-sessions aggregate, then a row_number over the (small)
+    // session rows for the per-user ordinal. Measured 2.4× faster at x100
+    // than the portable lag+cumsum+agg window chain (1.2s vs 2.9s hot; the
+    // chain was the bench's last >2×-vs-DuckDB relational row). The gap is
+    // 8h + 1µs because session_window opens a NEW session at diff == gap
+    // while the SQL's `> INTERVAL 8 HOUR` keeps it — with µs-precision
+    // timestamps the +1µs makes membership bit-identical to the oracle.
+    // Session ordinals follow window start = first-event ts, the same
+    // order the cumsum assigns.
+    "q_sessionize" -> (((s: SparkSession, dir: String) => {
+      ensureViews(s, dir)
+      val sess = s.table("events")
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours 1 microsecond"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value")), 2).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_window.start"))
+      sess.select(col("user_id"),
+          row_number().over(w).cast("long").as("session_id"),
+          col("n_events"), col("session_start"), col("session_end"), col("v"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 8 HOUR
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end, round(sum(value),2) AS v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin),
+
     "q_broadcast_join" -> (((s: SparkSession, dir: String) => {
       ensureViews(s, dir)
       val cust = s.table("customer")
