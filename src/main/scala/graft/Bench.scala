@@ -928,7 +928,8 @@ object Bench {
     val micro2Factor = sys.env
       .getOrElse("SPARK_GRAFT_MICRO2_SCALE", "300").toIntOption.getOrElse(300)
     val micro2Json =
-      if (scaleFactor <= 1 || micro2Factor <= microFactor) ""
+      if (scaleFactor <= 1 || micro2Factor <= microFactor ||
+          micro2Factor <= scaleFactor) ""
       else microPass(micro2Factor, Seq("q1_agg", "q_sessionize"),
         Set("lineitem", "events"))
 

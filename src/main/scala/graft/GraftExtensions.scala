@@ -41,9 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val df = args.lift(1) match {
           case Some(org.apache.spark.sql.catalyst.expressions.Literal(s,
               org.apache.spark.sql.types.StringType)) if s != null =>
-            val ts = s.toString
-            t.toDFAtTimestamp(ts.toLongOption.getOrElse(
-              java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime))
+            t.toDFAtTimestamp(graft.delta.DeltaLog.parseTimestampMillis(s.toString))
           case Some(v) => t.toDF(GraftExtensions.literalLong(v, "delta_scan version"))
           case None => t.toDF
         }

@@ -498,20 +498,27 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     require(newer.map(_._1) == expected,
       s"logTail does not extend the log contiguously after " +
         s"v${base.getOrElse(-1L)}: have ${newer.map(_._1).mkString(", ")}")
-    val replay = base match {
-      case Some(v) => LogReplay.fromSnapshot(snapshotAt(v))
-      case None => new LogReplay
-    }
     val conf = spark.sessionState.newHadoopConf()
-    newer.foreach { case (_, p) =>
+    def readTail(p: Path): Seq[Action] = {
       val tfs = p.getFileSystem(conf)
       val in = tfs.open(p)
       val txt =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
         finally in.close()
-      ActionJson.parseAll(txt).foreach(replay.apply)
+      ActionJson.parseAll(txt)
     }
-    replay.toSnapshot(this, newer.last._1)
+    base.map(snapshotAt) match {
+      // checkpoint-backed base: fold the tail into a NEW LazySnapshot —
+      // LogReplay.fromSnapshot would materialize every add on the driver,
+      // the exact thing the lazy path exists to avoid (and log_tail's
+      // catalog-served large tables are exactly that shape)
+      case Some(ls: LazySnapshot) =>
+        ls.withExtraTail(newer.last._1, newer.map { case (_, p) => readTail(p) })
+      case baseSnap =>
+        val replay = baseSnap.map(LogReplay.fromSnapshot).getOrElse(new LogReplay)
+        newer.foreach { case (_, p) => readTail(p).foreach(replay.apply) }
+        replay.toSnapshot(this, newer.last._1)
+    }
   }
 
   def readCommit(v: Long): Seq[Action] = {
@@ -765,6 +772,15 @@ object DeltaLog {
 
   def ictEnabled(conf: Map[String, String]): Boolean =
     conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
+  /** Time-travel timestamp literal → epoch millis: bare digits are millis,
+    * anything else parses as 'yyyy-MM-dd HH:mm:ss[.fff]' (a 'T' separator
+    * is tolerated). ONE parser shared by the format read options, the CDF
+    * boundaries and the delta_scan table function — extending the accepted
+    * formats must not diverge per surface. */
+  def parseTimestampMillis(ts: String): Long =
+    ts.toLongOption.getOrElse(
+      java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
 
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)

@@ -70,12 +70,17 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("graftdelta requires a path"))
     val spark = sqlContext.sparkSession
     val log = DeltaLog.forPath(spark, path)
+    // logTail is a plain-scan option; combining it with the CDF read would
+    // silently drop the tail commit's changes (the CDF branch returns
+    // before the logTail handling) — refuse loudly instead
+    require(!(parameters.contains("logTail") &&
+        parameters.get("readChangeFeed").exists(_.toBoolean)),
+      "graftdelta: logTail is not supported with readChangeFeed")
     // batch CDF read: spark.read.format("graftdelta")
     //   .option("readChangeFeed","true").option("startingVersion"/-Timestamp, …)
     //   [.option("endingVersion"/-Timestamp, …)] — delta-spark's surface
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
-      def millisOf(ts: String): Long = ts.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
+      def millisOf(ts: String): Long = DeltaLog.parseTimestampMillis(ts)
       require(!(parameters.contains("startingVersion") &&
           parameters.contains("startingTimestamp")),
         "graftdelta CDF: startingVersion and startingTimestamp are mutually exclusive")
@@ -106,10 +111,7 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
         parameters.get("logTail")) match {
       case (Some(v), _, _) => log.snapshotAt(v.toLong)
       case (_, Some(ts), _) =>
-        // millis since epoch, or any timestamp string Spark can cast
-        val millis = ts.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
-        log.snapshotAt(log.versionAtTimestamp(millis))
+        log.snapshotAt(log.versionAtTimestamp(DeltaLog.parseTimestampMillis(ts)))
       case (_, _, Some(tail)) =>
         // comma-separated commit-JSON paths — the reference's `log_tail`
         // option (delta_extension.cpp:55-57): not-yet-committed commits

@@ -43,6 +43,44 @@ private[graft] class LazySnapshot(
 
   @transient private lazy val addEncoder = Encoders.product[AddFile]
 
+  /** This lazy snapshot with extra commits folded on top (in order) — the
+    * `log_tail` read path for checkpoint-backed tables. Keeps the file
+    * list in the checkpoint Dataset: only the (small) extra-tail file
+    * actions reconcile driver-side, exactly like the JSON tail at build
+    * time. A `LogReplay.fromSnapshot` here would instead call [[allFiles]]
+    * and materialize 10⁶+ adds on the driver — the exact scenario
+    * `log_tail` exists for (catalog-served commits on large tables). */
+  private[delta] def withExtraTail(newVersion: Long,
+      commits: Seq[Seq[Action]]): LazySnapshot = {
+    import scala.collection.mutable
+    val replay = new LogReplay
+    replay.protocol = protocol
+    replay.metadata = metadata
+    replay.txns ++= setTransactions
+    domainMetadata.foreach(d => replay.domains.put(d.domain, d))
+    val adds = new mutable.LinkedHashMap[String, AddFile]
+    tailAdds.foreach(f => adds.put(f.decodedPath, f))
+    val shadowed = mutable.Set.empty[String] ++ tailRemovedPaths
+    val removes = new mutable.LinkedHashMap[String, RemoveFile]
+    tombstones.foreach(r => removes.put(r.decodedPath, r))
+    commits.flatten.foreach { a =>
+      a.add.foreach { f =>
+        adds.put(f.decodedPath, f); shadowed += f.decodedPath
+        removes.remove(f.decodedPath) // re-add resurrects
+      }
+      a.remove.foreach { r =>
+        adds.remove(r.decodedPath); shadowed += r.decodedPath
+        removes.put(r.decodedPath, r)
+      }
+      replay.apply(a.copy(add = None, remove = None))
+    }
+    ProtocolGate.validate(replay.protocol, log.tablePath.toString)
+    new LazySnapshot(log, newVersion, replay.protocol, replay.metadata,
+      checkpointPaths, adds.values.toSeq, shadowed.toSet,
+      replay.txns.toMap, replay.domains.values.toVector,
+      removes.values.toVector)
+  }
+
   /** Typed adds Dataset: checkpoint adds (columns aligned to the AddFile
     * encoder, absent optionals null-filled) minus tail-shadowed paths,
     * plus the tail's own adds. */

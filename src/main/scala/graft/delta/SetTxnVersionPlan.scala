@@ -27,7 +27,12 @@ case class SetTxnVersionPlan(path: String, appId: String, version: Long,
     // passed through the constructor so transform/copy keeps exprIds stable
     // (a fresh-minted `val output` breaks parent references on makeCopy)
     output: Seq[Attribute] = SetTxnVersionPlan.freshOutput())
-  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  // LeafNode's default computeStats() throws; joins/optimizer rules may ask
+  // (the pre-r11 LocalRelation result had stats, keep that contract)
+  override def computeStats(): org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = 1, rowCount = Some(1))
+}
 
 object SetTxnVersionPlan {
   def freshOutput(): Seq[Attribute] =

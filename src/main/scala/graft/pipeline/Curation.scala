@@ -101,14 +101,19 @@ object Curation {
    * The benchmark n-gram set is cached (it feeds the blob aggregation and
    * the verify join in the returned plan). At most ONE such cache entry is
    * live per session: each invocation unpersists the previous one, so
-   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU.
-   * `expectedItems <= 0` (the default) sizes the Bloom filter from a
-   * `bench.count()` over the already-cached set — a fixed guess undersizes
-   * at real benchmark volumes (10⁸ n-grams), driving fpp toward 1 and
-   * silently degrading the prefilter to a no-op.
+   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU
+   * (weak session keys — a discarded session never pins its entry; two
+   * CONCURRENT calls on one session stay correct but may recompute the
+   * unpersisted lineage). `expectedItems <= 0` (the default) sizes the
+   * Bloom filter from a `bench.count()` over the already-cached set — a
+   * fixed guess undersizes at real benchmark volumes (10⁸ n-grams),
+   * driving fpp toward 1 and silently degrading the prefilter to a no-op.
+   * The blob is ~1 byte/n-gram at the 3% default fpp (12 MB at 10⁷,
+   * 120 MB at 10⁸ — still orders under the exact string set).
    */
   private val lastBloomBench =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
 
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
       expectedItems: Long = 0L): DataFrame = {
@@ -128,11 +133,33 @@ object Curation {
     val nItems =
       if (expectedItems > 0) expectedItems
       else math.max(bench.count(), 4096L)
-    val blobCol = column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        expression(xxhash64(col("s"))), nItems)
-        .toAggregateExpression())
-    val blob = bench.agg(blobCol.as("bf")).head().getAs[Array[Byte]]("bf")
+    // Spark silently CLAMPS BloomFilterAggregate to the runtime bloom-join
+    // conf caps (4M items / 64M bits by default) — at 10⁸ n-grams that
+    // clamp drives fpp toward 1 and the prefilter degrades to a no-op.
+    // Raise the caps to this invocation's need (never lowering them) for
+    // the duration of the blob aggregation, bounded at 2³¹ bits (256 MB).
+    val needBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, 0.03),
+      Int.MaxValue.toLong)
+    val sess = docs.sparkSession
+    val capConfs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+        math.max(nItems, 4000000L).toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(needBits, 67108864L).toString)
+    val prevCaps = capConfs.map { case (k, _) => k -> sess.conf.getOption(k) }
+    val blob =
+      try {
+        capConfs.foreach { case (k, v) => sess.conf.set(k, v) }
+        val blobCol = column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            expression(xxhash64(col("s"))), nItems)
+            .toAggregateExpression())
+        bench.agg(blobCol.as("bf")).head().getAs[Array[Byte]]("bf")
+      } finally prevCaps.foreach {
+        case (k, Some(v)) => sess.conf.set(k, v)
+        case (k, None) => sess.conf.unset(k)
+      }
     val mightContain = column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(blob,

@@ -176,7 +176,12 @@ object Dedup {
    * set, via RELIABLE `Dataset.checkpoint()` (survives executor loss —
    * the right choice on a real cluster); otherwise via `localCheckpoint`
    * (executor-local blocks — fine on a single node, lineage lost with an
-   * executor).
+   * executor). NOTE: the reliable mode calls `setCheckpointDir`, an
+   * APPLICATION-LEVEL setting on the shared SparkContext — callers opting
+   * in own that setting. Superseded round checkpoints are deleted as soon
+   * as the next round materializes (Spark's own cleaner only reclaims
+   * them on GC with cleanCheckpoints=true), so storage stays O(2 rounds),
+   * not O(maxIters).
    *
    * @param pairs (id_a, id_b) edges with id_a < id_b
    * @param checkpointDir reliable checkpoint directory (HDFS/object store
@@ -188,6 +193,20 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // reliable-checkpoint file of a checkpoint()-ed Dataset (for eager
+    // cleanup of superseded rounds); None in localCheckpoint mode
+    def ckptFile(df: DataFrame): Option[String] =
+      if (checkpointDir.isEmpty) None
+      else df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.getCheckpointFile
+      }.flatten
+    def deleteCkpt(file: Option[String]): Unit = file.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val edges = pairs.select(col("id_a"), col("id_b"))
     // symmetric neighbor list: (node, neighbor)
     val nbrs = truncate(
@@ -208,10 +227,14 @@ object Dedup {
           col("x.doc_id") === col("y.doc_id"))
         .where(col("x.keep_id") =!= col("y.keep_id"))
         .isEmpty
+      deleteCkpt(ckptFile(labels)) // superseded by `next` — reclaim now
       labels = next
       it += 1
     }
-    labels.orderBy(col("doc_id"))
+    val result = labels.orderBy(col("doc_id"))
+    // the neighbor list is no longer referenced once the fixpoint is out
+    deleteCkpt(ckptFile(nbrs))
+    result
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 by

@@ -23,6 +23,12 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // ad-hoc conf experiments: GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     // GRAFT_STAGES=1: print per-stage wall time + shuffle volumes after
     // each timed run — the breakdown `explain` can't give.

@@ -180,4 +180,40 @@ class LazySnapshotSpec extends AnyFunSuite {
       assert(DeltaTable.forPath(spark, path).toDF.count() == src.count())
     }
   }
+
+  test("log tail over a checkpoint-backed table stays lazy") {
+    val src = Fixtures.readParquet(spark, sfDir, "lineitem")
+    val path = tmpTable()
+    DeltaWriter.append(spark,
+      src.where(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(16, col("l_orderkey")), path) // v0
+    DeltaTable.forPath(spark, path).checkpoint()
+    DeltaWriter.append(spark, src.where(col("l_orderkey") % 2 === 1), path) // v1
+    // stage v1 OUTSIDE the log: it now exists only as a log-tail entry
+    val side = java.nio.file.Files.createTempDirectory("graft-lazy-tail")
+    val c1 = java.nio.file.Paths.get(path, "_delta_log", f"${1L}%020d.json")
+    val staged = side.resolve(c1.getFileName)
+    java.nio.file.Files.move(c1, staged)
+    DeltaLog.clearCache()
+    withLowThreshold {
+      val log = DeltaLog.forPath(spark, path)
+      val snap = log.snapshotWithLogTail(
+        Seq(new org.apache.hadoop.fs.Path(staged.toString)))
+      // the base is checkpoint-backed; folding the tail must NOT
+      // materialize the checkpoint's file list on the driver
+      assert(snap.isInstanceOf[LazySnapshot],
+        s"log-tail fold dropped to the eager path: ${snap.getClass}")
+      assert(snap.version == 1)
+      val got = snap.toDF.where(col("l_orderkey") < 100)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+        .collect()(0)
+      val want = src.where(col("l_orderkey") < 100)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("s"))
+        .collect()(0)
+      assert(got == want)
+      assert(!snap.asInstanceOf[LazySnapshot].materializedFull,
+        "a pruned log-tail scan must not collect the full file list")
+      assert(snap.toDF.count() == src.count())
+    }
+  }
 }
