@@ -129,6 +129,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.literalString(args(1), "appId"),
           GraftExtensions.literalLong(args(2), "version"), expected)
       }))
+    // the reference's pushdown-observability table macro
+    // (delta_macros.cpp:14-30 `delta_filter_pushdown_log()`): one row per
+    // pushdown event — (path, filter_type, filters, files_before,
+    // files_after); optional literal arg filters by path substring
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_filter_pushdown_log"),
+      new ExpressionInfo("graft.delta.GraftMetrics", "delta_filter_pushdown_log"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.size <= 1,
+          "delta_filter_pushdown_log([path_substring]) takes 0-1 literal arguments")
+        val df0 = graft.delta.GraftMetrics.pushdownLog(spark)
+          .withColumnRenamed("filterType", "filter_type")
+          .withColumnRenamed("filesBefore", "files_before")
+          .withColumnRenamed("filesAfter", "files_after")
+        val df = args.headOption.map(a =>
+          df0.where(org.apache.spark.sql.functions.col("path")
+            .contains(GraftExtensions.literalString(a, "path_substring"))))
+          .getOrElse(df0)
+        df.queryExecution.logical
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

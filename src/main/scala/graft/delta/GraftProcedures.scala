@@ -176,6 +176,46 @@ private[delta] object GraftProcedures {
               UTF8String.fromString(
                 ActionJson.mapper.writeValueAsString(mj)))): InternalRow
         }.toArray))
+      // the reference's test utilities (util_functions.cpp:12-43 write_blob,
+      // delta_macros.cpp FILE_COPY_MACRO copy_dir) — here through Hadoop FS,
+      // so unlike the reference's LocalFileSystem TODO they work against any
+      // configured object store
+      case "write_blob" => Some(proc("write_blob",
+        "Write a binary blob to a file (parent dirs created); test utility",
+        Seq(in("path", StringType), in("content", BinaryType)),
+        StructType(Seq(StructField("success", BooleanType))),
+        args => {
+          val p = new org.apache.hadoop.fs.Path(args.getString(0))
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val out = fs.create(p, true)
+          try out.write(args.getBinary(1)) finally out.close()
+          new GenericInternalRow(Array[Any](true))
+        }))
+      case "copy_dir" => Some(proc("copy_dir",
+        "Recursively copy a directory (test utility backing fixture clones)",
+        Seq(in("src", StringType), in("dst", StringType)),
+        StructType(Seq(StructField("files_copied", IntegerType))),
+        args => {
+          val src = new org.apache.hadoop.fs.Path(args.getString(0))
+          val dst = new org.apache.hadoop.fs.Path(args.getString(1))
+          val conf = spark.sessionState.newHadoopConf()
+          val sfs = src.getFileSystem(conf)
+          val dfs = dst.getFileSystem(conf)
+          var copied = 0
+          def walk(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path): Unit = {
+            val st = sfs.getFileStatus(s)
+            if (st.isDirectory) {
+              dfs.mkdirs(d)
+              sfs.listStatus(s).foreach(c =>
+                walk(c.getPath, new org.apache.hadoop.fs.Path(d, c.getPath.getName)))
+            } else {
+              org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d, false, conf)
+              copied += 1
+            }
+          }
+          walk(src, dst)
+          new GenericInternalRow(Array[Any](copied))
+        }))
       case _ => None
     }
   }
@@ -183,6 +223,7 @@ private[delta] object GraftProcedures {
   def names: Seq[String] =
     Seq("optimize", "zorder", "cluster_by", "optimize_cluster", "vacuum",
       "restore", "clone", "checkpoint", "generate", "history", "detail",
+      "write_blob", "copy_dir",
       "set_transaction_version")
 
   private def in(n: String, dt: DataType,
@@ -247,5 +288,7 @@ private[delta] object GraftProcedures {
       else row.get(i, StringType).asInstanceOf[UTF8String].toString
     def getLongOrNull(i: Int): Option[Long] =
       if (row.isNullAt(i)) None else Some(getLong(i))
+    def getBinary(i: Int): Array[Byte] =
+      row.get(i, BinaryType).asInstanceOf[Array[Byte]]
   }
 }

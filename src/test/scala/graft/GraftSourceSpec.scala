@@ -67,6 +67,25 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(tv.getLong(0) == 7L && tv.isNullAt(1))
   }
 
+  test("write_blob / copy_dir test utilities (reference util_functions.cpp, copy_dir macro)") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+    val base = java.nio.file.Files.createTempDirectory("graft-blob").toString
+    // write_blob creates parent dirs and writes exact bytes
+    val ok = spark.sql(
+      s"CALL graft.write_blob('$base/a/b/blob.bin', X'00DEADBEEF')").collect()
+    assert(ok.length == 1 && ok(0).getBoolean(0))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/a/b/blob.bin"))
+    assert(bytes.toSeq == Seq(0x00, 0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+    // copy_dir replicates the tree; a table copied this way still reads
+    val src = Fixtures.delta(spark, sfDir, "nation", Fixtures.Plain)
+    val dst = java.nio.file.Files.createTempDirectory("graft-copydir").toString + "/t"
+    val n = spark.sql(s"CALL graft.copy_dir('$src', '$dst')").collect()(0).getInt(0)
+    assert(n > 0, "copy_dir copied no files")
+    assert(spark.read.format("graftdelta").load(dst).count() ==
+      spark.read.format("graftdelta").load(src).count())
+  }
+
   test("delta_scan timestamp form resolves latest-at-or-before (ICT-backed)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tvf-ts").toString + "/t"
     val src = Fixtures.readParquet(spark, sfDir, "region")

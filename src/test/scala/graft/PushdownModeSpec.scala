@@ -66,6 +66,22 @@ class PushdownModeSpec extends AnyFunSuite {
     assert(counts.head > 0)
   }
 
+  test("delta_filter_pushdown_log() SQL surface mirrors the reference macro") {
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Plain)
+    GraftMetrics.clear()
+    DeltaTable.forPath(spark, p).toDF.where(col("l_orderkey") < 50).count()
+    val rows = spark.sql(
+      "SELECT filter_type, files_before, files_after FROM delta_filter_pushdown_log()")
+      .collect()
+    assert(rows.exists(r => r.getString(0) == "constant" &&
+      r.getInt(2) < r.getInt(1)),
+      s"expected a shrinking constant event: ${rows.mkString(";")}")
+    // the optional literal arg filters by path substring
+    assert(spark.sql(
+      "SELECT count(*) FROM delta_filter_pushdown_log('no-such-table-xyz')")
+      .collect()(0).getLong(0) == 0)
+  }
+
   test("unknown mode errors loudly (reference FromString parity)") {
     intercept[IllegalArgumentException](ScanOptions(pushdownMode = "sometimes"))
     intercept[IllegalArgumentException](ScanOptions.parse("sometimes"))
