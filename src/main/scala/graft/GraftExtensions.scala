@@ -129,6 +129,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.literalString(args(1), "appId"),
           GraftExtensions.literalLong(args(2), "version"), expected)
       }))
+    // the reference's `get_delta_test_expression()` analog
+    // (expression_functions.cpp:30-55: render the kernel's canned test
+    // expression through the engine's expression visitor — the
+    // type-translation round-trip sanity). Here the translation layer is
+    // PartitionUtil (serialized protocol value ⇄ Catalyst internal), so the
+    // canned expression is one literal of EVERY supported partition type,
+    // parsed and rendered back: (type, raw, rendered_literal) rows.
+    e.injectTableFunction((
+      new FunctionIdentifier("delta_test_expression"),
+      new ExpressionInfo("graft.delta.PartitionUtil", "delta_test_expression"),
+      (args: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(args.isEmpty, "delta_test_expression() takes no arguments")
+        import org.apache.spark.sql.types._
+        val canned: Seq[(String, String, DataType)] = Seq(
+          ("string", "graft", StringType), ("byte", "42", ByteType),
+          ("short", "1024", ShortType), ("integer", "123456", IntegerType),
+          ("long", "9876543210", LongType), ("float", "1.5", FloatType),
+          ("double", "2.25", DoubleType), ("boolean", "true", BooleanType),
+          ("decimal(10,3)", "1234.567", DecimalType(10, 3)),
+          ("date", "2024-02-29", DateType),
+          ("timestamp", "2024-02-29 12:34:56.789012", TimestampType),
+          ("timestamp_ntz", "2024-02-29 12:34:56.789012", TimestampNTZType),
+          ("binary", "bin", BinaryType),
+          ("null", null, LongType))
+        import spark.implicits._
+        canned.map { case (tn, raw, dt) =>
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            graft.delta.PartitionUtil.toInternal(raw, dt), dt)
+          (tn, raw, lit.sql)
+        }.toDF("type", "raw", "rendered").queryExecution.logical
+      }))
     // the reference's pushdown-observability table macro
     // (delta_macros.cpp:14-30 `delta_filter_pushdown_log()`): one row per
     // pushdown event — (path, filter_type, filters, files_before,

@@ -67,6 +67,19 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(tv.getLong(0) == 7L && tv.isNullAt(1))
   }
 
+  test("delta_test_expression renders every partition type round-trip") {
+    val rows = spark.sql(
+      "SELECT type, raw, rendered FROM delta_test_expression()").collect()
+    assert(rows.length == 14)
+    val byType = rows.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byType("string").contains("graft"))
+    assert(byType("long").contains("9876543210"))
+    assert(byType("decimal(10,3)").contains("1234.567"))
+    assert(byType("date").contains("2024-02-29"))
+    assert(byType("timestamp").contains("12:34:56.789012"))
+    assert(byType("null").toUpperCase.contains("NULL"))
+  }
+
   test("write_blob / copy_dir test utilities (reference util_functions.cpp, copy_dir macro)") {
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
     val base = java.nio.file.Files.createTempDirectory("graft-blob").toString
