@@ -376,7 +376,13 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))),
 
     // --- multimodal ---
-    "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))))
+    "multimodal_features" -> ((s, dir) => Multimodal.mediaFeatures(docs(s, dir))),
+
+    // REAL image decode: genuine P6 PPM payloads, batched pure-JVM parse
+    // on executors, integer features the oracle re-derives pixel-by-pixel
+    // from the generation formula — a wrong header offset or channel
+    // de-interleave fails the hash gate
+    "multimodal_ppm_decode" -> ((s, dir) => Multimodal.ppmFeatures(docs(s, dir))))
 
   // ======================================================================
   // Oracle SQL generation — mirrors of the Spark operators in DuckDB's
@@ -757,6 +763,34 @@ object PipelineQueries {
        |FROM byt WHERE pos < len
        |GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
 
+  /** PPM oracle: re-derives every pixel from the shared formula
+    * v(c) = (doc_id·31 + p·7 + c·13) mod 256 over the doc's W×H raster
+    * (W = 16 + id%16, H = 16 + id%8; max raster 31·23 = 713 px) and
+    * aggregates the same integer features the decoder extracts —
+    * mirrors Multimodal.syntheticPpm/decodePpm/ppmFeatures. */
+  private val multimodalPpmSql =
+    """WITH dims AS (SELECT doc_id, CAST(16 + doc_id % 16 AS BIGINT) AS w,
+      |    CAST(16 + doc_id % 8 AS BIGINT) AS h FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, s.p
+      |  FROM dims d JOIN (SELECT unnest(range(0, 713)) AS p) s ON s.p < d.w * d.h),
+      |sums AS (SELECT doc_id, w, h,
+      |    CAST(sum((doc_id*31 + p*7) % 256) * 100 // (w*h) AS BIGINT) AS mean_r_x100,
+      |    CAST(sum((doc_id*31 + p*7 + 13) % 256) * 100 // (w*h) AS BIGINT) AS mean_g_x100,
+      |    CAST(sum((doc_id*31 + p*7 + 26) % 256) * 100 // (w*h) AS BIGINT) AS mean_b_x100
+      |  FROM px GROUP BY doc_id, w, h),
+      |th AS (SELECT d.doc_id,
+      |    CAST(sum(
+      |        ((d.doc_id*31 + (((g.i // 4) * d.h // 4) * d.w + (g.i % 4) * d.w // 4)*7) % 256)
+      |    + 2*((d.doc_id*31 + (((g.i // 4) * d.h // 4) * d.w + (g.i % 4) * d.w // 4)*7 + 13) % 256)
+      |    + 3*((d.doc_id*31 + (((g.i // 4) * d.h // 4) * d.w + (g.i % 4) * d.w // 4)*7 + 26) % 256)
+      |      ) AS BIGINT) AS thumb_sum
+      |  FROM dims d CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+      |  GROUP BY d.doc_id)
+      |SELECT s.doc_id, s.w, s.h, s.mean_r_x100, s.mean_g_x100, s.mean_b_x100,
+      |  th.thumb_sum
+      |FROM sums s JOIN th ON s.doc_id = th.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
   // pseudo-benchmark; word-count guard drops short-doc partial grams on
   // both engines (NULL-concat in DuckDB, concat_ws null-skip in Spark).
@@ -956,6 +990,7 @@ object PipelineQueries {
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY label, i ORDER BY label, i""".stripMargin,
     "multimodal_features" -> multimodalSql,
+    "multimodal_ppm_decode" -> multimodalPpmSql,
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->

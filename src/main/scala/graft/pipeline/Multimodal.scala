@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
  * boundary crossing an object-serialization fence, instead of dropping
  * the whole subtree to an untyped RDD.
  *
- * The actual codec decode is STUBBED (`decodeStub`) — no image/audio
- * libraries ship in this environment — but everything Spark-side is real:
- * schema, binary payloads, batched iteration, partitioning, and the
- * feature-extraction contract.
+ * Decode status: the PPM (P6) image pipeline below is REAL end to end —
+ * a complete pure-JVM netpbm parser (whitespace/comment-tolerant header,
+ * raw RGB raster) feeding integer feature extraction, oracle-checked
+ * pixel-exact. Codec-LIBRARY formats (JPEG/PNG/audio) stay stubbed
+ * (`decodeStub`) because no codec libraries ship in this environment; the
+ * Spark-side plumbing (schema, binary payloads, batched iteration,
+ * partitioning, feature contract) is shared and real for both.
  *
  * Payload bytes are an md5 chain (block k of doc d = md5("d:k")), so the
  * synthetic bytes — and therefore every extracted feature — are
@@ -120,4 +123,131 @@ object Multimodal {
       .select(col("doc_id"), col("media_len"), col("mean_byte_x100"),
         col("hist")(0).as("hist0"), col("hist")(15).as("hist15"))
       .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // REAL image decode: PPM (P6). The container ships no codec libraries,
+  // so JPEG/PNG stay out of reach — but PPM is a real, widely-used image
+  // format (netpbm) whose binary layout a pure-JVM parser handles
+  // completely: magic, whitespace/comment-tolerant header, maxval, then
+  // raw interleaved RGB. The pipeline below is the full multimodal shape
+  // with NO stub anywhere: encode (synthetic but genuine PPM bytes) →
+  // distributed batched DECODE → per-channel means + a nearest-neighbor
+  // 4×4 thumbnail checksum, all integer-exact so the DuckDB oracle
+  // re-derives every feature from the pixel formula — a wrong header
+  // offset, channel de-interleave or sampling index fails the hash gate.
+  // ------------------------------------------------------------------
+
+  // all-BIGINT row: the oracle compare is type-faithful, so widths ride
+  // as longs like every other oracle-facing integer column
+  case class PpmFeatureRow(doc_id: Long, w: Long, h: Long,
+      mean_r_x100: Long, mean_g_x100: Long, mean_b_x100: Long, thumb_sum: Long)
+
+  /** Deterministic pixel channel value: pixel ordinal `p` (row-major),
+    * channel `c` (0=R,1=G,2=B). Shared contract with the oracle SQL. */
+  @inline private def pixelValue(docId: Long, p: Long, c: Int): Int =
+    ((docId * 31 + p * 7 + c * 13) % 256).toInt
+
+  /** A genuine P6 PPM image for `docId`: 16+(id%16) × 16+(id%8), maxval
+    * 255, every 5th doc carries a header comment line (the part naive
+    * parsers break on). */
+  def syntheticPpm(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 16).toInt
+    val h = 16 + (docId % 8).toInt
+    val comment = if (docId % 5 == 0) "# synthetic netpbm fixture\n" else ""
+    val header = s"P6\n$comment$w $h\n255\n".getBytes("US-ASCII")
+    val body = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      body(p * 3) = pixelValue(docId, p, 0).toByte
+      body(p * 3 + 1) = pixelValue(docId, p, 1).toByte
+      body(p * 3 + 2) = pixelValue(docId, p, 2).toByte
+      p += 1
+    }
+    val out = new Array[Byte](header.length + body.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(body, 0, out, header.length, body.length)
+    out
+  }
+
+  /** REAL P6 decoder: returns (width, height, rgb bytes). Handles the
+    * format's whitespace rules and `#` comments; rejects non-P6 magic,
+    * maxval ≠ 255 and truncated payloads loudly. */
+  def decodePpm(media: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var i = 0
+    def die(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a P6 PPM: $msg")
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < media.length) {
+        val ch = media(i) & 0xff
+        if (ch == '#') { while (i < media.length && media(i) != '\n') i += 1 }
+        else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t') i += 1
+        else in = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < media.length && media(i) >= '0' && media(i) <= '9') {
+        v = v * 10 + (media(i) - '0'); i += 1; any = true
+      }
+      if (!any) die("expected integer in header")
+      v
+    }
+    if (media.length < 2 || media(0) != 'P' || media(1) != '6') die("bad magic")
+    i = 2
+    val w = int()
+    val h = int()
+    val maxval = int()
+    if (maxval != 255) die(s"unsupported maxval $maxval")
+    i += 1 // exactly ONE whitespace byte separates maxval from raster
+    val need = w * h * 3
+    if (media.length - i < need)
+      die(s"truncated raster: have ${media.length - i}, need $need")
+    val rgb = new Array[Byte](need)
+    System.arraycopy(media, i, rgb, 0, need)
+    (w, h, rgb)
+  }
+
+  /** documents → PPM payloads (executor-side) → batched decode →
+    * integer features. mean_c_x100 = Σ channel · 100 / (w·h); thumb_sum =
+    * Σ over the 4×4 nearest-neighbor downsample of r + 2g + 3b. */
+  def ppmFeatures(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val (w, h, rgb) = decodePpm(syntheticPpm(id))
+            val sums = new Array[Long](3)
+            var p = 0
+            while (p < w * h) {
+              sums(0) += rgb(p * 3) & 0xff
+              sums(1) += rgb(p * 3 + 1) & 0xff
+              sums(2) += rgb(p * 3 + 2) & 0xff
+              p += 1
+            }
+            var thumb = 0L
+            var ty = 0
+            while (ty < 4) {
+              var tx = 0
+              while (tx < 4) {
+                val sp = (ty * h / 4) * w + (tx * w / 4)
+                thumb += (rgb(sp * 3) & 0xff) + 2L * (rgb(sp * 3 + 1) & 0xff) +
+                  3L * (rgb(sp * 3 + 2) & 0xff)
+                tx += 1
+              }
+              ty += 1
+            }
+            val n = (w * h).toLong
+            PpmFeatureRow(id, w.toLong, h.toLong,
+              sums(0) * 100 / n, sums(1) * 100 / n, sums(2) * 100 / n, thumb)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 }

@@ -210,6 +210,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep_id") <= r.getAs[Long]("doc_id")))
   }
 
+  test("PPM decode is a real parser: round-trip, comments, loud failures") {
+    // round-trip incl. the comment-carrying header variant (id % 5 == 0)
+    Seq(5L, 7L, 31L).foreach { id =>
+      val (w, h, rgb) = Multimodal.decodePpm(Multimodal.syntheticPpm(id))
+      assert(w == 16 + (id % 16).toInt && h == 16 + (id % 8).toInt)
+      assert(rgb.length == w * h * 3)
+    }
+    // a PPM assembled by hand (any netpbm writer's layout) decodes exactly
+    val hand = "P6\n# hand-written\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val (w2, h2, rgb2) = Multimodal.decodePpm(hand)
+    assert(w2 == 2 && h2 == 1 && rgb2.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // loud failures: wrong magic, truncated raster, bad maxval
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P5\n1 1\n255\n!".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P6\n1 1\n65535\n??????".getBytes("US-ASCII")))
+    // distributed features equal a driver-side brute force for sample docs
+    val got = Multimodal.ppmFeatures(docs.limit(20)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mean_r_x100"), r.getAs[Long]("thumb_sum"))).toMap
+    got.keys.foreach { id =>
+      val (w, h, rgb) = Multimodal.decodePpm(Multimodal.syntheticPpm(id))
+      val n = w * h
+      val sr = (0 until n).map(p => (rgb(p * 3) & 0xff).toLong).sum
+      assert(got(id)._1 == sr * 100 / n)
+    }
+  }
+
   test("canonicalize with a reliable checkpoint dir (cluster-safe lineage)") {
     import spark.implicits._
     // localCheckpoint loses lineage with an executor; on a real cluster the
