@@ -382,7 +382,11 @@ object PipelineQueries {
     // on executors, integer features the oracle re-derives pixel-by-pixel
     // from the generation formula — a wrong header offset or channel
     // de-interleave fails the hash gate
-    "multimodal_ppm_decode" -> ((s, dir) => Multimodal.ppmFeatures(docs(s, dir))))
+    "multimodal_ppm_decode" -> ((s, dir) => Multimodal.ppmFeatures(docs(s, dir))),
+
+    // REAL audio decode: genuine RIFF/WAVE 16-bit PCM payloads (incl.
+    // LIST chunks the parser must skip), sample-exact oracle
+    "multimodal_wav_decode" -> ((s, dir) => Multimodal.wavFeatures(docs(s, dir))))
 
   // ======================================================================
   // Oracle SQL generation — mirrors of the Spark operators in DuckDB's
@@ -791,6 +795,23 @@ object PipelineQueries {
       |FROM sums s JOIN th ON s.doc_id = th.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** WAV oracle: re-derives every PCM sample from the shared formula
+    * v(i) = ((doc_id·37 + i·11) mod 4001) − 2000 over the doc's
+    * n = 256 + id%256 samples and aggregates the same integer features —
+    * mirrors Multimodal.syntheticWav/decodeWav/wavFeatures. */
+  private val multimodalWavSql =
+    """WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n FROM documents),
+      |sm AS (SELECT d.doc_id, s.i, ((d.doc_id*37 + s.i*11) % 4001) - 2000 AS v
+      |  FROM d JOIN (SELECT unnest(range(0, 512)) AS i) s ON s.i < d.n),
+      |zc AS (SELECT doc_id, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sm)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(count(*) FILTER (WHERE i > 0 AND ((pv < 0) <> (v < 0))) AS BIGINT)
+      |    AS zero_crossings
+      |FROM zc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
   // pseudo-benchmark; word-count guard drops short-doc partial grams on
   // both engines (NULL-concat in DuckDB, concat_ws null-skip in Spark).
@@ -991,6 +1012,7 @@ object PipelineQueries {
         |GROUP BY label, i ORDER BY label, i""".stripMargin,
     "multimodal_features" -> multimodalSql,
     "multimodal_ppm_decode" -> multimodalPpmSql,
+    "multimodal_wav_decode" -> multimodalWavSql,
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->

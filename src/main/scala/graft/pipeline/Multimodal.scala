@@ -210,6 +210,125 @@ object Multimodal {
     (w, h, rgb)
   }
 
+  // ------------------------------------------------------------------
+  // REAL audio decode: WAV (RIFF, 16-bit mono PCM) — like PPM, a genuine
+  // container format a pure-JVM parser handles completely: RIFF/WAVE
+  // magic, chunk walk (unknown chunks SKIPPED, as real writers insert
+  // LIST/INFO chunks), fmt validation, little-endian int16 samples.
+  // Features are classic audio-curation signals in exact integers: total
+  // absolute amplitude, peak, zero-crossing count.
+  // ------------------------------------------------------------------
+
+  case class WavFeatureRow(doc_id: Long, n_samples: Long, sum_abs: Long,
+      peak: Long, zero_crossings: Long)
+
+  /** Deterministic sample `i` for `docId`: a -2000..2000 16-bit PCM wave.
+    * Shared contract with the oracle SQL. */
+  @inline private def sampleValue(docId: Long, i: Long): Int =
+    (((docId * 37 + i * 11) % 4001) - 2000).toInt
+
+  /** A genuine 16-bit mono PCM WAV for `docId` (8 kHz, 256 + id%256
+    * samples); every 3rd doc carries a LIST chunk between fmt and data —
+    * the part naive offset-based parsers break on. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 256 + (docId % 256).toInt
+    val junk = if (docId % 3 == 0) 12 else 0 // "LIST" + size + 4 payload
+    val dataBytes = n * 2
+    val riffSize = 4 + (8 + 16) + junk + (8 + dataBytes)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(8000 * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    if (junk > 0)
+      out.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { out.putShort(sampleValue(docId, i).toShort); i += 1 }
+    out.array()
+  }
+
+  /** REAL RIFF/WAVE decoder: returns int16 samples. Walks chunks (skips
+    * unknown ones, honoring RIFF's even-byte padding rule), validates PCM
+    * mono 16-bit, rejects truncation loudly. */
+  def decodeWav(media: Array[Byte]): Array[Int] = {
+    def die(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a PCM WAV: $msg")
+    val buf = java.nio.ByteBuffer.wrap(media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (media.length < 12 || fourcc() != "RIFF") die("bad RIFF magic")
+    buf.getInt // riff size
+    if (fourcc() != "WAVE") die("bad WAVE magic")
+    var fmtOk = false
+    while (buf.remaining() >= 8) {
+      val id = fourcc()
+      val size = buf.getInt
+      if (size < 0 || size > buf.remaining()) die(s"truncated chunk $id")
+      id match {
+        case "fmt " =>
+          val p = buf.position()
+          val codec = buf.getShort
+          val channels = buf.getShort
+          buf.getInt; buf.getInt; buf.getShort
+          val bits = buf.getShort
+          if (codec != 1 || channels != 1 || bits != 16)
+            die(s"unsupported layout codec=$codec ch=$channels bits=$bits")
+          fmtOk = true
+          buf.position(p + size + (size & 1))
+        case "data" =>
+          if (!fmtOk) die("data chunk before fmt")
+          val n = size / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort.toInt; i += 1 }
+          return samples
+        case _ => // real writers insert LIST/INFO etc — skip, pad to even
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    die("no data chunk")
+  }
+
+  /** documents → WAV payloads → batched decode → integer audio features.
+    * zero_crossings counts sign flips between consecutive samples
+    * (negative vs non-negative). */
+  def wavFeatures(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val s = decodeWav(syntheticWav(id))
+            var sumAbs = 0L
+            var peak = 0L
+            var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val a = math.abs(s(i).toLong)
+              sumAbs += a
+              if (a > peak) peak = a
+              if (i > 0 && (s(i - 1) < 0) != (s(i) < 0)) zc += 1
+              i += 1
+            }
+            WavFeatureRow(id, s.length.toLong, sumAbs, peak, zc)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** documents → PPM payloads (executor-side) → batched decode →
     * integer features. mean_c_x100 = Σ channel · 100 / (w·h); thumb_sum =
     * Σ over the 4×4 nearest-neighbor downsample of r + 2g + 3b. */

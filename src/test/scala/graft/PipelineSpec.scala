@@ -241,6 +241,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV decode is a real RIFF parser: chunk walk, round-trip, loud failures") {
+    // round-trip incl. the LIST-chunk-carrying variant (id % 3 == 0)
+    Seq(3L, 7L).foreach { id =>
+      val s = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(s.length == 256 + (id % 256).toInt)
+    }
+    // loud failures: wrong magic, truncated data chunk
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav("AIFFxxxx".getBytes("US-ASCII")))
+    val truncated = Multimodal.syntheticWav(1L).dropRight(10)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(truncated))
+    // features equal a driver-side brute force for sample docs
+    val got = Multimodal.wavFeatures(docs.limit(10)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("sum_abs"), r.getAs[Long]("zero_crossings"))).toMap
+    got.keys.foreach { id =>
+      val s = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      val sumAbs = s.map(v => math.abs(v.toLong)).sum
+      val zc = (1 until s.length).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+      assert(got(id) == ((sumAbs, zc)))
+    }
+  }
+
   test("canonicalize with a reliable checkpoint dir (cluster-safe lineage)") {
     import spark.implicits._
     // localCheckpoint loses lineage with an executor; on a real cluster the
