@@ -386,7 +386,12 @@ object PipelineQueries {
 
     // REAL audio decode: genuine RIFF/WAVE 16-bit PCM payloads (incl.
     // LIST chunks the parser must skip), sample-exact oracle
-    "multimodal_wav_decode" -> ((s, dir) => Multimodal.wavFeatures(docs(s, dir))))
+    "multimodal_wav_decode" -> ((s, dir) => Multimodal.wavFeatures(docs(s, dir))),
+
+    // REAL video decode + frame sampling: genuine YUV4MPEG2 streams
+    // (tag-order-varying headers), every-2nd-frame luma stats,
+    // pixel-exact oracle
+    "multimodal_y4m_frames" -> ((s, dir) => Multimodal.y4mFrameSample(docs(s, dir))))
 
   // ======================================================================
   // Oracle SQL generation — mirrors of the Spark operators in DuckDB's
@@ -795,6 +800,27 @@ object PipelineQueries {
       |FROM sums s JOIN th ON s.doc_id = th.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Y4M oracle: re-derives every sampled frame's luma plane from the
+    * shared formula v(f,p) = (doc_id·17 + f·101 + p·3) mod 256 — frames
+    * 4 + id%5 (every 2nd sampled), luma plane (8+id%8)·2 × (8+id%4)·2 —
+    * mirrors Multimodal.syntheticY4m/decodeY4m/y4mFrameSample. */
+  private val multimodalY4mSql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST((8 + doc_id % 8) * 2 AS BIGINT) AS w,
+      |    CAST((8 + doc_id % 4) * 2 AS BIGINT) AS h,
+      |    CAST(4 + doc_id % 5 AS BIGINT) AS nf FROM documents),
+      |fr AS (SELECT d.doc_id, d.w, d.h, d.nf, f.f
+      |  FROM d JOIN (SELECT unnest(range(0, 8)) AS f) f
+      |    ON f.f < d.nf AND f.f % 2 = 0),
+      |px AS (SELECT fr.doc_id, fr.w, fr.h, fr.nf, fr.f,
+      |    (fr.doc_id*17 + fr.f*101 + p.p*3) % 256 AS v
+      |  FROM fr JOIN (SELECT unnest(range(0, 660)) AS p) p ON p.p < fr.w * fr.h)
+      |SELECT doc_id, w, h, nf AS n_frames,
+      |  CAST(count(DISTINCT f) AS BIGINT) AS n_sampled,
+      |  CAST(sum(v) AS BIGINT) AS luma_sum,
+      |  CAST(max(v) AS BIGINT) AS luma_max
+      |FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""".stripMargin
+
   /** WAV oracle: re-derives every PCM sample from the shared formula
     * v(i) = ((doc_id·37 + i·11) mod 4001) − 2000 over the doc's
     * n = 256 + id%256 samples and aggregates the same integer features —
@@ -1013,6 +1039,7 @@ object PipelineQueries {
     "multimodal_features" -> multimodalSql,
     "multimodal_ppm_decode" -> multimodalPpmSql,
     "multimodal_wav_decode" -> multimodalWavSql,
+    "multimodal_y4m_frames" -> multimodalY4mSql,
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet
     "stream_ingest_agg" ->

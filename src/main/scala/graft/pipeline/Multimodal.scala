@@ -329,6 +329,135 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL video decode: Y4M (YUV4MPEG2) — the raw-video container mjpeg
+  // tools/ffmpeg exchange: an ASCII stream header (W/H/framerate/
+  // colourspace tags in any order), then per-frame "FRAME\n" markers each
+  // followed by a raw C420 YUV plane set. A pure-JVM parser covers it
+  // completely; the operator is the task's "frame-sample" shape: decode →
+  // sample every k-th frame → per-sampled-frame luma statistics.
+  // ------------------------------------------------------------------
+
+  case class Y4mFeatureRow(doc_id: Long, w: Long, h: Long, n_frames: Long,
+      n_sampled: Long, luma_sum: Long, luma_max: Long)
+
+  /** Deterministic luma of pixel `p` in frame `f`: shared with the oracle. */
+  @inline private def lumaValue(docId: Long, f: Int, p: Long): Int =
+    ((docId * 17 + f * 101 + p * 3) % 256).toInt
+
+  /** A genuine YUV4MPEG2 stream for `docId`: 8+(id%8)×2 luma cols ×
+    * 8+(id%4)×2 rows (C420 needs even dims), 4 + id%5 frames, chroma
+    * planes constant 128. Header tag order varies per doc — parsers must
+    * read tags, not offsets. */
+  def syntheticY4m(docId: Long): Array[Byte] = {
+    val w = (8 + (docId % 8).toInt) * 2
+    val h = (8 + (docId % 4).toInt) * 2
+    val frames = 4 + (docId % 5).toInt
+    val tags =
+      if (docId % 2 == 0) s"W$w H$h F25:1 Ip A1:1 C420jpeg"
+      else s"C420jpeg F30:1 W$w H$h"
+    val header = s"YUV4MPEG2 $tags\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames * (frameMark.length + ySize + 2 * cSize))
+    out.write(header)
+    var f = 0
+    while (f < frames) {
+      out.write(frameMark)
+      var p = 0
+      while (p < ySize) { out.write(lumaValue(docId, f, p)); p += 1 }
+      var c = 0
+      while (c < 2 * cSize) { out.write(128); c += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL Y4M decoder: returns (w, h, per-frame luma planes). Parses the
+    * tag-based stream header (any tag order, unknown tags ignored — the
+    * format's contract), validates C420, walks FRAME markers, rejects
+    * truncation loudly. */
+  def decodeY4m(media: Array[Byte]): (Int, Int, Seq[Array[Byte]]) = {
+    def die(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a Y4M stream: $msg")
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i < media.length && media(i) != '\n') i += 1
+      if (i >= media.length) die("unterminated header line")
+      i += 1
+      new String(media, start, i - 1 - start, "US-ASCII")
+    }
+    val header = line()
+    if (!header.startsWith("YUV4MPEG2")) die("bad magic")
+    var w = -1
+    var h = -1
+    var colourspace = "C420" // the format's default
+    header.split(' ').drop(1).filter(_.nonEmpty).foreach { tag =>
+      tag.head match {
+        case 'W' => w = tag.tail.toInt
+        case 'H' => h = tag.tail.toInt
+        case 'C' => colourspace = tag
+        case _ => // F/I/A/X… tags: valid, irrelevant here
+      }
+    }
+    if (w <= 0 || h <= 0) die("missing W/H tags")
+    if (!colourspace.startsWith("C420")) die(s"unsupported $colourspace")
+    val ySize = w * h
+    val frameSize = ySize + 2 * ((w / 2) * (h / 2))
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (i < media.length) {
+      val mark = line()
+      if (!mark.startsWith("FRAME")) die(s"expected FRAME marker, got '$mark'")
+      if (media.length - i < frameSize)
+        die(s"truncated frame: have ${media.length - i}, need $frameSize")
+      frames += java.util.Arrays.copyOfRange(media, i, i + ySize)
+      i += frameSize
+    }
+    (w, h, frames.result())
+  }
+
+  /** documents → Y4M payloads → batched decode → frame-sampled luma
+    * features: every `stride`-th frame contributes its luma sum; `luma_max`
+    * is the max luma byte over sampled frames. */
+  def y4mFrameSample(docs: DataFrame, stride: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val (w, h, frames) = decodeY4m(syntheticY4m(id))
+            var lumaSum = 0L
+            var lumaMax = 0L
+            var sampled = 0L
+            var f = 0
+            while (f < frames.length) {
+              if (f % stride == 0) {
+                sampled += 1
+                val y = frames(f)
+                var p = 0
+                while (p < y.length) {
+                  val v = y(p) & 0xff
+                  lumaSum += v
+                  if (v > lumaMax) lumaMax = v
+                  p += 1
+                }
+              }
+              f += 1
+            }
+            Y4mFeatureRow(id, w.toLong, h.toLong, frames.length.toLong,
+              sampled, lumaSum, lumaMax)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** documents → PPM payloads (executor-side) → batched decode →
     * integer features. mean_c_x100 = Σ channel · 100 / (w·h); thumb_sum =
     * Σ over the 4×4 nearest-neighbor downsample of r + 2g + 3b. */

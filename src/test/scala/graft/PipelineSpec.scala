@@ -264,6 +264,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M decode is a real parser: tag-order headers, frame walk, loud failures") {
+    // round-trip across both header tag orders (id parity switches them)
+    Seq(2L, 3L).foreach { id =>
+      val (w, h, frames) = Multimodal.decodeY4m(Multimodal.syntheticY4m(id))
+      assert(w == (8 + (id % 8).toInt) * 2 && h == (8 + (id % 4).toInt) * 2)
+      assert(frames.length == 4 + (id % 5).toInt)
+      frames.foreach(f => assert(f.length == w * h))
+    }
+    // a hand-assembled stream with unknown X tags decodes (format contract)
+    val hand = ("YUV4MPEG2 W2 H2 F25:1 Xcustom C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](4 + 2)(7))
+    val (w2, h2, fr2) = Multimodal.decodeY4m(hand)
+    assert(w2 == 2 && h2 == 2 && fr2.length == 1 && fr2.head.forall(_ == 7))
+    // loud failures: bad magic, unsupported colourspace, truncated frame
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("MPEG4\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W2 H2 C444\nFRAME\nxxxxxxxxxxxx".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W2 H2\nFRAME\nxx".getBytes("US-ASCII")))
+    // distributed frame-sampling equals a driver-side brute force
+    val got = Multimodal.y4mFrameSample(docs.limit(10)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sampled"), r.getAs[Long]("luma_sum"))).toMap
+    got.keys.foreach { id =>
+      val (_, _, frames) = Multimodal.decodeY4m(Multimodal.syntheticY4m(id))
+      val sampled = frames.indices.filter(_ % 2 == 0)
+      val sum = sampled.map(f => frames(f).map(b => (b & 0xff).toLong).sum).sum
+      assert(got(id) == ((sampled.size.toLong, sum)))
+    }
+  }
+
   test("canonicalize with a reliable checkpoint dir (cluster-safe lineage)") {
     import spark.implicits._
     // localCheckpoint loses lineage with an executor; on a real cluster the
