@@ -201,20 +201,18 @@ private[delta] object GraftProcedures {
           val conf = spark.sessionState.newHadoopConf()
           val sfs = src.getFileSystem(conf)
           val dfs = dst.getFileSystem(conf)
-          var copied = 0
-          def walk(s: org.apache.hadoop.fs.Path, d: org.apache.hadoop.fs.Path): Unit = {
-            val st = sfs.getFileStatus(s)
-            if (st.isDirectory) {
-              dfs.mkdirs(d)
-              sfs.listStatus(s).foreach(c =>
-                walk(c.getPath, new org.apache.hadoop.fs.Path(d, c.getPath.getName)))
-            } else {
-              org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d, false, conf)
-              copied += 1
-            }
+          // count BEFORE copying — the count must not see files the copy
+          // itself creates; FileUtil.copy recurses directories and refuses
+          // a dst inside src (checkDependencies), which a hand-rolled walk
+          // would loop on
+          def files(p: org.apache.hadoop.fs.Path): Int = {
+            val st = sfs.getFileStatus(p)
+            if (st.isDirectory) sfs.listStatus(p).map(c => files(c.getPath)).sum
+            else 1
           }
-          walk(src, dst)
-          new GenericInternalRow(Array[Any](copied))
+          val n = files(src)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, conf)
+          new GenericInternalRow(Array[Any](n))
         }))
       case _ => None
     }

@@ -13,13 +13,14 @@ import org.apache.spark.sql.types._
  * boundary crossing an object-serialization fence, instead of dropping
  * the whole subtree to an untyped RDD.
  *
- * Decode status: the PPM (P6) image pipeline below is REAL end to end —
- * a complete pure-JVM netpbm parser (whitespace/comment-tolerant header,
- * raw RGB raster) feeding integer feature extraction, oracle-checked
- * pixel-exact. Codec-LIBRARY formats (JPEG/PNG/audio) stay stubbed
- * (`decodeStub`) because no codec libraries ship in this environment; the
- * Spark-side plumbing (schema, binary payloads, batched iteration,
- * partitioning, feature contract) is shared and real for both.
+ * Decode status: the IMAGE (PPM/P6), AUDIO (WAV/RIFF 16-bit PCM) and
+ * VIDEO (Y4M/YUV4MPEG2 frame sampling) pipelines below are REAL end to
+ * end — complete pure-JVM parsers feeding integer feature extraction,
+ * each oracle-checked pixel-/sample-exact. Only COMPRESSED codec-library
+ * formats (JPEG/PNG/MP3/H.264) stay stubbed (`decodeStub`) because no
+ * codec libraries ship in this environment; the Spark-side plumbing
+ * (schema, binary payloads, batched iteration, partitioning, feature
+ * contract) is shared and real for all of them.
  *
  * Payload bytes are an md5 chain (block k of doc d = md5("d:k")), so the
  * synthetic bytes — and therefore every extracted feature — are
@@ -201,6 +202,10 @@ object Multimodal {
     val h = int()
     val maxval = int()
     if (maxval != 255) die(s"unsupported maxval $maxval")
+    // guard the raster-size arithmetic: absurd header dims must die here,
+    // not wrap Int and slip a short raster past the truncation check
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue)
+      die(s"implausible dimensions ${w}x$h")
     i += 1 // exactly ONE whitespace byte separates maxval from raster
     val need = w * h * 3
     if (media.length - i < need)
@@ -276,6 +281,7 @@ object Multimodal {
       if (size < 0 || size > buf.remaining()) die(s"truncated chunk $id")
       id match {
         case "fmt " =>
+          if (size < 16) die(s"fmt chunk too small ($size)")
           val p = buf.position()
           val codec = buf.getShort
           val channels = buf.getShort
@@ -405,6 +411,10 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0) die("missing W/H tags")
     if (!colourspace.startsWith("C420")) die(s"unsupported $colourspace")
+    // guard the plane-size arithmetic against Int wrap (same contract as
+    // the PPM decoder: absurd dims die loudly, never index negatively)
+    if (w.toLong * h * 3 / 2 > Int.MaxValue)
+      die(s"implausible dimensions ${w}x$h")
     val ySize = w * h
     val frameSize = ySize + 2 * ((w / 2) * (h / 2))
     val frames = Seq.newBuilder[Array[Byte]]

@@ -97,6 +97,10 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(n > 0, "copy_dir copied no files")
     assert(spark.read.format("graftdelta").load(dst).count() ==
       spark.read.format("graftdelta").load(src).count())
+    // copying a directory into its own subtree is refused, never recursed
+    intercept[Exception] {
+      spark.sql(s"CALL graft.copy_dir('$base', '$base/inside')").collect()
+    }
   }
 
   test("delta_scan timestamp form resolves latest-at-or-before (ICT-backed)") {

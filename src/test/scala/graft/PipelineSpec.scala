@@ -229,6 +229,10 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.decodePpm("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       Multimodal.decodePpm("P6\n1 1\n65535\n??????".getBytes("US-ASCII")))
+    // Int-wrap guard: absurd dims die loudly instead of slipping a short
+    // raster past the truncation check (37838^2*3 wraps positive)
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(("P6\n37838 37838\n255\n" + "x" * 1024).getBytes("US-ASCII")))
     // distributed features equal a driver-side brute force for sample docs
     val got = Multimodal.ppmFeatures(docs.limit(20)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -252,6 +256,13 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.decodeWav("AIFFxxxx".getBytes("US-ASCII")))
     val truncated = Multimodal.syntheticWav(1L).dropRight(10)
     intercept[IllegalArgumentException](Multimodal.decodeWav(truncated))
+    // an undersized fmt chunk must die loudly, not underflow the buffer
+    val tinyFmt = java.nio.ByteBuffer.allocate(22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(14)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(2).putShort(1).array()
+    intercept[IllegalArgumentException](Multimodal.decodeWav(tinyFmt))
     // features equal a driver-side brute force for sample docs
     val got = Multimodal.wavFeatures(docs.limit(10)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -284,6 +295,10 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.decodeY4m("YUV4MPEG2 W2 H2 C444\nFRAME\nxxxxxxxxxxxx".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](
       Multimodal.decodeY4m("YUV4MPEG2 W2 H2\nFRAME\nxx".getBytes("US-ASCII")))
+    // Int-wrap guard: 65536x65536 would wrap ySize to 0 and skip the
+    // truncation check entirely — must die on the dims instead
+    intercept[IllegalArgumentException](
+      Multimodal.decodeY4m("YUV4MPEG2 W65536 H65536\nFRAME\nxxxx".getBytes("US-ASCII")))
     // distributed frame-sampling equals a driver-side brute force
     val got = Multimodal.y4mFrameSample(docs.limit(10)).collect()
       .map(r => r.getAs[Long]("doc_id") ->
