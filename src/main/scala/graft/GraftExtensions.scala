@@ -41,7 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val df = args.lift(1) match {
           case Some(org.apache.spark.sql.catalyst.expressions.Literal(s,
               org.apache.spark.sql.types.StringType)) if s != null =>
-            t.toDFAtTimestamp(graft.delta.DeltaLog.parseTimestampMillis(s.toString))
+            t.toDFAtTimestamp(
+              graft.delta.DeltaLog.parseTimestampMillis(spark, s.toString))
           case Some(v) => t.toDF(GraftExtensions.literalLong(v, "delta_scan version"))
           case None => t.toDF
         }

@@ -774,13 +774,24 @@ object DeltaLog {
     conf.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
 
   /** Time-travel timestamp literal → epoch millis: bare digits are millis,
-    * anything else parses as 'yyyy-MM-dd HH:mm:ss[.fff]' (a 'T' separator
-    * is tolerated). ONE parser shared by the format read options, the CDF
-    * boundaries and the delta_scan table function — extending the accepted
-    * formats must not diverge per surface. */
-  def parseTimestampMillis(ts: String): Long =
-    ts.toLongOption.getOrElse(
-      java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
+    * anything else parses as a SQL timestamp string IN THE SESSION TIMEZONE
+    * (`spark.sql.session.timeZone`) — the same resolution delta-spark uses
+    * for `timestampAsOf`, so results don't vary with the host JVM's default
+    * zone. An explicit zone suffix in the literal ('…Z', '…+02:00') wins
+    * over the session zone. ONE parser shared by the format read options,
+    * the CDF boundaries and the delta_scan table function — extending the
+    * accepted formats must not diverge per surface. */
+  def parseTimestampMillis(spark: SparkSession, ts: String): Long =
+    ts.toLongOption.getOrElse {
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse timestamp literal '$ts'"))
+    }
 
   def forPath(spark: SparkSession, path: String): DeltaLog = {
     val p = new Path(path)

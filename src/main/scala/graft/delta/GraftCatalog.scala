@@ -183,7 +183,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       .getOrElse(throw new NoSuchTableException(ident))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    GraftProcedures.names(owner()).map(Identifier.of(namespace, _)).toArray
 
   // -- SupportsNamespaces (flat: only the default namespace) --
   override def listNamespaces(): Array[Array[String]] = Array(Array.empty)

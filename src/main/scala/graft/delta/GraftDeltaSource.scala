@@ -80,7 +80,7 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
     //   .option("readChangeFeed","true").option("startingVersion"/-Timestamp, …)
     //   [.option("endingVersion"/-Timestamp, …)] — delta-spark's surface
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
-      def millisOf(ts: String): Long = DeltaLog.parseTimestampMillis(ts)
+      def millisOf(ts: String): Long = DeltaLog.parseTimestampMillis(spark, ts)
       require(!(parameters.contains("startingVersion") &&
           parameters.contains("startingTimestamp")),
         "graftdelta CDF: startingVersion and startingTimestamp are mutually exclusive")
@@ -111,7 +111,8 @@ class GraftDeltaSource extends RelationProvider with CreatableRelationProvider
         parameters.get("logTail")) match {
       case (Some(v), _, _) => log.snapshotAt(v.toLong)
       case (_, Some(ts), _) =>
-        log.snapshotAt(log.versionAtTimestamp(DeltaLog.parseTimestampMillis(ts)))
+        log.snapshotAt(log.versionAtTimestamp(
+          DeltaLog.parseTimestampMillis(spark, ts)))
       case (_, _, Some(tail)) =>
         // comma-separated commit-JSON paths — the reference's `log_tail`
         // option (delta_extension.cpp:55-57): not-yet-committed commits

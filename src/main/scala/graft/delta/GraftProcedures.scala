@@ -179,8 +179,11 @@ private[delta] object GraftProcedures {
       // the reference's test utilities (util_functions.cpp:12-43 write_blob,
       // delta_macros.cpp FILE_COPY_MACRO copy_dir) — here through Hadoop FS,
       // so unlike the reference's LocalFileSystem TODO they work against any
-      // configured object store
-      case "write_blob" => Some(proc("write_blob",
+      // configured object store. They give any SQL caller arbitrary
+      // filesystem write/overwrite, so — like the reference, which loads
+      // its macros only in the test harness — they resolve only when
+      // spark.graft.testUtilities=true on the calling session.
+      case "write_blob" if testUtilities(spark) => Some(proc("write_blob",
         "Write a binary blob to a file (parent dirs created); test utility",
         Seq(in("path", StringType), in("content", BinaryType)),
         StructType(Seq(StructField("success", BooleanType))),
@@ -191,7 +194,7 @@ private[delta] object GraftProcedures {
           try out.write(args.getBinary(1)) finally out.close()
           new GenericInternalRow(Array[Any](true))
         }))
-      case "copy_dir" => Some(proc("copy_dir",
+      case "copy_dir" if testUtilities(spark) => Some(proc("copy_dir",
         "Recursively copy a directory (test utility backing fixture clones)",
         Seq(in("src", StringType), in("dst", StringType)),
         StructType(Seq(StructField("files_copied", IntegerType))),
@@ -218,11 +221,16 @@ private[delta] object GraftProcedures {
     }
   }
 
-  def names: Seq[String] =
+  /** Filesystem-write test utilities resolve only when explicitly enabled
+    * — never in a production procedure catalog. */
+  private def testUtilities(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.testUtilities", "false").toBoolean
+
+  def names(spark: SparkSession): Seq[String] =
     Seq("optimize", "zorder", "cluster_by", "optimize_cluster", "vacuum",
       "restore", "clone", "checkpoint", "generate", "history", "detail",
-      "write_blob", "copy_dir",
-      "set_transaction_version")
+      "set_transaction_version") ++
+      (if (testUtilities(spark)) Seq("write_blob", "copy_dir") else Nil)
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

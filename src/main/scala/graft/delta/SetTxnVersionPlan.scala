@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.BooleanType
  * a view re-resolving the SQL text re-committed (and the 4-arg CAS form
  * then errored against its own earlier write). This node defers the side
  * effect to [[SetTxnVersionExec.doExecute]]: EXPLAIN plans but never
- * commits; each EXECUTION commits exactly once (so collecting the same
- * DataFrame twice is two commits — the same semantics as issuing
- * `CALL graft.set_transaction_version` twice, and the CAS form then fails
- * loudly on the second, as a CAS should).
+ * commits; the commit happens when the physical plan materializes its RDD.
+ * `QueryExecution.toRdd` is a lazy val, so that is ONE commit per
+ * DataFrame (a second `collect()` on the same DataFrame reuses the built
+ * RDD without re-committing) and one per re-resolution of the SQL text —
+ * each `spark.sql(...)` call is its own commit, matching
+ * `CALL graft.set_transaction_version` issued twice (the CAS form then
+ * fails loudly on the second, as a CAS should).
  */
 case class SetTxnVersionPlan(path: String, appId: String, version: Long,
     expected: Option[Option[Long]],

@@ -101,10 +101,16 @@ object Curation {
    * The benchmark n-gram set is cached (it feeds the blob aggregation and
    * the verify join in the returned plan). At most ONE such cache entry is
    * live per session: each invocation unpersists the previous one, so
-   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU
-   * (weak session keys — a discarded session never pins its entry; two
-   * CONCURRENT calls on one session stay correct but may recompute the
-   * unpersisted lineage). `expectedItems <= 0` (the default) sizes the
+   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU.
+   * Session keys are weak AND the DataFrame value is held through a
+   * WeakReference — a DataFrame strongly references its session, so a
+   * strong value would make the key permanently reachable and pin
+   * discarded sessions for the JVM lifetime. The trade: if GC clears the
+   * reference between calls, that one unpersist is skipped and the entry
+   * falls back to storage-level LRU eviction (bounded: one entry per
+   * session, session-scoped). Two CONCURRENT calls on one session stay
+   * correct but may recompute the unpersisted lineage.
+   * `expectedItems <= 0` (the default) sizes the
    * Bloom filter from a `bench.count()` over the already-cached set — a
    * fixed guess undersizes at real benchmark volumes (10⁸ n-grams),
    * driving fpp toward 1 and silently degrading the prefilter to a no-op.
@@ -113,7 +119,8 @@ object Curation {
    */
   private val lastBloomBench =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.ref.WeakReference[DataFrame]]())
 
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
       expectedItems: Long = 0L): DataFrame = {
@@ -125,7 +132,9 @@ object Curation {
     val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastBloomBench.put(docs.sparkSession, bench))
+    Option(lastBloomBench.put(docs.sparkSession,
+        new java.lang.ref.WeakReference(bench)))
+      .flatMap(r => Option(r.get()))
       .filter(_ ne bench).foreach(_.unpersist(false))
     val corpus = ng.where(col("doc_id") % benchMod =!= 0)
     // sizing pass doubles as the cache materializer: the blob agg and the
@@ -136,30 +145,31 @@ object Curation {
     // Spark silently CLAMPS BloomFilterAggregate to the runtime bloom-join
     // conf caps (4M items / 64M bits by default) — at 10⁸ n-grams that
     // clamp drives fpp toward 1 and the prefilter degrades to a no-op.
-    // Raise the caps to this invocation's need (never lowering them) for
-    // the duration of the blob aggregation, bounded at 2³¹ bits (256 MB).
+    // The raised caps (bounded at 2³¹ bits / 256 MB) are INVOCATION-LOCAL:
+    // the blob aggregation runs on a cloneSession() fork whose isolated
+    // SQLConf carries them — the same pattern DeltaWriter uses for variant
+    // shredding — so a concurrent query on the caller's session never sees
+    // raised caps and concurrent decontaminateBloom calls can't restore
+    // each other's stale values. The fork shares sharedState, so the agg
+    // still reads the cached `bench` blocks (cache lookup is by plan).
     val needBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, 0.03),
       Int.MaxValue.toLong)
-    val sess = docs.sparkSession
-    val capConfs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-        math.max(nItems, 4000000L).toString,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+    val blob = {
+      val aggSess = org.apache.spark.sql.GraftColumnBridge
+        .cloneSession(docs.sparkSession)
+      aggSess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        math.max(nItems, 4000000L).toString)
+      aggSess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         math.max(needBits, 67108864L).toString)
-    val prevCaps = capConfs.map { case (k, _) => k -> sess.conf.getOption(k) }
-    val blob =
-      try {
-        capConfs.foreach { case (k, v) => sess.conf.set(k, v) }
-        val blobCol = column(
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            expression(xxhash64(col("s"))), nItems)
-            .toAggregateExpression())
-        bench.agg(blobCol.as("bf")).head().getAs[Array[Byte]]("bf")
-      } finally prevCaps.foreach {
-        case (k, Some(v)) => sess.conf.set(k, v)
-        case (k, None) => sess.conf.unset(k)
-      }
+      val blobCol = column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          expression(xxhash64(col("s"))), nItems)
+          .toAggregateExpression())
+      org.apache.spark.sql.GraftColumnBridge.ofRows(aggSess,
+          bench.agg(blobCol.as("bf")).queryExecution.logical)
+        .head().getAs[Array[Byte]]("bf")
+    }
     val mightContain = column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(blob,

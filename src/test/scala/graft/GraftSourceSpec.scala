@@ -83,6 +83,14 @@ class GraftSourceSpec extends AnyFunSuite {
   test("write_blob / copy_dir test utilities (reference util_functions.cpp, copy_dir macro)") {
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
     val base = java.nio.file.Files.createTempDirectory("graft-blob").toString
+    // filesystem-write utilities are GATED: without the opt-in conf a SQL
+    // caller cannot reach them (arbitrary-write surface stays out of
+    // production catalogs)
+    spark.conf.unset("spark.graft.testUtilities")
+    intercept[Exception] {
+      spark.sql(s"CALL graft.write_blob('$base/gated.bin', X'00')").collect()
+    }
+    spark.conf.set("spark.graft.testUtilities", "true")
     // write_blob creates parent dirs and writes exact bytes
     val ok = spark.sql(
       s"CALL graft.write_blob('$base/a/b/blob.bin', X'00DEADBEEF')").collect()
