@@ -978,16 +978,40 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(-1L)
     val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}$calibSeriesJson"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$micro2Json$baselineJson}""")
+    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$micro2Json$baselineJson}"""
+    val headlineLine =
+      if (hlCore.isEmpty) ""
+      else s"""{"metric":"headline",$hlCore$microHeadline$evidenceJson$calibSeriesJson}"""
+    val coreLine =
+      if (hlTiny.isEmpty) ""
+      else s"""{"metric":"headline_core",$hlTiny}"""
+    // ALSO land the artifact on disk: two rounds of stdout-tail captures
+    // proved fragile (sbt log prefixes, 2000-char truncation), so every
+    // run drops bench-rounds/latest.json (full artifact, one object per
+    // line) + bench-headline.json (the compact core) where a reader can
+    // always parse them regardless of how stdout was captured.
+    try {
+      val dir = java.nio.file.Paths.get("bench-rounds")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("latest.json"),
+        Seq(totalLine, headlineLine, coreLine).filter(_.nonEmpty)
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (coreLine.nonEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("bench-headline.json"),
+          (coreLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
+    }
+    println(totalLine)
     // LAST line: compact headline that survives any tail truncation —
     // since r10 it also carries the per-row evidence and the calibration
     // series, the two artifacts the judge needs to adjudicate slow rows
-    if (hlCore.nonEmpty)
-      println(s"""{"metric":"headline",$hlCore$microHeadline$evidenceJson$calibSeriesJson}""")
+    if (headlineLine.nonEmpty) println(headlineLine)
     // the ≤300-char core line goes LAST so the driver's bounded tail capture
     // always retains a parseable x30_total / ratios / suspect / failed set
-    if (hlTiny.nonEmpty)
-      println(s"""{"metric":"headline_core",$hlTiny}""")
+    // (and, with run/outputStrategy := StdoutOutput, UNPREFIXED)
+    if (coreLine.nonEmpty) println(coreLine)
     spark.stop()
   }
 }
