@@ -13,14 +13,18 @@ import org.apache.spark.sql.types._
  * boundary crossing an object-serialization fence, instead of dropping
  * the whole subtree to an untyped RDD.
  *
- * Decode status: the IMAGE (PPM/P6), AUDIO (WAV/RIFF 16-bit PCM) and
- * VIDEO (Y4M/YUV4MPEG2 frame sampling) pipelines below are REAL end to
- * end — complete pure-JVM parsers feeding integer feature extraction,
- * each oracle-checked pixel-/sample-exact. Only COMPRESSED codec-library
- * formats (JPEG/PNG/MP3/H.264) stay stubbed (`decodeStub`) because no
- * codec libraries ship in this environment; the Spark-side plumbing
- * (schema, binary payloads, batched iteration, partitioning, feature
- * contract) is shared and real for all of them.
+ * Decode status: the IMAGE (PPM/P6 raw + PNG/JPEG via the JDK's built-in
+ * `javax.imageio` codecs), AUDIO (WAV/RIFF PCM — 8/16/24/32-bit, mono or
+ * stereo) and VIDEO (Y4M/YUV4MPEG2 frame sampling) pipelines below are
+ * REAL end to end — actual decoders feeding integer feature extraction,
+ * oracle-checked pixel-/sample-exact for every lossless format (PNG
+ * included: DEFLATE round-trips bits). JPEG decodes for real too but is
+ * LOSSY, so it is covered by tolerance-banded spec assertions instead of
+ * a hash-exact oracle (decoder variance across engines is expected).
+ * Only formats with NO JVM-built-in codec (MP3/AAC/H.264) remain behind
+ * `decodeStub`; the Spark-side plumbing (schema, binary payloads,
+ * batched iteration, partitioning, feature contract) is shared and real
+ * for all of them.
  *
  * Payload bytes are an md5 chain (block k of doc d = md5("d:k")), so the
  * synthetic bytes — and therefore every extracted feature — are
@@ -75,13 +79,15 @@ object Multimodal {
   }
 
   /**
-   * STUB decode: a real deployment would decode image/audio here
-   * (codec library call). The deterministic fake extracts a byte
-   * histogram + scaled integer mean so the full pipeline is testable
-   * end-to-end with exact (integer) arithmetic.
+   * STUB decode for formats with no JVM-built-in codec (MP3/AAC/H.264 —
+   * a real deployment links an external codec library for those; images
+   * do NOT belong here anymore: PNG/JPEG/GIF/BMP/TIFF decode for real
+   * through `javax.imageio`, see [[decodeImage]]). The deterministic
+   * fake extracts a byte histogram + scaled integer mean so the full
+   * pipeline is testable end-to-end with exact (integer) arithmetic.
    */
   private def decodeStub(media: Array[Byte]): (Array[Long], Long) = {
-    // ??? <- real codec goes here (e.g. JPEG decode → pixel tensor)
+    // ??? <- external codec goes here (e.g. H.264 decode → frame tensor)
     val hist = new Array[Long](16)
     var sum = 0L
     var i = 0
@@ -216,10 +222,120 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // REAL audio decode: WAV (RIFF, 16-bit mono PCM) — like PPM, a genuine
-  // container format a pure-JVM parser handles completely: RIFF/WAVE
-  // magic, chunk walk (unknown chunks SKIPPED, as real writers insert
-  // LIST/INFO chunks), fmt validation, little-endian int16 samples.
+  // REAL compressed-image decode: PNG + JPEG through the JDK's built-in
+  // `javax.imageio` codecs (PNG/JPEG/GIF/BMP/TIFF readers ship with every
+  // JDK — no external library). This is the format a training-data
+  // pipeline's images actually arrive in. PNG is LOSSLESS (DEFLATE), so
+  // decoded pixels are bit-exact against the generation formula and the
+  // DuckDB oracle re-derives every feature — a wrong color-channel order,
+  // row stride or alpha handling fails the hash gate. JPEG runs the same
+  // encode→decode→features pipeline but is lossy; it is asserted at spec
+  // level with tolerance bands (dims exact, per-channel means within a
+  // few units), since bit-exactness across JPEG decoders is not a
+  // guarantee any engine makes.
+  // ------------------------------------------------------------------
+
+  // all-BIGINT row (oracle compare is type-faithful)
+  case class ImgFeatureRow(doc_id: Long, w: Long, h: Long,
+      mean_r_x100: Long, mean_g_x100: Long, mean_b_x100: Long, edge_sum: Long)
+
+  /** Deterministic pixel channel value for the compressed-image fixtures:
+    * pixel ordinal `p` (row-major), channel `c` (0=R,1=G,2=B). Shared
+    * contract with the oracle SQL (distinct constants from the PPM
+    * formula so a cross-wired fixture cannot pass the wrong oracle). */
+  @inline private def imgPixelValue(docId: Long, p: Long, c: Int): Int =
+    ((docId * 23 + p * 5 + c * 17) % 256).toInt
+
+  /** A genuine image file for `docId` in `format` ("png" or "jpg"):
+    * 12+(id%12) × 12+(id%6), RGB pixels from [[imgPixelValue]], encoded
+    * by the JDK's own writer — the decode path is then exercised against
+    * real DEFLATE/DCT bitstreams, not hand-assembled bytes. */
+  def syntheticImage(docId: Long, format: String): Array[Byte] = {
+    val w = 12 + (docId % 12).toInt
+    val h = 12 + (docId % 6).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      img.setRGB(p % w, p / w,
+        (imgPixelValue(docId, p, 0) << 16) |
+          (imgPixelValue(docId, p, 1) << 8) |
+          imgPixelValue(docId, p, 2))
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for '$format'")
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP/TIFF):
+    * returns (width, height, packed ARGB row-major). Rejects undecodable
+    * bytes loudly. Disk-caching is disabled once per JVM — executors must
+    * never round-trip image streams through temp files. */
+  def decodeImage(media: Array[Byte]): (Int, Int, Array[Int]) = {
+    javax.imageio.ImageIO.setUseCache(false) // idempotent, executor-safe
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    if (img == null)
+      throw new IllegalArgumentException(
+        "undecodable image: no ImageIO reader claimed the byte stream")
+    val w = img.getWidth
+    val h = img.getHeight
+    // getRGB converts any underlying raster layout (palette, 3BYTE_BGR,
+    // 16-bit …) to packed sRGB ints — one contract for every format
+    (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+  }
+
+  /** documents → `format` payloads (executor-side encode) → batched REAL
+    * ImageIO decode → integer features. mean_c_x100 = Σ channel · 100 /
+    * (w·h); edge_sum = Σ over the top row and left column (the pixels a
+    * stride or de-interleave bug displaces first) of r + 2g + 3b. */
+  def imageFeatures(docs: DataFrame, format: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val (w, h, argb) = decodeImage(syntheticImage(id, format))
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < w * h) {
+              val v = argb(p)
+              sr += (v >> 16) & 0xff
+              sg += (v >> 8) & 0xff
+              sb += v & 0xff
+              p += 1
+            }
+            def rgb123(p: Int): Long = {
+              val v = argb(p)
+              ((v >> 16) & 0xff) + 2L * ((v >> 8) & 0xff) + 3L * (v & 0xff)
+            }
+            var edge = 0L
+            var x = 0
+            while (x < w) { edge += rgb123(x); x += 1 } // top row (incl. p=0)
+            var y = 1
+            while (y < h) { edge += rgb123(y * w); y += 1 } // left column
+            val n = (w * h).toLong
+            ImgFeatureRow(id, w.toLong, h.toLong,
+              sr * 100 / n, sg * 100 / n, sb * 100 / n, edge)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** PNG pipeline — lossless, oracle-exact. */
+  def pngFeatures(docs: DataFrame): DataFrame = imageFeatures(docs, "png")
+
+  // ------------------------------------------------------------------
+  // REAL audio decode: WAV (RIFF PCM) — like PPM, a genuine container
+  // format a pure-JVM parser handles completely: RIFF/WAVE magic, chunk
+  // walk (unknown chunks SKIPPED, as real writers insert LIST/INFO
+  // chunks), fmt validation, little-endian samples at 8/16/24/32 bits,
+  // mono or stereo — the RIFF variants real pipelines actually hit.
   // Features are classic audio-curation signals in exact integers: total
   // absolute amplitude, peak, zero-crossing count.
   // ------------------------------------------------------------------
