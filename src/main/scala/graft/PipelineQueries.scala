@@ -384,9 +384,20 @@ object PipelineQueries {
     // de-interleave fails the hash gate
     "multimodal_ppm_decode" -> ((s, dir) => Multimodal.ppmFeatures(docs(s, dir))),
 
+    // REAL compressed-image decode: genuine PNG bitstreams (JDK ImageIO
+    // encode AND decode — real DEFLATE round-trip), pixel-exact oracle
+    // re-deriving every feature from the generation formula; a wrong
+    // channel order, row stride or alpha handling fails the hash gate
+    "multimodal_png_decode" -> ((s, dir) => Multimodal.pngFeatures(docs(s, dir))),
+
     // REAL audio decode: genuine RIFF/WAVE 16-bit PCM payloads (incl.
     // LIST chunks the parser must skip), sample-exact oracle
     "multimodal_wav_decode" -> ((s, dir) => Multimodal.wavFeatures(docs(s, dir))),
+
+    // REAL audio decode, 24-bit STEREO: per-channel feature rows over
+    // 24-bit little-endian PCM — the sign-extension + de-interleave path
+    // 16-bit mono never exercises; sample-exact oracle
+    "multimodal_wav24_stereo" -> ((s, dir) => Multimodal.wavChannelFeatures(docs(s, dir))),
 
     // REAL video decode + frame sampling: genuine YUV4MPEG2 streams
     // (tag-order-varying headers), every-2nd-frame luma stats,
@@ -800,6 +811,39 @@ object PipelineQueries {
       |FROM sums s JOIN th ON s.doc_id = th.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** PNG oracle: re-derives every pixel from the shared formula
+    * v(c) = (doc_id·23 + p·5 + c·17) mod 256 over the doc's W×H raster
+    * (W = 12 + id%12, H = 12 + id%6; max raster 23·17 = 391 px) and
+    * aggregates the same integer features the ImageIO decode path
+    * extracts — PNG is lossless, so decoded pixels are bit-exact against
+    * the formula. edge_sum covers the top row (p = x, x &lt; W) and left
+    * column (p = y·W, 1 ≤ y &lt; H) — mirrors
+    * Multimodal.syntheticImage/decodeImage/pngFeatures. */
+  private val multimodalPngSql =
+    """WITH dims AS (SELECT doc_id, CAST(12 + doc_id % 12 AS BIGINT) AS w,
+      |    CAST(12 + doc_id % 6 AS BIGINT) AS h FROM documents),
+      |px AS (SELECT d.doc_id, d.w, d.h, s.p
+      |  FROM dims d JOIN (SELECT unnest(range(0, 391)) AS p) s ON s.p < d.w * d.h),
+      |sums AS (SELECT doc_id, w, h,
+      |    CAST(sum((doc_id*23 + p*5) % 256) * 100 // (w*h) AS BIGINT) AS mean_r_x100,
+      |    CAST(sum((doc_id*23 + p*5 + 17) % 256) * 100 // (w*h) AS BIGINT) AS mean_g_x100,
+      |    CAST(sum((doc_id*23 + p*5 + 34) % 256) * 100 // (w*h) AS BIGINT) AS mean_b_x100
+      |  FROM px GROUP BY doc_id, w, h),
+      |ed AS (SELECT d.doc_id, x.x AS p FROM dims d
+      |    JOIN (SELECT unnest(range(0, 23)) AS x) x ON x.x < d.w
+      |  UNION ALL
+      |  SELECT d.doc_id, y.y * d.w AS p FROM dims d
+      |    JOIN (SELECT unnest(range(1, 17)) AS y) y ON y.y < d.h),
+      |eg AS (SELECT doc_id, CAST(sum(
+      |      ((doc_id*23 + p*5) % 256)
+      |  + 2*((doc_id*23 + p*5 + 17) % 256)
+      |  + 3*((doc_id*23 + p*5 + 34) % 256)) AS BIGINT) AS edge_sum
+      |  FROM ed GROUP BY doc_id)
+      |SELECT s.doc_id, s.w, s.h, s.mean_r_x100, s.mean_g_x100, s.mean_b_x100,
+      |  eg.edge_sum
+      |FROM sums s JOIN eg ON s.doc_id = eg.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Y4M oracle: re-derives every sampled frame's luma plane from the
     * shared formula v(f,p) = (doc_id·17 + f·101 + p·3) mod 256 — frames
     * 4 + id%5 (every 2nd sampled), luma plane (8+id%8)·2 × (8+id%4)·2 —
@@ -837,6 +881,28 @@ object PipelineQueries {
       |  CAST(count(*) FILTER (WHERE i > 0 AND ((pv < 0) <> (v < 0))) AS BIGINT)
       |    AS zero_crossings
       |FROM zc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** 24-bit stereo WAV oracle: re-derives every PCM sample from the
+    * shared formula v(i, ch) = ((doc_id·37 + i·11 + ch·10007) mod
+    * 4000001) − 2000000 over n = 200 + id%200 frames × 2 channels —
+    * values up to ±2,000,000 overflow 16 bits, so a decoder that fails
+    * 24-bit sign extension or channel de-interleave cannot pass. Mirrors
+    * Multimodal.syntheticWav24Stereo/decodeWav/wavChannelFeatures. */
+  private val multimodalWav24Sql =
+    """WITH d AS (SELECT doc_id, CAST(200 + doc_id % 200 AS BIGINT) AS n FROM documents),
+      |sm AS (SELECT d.doc_id, c.c, s.i,
+      |    ((d.doc_id*37 + s.i*11 + c.c*10007) % 4000001) - 2000000 AS v
+      |  FROM d CROSS JOIN (SELECT unnest(range(0, 2)) AS c) c
+      |  JOIN (SELECT unnest(range(0, 400)) AS i) s ON s.i < d.n),
+      |zc AS (SELECT doc_id, c, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv FROM sm)
+      |SELECT doc_id, CAST(c AS BIGINT) AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(count(*) FILTER (WHERE i > 0 AND ((pv < 0) <> (v < 0))) AS BIGINT)
+      |    AS zero_crossings
+      |FROM zc GROUP BY doc_id, c ORDER BY doc_id, channel""".stripMargin
 
   // benchmark decontamination: 5-gram overlap vs the doc_id%31==0
   // pseudo-benchmark; word-count guard drops short-doc partial grams on
@@ -1038,7 +1104,9 @@ object PipelineQueries {
         |GROUP BY label, i ORDER BY label, i""".stripMargin,
     "multimodal_features" -> multimodalSql,
     "multimodal_ppm_decode" -> multimodalPpmSql,
+    "multimodal_png_decode" -> multimodalPngSql,
     "multimodal_wav_decode" -> multimodalWavSql,
+    "multimodal_wav24_stereo" -> multimodalWav24Sql,
     "multimodal_y4m_frames" -> multimodalY4mSql,
     // streaming ingest: the delta SINK must equal the batch aggregate of
     // the SOURCE — DuckDB recomputes from the original events parquet

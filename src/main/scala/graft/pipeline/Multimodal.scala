@@ -376,10 +376,21 @@ object Multimodal {
     out.array()
   }
 
-  /** REAL RIFF/WAVE decoder: returns int16 samples. Walks chunks (skips
-    * unknown ones, honoring RIFF's even-byte padding rule), validates PCM
-    * mono 16-bit, rejects truncation loudly. */
-  def decodeWav(media: Array[Byte]): Array[Int] = {
+  /** Decoded PCM audio: `samples` is channel-interleaved (frame f,
+    * channel c at index f·channels + c), values already centered —
+    * 8-bit's unsigned 128-offset is removed at decode, so silence is 0
+    * at every bit depth. */
+  case class WavPcm(channels: Int, bits: Int, samples: Array[Int]) {
+    def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+  }
+
+  /** REAL RIFF/WAVE decoder: integer PCM at 8/16/24/32 bits, mono or
+    * stereo (any channel count), little-endian — the RIFF variants real
+    * corpora actually contain. Walks chunks (skips unknown ones,
+    * honoring RIFF's even-byte padding rule), validates the fmt chunk,
+    * rejects truncation loudly. 8-bit WAV is unsigned-with-128-offset
+    * per the spec; 24-bit needs explicit sign extension — both handled. */
+  def decodeWav(media: Array[Byte]): WavPcm = {
     def die(msg: String): Nothing =
       throw new IllegalArgumentException(s"not a PCM WAV: $msg")
     val buf = java.nio.ByteBuffer.wrap(media)
@@ -390,7 +401,8 @@ object Multimodal {
     if (media.length < 12 || fourcc() != "RIFF") die("bad RIFF magic")
     buf.getInt // riff size
     if (fourcc() != "WAVE") die("bad WAVE magic")
-    var fmtOk = false
+    var channels = 0
+    var bits = 0
     while (buf.remaining() >= 8) {
       val id = fourcc()
       val size = buf.getInt
@@ -400,20 +412,37 @@ object Multimodal {
           if (size < 16) die(s"fmt chunk too small ($size)")
           val p = buf.position()
           val codec = buf.getShort
-          val channels = buf.getShort
+          channels = buf.getShort.toInt
           buf.getInt; buf.getInt; buf.getShort
-          val bits = buf.getShort
-          if (codec != 1 || channels != 1 || bits != 16)
-            die(s"unsupported layout codec=$codec ch=$channels bits=$bits")
-          fmtOk = true
+          bits = buf.getShort.toInt
+          if (codec != 1) die(s"unsupported codec $codec (not integer PCM)")
+          if (channels < 1) die(s"implausible channel count $channels")
+          if (bits != 8 && bits != 16 && bits != 24 && bits != 32)
+            die(s"unsupported bit depth $bits")
           buf.position(p + size + (size & 1))
         case "data" =>
-          if (!fmtOk) die("data chunk before fmt")
-          val n = size / 2
+          if (bits == 0) die("data chunk before fmt")
+          val bytesPer = bits / 8
+          val n = size / bytesPer
           val samples = new Array[Int](n)
           var i = 0
-          while (i < n) { samples(i) = buf.getShort.toInt; i += 1 }
-          return samples
+          bits match {
+            case 8 => // unsigned, 128 = silence (the WAV spec's one quirk)
+              while (i < n) { samples(i) = (buf.get & 0xff) - 128; i += 1 }
+            case 16 =>
+              while (i < n) { samples(i) = buf.getShort.toInt; i += 1 }
+            case 24 => // 3-byte LE; the top byte read signed sign-extends
+              while (i < n) {
+                val b0 = buf.get & 0xff
+                val b1 = buf.get & 0xff
+                val b2 = buf.get.toInt
+                samples(i) = (b2 << 16) | (b1 << 8) | b0
+                i += 1
+              }
+            case 32 =>
+              while (i < n) { samples(i) = buf.getInt; i += 1 }
+          }
+          return WavPcm(channels, bits, samples)
         case _ => // real writers insert LIST/INFO etc — skip, pad to even
           buf.position(buf.position() + size + (size & 1))
       }
@@ -431,7 +460,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { id =>
-            val s = decodeWav(syntheticWav(id))
+            val s = decodeWav(syntheticWav(id)).samples
             var sumAbs = 0L
             var peak = 0L
             var zc = 0L
@@ -449,6 +478,95 @@ object Multimodal {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  case class WavChFeatureRow(doc_id: Long, channel: Long, n_samples: Long,
+      sum_abs: Long, peak: Long, zero_crossings: Long)
+
+  /** Deterministic 24-bit sample for frame `i`, channel `ch` of `docId`:
+    * ±2,000,000 — deliberately outside the int16 range, so a decoder
+    * that silently truncates to 16 bits or botches 24-bit sign extension
+    * produces wrong values, not coincidentally-right ones. Shared
+    * contract with the oracle SQL. */
+  @inline private def sample24Value(docId: Long, i: Long, ch: Long): Int =
+    (((docId * 37 + i * 11 + ch * 10007) % 4000001) - 2000000).toInt
+
+  /** A genuine 24-bit STEREO PCM WAV for `docId` (8 kHz, 200 + id%200
+    * frames, channel-interleaved 3-byte little-endian samples); every
+    * 3rd doc carries a LIST chunk between fmt and data. */
+  def syntheticWav24Stereo(docId: Long): Array[Byte] = {
+    val n = 200 + (docId % 200).toInt // frames
+    val channels = 2
+    val blockAlign = channels * 3
+    val junk = if (docId % 3 == 0) 12 else 0 // "LIST" + size + 4 payload
+    val dataBytes = n * blockAlign
+    val riffSize = 4 + (8 + 16) + junk + (8 + dataBytes)
+    val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(8000) // sample rate
+      .putInt(8000 * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(24) // bits per sample
+    if (junk > 0)
+      out.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    out.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      var ch = 0
+      while (ch < channels) {
+        val v = sample24Value(docId, i, ch)
+        out.put((v & 0xff).toByte)
+          .put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        ch += 1
+      }
+      i += 1
+    }
+    out.array()
+  }
+
+  /** documents → 24-bit stereo WAV payloads → batched decode →
+    * per-CHANNEL feature rows (the multi-channel contract: one row per
+    * (doc, channel), so downstream curation can filter on any channel's
+    * signal independently). Same feature set as [[wavFeatures]], computed
+    * over the de-interleaved per-channel sample stream. */
+  def wavChannelFeatures(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { id =>
+            val pcm = decodeWav(syntheticWav24Stereo(id))
+            val nCh = pcm.channels
+            (0 until nCh).iterator.map { ch =>
+              var sumAbs = 0L
+              var peak = 0L
+              var zc = 0L
+              var prev = 0
+              var f = 0
+              while (f < pcm.nFrames) {
+                val v = pcm.samples(f * nCh + ch)
+                val a = math.abs(v.toLong)
+                sumAbs += a
+                if (a > peak) peak = a
+                if (f > 0 && (prev < 0) != (v < 0)) zc += 1
+                prev = v
+                f += 1
+              }
+              WavChFeatureRow(id, ch.toLong, pcm.nFrames.toLong, sumAbs, peak, zc)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("channel"))
   }
 
   // ------------------------------------------------------------------

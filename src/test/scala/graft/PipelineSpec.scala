@@ -245,11 +245,70 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG decode is bit-exact through real DEFLATE; garbage rejected loudly") {
+    // encode → ImageIO decode round-trip: every pixel equals the
+    // generation formula v(c) = (id·23 + p·5 + c·17) % 256 — PNG is
+    // lossless, so any channel-order/stride/alpha bug shows up exactly
+    Seq(4L, 11L, 23L).foreach { id =>
+      val (w, h, argb) = Multimodal.decodeImage(Multimodal.syntheticImage(id, "png"))
+      assert(w == 12 + (id % 12).toInt && h == 12 + (id % 6).toInt)
+      (0 until w * h).foreach { p =>
+        val exp = ((id * 23 + p * 5) % 256, (id * 23 + p * 5 + 17) % 256,
+          (id * 23 + p * 5 + 34) % 256)
+        val v = argb(p)
+        assert(((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff) == exp, s"pixel $p")
+      }
+    }
+    // undecodable bytes die loudly (no ImageIO reader claims them)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage("not an image at all".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](Multimodal.decodeImage(Array[Byte]()))
+    // distributed PNG features equal a driver-side brute force
+    val got = Multimodal.pngFeatures(docs.limit(12)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("mean_g_x100"), r.getAs[Long]("edge_sum"))).toMap
+    got.keys.foreach { id =>
+      val (w, h, argb) = Multimodal.decodeImage(Multimodal.syntheticImage(id, "png"))
+      val n = w * h
+      val sg = (0 until n).map(p => ((argb(p) >> 8) & 0xff).toLong).sum
+      def rgb123(p: Int): Long = {
+        val v = argb(p)
+        ((v >> 16) & 0xff) + 2L * ((v >> 8) & 0xff) + 3L * (v & 0xff)
+      }
+      val edge = (0 until w).map(rgb123).sum +
+        (1 until h).map(y => rgb123(y * w)).sum
+      assert(got(id) == ((sg * 100 / n, edge)), s"doc $id")
+    }
+  }
+
+  test("JPEG decodes for real, within lossy-codec tolerance bands") {
+    // JPEG is lossy: dims must be exact, per-channel means within a few
+    // units of the formula (DCT quantization shifts individual pixels but
+    // barely moves the mean) — the bands a cross-engine pipeline can
+    // actually promise
+    val rows = Multimodal.imageFeatures(docs.limit(10), "jpg").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (12 + (id % 12), 12 + (id % 6))
+      assert(r.getAs[Long]("w") == w && r.getAs[Long]("h") == h)
+      val n = w * h
+      Seq(0, 17, 34).zip(Seq("mean_r_x100", "mean_g_x100", "mean_b_x100"))
+        .foreach { case (coff, cname) =>
+          val exact = (0L until n).map(p => (id * 23 + p * 5 + coff) % 256).sum * 100 / n
+          val gotMean = r.getAs[Long](cname)
+          assert(math.abs(gotMean - exact) <= 800, // ≤8 byte-units of drift
+            s"doc $id $cname: got $gotMean, formula $exact")
+        }
+    }
+  }
+
   test("WAV decode is a real RIFF parser: chunk walk, round-trip, loud failures") {
     // round-trip incl. the LIST-chunk-carrying variant (id % 3 == 0)
     Seq(3L, 7L).foreach { id =>
-      val s = Multimodal.decodeWav(Multimodal.syntheticWav(id))
-      assert(s.length == 256 + (id % 256).toInt)
+      val pcm = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(pcm.channels == 1 && pcm.bits == 16)
+      assert(pcm.samples.length == 256 + (id % 256).toInt)
     }
     // loud failures: wrong magic, truncated data chunk
     intercept[IllegalArgumentException](
@@ -268,10 +327,71 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("sum_abs"), r.getAs[Long]("zero_crossings"))).toMap
     got.keys.foreach { id =>
-      val s = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      val s = Multimodal.decodeWav(Multimodal.syntheticWav(id)).samples
       val sumAbs = s.map(v => math.abs(v.toLong)).sum
       val zc = (1 until s.length).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
       assert(got(id) == ((sumAbs, zc)))
+    }
+  }
+
+  test("WAV decode covers 8/24/32-bit and stereo de-interleave exactly") {
+    // 24-bit STEREO fixture round-trip: values past int16 range prove the
+    // sign extension, interleave order proves the channel walk
+    Seq(3L, 8L).foreach { id =>
+      val pcm = Multimodal.decodeWav(Multimodal.syntheticWav24Stereo(id))
+      assert(pcm.channels == 2 && pcm.bits == 24)
+      assert(pcm.nFrames == 200 + (id % 200).toInt)
+      (0 until pcm.nFrames).foreach { f =>
+        (0 to 1).foreach { ch =>
+          val expect = (((id * 37 + f * 11 + ch * 10007) % 4000001) - 2000000).toInt
+          assert(pcm.samples(f * 2 + ch) == expect, s"frame $f ch $ch")
+        }
+      }
+    }
+    // hand-assembled 8-bit mono: spec's unsigned-with-128-offset encoding
+    val wav8 = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(4)
+      .put(128.toByte).put(0.toByte).put(255.toByte).put(129.toByte)
+      .array()
+    val p8 = Multimodal.decodeWav(wav8)
+    assert(p8.bits == 8 && p8.samples.toSeq == Seq(0, -128, 127, 1))
+    // hand-assembled 32-bit mono: full-range values survive
+    val wav32 = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(44).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(32000).putShort(4).putShort(32)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putInt(Int.MinValue).putInt(Int.MaxValue)
+      .array()
+    val p32 = Multimodal.decodeWav(wav32)
+    assert(p32.bits == 32 &&
+      p32.samples.toSeq == Seq(Int.MinValue, Int.MaxValue))
+    // unsupported layouts still die loudly: float PCM, 12-bit
+    val float32 = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(1).putInt(8000).putInt(32000).putShort(4).putShort(32)
+      .put("data".getBytes("US-ASCII")).putInt(4).putInt(0)
+      .array()
+    intercept[IllegalArgumentException](Multimodal.decodeWav(float32))
+    // per-channel distributed features equal a driver-side brute force
+    val got = Multimodal.wavChannelFeatures(docs.limit(8)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("channel")) ->
+        (r.getAs[Long]("sum_abs"), r.getAs[Long]("peak"),
+          r.getAs[Long]("zero_crossings"))).toMap
+    got.keys.foreach { case (id, ch) =>
+      val pcm = Multimodal.decodeWav(Multimodal.syntheticWav24Stereo(id))
+      val s = (0 until pcm.nFrames).map(f => pcm.samples(f * 2 + ch.toInt))
+      val sumAbs = s.map(v => math.abs(v.toLong)).sum
+      val peak = s.map(v => math.abs(v.toLong)).max
+      val zc = (1 until s.length).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+      assert(got((id, ch)) == ((sumAbs, peak, zc)), s"doc $id ch $ch")
     }
   }
 

@@ -32,6 +32,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # optional 3rd arg: comma-separated query names (matches Verify's filter)
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = 0
     for name in sorted(oracle):
         sql = oracle[name]
