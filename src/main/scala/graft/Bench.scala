@@ -989,19 +989,30 @@ object Bench {
     // proved fragile (sbt log prefixes, 2000-char truncation), so every
     // run drops bench-rounds/latest.json (full artifact, one object per
     // line) + bench-headline.json (the compact core) where a reader can
-    // always parse them regardless of how stdout was captured.
+    // always parse them regardless of how stdout was captured. The output
+    // directory is overridable (SPARK_GRAFT_BENCH_OUT) because CWD is
+    // wherever the launcher happened to be — a spark-submit from / would
+    // otherwise scatter or silently drop the artifacts — and both the
+    // success and failure messages carry the ABSOLUTE path so a reader
+    // never has to guess where they landed.
+    val artifactBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", ".")).toAbsolutePath
     try {
-      val dir = java.nio.file.Paths.get("bench-rounds")
+      val dir = artifactBase.resolve("bench-rounds")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("latest.json"),
         Seq(totalLine, headlineLine, coreLine).filter(_.nonEmpty)
           .mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (coreLine.nonEmpty)
-        java.nio.file.Files.write(java.nio.file.Paths.get("bench-headline.json"),
+        java.nio.file.Files.write(artifactBase.resolve("bench-headline.json"),
           (coreLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(
+        s"[bench] artifacts: ${dir.resolve("latest.json")}" +
+          (if (coreLine.nonEmpty) s" + ${artifactBase.resolve("bench-headline.json")}" else ""))
     } catch { case e: Exception =>
-      System.err.println(s"[bench] artifact file write failed: ${e.getMessage}")
+      System.err.println(
+        s"[bench] artifact file write under $artifactBase failed: ${e.getMessage}")
     }
     println(totalLine)
     // LAST line: compact headline that survives any tail truncation —

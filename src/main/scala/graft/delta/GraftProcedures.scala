@@ -181,9 +181,9 @@ private[delta] object GraftProcedures {
       // so unlike the reference's LocalFileSystem TODO they work against any
       // configured object store. They give any SQL caller arbitrary
       // filesystem write/overwrite, so — like the reference, which loads
-      // its macros only in the test harness — they resolve only when
-      // spark.graft.testUtilities=true on the calling session.
-      case "write_blob" if testUtilities(spark) => Some(proc("write_blob",
+      // its macros only in the test harness — they resolve only when the
+      // JVM itself was launched with -Dgraft.testUtilities=true.
+      case "write_blob" if testUtilities => Some(proc("write_blob",
         "Write a binary blob to a file (parent dirs created); test utility",
         Seq(in("path", StringType), in("content", BinaryType)),
         StructType(Seq(StructField("success", BooleanType))),
@@ -194,7 +194,7 @@ private[delta] object GraftProcedures {
           try out.write(args.getBinary(1)) finally out.close()
           new GenericInternalRow(Array[Any](true))
         }))
-      case "copy_dir" if testUtilities(spark) => Some(proc("copy_dir",
+      case "copy_dir" if testUtilities => Some(proc("copy_dir",
         "Recursively copy a directory (test utility backing fixture clones)",
         Seq(in("src", StringType), in("dst", StringType)),
         StructType(Seq(StructField("files_copied", IntegerType))),
@@ -221,16 +221,19 @@ private[delta] object GraftProcedures {
     }
   }
 
-  /** Filesystem-write test utilities resolve only when explicitly enabled
-    * — never in a production procedure catalog. */
-  private def testUtilities(spark: SparkSession): Boolean =
-    spark.conf.get("spark.graft.testUtilities", "false").toBoolean
+  /** Filesystem-write test utilities resolve only when the JVM itself was
+    * launched with -Dgraft.testUtilities=true. The gate is a SYSTEM
+    * property, not a session conf, because any SQL caller can flip a
+    * session conf with `SET ...` before `CALL` — a boundary, to hold
+    * against SQL, must live somewhere SQL cannot write. */
+  private def testUtilities: Boolean =
+    java.lang.Boolean.getBoolean("graft.testUtilities")
 
   def names(spark: SparkSession): Seq[String] =
     Seq("optimize", "zorder", "cluster_by", "optimize_cluster", "vacuum",
       "restore", "clone", "checkpoint", "generate", "history", "detail",
       "set_transaction_version") ++
-      (if (testUtilities(spark)) Seq("write_blob", "copy_dir") else Nil)
+      (if (testUtilities) Seq("write_blob", "copy_dir") else Nil)
 
   private def in(n: String, dt: DataType,
       default: Option[String] = None): ProcedureParameter = {

@@ -99,17 +99,18 @@ object Curation {
    *     cost only verify work and the result is EXACT (same oracle as
    *     [[decontaminate]]).
    * The benchmark n-gram set is cached (it feeds the blob aggregation and
-   * the verify join in the returned plan). At most ONE such cache entry is
-   * live per session: each invocation unpersists the previous one, so
-   * repeated calls don't accumulate MEMORY_AND_DISK entries until LRU.
-   * Session keys are weak AND the DataFrame value is held through a
-   * WeakReference — a DataFrame strongly references its session, so a
-   * strong value would make the key permanently reachable and pin
-   * discarded sessions for the JVM lifetime. The trade: if GC clears the
-   * reference between calls, that one unpersist is skipped and the entry
-   * falls back to storage-level LRU eviction (bounded: one entry per
-   * session, session-scoped). Two CONCURRENT calls on one session stay
-   * correct but may recompute the unpersisted lineage.
+   * the verify join in the returned plan). Cache lifetime tracks the
+   * RETURNED DataFrame: each invocation registers a weak reference whose
+   * referent is the returned plan and which carries the bench DataFrame
+   * strongly — while the caller can still execute the returned plan the
+   * cache entry stays warm; once the caller drops it, the reference is
+   * enqueued and the NEXT invocation's drain unpersists the entry. Live
+   * entries are therefore bounded by the number of returned plans the
+   * caller still holds (each pinned only as long as its session is
+   * anyway reachable through the caller's own handle), plus the
+   * already-dropped ones awaiting one drain. A dropped SESSION is pinned
+   * at most until the next invocation on any session drains the queue —
+   * never for the JVM lifetime.
    * `expectedItems <= 0` (the default) sizes the
    * Bloom filter from a `bench.count()` over the already-cached set — a
    * fixed guess undersizes at real benchmark volumes (10⁸ n-grams),
@@ -117,10 +118,29 @@ object Curation {
    * The blob is ~1 byte/n-gram at the 3% default fpp (12 MB at 10⁷,
    * 120 MB at 10⁸ — still orders under the exact string set).
    */
-  private val lastBloomBench =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        java.lang.ref.WeakReference[DataFrame]]())
+  private val bloomRefQueue = new java.lang.ref.ReferenceQueue[DataFrame]()
+  private class BenchCacheRef(returned: DataFrame, val bench: DataFrame)
+    extends java.lang.ref.WeakReference[DataFrame](returned, bloomRefQueue)
+  // strong set keeps the refs (and through them the bench handles)
+  // reachable until their queue entry is drained
+  private val liveBloomRefs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[BenchCacheRef]()
+
+  /** Unpersist every bench cache whose returned plan has been GC'd. */
+  private def drainBloomRefs(): Unit = {
+    var r = bloomRefQueue.poll()
+    while (r != null) {
+      r match {
+        case b: BenchCacheRef =>
+          // a stopped SparkContext makes unpersist throw — the blocks are
+          // already gone then, so a failed unpersist needs no recovery
+          try b.bench.unpersist(false) catch { case _: Exception => }
+          liveBloomRefs.remove(b)
+        case _ =>
+      }
+      r = bloomRefQueue.poll()
+    }
+  }
 
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
       expectedItems: Long = 0L): DataFrame = {
@@ -129,13 +149,10 @@ object Curation {
     // cached: the benchmark lineage feeds BOTH the blob aggregation (runs
     // now) and the verify join in the returned plan — without the cache
     // the scan+tokenize+explode+distinct would run twice
+    drainBloomRefs() // reclaim caches whose returned plans were dropped
     val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastBloomBench.put(docs.sparkSession,
-        new java.lang.ref.WeakReference(bench)))
-      .flatMap(r => Option(r.get()))
-      .filter(_ ne bench).foreach(_.unpersist(false))
     val corpus = ng.where(col("doc_id") % benchMod =!= 0)
     // sizing pass doubles as the cache materializer: the blob agg and the
     // verify join both read the cached blocks it populates
@@ -179,11 +196,14 @@ object Curation {
     // exact set is exactly what must never funnel through the driver —
     // the bloom already shrank the probe side to ~fpp·|corpus| + hits, so
     // both join inputs are one distributed pass
-    corpus.where(mightContain)
+    val result = corpus.where(mightContain)
       .join(bench, "s")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared"))
       .orderBy(col("doc_id"))
+    // cache lives exactly as long as the caller can still run `result`
+    liveBloomRefs.add(new BenchCacheRef(result, bench))
+    result
   }
 
   /**

@@ -83,14 +83,18 @@ class GraftSourceSpec extends AnyFunSuite {
   test("write_blob / copy_dir test utilities (reference util_functions.cpp, copy_dir macro)") {
     spark.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
     val base = java.nio.file.Files.createTempDirectory("graft-blob").toString
-    // filesystem-write utilities are GATED: without the opt-in conf a SQL
-    // caller cannot reach them (arbitrary-write surface stays out of
-    // production catalogs)
-    spark.conf.unset("spark.graft.testUtilities")
-    intercept[Exception] {
-      spark.sql(s"CALL graft.write_blob('$base/gated.bin', X'00')").collect()
-    }
-    spark.conf.set("spark.graft.testUtilities", "true")
+    // filesystem-write utilities are GATED on a JVM system property —
+    // deliberately NOT a session conf, which any SQL caller could flip
+    // with SET before CALL; without the JVM-level opt-in the procedures
+    // don't resolve, and a SET of the old conf name changes nothing
+    System.clearProperty("graft.testUtilities")
+    spark.conf.set("spark.graft.testUtilities", "true") // SQL-reachable knob: must NOT open the gate
+    try {
+      intercept[Exception] {
+        spark.sql(s"CALL graft.write_blob('$base/gated.bin', X'00')").collect()
+      }
+    } finally spark.conf.unset("spark.graft.testUtilities")
+    System.setProperty("graft.testUtilities", "true")
     // write_blob creates parent dirs and writes exact bytes
     val ok = spark.sql(
       s"CALL graft.write_blob('$base/a/b/blob.bin', X'00DEADBEEF')").collect()
