@@ -78,6 +78,11 @@ object SparkEntry {
       })
     } ++
     RelationalQueries.dataframeQueries.map { case (name, (fn, _)) => name -> fn } ++
+    TpcdsQueries.sql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => {
+        RelationalQueries.ensureViews(s, dir); s.sql(q)
+      })
+    } ++
     PipelineQueries.queries ++
     deltaQueries
 
@@ -1246,6 +1251,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.sql ++
     RelationalQueries.dataframeQueries.map { case (name, (_, sql)) => name -> sql } ++
+    TpcdsQueries.sql ++
     PipelineQueries.oracleSql ++
     deltaOracleSql
 

@@ -1,0 +1,555 @@
+package graft
+
+/**
+ * Verbatim TPC-DS texture over the TPC-DS schema (reference:
+ * benchmark/tpcds/sf1/local/delta/q01..q99.benchmark runs the real 99
+ * queries over store_sales etc.). The repo's ds_* rows are TPC-DS-
+ * *shaped* analogs over the TPC-H/events schema; the rows here close the
+ * gap for the most plan-diverse of the real queries — q64 (the
+ * 18-relation snowflake self-join), q67 (rollup + rank window), q72
+ * (10-way join with two LEFT OUTERs and a date-offset predicate), q78
+ * (three channel CTEs full-outer-composed), q88 (eight scalar-subquery
+ * cross join), q95 (CTE self-join + double IN-subquery) — with their
+ * ORIGINAL query bodies.
+ *
+ * The TPC-DS tables are a DERIVATION LAYER: dialect-common SQL CTEs that
+ * build the star schema deterministically from the driver's testdata
+ * views (lineitem/orders/customer/part/supplier) with pure key
+ * arithmetic — every sk is a modulus of a base key, every monetary
+ * column an integer floor, every date `DATE '1998-01-01' + day_sk` —
+ * so Spark (delta-backed views) and the DuckDB oracle (raw parquet)
+ * derive bit-identical tables and the SAME full query text runs on
+ * both engines. Money is integer-valued (floor at derivation) so every
+ * verbatim sum() compares exactly across engines with no rounding
+ * epsilon.
+ *
+ * Dialect adjustments to the canonical bodies, each forced by a real
+ * cross-engine difference and none changing the plan shape:
+ *  - q78: `ss_qty*1.00` → `CAST(ss_qty AS DOUBLE)` (decimal
+ *    precision/scale propagation differs between engines; IEEE double
+ *    division is bit-identical),
+ *  - q95: output aliases `"order count"` → `order_count` etc. (Spark's
+ *    parquet writer rejects spaces in column names, and the driver
+ *    compares by column name),
+ *  - q95: the template's `cast(... AS date) + 60 days` is pre-resolved
+ *    to the literal date (template macro syntax, not SQL).
+ *
+ * Scale notes (100 TB lens): the facts derive from lineitem⋈orders on
+ * the orderkey — Catalyst plans that join before every query, the same
+ * single shuffle the underlying star tables would have been bucketed by;
+ * the dims all derive via DISTINCT over ≤500-row domains, so every
+ * dim join in the bodies broadcasts (AQE sizes them post-derivation).
+ */
+object TpcdsQueries {
+
+  /** The star-schema derivation CTEs (dialect-common; see object doc).
+    * Naming constraint: in DuckDB every CTE in a WITH clause shadows a
+    * same-named base table for the WHOLE clause (even references in
+    * earlier CTEs), and self-reference is a circular-CTE error — so the
+    * `customer` CTE derives from orders' DISTINCT custkeys, and NOTHING
+    * here reads the base customer view; the demographic/address/income
+    * dims derive their dense 0..N-1 sk domains from part's dense keys. */
+  private val derivations: String =
+    """date_dim AS (
+      |  SELECT d_date_sk, d_date, year(d_date) AS d_year, month(d_date) AS d_moy,
+      |         quarter(d_date) AS d_qoy,
+      |         (year(d_date) - 1900) * 12 + month(d_date) - 1 AS d_month_seq,
+      |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq
+      |  FROM (SELECT dd AS d_date_sk, DATE '1998-01-01' + CAST(dd AS INT) AS d_date
+      |        FROM (SELECT DISTINCT o_orderkey % 1826 AS dd FROM orders) dk) db),
+      |time_dim AS (
+      |  SELECT t_time_sk, CAST(floor(t_time_sk / 3600) AS BIGINT) AS t_hour,
+      |         CAST(floor((t_time_sk % 3600) / 60) AS BIGINT) AS t_minute
+      |  FROM (SELECT DISTINCT (l_orderkey * 100 + l_linenumber) % 86400 AS t_time_sk
+      |        FROM lineitem) tk),
+      |item AS (
+      |  SELECT p_partkey AS i_item_sk, p_name AS i_product_name,
+      |         p_name AS i_item_desc, concat('CAT', p_partkey % 5) AS i_category,
+      |         p_type AS i_class, p_brand AS i_brand,
+      |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
+      |         CASE p_partkey % 8 WHEN 0 THEN 'purple' WHEN 1 THEN 'burlywood'
+      |              WHEN 2 THEN 'indian' WHEN 3 THEN 'spring' WHEN 4 THEN 'floral'
+      |              WHEN 5 THEN 'medium' ELSE 'snow' END AS i_color
+      |  FROM part),
+      |store AS (
+      |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
+      |         CASE WHEN sk % 2 = 0 THEN 'ese' ELSE 'able' END AS s_store_name,
+      |         concat('zip', sk % 4) AS s_zip
+      |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
+      |warehouse AS (
+      |  SELECT wk AS w_warehouse_sk, concat('WH', wk) AS w_warehouse_name
+      |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wks),
+      |web_site AS (
+      |  SELECT wk AS web_site_sk,
+      |         CASE WHEN wk % 2 = 0 THEN 'pri' ELSE 'sec' END AS web_company_name
+      |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wsks),
+      |income_band AS (
+      |  SELECT DISTINCT p_partkey % 10 AS ib_income_band_sk FROM part),
+      |promotion AS (
+      |  SELECT DISTINCT p_partkey % 20 AS p_promo_sk FROM part),
+      |customer_demographics AS (
+      |  SELECT ck AS cd_demo_sk,
+      |         CASE ck % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'M' WHEN 2 THEN 'S'
+      |              ELSE 'W' END AS cd_marital_status
+      |  FROM (SELECT DISTINCT p_partkey % 100 AS ck FROM part) cks),
+      |household_demographics AS (
+      |  SELECT hk AS hd_demo_sk, hk % 10 AS hd_income_band_sk,
+      |         CASE WHEN hk % 3 = 0 THEN '>10000' ELSE '5001-10000' END AS hd_buy_potential,
+      |         CAST(hk % 5 AS BIGINT) AS hd_dep_count,
+      |         CAST(hk % 7 AS BIGINT) AS hd_vehicle_count
+      |  FROM (SELECT DISTINCT p_partkey % 50 AS hk FROM part) hks),
+      |customer_address AS (
+      |  SELECT ak AS ca_address_sk, concat('', ak % 1000) AS ca_street_number,
+      |         concat('Street ', ak % 20) AS ca_street_name,
+      |         concat('City', ak % 30) AS ca_city, concat('zip', ak % 100) AS ca_zip,
+      |         CASE ak % 10 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
+      |              ELSE 'TX' END AS ca_state
+      |  FROM (SELECT DISTINCT p_partkey % 500 AS ak FROM part) aks),
+      |customer AS (
+      |  SELECT o_custkey AS c_customer_sk,
+      |         (o_custkey * 7 + 3) % 100 AS c_current_cdemo_sk,
+      |         (o_custkey * 11 + 1) % 50 AS c_current_hdemo_sk,
+      |         (o_custkey * 13 + 7) % 500 AS c_current_addr_sk,
+      |         (o_custkey * 17) % 1826 AS c_first_sales_date_sk,
+      |         (o_custkey * 19 + 30) % 1826 AS c_first_shipto_date_sk
+      |  FROM (SELECT DISTINCT o_custkey FROM orders) ck),
+      |store_sales AS (
+      |  SELECT o_orderkey % 1826 AS ss_sold_date_sk,
+      |         (l_orderkey * 100 + l_linenumber) % 86400 AS ss_sold_time_sk,
+      |         l_partkey AS ss_item_sk, o_custkey AS ss_customer_sk,
+      |         o_custkey % 100 AS ss_cdemo_sk, o_custkey % 50 AS ss_hdemo_sk,
+      |         o_custkey % 500 AS ss_addr_sk, l_suppkey % 10 AS ss_store_sk,
+      |         l_partkey % 20 AS ss_promo_sk, l_orderkey AS ss_ticket_number,
+      |         CAST(l_quantity AS BIGINT) AS ss_quantity,
+      |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_wholesale_cost,
+      |         CAST(floor(l_extendedprice) AS BIGINT) AS ss_list_price,
+      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_sales_price,
+      |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_coupon_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |store_returns AS (
+      |  SELECT l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number
+      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |catalog_sales AS (
+      |  SELECT (o_orderkey * 3 + 1) % 1826 AS cs_sold_date_sk,
+      |         (o_orderkey * 3 + 11) % 1826 AS cs_ship_date_sk,
+      |         o_custkey AS cs_bill_customer_sk,
+      |         o_custkey % 100 AS cs_bill_cdemo_sk,
+      |         o_custkey % 50 AS cs_bill_hdemo_sk,
+      |         l_partkey AS cs_item_sk, l_partkey % 25 AS cs_promo_sk,
+      |         l_orderkey AS cs_order_number,
+      |         CAST(l_quantity AS BIGINT) AS cs_quantity,
+      |         CAST(floor(l_extendedprice * 0.6) AS BIGINT) AS cs_wholesale_cost,
+      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS cs_sales_price,
+      |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 2 = 0),
+      |catalog_returns AS (
+      |  SELECT l_partkey AS cr_item_sk, l_orderkey AS cr_order_number,
+      |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS cr_refunded_cash,
+      |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS cr_reversed_charge,
+      |         CAST(floor(l_extendedprice * 0.05) AS BIGINT) AS cr_store_credit
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0),
+      |web_sales AS (
+      |  SELECT (o_orderkey * 7 + 3) % 1826 AS ws_sold_date_sk,
+      |         (o_orderkey * 7 + 40) % 1826 AS ws_ship_date_sk,
+      |         l_partkey AS ws_item_sk, o_custkey AS ws_bill_customer_sk,
+      |         (o_custkey * 3 + 11) % 500 AS ws_ship_addr_sk,
+      |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
+      |         l_orderkey AS ws_order_number,
+      |         CAST(l_quantity AS BIGINT) AS ws_quantity,
+      |         CAST(floor(l_extendedprice * 0.5) AS BIGINT) AS ws_wholesale_cost,
+      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ws_sales_price,
+      |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS ws_ext_ship_cost,
+      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ws_net_profit
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber % 3 = 0),
+      |web_returns AS (
+      |  SELECT l_orderkey AS wr_order_number, l_partkey AS wr_item_sk
+      |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
+      |inventory AS (
+      |  SELECT DISTINCT l_partkey AS inv_item_sk,
+      |         l_suppkey % 5 AS inv_warehouse_sk,
+      |         (l_partkey * 37 + l_suppkey % 5) % 1826 AS inv_date_sk,
+      |         CAST(l_partkey % 20 AS BIGINT) AS inv_quantity_on_hand
+      |  FROM lineitem)""".stripMargin
+
+  /** Prefix `body` with the derivation CTEs. A body that opens with its
+    * own WITH merges into the single clause (SQL allows one WITH). */
+  private def wrap(body: String): String = {
+    val b = body.trim.stripSuffix(";")
+    if (b.toUpperCase.startsWith("WITH "))
+      s"WITH $derivations,\n${b.drop(5)}"
+    else
+      s"WITH $derivations\n$b"
+  }
+
+  /** name → full SQL, identical text on Spark and DuckDB. */
+  val sql: Map[String, String] = Map(
+    // q64: the 18-relation snowflake — store_sales⋈store_returns⋈cs_ui
+    // (HAVING over catalog refunds) ⋈ 3 date_dims, 2 cdemo/hdemo/addr
+    // roles, income bands, then cross_sales self-joined year-over-year
+    "tpcds_q64" -> wrap(
+      """WITH cs_ui AS
+        |  (SELECT cs_item_sk,
+        |          sum(cs_ext_list_price) AS sale,
+        |          sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) AS refund
+        |   FROM catalog_sales,
+        |        catalog_returns
+        |   WHERE cs_item_sk = cr_item_sk
+        |     AND cs_order_number = cr_order_number
+        |   GROUP BY cs_item_sk
+        |   HAVING sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+        |     cross_sales AS
+        |  (SELECT i_product_name product_name,
+        |          i_item_sk item_sk,
+        |          s_store_name store_name,
+        |          s_zip store_zip,
+        |          ad1.ca_street_number b_street_number,
+        |          ad1.ca_street_name b_street_name,
+        |          ad1.ca_city b_city,
+        |          ad1.ca_zip b_zip,
+        |          ad2.ca_street_number c_street_number,
+        |          ad2.ca_street_name c_street_name,
+        |          ad2.ca_city c_city,
+        |          ad2.ca_zip c_zip,
+        |          d1.d_year AS syear,
+        |          d2.d_year AS fsyear,
+        |          d3.d_year s2year,
+        |          count(*) cnt,
+        |          sum(ss_wholesale_cost) s1,
+        |          sum(ss_list_price) s2,
+        |          sum(ss_coupon_amt) s3
+        |   FROM store_sales,
+        |        store_returns,
+        |        cs_ui,
+        |        date_dim d1,
+        |        date_dim d2,
+        |        date_dim d3,
+        |        store,
+        |        customer,
+        |        customer_demographics cd1,
+        |        customer_demographics cd2,
+        |        promotion,
+        |        household_demographics hd1,
+        |        household_demographics hd2,
+        |        customer_address ad1,
+        |        customer_address ad2,
+        |        income_band ib1,
+        |        income_band ib2,
+        |        item
+        |   WHERE ss_store_sk = s_store_sk
+        |     AND ss_sold_date_sk = d1.d_date_sk
+        |     AND ss_customer_sk = c_customer_sk
+        |     AND ss_cdemo_sk= cd1.cd_demo_sk
+        |     AND ss_hdemo_sk = hd1.hd_demo_sk
+        |     AND ss_addr_sk = ad1.ca_address_sk
+        |     AND ss_item_sk = i_item_sk
+        |     AND ss_item_sk = sr_item_sk
+        |     AND ss_ticket_number = sr_ticket_number
+        |     AND ss_item_sk = cs_ui.cs_item_sk
+        |     AND c_current_cdemo_sk = cd2.cd_demo_sk
+        |     AND c_current_hdemo_sk = hd2.hd_demo_sk
+        |     AND c_current_addr_sk = ad2.ca_address_sk
+        |     AND c_first_sales_date_sk = d2.d_date_sk
+        |     AND c_first_shipto_date_sk = d3.d_date_sk
+        |     AND ss_promo_sk = p_promo_sk
+        |     AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+        |     AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+        |     AND cd1.cd_marital_status <> cd2.cd_marital_status
+        |     AND i_color IN ('purple',
+        |                     'burlywood',
+        |                     'indian',
+        |                     'spring',
+        |                     'floral',
+        |                     'medium')
+        |     AND i_current_price BETWEEN 64 AND 64 + 10
+        |     AND i_current_price BETWEEN 64 + 1 AND 64 + 15
+        |   GROUP BY i_product_name,
+        |            i_item_sk,
+        |            s_store_name,
+        |            s_zip,
+        |            ad1.ca_street_number,
+        |            ad1.ca_street_name,
+        |            ad1.ca_city,
+        |            ad1.ca_zip,
+        |            ad2.ca_street_number,
+        |            ad2.ca_street_name,
+        |            ad2.ca_city,
+        |            ad2.ca_zip,
+        |            d1.d_year,
+        |            d2.d_year,
+        |            d3.d_year)
+        |SELECT cs1.product_name,
+        |       cs1.store_name,
+        |       cs1.store_zip,
+        |       cs1.b_street_number,
+        |       cs1.b_street_name,
+        |       cs1.b_city,
+        |       cs1.b_zip,
+        |       cs1.c_street_number,
+        |       cs1.c_street_name,
+        |       cs1.c_city,
+        |       cs1.c_zip,
+        |       cs1.syear cs1syear,
+        |       cs1.cnt cs1cnt,
+        |       cs1.s1 AS s11,
+        |       cs1.s2 AS s21,
+        |       cs1.s3 AS s31,
+        |       cs2.s1 AS s12,
+        |       cs2.s2 AS s22,
+        |       cs2.s3 AS s32,
+        |       cs2.syear,
+        |       cs2.cnt
+        |FROM cross_sales cs1,
+        |     cross_sales cs2
+        |WHERE cs1.item_sk=cs2.item_sk
+        |  AND cs1.syear = 1999
+        |  AND cs2.syear = 1999 + 1
+        |  AND cs2.cnt <= cs1.cnt
+        |  AND cs1.store_name = cs2.store_name
+        |  AND cs1.store_zip = cs2.store_zip
+        |ORDER BY cs1.product_name,
+        |         cs1.store_name,
+        |         cs2.cnt,
+        |         cs1.s1,
+        |         cs2.s1""".stripMargin),
+
+    // q67: rollup over 8 dims + rank() partitioned by category
+    "tpcds_q67" -> wrap(
+      """SELECT *
+        |FROM
+        |  (SELECT i_category,
+        |          i_class,
+        |          i_brand,
+        |          i_product_name,
+        |          d_year,
+        |          d_qoy,
+        |          d_moy,
+        |          s_store_id,
+        |          sumsales,
+        |          rank() OVER (PARTITION BY i_category
+        |                       ORDER BY sumsales DESC) rk
+        |   FROM
+        |     (SELECT i_category,
+        |             i_class,
+        |             i_brand,
+        |             i_product_name,
+        |             d_year,
+        |             d_qoy,
+        |             d_moy,
+        |             s_store_id,
+        |             sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+        |      FROM store_sales,
+        |           date_dim,
+        |           store,
+        |           item
+        |      WHERE ss_sold_date_sk=d_date_sk
+        |        AND ss_item_sk=i_item_sk
+        |        AND ss_store_sk = s_store_sk
+        |        AND d_month_seq BETWEEN 1200 AND 1200+11
+        |      GROUP BY rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+        |WHERE rk <= 100
+        |ORDER BY i_category NULLS FIRST,
+        |         i_class NULLS FIRST,
+        |         i_brand NULLS FIRST,
+        |         i_product_name NULLS FIRST,
+        |         d_year NULLS FIRST,
+        |         d_qoy NULLS FIRST,
+        |         d_moy NULLS FIRST,
+        |         s_store_id NULLS FIRST,
+        |         sumsales NULLS FIRST,
+        |         rk NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q72: 10-way join, two LEFT OUTERs, cross-date-role week match and
+    // the d_date + 5 day-offset predicate
+    "tpcds_q72" -> wrap(
+      """SELECT i_item_desc,
+        |       w_warehouse_name,
+        |       d1.d_week_seq,
+        |       sum(CASE
+        |               WHEN p_promo_sk IS NULL THEN 1
+        |               ELSE 0
+        |           END) no_promo,
+        |       sum(CASE
+        |               WHEN p_promo_sk IS NOT NULL THEN 1
+        |               ELSE 0
+        |           END) promo,
+        |       count(*) total_cnt
+        |FROM catalog_sales
+        |JOIN inventory ON (cs_item_sk = inv_item_sk)
+        |JOIN warehouse ON (w_warehouse_sk=inv_warehouse_sk)
+        |JOIN item ON (i_item_sk = cs_item_sk)
+        |JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+        |JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+        |JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+        |JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+        |JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+        |LEFT OUTER JOIN promotion ON (cs_promo_sk=p_promo_sk)
+        |LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+        |                                    AND cr_order_number = cs_order_number)
+        |WHERE d1.d_week_seq = d2.d_week_seq
+        |  AND inv_quantity_on_hand < cs_quantity
+        |  AND d3.d_date > d1.d_date + 5
+        |  AND hd_buy_potential = '>10000'
+        |  AND d1.d_year = 1999
+        |  AND cd_marital_status = 'D'
+        |GROUP BY i_item_desc,
+        |         w_warehouse_name,
+        |         d1.d_week_seq
+        |ORDER BY total_cnt DESC NULLS FIRST,
+        |         i_item_desc NULLS FIRST,
+        |         w_warehouse_name NULLS FIRST,
+        |         d1.d_week_seq NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q78: per-channel return-free CTEs (ss/ws/cs) left-composed,
+    // cross-channel quantity ratio
+    "tpcds_q78" -> wrap(
+      """WITH ws AS
+        |  (SELECT d_year AS ws_sold_year,
+        |          ws_item_sk,
+        |          ws_bill_customer_sk ws_customer_sk,
+        |          sum(ws_quantity) ws_qty,
+        |          sum(ws_wholesale_cost) ws_wc,
+        |          sum(ws_sales_price) ws_sp
+        |   FROM web_sales
+        |   LEFT JOIN web_returns ON wr_order_number=ws_order_number
+        |   AND ws_item_sk=wr_item_sk
+        |   JOIN date_dim ON ws_sold_date_sk = d_date_sk
+        |   WHERE wr_order_number IS NULL
+        |   GROUP BY d_year,
+        |            ws_item_sk,
+        |            ws_bill_customer_sk ),
+        |     cs AS
+        |  (SELECT d_year AS cs_sold_year,
+        |          cs_item_sk,
+        |          cs_bill_customer_sk cs_customer_sk,
+        |          sum(cs_quantity) cs_qty,
+        |          sum(cs_wholesale_cost) cs_wc,
+        |          sum(cs_sales_price) cs_sp
+        |   FROM catalog_sales
+        |   LEFT JOIN catalog_returns ON cr_order_number=cs_order_number
+        |   AND cs_item_sk=cr_item_sk
+        |   JOIN date_dim ON cs_sold_date_sk = d_date_sk
+        |   WHERE cr_order_number IS NULL
+        |   GROUP BY d_year,
+        |            cs_item_sk,
+        |            cs_bill_customer_sk ),
+        |     ss AS
+        |  (SELECT d_year AS ss_sold_year,
+        |          ss_item_sk,
+        |          ss_customer_sk,
+        |          sum(ss_quantity) ss_qty,
+        |          sum(ss_wholesale_cost) ss_wc,
+        |          sum(ss_sales_price) ss_sp
+        |   FROM store_sales
+        |   LEFT JOIN store_returns ON sr_ticket_number=ss_ticket_number
+        |   AND ss_item_sk=sr_item_sk
+        |   JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        |   WHERE sr_ticket_number IS NULL
+        |   GROUP BY d_year,
+        |            ss_item_sk,
+        |            ss_customer_sk )
+        |SELECT ss_sold_year,
+        |       ss_item_sk,
+        |       ss_customer_sk,
+        |       round(CAST(ss_qty AS DOUBLE)/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,
+        |       ss_qty store_qty,
+        |       ss_wc store_wholesale_cost,
+        |       ss_sp store_sales_price,
+        |       coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+        |       coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+        |       coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+        |FROM ss
+        |LEFT JOIN ws ON (ws_sold_year=ss_sold_year
+        |                 AND ws_item_sk=ss_item_sk
+        |                 AND ws_customer_sk=ss_customer_sk)
+        |LEFT JOIN cs ON (cs_sold_year=ss_sold_year
+        |                 AND cs_item_sk=ss_item_sk
+        |                 AND cs_customer_sk=ss_customer_sk)
+        |WHERE (coalesce(ws_qty,0)>0
+        |       OR coalesce(cs_qty, 0)>0)
+        |  AND ss_sold_year=2000
+        |ORDER BY ss_sold_year,
+        |         ss_item_sk,
+        |         ss_customer_sk,
+        |         ss_qty DESC,
+        |         ss_wc DESC,
+        |         ss_sp DESC,
+        |         other_chan_qty,
+        |         other_chan_wholesale_cost,
+        |         other_chan_sales_price,
+        |         ratio
+        |LIMIT 100""".stripMargin),
+
+    // q88: eight half-hour-window count(*) scalar subqueries cross-joined
+    "tpcds_q88" -> wrap(q88Body),
+
+    // q95: warehouse-pair CTE self-joined through two IN subqueries
+    "tpcds_q95" -> wrap(
+      """WITH ws_wh AS
+        |  (SELECT ws1.ws_order_number,
+        |          ws1.ws_warehouse_sk wh1,
+        |          ws2.ws_warehouse_sk wh2
+        |   FROM web_sales ws1,
+        |        web_sales ws2
+        |   WHERE ws1.ws_order_number = ws2.ws_order_number
+        |     AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+        |SELECT count(DISTINCT ws_order_number) AS order_count ,
+        |       sum(ws_ext_ship_cost) AS total_shipping_cost ,
+        |       sum(ws_net_profit) AS total_net_profit
+        |FROM web_sales ws1 ,
+        |     date_dim ,
+        |     customer_address ,
+        |     web_site
+        |WHERE d_date BETWEEN '1999-02-01' AND cast('1999-04-02' AS date)
+        |  AND ws1.ws_ship_date_sk = d_date_sk
+        |  AND ws1.ws_ship_addr_sk = ca_address_sk
+        |  AND ca_state = 'IL'
+        |  AND ws1.ws_web_site_sk = web_site_sk
+        |  AND web_company_name = 'pri'
+        |  AND ws1.ws_order_number IN
+        |    (SELECT ws_order_number
+        |     FROM ws_wh)
+        |  AND ws1.ws_order_number IN
+        |    (SELECT wr_order_number
+        |     FROM web_returns,
+        |          ws_wh
+        |     WHERE wr_order_number = ws_wh.ws_order_number)
+        |ORDER BY count(DISTINCT ws_order_number)
+        |LIMIT 100""".stripMargin))
+
+  /** q88's body is mechanical: eight identical count(*) subqueries over
+    * consecutive half-hour windows, exactly the canonical text's shape. */
+  private def q88Body: String = {
+    val windows = Seq(
+      ("h8_30_to_9", "time_dim.t_hour = 8\n     AND time_dim.t_minute >= 30"),
+      ("h9_to_9_30", "time_dim.t_hour = 9\n     AND time_dim.t_minute < 30"),
+      ("h9_30_to_10", "time_dim.t_hour = 9\n     AND time_dim.t_minute >= 30"),
+      ("h10_to_10_30", "time_dim.t_hour = 10\n     AND time_dim.t_minute < 30"),
+      ("h10_30_to_11", "time_dim.t_hour = 10\n     AND time_dim.t_minute >= 30"),
+      ("h11_to_11_30", "time_dim.t_hour = 11\n     AND time_dim.t_minute < 30"),
+      ("h11_30_to_12", "time_dim.t_hour = 11\n     AND time_dim.t_minute >= 30"),
+      ("h12_to_12_30", "time_dim.t_hour = 12\n     AND time_dim.t_minute < 30"))
+    val subs = windows.zipWithIndex.map { case ((alias, pred), i) =>
+      s"""  (SELECT count(*) $alias
+         |   FROM store_sales,
+         |        household_demographics,
+         |        time_dim,
+         |        store
+         |   WHERE ss_sold_time_sk = time_dim.t_time_sk
+         |     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+         |     AND ss_store_sk = s_store_sk
+         |     AND $pred
+         |     AND ((household_demographics.hd_dep_count = 4
+         |           AND household_demographics.hd_vehicle_count<=4+2)
+         |          OR (household_demographics.hd_dep_count = 2
+         |              AND household_demographics.hd_vehicle_count<=2+2)
+         |          OR (household_demographics.hd_dep_count = 0
+         |              AND household_demographics.hd_vehicle_count<=0+2))
+         |     AND store.s_store_name = 'ese') s${i + 1}""".stripMargin
+    }
+    "SELECT *\nFROM\n" + subs.mkString(",\n")
+  }
+}
