@@ -615,6 +615,53 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // --- COMPOSED foreign roundtrip (cross-feature interaction in ONE
+    //     flow, reference test/sql/dat/all.test end-to-end shape): a
+    //     foreign-written log (absolute paths, URL-encoded names, partial
+    //     stats, unknown actions) → ATTACH → column-mapping upgrade +
+    //     RENAME COLUMN → DV-backed SQL DELETE → UPDATE through the
+    //     renamed schema → CHECKPOINT → all pre-checkpoint JSON commits
+    //     DELETED → fresh replay answers from the checkpoint alone, which
+    //     must carry the mapped schema, the physical-name add entries AND
+    //     the deletion vectors ---
+    "delta_foreign_roundtrip" -> ((s, dir) => {
+      val src = ForeignFixtures.inline(s, dir)
+      // fixtures are cached and shared — every mutation happens on a copy
+      val p = java.nio.file.Files.createTempDirectory("graft-froundtrip")
+        .toString + "/t"
+      val hconf = s.sessionState.newHadoopConf()
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val dp = new org.apache.hadoop.fs.Path(p)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(hconf), sp, dp.getFileSystem(hconf), dp, false, hconf)
+      s.conf.set("spark.sql.catalog.graft", "graft.delta.GraftCatalog")
+      graft.delta.GraftCatalog.attach("froundtrip", p)
+      s.sql("ALTER TABLE graft.froundtrip SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode'='name')")
+      s.sql("ALTER TABLE graft.froundtrip RENAME COLUMN n_name TO nation_name")
+      s.sql("ALTER TABLE graft.froundtrip SET TBLPROPERTIES " +
+        "('delta.enableDeletionVectors'='true')")
+      // IN-list predicate: SQL DELETE requires a source-pushable filter
+      // (canDeleteWhere refuses arbitrary expressions loudly)
+      s.sql("DELETE FROM graft.froundtrip WHERE n_nationkey IN (2,7,12,17,22)")
+      s.sql("UPDATE graft.froundtrip SET nation_name = concat(nation_name, '!') " +
+        "WHERE n_regionkey = 0")
+      val ckptV = s.sql("CALL graft.checkpoint('froundtrip')")
+        .collect()(0).getLong(0)
+      // delete every pre-checkpoint commit JSON: the re-read below has no
+      // source of truth but the checkpoint parquet
+      (0L to ckptV).foreach { v =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          p, "_delta_log", f"$v%020d.json"))
+      }
+      graft.delta.DeltaLog.clearCache()
+      DeltaTable.forPath(s, p).toDF
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"),
+          sum(length(col("nation_name"))).as("name_len"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // --- delta_scan SQL table function (the reference's flagship surface:
     //     SELECT ... FROM delta_scan('path'), reference delta_scan.cpp) ---
     "delta_scan_fn" -> ((s, dir) => {
@@ -1445,6 +1492,19 @@ object SparkEntry {
     "delta_foreign_stats_prune" ->
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_nationkey >= 10 ORDER BY n_nationkey""".stripMargin,
+    // mirrors the composed flow's DML: DELETE the 5-key IN list, then the
+    // region-0 rename-column UPDATE appends '!' — over the original nation
+    "delta_foreign_roundtrip" ->
+      """WITH del AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |             WHERE n_nationkey NOT IN (2,7,12,17,22)),
+        |upd AS (SELECT n_nationkey, n_regionkey,
+        |         CASE WHEN n_regionkey = 0 THEN concat(n_name, '!')
+        |              ELSE n_name END AS nation_name
+        |        FROM del)
+        |SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(length(nation_name)) AS BIGINT) AS name_len
+        |FROM upd GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "delta_foreign_struct_stats" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal),2) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 500

@@ -252,13 +252,22 @@ object DeltaDelete {
     import org.apache.spark.sql.Encoders
     val spark = log.spark
     val tupEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-    // canonical path rendering = URI path: `_metadata.file_path` carries a
-    // scheme ("file:/…"), the snapshot's absolute paths may not
+    // canonical path rendering = DECODED URI path: `_metadata.file_path`
+    // is a url-encoded URI string ("file:/…/file%20b.parquet" for a file
+    // named with a space — foreign writers URL-encode log paths), while
+    // the snapshot facts below key by the DECODED path. java.net.URI
+    // decodes the escapes; Hadoop's Path would keep "%20" as literal
+    // characters and a DELETE hitting such a file would fail the
+    // unknown-file guard. Fall back to Path for a non-URI string.
     val hitsDf = hitRows
       .select(col("p"), col("i"))
       .as[(String, Long)](tupEnc)
       .map { pi: (String, Long) =>
-        (new org.apache.hadoop.fs.Path(pi._1).toUri.getPath, pi._2) }(tupEnc)
+        val decoded =
+          try new java.net.URI(pi._1).getPath
+          catch { case _: java.net.URISyntaxException =>
+            new org.apache.hadoop.fs.Path(pi._1).toUri.getPath }
+        (decoded, pi._2) }(tupEnc)
       .groupByKey(_._1)(Encoders.STRING)
       .agg(DvBitmapAgg.toColumn.name("dv"))
       .toDF("p", "dv")

@@ -34,7 +34,8 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   @volatile private var cachedLatest: Option[Snapshot] = None
   private val versionCache = new ConcurrentHashMap[Long, Snapshot]()
 
-  def tableExists: Boolean = fs.exists(logPath) && listCommitVersions().nonEmpty
+  def tableExists: Boolean = fs.exists(logPath) &&
+    (listCommitVersions().nonEmpty || listCheckpointVersions().nonEmpty)
 
   // ---------------- log listing ----------------
 
@@ -172,9 +173,14 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     * replaying on top of it would force full materialization. */
   def update(): Snapshot = synchronized {
     val versions = listCommitVersions()
-    if (versions.isEmpty)
+    // a log whose every commit JSON at or below the checkpoint was
+    // retention-cleaned (delta's metadata-cleanup steady state, and what
+    // foreign cleaners produce) is still a table: the checkpoint IS the
+    // latest state when no JSON outranks it
+    val ckptLatest = listCheckpointVersions().lastOption
+    if (versions.isEmpty && ckptLatest.isEmpty)
       throw new IllegalStateException(s"Not a Delta table (no _delta_log): $tablePath")
-    val latest = versions.last
+    val latest = (versions.lastOption.toSeq ++ ckptLatest).max
     cachedLatest match {
       case Some(s) if s.version == latest => s
       case Some(s) if s.version < latest && !s.isInstanceOf[LazySnapshot] =>
@@ -251,7 +257,9 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     val cached = versionCache.get(version)
     if (cached != null) return cached
     val versions = listCommitVersions()
-    if (!versions.contains(version))
+    // a version may exist only as a checkpoint: retention cleanup (ours or
+    // a foreign cleaner's) deletes commit JSONs the checkpoint covers
+    if (!versions.contains(version) && !listCheckpointVersions().contains(version))
       throw new IllegalArgumentException(
         s"Version $version not found for table $tablePath (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
     // Very large classic checkpoints build a Dataset-backed snapshot: the

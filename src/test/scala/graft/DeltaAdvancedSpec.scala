@@ -560,4 +560,48 @@ class DeltaAdvancedSpec extends AnyFunSuite {
       DeletionVectorDescriptor("u", s"ab$z", Some(1), 60, 4))
     assert(p.toString == s"/tbl/ab/deletion_vector_$u.bin")
   }
+
+  test("checkpoint-only log (every commit JSON cleaned) still opens at the checkpoint") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir)
+    DeltaWriter.append(spark, src, dir) // v1 doubles every row
+    val log = DeltaLog.forPath(spark, dir)
+    val ckptV = Checkpoints.checkpoint(log)
+    assert(ckptV == 1L)
+    (0L to ckptV).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        dir, "_delta_log", f"$v%020d.json"))
+    }
+    DeltaLog.clearCache()
+    // delta's metadata-cleanup steady state: _last_checkpoint + checkpoint
+    // parquet, zero commit JSONs — update(), snapshotAt and tableExists
+    // must all treat the checkpoint as the (only) source of truth
+    val fresh = DeltaLog.forPath(spark, dir)
+    assert(fresh.tableExists)
+    assert(fresh.update().version == ckptV)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 2 * src.count())
+    assert(fresh.snapshotAt(ckptV).version == ckptV)
+  }
+
+  test("DV delete lands on files whose log paths are URL-encoded (space in name)") {
+    // a DELETE over a foreign table whose add paths need URL decoding:
+    // hits arrive keyed by the scan's encoded URI, facts by decoded path —
+    // the join must agree or the delete dies on the unknown-file guard
+    val src = ForeignFixtures.inline(spark, sfDir)
+    val dir = tmpTable()
+    val hconf = spark.sessionState.newHadoopConf()
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sp.getFileSystem(hconf), sp, dp.getFileSystem(hconf), dp, false, hconf)
+    val before = DeltaTable.forPath(spark, dir).toDF
+      .filter(col("n_nationkey") % 3 === 1).count() // slice in "file b.parquet"
+    assert(before > 0)
+    DeltaTable.forPath(spark, dir)
+      .delete(col("n_nationkey") % 3 === 1) // hits ONLY the encoded-name file
+    val after = DeltaTable.forPath(spark, dir).toDF
+    assert(after.filter(col("n_nationkey") % 3 === 1).count() == 0)
+    assert(after.count() > 0, "delete must not wipe the other files")
+  }
 }
