@@ -933,6 +933,45 @@ object Bench {
       else microPass(micro2Factor, Seq("q1_agg", "q_sessionize"),
         Set("lineitem", "events"))
 
+    // 90-commit snapshot-replay micro (the one overhead the reference
+    // itself micro-benchmarks: benchmark/micro/snapshot_performance/
+    // *.benchmark over tpch_sf1_90commits/lineitem): four variants over
+    // the checkpoint-free 90-JSON lineitem log — no_pin pays a full log
+    // replay inside every timing, pin resolves the snapshot once and
+    // reuses it, the _filter forms add the reference's IS NOT NULL
+    // predicate. Spark-only timings; the signal is pin-vs-no_pin (the
+    // replay overhead the micro exists to watch), tracked round-over-
+    // round through bench-rounds/latest.json.
+    val snapshot90Json = try {
+      val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Many90)
+      val log = graft.delta.DeltaLog.forPath(spark, p)
+      def timeCount(f: => Long): Double = {
+        val t0 = System.nanoTime()
+        require(f > 0, "snapshot90 count must be positive")
+        (System.nanoTime() - t0) / 1e9
+      }
+      import org.apache.spark.sql.functions.col
+      def noPin(filtered: Boolean): Double = timeCount {
+        log.invalidateCache() // the replay cost is INSIDE the timing
+        val df = graft.delta.DeltaTable.forPath(spark, p).toDF
+        (if (filtered) df.filter(col("l_orderkey").isNotNull) else df).count()
+      }
+      val pinned = graft.delta.DeltaTable.forPath(spark, p).pin()
+      def pinRun(filtered: Boolean): Double = timeCount {
+        val df = pinned.toDF
+        (if (filtered) df.filter(col("l_orderkey").isNotNull) else df).count()
+      }
+      def best(f: => Double): Double = { f; (1 to 3).map(_ => f).min }
+      val np = best(noPin(false))
+      val npf = best(noPin(true))
+      val pn = best(pinRun(false))
+      val pf = best(pinRun(true))
+      f""","snapshot90":{"no_pin":$np%.3f,"no_pin_filter":$npf%.3f,"pin":$pn%.3f,"pin_filter":$pf%.3f,"replay_overhead_sec":${np - pn}%.3f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] snapshot90 micro failed: ${e.getMessage}")
+      ""
+    }
+
     // pre-measured DuckDB numbers for the same scale data (written by
     // tools/x10_baseline.py with the scale dir; provenance inside the
     // blob) so bench-vs-baseline is comparable where per-query work
@@ -978,7 +1017,7 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(-1L)
     val health = f""""jvm_health":{"code_cache_used_mb":${ccUsed / 1048576},"code_cache_max_mb":${ccMax / 1048576},"code_cache_peak_frac":$ccFracMax%.3f,"code_cache_exhausted":${ccFracMax > 0.95},"jit_compile_ms":$jitMs},"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,"calib_at_scale_sec":$calibAtScale%.3f,"calib_reference_sec":$ReferenceCalibSec%.2f,"mem_bw_gibs":$memBwAtScale%.2f,"jvm_job_floor_sec":$jobFloor%.3f,"degraded_waits":${degradedWaits.get}$calibSeriesJson"""
 
-    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$micro2Json$baselineJson}"""
+    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${jsonArr(failed)},"suspect":${jsonArr(suspect)},"retried":${jsonArr(retried)},"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_at_run":$loadAtRun%.2f,"load_waited_sec":$waitedSec,$health$scaleJson$microJson$micro2Json$snapshot90Json$baselineJson}"""
     val headlineLine =
       if (hlCore.isEmpty) ""
       else s"""{"metric":"headline",$hlCore$microHeadline$evidenceJson$calibSeriesJson}"""

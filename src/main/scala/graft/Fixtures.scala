@@ -47,6 +47,14 @@ object Fixtures {
     * analog of the reference's tpch_sf1_90commits micro-benchmark
     * (benchmark/micro/snapshot_performance). */
   case object Many extends Variant { val name = "many40" }
+
+  /** The reference's snapshot_performance table shape
+    * (benchmark/micro/snapshot_performance/ benchmarks, built over
+    * `tpch_sf1_90commits/lineitem`): 90 plain JSON commits, NO
+    * checkpoint — the log-replay cost IS what the micro measures. Each
+    * commit carries the `splitCol % 90 == i` slice, so the commits
+    * partition the source exactly and count(*) equals the base table. */
+  case object Many90 extends Variant { val name = "many90" }
   /** Type widening (reference test/sql/generated/schema_evolution.test:11-37):
     * first commit writes the split column as INT32; a mergeSchema append
     * widens it to LONG — old files must read under the widened schema. */
@@ -209,6 +217,13 @@ object Fixtures {
             configuration =
               if (i == 0) Map("delta.checkpointInterval" -> "0") else Map.empty)
           if (i == 19) Checkpoints.checkpoint(DeltaLog.forPath(spark, dir))
+        }
+      case Many90 =>
+        for (i <- 0 until 90) {
+          DeltaWriter.append(spark,
+            src.filter(col(spec.splitCol) % 90 === i).coalesce(1), dir,
+            configuration =
+              if (i == 0) Map("delta.checkpointInterval" -> "0") else Map.empty)
         }
     }
     Files.createFile(marker)

@@ -318,6 +318,28 @@ object SparkEntry {
       DeltaTable.forPath(s, p).toDF.agg(count(lit(1)).as("n"))
     }),
 
+    // --- 90-commit snapshot replay, the reference's snapshot_performance
+    //     micro shape (benchmark/micro/snapshot_performance/*.benchmark):
+    //     checkpoint-free 90-JSON log, counted through all four reference
+    //     variants — no-pin (fresh replay), pin (snapshot reuse), and the
+    //     filtered forms. Every variant must see the identical table ---
+    "delta_snapshot_replay_90" -> ((s, dir) => {
+      import s.implicits._
+      val p = Fixtures.delta(s, dir, "lineitem", Fixtures.Many90)
+      val log = graft.delta.DeltaLog.forPath(s, p)
+      log.invalidateCache()
+      val noPin = DeltaTable.forPath(s, p).toDF.count()
+      log.invalidateCache()
+      val noPinF = DeltaTable.forPath(s, p).toDF
+        .filter(col("l_orderkey").isNotNull).count()
+      val pinned = DeltaTable.forPath(s, p).pin()
+      val pinN = pinned.toDF.count()
+      val pinF = pinned.toDF.filter(col("l_orderkey").isNotNull).count()
+      Seq(("no_pin", noPin), ("no_pin_filter", noPinF),
+          ("pin", pinN), ("pin_filter", pinF))
+        .toDF("variant", "n").orderBy(col("variant"))
+    }),
+
     // --- struct-form checkpoint WRITE (writeStatsAsStruct): checkpoint
     //     carries typed stats_parsed/partitionValues_parsed; the scan
     //     replays from that checkpoint alone ---
@@ -1395,6 +1417,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "delta_snapshot_replay" ->
       """SELECT CAST(count(*) * 40 AS BIGINT) AS n FROM nation""",
+    // the 90 commits partition lineitem by l_orderkey % 90, so every
+    // variant's count equals the base table
+    "delta_snapshot_replay_90" ->
+      """SELECT v AS variant, (SELECT count(*) FROM lineitem) AS n
+        |FROM (VALUES ('no_pin'),('no_pin_filter'),('pin'),('pin_filter')) t(v)
+        |ORDER BY variant""".stripMargin,
     "delta_checkpoint_struct_write" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal),2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
