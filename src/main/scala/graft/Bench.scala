@@ -831,8 +831,13 @@ object Bench {
     // doesn't. Only the needed fact tables replicate to x100.
     val microFactor = sys.env
       .getOrElse("SPARK_GRAFT_MICRO_SCALE", "100").toIntOption.getOrElse(100)
+    // r13 additions: q3_join (two rounds of >2× fresh-JVM evidence but
+    // excluded from every closure mechanism until now) and delta_scan_agg
+    // (same row-based-agg constant family as q1_agg) — their x100 points
+    // are the close-or-convict evidence; both queries' tables were already
+    // in the micro dir's replication set, so the cached dir is reused
     val microQueries = Seq("dedup_exact", "emb_centroids", "q_events_hourly",
-      "q1_agg", "q18_large_orders", "q_sessionize")
+      "q1_agg", "q18_large_orders", "q_sessionize", "q3_join", "delta_scan_agg")
     var microHeadline = ""
 
     /** One amortization-evidence pass at `factor`× with only `tables`
