@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Elementwise SUM of an `array<double>` column → `array<double>`.
@@ -38,6 +38,19 @@ case class VectorSumAgg(
 
   override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
 
+  // element accessor resolved ONCE from the child's type: accepting
+  // array<float> directly (the embeddings' storage type) saves the
+  // per-row cast that otherwise allocates a converted 64-double array
+  // for every input row — measured 2.6× vs DuckDB at x100 with the cast,
+  // the allocation+copy being the gap on this linear-scaling row
+  // lazy: the child is UNRESOLVED at construction (DataFrame-API column);
+  // dataType is only legal to ask once the plan is analyzed
+  private[this] lazy val getElem: (ArrayData, Int) => Double =
+    child.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case _ => (a, i) => a.getDouble(i)
+    }
+
   override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
     val v = child.eval(row)
     if (v != null) {
@@ -45,7 +58,7 @@ case class VectorSumAgg(
       val n = math.min(dim, arr.numElements())
       var i = 0
       while (i < n) {
-        if (!arr.isNullAt(i)) buf(i) += arr.getDouble(i)
+        if (!arr.isNullAt(i)) buf(i) += getElem(arr, i)
         i += 1
       }
     }

@@ -174,6 +174,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(cells.length > 1, "quantizer must split the corpus")
   }
 
+  test("VectorSumAgg reads array<float> natively, bit-identical to the cast path") {
+    // centroids() now feeds the raw float[] column to the aggregate (no
+    // per-row cast allocation); (double) promotion at element read must
+    // produce the exact sums the old cast-to-array<double> path did
+    val native = Similarity.centroids(emb.limit(500)).collect()
+    val cast = emb.limit(500)
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("e"), 64).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), (posexplode(col("s"))).as(Seq("pos", "x")), col("n"))
+      .select(col("label"), (col("pos") + 1).as("i"),
+        round(col("x") / col("n"), 4).as("v"))
+      .orderBy(col("label"), col("i"))
+      .collect()
+    assert(native.length == cast.length && native.length > 0)
+    native.zip(cast).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("multimodal feature extraction is deterministic, batched, complete") {
     val f1 = Multimodal.mediaFeatures(docs.limit(100)).collect()
     val f2 = Multimodal.mediaFeatures(docs.limit(100)).collect()
