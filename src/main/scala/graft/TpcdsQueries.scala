@@ -216,9 +216,9 @@ object TpcdsQueries {
         |          d2.d_year AS fsyear,
         |          d3.d_year s2year,
         |          count(*) cnt,
-        |          sum(ss_wholesale_cost) s1,
-        |          sum(ss_list_price) s2,
-        |          sum(ss_coupon_amt) s3
+        |          CAST(sum(ss_wholesale_cost) AS BIGINT) s1,
+        |          CAST(sum(ss_list_price) AS BIGINT) s2,
+        |          CAST(sum(ss_coupon_amt) AS BIGINT) s3
         |   FROM store_sales,
         |        store_returns,
         |        cs_ui,
@@ -338,7 +338,7 @@ object TpcdsQueries {
         |             d_qoy,
         |             d_moy,
         |             s_store_id,
-        |             sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+        |             CAST(sum(coalesce(ss_sales_price*ss_quantity,0)) AS BIGINT) sumsales
         |      FROM store_sales,
         |           date_dim,
         |           store,
@@ -367,14 +367,14 @@ object TpcdsQueries {
       """SELECT i_item_desc,
         |       w_warehouse_name,
         |       d1.d_week_seq,
-        |       sum(CASE
+        |       CAST(sum(CASE
         |               WHEN p_promo_sk IS NULL THEN 1
         |               ELSE 0
-        |           END) no_promo,
-        |       sum(CASE
+        |           END) AS BIGINT) no_promo,
+        |       CAST(sum(CASE
         |               WHEN p_promo_sk IS NOT NULL THEN 1
         |               ELSE 0
-        |           END) promo,
+        |           END) AS BIGINT) promo,
         |       count(*) total_cnt
         |FROM catalog_sales
         |JOIN inventory ON (cs_item_sk = inv_item_sk)
@@ -410,9 +410,9 @@ object TpcdsQueries {
         |  (SELECT d_year AS ws_sold_year,
         |          ws_item_sk,
         |          ws_bill_customer_sk ws_customer_sk,
-        |          sum(ws_quantity) ws_qty,
-        |          sum(ws_wholesale_cost) ws_wc,
-        |          sum(ws_sales_price) ws_sp
+        |          CAST(sum(ws_quantity) AS BIGINT) ws_qty,
+        |          CAST(sum(ws_wholesale_cost) AS BIGINT) ws_wc,
+        |          CAST(sum(ws_sales_price) AS BIGINT) ws_sp
         |   FROM web_sales
         |   LEFT JOIN web_returns ON wr_order_number=ws_order_number
         |   AND ws_item_sk=wr_item_sk
@@ -425,9 +425,9 @@ object TpcdsQueries {
         |  (SELECT d_year AS cs_sold_year,
         |          cs_item_sk,
         |          cs_bill_customer_sk cs_customer_sk,
-        |          sum(cs_quantity) cs_qty,
-        |          sum(cs_wholesale_cost) cs_wc,
-        |          sum(cs_sales_price) cs_sp
+        |          CAST(sum(cs_quantity) AS BIGINT) cs_qty,
+        |          CAST(sum(cs_wholesale_cost) AS BIGINT) cs_wc,
+        |          CAST(sum(cs_sales_price) AS BIGINT) cs_sp
         |   FROM catalog_sales
         |   LEFT JOIN catalog_returns ON cr_order_number=cs_order_number
         |   AND cs_item_sk=cr_item_sk
@@ -440,9 +440,9 @@ object TpcdsQueries {
         |  (SELECT d_year AS ss_sold_year,
         |          ss_item_sk,
         |          ss_customer_sk,
-        |          sum(ss_quantity) ss_qty,
-        |          sum(ss_wholesale_cost) ss_wc,
-        |          sum(ss_sales_price) ss_sp
+        |          CAST(sum(ss_quantity) AS BIGINT) ss_qty,
+        |          CAST(sum(ss_wholesale_cost) AS BIGINT) ss_wc,
+        |          CAST(sum(ss_sales_price) AS BIGINT) ss_sp
         |   FROM store_sales
         |   LEFT JOIN store_returns ON sr_ticket_number=ss_ticket_number
         |   AND ss_item_sk=sr_item_sk
@@ -497,8 +497,8 @@ object TpcdsQueries {
         |   WHERE ws1.ws_order_number = ws2.ws_order_number
         |     AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
         |SELECT count(DISTINCT ws_order_number) AS order_count ,
-        |       sum(ws_ext_ship_cost) AS total_shipping_cost ,
-        |       sum(ws_net_profit) AS total_net_profit
+        |       CAST(sum(ws_ext_ship_cost) AS BIGINT) AS total_shipping_cost ,
+        |       CAST(sum(ws_net_profit) AS BIGINT) AS total_net_profit
         |FROM web_sales ws1 ,
         |     date_dim ,
         |     customer_address ,

@@ -181,9 +181,16 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
     if (versions.isEmpty && ckptLatest.isEmpty)
       throw new IllegalStateException(s"Not a Delta table (no _delta_log): $tablePath")
     val latest = (versions.lastOption.toSeq ++ ckptLatest).max
+    // incremental replay needs every JSON in (cached, latest] — after a
+    // retention cleanup (ours or a foreign cleaner's) those may be gone
+    // with only the checkpoint covering them, so fall through to a full
+    // checkpoint-based rebuild instead of replaying a gapped tail
+    def tailCovers(from: Long): Boolean =
+      versions.filter(_ > from) == ((from + 1) to latest)
     cachedLatest match {
       case Some(s) if s.version == latest => s
-      case Some(s) if s.version < latest && !s.isInstanceOf[LazySnapshot] =>
+      case Some(s) if s.version < latest && !s.isInstanceOf[LazySnapshot] &&
+          tailCovers(s.version) =>
         val snap = replayOnTop(s, versions.filter(_ > s.version))
         cachedLatest = Some(snap); versionCache.put(latest, snap); snap
       case _ =>

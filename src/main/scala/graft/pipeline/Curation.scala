@@ -104,13 +104,14 @@ object Curation {
    * referent is the returned plan and which carries the bench DataFrame
    * strongly — while the caller can still execute the returned plan the
    * cache entry stays warm; once the caller drops it, the reference is
-   * enqueued and the NEXT invocation's drain unpersists the entry. Live
-   * entries are therefore bounded by the number of returned plans the
-   * caller still holds (each pinned only as long as its session is
-   * anyway reachable through the caller's own handle), plus the
-   * already-dropped ones awaiting one drain. A dropped SESSION is pinned
-   * at most until the next invocation on any session drains the queue —
-   * never for the JVM lifetime.
+   * enqueued and reclaimed by a daemon blocking on the queue (plus a
+   * drain at every invocation, belt and braces) — so even the LAST
+   * invocation's entry unpersists shortly after its plan is GC'd, with
+   * no further calls required. Live entries are therefore bounded by the
+   * number of returned plans the caller still holds, each pinned only as
+   * long as its session is anyway reachable through the caller's own
+   * handle. A failure between persist and registration unpersists
+   * eagerly on the error path.
    * `expectedItems <= 0` (the default) sizes the
    * Bloom filter from a `bench.count()` over the already-cached set — a
    * fixed guess undersizes at real benchmark volumes (10⁸ n-grams),
@@ -126,20 +127,37 @@ object Curation {
   private val liveBloomRefs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[BenchCacheRef]()
 
+  private def reclaim(r: java.lang.ref.Reference[_ <: DataFrame]): Unit =
+    r match {
+      case b: BenchCacheRef =>
+        // a stopped SparkContext makes unpersist throw — the blocks are
+        // already gone then, so a failed unpersist needs no recovery
+        try b.bench.unpersist(false) catch { case _: Exception => }
+        liveBloomRefs.remove(b)
+      case _ =>
+    }
+
   /** Unpersist every bench cache whose returned plan has been GC'd. */
   private def drainBloomRefs(): Unit = {
     var r = bloomRefQueue.poll()
-    while (r != null) {
-      r match {
-        case b: BenchCacheRef =>
-          // a stopped SparkContext makes unpersist throw — the blocks are
-          // already gone then, so a failed unpersist needs no recovery
-          try b.bench.unpersist(false) catch { case _: Exception => }
-          liveBloomRefs.remove(b)
-        case _ =>
+    while (r != null) { reclaim(r); r = bloomRefQueue.poll() }
+  }
+
+  // a daemon also blocks on the queue, so the LAST invocation's cache is
+  // reclaimed when its plan drops even if decontaminateBloom is never
+  // called again — without it that final entry (and its session, held
+  // through the bench lineage) would stay pinned for the JVM lifetime
+  private lazy val bloomReaper: Thread = {
+    val t = new Thread(() => {
+      var run = true
+      while (run) {
+        try reclaim(bloomRefQueue.remove())
+        catch { case _: InterruptedException => run = false case _: Exception => }
       }
-      r = bloomRefQueue.poll()
-    }
+    }, "graft-bloom-cache-reaper")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   def decontaminateBloom(docs: DataFrame, n: Int = 5, benchMod: Long = 31,
@@ -149,10 +167,23 @@ object Curation {
     // cached: the benchmark lineage feeds BOTH the blob aggregation (runs
     // now) and the verify join in the returned plan — without the cache
     // the scan+tokenize+explode+distinct would run twice
+    bloomReaper // ensure the reclaim daemon is running
     drainBloomRefs() // reclaim caches whose returned plans were dropped
     val bench = ng.where(col("doc_id") % benchMod === 0).select(col("s"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try decontaminateBloomBody(bench, ng, benchMod, expectedItems)
+    catch { case e: Throwable =>
+      // a failure before the cache-lifetime ref is registered (e.g. the
+      // sizing count) would otherwise orphan the persisted entry forever
+      try bench.unpersist(false) catch { case _: Exception => }
+      throw e
+    }
+  }
+
+  private def decontaminateBloomBody(bench: DataFrame, ng: DataFrame,
+      benchMod: Long, expectedItems: Long): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     val corpus = ng.where(col("doc_id") % benchMod =!= 0)
     // sizing pass doubles as the cache materializer: the blob agg and the
     // verify join both read the cached blocks it populates
@@ -174,7 +205,7 @@ object Curation {
       Int.MaxValue.toLong)
     val blob = {
       val aggSess = org.apache.spark.sql.GraftColumnBridge
-        .cloneSession(docs.sparkSession)
+        .cloneSession(bench.sparkSession)
       aggSess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
         math.max(nItems, 4000000L).toString)
       aggSess.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",

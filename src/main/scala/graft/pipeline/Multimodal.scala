@@ -460,7 +460,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { id =>
-            val s = decodeWav(syntheticWav(id)).samples
+            val pcm = decodeWav(syntheticWav(id))
+            // the decoder accepts any channel count now — this MONO
+            // feature contract must refuse interleaved streams loudly,
+            // not count L/R sign flips as zero crossings (multi-channel
+            // corpora go through wavChannelFeatures)
+            require(pcm.channels == 1,
+              s"wavFeatures is a mono contract; got ${pcm.channels} channels" +
+                " — use wavChannelFeatures for multi-channel audio")
+            val s = pcm.samples
             var sumAbs = 0L
             var peak = 0L
             var zc = 0L

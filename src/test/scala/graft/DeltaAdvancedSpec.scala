@@ -584,6 +584,29 @@ class DeltaAdvancedSpec extends AnyFunSuite {
     assert(fresh.snapshotAt(ckptV).version == ckptV)
   }
 
+  test("stale cached snapshot + retention-cleaned tail rebuilds from the checkpoint") {
+    val dir = tmpTable()
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    DeltaWriter.append(spark, src, dir) // v0
+    val stale = DeltaLog.forPath(spark, dir)
+    assert(stale.update().version == 0L) // pins cachedLatest at v0
+    // a SECOND writer advances the table to v3, checkpoints, and a
+    // retention cleaner removes every commit JSON the checkpoint covers —
+    // the stale instance (still caching v0) must rebuild from the
+    // checkpoint instead of incrementally replaying a tail that is gone
+    DeltaLog.clearCache() // drops the global handle; `stale` lives on
+    (1 to 3).foreach(_ => DeltaWriter.append(spark, src, dir))
+    val fresh = DeltaLog.forPath(spark, dir)
+    assert(Checkpoints.checkpoint(fresh) == 3L)
+    (0L to 3L).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        dir, "_delta_log", f"$v%020d.json"))
+    }
+    val snap = stale.update()
+    assert(snap.version == 3L)
+    assert(DeltaTable.forPath(spark, dir).toDF.count() == 4 * src.count())
+  }
+
   test("DV delete lands on files whose log paths are URL-encoded (space in name)") {
     // a DELETE over a foreign table whose add paths need URL decoding:
     // hits arrive keyed by the scan's encoded URI, facts by decoded path —

@@ -94,25 +94,30 @@ class GraftSourceSpec extends AnyFunSuite {
         spark.sql(s"CALL graft.write_blob('$base/gated.bin', X'00')").collect()
       }
     } finally spark.conf.unset("spark.graft.testUtilities")
+    // JVM-global property: restore it after the test so the opened gate
+    // never leaks into later suites (their catalogs would expose the
+    // write procedures and order-dependent failures follow)
     System.setProperty("graft.testUtilities", "true")
-    // write_blob creates parent dirs and writes exact bytes
-    val ok = spark.sql(
-      s"CALL graft.write_blob('$base/a/b/blob.bin', X'00DEADBEEF')").collect()
-    assert(ok.length == 1 && ok(0).getBoolean(0))
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$base/a/b/blob.bin"))
-    assert(bytes.toSeq == Seq(0x00, 0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
-    // copy_dir replicates the tree; a table copied this way still reads
-    val src = Fixtures.delta(spark, sfDir, "nation", Fixtures.Plain)
-    val dst = java.nio.file.Files.createTempDirectory("graft-copydir").toString + "/t"
-    val n = spark.sql(s"CALL graft.copy_dir('$src', '$dst')").collect()(0).getInt(0)
-    assert(n > 0, "copy_dir copied no files")
-    assert(spark.read.format("graftdelta").load(dst).count() ==
-      spark.read.format("graftdelta").load(src).count())
-    // copying a directory into its own subtree is refused, never recursed
-    intercept[Exception] {
-      spark.sql(s"CALL graft.copy_dir('$base', '$base/inside')").collect()
-    }
+    try {
+      // write_blob creates parent dirs and writes exact bytes
+      val ok = spark.sql(
+        s"CALL graft.write_blob('$base/a/b/blob.bin', X'00DEADBEEF')").collect()
+      assert(ok.length == 1 && ok(0).getBoolean(0))
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/a/b/blob.bin"))
+      assert(bytes.toSeq == Seq(0x00, 0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+      // copy_dir replicates the tree; a table copied this way still reads
+      val src = Fixtures.delta(spark, sfDir, "nation", Fixtures.Plain)
+      val dst = java.nio.file.Files.createTempDirectory("graft-copydir").toString + "/t"
+      val n = spark.sql(s"CALL graft.copy_dir('$src', '$dst')").collect()(0).getInt(0)
+      assert(n > 0, "copy_dir copied no files")
+      assert(spark.read.format("graftdelta").load(dst).count() ==
+        spark.read.format("graftdelta").load(src).count())
+      // copying a directory into its own subtree is refused, never recursed
+      intercept[Exception] {
+        spark.sql(s"CALL graft.copy_dir('$base', '$base/inside')").collect()
+      }
+    } finally System.clearProperty("graft.testUtilities")
   }
 
   test("delta_scan timestamp form resolves latest-at-or-before (ICT-backed)") {
