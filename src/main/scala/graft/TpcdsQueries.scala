@@ -74,6 +74,7 @@ object TpcdsQueries {
       |store AS (
       |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
       |         CASE WHEN sk % 2 = 0 THEN 'ese' ELSE 'able' END AS s_store_name,
+      |         concat('CO', sk % 3) AS s_company_name,
       |         concat('zip', sk % 4) AS s_zip
       |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
       |warehouse AS (
@@ -107,6 +108,14 @@ object TpcdsQueries {
       |  FROM (SELECT DISTINCT p_partkey % 500 AS ak FROM part) aks),
       |customer AS (
       |  SELECT o_custkey AS c_customer_sk,
+      |         concat('CUST', o_custkey) AS c_customer_id,
+      |         concat('F', o_custkey % 97) AS c_first_name,
+      |         concat('L', o_custkey % 89) AS c_last_name,
+      |         CASE WHEN o_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
+      |           AS c_preferred_cust_flag,
+      |         concat('BC', o_custkey % 11) AS c_birth_country,
+      |         concat('log', o_custkey) AS c_login,
+      |         concat('e', o_custkey, '@example.com') AS c_email_address,
       |         (o_custkey * 7 + 3) % 100 AS c_current_cdemo_sk,
       |         (o_custkey * 11 + 1) % 50 AS c_current_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS c_current_addr_sk,
@@ -124,7 +133,11 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_wholesale_cost,
       |         CAST(floor(l_extendedprice) AS BIGINT) AS ss_list_price,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_sales_price,
-      |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_coupon_amt
+      |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_coupon_amt,
+      |         CAST(floor(l_extendedprice * 1.05) AS BIGINT) AS ss_ext_list_price,
+      |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_ext_wholesale_cost,
+      |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_ext_discount_amt,
+      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  SELECT l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number
@@ -140,7 +153,10 @@ object TpcdsQueries {
       |         CAST(l_quantity AS BIGINT) AS cs_quantity,
       |         CAST(floor(l_extendedprice * 0.6) AS BIGINT) AS cs_wholesale_cost,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS cs_sales_price,
-      |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price
+      |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price,
+      |         CAST(floor(l_extendedprice * 0.55) AS BIGINT) AS cs_ext_wholesale_cost,
+      |         CAST(floor(l_extendedprice * l_discount * 0.9) AS BIGINT) AS cs_ext_discount_amt,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT) AS cs_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0),
       |catalog_returns AS (
@@ -160,7 +176,11 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 0.5) AS BIGINT) AS ws_wholesale_cost,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ws_sales_price,
       |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS ws_ext_ship_cost,
-      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ws_net_profit
+      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ws_net_profit,
+      |         CAST(floor(l_extendedprice * 1.02) AS BIGINT) AS ws_ext_list_price,
+      |         CAST(floor(l_extendedprice * 0.45) AS BIGINT) AS ws_ext_wholesale_cost,
+      |         CAST(floor(l_extendedprice * l_discount * 0.8) AS BIGINT) AS ws_ext_discount_amt,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.9) AS BIGINT) AS ws_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = 0),
       |web_returns AS (
@@ -313,6 +333,204 @@ object TpcdsQueries {
         |         cs2.cnt,
         |         cs1.s1,
         |         cs2.s1""".stripMargin),
+
+    // q4: the year-over-year growth query — one 3-channel UNION ALL CTE
+    // self-joined SIX ways, the canonical "same CTE many roles" stress
+    "tpcds_q4" -> wrap(
+      """WITH year_total AS
+        |  (SELECT c_customer_id customer_id,
+        |          c_first_name customer_first_name,
+        |          c_last_name customer_last_name,
+        |          c_preferred_cust_flag customer_preferred_cust_flag,
+        |          c_birth_country customer_birth_country,
+        |          c_login customer_login,
+        |          c_email_address customer_email_address,
+        |          d_year dyear,
+        |          sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total,
+        |          's' sale_type
+        |   FROM customer,
+        |        store_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ss_customer_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            c_preferred_cust_flag,
+        |            c_birth_country,
+        |            c_login,
+        |            c_email_address,
+        |            d_year
+        |   UNION ALL SELECT c_customer_id customer_id,
+        |                    c_first_name customer_first_name,
+        |                    c_last_name customer_last_name,
+        |                    c_preferred_cust_flag customer_preferred_cust_flag,
+        |                    c_birth_country customer_birth_country,
+        |                    c_login customer_login,
+        |                    c_email_address customer_email_address,
+        |                    d_year dyear,
+        |                    sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2)) year_total,
+        |                    'c' sale_type
+        |   FROM customer,
+        |        catalog_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = cs_bill_customer_sk
+        |     AND cs_sold_date_sk = d_date_sk
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            c_preferred_cust_flag,
+        |            c_birth_country,
+        |            c_login,
+        |            c_email_address,
+        |            d_year
+        |   UNION ALL SELECT c_customer_id customer_id,
+        |                    c_first_name customer_first_name,
+        |                    c_last_name customer_last_name,
+        |                    c_preferred_cust_flag customer_preferred_cust_flag,
+        |                    c_birth_country customer_birth_country,
+        |                    c_login customer_login,
+        |                    c_email_address customer_email_address,
+        |                    d_year dyear,
+        |                    sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2)) year_total,
+        |                    'w' sale_type
+        |   FROM customer,
+        |        web_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ws_bill_customer_sk
+        |     AND ws_sold_date_sk = d_date_sk
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            c_preferred_cust_flag,
+        |            c_birth_country,
+        |            c_login,
+        |            c_email_address,
+        |            d_year)
+        |SELECT t_s_secyear.customer_id,
+        |       t_s_secyear.customer_first_name,
+        |       t_s_secyear.customer_last_name,
+        |       t_s_secyear.customer_preferred_cust_flag
+        |FROM year_total t_s_firstyear,
+        |     year_total t_s_secyear,
+        |     year_total t_c_firstyear,
+        |     year_total t_c_secyear,
+        |     year_total t_w_firstyear,
+        |     year_total t_w_secyear
+        |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |  AND t_s_firstyear.sale_type = 's'
+        |  AND t_c_firstyear.sale_type = 'c'
+        |  AND t_w_firstyear.sale_type = 'w'
+        |  AND t_s_secyear.sale_type = 's'
+        |  AND t_c_secyear.sale_type = 'c'
+        |  AND t_w_secyear.sale_type = 'w'
+        |  AND t_s_firstyear.dyear = 2001
+        |  AND t_s_secyear.dyear = 2001+1
+        |  AND t_c_firstyear.dyear = 2001
+        |  AND t_c_secyear.dyear = 2001+1
+        |  AND t_w_firstyear.dyear = 2001
+        |  AND t_w_secyear.dyear = 2001+1
+        |  AND t_s_firstyear.year_total > 0
+        |  AND t_c_firstyear.year_total > 0
+        |  AND t_w_firstyear.year_total > 0
+        |  AND CASE
+        |          WHEN t_c_firstyear.year_total > 0 THEN t_c_secyear.year_total / t_c_firstyear.year_total
+        |          ELSE NULL
+        |      END > CASE
+        |                WHEN t_s_firstyear.year_total > 0 THEN t_s_secyear.year_total / t_s_firstyear.year_total
+        |                ELSE NULL
+        |            END
+        |  AND CASE
+        |          WHEN t_c_firstyear.year_total > 0 THEN t_c_secyear.year_total / t_c_firstyear.year_total
+        |          ELSE NULL
+        |      END > CASE
+        |                WHEN t_w_firstyear.year_total > 0 THEN t_w_secyear.year_total / t_w_firstyear.year_total
+        |                ELSE NULL
+        |            END
+        |ORDER BY t_s_secyear.customer_id NULLS FIRST,
+        |         t_s_secyear.customer_first_name NULLS FIRST,
+        |         t_s_secyear.customer_last_name NULLS FIRST,
+        |         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q47: monthly category sales with a windowed average-vs-actual
+    // deviation, then a lag/lead self-join on the rank ordinal
+    "tpcds_q47" -> wrap(
+      """WITH v1 AS
+        |  (SELECT i_category,
+        |          i_brand,
+        |          s_store_name,
+        |          s_company_name,
+        |          d_year,
+        |          d_moy,
+        |          CAST(sum(ss_sales_price) AS BIGINT) sum_sales,
+        |          avg(sum(ss_sales_price)) OVER (PARTITION BY i_category,
+        |                                                      i_brand,
+        |                                                      s_store_name,
+        |                                                      s_company_name,
+        |                                                      d_year) avg_monthly_sales,
+        |                                        rank() OVER (PARTITION BY i_category,
+        |                                                                  i_brand,
+        |                                                                  s_store_name,
+        |                                                                  s_company_name
+        |                                                     ORDER BY d_year,
+        |                                                              d_moy) rn
+        |   FROM item,
+        |        store_sales,
+        |        date_dim,
+        |        store
+        |   WHERE ss_item_sk = i_item_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND (d_year = 1999
+        |          OR (d_year = 1999-1
+        |              AND d_moy =12)
+        |          OR (d_year = 1999+1
+        |              AND d_moy =1))
+        |   GROUP BY i_category,
+        |            i_brand,
+        |            s_store_name,
+        |            s_company_name,
+        |            d_year,
+        |            d_moy),
+        |     v2 AS
+        |  (SELECT v1.i_category,
+        |          v1.i_brand,
+        |          v1.s_store_name,
+        |          v1.s_company_name,
+        |          v1.d_year,
+        |          v1.d_moy,
+        |          v1.avg_monthly_sales,
+        |          v1.sum_sales,
+        |          v1_lag.sum_sales psum,
+        |          v1_lead.sum_sales nsum
+        |   FROM v1,
+        |        v1 v1_lag,
+        |        v1 v1_lead
+        |   WHERE v1.i_category = v1_lag.i_category
+        |     AND v1.i_category = v1_lead.i_category
+        |     AND v1.i_brand = v1_lag.i_brand
+        |     AND v1.i_brand = v1_lead.i_brand
+        |     AND v1.s_store_name = v1_lag.s_store_name
+        |     AND v1.s_store_name = v1_lead.s_store_name
+        |     AND v1.s_company_name = v1_lag.s_company_name
+        |     AND v1.s_company_name = v1_lead.s_company_name
+        |     AND v1.rn = v1_lag.rn + 1
+        |     AND v1.rn = v1_lead.rn - 1)
+        |SELECT *
+        |FROM v2
+        |WHERE d_year = 1999
+        |  AND avg_monthly_sales > 0
+        |  AND CASE
+        |          WHEN avg_monthly_sales > 0 THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |          ELSE NULL
+        |      END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+        |LIMIT 100""".stripMargin),
 
     // q67: rollup over 8 dims + rank() partitioned by category
     "tpcds_q67" -> wrap(
