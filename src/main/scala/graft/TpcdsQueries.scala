@@ -25,6 +25,9 @@ package graft
  *
  * Dialect adjustments to the canonical bodies, each forced by a real
  * cross-engine difference and none changing the plan shape:
+ *  - integer-typed `sum(...)` outputs carry `CAST(... AS BIGINT)`
+ *    (q4's double sums excepted) — DuckDB promotes integer sums to
+ *    int128 while Spark stays 64-bit (the repo's oracle-parity rule),
  *  - q78: `ss_qty*1.00` → `CAST(ss_qty AS DOUBLE)` (decimal
  *    precision/scale propagation differs between engines; IEEE double
  *    division is bit-identical),
@@ -32,7 +35,12 @@ package graft
  *    parquet writer rejects spaces in column names, and the driver
  *    compares by column name),
  *  - q95: the template's `cast(... AS date) + 60 days` is pre-resolved
- *    to the literal date (template macro syntax, not SQL).
+ *    to the literal date (template macro syntax, not SQL),
+ *  - q47: ORDER BY extended from (deviation, s_store_name) to the
+ *    deviation plus output ordinals 1..10 — the canonical sort is not
+ *    total, and a LIMIT 100 under a non-total order is nondeterministic
+ *    across engines (DuckDB's own tpcds extension ships this same
+ *    ordinal-extended form).
  *
  * Scale notes (100 TB lens): the facts derive from lineitem⋈orders on
  * the orderkey — Catalyst plans that join before every query, the same
