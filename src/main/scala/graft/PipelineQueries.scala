@@ -390,6 +390,11 @@ object PipelineQueries {
     // channel order, row stride or alpha handling fails the hash gate
     "multimodal_png_decode" -> ((s, dir) => Multimodal.pngFeatures(docs(s, dir))),
 
+    // REAL decode → nearest-neighbor RESIZE (the normalize-to-model-input
+    // step) → integer checksum over the resized raster; the oracle
+    // re-derives every point-sampled source pixel from the formula
+    "multimodal_png_resize" -> ((s, dir) => Multimodal.pngResize(docs(s, dir))),
+
     // REAL audio decode: genuine RIFF/WAVE 16-bit PCM payloads (incl.
     // LIST chunks the parser must skip), sample-exact oracle
     "multimodal_wav_decode" -> ((s, dir) => Multimodal.wavFeatures(docs(s, dir))),
@@ -844,6 +849,26 @@ object PipelineQueries {
       |FROM sums s JOIN eg ON s.doc_id = eg.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** PNG-resize oracle: re-derives the 8×8 nearest-neighbor point sample
+    * — target (tx,ty) reads source pixel p = ⌊ty·H/8⌋·W + ⌊tx·W/8⌋ —
+    * and checksums r + 2g + 3b from the shared pixel formula. Mirrors
+    * Multimodal.resizeNearest/pngResize. */
+  private val multimodalPngResizeSql =
+    """WITH dims AS (SELECT doc_id, CAST(12 + doc_id % 12 AS BIGINT) AS w,
+      |    CAST(12 + doc_id % 6 AS BIGINT) AS h FROM documents),
+      |cell AS (SELECT d.doc_id,
+      |    CAST(floor(tys.ty * d.h / 8) AS BIGINT) * d.w
+      |      + CAST(floor(txs.tx * d.w / 8) AS BIGINT) AS p
+      |  FROM dims d
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS ty) tys
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS tx) txs)
+      |SELECT doc_id, CAST(8 AS BIGINT) AS rw, CAST(8 AS BIGINT) AS rh,
+      |  CAST(sum(
+      |      ((doc_id*23 + p*5) % 256)
+      |  + 2*((doc_id*23 + p*5 + 17) % 256)
+      |  + 3*((doc_id*23 + p*5 + 34) % 256)) AS BIGINT) AS rsum
+      |FROM cell GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Y4M oracle: re-derives every sampled frame's luma plane from the
     * shared formula v(f,p) = (doc_id·17 + f·101 + p·3) mod 256 — frames
     * 4 + id%5 (every 2nd sampled), luma plane (8+id%8)·2 × (8+id%4)·2 —
@@ -1105,6 +1130,7 @@ object PipelineQueries {
     "multimodal_features" -> multimodalSql,
     "multimodal_ppm_decode" -> multimodalPpmSql,
     "multimodal_png_decode" -> multimodalPngSql,
+    "multimodal_png_resize" -> multimodalPngResizeSql,
     "multimodal_wav_decode" -> multimodalWavSql,
     "multimodal_wav24_stereo" -> multimodalWav24Sql,
     "multimodal_y4m_frames" -> multimodalY4mSql,

@@ -330,6 +330,61 @@ object Multimodal {
   /** PNG pipeline — lossless, oracle-exact. */
   def pngFeatures(docs: DataFrame): DataFrame = imageFeatures(docs, "png")
 
+  /** Nearest-neighbor resize of a packed-ARGB raster: target pixel
+    * (tx, ty) samples source pixel (tx·w/tw, ty·h/th) — integer floor,
+    * the classic point-sampling kernel. Pure function so the oracle can
+    * re-derive every resized pixel from the generation formula. */
+  def resizeNearest(argb: Array[Int], w: Int, h: Int,
+      tw: Int, th: Int): Array[Int] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0, s"bad resize ${w}x$h -> ${tw}x$th")
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * h / th
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = argb(sy * w + tx * w / tw)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  case class ResizeRow(doc_id: Long, rw: Long, rh: Long, rsum: Long)
+
+  /** documents → PNG payloads → REAL decode → nearest-neighbor resize to
+    * `tw`×`th` → integer checksum Σ(r + 2g + 3b) over the RESIZED raster.
+    * The resize is the multimodal pipeline's standard normalization step
+    * (every training image to one model input size); point sampling keeps
+    * it integer-exact so the oracle re-derives each sampled source pixel
+    * from the generation formula — an off-by-one in the sampling index
+    * fails the hash gate. */
+  def pngResize(docs: DataFrame, tw: Int = 8, th: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val (w, h, argb) = decodeImage(syntheticImage(id, "png"))
+            val small = resizeNearest(argb, w, h, tw, th)
+            var s = 0L
+            var p = 0
+            while (p < small.length) {
+              val v = small(p)
+              s += ((v >> 16) & 0xff) + 2L * ((v >> 8) & 0xff) + 3L * (v & 0xff)
+              p += 1
+            }
+            ResizeRow(id, tw.toLong, th.toLong, s)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // REAL audio decode: WAV (RIFF PCM) — like PPM, a genuine container
   // format a pure-JVM parser handles completely: RIFF/WAVE magic, chunk

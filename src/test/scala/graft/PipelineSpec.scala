@@ -300,6 +300,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbor resize samples the exact point-sample pixels") {
+    // hand raster: 4x2, pixel value = its own index — resize to 2x2 must
+    // pick indices (0,2) from row 0 and (4,6) from row 1
+    val src = Array.tabulate(8)(identity)
+    assert(Multimodal.resizeNearest(src, 4, 2, 2, 2).toSeq == Seq(0, 2, 4, 6))
+    // upscale repeats source pixels (1x1 -> 3x3 all the same)
+    assert(Multimodal.resizeNearest(Array(7), 1, 1, 3, 3).toSeq == Seq.fill(9)(7))
+    intercept[IllegalArgumentException](
+      Multimodal.resizeNearest(Array(1), 1, 1, 0, 3))
+    // distributed PNG resize equals a driver-side brute force
+    val got = Multimodal.pngResize(docs.limit(10)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rsum")).toMap
+    got.keys.foreach { id =>
+      val (w, h, argb) = Multimodal.decodeImage(Multimodal.syntheticImage(id, "png"))
+      val small = Multimodal.resizeNearest(argb, w, h, 8, 8)
+      val expect = small.map(v =>
+        ((v >> 16) & 0xff) + 2L * ((v >> 8) & 0xff) + 3L * (v & 0xff)).sum
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
   test("JPEG decodes for real, within lossy-codec tolerance bands") {
     // JPEG is lossy: dims must be exact, per-channel means within a few
     // units of the formula (DCT quantization shifts individual pixels but
