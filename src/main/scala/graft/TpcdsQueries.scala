@@ -28,9 +28,12 @@ package graft
  *  - integer-typed `sum(...)` outputs carry `CAST(... AS BIGINT)`
  *    (q4's double sums excepted) — DuckDB promotes integer sums to
  *    int128 while Spark stays 64-bit (the repo's oracle-parity rule),
- *  - q78: `ss_qty*1.00` → `CAST(ss_qty AS DOUBLE)` (decimal
- *    precision/scale propagation differs between engines; IEEE double
- *    division is bit-identical),
+ *  - q11/q21/q78: decimal ratio idioms (`x*1.0000 / y`, decimal-literal
+ *    bounds) → `CAST(x AS DOUBLE) / y` (decimal precision/scale
+ *    propagation differs between engines near compare boundaries; IEEE
+ *    double division is bit-identical),
+ *  - q38/q87: the bare `count(*)` output gains an alias (Spark's
+ *    parquet writer rejects parens in column names),
  *  - q95: output aliases `"order count"` → `order_count` etc. (Spark's
  *    parquet writer rejects spaces in column names, and the driver
  *    compares by column name),
@@ -71,7 +74,8 @@ object TpcdsQueries {
       |  FROM (SELECT DISTINCT (l_orderkey * 100 + l_linenumber) % 86400 AS t_time_sk
       |        FROM lineitem) tk),
       |item AS (
-      |  SELECT p_partkey AS i_item_sk, p_name AS i_product_name,
+      |  SELECT p_partkey AS i_item_sk, concat('I', p_partkey) AS i_item_id,
+      |         p_name AS i_product_name,
       |         p_name AS i_item_desc, concat('CAT', p_partkey % 5) AS i_category,
       |         p_type AS i_class, p_brand AS i_brand,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
@@ -83,6 +87,7 @@ object TpcdsQueries {
       |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
       |         CASE WHEN sk % 2 = 0 THEN 'ese' ELSE 'able' END AS s_store_name,
       |         concat('CO', sk % 3) AS s_company_name,
+      |         CASE WHEN sk % 3 = 0 THEN 'TN' ELSE 'CA' END AS s_state,
       |         concat('zip', sk % 4) AS s_zip
       |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
       |warehouse AS (
@@ -148,8 +153,12 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
-      |  SELECT l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number
-      |  FROM lineitem WHERE l_returnflag = 'R'),
+      |  SELECT l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number,
+      |         (l_orderkey * 5 + 3) % 1826 AS sr_returned_date_sk,
+      |         o_custkey AS sr_customer_sk, l_suppkey % 10 AS sr_store_sk,
+      |         CAST(floor(l_extendedprice * 0.4) AS BIGINT) AS sr_return_amt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'),
       |catalog_sales AS (
       |  SELECT (o_orderkey * 3 + 1) % 1826 AS cs_sold_date_sk,
       |         (o_orderkey * 3 + 11) % 1826 AS cs_ship_date_sk,
@@ -195,9 +204,13 @@ object TpcdsQueries {
       |  SELECT l_orderkey AS wr_order_number, l_partkey AS wr_item_sk
       |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
       |inventory AS (
+      |  -- each (item, warehouse) carries a 7-date cluster (9-day steps):
+      |  -- q21's before/after-boundary split needs BOTH sides populated
+      |  -- for some pairs, and q72's week-seq match needs bounded rows
       |  SELECT DISTINCT l_partkey AS inv_item_sk,
       |         l_suppkey % 5 AS inv_warehouse_sk,
-      |         (l_partkey * 37 + l_suppkey % 5) % 1826 AS inv_date_sk,
+      |         (l_partkey * 37 + l_suppkey % 5 + (l_orderkey % 7) * 9) % 1826
+      |           AS inv_date_sk,
       |         CAST(l_partkey % 20 AS BIGINT) AS inv_quantity_on_hand
       |  FROM lineitem)""".stripMargin
 
@@ -341,6 +354,215 @@ object TpcdsQueries {
         |         cs2.cnt,
         |         cs1.s1,
         |         cs2.s1""".stripMargin),
+
+    // q1: per-store return-average correlated scalar subquery
+    "tpcds_q1" -> wrap(
+      """WITH customer_total_return AS
+        |  (SELECT sr_customer_sk AS ctr_customer_sk,
+        |          sr_store_sk AS ctr_store_sk,
+        |          sum(sr_return_amt) AS ctr_total_return
+        |   FROM store_returns,
+        |        date_dim
+        |   WHERE sr_returned_date_sk = d_date_sk
+        |     AND d_year = 2000
+        |   GROUP BY sr_customer_sk,
+        |            sr_store_sk)
+        |SELECT c_customer_id
+        |FROM customer_total_return ctr1,
+        |     store,
+        |     customer
+        |WHERE ctr1.ctr_total_return >
+        |    (SELECT avg(ctr_total_return)*1.2
+        |     FROM customer_total_return ctr2
+        |     WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+        |  AND s_store_sk = ctr1.ctr_store_sk
+        |  AND s_state = 'TN'
+        |  AND ctr1.ctr_customer_sk = c_customer_sk
+        |ORDER BY c_customer_id
+        |LIMIT 100""".stripMargin),
+
+    // q11: q4's two-channel sibling (ratio cast to double — see the
+    // dialect-adjustment list)
+    "tpcds_q11" -> wrap(
+      """WITH year_total AS
+        |  (SELECT c_customer_id customer_id,
+        |          c_first_name customer_first_name,
+        |          c_last_name customer_last_name,
+        |          c_preferred_cust_flag customer_preferred_cust_flag,
+        |          c_birth_country customer_birth_country,
+        |          c_login customer_login,
+        |          c_email_address customer_email_address,
+        |          d_year dyear,
+        |          sum(ss_ext_list_price-ss_ext_discount_amt) year_total,
+        |          's' sale_type
+        |   FROM customer,
+        |        store_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ss_customer_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            c_preferred_cust_flag,
+        |            c_birth_country,
+        |            c_login,
+        |            c_email_address,
+        |            d_year
+        |   UNION ALL SELECT c_customer_id customer_id,
+        |                    c_first_name customer_first_name,
+        |                    c_last_name customer_last_name,
+        |                    c_preferred_cust_flag customer_preferred_cust_flag,
+        |                    c_birth_country customer_birth_country,
+        |                    c_login customer_login,
+        |                    c_email_address customer_email_address,
+        |                    d_year dyear,
+        |                    sum(ws_ext_list_price-ws_ext_discount_amt) year_total,
+        |                    'w' sale_type
+        |   FROM customer,
+        |        web_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ws_bill_customer_sk
+        |     AND ws_sold_date_sk = d_date_sk
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            c_preferred_cust_flag,
+        |            c_birth_country,
+        |            c_login,
+        |            c_email_address,
+        |            d_year)
+        |SELECT t_s_secyear.customer_id,
+        |       t_s_secyear.customer_first_name,
+        |       t_s_secyear.customer_last_name,
+        |       t_s_secyear.customer_preferred_cust_flag
+        |FROM year_total t_s_firstyear,
+        |     year_total t_s_secyear,
+        |     year_total t_w_firstyear,
+        |     year_total t_w_secyear
+        |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |  AND t_s_firstyear.sale_type = 's'
+        |  AND t_w_firstyear.sale_type = 'w'
+        |  AND t_s_secyear.sale_type = 's'
+        |  AND t_w_secyear.sale_type = 'w'
+        |  AND t_s_firstyear.dyear = 2001
+        |  AND t_s_secyear.dyear = 2001+1
+        |  AND t_w_firstyear.dyear = 2001
+        |  AND t_w_secyear.dyear = 2001+1
+        |  AND t_s_firstyear.year_total > 0
+        |  AND t_w_firstyear.year_total > 0
+        |  AND CASE
+        |          WHEN t_w_firstyear.year_total > 0 THEN CAST(t_w_secyear.year_total AS DOUBLE) / t_w_firstyear.year_total
+        |          ELSE 0.0
+        |      END > CASE
+        |                WHEN t_s_firstyear.year_total > 0 THEN CAST(t_s_secyear.year_total AS DOUBLE) / t_s_firstyear.year_total
+        |                ELSE 0.0
+        |            END
+        |ORDER BY t_s_secyear.customer_id NULLS FIRST,
+        |         t_s_secyear.customer_first_name NULLS FIRST,
+        |         t_s_secyear.customer_last_name NULLS FIRST,
+        |         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q21: inventory before/after a date boundary per warehouse/item
+    // (ratio + bounds cast to double — see the dialect-adjustment list)
+    "tpcds_q21" -> wrap(
+      """SELECT *
+        |FROM
+        |  (SELECT w_warehouse_name,
+        |          i_item_id,
+        |          CAST(sum(CASE
+        |                  WHEN (cast(d_date AS date) < CAST ('2000-03-11' AS date)) THEN inv_quantity_on_hand
+        |                  ELSE 0
+        |              END) AS BIGINT) AS inv_before,
+        |          CAST(sum(CASE
+        |                  WHEN (cast(d_date AS date) >= CAST ('2000-03-11' AS date)) THEN inv_quantity_on_hand
+        |                  ELSE 0
+        |              END) AS BIGINT) AS inv_after
+        |   FROM inventory,
+        |        warehouse,
+        |        item,
+        |        date_dim
+        |   WHERE i_current_price BETWEEN 0.99 AND 1.49
+        |     AND i_item_sk = inv_item_sk
+        |     AND inv_warehouse_sk = w_warehouse_sk
+        |     AND inv_date_sk = d_date_sk
+        |     AND d_date BETWEEN CAST ('2000-02-10' AS date) AND CAST ('2000-04-10' AS date)
+        |   GROUP BY w_warehouse_name,
+        |            i_item_id) x
+        |WHERE (CASE
+        |           WHEN inv_before > 0 THEN CAST(inv_after AS DOUBLE) / inv_before
+        |           ELSE NULL
+        |       END) BETWEEN CAST(2.0 AS DOUBLE)/3.0 AND CAST(3.0 AS DOUBLE)/2.0
+        |ORDER BY w_warehouse_name NULLS FIRST,
+        |         i_item_id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q38: three-channel INTERSECT of (last, first, date) — the set-op
+    // texture the ds_* analogs only approximate
+    "tpcds_q38" -> wrap(
+      """SELECT count(*) AS hot_cust_count
+        |FROM
+        |  (SELECT DISTINCT c_last_name,
+        |                   c_first_name,
+        |                   d_date
+        |   FROM store_sales,
+        |        date_dim,
+        |        customer
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND 1200 + 11 INTERSECT
+        |     SELECT DISTINCT c_last_name,
+        |                     c_first_name,
+        |                     d_date
+        |     FROM catalog_sales,
+        |          date_dim,
+        |          customer WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND 1200 + 11 INTERSECT
+        |     SELECT DISTINCT c_last_name,
+        |                     c_first_name,
+        |                     d_date
+        |     FROM web_sales,
+        |          date_dim,
+        |          customer WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |     AND d_month_seq BETWEEN 1200 AND 1200 + 11 ) hot_cust
+        |LIMIT 100""".stripMargin),
+
+    // q87: the EXCEPT complement of q38's INTERSECT
+    "tpcds_q87" -> wrap(
+      """SELECT count(*) AS cool_cust_count
+        |FROM ((SELECT DISTINCT c_last_name,
+        |                         c_first_name,
+        |                         d_date
+        |         FROM store_sales,
+        |              date_dim,
+        |              customer
+        |         WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |           AND store_sales.ss_customer_sk = customer.c_customer_sk
+        |           AND d_month_seq BETWEEN 1200 AND 1200+11)
+        |      EXCEPT
+        |        (SELECT DISTINCT c_last_name,
+        |                         c_first_name,
+        |                         d_date
+        |         FROM catalog_sales,
+        |              date_dim,
+        |              customer
+        |         WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        |           AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+        |           AND d_month_seq BETWEEN 1200 AND 1200+11)
+        |      EXCEPT
+        |        (SELECT DISTINCT c_last_name,
+        |                         c_first_name,
+        |                         d_date
+        |         FROM web_sales,
+        |              date_dim,
+        |              customer
+        |         WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        |           AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+        |           AND d_month_seq BETWEEN 1200 AND 1200+11)) cool_cust""".stripMargin),
 
     // q4: the year-over-year growth query — one 3-channel UNION ALL CTE
     // self-joined SIX ways, the canonical "same CTE many roles" stress
