@@ -122,8 +122,8 @@ object TpcdsQueries {
       |customer AS (
       |  SELECT o_custkey AS c_customer_sk,
       |         concat('CUST', o_custkey) AS c_customer_id,
-      |         concat('F', o_custkey % 97) AS c_first_name,
-      |         concat('L', o_custkey % 89) AS c_last_name,
+      |         concat('F', o_custkey % 7) AS c_first_name,
+      |         concat('L', o_custkey % 13) AS c_last_name,
       |         CASE WHEN o_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
       |           AS c_preferred_cust_flag,
       |         concat('BC', o_custkey % 11) AS c_birth_country,
@@ -211,7 +211,8 @@ object TpcdsQueries {
       |         l_suppkey % 5 AS inv_warehouse_sk,
       |         (l_partkey * 37 + l_suppkey % 5 + (l_orderkey % 7) * 9) % 1826
       |           AS inv_date_sk,
-      |         CAST(l_partkey % 20 AS BIGINT) AS inv_quantity_on_hand
+      |         CAST((l_partkey + l_suppkey % 5 + (l_orderkey % 7) * 3) % 20 AS BIGINT)
+      |           AS inv_quantity_on_hand
       |  FROM lineitem)""".stripMargin
 
   /** Prefix `body` with the derivation CTEs. A body that opens with its
