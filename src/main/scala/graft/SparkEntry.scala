@@ -83,6 +83,11 @@ object SparkEntry {
         RelationalQueries.ensureViews(s, dir); s.sql(q)
       })
     } ++
+    TpchQueries.sql.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => {
+        TpchQueries.ensureViews(s, dir); s.sql(q)
+      })
+    } ++
     PipelineQueries.queries ++
     deltaQueries
 
@@ -1321,6 +1326,7 @@ object SparkEntry {
     RelationalQueries.sql ++
     RelationalQueries.dataframeQueries.map { case (name, (_, sql)) => name -> sql } ++
     TpcdsQueries.sql ++
+    TpchQueries.oracle ++
     PipelineQueries.oracleSql ++
     deltaOracleSql
 

@@ -43,6 +43,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the mechanical source of SURVEY.md's headline row count
+    System.err.println(s"[verify] queries=${SparkEntry.queries.size} " +
+      s"oracle_rows=${SparkEntry.oracleSql.size}")
     spark.stop()
   }
 }
