@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites MUST run serially: GraftSourceSpec toggles the JVM-global
+// graft.testUtilities system property around its gate assertions, and a
+// concurrently running suite would transiently see the opened gate (or
+// trip the gated-intercept). Forked suites are already sequential by
+// sbt default (no testForkedParallel); this pins that contract so a
+// future parallelism tweak can't silently reintroduce the race.
+Test / parallelExecution := false
 // Pass the forked JVM's stdout through UNPREFIXED: the bench driver tails
 // stdout for the final JSON headline line, and sbt's default LoggedOutput
 // would wrap it in "[info] ", breaking the driver's parser.

@@ -91,6 +91,17 @@ object SparkEntry {
     PipelineQueries.queries ++
     deltaQueries
 
+  /** JVM-lifetime scratch dir for the foreign-roundtrip mutation copy:
+    * one dir, wiped per invocation, removed on exit (not one leaked
+    * temp dir per run — see delta_foreign_roundtrip). */
+  private lazy val froundtripScratch: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-froundtrip")
+    sys.addShutdownHook {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(d.toFile): Unit
+    }
+    d
+  }
+
   private def deltaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational surface over parquet (Catalyst built-ins, §2.2) ---
     "q1_agg" -> ((s, dir) => q1Shape(li(s, dir))),
@@ -653,9 +664,12 @@ object SparkEntry {
     //     the deletion vectors ---
     "delta_foreign_roundtrip" -> ((s, dir) => {
       val src = ForeignFixtures.inline(s, dir)
-      // fixtures are cached and shared — every mutation happens on a copy
-      val p = java.nio.file.Files.createTempDirectory("graft-froundtrip")
-        .toString + "/t"
+      // fixtures are cached and shared — every mutation happens on a copy.
+      // The copy lives in ONE JVM-lifetime scratch dir (wiped and
+      // re-copied per invocation, deleted at exit) — a fresh
+      // createTempDirectory per call would leak a table copy every run.
+      val p = froundtripScratch.toString + "/t"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
       val hconf = s.sessionState.newHadoopConf()
       val sp = new org.apache.hadoop.fs.Path(src)
       val dp = new org.apache.hadoop.fs.Path(p)

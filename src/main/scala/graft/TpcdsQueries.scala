@@ -32,6 +32,12 @@ package graft
  *    bounds) → `CAST(x AS DOUBLE) / y` (decimal precision/scale
  *    propagation differs between engines near compare boundaries; IEEE
  *    double division is bit-identical),
+ *  - q78: the `round(ratio, 2)` output is an integer-scaled
+ *    `CAST(floor(x*100.0/y) AS BIGINT)` — round-half behavior on .xx5
+ *    ties differs between Spark (BigDecimal shortest-repr HALF_UP) and
+ *    DuckDB (binary half-away-from-zero), so rounding a ratio is a
+ *    latent flake even when the current data dodges the tie; floor of
+ *    an identical IEEE division is bit-identical by construction,
  *  - q38/q87: the bare `count(*)` output gains an alias (Spark's
  *    parquet writer rejects parens in column names),
  *  - q95: output aliases `"order count"` → `order_count` etc. (Spark's
@@ -903,7 +909,7 @@ object TpcdsQueries {
         |SELECT ss_sold_year,
         |       ss_item_sk,
         |       ss_customer_sk,
-        |       round(CAST(ss_qty AS DOUBLE)/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,
+        |       CAST(floor(CAST(ss_qty AS DOUBLE)*100.0/(coalesce(ws_qty,0)+coalesce(cs_qty,0))) AS BIGINT) ratio,
         |       ss_qty store_qty,
         |       ss_wc store_wholesale_cost,
         |       ss_sp store_sales_price,

@@ -112,6 +112,16 @@ object Curation {
    * long as its session is anyway reachable through the caller's own
    * handle. A failure between persist and registration unpersists
    * eagerly on the error path.
+   *
+   * CALLER CONTRACT (cache lifetime): the weak ref tracks the EXACT
+   * returned DataFrame object. Hold that handle while executing any
+   * plan derived from it (`result.filter(...)` etc.) — deriving a
+   * child and dropping the original lets GC enqueue the ref, and the
+   * persisted bench set is unpersisted out from under the derived
+   * plan. That is a CACHE loss, never a correctness loss (the lineage
+   * recomputes), and reclaim timing is GC-dependent by design: eager
+   * determinism would require an explicit release() on the public API,
+   * which this deliberately avoids.
    * `expectedItems <= 0` (the default) sizes the
    * Bloom filter from a `bench.count()` over the already-cached set — a
    * fixed guess undersizes at real benchmark volumes (10⁸ n-grams),

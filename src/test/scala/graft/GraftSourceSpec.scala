@@ -86,7 +86,10 @@ class GraftSourceSpec extends AnyFunSuite {
     // filesystem-write utilities are GATED on a JVM system property —
     // deliberately NOT a session conf, which any SQL caller could flip
     // with SET before CALL; without the JVM-level opt-in the procedures
-    // don't resolve, and a SET of the old conf name changes nothing
+    // don't resolve, and a SET of the old conf name changes nothing.
+    // The property is JVM-GLOBAL: this toggle is only safe because
+    // suites run serially (Test/parallelExecution := false in build.sbt
+    // pins it) — a parallel suite would transiently see the open gate.
     System.clearProperty("graft.testUtilities")
     spark.conf.set("spark.graft.testUtilities", "true") // SQL-reachable knob: must NOT open the gate
     try {
