@@ -69,7 +69,7 @@ object TpcdsQueries {
   private val derivations: String =
     """date_dim AS (
       |  SELECT d_date_sk, d_date, year(d_date) AS d_year, month(d_date) AS d_moy,
-      |         quarter(d_date) AS d_qoy,
+      |         quarter(d_date) AS d_qoy, dayofmonth(d_date) AS d_dom,
       |         (year(d_date) - 1900) * 12 + month(d_date) - 1 AS d_month_seq,
       |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq
       |  FROM (SELECT dd AS d_date_sk, DATE '1998-01-01' + CAST(dd AS INT) AS d_date
@@ -82,8 +82,21 @@ object TpcdsQueries {
       |item AS (
       |  SELECT p_partkey AS i_item_sk, concat('I', p_partkey) AS i_item_id,
       |         p_name AS i_product_name,
-      |         p_name AS i_item_desc, concat('CAT', p_partkey % 5) AS i_category,
-      |         p_type AS i_class, p_brand AS i_brand,
+      |         p_name AS i_item_desc,
+      |         CASE p_partkey % 5 WHEN 0 THEN 'Books' WHEN 1 THEN 'Home'
+      |              WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Jewelry'
+      |              ELSE 'Women' END AS i_category,
+      |         CASE (p_partkey * 11) % 7 WHEN 0 THEN 'maternity'
+      |              WHEN 1 THEN 'accessories' WHEN 2 THEN 'classical'
+      |              WHEN 3 THEN 'fiction' WHEN 4 THEN 'wireless'
+      |              WHEN 5 THEN 'dresses' ELSE 'pants' END AS i_class,
+      |         p_brand AS i_brand,
+      |         CAST(1 + p_partkey % 11 AS INT) AS i_brand_id,
+      |         CAST(1 + p_partkey % 17 AS INT) AS i_class_id,
+      |         CAST(1 + p_partkey % 5 AS INT) AS i_category_id,
+      |         -- 7p mod 400: each mod-5 category class owns 80 of the 400
+      |         -- manufact ids, so q33's IN-subquery filter is selective
+      |         CAST(1 + (p_partkey * 7) % 400 AS INT) AS i_manufact_id,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
       |         CASE p_partkey % 8 WHEN 0 THEN 'purple' WHEN 1 THEN 'burlywood'
       |              WHEN 2 THEN 'indian' WHEN 3 THEN 'spring' WHEN 4 THEN 'floral'
@@ -93,9 +106,20 @@ object TpcdsQueries {
       |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
       |         CASE WHEN sk % 2 = 0 THEN 'ese' ELSE 'able' END AS s_store_name,
       |         concat('CO', sk % 3) AS s_company_name,
-      |         CASE WHEN sk % 3 = 0 THEN 'TN' ELSE 'CA' END AS s_state,
+      |         'Williamson County' AS s_county,
+      |         CASE sk % 3 WHEN 0 THEN 'TN' WHEN 1 THEN 'TX' ELSE 'CA' END
+      |           AS s_state,
       |         concat('zip', sk % 4) AS s_zip
       |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
+      |catalog_page AS (
+      |  SELECT cpk AS cp_catalog_page_sk, concat('CP', cpk) AS cp_catalog_page_id
+      |  FROM (SELECT DISTINCT p_partkey % 15 AS cpk FROM part) cpks),
+      |reason AS (
+      |  -- rk=3 carries the validation-parameter description 'reason 28'
+      |  SELECT rk AS r_reason_sk,
+      |         CASE rk WHEN 3 THEN 'reason 28'
+      |              ELSE concat('reason ', rk) END AS r_reason_desc
+      |  FROM (SELECT DISTINCT s_suppkey % 8 AS rk FROM supplier) rks),
       |warehouse AS (
       |  SELECT wk AS w_warehouse_sk, concat('WH', wk) AS w_warehouse_name
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wks),
@@ -116,12 +140,25 @@ object TpcdsQueries {
       |  SELECT hk AS hd_demo_sk, hk % 10 AS hd_income_band_sk,
       |         CASE WHEN hk % 3 = 0 THEN '>10000' ELSE '5001-10000' END AS hd_buy_potential,
       |         CAST(hk % 5 AS BIGINT) AS hd_dep_count,
-      |         CAST(hk % 7 AS BIGINT) AS hd_vehicle_count
+      |         -- 1..3 (never 0): q34's dep/vehicle > 1.2 ratio filter must
+      |         -- keep a workable share of households (~1/3 of hk values)
+      |         CAST(1 + hk % 3 AS BIGINT) AS hd_vehicle_count
       |  FROM (SELECT DISTINCT p_partkey % 50 AS hk FROM part) hks),
       |customer_address AS (
       |  SELECT ak AS ca_address_sk, concat('', ak % 1000) AS ca_street_number,
       |         concat('Street ', ak % 20) AS ca_street_name,
       |         concat('City', ak % 30) AS ca_city, concat('zip', ak % 100) AS ca_zip,
+      |         -- county draws from the TENS digit so the (state, county)
+      |         -- grid is fully covered (both from ak % 10 would make the
+      |         -- pair a bijection and q54's county+state match empty)
+      |         CASE CAST(floor(ak / 10) AS BIGINT) % 10
+      |              WHEN 3 THEN 'Ziebach County' WHEN 4 THEN 'Walker County'
+      |              WHEN 5 THEN 'Sioux County' WHEN 6 THEN 'Daviess County'
+      |              WHEN 7 THEN 'Barrow County' WHEN 8 THEN 'Franklin Parish'
+      |              WHEN 9 THEN 'Luce County'
+      |              ELSE 'Williamson County' END AS ca_county,
+      |         CAST(CASE (ak * 7) % 4 WHEN 0 THEN -5 WHEN 1 THEN -6
+      |              WHEN 2 THEN -7 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
       |         CASE ak % 10 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
       |              ELSE 'TX' END AS ca_state
       |  FROM (SELECT DISTINCT p_partkey % 500 AS ak FROM part) aks),
@@ -130,6 +167,9 @@ object TpcdsQueries {
       |         concat('CUST', o_custkey) AS c_customer_id,
       |         concat('F', o_custkey % 7) AS c_first_name,
       |         concat('L', o_custkey % 13) AS c_last_name,
+      |         CASE o_custkey % 6 WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+      |              WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
+      |              ELSE 'Sir' END AS c_salutation,
       |         CASE WHEN o_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
       |           AS c_preferred_cust_flag,
       |         concat('BC', o_custkey % 11) AS c_birth_country,
@@ -142,12 +182,28 @@ object TpcdsQueries {
       |         (o_custkey * 19 + 30) % 1826 AS c_first_shipto_date_sk
       |  FROM (SELECT DISTINCT o_custkey FROM orders) ck),
       |store_sales AS (
-      |  SELECT o_orderkey % 1826 AS ss_sold_date_sk,
+      |  -- Ticket/date model (q23/q34 reachability): a ticket is one
+      |  -- customer VISIT — two visit windows per customer, ticket =
+      |  -- o_custkey*2+win, and the whole visit shares ONE sold date
+      |  -- derived from (customer, window), so per-ticket line counts
+      |  -- reach q34's 15..20 band and date filters keep whole tickets.
+      |  -- A 20% "hot" slice ((l_orderkey*7+l_linenumber)%5=0) instead
+      |  -- concentrates item+date into a 40x60 promo grid (~5 rows per
+      |  -- (item,date) cell) so q23's HAVING count(*) > 4 has members.
+      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN ((l_partkey % 40) * 45 + o_orderkey % 60) % 1826
+      |              ELSE (o_custkey * 389
+      |                    + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT) * 457
+      |                    + 17) % 1826 END AS ss_sold_date_sk,
       |         (l_orderkey * 100 + l_linenumber) % 86400 AS ss_sold_time_sk,
-      |         l_partkey AS ss_item_sk, o_custkey AS ss_customer_sk,
+      |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS ss_item_sk,
+      |         o_custkey AS ss_customer_sk,
       |         o_custkey % 100 AS ss_cdemo_sk, o_custkey % 50 AS ss_hdemo_sk,
       |         o_custkey % 500 AS ss_addr_sk, l_suppkey % 10 AS ss_store_sk,
-      |         l_partkey % 20 AS ss_promo_sk, l_orderkey AS ss_ticket_number,
+      |         l_partkey % 20 AS ss_promo_sk,
+      |         o_custkey * 2 + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT)
+      |           AS ss_ticket_number,
       |         CAST(l_quantity AS BIGINT) AS ss_quantity,
       |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_wholesale_cost,
       |         CAST(floor(l_extendedprice) AS BIGINT) AS ss_list_price,
@@ -156,24 +212,43 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 1.05) AS BIGINT) AS ss_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_ext_discount_amt,
-      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price
+      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price,
+      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ss_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
-      |  SELECT l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number,
+      |  -- item/ticket expressions MIRROR store_sales (returns must
+      |  -- reference the sale's hot-mapped item and merged ticket)
+      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS sr_item_sk,
+      |         o_custkey * 2 + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT)
+      |           AS sr_ticket_number,
       |         (l_orderkey * 5 + 3) % 1826 AS sr_returned_date_sk,
       |         o_custkey AS sr_customer_sk, l_suppkey % 10 AS sr_store_sk,
-      |         CAST(floor(l_extendedprice * 0.4) AS BIGINT) AS sr_return_amt
+      |         (l_orderkey + l_partkey) % 8 AS sr_reason_sk,
+      |         CAST(floor(l_quantity / 2) AS BIGINT) AS sr_return_quantity,
+      |         CAST(floor(l_extendedprice * 0.4) AS BIGINT) AS sr_return_amt,
+      |         CAST(floor(l_extendedprice * 0.15) AS BIGINT) AS sr_net_loss
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_returnflag = 'R'),
       |catalog_sales AS (
-      |  SELECT (o_orderkey * 3 + 1) % 1826 AS cs_sold_date_sk,
+      |  -- hot slice mirrors store_sales' promo grid (items % 40) and
+      |  -- lands its sold dates in a Jan-Apr 2000 window so q23's
+      |  -- best-customer x frequent-item probe month is populated
+      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN 730 + (l_partkey * 3 + o_orderkey) % 120
+      |              ELSE (o_orderkey * 3 + 1) % 1826 END AS cs_sold_date_sk,
       |         (o_orderkey * 3 + 11) % 1826 AS cs_ship_date_sk,
       |         o_custkey AS cs_bill_customer_sk,
       |         o_custkey % 100 AS cs_bill_cdemo_sk,
       |         o_custkey % 50 AS cs_bill_hdemo_sk,
-      |         l_partkey AS cs_item_sk, l_partkey % 25 AS cs_promo_sk,
+      |         (o_custkey * 13 + 7) % 500 AS cs_bill_addr_sk,
+      |         l_partkey % 15 AS cs_catalog_page_sk,
+      |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS cs_item_sk,
+      |         l_partkey % 25 AS cs_promo_sk,
       |         l_orderkey AS cs_order_number,
       |         CAST(l_quantity AS BIGINT) AS cs_quantity,
+      |         CAST(floor(l_extendedprice * 1.08) AS BIGINT) AS cs_list_price,
       |         CAST(floor(l_extendedprice * 0.6) AS BIGINT) AS cs_wholesale_cost,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS cs_sales_price,
       |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price,
@@ -183,19 +258,31 @@ object TpcdsQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0),
       |catalog_returns AS (
-      |  SELECT l_partkey AS cr_item_sk, l_orderkey AS cr_order_number,
+      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS cr_item_sk,
+      |         l_orderkey AS cr_order_number,
+      |         (l_orderkey * 5 + 7) % 1826 AS cr_returned_date_sk,
+      |         l_partkey % 15 AS cr_catalog_page_sk,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS cr_refunded_cash,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS cr_reversed_charge,
-      |         CAST(floor(l_extendedprice * 0.05) AS BIGINT) AS cr_store_credit
+      |         CAST(floor(l_extendedprice * 0.05) AS BIGINT) AS cr_store_credit,
+      |         CAST(floor(l_extendedprice * 0.35) AS BIGINT) AS cr_return_amount,
+      |         CAST(floor(l_extendedprice * 0.12) AS BIGINT) AS cr_net_loss
       |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0),
       |web_sales AS (
-      |  SELECT (o_orderkey * 7 + 3) % 1826 AS ws_sold_date_sk,
+      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN 730 + (l_partkey * 5 + o_orderkey) % 120
+      |              ELSE (o_orderkey * 7 + 3) % 1826 END AS ws_sold_date_sk,
       |         (o_orderkey * 7 + 40) % 1826 AS ws_ship_date_sk,
-      |         l_partkey AS ws_item_sk, o_custkey AS ws_bill_customer_sk,
+      |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS ws_item_sk,
+      |         o_custkey AS ws_bill_customer_sk,
+      |         (o_custkey * 13 + 7) % 500 AS ws_bill_addr_sk,
       |         (o_custkey * 3 + 11) % 500 AS ws_ship_addr_sk,
       |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
       |         l_orderkey AS ws_order_number,
       |         CAST(l_quantity AS BIGINT) AS ws_quantity,
+      |         CAST(floor(l_extendedprice * 1.04) AS BIGINT) AS ws_list_price,
       |         CAST(floor(l_extendedprice * 0.5) AS BIGINT) AS ws_wholesale_cost,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ws_sales_price,
       |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS ws_ext_ship_cost,
@@ -207,7 +294,12 @@ object TpcdsQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = 0),
       |web_returns AS (
-      |  SELECT l_orderkey AS wr_order_number, l_partkey AS wr_item_sk
+      |  SELECT l_orderkey AS wr_order_number,
+      |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |              THEN l_partkey % 40 ELSE l_partkey END AS wr_item_sk,
+      |         (l_orderkey * 5 + 11) % 1826 AS wr_returned_date_sk,
+      |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS wr_return_amt,
+      |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS wr_net_loss
       |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
       |inventory AS (
       |  -- each (item, warehouse) carries a 7-date cluster (9-day steps):
