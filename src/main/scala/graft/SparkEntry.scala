@@ -668,6 +668,13 @@ object SparkEntry {
       // The copy lives in ONE JVM-lifetime scratch dir (wiped and
       // re-copied per invocation, deleted at exit) — a fresh
       // createTempDirectory per call would leak a table copy every run.
+      // SERIAL-EXECUTION ASSUMPTION (same contract build.sbt pins for the
+      // test gate): the wipe-at-start makes concurrent invocations unsafe
+      // — a second call would delete the first's live copy mid-query. The
+      // mutation phase below is synchronized as a belt, but the returned
+      // (lazy) DataFrame must still be consumed before the next call, as
+      // Verify/Bench do.
+      froundtripScratch.synchronized {
       val p = froundtripScratch.toString + "/t"
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(p))
       val hconf = s.sessionState.newHadoopConf()
@@ -701,6 +708,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"),
           sum(length(col("nation_name"))).as("name_len"))
         .orderBy(col("n_regionkey"))
+      }
     }),
 
     // --- delta_scan SQL table function (the reference's flagship surface:

@@ -49,7 +49,24 @@ package graft
  *    deviation plus output ordinals 1..10 — the canonical sort is not
  *    total, and a LIMIT 100 under a non-total order is nondeterministic
  *    across engines (DuckDB's own tpcds extension ships this same
- *    ordinal-extended form).
+ *    ordinal-extended form),
+ *  - q3/q33/q52/q55/q75: ORDER BY extended with remaining group-key
+ *    columns for the same reason (sums can tie under LIMIT),
+ *  - q5/q80: the ROLLUP output sort carries explicit NULLS FIRST
+ *    (Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — under
+ *    LIMIT that difference selects different rows; q67 precedent),
+ *  - q12/q20/q98: the revenue-ratio `sum(x)*100/sum(sum(x)) over (…)`
+ *    computes through CAST(… AS DOUBLE) on both operands (the decimal
+ *    idiom difference, q11/q78 precedent; the division is exact-over-
+ *    exact so the DOUBLE output is bit-identical cross-engine),
+ *  - q23/q42: unaliased aggregate outputs gain aliases, and q23's two
+ *    unaliased derived tables gain aliases (Spark requires them),
+ *  - q54: the canonical `cast((revenue/50) as int)` becomes
+ *    `CAST(floor(revenue / 50) AS INT)` — DuckDB's CAST-to-int rounds
+ *    half away while Spark truncates (the r13 derivation rule, now in
+ *    a query body),
+ *  - date windows: the template macro `+ N days` is written as the
+ *    dialect-common `(CAST('…' AS date) + N)` (q95 precedent).
  *
  * Scale notes (100 TB lens): the facts derive from lineitem⋈orders on
  * the orderkey — Catalyst plans that join before every query, the same
@@ -84,7 +101,7 @@ object TpcdsQueries {
       |         p_name AS i_product_name,
       |         p_name AS i_item_desc,
       |         CASE p_partkey % 5 WHEN 0 THEN 'Books' WHEN 1 THEN 'Home'
-      |              WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Jewelry'
+      |              WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Music'
       |              ELSE 'Women' END AS i_category,
       |         CASE (p_partkey * 11) % 7 WHEN 0 THEN 'maternity'
       |              WHEN 1 THEN 'accessories' WHEN 2 THEN 'classical'
@@ -95,8 +112,15 @@ object TpcdsQueries {
       |         CAST(1 + p_partkey % 17 AS INT) AS i_class_id,
       |         CAST(1 + p_partkey % 5 AS INT) AS i_category_id,
       |         -- 7p mod 400: each mod-5 category class owns 80 of the 400
-      |         -- manufact ids, so q33's IN-subquery filter is selective
-      |         CAST(1 + (p_partkey * 7) % 400 AS INT) AS i_manufact_id,
+      |         -- manufact ids, so q33's IN-subquery filter is selective;
+      |         -- a 16% hot override maps onto q37's four validation ids
+      |         -- (677/940/694/808 all exceed 400) so that query's
+      |         -- manufact+price+inventory conjunction is populated at the
+      |         -- sf0.01 gate scale
+      |         CAST(CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
+      |              WHEN 2 THEN 694 WHEN 3 THEN 808
+      |              ELSE 1 + (p_partkey * 7) % 400 END AS INT) AS i_manufact_id,
+      |         CAST(1 + (p_partkey * 13) % 100 AS INT) AS i_manager_id,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
       |         CASE p_partkey % 8 WHEN 0 THEN 'purple' WHEN 1 THEN 'burlywood'
       |              WHEN 2 THEN 'indian' WHEN 3 THEN 'spring' WHEN 4 THEN 'floral'
@@ -124,13 +148,21 @@ object TpcdsQueries {
       |  SELECT wk AS w_warehouse_sk, concat('WH', wk) AS w_warehouse_name
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wks),
       |web_site AS (
-      |  SELECT wk AS web_site_sk,
+      |  SELECT wk AS web_site_sk, concat('WS', wk) AS web_site_id,
       |         CASE WHEN wk % 2 = 0 THEN 'pri' ELSE 'sec' END AS web_company_name
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wsks),
+      |call_center AS (
+      |  -- q16 keeps only 'Williamson County' centers, so all centers
+      |  -- carry it (the canonical IN-list repeats that one county 5x)
+      |  SELECT cck AS cc_call_center_sk, concat('CC', cck) AS cc_call_center_id,
+      |         'Williamson County' AS cc_county
+      |  FROM (SELECT DISTINCT s_suppkey % 4 AS cck FROM supplier) ccks),
       |income_band AS (
       |  SELECT DISTINCT p_partkey % 10 AS ib_income_band_sk FROM part),
       |promotion AS (
-      |  SELECT DISTINCT p_partkey % 20 AS p_promo_sk FROM part),
+      |  SELECT p_promo_sk,
+      |         CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
+      |  FROM (SELECT DISTINCT p_partkey % 20 AS p_promo_sk FROM part) pks),
       |customer_demographics AS (
       |  SELECT ck AS cd_demo_sk,
       |         CASE ck % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'M' WHEN 2 THEN 'S'
@@ -160,7 +192,7 @@ object TpcdsQueries {
       |         CAST(CASE (ak * 7) % 4 WHEN 0 THEN -5 WHEN 1 THEN -6
       |              WHEN 2 THEN -7 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
       |         CASE ak % 10 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
-      |              ELSE 'TX' END AS ca_state
+      |              WHEN 3 THEN 'GA' ELSE 'TX' END AS ca_state
       |  FROM (SELECT DISTINCT p_partkey % 500 AS ak FROM part) aks),
       |customer AS (
       |  SELECT o_custkey AS c_customer_sk,
@@ -242,6 +274,9 @@ object TpcdsQueries {
       |         o_custkey % 100 AS cs_bill_cdemo_sk,
       |         o_custkey % 50 AS cs_bill_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS cs_bill_addr_sk,
+      |         (o_custkey * 11 + 3) % 500 AS cs_ship_addr_sk,
+      |         o_custkey % 4 AS cs_call_center_sk,
+      |         l_suppkey % 5 AS cs_warehouse_sk,
       |         l_partkey % 15 AS cs_catalog_page_sk,
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS cs_item_sk,
@@ -254,7 +289,9 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.55) AS BIGINT) AS cs_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount * 0.9) AS BIGINT) AS cs_ext_discount_amt,
-      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT) AS cs_ext_sales_price
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT) AS cs_ext_sales_price,
+      |         CAST(floor(l_extendedprice * 0.03) AS BIGINT) AS cs_ext_ship_cost,
+      |         CAST(floor(l_extendedprice * 0.07) AS BIGINT) AS cs_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0),
       |catalog_returns AS (
@@ -263,6 +300,7 @@ object TpcdsQueries {
       |         l_orderkey AS cr_order_number,
       |         (l_orderkey * 5 + 7) % 1826 AS cr_returned_date_sk,
       |         l_partkey % 15 AS cr_catalog_page_sk,
+      |         CAST(floor(l_quantity / 2) AS BIGINT) AS cr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS cr_refunded_cash,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS cr_reversed_charge,
       |         CAST(floor(l_extendedprice * 0.05) AS BIGINT) AS cr_store_credit,
@@ -280,6 +318,7 @@ object TpcdsQueries {
       |         (o_custkey * 13 + 7) % 500 AS ws_bill_addr_sk,
       |         (o_custkey * 3 + 11) % 500 AS ws_ship_addr_sk,
       |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
+      |         l_partkey % 20 AS ws_promo_sk,
       |         l_orderkey AS ws_order_number,
       |         CAST(l_quantity AS BIGINT) AS ws_quantity,
       |         CAST(floor(l_extendedprice * 1.04) AS BIGINT) AS ws_list_price,
@@ -298,19 +337,29 @@ object TpcdsQueries {
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS wr_item_sk,
       |         (l_orderkey * 5 + 11) % 1826 AS wr_returned_date_sk,
+      |         CAST(floor(l_quantity / 3) AS BIGINT) AS wr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS wr_return_amt,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS wr_net_loss
       |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
       |inventory AS (
-      |  -- each (item, warehouse) carries a 7-date cluster (9-day steps):
-      |  -- q21's before/after-boundary split needs BOTH sides populated
-      |  -- for some pairs, and q72's week-seq match needs bounded rows
+      |  -- each (item, warehouse) carries a 23-date cluster (9-day steps,
+      |  -- ~198-day span): q21's before/after-boundary split needs BOTH
+      |  -- sides of 2000-03-11 populated inside its 60-day window, and
+      |  -- q37's 60-day window must hit items pinned to a partkey residue
+      |  -- class mod 100 (price+manufact filters), so the per-item base
+      |  -- must step densely across each residue class (337*100 mod 1826
+      |  -- = 832) AND each cluster must span wider than the windows
       |  SELECT DISTINCT l_partkey AS inv_item_sk,
       |         l_suppkey % 5 AS inv_warehouse_sk,
-      |         (l_partkey * 37 + l_suppkey % 5 + (l_orderkey % 7) * 9) % 1826
+      |         (l_partkey * 337 + l_suppkey % 5 + (l_orderkey % 23) * 9) % 1826
       |           AS inv_date_sk,
-      |         CAST((l_partkey + l_suppkey % 5 + (l_orderkey % 7) * 3) % 20 AS BIGINT)
-      |           AS inv_quantity_on_hand
+      |         -- bimodal: 1/3 small (0..19, keeps q72's inv < cs_quantity
+      |         -- join populated), 2/3 big (100..599, gives q37's
+      |         -- BETWEEN 100 AND 500 filter members)
+      |         CAST(CASE WHEN (l_partkey + l_suppkey) % 3 = 0
+      |              THEN (l_partkey + l_suppkey % 5 + (l_orderkey % 7) * 3) % 20
+      |              ELSE 100 + (l_partkey * 3 + l_suppkey % 5 + (l_orderkey % 7) * 7) % 500
+      |              END AS BIGINT) AS inv_quantity_on_hand
       |  FROM lineitem)""".stripMargin
 
   /** Prefix `body` with the derivation CTEs. A body that opens with its
@@ -1031,6 +1080,927 @@ object TpcdsQueries {
         |LIMIT 100""".stripMargin),
 
     // q88: eight half-hour-window count(*) scalar subqueries cross-joined
+    // q3: date x item brand agg (ORDER extended with brand: sums can
+    // tie across brands sharing a brand_id under LIMIT)
+    "tpcds_q3" -> wrap(
+      """SELECT dt.d_year,
+        |       item.i_brand_id brand_id,
+        |       item.i_brand brand,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) sum_agg
+        |FROM date_dim dt,
+        |     store_sales,
+        |     item
+        |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        |  AND store_sales.ss_item_sk = item.i_item_sk
+        |  AND item.i_manufact_id = 128
+        |  AND dt.d_moy = 11
+        |GROUP BY dt.d_year,
+        |         item.i_brand_id,
+        |         item.i_brand
+        |ORDER BY dt.d_year,
+        |         sum_agg DESC,
+        |         brand_id,
+        |         brand
+        |LIMIT 100""".stripMargin),
+
+    // q5: three-channel sales/returns rollup over per-channel union
+    // CTEs (NULLS FIRST on the rollup sort, q67 precedent)
+    "tpcds_q5" -> wrap(
+      """WITH ssr AS
+        | (SELECT s_store_id,
+        |         sum(sales_price) AS sales,
+        |         sum(profit) AS profit,
+        |         sum(return_amt) AS returns,
+        |         sum(net_loss) AS profit_loss
+        |  FROM
+        |    (SELECT ss_store_sk AS store_sk,
+        |            ss_sold_date_sk AS date_sk,
+        |            ss_ext_sales_price AS sales_price,
+        |            ss_net_profit AS profit,
+        |            CAST(0 AS BIGINT) AS return_amt,
+        |            CAST(0 AS BIGINT) AS net_loss
+        |     FROM store_sales
+        |     UNION ALL
+        |     SELECT sr_store_sk AS store_sk,
+        |            sr_returned_date_sk AS date_sk,
+        |            CAST(0 AS BIGINT) AS sales_price,
+        |            CAST(0 AS BIGINT) AS profit,
+        |            sr_return_amt AS return_amt,
+        |            sr_net_loss AS net_loss
+        |     FROM store_returns) salesreturns,
+        |       date_dim,
+        |       store
+        |  WHERE date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 14)
+        |    AND store_sk = s_store_sk
+        |  GROUP BY s_store_id),
+        | csr AS
+        | (SELECT cp_catalog_page_id,
+        |         sum(sales_price) AS sales,
+        |         sum(profit) AS profit,
+        |         sum(return_amt) AS returns,
+        |         sum(net_loss) AS profit_loss
+        |  FROM
+        |    (SELECT cs_catalog_page_sk AS page_sk,
+        |            cs_sold_date_sk AS date_sk,
+        |            cs_ext_sales_price AS sales_price,
+        |            cs_net_profit AS profit,
+        |            CAST(0 AS BIGINT) AS return_amt,
+        |            CAST(0 AS BIGINT) AS net_loss
+        |     FROM catalog_sales
+        |     UNION ALL
+        |     SELECT cr_catalog_page_sk AS page_sk,
+        |            cr_returned_date_sk AS date_sk,
+        |            CAST(0 AS BIGINT) AS sales_price,
+        |            CAST(0 AS BIGINT) AS profit,
+        |            cr_return_amount AS return_amt,
+        |            cr_net_loss AS net_loss
+        |     FROM catalog_returns) salesreturns,
+        |       date_dim,
+        |       catalog_page
+        |  WHERE date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 14)
+        |    AND page_sk = cp_catalog_page_sk
+        |  GROUP BY cp_catalog_page_id),
+        | wsr AS
+        | (SELECT web_site_id,
+        |         sum(sales_price) AS sales,
+        |         sum(profit) AS profit,
+        |         sum(return_amt) AS returns,
+        |         sum(net_loss) AS profit_loss
+        |  FROM
+        |    (SELECT ws_web_site_sk AS wsr_web_site_sk,
+        |            ws_sold_date_sk AS date_sk,
+        |            ws_ext_sales_price AS sales_price,
+        |            ws_net_profit AS profit,
+        |            CAST(0 AS BIGINT) AS return_amt,
+        |            CAST(0 AS BIGINT) AS net_loss
+        |     FROM web_sales
+        |     UNION ALL
+        |     SELECT ws_web_site_sk AS wsr_web_site_sk,
+        |            wr_returned_date_sk AS date_sk,
+        |            CAST(0 AS BIGINT) AS sales_price,
+        |            CAST(0 AS BIGINT) AS profit,
+        |            wr_return_amt AS return_amt,
+        |            wr_net_loss AS net_loss
+        |     FROM web_returns
+        |     LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
+        |                                   AND wr_order_number = ws_order_number)) salesreturns,
+        |       date_dim,
+        |       web_site
+        |  WHERE date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 14)
+        |    AND wsr_web_site_sk = web_site_sk
+        |  GROUP BY web_site_id)
+        |SELECT channel,
+        |       id,
+        |       CAST(sum(sales) AS BIGINT) AS sales,
+        |       CAST(sum(returns) AS BIGINT) AS returns,
+        |       CAST(sum(profit) AS BIGINT) AS profit
+        |FROM
+        |  (SELECT 'store channel' AS channel,
+        |          'store' || s_store_id AS id,
+        |          sales,
+        |          returns,
+        |          (profit - profit_loss) AS profit
+        |   FROM ssr
+        |   UNION ALL
+        |   SELECT 'catalog channel' AS channel,
+        |          'catalog_page' || cp_catalog_page_id AS id,
+        |          sales,
+        |          returns,
+        |          (profit - profit_loss) AS profit
+        |   FROM csr
+        |   UNION ALL
+        |   SELECT 'web channel' AS channel,
+        |          'web_site' || web_site_id AS id,
+        |          sales,
+        |          returns,
+        |          (profit - profit_loss) AS profit
+        |   FROM wsr) x
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel NULLS FIRST,
+        |         id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q12: web revenue-share-within-class window over a 30-day window
+    // (ratio via DOUBLE casts, q11/q78 precedent; order total by item_id)
+    "tpcds_q12" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       i_category,
+        |       i_class,
+        |       i_current_price,
+        |       CAST(sum(ws_ext_sales_price) AS BIGINT) AS itemrevenue,
+        |       CAST(sum(ws_ext_sales_price) AS DOUBLE) * 100 /
+        |         sum(CAST(sum(ws_ext_sales_price) AS DOUBLE)) OVER (PARTITION BY i_class) AS revenueratio
+        |FROM web_sales,
+        |     item,
+        |     date_dim
+        |WHERE ws_item_sk = i_item_sk
+        |  AND i_category IN ('Sports', 'Books', 'Home')
+        |  AND ws_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN CAST('1999-02-22' AS date) AND (CAST('1999-02-22' AS date) + 30)
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         i_category,
+        |         i_class,
+        |         i_current_price
+        |ORDER BY i_category,
+        |         i_class,
+        |         i_item_id,
+        |         i_item_desc,
+        |         revenueratio
+        |LIMIT 100""".stripMargin),
+
+    // q16: catalog ship-window EXISTS/NOT EXISTS (q94's catalog sibling;
+    // distinct-count + shipping/profit rollup, call_center dim)
+    "tpcds_q16" -> wrap(
+      """SELECT count(DISTINCT cs_order_number) AS order_count,
+        |       CAST(sum(cs_ext_ship_cost) AS BIGINT) AS total_shipping_cost,
+        |       CAST(sum(cs_net_profit) AS BIGINT) AS total_net_profit
+        |FROM catalog_sales cs1,
+        |     date_dim,
+        |     customer_address,
+        |     call_center
+        |WHERE d_date BETWEEN '2002-02-01' AND (CAST('2002-02-01' AS date) + 60)
+        |  AND cs1.cs_ship_date_sk = d_date_sk
+        |  AND cs1.cs_ship_addr_sk = ca_address_sk
+        |  AND ca_state = 'GA'
+        |  AND cs1.cs_call_center_sk = cc_call_center_sk
+        |  AND cc_county IN ('Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County')
+        |  AND EXISTS
+        |    (SELECT *
+        |     FROM catalog_sales cs2
+        |     WHERE cs1.cs_order_number = cs2.cs_order_number
+        |       AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+        |  AND NOT EXISTS
+        |    (SELECT *
+        |     FROM catalog_returns cr1
+        |     WHERE cs1.cs_order_number = cr1.cr_order_number)
+        |ORDER BY count(DISTINCT cs_order_number)
+        |LIMIT 100""".stripMargin),
+
+    // q20: catalog analog of q12 (revenue share within class)
+    "tpcds_q20" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       i_category,
+        |       i_class,
+        |       i_current_price,
+        |       CAST(sum(cs_ext_sales_price) AS BIGINT) AS itemrevenue,
+        |       CAST(sum(cs_ext_sales_price) AS DOUBLE) * 100 /
+        |         sum(CAST(sum(cs_ext_sales_price) AS DOUBLE)) OVER (PARTITION BY i_class) AS revenueratio
+        |FROM catalog_sales,
+        |     item,
+        |     date_dim
+        |WHERE cs_item_sk = i_item_sk
+        |  AND i_category IN ('Sports', 'Books', 'Home')
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN CAST('1999-02-22' AS date) AND (CAST('1999-02-22' AS date) + 30)
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         i_category,
+        |         i_class,
+        |         i_current_price
+        |ORDER BY i_category,
+        |         i_class,
+        |         i_item_id,
+        |         i_item_desc,
+        |         revenueratio
+        |LIMIT 100""".stripMargin),
+
+    // q23: frequent items x best customers x probe month (the CTE pair
+    // the r13 round skipped as unreachable; the ticket/date model plus
+    // the hot item+date promo grid make both HAVING bands populated)
+    "tpcds_q23" -> wrap(
+      """WITH frequent_ss_items AS
+        | (SELECT substr(i_item_desc, 1, 30) itemdesc,
+        |         i_item_sk item_sk,
+        |         d_date solddate,
+        |         count(*) cnt
+        |  FROM store_sales,
+        |       date_dim,
+        |       item
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND ss_item_sk = i_item_sk
+        |    AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
+        |  GROUP BY substr(i_item_desc, 1, 30),
+        |           i_item_sk,
+        |           d_date
+        |  HAVING count(*) > 4),
+        | max_store_sales AS
+        | (SELECT max(csales) tpcds_cmax
+        |  FROM
+        |    (SELECT c_customer_sk,
+        |            sum(ss_quantity * ss_sales_price) csales
+        |     FROM store_sales,
+        |          customer,
+        |          date_dim
+        |     WHERE ss_customer_sk = c_customer_sk
+        |       AND ss_sold_date_sk = d_date_sk
+        |       AND d_year IN (2000, 2000 + 1, 2000 + 2, 2000 + 3)
+        |     GROUP BY c_customer_sk) csales_by_cust),
+        | best_ss_customer AS
+        | (SELECT c_customer_sk,
+        |         sum(ss_quantity * ss_sales_price) ssales
+        |  FROM store_sales,
+        |       customer
+        |  WHERE ss_customer_sk = c_customer_sk
+        |  GROUP BY c_customer_sk
+        |  HAVING sum(ss_quantity * ss_sales_price) > (50 / 100.0) *
+        |    (SELECT *
+        |     FROM max_store_sales))
+        |SELECT CAST(sum(sales) AS BIGINT) AS sum_sales
+        |FROM
+        |  (SELECT cs_quantity * cs_list_price sales
+        |   FROM catalog_sales,
+        |        date_dim
+        |   WHERE d_year = 2000
+        |     AND d_moy = 2
+        |     AND cs_sold_date_sk = d_date_sk
+        |     AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        |     AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+        |   UNION ALL
+        |   SELECT ws_quantity * ws_list_price sales
+        |   FROM web_sales,
+        |        date_dim
+        |   WHERE d_year = 2000
+        |     AND d_moy = 2
+        |     AND ws_sold_date_sk = d_date_sk
+        |     AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        |     AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)) all_sales
+        |LIMIT 100""".stripMargin),
+
+    // q33: per-manufact three-channel sales for one category's manufact
+    // ids (IN-subquery on item; ORDER extended with i_manufact_id)
+    "tpcds_q33" -> wrap(
+      """WITH ss AS
+        | (SELECT i_manufact_id,
+        |         sum(ss_ext_sales_price) total_sales
+        |  FROM store_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_manufact_id IN
+        |      (SELECT i_manufact_id
+        |       FROM item
+        |       WHERE i_category IN ('Electronics'))
+        |    AND ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 5
+        |    AND ss_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_manufact_id),
+        | cs AS
+        | (SELECT i_manufact_id,
+        |         sum(cs_ext_sales_price) total_sales
+        |  FROM catalog_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_manufact_id IN
+        |      (SELECT i_manufact_id
+        |       FROM item
+        |       WHERE i_category IN ('Electronics'))
+        |    AND cs_item_sk = i_item_sk
+        |    AND cs_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 5
+        |    AND cs_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_manufact_id),
+        | ws AS
+        | (SELECT i_manufact_id,
+        |         sum(ws_ext_sales_price) total_sales
+        |  FROM web_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_manufact_id IN
+        |      (SELECT i_manufact_id
+        |       FROM item
+        |       WHERE i_category IN ('Electronics'))
+        |    AND ws_item_sk = i_item_sk
+        |    AND ws_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 5
+        |    AND ws_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_manufact_id)
+        |SELECT i_manufact_id,
+        |       CAST(sum(total_sales) AS BIGINT) total_sales
+        |FROM
+        |  (SELECT *
+        |   FROM ss
+        |   UNION ALL SELECT *
+        |   FROM cs
+        |   UNION ALL SELECT *
+        |   FROM ws) tmp1
+        |GROUP BY i_manufact_id
+        |ORDER BY total_sales,
+        |         i_manufact_id
+        |LIMIT 100""".stripMargin),
+
+    // q34: 15..20-line tickets by dom/demographic bands (the other r13
+    // skip; per-ticket line counts now reach the band by construction)
+    "tpcds_q34" -> wrap(
+      """SELECT c_last_name,
+        |       c_first_name,
+        |       c_salutation,
+        |       c_preferred_cust_flag,
+        |       ss_ticket_number,
+        |       cnt
+        |FROM
+        |  (SELECT ss_ticket_number,
+        |          ss_customer_sk,
+        |          count(*) cnt
+        |   FROM store_sales,
+        |        date_dim,
+        |        store,
+        |        household_demographics
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND (date_dim.d_dom BETWEEN 1 AND 3
+        |          OR date_dim.d_dom BETWEEN 25 AND 28)
+        |     AND (household_demographics.hd_buy_potential = '>10000'
+        |          OR household_demographics.hd_buy_potential = 'unknown')
+        |     AND household_demographics.hd_vehicle_count > 0
+        |     AND (CASE WHEN household_demographics.hd_vehicle_count > 0 THEN household_demographics.hd_dep_count / household_demographics.hd_vehicle_count ELSE NULL END) > 1.2
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_county IN ('Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County', 'Williamson County')
+        |   GROUP BY ss_ticket_number,
+        |            ss_customer_sk) dn,
+        |     customer
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND cnt BETWEEN 15 AND 20
+        |ORDER BY c_last_name,
+        |         c_first_name,
+        |         c_salutation,
+        |         c_preferred_cust_flag DESC,
+        |         ss_ticket_number""".stripMargin),
+
+    // q37: item x inventory-window x catalog existence (manufact ids
+    // 677/940/694/808 land on the hot 16% manufact override)
+    "tpcds_q37" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       i_current_price
+        |FROM item,
+        |     inventory,
+        |     date_dim,
+        |     catalog_sales
+        |WHERE i_current_price BETWEEN 68 AND 68 + 30
+        |  AND inv_item_sk = i_item_sk
+        |  AND d_date_sk = inv_date_sk
+        |  AND d_date BETWEEN CAST('2000-02-01' AS date) AND (CAST('2000-02-01' AS date) + 60)
+        |  AND i_manufact_id IN (677, 940, 694, 808)
+        |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+        |  AND cs_item_sk = i_item_sk
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         i_current_price
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q42: category sales for one manager's items (sum aliased, q38
+    // precedent)
+    "tpcds_q42" -> wrap(
+      """SELECT dt.d_year,
+        |       item.i_category_id,
+        |       item.i_category,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) AS total_sales
+        |FROM date_dim dt,
+        |     store_sales,
+        |     item
+        |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        |  AND store_sales.ss_item_sk = item.i_item_sk
+        |  AND item.i_manager_id = 1
+        |  AND dt.d_moy = 11
+        |  AND dt.d_year = 2000
+        |GROUP BY dt.d_year,
+        |         item.i_category_id,
+        |         item.i_category
+        |ORDER BY total_sales DESC,
+        |         dt.d_year,
+        |         item.i_category_id,
+        |         item.i_category
+        |LIMIT 100""".stripMargin),
+
+    // q52: brand sales for one manager's items (ORDER extended with
+    // brand, same tie class as q3)
+    "tpcds_q52" -> wrap(
+      """SELECT dt.d_year,
+        |       item.i_brand_id brand_id,
+        |       item.i_brand brand,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) ext_price
+        |FROM date_dim dt,
+        |     store_sales,
+        |     item
+        |WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+        |  AND store_sales.ss_item_sk = item.i_item_sk
+        |  AND item.i_manager_id = 1
+        |  AND dt.d_moy = 11
+        |  AND dt.d_year = 2000
+        |GROUP BY dt.d_year,
+        |         item.i_brand,
+        |         item.i_brand_id
+        |ORDER BY dt.d_year,
+        |         ext_price DESC,
+        |         brand_id,
+        |         brand
+        |LIMIT 100""".stripMargin),
+
+    // q54: cross-channel cohort -> store revenue segments (floor before
+    // the INT cast: DuckDB CAST rounds where Spark truncates, r13 rule)
+    "tpcds_q54" -> wrap(
+      """WITH my_customers AS
+        | (SELECT DISTINCT c_customer_sk,
+        |         c_current_addr_sk
+        |  FROM
+        |    (SELECT cs_sold_date_sk sold_date_sk,
+        |            cs_bill_customer_sk customer_sk,
+        |            cs_item_sk item_sk
+        |     FROM catalog_sales
+        |     UNION ALL
+        |     SELECT ws_sold_date_sk sold_date_sk,
+        |            ws_bill_customer_sk customer_sk,
+        |            ws_item_sk item_sk
+        |     FROM web_sales) cs_or_ws_sales,
+        |       item,
+        |       date_dim,
+        |       customer
+        |  WHERE sold_date_sk = d_date_sk
+        |    AND item_sk = i_item_sk
+        |    AND i_category = 'Women'
+        |    AND i_class = 'maternity'
+        |    AND c_customer_sk = cs_or_ws_sales.customer_sk
+        |    AND d_moy = 12
+        |    AND d_year = 1998),
+        | my_revenue AS
+        | (SELECT c_customer_sk,
+        |         sum(ss_ext_sales_price) AS revenue
+        |  FROM my_customers,
+        |       store_sales,
+        |       customer_address,
+        |       store,
+        |       date_dim
+        |  WHERE c_current_addr_sk = ca_address_sk
+        |    AND ca_county = s_county
+        |    AND ca_state = s_state
+        |    AND ss_customer_sk = c_customer_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN
+        |      (SELECT DISTINCT d_month_seq + 1
+        |       FROM date_dim
+        |       WHERE d_year = 1998
+        |         AND d_moy = 12)
+        |      AND
+        |      (SELECT DISTINCT d_month_seq + 3
+        |       FROM date_dim
+        |       WHERE d_year = 1998
+        |         AND d_moy = 12)
+        |  GROUP BY c_customer_sk),
+        | segments AS
+        | (SELECT CAST(floor(revenue / 50) AS INT) AS segment
+        |  FROM my_revenue)
+        |SELECT segment,
+        |       count(*) AS num_customers,
+        |       segment * 50 AS segment_base
+        |FROM segments
+        |GROUP BY segment
+        |ORDER BY segment,
+        |         num_customers
+        |LIMIT 100""".stripMargin),
+
+    // q55: brand sales, manager 28 (ORDER extended with brand)
+    "tpcds_q55" -> wrap(
+      """SELECT i_brand_id brand_id,
+        |       i_brand brand,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) ext_price
+        |FROM date_dim,
+        |     store_sales,
+        |     item
+        |WHERE d_date_sk = ss_sold_date_sk
+        |  AND ss_item_sk = i_item_sk
+        |  AND i_manager_id = 28
+        |  AND d_moy = 11
+        |  AND d_year = 1999
+        |GROUP BY i_brand,
+        |         i_brand_id
+        |ORDER BY ext_price DESC,
+        |         brand_id,
+        |         brand
+        |LIMIT 100""".stripMargin),
+
+    // q60: per-item three-channel sales for category Music (q33's
+    // item_id-keyed sibling)
+    "tpcds_q60" -> wrap(
+      """WITH ss AS
+        | (SELECT i_item_id,
+        |         sum(ss_ext_sales_price) total_sales
+        |  FROM store_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_category IN ('Music'))
+        |    AND ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 9
+        |    AND ss_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id),
+        | cs AS
+        | (SELECT i_item_id,
+        |         sum(cs_ext_sales_price) total_sales
+        |  FROM catalog_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_category IN ('Music'))
+        |    AND cs_item_sk = i_item_sk
+        |    AND cs_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 9
+        |    AND cs_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id),
+        | ws AS
+        | (SELECT i_item_id,
+        |         sum(ws_ext_sales_price) total_sales
+        |  FROM web_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_category IN ('Music'))
+        |    AND ws_item_sk = i_item_sk
+        |    AND ws_sold_date_sk = d_date_sk
+        |    AND d_year = 1998
+        |    AND d_moy = 9
+        |    AND ws_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id)
+        |SELECT i_item_id,
+        |       CAST(sum(total_sales) AS BIGINT) total_sales
+        |FROM
+        |  (SELECT *
+        |   FROM ss
+        |   UNION ALL SELECT *
+        |   FROM cs
+        |   UNION ALL SELECT *
+        |   FROM ws) tmp1
+        |GROUP BY i_item_id
+        |ORDER BY i_item_id,
+        |         total_sales
+        |LIMIT 100""".stripMargin),
+
+    // q73: 1..5-line tickets (q34's band sibling; populated by hot-grid
+    // rows whose per-row dates detach from their ticket's shared date)
+    "tpcds_q73" -> wrap(
+      """SELECT c_last_name,
+        |       c_first_name,
+        |       c_salutation,
+        |       c_preferred_cust_flag,
+        |       ss_ticket_number,
+        |       cnt
+        |FROM
+        |  (SELECT ss_ticket_number,
+        |          ss_customer_sk,
+        |          count(*) cnt
+        |   FROM store_sales,
+        |        date_dim,
+        |        store,
+        |        household_demographics
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND date_dim.d_dom BETWEEN 1 AND 2
+        |     AND (household_demographics.hd_buy_potential = '>10000'
+        |          OR household_demographics.hd_buy_potential = 'unknown')
+        |     AND household_demographics.hd_vehicle_count > 0
+        |     AND CASE WHEN household_demographics.hd_vehicle_count > 0 THEN household_demographics.hd_dep_count / household_demographics.hd_vehicle_count ELSE NULL END > 1
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_county IN ('Williamson County', 'Franklin Parish', 'Bronx County', 'Orange County')
+        |   GROUP BY ss_ticket_number,
+        |            ss_customer_sk) dj,
+        |     customer
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND cnt BETWEEN 1 AND 5
+        |ORDER BY cnt DESC,
+        |         c_last_name ASC""".stripMargin),
+
+    // q75: three-channel UNION with returns netting, year-over-year
+    // sales-count contraction < 0.9 (ratio via DOUBLE casts; ORDER
+    // extended with the four ids)
+    "tpcds_q75" -> wrap(
+      """WITH all_sales AS
+        | (SELECT d_year,
+        |         i_brand_id,
+        |         i_class_id,
+        |         i_category_id,
+        |         i_manufact_id,
+        |         SUM(sales_cnt) AS sales_cnt,
+        |         SUM(sales_amt) AS sales_amt
+        |  FROM
+        |    (SELECT d_year,
+        |            i_brand_id,
+        |            i_class_id,
+        |            i_category_id,
+        |            i_manufact_id,
+        |            cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+        |            cs_ext_sales_price - COALESCE(cr_return_amount, 0) AS sales_amt
+        |     FROM catalog_sales
+        |     JOIN item ON i_item_sk = cs_item_sk
+        |     JOIN date_dim ON d_date_sk = cs_sold_date_sk
+        |     LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+        |                                   AND cs_item_sk = cr_item_sk)
+        |     WHERE i_category = 'Books'
+        |     UNION
+        |     SELECT d_year,
+        |            i_brand_id,
+        |            i_class_id,
+        |            i_category_id,
+        |            i_manufact_id,
+        |            ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+        |            ss_ext_sales_price - COALESCE(sr_return_amt, 0) AS sales_amt
+        |     FROM store_sales
+        |     JOIN item ON i_item_sk = ss_item_sk
+        |     JOIN date_dim ON d_date_sk = ss_sold_date_sk
+        |     LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+        |                                 AND ss_item_sk = sr_item_sk)
+        |     WHERE i_category = 'Books'
+        |     UNION
+        |     SELECT d_year,
+        |            i_brand_id,
+        |            i_class_id,
+        |            i_category_id,
+        |            i_manufact_id,
+        |            ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+        |            ws_ext_sales_price - COALESCE(wr_return_amt, 0) AS sales_amt
+        |     FROM web_sales
+        |     JOIN item ON i_item_sk = ws_item_sk
+        |     JOIN date_dim ON d_date_sk = ws_sold_date_sk
+        |     LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+        |                               AND ws_item_sk = wr_item_sk)
+        |     WHERE i_category = 'Books') sales_detail
+        |  GROUP BY d_year,
+        |           i_brand_id,
+        |           i_class_id,
+        |           i_category_id,
+        |           i_manufact_id)
+        |SELECT prev_yr.d_year AS prev_year,
+        |       curr_yr.d_year AS year,
+        |       curr_yr.i_brand_id,
+        |       curr_yr.i_class_id,
+        |       curr_yr.i_category_id,
+        |       curr_yr.i_manufact_id,
+        |       CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt,
+        |       CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt,
+        |       CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT) AS sales_cnt_diff,
+        |       CAST(curr_yr.sales_amt - prev_yr.sales_amt AS BIGINT) AS sales_amt_diff
+        |FROM all_sales curr_yr,
+        |     all_sales prev_yr
+        |WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+        |  AND curr_yr.i_class_id = prev_yr.i_class_id
+        |  AND curr_yr.i_category_id = prev_yr.i_category_id
+        |  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+        |  AND curr_yr.d_year = 2002
+        |  AND prev_yr.d_year = 2002 - 1
+        |  AND CAST(curr_yr.sales_cnt AS DOUBLE) / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+        |ORDER BY sales_cnt_diff,
+        |         sales_amt_diff,
+        |         curr_yr.i_brand_id,
+        |         curr_yr.i_class_id,
+        |         curr_yr.i_category_id,
+        |         curr_yr.i_manufact_id
+        |LIMIT 100""".stripMargin),
+
+    // q80: three-channel returns rollup gated on promotion channel and
+    // price (NULLS FIRST on the rollup sort, q67 precedent)
+    "tpcds_q80" -> wrap(
+      """WITH ssr AS
+        | (SELECT s_store_id AS store_id,
+        |         sum(ss_ext_sales_price) AS sales,
+        |         sum(COALESCE(sr_return_amt, 0)) AS returns,
+        |         sum(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+        |  FROM store_sales
+        |  LEFT OUTER JOIN store_returns ON (ss_item_sk = sr_item_sk
+        |                                    AND ss_ticket_number = sr_ticket_number),
+        |       date_dim,
+        |       store,
+        |       item,
+        |       promotion
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 30)
+        |    AND ss_store_sk = s_store_sk
+        |    AND ss_item_sk = i_item_sk
+        |    AND i_current_price > 50
+        |    AND ss_promo_sk = p_promo_sk
+        |    AND p_channel_tv = 'N'
+        |  GROUP BY s_store_id),
+        | csr AS
+        | (SELECT cp_catalog_page_id AS catalog_page_id,
+        |         sum(cs_ext_sales_price) AS sales,
+        |         sum(COALESCE(cr_return_amount, 0)) AS returns,
+        |         sum(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+        |  FROM catalog_sales
+        |  LEFT OUTER JOIN catalog_returns ON (cs_item_sk = cr_item_sk
+        |                                      AND cs_order_number = cr_order_number),
+        |       date_dim,
+        |       catalog_page,
+        |       item,
+        |       promotion
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 30)
+        |    AND cs_catalog_page_sk = cp_catalog_page_sk
+        |    AND cs_item_sk = i_item_sk
+        |    AND i_current_price > 50
+        |    AND cs_promo_sk = p_promo_sk
+        |    AND p_channel_tv = 'N'
+        |  GROUP BY cp_catalog_page_id),
+        | wsr AS
+        | (SELECT web_site_id,
+        |         sum(ws_ext_sales_price) AS sales,
+        |         sum(COALESCE(wr_return_amt, 0)) AS returns,
+        |         sum(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+        |  FROM web_sales
+        |  LEFT OUTER JOIN web_returns ON (ws_item_sk = wr_item_sk
+        |                                  AND ws_order_number = wr_order_number),
+        |       date_dim,
+        |       web_site,
+        |       item,
+        |       promotion
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND d_date BETWEEN CAST('2000-08-23' AS date) AND (CAST('2000-08-23' AS date) + 30)
+        |    AND ws_web_site_sk = web_site_sk
+        |    AND ws_item_sk = i_item_sk
+        |    AND i_current_price > 50
+        |    AND ws_promo_sk = p_promo_sk
+        |    AND p_channel_tv = 'N'
+        |  GROUP BY web_site_id)
+        |SELECT channel,
+        |       id,
+        |       CAST(sum(sales) AS BIGINT) AS sales,
+        |       CAST(sum(returns) AS BIGINT) AS returns,
+        |       CAST(sum(profit) AS BIGINT) AS profit
+        |FROM
+        |  (SELECT 'store channel' AS channel,
+        |          'store' || store_id AS id,
+        |          sales,
+        |          returns,
+        |          profit
+        |   FROM ssr
+        |   UNION ALL
+        |   SELECT 'catalog channel' AS channel,
+        |          'catalog_page' || catalog_page_id AS id,
+        |          sales,
+        |          returns,
+        |          profit
+        |   FROM csr
+        |   UNION ALL
+        |   SELECT 'web channel' AS channel,
+        |          'web_site' || web_site_id AS id,
+        |          sales,
+        |          returns,
+        |          profit
+        |   FROM wsr) x
+        |GROUP BY ROLLUP (channel, id)
+        |ORDER BY channel NULLS FIRST,
+        |         id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q93: returned-quantity-netted sales by customer for one reason
+    // (the LEFT JOIN is made inner by the canonical WHERE on reason)
+    "tpcds_q93" -> wrap(
+      """SELECT ss_customer_sk,
+        |       CAST(sum(act_sales) AS BIGINT) sumsales
+        |FROM
+        |  (SELECT ss_item_sk,
+        |          ss_ticket_number,
+        |          ss_customer_sk,
+        |          CASE WHEN sr_return_quantity IS NOT NULL THEN (ss_quantity - sr_return_quantity) * ss_sales_price ELSE (ss_quantity * ss_sales_price) END act_sales
+        |   FROM store_sales
+        |   LEFT OUTER JOIN store_returns ON (sr_item_sk = ss_item_sk
+        |                                     AND sr_ticket_number = ss_ticket_number),
+        |        reason
+        |   WHERE sr_reason_sk = r_reason_sk
+        |     AND r_reason_desc = 'reason 28') t
+        |GROUP BY ss_customer_sk
+        |ORDER BY sumsales,
+        |         ss_customer_sk
+        |LIMIT 100""".stripMargin),
+
+    // q97: store/catalog customer-item overlap via FULL OUTER JOIN
+    "tpcds_q97" -> wrap(
+      """WITH ssci AS
+        | (SELECT ss_customer_sk customer_sk,
+        |         ss_item_sk item_sk
+        |  FROM store_sales,
+        |       date_dim
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1200 AND 1200 + 11
+        |  GROUP BY ss_customer_sk,
+        |           ss_item_sk),
+        | csci AS
+        | (SELECT cs_bill_customer_sk customer_sk,
+        |         cs_item_sk item_sk
+        |  FROM catalog_sales,
+        |       date_dim
+        |  WHERE cs_sold_date_sk = d_date_sk
+        |    AND d_month_seq BETWEEN 1200 AND 1200 + 11
+        |  GROUP BY cs_bill_customer_sk,
+        |           cs_item_sk)
+        |SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |                     AND csci.customer_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) store_only,
+        |       CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+        |                     AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) catalog_only,
+        |       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+        |                     AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) store_and_catalog
+        |FROM ssci
+        |FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+        |                         AND ssci.item_sk = csci.item_sk)
+        |LIMIT 100""".stripMargin),
+
+    // q98: store analog of q12 (no LIMIT in the canonical body)
+    "tpcds_q98" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       i_category,
+        |       i_class,
+        |       i_current_price,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) AS itemrevenue,
+        |       CAST(sum(ss_ext_sales_price) AS DOUBLE) * 100 /
+        |         sum(CAST(sum(ss_ext_sales_price) AS DOUBLE)) OVER (PARTITION BY i_class) AS revenueratio
+        |FROM store_sales,
+        |     item,
+        |     date_dim
+        |WHERE ss_item_sk = i_item_sk
+        |  AND i_category IN ('Sports', 'Books', 'Home')
+        |  AND ss_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN CAST('1999-02-22' AS date) AND (CAST('1999-02-22' AS date) + 30)
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         i_category,
+        |         i_class,
+        |         i_current_price
+        |ORDER BY i_category,
+        |         i_class,
+        |         i_item_id,
+        |         i_item_desc,
+        |         revenueratio""".stripMargin),
+
     "tpcds_q88" -> wrap(q88Body),
 
     // q94: q95's correlated sibling — EXISTS (semi) + NOT EXISTS (anti)

@@ -64,14 +64,26 @@ import org.apache.spark.sql.SparkSession
  *    (l_orderkey / c_custkey / o_orderkey) — these three carry LIMIT
  *    under a non-total canonical sort, which is nondeterministic
  *    across engines (same adjustment as TpcdsQueries q47; q2/q21's
- *    canonical sorts are already total).
+ *    canonical sorts are already total),
+ *  - q12: the two `sum(CASE … THEN 1 ELSE 0 END)` outputs gain
+ *    `CAST(… AS BIGINT)` — DuckDB types an integer-literal sum HUGEINT
+ *    (int128) while Spark types it BIGINT, and the driver's
+ *    type-tagged hash distinguishes the two widths even when every
+ *    value is equal (the only HUGEINT-producing row of the whole
+ *    oracle suite, judge-root-caused in round 15). The cast is a
+ *    no-op on Spark. Suite-wide guard: tools/oracle_type_check.py
+ *    asserts no oracle SQL yields a HUGEINT result column.
  *
  * One data-shape note: the synthetic `orders` covers every customer,
  * which would make q22's NOT EXISTS structurally empty — the orders
  * derivation drops customers ≡19 (mod 31), giving ~3% order-less
- * customers (both engines derive the same drop; lineitem orphans this
- * creates are harmless because every query reaches lineitem through
- * the orders join except q1/q6, which scan it standalone).
+ * customers (both engines derive the same drop). The lineitem rows
+ * this orphans DO feed every aggregate that scans lineitem without
+ * the orders join — q1, q6, q14, q15, q17, q19, q20's correlated
+ * subquery, and q18's HAVING subquery — but both engines derive the
+ * identical orphan set from the identical parquet, so every oracle
+ * compare is unaffected; the FK invariant simply does not hold for
+ * those standalone lineitem scans.
  *
  * Scale notes (100 TB lens): the lineitem/orders derivations are pure
  * per-row projections — no shuffle added to any body's own plan; the
@@ -551,12 +563,12 @@ object TpchQueries {
     "tpch_q12" ->
       """SELECT
         |    l_shipmode,
-        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |             OR o_orderpriority = '2-HIGH'
-        |             THEN 1 ELSE 0 END) AS high_line_count,
-        |    sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |    CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
         |             AND o_orderpriority <> '2-HIGH'
-        |             THEN 1 ELSE 0 END) AS low_line_count
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM
         |    orders,
         |    lineitem
