@@ -288,6 +288,8 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsDfCapped(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docs(s, dir))),
+    "dedup_substring_pairs" -> ((s, dir) => Dedup.substringPairs(docs(s, dir))),
 
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), 0L, 10)),
@@ -453,6 +455,51 @@ object PipelineQueries {
 
   private val jaccardSql =
     s"WITH $shingleCtes,\n$jaccardCandCtes,\n$verifyTail"
+
+  /** Substring/span dedup oracles — 8-token windows, stride 1, mirroring
+    * Dedup.substringSpans / substringPairs (window = 8, maxDf = 100,
+    * minShared = 2). DuckDB list slices are INCLUSIVE (t[i:i+7] is 8
+    * tokens) and range() is end-EXCLUSIVE (i runs 1..len-7), matching
+    * Spark's inclusive sequence(0, size-8) of slice(t, i+1, 8). */
+  private val windowCtes =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |w AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS s
+      |      FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i
+      |            FROM toks WHERE len(t) >= 8) r)""".stripMargin
+
+  private val substringSpansSql =
+    s"""WITH $windowCtes,
+       |dfs AS (SELECT s, count(*) AS df FROM (SELECT DISTINCT doc_id, s FROM w) dw GROUP BY s),
+       |mark AS (SELECT w.doc_id, w.pos, (dfs.df >= 2) AS isdup FROM w JOIN dfs USING (s)),
+       |runs AS (SELECT doc_id, max(run) AS max_dup_run FROM (
+       |    SELECT doc_id, rk, count(*) AS run FROM (
+       |      SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+       |      FROM mark WHERE isdup) g GROUP BY doc_id, rk) rr GROUP BY doc_id),
+       |per AS (SELECT doc_id, count(*) AS total_windows,
+       |               sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS dup_windows
+       |        FROM mark GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.total_windows, 0) AS BIGINT) AS total_windows,
+       |  CAST(coalesce(per.dup_windows, 0) AS BIGINT) AS dup_windows,
+       |  CAST(coalesce(runs.max_dup_run, 0) AS BIGINT) AS max_dup_run
+       |FROM documents d
+       |LEFT JOIN per ON d.doc_id = per.doc_id
+       |LEFT JOIN runs ON d.doc_id = runs.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  private val substringPairsSql =
+    s"""WITH $windowCtes,
+       |dw AS (SELECT DISTINCT doc_id, s FROM w),
+       |cold AS (SELECT s FROM dw GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+       |wc AS (SELECT dw.doc_id, dw.s FROM dw JOIN cold USING (s)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM wc a JOIN wc b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(s) AS ss FROM dw GROUP BY doc_id)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS shared_windows
+       |FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib
+       |WHERE len(list_intersect(sa.ss, sb.ss)) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash oracle — 32 min-md5 aggregates + 8 band buckets, mirroring
     * Dedup.minhashPairs(numHashes = 32, bandSize = 4). */
@@ -1090,6 +1137,8 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> jaccardSql,
     "dedup_minhash_pairs" -> minhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_substring_spans" -> substringSpansSql,
+    "dedup_substring_pairs" -> substringPairsSql,
     "dedup_canonical" -> canonicalSql,
     "curation_verdict" -> curationVerdictSql,
     "ann_cosine_topk" ->

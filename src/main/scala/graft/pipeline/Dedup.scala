@@ -237,6 +237,95 @@ object Dedup {
     result
   }
 
+  /** Fixed-width token windows, stride 1: (doc_id, pos, s) with 0-based
+    * pos and s = `window` consecutive whitespace tokens joined by ' '.
+    * The guard keeps short docs out of `sequence` (Spark's
+    * sequence(1, 0) yields a DESCENDING range, not an empty one). */
+  def tokenWindows(docs: DataFrame, window: Int = 8): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(t) >= $window THEN transform(sequence(0, size(t)-$window), " +
+          s"i -> array_join(slice(t, i+1, $window), ' ')) ELSE array() END"))
+        .as(Seq("pos", "s")))
+
+  /**
+   * Substring/span-level dedup, per-document summary — the scalable
+   * approximation of suffix-array span dedup (fixed-width token-window
+   * hashing, the standard training-data-pipeline shape): a window is
+   * DUPLICATED if it occurs in ≥ 2 distinct documents, and consecutive
+   * duplicated windows form a span. Returns per doc (total_windows,
+   * dup_windows, max_dup_run) — max_dup_run w is a shared span of
+   * w+window-1 tokens, the remove-this-span signal.
+   *
+   * Scale shape (100 TB): window df is ONE hash-agg keyed on the window
+   * (map-side combine collapses stride-1 repeats early); the mark join is
+   * keyed on the same column; the run-length pass is one doc_id-keyed
+   * window function (pos − row_number, the standard gaps-and-islands
+   * trick) — no self-join, no all-pairs, nothing driver-side.
+   */
+  def substringSpans(docs: DataFrame, window: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokenWindows(docs, window)
+    // df over DISTINCT (doc, window): a window repeated inside one doc is
+    // only a duplicate if some OTHER doc carries it too
+    val dfs = w.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val mark = w.join(dfs, Seq("s"))
+      .select(col("doc_id"), col("pos"), (col("df") >= 2).as("isdup"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = mark.where(col("isdup"))
+      .withColumn("rk", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("rk")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_dup_run"))
+    val per = mark.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("total_windows"),
+      sum(when(col("isdup"), 1L).otherwise(0L)).as("dup_windows"))
+    // short docs have zero windows — they must still appear (zeros), or
+    // the drop-list consumer silently loses them
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_windows"), lit(0L)).as("total_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Substring-sharing pairs: documents sharing ≥ `minShared` distinct
+   * `window`-token windows, with the exact shared count. Inverted-index
+   * candidate generation (windows with 2 ≤ df ≤ `maxDf` — the lower
+   * bound prunes the ~95% singleton windows before the self-join, the
+   * upper bound stops boilerplate from going quadratic, same cap design
+   * as [[jaccardPairsDfCapped]]); candidates exact-verified against full
+   * per-doc window sets via the sorted-merge intersect (no re-explode).
+   */
+  def substringPairs(docs: DataFrame, window: Int = 8, maxDf: Int = 100,
+      minShared: Int = 2): DataFrame = {
+    val w = tokenWindows(docs, window)
+      .select(col("doc_id"), xxhash64(col("s")).as("s")).distinct()
+    val cold = w.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf).select(col("s"))
+    val wc = w.join(cold, Seq("s"))
+    val cands = wc.as("a").join(wc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = w.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    cands.repartition(p, col("id_a"))
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("sa.ss"), col("sb.ss"))
+          .cast("long").as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3 by
     * default): pigeonhole on four 16-bit chunks (any pair within distance
     * 3 shares ≥ 1 exact chunk), bucket-join per chunk, verify hamming on

@@ -552,4 +552,35 @@ class PipelineSpec extends AnyFunSuite {
     val copies = out.agg(sum(when(col("copies") > 1, 1).otherwise(0))).collect()(0).getLong(0)
     assert(copies == 5, s"expected 5 duplicate groups, got $copies")
   }
+
+  test("substring span dedup: planted shared span, short docs, pair counts") {
+    import spark.implicits._
+    // docs 1 and 2 share a 12-token span; with 8-token windows the shared
+    // FULLY-INSIDE windows are the 12-8+1 = 5 consecutive ones (boundary
+    // windows mix in surrounding tokens and differ between the docs)
+    val span = (1 to 12).map(i => s"span$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"alpha beta gamma delta $span epsilon zeta"),
+      (2L, s"$span one two three four five six seven"),
+      (3L, "tiny doc"), // < 8 tokens: zero windows, must still appear
+      (4L, "totally unrelated words nine ten eleven twelve thirteen"))
+    val df = rows.toDF("doc_id", "text")
+    val spansOut = Dedup.substringSpans(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(spansOut(1L) === ((11L, 5L, 5L))) // 18 tokens; dup run at pos 4..8
+    assert(spansOut(2L) === ((12L, 5L, 5L))) // 19 tokens; dup run at pos 0..4
+    assert(spansOut(3L) === ((0L, 0L, 0L)))
+    assert(spansOut(4L) === ((1L, 0L, 0L))) // exactly 8 tokens: one window
+    val pairs = Dedup.substringPairs(df).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getLong(2) === 5L)
+    // corpus-level: every doc accounts for max(0, tokens-7) windows
+    val corpus = Dedup.substringSpans(docs)
+    val expect = docs.select(col("doc_id"),
+      greatest(size(TextOps.tokens(col("text"))) - 7, lit(0)).cast("long").as("e"))
+    val mismatch = corpus.join(expect, Seq("doc_id"))
+      .where(col("total_windows") =!= col("e")).count()
+    assert(mismatch === 0L)
+  }
 }
