@@ -59,8 +59,17 @@ package graft
  *    computes through CAST(… AS DOUBLE) on both operands (the decimal
  *    idiom difference, q11/q78 precedent; the division is exact-over-
  *    exact so the DOUBLE output is bit-identical cross-engine),
- *  - q23/q42: unaliased aggregate outputs gain aliases, and q23's two
+ *  - q23/q42/q13/q45/q61/q85/q96: unaliased aggregate/substr outputs
+ *    gain aliases (Spark's parquet writer rejects parens in column
+ *    names and the driver compares columns by name), and q23's two
  *    unaliased derived tables gain aliases (Spark requires them),
+ *  - q18: the `avg(cast(x AS decimal(12,2)))` idiom computes through
+ *    CAST(… AS DOUBLE) (decimal precision/scale propagation differs;
+ *    avg of exact integer sums is bit-identical in DOUBLE),
+ *  - q61: the promotions/total ratio computes through CAST(… AS
+ *    DOUBLE) and is aliased (same decimal-idiom class),
+ *  - q27/q18: rollup sorts carry NULLS FIRST (the q5/q80 rule),
+ *  - q79: ORDER BY extended with ss_ticket_number (ties under LIMIT),
  *  - q54: the canonical `cast((revenue/50) as int)` becomes
  *    `CAST(floor(revenue / 50) AS INT)` — DuckDB's CAST-to-int rounds
  *    half away while Spark truncates (the r13 derivation rule, now in
@@ -86,6 +95,7 @@ object TpcdsQueries {
   private val derivations: String =
     """date_dim AS (
       |  SELECT d_date_sk, d_date, year(d_date) AS d_year, month(d_date) AS d_moy,
+      |         CAST((d_date_sk + 4) % 7 AS BIGINT) AS d_dow,
       |         quarter(d_date) AS d_qoy, dayofmonth(d_date) AS d_dom,
       |         (year(d_date) - 1900) * 12 + month(d_date) - 1 AS d_month_seq,
       |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq
@@ -100,11 +110,20 @@ object TpcdsQueries {
       |  SELECT p_partkey AS i_item_sk, concat('I', p_partkey) AS i_item_id,
       |         p_name AS i_product_name,
       |         p_name AS i_item_desc,
-      |         CASE p_partkey % 5 WHEN 0 THEN 'Books' WHEN 1 THEN 'Home'
-      |              WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Music'
-      |              ELSE 'Women' END AS i_category,
+      |         -- the 10 canonical TPC-DS categories: q12/q20/q98 need
+      |         -- Sports+Books+Home, q33 Electronics, q54 Women, q56 all,
+      |         -- q60 Music, q61 Jewelry, q75 Books
+      |         CASE p_partkey % 10 WHEN 0 THEN 'Books' WHEN 1 THEN 'Children'
+      |              WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Home'
+      |              WHEN 4 THEN 'Jewelry' WHEN 5 THEN 'Men'
+      |              WHEN 6 THEN 'Music' WHEN 7 THEN 'Shoes'
+      |              WHEN 8 THEN 'Sports' ELSE 'Women' END AS i_category,
+      |         -- maternity spans two of the seven residues: q54's cohort
+      |         -- (Women+maternity bought in one month) must be wide enough
+      |         -- that its 3-month store-revenue follow-up window hits the
+      |         -- two-visit-dates-per-customer ticket model at the gate sf
       |         CASE (p_partkey * 11) % 7 WHEN 0 THEN 'maternity'
-      |              WHEN 1 THEN 'accessories' WHEN 2 THEN 'classical'
+      |              WHEN 1 THEN 'maternity' WHEN 2 THEN 'classical'
       |              WHEN 3 THEN 'fiction' WHEN 4 THEN 'wireless'
       |              WHEN 5 THEN 'dresses' ELSE 'pants' END AS i_class,
       |         p_brand AS i_brand,
@@ -122,18 +141,27 @@ object TpcdsQueries {
       |              ELSE 1 + (p_partkey * 7) % 400 END AS INT) AS i_manufact_id,
       |         CAST(1 + (p_partkey * 13) % 100 AS INT) AS i_manager_id,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
-      |         CASE p_partkey % 8 WHEN 0 THEN 'purple' WHEN 1 THEN 'burlywood'
+      |         CASE p_partkey % 12 WHEN 0 THEN 'purple' WHEN 1 THEN 'burlywood'
       |              WHEN 2 THEN 'indian' WHEN 3 THEN 'spring' WHEN 4 THEN 'floral'
-      |              WHEN 5 THEN 'medium' ELSE 'snow' END AS i_color
+      |              WHEN 5 THEN 'medium' WHEN 6 THEN 'snow' WHEN 7 THEN 'slate'
+      |              WHEN 8 THEN 'blanched' WHEN 9 THEN 'burnished'
+      |              WHEN 10 THEN 'tomato' ELSE 'antique' END AS i_color,
+      |         concat('manufact',
+      |           CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
+      |                WHEN 2 THEN 694 WHEN 3 THEN 808
+      |                ELSE 1 + (p_partkey * 7) % 400 END) AS i_manufact
       |  FROM part),
       |store AS (
       |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
       |         CASE WHEN sk % 2 = 0 THEN 'ese' ELSE 'able' END AS s_store_name,
       |         concat('CO', sk % 3) AS s_company_name,
       |         'Williamson County' AS s_county,
-      |         CASE sk % 3 WHEN 0 THEN 'TN' WHEN 1 THEN 'TX' ELSE 'CA' END
-      |           AS s_state,
-      |         concat('zip', sk % 4) AS s_zip
+      |         CASE sk % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'TX' WHEN 2 THEN 'CA'
+      |              WHEN 3 THEN 'IL' ELSE 'NY' END AS s_state,
+      |         concat('zip', sk % 4) AS s_zip,
+      |         CASE WHEN sk % 2 = 0 THEN 'Midway' ELSE 'Fairview' END AS s_city,
+      |         CAST(200 + sk * 7 AS BIGINT) AS s_number_employees,
+      |         CAST(-5 AS DOUBLE) AS s_gmt_offset
       |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
       |catalog_page AS (
       |  SELECT cpk AS cp_catalog_page_sk, concat('CP', cpk) AS cp_catalog_page_id
@@ -157,21 +185,43 @@ object TpcdsQueries {
       |  SELECT cck AS cc_call_center_sk, concat('CC', cck) AS cc_call_center_id,
       |         'Williamson County' AS cc_county
       |  FROM (SELECT DISTINCT s_suppkey % 4 AS cck FROM supplier) ccks),
+      |web_page AS (
+      |  SELECT wpk AS wp_web_page_sk, concat('WP', wpk) AS wp_web_page_id,
+      |         CAST(4000 + wpk * 150 AS BIGINT) AS wp_char_count
+      |  FROM (SELECT DISTINCT p_partkey % 12 AS wpk FROM part) wpks),
       |income_band AS (
       |  SELECT DISTINCT p_partkey % 10 AS ib_income_band_sk FROM part),
       |promotion AS (
       |  SELECT p_promo_sk,
-      |         CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
+      |         CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv,
+      |         CASE WHEN (p_promo_sk * 3) % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+      |         CASE WHEN (p_promo_sk * 7) % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+      |         CASE WHEN (p_promo_sk * 11) % 3 = 0 THEN 'Y' ELSE 'N' END AS p_channel_event
       |  FROM (SELECT DISTINCT p_partkey % 20 AS p_promo_sk FROM part) pks),
       |customer_demographics AS (
+      |  -- gender draws from ck/4 so every (marital, gender) pair exists;
+      |  -- education from 3k mod 7 so every (marital, gender, education)
+      |  -- triple q7/q13/q18/q27 names has a demo_sk in 0..99
       |  SELECT ck AS cd_demo_sk,
       |         CASE ck % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'M' WHEN 2 THEN 'S'
-      |              ELSE 'W' END AS cd_marital_status
+      |              ELSE 'W' END AS cd_marital_status,
+      |         CASE WHEN CAST(floor(ck / 4) AS BIGINT) % 2 = 0 THEN 'M'
+      |              ELSE 'F' END AS cd_gender,
+      |         CASE (ck * 3) % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+      |              WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+      |              WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+      |              ELSE 'Unknown' END AS cd_education_status,
+      |         CAST(500 * (1 + ck % 20) AS BIGINT) AS cd_purchase_estimate,
+      |         CASE (ck * 7) % 4 WHEN 0 THEN 'Good' WHEN 1 THEN 'High Risk'
+      |              WHEN 2 THEN 'Low Risk' ELSE 'Unknown' END AS cd_credit_rating,
+      |         CAST(ck % 7 AS BIGINT) AS cd_dep_count,
+      |         CAST((ck * 3) % 5 AS BIGINT) AS cd_dep_employed_count,
+      |         CAST((ck * 7) % 3 AS BIGINT) AS cd_dep_college_count
       |  FROM (SELECT DISTINCT p_partkey % 100 AS ck FROM part) cks),
       |household_demographics AS (
       |  SELECT hk AS hd_demo_sk, hk % 10 AS hd_income_band_sk,
       |         CASE WHEN hk % 3 = 0 THEN '>10000' ELSE '5001-10000' END AS hd_buy_potential,
-      |         CAST(hk % 5 AS BIGINT) AS hd_dep_count,
+      |         CAST(hk % 10 AS BIGINT) AS hd_dep_count,
       |         -- 1..3 (never 0): q34's dep/vehicle > 1.2 ratio filter must
       |         -- keep a workable share of households (~1/3 of hk values)
       |         CAST(1 + hk % 3 AS BIGINT) AS hd_vehicle_count
@@ -180,19 +230,29 @@ object TpcdsQueries {
       |  SELECT ak AS ca_address_sk, concat('', ak % 1000) AS ca_street_number,
       |         concat('Street ', ak % 20) AS ca_street_name,
       |         concat('City', ak % 30) AS ca_city, concat('zip', ak % 100) AS ca_zip,
-      |         -- county draws from the TENS digit so the (state, county)
-      |         -- grid is fully covered (both from ak % 10 would make the
-      |         -- pair a bijection and q54's county+state match empty)
-      |         CASE CAST(floor(ak / 10) AS BIGINT) % 10
-      |              WHEN 3 THEN 'Ziebach County' WHEN 4 THEN 'Walker County'
-      |              WHEN 5 THEN 'Sioux County' WHEN 6 THEN 'Daviess County'
-      |              WHEN 7 THEN 'Barrow County' WHEN 8 THEN 'Franklin Parish'
-      |              WHEN 9 THEN 'Luce County'
-      |              ELSE 'Williamson County' END AS ca_county,
+      |         -- every address in a STORE state (TN/TX/CA/IL/NY) sits in
+      |         -- Williamson County — the county-state correlation makes
+      |         -- q54's ca_county = s_county AND ca_state = s_state match
+      |         -- deterministic for ~30% of customers instead of hanging
+      |         -- on a 7-customer cohort x 6% coincidence; other states
+      |         -- draw counties from the tens digit (q18's rollup grid)
+      |         CASE WHEN ak % 20 IN (18, 4, 19, 1, 0, 2) THEN 'Williamson County'
+      |              ELSE CASE CAST(floor(ak / 10) AS BIGINT) % 10
+      |                   WHEN 3 THEN 'Ziebach County' WHEN 4 THEN 'Walker County'
+      |                   WHEN 5 THEN 'Sioux County' WHEN 6 THEN 'Daviess County'
+      |                   WHEN 7 THEN 'Barrow County' WHEN 8 THEN 'Franklin Parish'
+      |                   WHEN 9 THEN 'Luce County'
+      |                   ELSE 'Williamson County' END END AS ca_county,
       |         CAST(CASE (ak * 7) % 4 WHEN 0 THEN -5 WHEN 1 THEN -6
       |              WHEN 2 THEN -7 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
-      |         CASE ak % 10 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
-      |              WHEN 3 THEN 'GA' ELSE 'TX' END AS ca_state
+      |         CASE ak % 20 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
+      |              WHEN 3 THEN 'GA' WHEN 4 THEN 'TX' WHEN 5 THEN 'IN'
+      |              WHEN 6 THEN 'OH' WHEN 7 THEN 'NJ' WHEN 8 THEN 'WI'
+      |              WHEN 9 THEN 'CT' WHEN 10 THEN 'KY' WHEN 11 THEN 'LA'
+      |              WHEN 12 THEN 'IA' WHEN 13 THEN 'AR' WHEN 14 THEN 'MS'
+      |              WHEN 15 THEN 'OR' WHEN 16 THEN 'NM' WHEN 17 THEN 'VA'
+      |              WHEN 18 THEN 'TN' ELSE 'TX' END AS ca_state,
+      |         'United States' AS ca_country
       |  FROM (SELECT DISTINCT p_partkey % 500 AS ak FROM part) aks),
       |customer AS (
       |  SELECT o_custkey AS c_customer_sk,
@@ -210,6 +270,8 @@ object TpcdsQueries {
       |         (o_custkey * 7 + 3) % 100 AS c_current_cdemo_sk,
       |         (o_custkey * 11 + 1) % 50 AS c_current_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS c_current_addr_sk,
+      |         CAST(1 + (o_custkey * 23) % 12 AS BIGINT) AS c_birth_month,
+      |         CAST(1924 + (o_custkey * 31) % 69 AS BIGINT) AS c_birth_year,
       |         (o_custkey * 17) % 1826 AS c_first_sales_date_sk,
       |         (o_custkey * 19 + 30) % 1826 AS c_first_shipto_date_sk
       |  FROM (SELECT DISTINCT o_custkey FROM orders) ck),
@@ -231,7 +293,12 @@ object TpcdsQueries {
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS ss_item_sk,
       |         o_custkey AS ss_customer_sk,
-      |         o_custkey % 100 AS ss_cdemo_sk, o_custkey % 50 AS ss_hdemo_sk,
+      |         o_custkey % 100 AS ss_cdemo_sk,
+      |         -- 7c+3, NOT c: cdemo and hdemo both key off the customer,
+      |         -- and with both ≡ c the parity of a marital-status residue
+      |         -- fixes the parity of hd_dep_count — q13's (S, dep=1)
+      |         -- branch would be structurally unsatisfiable
+      |         (o_custkey * 7 + 3) % 50 AS ss_hdemo_sk,
       |         o_custkey % 500 AS ss_addr_sk, l_suppkey % 10 AS ss_store_sk,
       |         l_partkey % 20 AS ss_promo_sk,
       |         o_custkey * 2 + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT)
@@ -239,13 +306,17 @@ object TpcdsQueries {
       |         CAST(l_quantity AS BIGINT) AS ss_quantity,
       |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_wholesale_cost,
       |         CAST(floor(l_extendedprice) AS BIGINT) AS ss_list_price,
-      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_sales_price,
+      |         -- sales_price / net_profit are PER-UNIT scale (canonical
+      |         -- TPC-DS band predicates — q13's 50..200, q85's 50..300 —
+      |         -- name per-unit dollars; the ext_* columns keep line totals)
+      |         CAST(floor(l_extendedprice * (1 - l_discount) / (l_quantity * 10)) AS BIGINT) AS ss_sales_price,
       |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_coupon_amt,
       |         CAST(floor(l_extendedprice * 1.05) AS BIGINT) AS ss_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.7) AS BIGINT) AS ss_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_ext_discount_amt,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price,
-      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ss_net_profit
+      |         CAST(floor(l_extendedprice * 0.08 / l_quantity) AS BIGINT) AS ss_net_profit,
+      |         CAST(floor(l_extendedprice * 0.06) AS BIGINT) AS ss_ext_tax
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  -- item/ticket expressions MIRROR store_sales (returns must
@@ -285,13 +356,14 @@ object TpcdsQueries {
       |         CAST(l_quantity AS BIGINT) AS cs_quantity,
       |         CAST(floor(l_extendedprice * 1.08) AS BIGINT) AS cs_list_price,
       |         CAST(floor(l_extendedprice * 0.6) AS BIGINT) AS cs_wholesale_cost,
-      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS cs_sales_price,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) / (l_quantity * 10)) AS BIGINT) AS cs_sales_price,
       |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.55) AS BIGINT) AS cs_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount * 0.9) AS BIGINT) AS cs_ext_discount_amt,
       |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT) AS cs_ext_sales_price,
+      |         CAST(floor(l_extendedprice * l_discount * 0.85) AS BIGINT) AS cs_coupon_amt,
       |         CAST(floor(l_extendedprice * 0.03) AS BIGINT) AS cs_ext_ship_cost,
-      |         CAST(floor(l_extendedprice * 0.07) AS BIGINT) AS cs_net_profit
+      |         CAST(floor(l_extendedprice * 0.07 / l_quantity) AS BIGINT) AS cs_net_profit
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0),
       |catalog_returns AS (
@@ -319,13 +391,14 @@ object TpcdsQueries {
       |         (o_custkey * 3 + 11) % 500 AS ws_ship_addr_sk,
       |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
       |         l_partkey % 20 AS ws_promo_sk,
+      |         l_partkey % 12 AS ws_web_page_sk,
       |         l_orderkey AS ws_order_number,
       |         CAST(l_quantity AS BIGINT) AS ws_quantity,
       |         CAST(floor(l_extendedprice * 1.04) AS BIGINT) AS ws_list_price,
       |         CAST(floor(l_extendedprice * 0.5) AS BIGINT) AS ws_wholesale_cost,
-      |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ws_sales_price,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) / (l_quantity * 10)) AS BIGINT) AS ws_sales_price,
       |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS ws_ext_ship_cost,
-      |         CAST(floor(l_extendedprice * 0.08) AS BIGINT) AS ws_net_profit,
+      |         CAST(floor(l_extendedprice * 0.08 / l_quantity) AS BIGINT) AS ws_net_profit,
       |         CAST(floor(l_extendedprice * 1.02) AS BIGINT) AS ws_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.45) AS BIGINT) AS ws_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount * 0.8) AS BIGINT) AS ws_ext_discount_amt,
@@ -337,6 +410,15 @@ object TpcdsQueries {
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS wr_item_sk,
       |         (l_orderkey * 5 + 11) % 1826 AS wr_returned_date_sk,
+      |         -- refunded = returning: q85's cd1/cd2 equality predicates
+      |         -- (same marital, same education across the two roles) are
+      |         -- structurally unreachable if the two sks are independent
+      |         (l_orderkey * 3 + l_partkey) % 100 AS wr_refunded_cdemo_sk,
+      |         (l_orderkey * 3 + l_partkey) % 100 AS wr_returning_cdemo_sk,
+      |         (l_orderkey * 13 + 7) % 500 AS wr_refunded_addr_sk,
+      |         (l_orderkey + l_partkey) % 8 AS wr_reason_sk,
+      |         CAST(floor(l_extendedprice * 0.25) AS BIGINT) AS wr_refunded_cash,
+      |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS wr_fee,
       |         CAST(floor(l_quantity / 3) AS BIGINT) AS wr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS wr_return_amt,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS wr_net_loss
@@ -2000,6 +2082,518 @@ object TpcdsQueries {
         |         i_item_id,
         |         i_item_desc,
         |         revenueratio""".stripMargin),
+
+    // q7: per-item demographic averages gated on promotion channels
+    // (avg of exact integer sums: bit-identical DOUBLE cross-engine)
+    "tpcds_q7" -> wrap(
+      """SELECT i_item_id,
+        |       avg(ss_quantity) agg1,
+        |       avg(ss_list_price) agg2,
+        |       avg(ss_coupon_amt) agg3,
+        |       avg(ss_sales_price) agg4
+        |FROM store_sales,
+        |     customer_demographics,
+        |     date_dim,
+        |     item,
+        |     promotion
+        |WHERE ss_sold_date_sk = d_date_sk
+        |  AND ss_item_sk = i_item_sk
+        |  AND ss_cdemo_sk = cd_demo_sk
+        |  AND ss_promo_sk = p_promo_sk
+        |  AND cd_gender = 'M'
+        |  AND cd_marital_status = 'S'
+        |  AND cd_education_status = 'College'
+        |  AND (p_channel_email = 'N'
+        |       OR p_channel_event = 'N')
+        |  AND d_year = 2000
+        |GROUP BY i_item_id
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q13: one-row averages over OR-of-band demographic x address
+    // branches (the per-unit sales_price/net_profit scale and the
+    // decoupled hdemo key exist for this query's bands)
+    "tpcds_q13" -> wrap(
+      """SELECT avg(ss_quantity) agg1,
+        |       avg(ss_ext_sales_price) agg2,
+        |       avg(ss_ext_wholesale_cost) agg3,
+        |       CAST(sum(ss_ext_wholesale_cost) AS BIGINT) agg4
+        |FROM store_sales,
+        |     store,
+        |     customer_demographics,
+        |     household_demographics,
+        |     customer_address,
+        |     date_dim
+        |WHERE s_store_sk = ss_store_sk
+        |  AND ss_sold_date_sk = d_date_sk
+        |  AND d_year = 2001
+        |  AND ((ss_hdemo_sk = hd_demo_sk
+        |        AND cd_demo_sk = ss_cdemo_sk
+        |        AND cd_marital_status = 'M'
+        |        AND cd_education_status = 'Advanced Degree'
+        |        AND ss_sales_price BETWEEN 100.00 AND 150.00
+        |        AND hd_dep_count = 3)
+        |       OR (ss_hdemo_sk = hd_demo_sk
+        |           AND cd_demo_sk = ss_cdemo_sk
+        |           AND cd_marital_status = 'S'
+        |           AND cd_education_status = 'College'
+        |           AND ss_sales_price BETWEEN 50.00 AND 100.00
+        |           AND hd_dep_count = 1)
+        |       OR (ss_hdemo_sk = hd_demo_sk
+        |           AND cd_demo_sk = ss_cdemo_sk
+        |           AND cd_marital_status = 'W'
+        |           AND cd_education_status = '2 yr Degree'
+        |           AND ss_sales_price BETWEEN 150.00 AND 200.00
+        |           AND hd_dep_count = 1))
+        |  AND ((ss_addr_sk = ca_address_sk
+        |        AND ca_country = 'United States'
+        |        AND ca_state IN ('TX', 'OH', 'TX')
+        |        AND ss_net_profit BETWEEN 100 AND 200)
+        |       OR (ss_addr_sk = ca_address_sk
+        |           AND ca_country = 'United States'
+        |           AND ca_state IN ('OR', 'NM', 'KY')
+        |           AND ss_net_profit BETWEEN 150 AND 300)
+        |       OR (ss_addr_sk = ca_address_sk
+        |           AND ca_country = 'United States'
+        |           AND ca_state IN ('VA', 'TX', 'MS')
+        |           AND ss_net_profit BETWEEN 50 AND 250))""".stripMargin),
+
+    // q18: catalog demographics rollup over country/state/county
+    // (decimal avg casts -> DOUBLE, NULLS FIRST on the rollup sort)
+    "tpcds_q18" -> wrap(
+      """SELECT i_item_id,
+        |       ca_country,
+        |       ca_state,
+        |       ca_county,
+        |       avg(CAST(cs_quantity AS DOUBLE)) agg1,
+        |       avg(CAST(cs_list_price AS DOUBLE)) agg2,
+        |       avg(CAST(cs_coupon_amt AS DOUBLE)) agg3,
+        |       avg(CAST(cs_sales_price AS DOUBLE)) agg4,
+        |       avg(CAST(cs_net_profit AS DOUBLE)) agg5,
+        |       avg(CAST(c_birth_year AS DOUBLE)) agg6,
+        |       avg(CAST(cd1.cd_dep_count AS DOUBLE)) agg7
+        |FROM catalog_sales,
+        |     customer_demographics cd1,
+        |     customer_demographics cd2,
+        |     customer,
+        |     customer_address,
+        |     date_dim,
+        |     item
+        |WHERE cs_sold_date_sk = d_date_sk
+        |  AND cs_item_sk = i_item_sk
+        |  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+        |  AND cs_bill_customer_sk = c_customer_sk
+        |  AND cd1.cd_gender = 'F'
+        |  AND cd1.cd_education_status = 'Unknown'
+        |  AND c_current_cdemo_sk = cd2.cd_demo_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+        |  AND d_year = 1998
+        |  AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'MS')
+        |GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+        |ORDER BY ca_country NULLS FIRST,
+        |         ca_state NULLS FIRST,
+        |         ca_county NULLS FIRST,
+        |         i_item_id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q19: brand/manufact agg with the customer-vs-store zip-prefix
+    // mismatch predicate
+    "tpcds_q19" -> wrap(
+      """SELECT i_brand_id brand_id,
+        |       i_brand brand,
+        |       i_manufact_id,
+        |       i_manufact,
+        |       CAST(sum(ss_ext_sales_price) AS BIGINT) ext_price
+        |FROM date_dim,
+        |     store_sales,
+        |     item,
+        |     customer,
+        |     customer_address,
+        |     store
+        |WHERE d_date_sk = ss_sold_date_sk
+        |  AND ss_item_sk = i_item_sk
+        |  AND i_manager_id = 8
+        |  AND d_moy = 11
+        |  AND d_year = 1998
+        |  AND ss_customer_sk = c_customer_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+        |  AND ss_store_sk = s_store_sk
+        |GROUP BY i_brand,
+        |         i_brand_id,
+        |         i_manufact_id,
+        |         i_manufact
+        |ORDER BY ext_price DESC,
+        |         i_brand,
+        |         i_brand_id,
+        |         i_manufact_id,
+        |         i_manufact
+        |LIMIT 100""".stripMargin),
+
+    // q26: catalog sibling of q7
+    "tpcds_q26" -> wrap(
+      """SELECT i_item_id,
+        |       avg(cs_quantity) agg1,
+        |       avg(cs_list_price) agg2,
+        |       avg(cs_coupon_amt) agg3,
+        |       avg(cs_sales_price) agg4
+        |FROM catalog_sales,
+        |     customer_demographics,
+        |     date_dim,
+        |     item,
+        |     promotion
+        |WHERE cs_sold_date_sk = d_date_sk
+        |  AND cs_item_sk = i_item_sk
+        |  AND cs_bill_cdemo_sk = cd_demo_sk
+        |  AND cs_promo_sk = p_promo_sk
+        |  AND cd_gender = 'M'
+        |  AND cd_marital_status = 'S'
+        |  AND cd_education_status = 'College'
+        |  AND (p_channel_email = 'N'
+        |       OR p_channel_event = 'N')
+        |  AND d_year = 2000
+        |GROUP BY i_item_id
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q27: store demographic averages under ROLLUP(item, state) with
+    // grouping() (NULLS FIRST under LIMIT)
+    "tpcds_q27" -> wrap(
+      """SELECT i_item_id,
+        |       s_state,
+        |       grouping(s_state) g_state,
+        |       avg(ss_quantity) agg1,
+        |       avg(ss_list_price) agg2,
+        |       avg(ss_coupon_amt) agg3,
+        |       avg(ss_sales_price) agg4
+        |FROM store_sales,
+        |     customer_demographics,
+        |     date_dim,
+        |     store,
+        |     item
+        |WHERE ss_sold_date_sk = d_date_sk
+        |  AND ss_item_sk = i_item_sk
+        |  AND ss_store_sk = s_store_sk
+        |  AND ss_cdemo_sk = cd_demo_sk
+        |  AND cd_gender = 'F'
+        |  AND cd_marital_status = 'W'
+        |  AND cd_education_status = 'Primary'
+        |  AND d_year = 1998
+        |  AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+        |GROUP BY ROLLUP (i_item_id, s_state)
+        |ORDER BY i_item_id NULLS FIRST,
+        |         s_state NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q45: web sales by zip/city; zip IN-list OR item IN-subquery
+    // (the canonical zips never match the synthetic domain; the item
+    // branch carries the result, as in the canonical answer shape)
+    "tpcds_q45" -> wrap(
+      """SELECT ca_zip,
+        |       ca_city,
+        |       CAST(sum(ws_sales_price) AS BIGINT) AS sum_sales
+        |FROM web_sales,
+        |     customer,
+        |     customer_address,
+        |     date_dim,
+        |     item
+        |WHERE ws_bill_customer_sk = c_customer_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND ws_item_sk = i_item_sk
+        |  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475', '85392', '85460', '80348', '81792')
+        |       OR i_item_id IN
+        |         (SELECT i_item_id
+        |          FROM item
+        |          WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+        |  AND ws_sold_date_sk = d_date_sk
+        |  AND d_qoy = 2
+        |  AND d_year = 2001
+        |GROUP BY ca_zip,
+        |         ca_city
+        |ORDER BY ca_zip,
+        |         ca_city
+        |LIMIT 100""".stripMargin),
+
+    // q56: three-channel sales for three item colors (the q33/q60
+    // family's color-keyed sibling; ORDER extended with i_item_id)
+    "tpcds_q56" -> wrap(
+      """WITH ss AS
+        | (SELECT i_item_id,
+        |         sum(ss_ext_sales_price) total_sales
+        |  FROM store_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND ss_item_sk = i_item_sk
+        |    AND ss_sold_date_sk = d_date_sk
+        |    AND d_year = 2001
+        |    AND d_moy = 2
+        |    AND ss_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id),
+        | cs AS
+        | (SELECT i_item_id,
+        |         sum(cs_ext_sales_price) total_sales
+        |  FROM catalog_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND cs_item_sk = i_item_sk
+        |    AND cs_sold_date_sk = d_date_sk
+        |    AND d_year = 2001
+        |    AND d_moy = 2
+        |    AND cs_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id),
+        | ws AS
+        | (SELECT i_item_id,
+        |         sum(ws_ext_sales_price) total_sales
+        |  FROM web_sales,
+        |       date_dim,
+        |       customer_address,
+        |       item
+        |  WHERE i_item_id IN
+        |      (SELECT i_item_id
+        |       FROM item
+        |       WHERE i_color IN ('slate', 'blanched', 'burnished'))
+        |    AND ws_item_sk = i_item_sk
+        |    AND ws_sold_date_sk = d_date_sk
+        |    AND d_year = 2001
+        |    AND d_moy = 2
+        |    AND ws_bill_addr_sk = ca_address_sk
+        |    AND ca_gmt_offset = -5
+        |  GROUP BY i_item_id)
+        |SELECT i_item_id,
+        |       CAST(sum(total_sales) AS BIGINT) total_sales
+        |FROM
+        |  (SELECT *
+        |   FROM ss
+        |   UNION ALL SELECT *
+        |   FROM cs
+        |   UNION ALL SELECT *
+        |   FROM ws) tmp1
+        |GROUP BY i_item_id
+        |ORDER BY total_sales,
+        |         i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q61: promotional-vs-total single-row ratio (ratio via DOUBLE
+    // casts, aliased; needs dmail/email/tv channels + s_gmt_offset)
+    "tpcds_q61" -> wrap(
+      """SELECT CAST(promotions AS BIGINT) AS promotions,
+        |       CAST(total AS BIGINT) AS total,
+        |       CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100 AS promo_pct
+        |FROM
+        |  (SELECT sum(ss_ext_sales_price) promotions
+        |   FROM store_sales,
+        |        store,
+        |        promotion,
+        |        date_dim,
+        |        customer,
+        |        customer_address,
+        |        item
+        |   WHERE ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND ss_promo_sk = p_promo_sk
+        |     AND ss_customer_sk = c_customer_sk
+        |     AND ca_address_sk = c_current_addr_sk
+        |     AND ss_item_sk = i_item_sk
+        |     AND ca_gmt_offset = -5
+        |     AND i_category = 'Jewelry'
+        |     AND (p_channel_dmail = 'Y'
+        |          OR p_channel_email = 'Y'
+        |          OR p_channel_tv = 'Y')
+        |     AND s_gmt_offset = -5
+        |     AND d_year = 1998
+        |     AND d_moy = 11) promotional_sales,
+        |  (SELECT sum(ss_ext_sales_price) total
+        |   FROM store_sales,
+        |        store,
+        |        date_dim,
+        |        customer,
+        |        customer_address,
+        |        item
+        |   WHERE ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND ss_customer_sk = c_customer_sk
+        |     AND ca_address_sk = c_current_addr_sk
+        |     AND ss_item_sk = i_item_sk
+        |     AND ca_gmt_offset = -5
+        |     AND i_category = 'Jewelry'
+        |     AND s_gmt_offset = -5
+        |     AND d_year = 1998
+        |     AND d_moy = 11) all_sales
+        |ORDER BY promotions,
+        |         total
+        |LIMIT 100""".stripMargin),
+
+    // q68: per-ticket extended price/tax/list sums where the bought
+    // city differs from the customer's current city
+    "tpcds_q68" -> wrap(
+      """SELECT c_last_name,
+        |       c_first_name,
+        |       ca_city,
+        |       bought_city,
+        |       ss_ticket_number,
+        |       extended_price,
+        |       extended_tax,
+        |       list_price
+        |FROM
+        |  (SELECT ss_ticket_number,
+        |          ss_customer_sk,
+        |          ca_city bought_city,
+        |          CAST(sum(ss_ext_sales_price) AS BIGINT) extended_price,
+        |          CAST(sum(ss_ext_list_price) AS BIGINT) list_price,
+        |          CAST(sum(ss_ext_tax) AS BIGINT) extended_tax
+        |   FROM store_sales,
+        |        date_dim,
+        |        store,
+        |        household_demographics,
+        |        customer_address
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        |     AND date_dim.d_dom BETWEEN 1 AND 2
+        |     AND (household_demographics.hd_dep_count = 4
+        |          OR household_demographics.hd_vehicle_count = 3)
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_city IN ('Midway', 'Fairview')
+        |   GROUP BY ss_ticket_number,
+        |            ss_customer_sk,
+        |            ss_addr_sk,
+        |            ca_city) dn,
+        |     customer,
+        |     customer_address current_addr
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+        |  AND current_addr.ca_city <> bought_city
+        |ORDER BY c_last_name,
+        |         ss_ticket_number
+        |LIMIT 100""".stripMargin),
+
+    // q79: per-ticket coupon/profit by store city on one weekday
+    // (engine-portable d_dow; ORDER extended with ticket number)
+    "tpcds_q79" -> wrap(
+      """SELECT c_last_name,
+        |       c_first_name,
+        |       substr(s_city, 1, 30) AS s_city_pre,
+        |       ss_ticket_number,
+        |       amt,
+        |       profit
+        |FROM
+        |  (SELECT ss_ticket_number,
+        |          ss_customer_sk,
+        |          store.s_city,
+        |          CAST(sum(ss_coupon_amt) AS BIGINT) amt,
+        |          CAST(sum(ss_net_profit) AS BIGINT) profit
+        |   FROM store_sales,
+        |        date_dim,
+        |        store,
+        |        household_demographics
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND (household_demographics.hd_dep_count = 6
+        |          OR household_demographics.hd_vehicle_count > 2)
+        |     AND date_dim.d_dow = 1
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_number_employees BETWEEN 200 AND 295
+        |   GROUP BY ss_ticket_number,
+        |            ss_customer_sk,
+        |            ss_addr_sk,
+        |            store.s_city) ms,
+        |     customer
+        |WHERE ss_customer_sk = c_customer_sk
+        |ORDER BY c_last_name,
+        |         c_first_name,
+        |         s_city_pre,
+        |         profit,
+        |         ss_ticket_number
+        |LIMIT 100""".stripMargin),
+
+    // q85: web returns by reason under paired-demographic equality and
+    // state/profit bands (wr returning = refunded cdemo by derivation
+    // or the equality branches are unreachable)
+    "tpcds_q85" -> wrap(
+      """SELECT substr(r_reason_desc, 1, 20) AS reason_pre,
+        |       avg(ws_quantity) agg1,
+        |       avg(wr_refunded_cash) agg2,
+        |       avg(wr_fee) agg3
+        |FROM web_sales,
+        |     web_returns,
+        |     web_page,
+        |     customer_demographics cd1,
+        |     customer_demographics cd2,
+        |     customer_address,
+        |     date_dim,
+        |     reason
+        |WHERE ws_web_page_sk = wp_web_page_sk
+        |  AND ws_item_sk = wr_item_sk
+        |  AND ws_order_number = wr_order_number
+        |  AND ws_sold_date_sk = d_date_sk
+        |  AND d_year = 2000
+        |  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+        |  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+        |  AND ca_address_sk = wr_refunded_addr_sk
+        |  AND r_reason_sk = wr_reason_sk
+        |  AND ((cd1.cd_marital_status = 'M'
+        |        AND cd1.cd_marital_status = cd2.cd_marital_status
+        |        AND cd1.cd_education_status = 'Advanced Degree'
+        |        AND cd1.cd_education_status = cd2.cd_education_status
+        |        AND ws_sales_price BETWEEN 100.00 AND 150.00)
+        |       OR (cd1.cd_marital_status = 'S'
+        |           AND cd1.cd_marital_status = cd2.cd_marital_status
+        |           AND cd1.cd_education_status = 'College'
+        |           AND cd1.cd_education_status = cd2.cd_education_status
+        |           AND ws_sales_price BETWEEN 50.00 AND 100.00)
+        |       OR (cd1.cd_marital_status = 'W'
+        |           AND cd1.cd_marital_status = cd2.cd_marital_status
+        |           AND cd1.cd_education_status = '2 yr Degree'
+        |           AND cd1.cd_education_status = cd2.cd_education_status
+        |           AND ws_sales_price BETWEEN 150.00 AND 200.00))
+        |  AND ((ca_country = 'United States'
+        |        AND ca_state IN ('IN', 'OH', 'NJ')
+        |        AND ws_net_profit BETWEEN 100 AND 200)
+        |       OR (ca_country = 'United States'
+        |           AND ca_state IN ('WI', 'CT', 'KY')
+        |           AND ws_net_profit BETWEEN 150 AND 300)
+        |       OR (ca_country = 'United States'
+        |           AND ca_state IN ('LA', 'IA', 'AR')
+        |           AND ws_net_profit BETWEEN 50 AND 250))
+        |GROUP BY r_reason_desc
+        |ORDER BY reason_pre,
+        |         agg1,
+        |         agg2,
+        |         agg3
+        |LIMIT 100""".stripMargin),
+
+    // q96: single count through time/demographic/store dims (count(*)
+    // aliased)
+    "tpcds_q96" -> wrap(
+      """SELECT count(*) AS cnt
+        |FROM store_sales,
+        |     household_demographics,
+        |     time_dim,
+        |     store
+        |WHERE ss_sold_time_sk = time_dim.t_time_sk
+        |  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        |  AND ss_store_sk = s_store_sk
+        |  AND time_dim.t_hour = 20
+        |  AND time_dim.t_minute >= 30
+        |  AND household_demographics.hd_dep_count = 7
+        |  AND store.s_store_name = 'ese'
+        |ORDER BY count(*)
+        |LIMIT 100""".stripMargin),
 
     "tpcds_q88" -> wrap(q88Body),
 
