@@ -96,16 +96,25 @@ object TpcdsQueries {
     """date_dim AS (
       |  SELECT d_date_sk, d_date, year(d_date) AS d_year, month(d_date) AS d_moy,
       |         CAST((d_date_sk + 4) % 7 AS BIGINT) AS d_dow,
+      |         CASE CAST((d_date_sk + 4) % 7 AS BIGINT)
+      |              WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+      |              WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
+      |              WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+      |              ELSE 'Saturday' END AS d_day_name,
       |         quarter(d_date) AS d_qoy, dayofmonth(d_date) AS d_dom,
       |         (year(d_date) - 1900) * 12 + month(d_date) - 1 AS d_month_seq,
       |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq
       |  FROM (SELECT dd AS d_date_sk, DATE '1998-01-01' + CAST(dd AS INT) AS d_date
       |        FROM (SELECT DISTINCT o_orderkey % 1826 AS dd FROM orders) dk) db),
       |time_dim AS (
-      |  SELECT t_time_sk, CAST(floor(t_time_sk / 3600) AS BIGINT) AS t_hour,
-      |         CAST(floor((t_time_sk % 3600) / 60) AS BIGINT) AS t_minute
-      |  FROM (SELECT DISTINCT (l_orderkey * 100 + l_linenumber) % 86400 AS t_time_sk
-      |        FROM lineitem) tk),
+      |  SELECT t_time_sk, t_hour,
+      |         CAST(floor((t_time_sk % 3600) / 60) AS BIGINT) AS t_minute,
+      |         CASE WHEN t_hour BETWEEN 6 AND 8 THEN 'breakfast'
+      |              WHEN t_hour BETWEEN 17 AND 19 THEN 'dinner'
+      |              ELSE NULL END AS t_meal_time
+      |  FROM (SELECT t_time_sk, CAST(floor(t_time_sk / 3600) AS BIGINT) AS t_hour
+      |        FROM (SELECT DISTINCT (l_orderkey * 100 + l_linenumber) % 86400 AS t_time_sk
+      |              FROM lineitem) tk0) tk),
       |item AS (
       |  SELECT p_partkey AS i_item_sk, concat('I', p_partkey) AS i_item_id,
       |         p_name AS i_product_name,
@@ -137,7 +146,8 @@ object TpcdsQueries {
       |         -- manufact+price+inventory conjunction is populated at the
       |         -- sf0.01 gate scale
       |         CAST(CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
-      |              WHEN 2 THEN 694 WHEN 3 THEN 808
+      |              WHEN 2 THEN 694 WHEN 3 THEN 808 WHEN 4 THEN 977
+      |              WHEN 5 THEN 821 WHEN 6 THEN 938 WHEN 7 THEN 350
       |              ELSE 1 + (p_partkey * 7) % 400 END AS INT) AS i_manufact_id,
       |         CAST(1 + (p_partkey * 13) % 100 AS INT) AS i_manager_id,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
@@ -148,8 +158,10 @@ object TpcdsQueries {
       |              WHEN 10 THEN 'tomato' ELSE 'antique' END AS i_color,
       |         concat('manufact',
       |           CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
-      |                WHEN 2 THEN 694 WHEN 3 THEN 808
-      |                ELSE 1 + (p_partkey * 7) % 400 END) AS i_manufact
+      |                WHEN 2 THEN 694 WHEN 3 THEN 808 WHEN 4 THEN 977
+      |                WHEN 5 THEN 821 WHEN 6 THEN 938 WHEN 7 THEN 350
+      |                ELSE 1 + (p_partkey * 7) % 400 END) AS i_manufact,
+      |         CAST((p_partkey * 7) % 80 AS DOUBLE) AS i_wholesale_cost
       |  FROM part),
       |store AS (
       |  SELECT sk AS s_store_sk, concat('ST', sk) AS s_store_id,
@@ -160,6 +172,10 @@ object TpcdsQueries {
       |              WHEN 3 THEN 'IL' ELSE 'NY' END AS s_state,
       |         concat('zip', sk % 4) AS s_zip,
       |         CASE WHEN sk % 2 = 0 THEN 'Midway' ELSE 'Fairview' END AS s_city,
+      |         CAST(sk % 3 AS BIGINT) AS s_company_id,
+      |         concat('', 100 + sk) AS s_street_number,
+      |         'Main' AS s_street_name, 'St' AS s_street_type,
+      |         concat('Suite ', sk) AS s_suite_number,
       |         CAST(200 + sk * 7 AS BIGINT) AS s_number_employees,
       |         CAST(-5 AS DOUBLE) AS s_gmt_offset
       |  FROM (SELECT DISTINCT s_suppkey % 10 AS sk FROM supplier) sks),
@@ -238,10 +254,11 @@ object TpcdsQueries {
       |         -- draw counties from the tens digit (q18's rollup grid)
       |         CASE WHEN ak % 20 IN (18, 4, 19, 1, 0, 2) THEN 'Williamson County'
       |              ELSE CASE CAST(floor(ak / 10) AS BIGINT) % 10
-      |                   WHEN 3 THEN 'Ziebach County' WHEN 4 THEN 'Walker County'
-      |                   WHEN 5 THEN 'Sioux County' WHEN 6 THEN 'Daviess County'
-      |                   WHEN 7 THEN 'Barrow County' WHEN 8 THEN 'Franklin Parish'
-      |                   WHEN 9 THEN 'Luce County'
+      |                   WHEN 3 THEN 'Rush County' WHEN 4 THEN 'Toole County'
+      |                   WHEN 5 THEN 'Jefferson County'
+      |                   WHEN 6 THEN 'Dona Ana County'
+      |                   WHEN 7 THEN 'La Porte County'
+      |                   WHEN 8 THEN 'Franklin Parish' WHEN 9 THEN 'Luce County'
       |                   ELSE 'Williamson County' END END AS ca_county,
       |         CAST(CASE (ak * 7) % 4 WHEN 0 THEN -5 WHEN 1 THEN -6
       |              WHEN 2 THEN -7 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
@@ -325,7 +342,16 @@ object TpcdsQueries {
       |              THEN l_partkey % 40 ELSE l_partkey END AS sr_item_sk,
       |         o_custkey * 2 + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT)
       |           AS sr_ticket_number,
-      |         (l_orderkey * 5 + 3) % 1826 AS sr_returned_date_sk,
+      |         -- returned = the SALE's date (mirroring store_sales' CASE)
+      |         -- plus a 1..120-day lag: q25/q29/q50 chain sale month ->
+      |         -- return window -> catalog window, which an independent
+      |         -- return date reduces to a triple coincidence
+      |         (CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |               THEN ((l_partkey % 40) * 45 + o_orderkey % 60) % 1826
+      |               ELSE (o_custkey * 389
+      |                     + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT) * 457
+      |                     + 17) % 1826 END
+      |          + 1 + l_orderkey % 120) % 1826 AS sr_returned_date_sk,
       |         o_custkey AS sr_customer_sk, l_suppkey % 10 AS sr_store_sk,
       |         (l_orderkey + l_partkey) % 8 AS sr_reason_sk,
       |         CAST(floor(l_quantity / 2) AS BIGINT) AS sr_return_quantity,
@@ -342,6 +368,8 @@ object TpcdsQueries {
       |              ELSE (o_orderkey * 3 + 1) % 1826 END AS cs_sold_date_sk,
       |         (o_orderkey * 3 + 11) % 1826 AS cs_ship_date_sk,
       |         o_custkey AS cs_bill_customer_sk,
+      |         o_custkey AS cs_ship_customer_sk,
+      |         (l_orderkey * 100 + l_linenumber) % 86400 AS cs_sold_time_sk,
       |         o_custkey % 100 AS cs_bill_cdemo_sk,
       |         o_custkey % 50 AS cs_bill_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS cs_bill_addr_sk,
@@ -370,7 +398,12 @@ object TpcdsQueries {
       |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS cr_item_sk,
       |         l_orderkey AS cr_order_number,
-      |         (l_orderkey * 5 + 7) % 1826 AS cr_returned_date_sk,
+      |         -- l_orderkey stands in for o_orderkey (they are equal on
+      |         -- the catalog_sales join; this CTE reads lineitem alone)
+      |         (CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |               THEN 730 + (l_partkey * 3 + l_orderkey) % 120
+      |               ELSE (l_orderkey * 3 + 1) % 1826 END
+      |          + 1 + l_orderkey % 120) % 1826 AS cr_returned_date_sk,
       |         l_partkey % 15 AS cr_catalog_page_sk,
       |         CAST(floor(l_quantity / 2) AS BIGINT) AS cr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS cr_refunded_cash,
@@ -380,8 +413,16 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 0.12) AS BIGINT) AS cr_net_loss
       |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0),
       |web_sales AS (
+      |  -- the o%11 slice concentrates ~9% of web sales into Q2-Q3 2000:
+      |  -- q31 compares per-county web vs store quarter-over-quarter
+      |  -- growth, and with both channels date-uniform every county's
+      |  -- ratios sit at 1.0 +- noise and the strict inequalities never
+      |  -- hold; a real web growth phase gives the comparison members
       |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |                   AND o_orderkey % 4 = 0
       |              THEN 730 + (l_partkey * 5 + o_orderkey) % 120
+      |              WHEN o_orderkey % 6 = 0
+      |              THEN 821 + (o_orderkey * 3) % 183
       |              ELSE (o_orderkey * 7 + 3) % 1826 END AS ws_sold_date_sk,
       |         (o_orderkey * 7 + 40) % 1826 AS ws_ship_date_sk,
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
@@ -392,6 +433,7 @@ object TpcdsQueries {
       |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
       |         l_partkey % 20 AS ws_promo_sk,
       |         l_partkey % 12 AS ws_web_page_sk,
+      |         (l_orderkey * 100 + l_linenumber) % 86400 AS ws_sold_time_sk,
       |         l_orderkey AS ws_order_number,
       |         CAST(l_quantity AS BIGINT) AS ws_quantity,
       |         CAST(floor(l_extendedprice * 1.04) AS BIGINT) AS ws_list_price,
@@ -409,7 +451,10 @@ object TpcdsQueries {
       |  SELECT l_orderkey AS wr_order_number,
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS wr_item_sk,
-      |         (l_orderkey * 5 + 11) % 1826 AS wr_returned_date_sk,
+      |         (CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |               THEN 730 + (l_partkey * 5 + l_orderkey) % 120
+      |               ELSE (l_orderkey * 7 + 3) % 1826 END
+      |          + 1 + l_orderkey % 120) % 1826 AS wr_returned_date_sk,
       |         -- refunded = returning: q85's cd1/cd2 equality predicates
       |         -- (same marital, same education across the two roles) are
       |         -- structurally unreachable if the two sks are independent
@@ -2593,6 +2638,877 @@ object TpcdsQueries {
         |  AND household_demographics.hd_dep_count = 7
         |  AND store.s_store_name = 'ese'
         |ORDER BY count(*)
+        |LIMIT 100""".stripMargin),
+
+    // q6: states whose customers buy items priced 1.2x over their
+    // category average (correlated scalar AVG subquery; ORDER extended
+    // with the state)
+    "tpcds_q6" -> wrap(
+      """SELECT a.ca_state AS state,
+        |       count(*) AS cnt
+        |FROM customer_address a,
+        |     customer c,
+        |     store_sales s,
+        |     date_dim d,
+        |     item i
+        |WHERE a.ca_address_sk = c.c_current_addr_sk
+        |  AND c.c_customer_sk = s.ss_customer_sk
+        |  AND s.ss_sold_date_sk = d.d_date_sk
+        |  AND s.ss_item_sk = i.i_item_sk
+        |  AND d.d_month_seq =
+        |    (SELECT DISTINCT (d_month_seq)
+        |     FROM date_dim
+        |     WHERE d_year = 2001
+        |       AND d_moy = 1)
+        |  AND i.i_current_price > 1.2 *
+        |    (SELECT avg(j.i_current_price)
+        |     FROM item j
+        |     WHERE j.i_category = i.i_category)
+        |GROUP BY a.ca_state
+        |HAVING count(*) >= 10
+        |ORDER BY cnt,
+        |         a.ca_state
+        |LIMIT 100""".stripMargin),
+
+    // q10: demographic counts for county cohorts active in a quarter
+    // (EXISTS store AND (EXISTS web OR catalog); q10's county list is
+    // the derivation's non-store-state county pool)
+    "tpcds_q10" -> wrap(
+      """SELECT cd_gender,
+        |       cd_marital_status,
+        |       cd_education_status,
+        |       count(*) cnt1,
+        |       cd_purchase_estimate,
+        |       count(*) cnt2,
+        |       cd_credit_rating,
+        |       count(*) cnt3,
+        |       cd_dep_count,
+        |       count(*) cnt4,
+        |       cd_dep_employed_count,
+        |       count(*) cnt5,
+        |       cd_dep_college_count,
+        |       count(*) cnt6
+        |FROM customer c,
+        |     customer_address ca,
+        |     customer_demographics
+        |WHERE c.c_current_addr_sk = ca.ca_address_sk
+        |  AND ca_county IN ('Rush County', 'Toole County', 'Jefferson County', 'Dona Ana County', 'La Porte County')
+        |  AND cd_demo_sk = c.c_current_cdemo_sk
+        |  AND EXISTS
+        |    (SELECT *
+        |     FROM store_sales,
+        |          date_dim
+        |     WHERE c.c_customer_sk = ss_customer_sk
+        |       AND ss_sold_date_sk = d_date_sk
+        |       AND d_year = 2002
+        |       AND d_moy BETWEEN 1 AND 1 + 3)
+        |  AND (EXISTS
+        |         (SELECT *
+        |          FROM web_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = ws_bill_customer_sk
+        |            AND ws_sold_date_sk = d_date_sk
+        |            AND d_year = 2002
+        |            AND d_moy BETWEEN 1 AND 1 + 3)
+        |       OR EXISTS
+        |         (SELECT *
+        |          FROM catalog_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = cs_ship_customer_sk
+        |            AND cs_sold_date_sk = d_date_sk
+        |            AND d_year = 2002
+        |            AND d_moy BETWEEN 1 AND 1 + 3))
+        |GROUP BY cd_gender,
+        |         cd_marital_status,
+        |         cd_education_status,
+        |         cd_purchase_estimate,
+        |         cd_credit_rating,
+        |         cd_dep_count,
+        |         cd_dep_employed_count,
+        |         cd_dep_college_count
+        |ORDER BY cd_gender,
+        |         cd_marital_status,
+        |         cd_education_status,
+        |         cd_purchase_estimate,
+        |         cd_credit_rating,
+        |         cd_dep_count,
+        |         cd_dep_employed_count,
+        |         cd_dep_college_count
+        |LIMIT 100""".stripMargin),
+
+    // q15: catalog sales by zip (zip-list OR state OR price floor)
+    "tpcds_q15" -> wrap(
+      """SELECT ca_zip,
+        |       CAST(sum(cs_sales_price) AS BIGINT) AS sum_sales
+        |FROM catalog_sales,
+        |     customer,
+        |     customer_address,
+        |     date_dim
+        |WHERE cs_bill_customer_sk = c_customer_sk
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475', '85392', '85460', '80348', '81792')
+        |       OR ca_state IN ('CA', 'WA', 'GA')
+        |       OR cs_sales_price > 500)
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_qoy = 2
+        |  AND d_year = 2001
+        |GROUP BY ca_zip
+        |ORDER BY ca_zip
+        |LIMIT 100""".stripMargin),
+
+    // q22: inventory quantity-on-hand rollup over the item hierarchy
+    // (avg of exact integer sums; NULLS FIRST under LIMIT)
+    "tpcds_q22" -> wrap(
+      """SELECT i_product_name,
+        |       i_brand,
+        |       i_class,
+        |       i_category,
+        |       avg(inv_quantity_on_hand) qoh
+        |FROM inventory,
+        |     date_dim,
+        |     item
+        |WHERE inv_date_sk = d_date_sk
+        |  AND inv_item_sk = i_item_sk
+        |  AND d_month_seq BETWEEN 1200 AND 1200 + 11
+        |GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+        |ORDER BY qoh,
+        |         i_product_name NULLS FIRST,
+        |         i_brand NULLS FIRST,
+        |         i_class NULLS FIRST,
+        |         i_category NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q25: store sale -> store return -> catalog repurchase profit
+    // chain (the returned-date = sale-date + lag model exists for this
+    // family's triple date window)
+    "tpcds_q25" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       s_store_id,
+        |       s_store_name,
+        |       CAST(sum(ss_net_profit) AS BIGINT) AS store_sales_profit,
+        |       CAST(sum(sr_net_loss) AS BIGINT) AS store_returns_loss,
+        |       CAST(sum(cs_net_profit) AS BIGINT) AS catalog_sales_profit
+        |FROM store_sales,
+        |     store_returns,
+        |     catalog_sales,
+        |     date_dim d1,
+        |     date_dim d2,
+        |     date_dim d3,
+        |     store,
+        |     item
+        |WHERE d1.d_moy = 4
+        |  AND d1.d_year = 2001
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_moy BETWEEN 4 AND 10
+        |  AND d2.d_year = 2001
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_moy BETWEEN 4 AND 10
+        |  AND d3.d_year = 2001
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         s_store_id,
+        |         s_store_name
+        |ORDER BY i_item_id,
+        |         i_item_desc,
+        |         s_store_id,
+        |         s_store_name
+        |LIMIT 100""".stripMargin),
+
+    // q29: q25's quantity sibling (different windows)
+    "tpcds_q29" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       s_store_id,
+        |       s_store_name,
+        |       CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+        |       CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+        |       CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+        |FROM store_sales,
+        |     store_returns,
+        |     catalog_sales,
+        |     date_dim d1,
+        |     date_dim d2,
+        |     date_dim d3,
+        |     store,
+        |     item
+        |WHERE d1.d_moy = 9
+        |  AND d1.d_year = 1999
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_moy BETWEEN 9 AND 9 + 3
+        |  AND d2.d_year = 1999
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         s_store_id,
+        |         s_store_name
+        |ORDER BY i_item_id,
+        |         i_item_desc,
+        |         s_store_id,
+        |         s_store_name
+        |LIMIT 100""".stripMargin),
+
+    // q31: counties where web outgrew store quarter-over-quarter
+    // (ratios via DOUBLE casts; the web Q2-Q3 2000 growth slice in the
+    // derivation gives the strict inequalities members)
+    "tpcds_q31" -> wrap(
+      """WITH ss AS
+        | (SELECT ca_county,
+        |         d_qoy,
+        |         d_year,
+        |         sum(ss_ext_sales_price) AS store_sales
+        |  FROM store_sales,
+        |       date_dim,
+        |       customer_address
+        |  WHERE ss_sold_date_sk = d_date_sk
+        |    AND ss_addr_sk = ca_address_sk
+        |  GROUP BY ca_county,
+        |           d_qoy,
+        |           d_year),
+        | ws AS
+        | (SELECT ca_county,
+        |         d_qoy,
+        |         d_year,
+        |         sum(ws_ext_sales_price) AS web_sales
+        |  FROM web_sales,
+        |       date_dim,
+        |       customer_address
+        |  WHERE ws_sold_date_sk = d_date_sk
+        |    AND ws_bill_addr_sk = ca_address_sk
+        |  GROUP BY ca_county,
+        |           d_qoy,
+        |           d_year)
+        |SELECT ss1.ca_county,
+        |       ss1.d_year,
+        |       CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales web_q1_q2_increase,
+        |       CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales store_q1_q2_increase,
+        |       CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales web_q2_q3_increase,
+        |       CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales store_q2_q3_increase
+        |FROM ss ss1,
+        |     ss ss2,
+        |     ss ss3,
+        |     ws ws1,
+        |     ws ws2,
+        |     ws ws3
+        |WHERE ss1.d_qoy = 1
+        |  AND ss1.d_year = 2000
+        |  AND ss1.ca_county = ss2.ca_county
+        |  AND ss2.d_qoy = 2
+        |  AND ss2.d_year = 2000
+        |  AND ss2.ca_county = ss3.ca_county
+        |  AND ss3.d_qoy = 3
+        |  AND ss3.d_year = 2000
+        |  AND ss1.ca_county = ws1.ca_county
+        |  AND ws1.d_qoy = 1
+        |  AND ws1.d_year = 2000
+        |  AND ws1.ca_county = ws2.ca_county
+        |  AND ws2.d_qoy = 2
+        |  AND ws2.d_year = 2000
+        |  AND ws1.ca_county = ws3.ca_county
+        |  AND ws3.d_qoy = 3
+        |  AND ws3.d_year = 2000
+        |  AND CASE WHEN ws1.web_sales > 0 THEN CAST(ws2.web_sales AS DOUBLE) / ws1.web_sales ELSE NULL END > CASE WHEN ss1.store_sales > 0 THEN CAST(ss2.store_sales AS DOUBLE) / ss1.store_sales ELSE NULL END
+        |  AND CASE WHEN ws2.web_sales > 0 THEN CAST(ws3.web_sales AS DOUBLE) / ws2.web_sales ELSE NULL END > CASE WHEN ss2.store_sales > 0 THEN CAST(ss3.store_sales AS DOUBLE) / ss2.store_sales ELSE NULL END
+        |ORDER BY ss1.ca_county""".stripMargin),
+
+    // q32: catalog discounts 1.3x over the per-item window average
+    // (correlated scalar subquery; manufact 977 via the hot override)
+    "tpcds_q32" -> wrap(
+      """SELECT CAST(sum(cs_ext_discount_amt) AS BIGINT) AS excess_discount_amount
+        |FROM catalog_sales,
+        |     item,
+        |     date_dim
+        |WHERE i_manufact_id = 977
+        |  AND i_item_sk = cs_item_sk
+        |  AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS date) + 90)
+        |  AND d_date_sk = cs_sold_date_sk
+        |  AND cs_ext_discount_amt >
+        |    (SELECT 1.3 * avg(cs_ext_discount_amt)
+        |     FROM catalog_sales,
+        |          date_dim
+        |     WHERE cs_item_sk = i_item_sk
+        |       AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS date) + 90)
+        |       AND d_date_sk = cs_sold_date_sk)
+        |LIMIT 100""".stripMargin),
+
+    // q35: q10's state-level sibling with dep-count aggregate trios
+    // (avg/max/sum aliased, sums cast)
+    "tpcds_q35" -> wrap(
+      """SELECT ca_state,
+        |       cd_gender,
+        |       cd_marital_status,
+        |       cd_dep_count,
+        |       count(*) cnt1,
+        |       avg(cd_dep_count) avg1,
+        |       max(cd_dep_count) max1,
+        |       CAST(sum(cd_dep_count) AS BIGINT) sum1,
+        |       cd_dep_employed_count,
+        |       count(*) cnt2,
+        |       avg(cd_dep_employed_count) avg2,
+        |       max(cd_dep_employed_count) max2,
+        |       CAST(sum(cd_dep_employed_count) AS BIGINT) sum2,
+        |       cd_dep_college_count,
+        |       count(*) cnt3,
+        |       avg(cd_dep_college_count) avg3,
+        |       max(cd_dep_college_count) max3,
+        |       CAST(sum(cd_dep_college_count) AS BIGINT) sum3
+        |FROM customer c,
+        |     customer_address ca,
+        |     customer_demographics
+        |WHERE c.c_current_addr_sk = ca.ca_address_sk
+        |  AND cd_demo_sk = c.c_current_cdemo_sk
+        |  AND EXISTS
+        |    (SELECT *
+        |     FROM store_sales,
+        |          date_dim
+        |     WHERE c.c_customer_sk = ss_customer_sk
+        |       AND ss_sold_date_sk = d_date_sk
+        |       AND d_year = 2002
+        |       AND d_qoy < 4)
+        |  AND (EXISTS
+        |         (SELECT *
+        |          FROM web_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = ws_bill_customer_sk
+        |            AND ws_sold_date_sk = d_date_sk
+        |            AND d_year = 2002
+        |            AND d_qoy < 4)
+        |       OR EXISTS
+        |         (SELECT *
+        |          FROM catalog_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = cs_ship_customer_sk
+        |            AND cs_sold_date_sk = d_date_sk
+        |            AND d_year = 2002
+        |            AND d_qoy < 4))
+        |GROUP BY ca_state,
+        |         cd_gender,
+        |         cd_marital_status,
+        |         cd_dep_count,
+        |         cd_dep_employed_count,
+        |         cd_dep_college_count
+        |ORDER BY ca_state,
+        |         cd_gender,
+        |         cd_marital_status,
+        |         cd_dep_count,
+        |         cd_dep_employed_count,
+        |         cd_dep_college_count
+        |LIMIT 100""".stripMargin),
+
+    // q36: gross-margin hierarchy rank over ROLLUP(category, class)
+    // (grouping()-keyed rank partition; margin via DOUBLE casts;
+    // ORDER extended with the rollup keys NULLS FIRST)
+    "tpcds_q36" -> wrap(
+      """SELECT CAST(sum(ss_net_profit) AS DOUBLE) / sum(ss_ext_sales_price) AS gross_margin,
+        |       i_category,
+        |       i_class,
+        |       grouping(i_category) + grouping(i_class) AS lochierarchy,
+        |       rank() OVER (PARTITION BY grouping(i_category) + grouping(i_class),
+        |                    CASE WHEN grouping(i_class) = 0 THEN i_category END
+        |                    ORDER BY CAST(sum(ss_net_profit) AS DOUBLE) / sum(ss_ext_sales_price) ASC) AS rank_within_parent
+        |FROM store_sales,
+        |     date_dim d1,
+        |     item,
+        |     store
+        |WHERE d1.d_year = 2001
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_state IN ('TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN', 'TN')
+        |GROUP BY ROLLUP (i_category, i_class)
+        |ORDER BY lochierarchy DESC,
+        |         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+        |         rank_within_parent,
+        |         i_category NULLS FIRST,
+        |         i_class NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q43: per-store day-of-week sales pivot (engine-portable
+    // d_day_name off the arithmetic d_dow)
+    "tpcds_q43" -> wrap(
+      """SELECT s_store_name,
+        |       s_store_id,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) AS BIGINT) sun_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) AS BIGINT) mon_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) tue_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) AS BIGINT) wed_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) AS BIGINT) thu_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) AS BIGINT) fri_sales,
+        |       CAST(sum(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) AS BIGINT) sat_sales
+        |FROM date_dim,
+        |     store_sales,
+        |     store
+        |WHERE d_date_sk = ss_sold_date_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_gmt_offset = -5
+        |  AND d_year = 2000
+        |GROUP BY s_store_name,
+        |         s_store_id
+        |ORDER BY s_store_name,
+        |         s_store_id,
+        |         sun_sales,
+        |         mon_sales,
+        |         tue_sales,
+        |         wed_sales,
+        |         thu_sales,
+        |         fri_sales,
+        |         sat_sales
+        |LIMIT 100""".stripMargin),
+
+    // q46: q68's weekend sibling (dow IN (6,0), city pair output)
+    "tpcds_q46" -> wrap(
+      """SELECT c_last_name,
+        |       c_first_name,
+        |       ca_city,
+        |       bought_city,
+        |       ss_ticket_number,
+        |       amt,
+        |       profit
+        |FROM
+        |  (SELECT ss_ticket_number,
+        |          ss_customer_sk,
+        |          ca_city bought_city,
+        |          CAST(sum(ss_coupon_amt) AS BIGINT) amt,
+        |          CAST(sum(ss_net_profit) AS BIGINT) profit
+        |   FROM store_sales,
+        |        date_dim,
+        |        store,
+        |        household_demographics,
+        |        customer_address
+        |   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        |     AND store_sales.ss_store_sk = store.s_store_sk
+        |     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        |     AND (household_demographics.hd_dep_count = 4
+        |          OR household_demographics.hd_vehicle_count = 3)
+        |     AND date_dim.d_dow IN (6, 0)
+        |     AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        |     AND store.s_city IN ('Fairview', 'Midway', 'Fairview', 'Fairview', 'Fairview')
+        |   GROUP BY ss_ticket_number,
+        |            ss_customer_sk,
+        |            ss_addr_sk,
+        |            ca_city) dn,
+        |     customer,
+        |     customer_address current_addr
+        |WHERE ss_customer_sk = c_customer_sk
+        |  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+        |  AND current_addr.ca_city <> bought_city
+        |ORDER BY c_last_name,
+        |         c_first_name,
+        |         ca_city,
+        |         bought_city,
+        |         ss_ticket_number
+        |LIMIT 100""".stripMargin),
+
+    // q48: single quantity sum under demographic x address band ORs
+    // (same per-unit band family as q13)
+    "tpcds_q48" -> wrap(
+      """SELECT CAST(sum(ss_quantity) AS BIGINT) AS sum_qty
+        |FROM store_sales,
+        |     store,
+        |     customer_demographics,
+        |     customer_address,
+        |     date_dim
+        |WHERE s_store_sk = ss_store_sk
+        |  AND ss_sold_date_sk = d_date_sk
+        |  AND d_year = 2000
+        |  AND ((cd_demo_sk = ss_cdemo_sk
+        |        AND cd_marital_status = 'M'
+        |        AND cd_education_status = '4 yr Degree'
+        |        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+        |       OR (cd_demo_sk = ss_cdemo_sk
+        |           AND cd_marital_status = 'D'
+        |           AND cd_education_status = '2 yr Degree'
+        |           AND ss_sales_price BETWEEN 50.00 AND 100.00)
+        |       OR (cd_demo_sk = ss_cdemo_sk
+        |           AND cd_marital_status = 'S'
+        |           AND cd_education_status = 'College'
+        |           AND ss_sales_price BETWEEN 150.00 AND 200.00))
+        |  AND ((ss_addr_sk = ca_address_sk
+        |        AND ca_country = 'United States'
+        |        AND ca_state IN ('CO', 'OH', 'TX')
+        |        AND ss_net_profit BETWEEN 0 AND 2000)
+        |       OR (ss_addr_sk = ca_address_sk
+        |           AND ca_country = 'United States'
+        |           AND ca_state IN ('OR', 'MN', 'KY')
+        |           AND ss_net_profit BETWEEN 150 AND 3000)
+        |       OR (ss_addr_sk = ca_address_sk
+        |           AND ca_country = 'United States'
+        |           AND ca_state IN ('VA', 'CA', 'MS')
+        |           AND ss_net_profit BETWEEN 50 AND 25000))
+        |LIMIT 100""".stripMargin),
+
+    // q50: sale->return latency buckets per store (the lag model makes
+    // every bucket reachable; bucket aliases, q95 naming precedent)
+    "tpcds_q50" -> wrap(
+      """SELECT s_store_name,
+        |       s_company_id,
+        |       s_street_number,
+        |       s_street_name,
+        |       s_street_type,
+        |       s_suite_number,
+        |       s_city,
+        |       s_county,
+        |       s_state,
+        |       s_zip,
+        |       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS days_30,
+        |       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+        |                      AND (sr_returned_date_sk - ss_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS days_31_60,
+        |       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+        |                      AND (sr_returned_date_sk - ss_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS days_61_90,
+        |       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+        |                      AND (sr_returned_date_sk - ss_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS days_91_120,
+        |       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS days_over_120
+        |FROM store_sales,
+        |     store_returns,
+        |     store,
+        |     date_dim d1,
+        |     date_dim d2
+        |WHERE d2.d_year = 2001
+        |  AND d2.d_moy = 8
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_sold_date_sk = d1.d_date_sk
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_store_sk = s_store_sk
+        |GROUP BY s_store_name,
+        |         s_company_id,
+        |         s_street_number,
+        |         s_street_name,
+        |         s_street_type,
+        |         s_suite_number,
+        |         s_city,
+        |         s_county,
+        |         s_state,
+        |         s_zip
+        |ORDER BY s_store_name,
+        |         s_company_id,
+        |         s_street_number,
+        |         s_street_name,
+        |         s_street_type,
+        |         s_suite_number,
+        |         s_city,
+        |         s_county,
+        |         s_state,
+        |         s_zip
+        |LIMIT 100""".stripMargin),
+
+    // q59: week-over-week per-store day-name ratios across two years
+    // (ratio aliases; week join duplicates rows per canonical shape)
+    "tpcds_q59" -> wrap(
+      """WITH wss AS
+        | (SELECT d_week_seq,
+        |         ss_store_sk,
+        |         sum(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) sun_sales,
+        |         sum(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) mon_sales,
+        |         sum(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) tue_sales,
+        |         sum(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) wed_sales,
+        |         sum(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) thu_sales,
+        |         sum(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) fri_sales,
+        |         sum(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) sat_sales
+        |  FROM store_sales,
+        |       date_dim
+        |  WHERE d_date_sk = ss_sold_date_sk
+        |  GROUP BY d_week_seq,
+        |           ss_store_sk)
+        |SELECT s_store_name1,
+        |       s_store_id1,
+        |       d_week_seq1,
+        |       CAST(sun_sales1 AS DOUBLE) / sun_sales2 AS sun_ratio,
+        |       CAST(mon_sales1 AS DOUBLE) / mon_sales2 AS mon_ratio,
+        |       CAST(tue_sales1 AS DOUBLE) / tue_sales2 AS tue_ratio,
+        |       CAST(wed_sales1 AS DOUBLE) / wed_sales2 AS wed_ratio,
+        |       CAST(thu_sales1 AS DOUBLE) / thu_sales2 AS thu_ratio,
+        |       CAST(fri_sales1 AS DOUBLE) / fri_sales2 AS fri_ratio,
+        |       CAST(sat_sales1 AS DOUBLE) / sat_sales2 AS sat_ratio
+        |FROM
+        |  (SELECT s_store_name s_store_name1,
+        |          wss.d_week_seq d_week_seq1,
+        |          s_store_id s_store_id1,
+        |          sun_sales sun_sales1,
+        |          mon_sales mon_sales1,
+        |          tue_sales tue_sales1,
+        |          wed_sales wed_sales1,
+        |          thu_sales thu_sales1,
+        |          fri_sales fri_sales1,
+        |          sat_sales sat_sales1
+        |   FROM wss,
+        |        store,
+        |        date_dim d
+        |   WHERE d.d_week_seq = wss.d_week_seq
+        |     AND ss_store_sk = s_store_sk
+        |     AND d_month_seq BETWEEN 1212 AND 1212 + 11) y,
+        |  (SELECT s_store_name s_store_name2,
+        |          wss.d_week_seq d_week_seq2,
+        |          s_store_id s_store_id2,
+        |          sun_sales sun_sales2,
+        |          mon_sales mon_sales2,
+        |          tue_sales tue_sales2,
+        |          wed_sales wed_sales2,
+        |          thu_sales thu_sales2,
+        |          fri_sales fri_sales2,
+        |          sat_sales sat_sales2
+        |   FROM wss,
+        |        store,
+        |        date_dim d
+        |   WHERE d.d_week_seq = wss.d_week_seq
+        |     AND ss_store_sk = s_store_sk
+        |     AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23) x
+        |WHERE s_store_id1 = s_store_id2
+        |  AND d_week_seq1 = d_week_seq2 - 52
+        |ORDER BY s_store_name1,
+        |         s_store_id1,
+        |         d_week_seq1
+        |LIMIT 100""".stripMargin),
+
+    // q65: items earning under 0.1x their store's average item revenue
+    // (nested per-store/item revenue aggregates; ORDER extended)
+    "tpcds_q65" -> wrap(
+      """SELECT s_store_name,
+        |       i_item_desc,
+        |       CAST(sc.revenue AS BIGINT) AS revenue,
+        |       i_current_price,
+        |       i_wholesale_cost,
+        |       i_brand
+        |FROM store,
+        |     item,
+        |     (SELECT ss_store_sk,
+        |             avg(revenue) AS ave
+        |      FROM
+        |        (SELECT ss_store_sk,
+        |                ss_item_sk,
+        |                sum(ss_sales_price) AS revenue
+        |         FROM store_sales,
+        |              date_dim
+        |         WHERE ss_sold_date_sk = d_date_sk
+        |           AND d_month_seq BETWEEN 1176 AND 1176 + 11
+        |         GROUP BY ss_store_sk,
+        |                  ss_item_sk) sa
+        |      GROUP BY ss_store_sk) sb,
+        |     (SELECT ss_store_sk,
+        |             ss_item_sk,
+        |             sum(ss_sales_price) AS revenue
+        |      FROM store_sales,
+        |           date_dim
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND d_month_seq BETWEEN 1176 AND 1176 + 11
+        |      GROUP BY ss_store_sk,
+        |               ss_item_sk) sc
+        |WHERE sb.ss_store_sk = sc.ss_store_sk
+        |  AND sc.revenue <= 0.1 * sb.ave
+        |  AND s_store_sk = sc.ss_store_sk
+        |  AND i_item_sk = sc.ss_item_sk
+        |ORDER BY s_store_name,
+        |         i_item_desc,
+        |         revenue,
+        |         i_brand,
+        |         i_current_price
+        |LIMIT 100""".stripMargin),
+
+    // q69: q35's NOT-EXISTS sibling (store buyers absent from web and
+    // catalog in the window)
+    "tpcds_q69" -> wrap(
+      """SELECT cd_gender,
+        |       cd_marital_status,
+        |       cd_education_status,
+        |       count(*) cnt1,
+        |       cd_purchase_estimate,
+        |       count(*) cnt2,
+        |       cd_credit_rating,
+        |       count(*) cnt3
+        |FROM customer c,
+        |     customer_address ca,
+        |     customer_demographics
+        |WHERE c.c_current_addr_sk = ca.ca_address_sk
+        |  AND ca_state IN ('KY', 'GA', 'NM')
+        |  AND cd_demo_sk = c.c_current_cdemo_sk
+        |  AND EXISTS
+        |    (SELECT *
+        |     FROM store_sales,
+        |          date_dim
+        |     WHERE c.c_customer_sk = ss_customer_sk
+        |       AND ss_sold_date_sk = d_date_sk
+        |       AND d_year = 2001
+        |       AND d_moy BETWEEN 4 AND 4 + 2)
+        |  AND (NOT EXISTS
+        |         (SELECT *
+        |          FROM web_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = ws_bill_customer_sk
+        |            AND ws_sold_date_sk = d_date_sk
+        |            AND d_year = 2001
+        |            AND d_moy BETWEEN 4 AND 4 + 2)
+        |       AND NOT EXISTS
+        |         (SELECT *
+        |          FROM catalog_sales,
+        |               date_dim
+        |          WHERE c.c_customer_sk = cs_ship_customer_sk
+        |            AND cs_sold_date_sk = d_date_sk
+        |            AND d_year = 2001
+        |            AND d_moy BETWEEN 4 AND 4 + 2))
+        |GROUP BY cd_gender,
+        |         cd_marital_status,
+        |         cd_education_status,
+        |         cd_purchase_estimate,
+        |         cd_credit_rating
+        |ORDER BY cd_gender,
+        |         cd_marital_status,
+        |         cd_education_status,
+        |         cd_purchase_estimate,
+        |         cd_credit_rating
+        |LIMIT 100""".stripMargin),
+
+    // q70: state/county profit rollup ranked within hierarchy, top-5
+    // states by a windowed rank subquery (ORDER extended NULLS FIRST)
+    "tpcds_q70" -> wrap(
+      """SELECT CAST(sum(ss_net_profit) AS BIGINT) AS total_sum,
+        |       s_state,
+        |       s_county,
+        |       grouping(s_state) + grouping(s_county) AS lochierarchy,
+        |       rank() OVER (PARTITION BY grouping(s_state) + grouping(s_county),
+        |                    CASE WHEN grouping(s_county) = 0 THEN s_state END
+        |                    ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
+        |FROM store_sales,
+        |     date_dim d1,
+        |     store
+        |WHERE d1.d_month_seq BETWEEN 1200 AND 1200 + 11
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND s_state IN
+        |    (SELECT s_state
+        |     FROM
+        |       (SELECT s_state AS s_state,
+        |               rank() OVER (PARTITION BY s_state ORDER BY sum(ss_net_profit) DESC) AS ranking
+        |        FROM store_sales,
+        |             store,
+        |             date_dim
+        |        WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+        |          AND d_date_sk = ss_sold_date_sk
+        |          AND s_store_sk = ss_store_sk
+        |        GROUP BY s_state) tmp1
+        |     WHERE ranking <= 5)
+        |GROUP BY ROLLUP (s_state, s_county)
+        |ORDER BY lochierarchy DESC,
+        |         CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+        |         rank_within_parent,
+        |         s_state NULLS FIRST,
+        |         s_county NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q71: brand revenue by breakfast/dinner half-hours across all
+    // three channels (t_meal_time; ORDER extended with brand)
+    "tpcds_q71" -> wrap(
+      """SELECT i_brand_id brand_id,
+        |       i_brand brand,
+        |       t_hour,
+        |       t_minute,
+        |       CAST(sum(ext_price) AS BIGINT) ext_price
+        |FROM item,
+        |     (SELECT ws_ext_sales_price AS ext_price,
+        |             ws_sold_date_sk AS sold_date_sk,
+        |             ws_item_sk AS sold_item_sk,
+        |             ws_sold_time_sk AS time_sk
+        |      FROM web_sales,
+        |           date_dim
+        |      WHERE d_date_sk = ws_sold_date_sk
+        |        AND d_moy = 11
+        |        AND d_year = 1999
+        |      UNION ALL
+        |      SELECT cs_ext_sales_price AS ext_price,
+        |             cs_sold_date_sk AS sold_date_sk,
+        |             cs_item_sk AS sold_item_sk,
+        |             cs_sold_time_sk AS time_sk
+        |      FROM catalog_sales,
+        |           date_dim
+        |      WHERE d_date_sk = cs_sold_date_sk
+        |        AND d_moy = 11
+        |        AND d_year = 1999
+        |      UNION ALL
+        |      SELECT ss_ext_sales_price AS ext_price,
+        |             ss_sold_date_sk AS sold_date_sk,
+        |             ss_item_sk AS sold_item_sk,
+        |             ss_sold_time_sk AS time_sk
+        |      FROM store_sales,
+        |           date_dim
+        |      WHERE d_date_sk = ss_sold_date_sk
+        |        AND d_moy = 11
+        |        AND d_year = 1999) tmp,
+        |     time_dim
+        |WHERE sold_item_sk = i_item_sk
+        |  AND i_manager_id = 1
+        |  AND time_sk = t_time_sk
+        |  AND (t_meal_time = 'breakfast'
+        |       OR t_meal_time = 'dinner')
+        |GROUP BY i_brand,
+        |         i_brand_id,
+        |         t_hour,
+        |         t_minute
+        |ORDER BY ext_price DESC,
+        |         i_brand_id,
+        |         brand,
+        |         t_hour,
+        |         t_minute""".stripMargin),
+
+    // q82: q37's store sibling (manufact ids 821/938 via the hot
+    // override, 270 via the base formula)
+    "tpcds_q82" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       i_current_price
+        |FROM item,
+        |     inventory,
+        |     date_dim,
+        |     store_sales
+        |WHERE i_current_price BETWEEN 62 AND 62 + 30
+        |  AND inv_item_sk = i_item_sk
+        |  AND d_date_sk = inv_date_sk
+        |  AND d_date BETWEEN CAST('2000-05-25' AS date) AND (CAST('2000-05-25' AS date) + 60)
+        |  AND i_manufact_id IN (129, 270, 821, 938)
+        |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+        |  AND ss_item_sk = i_item_sk
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         i_current_price
+        |ORDER BY i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q92: q32's web sibling (manufact 350 via the hot override so the
+    // per-item window groups are wide enough to exceed 1.3x avg)
+    "tpcds_q92" -> wrap(
+      """SELECT CAST(sum(ws_ext_discount_amt) AS BIGINT) AS excess_discount_amount
+        |FROM web_sales,
+        |     item,
+        |     date_dim
+        |WHERE i_manufact_id = 350
+        |  AND i_item_sk = ws_item_sk
+        |  AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS date) + 90)
+        |  AND d_date_sk = ws_sold_date_sk
+        |  AND ws_ext_discount_amt >
+        |    (SELECT 1.3 * avg(ws_ext_discount_amt)
+        |     FROM web_sales,
+        |          date_dim
+        |     WHERE ws_item_sk = i_item_sk
+        |       AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS date) + 90)
+        |       AND d_date_sk = ws_sold_date_sk)
+        |ORDER BY excess_discount_amount
         |LIMIT 100""".stripMargin),
 
     "tpcds_q88" -> wrap(q88Body),
