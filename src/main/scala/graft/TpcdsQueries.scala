@@ -75,7 +75,27 @@ package graft
  *    half away while Spark truncates (the r13 derivation rule, now in
  *    a query body),
  *  - date windows: the template macro `+ N days` is written as the
- *    dialect-common `(CAST('…' AS date) + N)` (q95 precedent).
+ *    dialect-common `(CAST('…' AS date) + N)` (q95 precedent),
+ *  - q17/q39: `stddev_samp(x)` expands to the exact-sum formula
+ *    `sqrt((n*sum(x*x) - sum(x)^2) / NULLIF(n*(n-1), 0))` over
+ *    CAST(… AS DOUBLE) operands — both engines stream variance with
+ *    different merge orders, so the aggregate itself is not
+ *    bit-reproducible cross-engine, while the formula over exact
+ *    integer sums (< 2^53) is; NULLIF keeps the n=1 case NULL on both
+ *    (DuckDB yields NULL for 0/0, Spark NaN); q39's `*1.000` decimal
+ *    idiom is dropped in the same rewrite,
+ *  - q2: the seven `round(x/y, 2)` weekday ratios are integer-scaled
+ *    `CAST(floor(CAST(x AS DOUBLE)*100 / y) AS BIGINT)` (the q78
+ *    round-half rule) and the unaliased seventh gains alias r7,
+ *  - q62/q99: the five latency-bucket outputs `"30 days"` … `">120
+ *    days"` become days_30 … days_over_120 (parquet rejects spaces),
+ *    with the q12 BIGINT cast,
+ *  - q44: ORDER BY extended with the two product-name outputs (rank
+ *    ties under LIMIT; q47 rule),
+ *  - q49/q90: `cast(… as decimal(15,4))` ratio casts → CAST(… AS
+ *    DOUBLE) (the q11/q78 decimal-idiom rule),
+ *  - q83: the `*1.0000 / … / 3.0000` decimal ladder computes through
+ *    CAST(… AS DOUBLE) (same rule).
  *
  * Scale notes (100 TB lens): the facts derive from lineitem⋈orders on
  * the orderkey — Catalyst plans that join before every query, the same
@@ -103,11 +123,12 @@ object TpcdsQueries {
       |              ELSE 'Saturday' END AS d_day_name,
       |         quarter(d_date) AS d_qoy, dayofmonth(d_date) AS d_dom,
       |         (year(d_date) - 1900) * 12 + month(d_date) - 1 AS d_month_seq,
-      |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq
+      |         CAST(floor(d_date_sk / 7) AS BIGINT) AS d_week_seq,
+      |         concat(year(d_date), 'Q', quarter(d_date)) AS d_quarter_name
       |  FROM (SELECT dd AS d_date_sk, DATE '1998-01-01' + CAST(dd AS INT) AS d_date
       |        FROM (SELECT DISTINCT o_orderkey % 1826 AS dd FROM orders) dk) db),
       |time_dim AS (
-      |  SELECT t_time_sk, t_hour,
+      |  SELECT t_time_sk, t_time_sk AS t_time, t_hour,
       |         CAST(floor((t_time_sk % 3600) / 60) AS BIGINT) AS t_minute,
       |         CASE WHEN t_hour BETWEEN 6 AND 8 THEN 'breakfast'
       |              WHEN t_hour BETWEEN 17 AND 19 THEN 'dinner'
@@ -135,7 +156,22 @@ object TpcdsQueries {
       |              WHEN 1 THEN 'maternity' WHEN 2 THEN 'classical'
       |              WHEN 3 THEN 'fiction' WHEN 4 THEN 'wireless'
       |              WHEN 5 THEN 'dresses' ELSE 'pants' END AS i_class,
-      |         p_brand AS i_brand,
+      |         -- TPC-DS brand vocabulary (q53/q63 name 8 brands across two
+      |         -- (category x class) arms; the other 4 round out a 12-name
+      |         -- domain so brand grouping stays non-trivial)
+      |         CASE (p_partkey * 7) % 12
+      |              WHEN 0 THEN 'scholaramalgamalg #14'
+      |              WHEN 1 THEN 'scholaramalgamalg #7'
+      |              WHEN 2 THEN 'exportiunivamalg #9'
+      |              WHEN 3 THEN 'scholaramalgamalg #9'
+      |              WHEN 4 THEN 'amalgimporto #1'
+      |              WHEN 5 THEN 'edu packscholar #1'
+      |              WHEN 6 THEN 'exportiimporto #1'
+      |              WHEN 7 THEN 'importoamalg #1'
+      |              WHEN 8 THEN 'exportischolar #1'
+      |              WHEN 9 THEN 'corpnameless #2'
+      |              WHEN 10 THEN 'amalgamalg #5'
+      |              ELSE 'univunivamalg #8' END AS i_brand,
       |         CAST(1 + p_partkey % 11 AS INT) AS i_brand_id,
       |         CAST(1 + p_partkey % 17 AS INT) AS i_class_id,
       |         CAST(1 + p_partkey % 5 AS INT) AS i_category_id,
@@ -148,6 +184,7 @@ object TpcdsQueries {
       |         CAST(CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
       |              WHEN 2 THEN 694 WHEN 3 THEN 808 WHEN 4 THEN 977
       |              WHEN 5 THEN 821 WHEN 6 THEN 938 WHEN 7 THEN 350
+      |              WHEN 19 THEN 738 + (p_partkey * 3) % 40
       |              ELSE 1 + (p_partkey * 7) % 400 END AS INT) AS i_manufact_id,
       |         CAST(1 + (p_partkey * 13) % 100 AS INT) AS i_manager_id,
       |         CAST(p_partkey % 100 AS DOUBLE) AS i_current_price,
@@ -155,11 +192,24 @@ object TpcdsQueries {
       |              WHEN 2 THEN 'indian' WHEN 3 THEN 'spring' WHEN 4 THEN 'floral'
       |              WHEN 5 THEN 'medium' WHEN 6 THEN 'snow' WHEN 7 THEN 'slate'
       |              WHEN 8 THEN 'blanched' WHEN 9 THEN 'burnished'
-      |              WHEN 10 THEN 'tomato' ELSE 'antique' END AS i_color,
+      |              WHEN 10 THEN 'peach' ELSE 'papaya' END AS i_color,
+      |         -- sizes/units from the canonical q41 OR-arm vocabulary so the
+      |         -- (category, color, units, size) conjunctions have members
+      |         -- size keys off floor(p/12), decorrelated from the small
+      |         -- moduli driving category/color/units: q41 conjoins all four
+      |         CASE CAST(floor(p_partkey / 12) AS BIGINT) % 6 WHEN 0 THEN 'medium'
+      |              WHEN 1 THEN 'extra large' WHEN 2 THEN 'N/A'
+      |              WHEN 3 THEN 'small' WHEN 4 THEN 'petite'
+      |              ELSE 'large' END AS i_size,
+      |         CASE (p_partkey * 3) % 10 WHEN 0 THEN 'Ounce' WHEN 1 THEN 'Oz'
+      |              WHEN 2 THEN 'Bunch' WHEN 3 THEN 'Ton' WHEN 4 THEN 'Each'
+      |              WHEN 5 THEN 'Dozen' WHEN 6 THEN 'Gross' WHEN 7 THEN 'Cup'
+      |              WHEN 8 THEN 'N/A' ELSE 'Pallet' END AS i_units,
       |         concat('manufact',
       |           CASE p_partkey % 25 WHEN 0 THEN 677 WHEN 1 THEN 940
       |                WHEN 2 THEN 694 WHEN 3 THEN 808 WHEN 4 THEN 977
       |                WHEN 5 THEN 821 WHEN 6 THEN 938 WHEN 7 THEN 350
+      |                WHEN 19 THEN 738 + (p_partkey * 3) % 40
       |                ELSE 1 + (p_partkey * 7) % 400 END) AS i_manufact,
       |         CAST((p_partkey * 7) % 80 AS DOUBLE) AS i_wholesale_cost
       |  FROM part),
@@ -170,7 +220,12 @@ object TpcdsQueries {
       |         'Williamson County' AS s_county,
       |         CASE sk % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'TX' WHEN 2 THEN 'CA'
       |              WHEN 3 THEN 'IL' ELSE 'NY' END AS s_state,
-      |         concat('zip', sk % 4) AS s_zip,
+      |         -- store zips are drawn from customer_address's canonical
+      |         -- zip domain: q24 equi-joins ca_zip = s_zip and q8 matches
+      |         -- on the 2-char prefix
+      |         CASE sk % 4 WHEN 0 THEN '24128' WHEN 1 THEN '76232'
+      |              WHEN 2 THEN '65084' ELSE '87816' END AS s_zip,
+      |         CAST(1 + sk % 10 AS BIGINT) AS s_market_id,
       |         CASE WHEN sk % 2 = 0 THEN 'Midway' ELSE 'Fairview' END AS s_city,
       |         CAST(sk % 3 AS BIGINT) AS s_company_id,
       |         concat('', 100 + sk) AS s_street_number,
@@ -189,24 +244,51 @@ object TpcdsQueries {
       |              ELSE concat('reason ', rk) END AS r_reason_desc
       |  FROM (SELECT DISTINCT s_suppkey % 8 AS rk FROM supplier) rks),
       |warehouse AS (
-      |  SELECT wk AS w_warehouse_sk, concat('WH', wk) AS w_warehouse_name
+      |  SELECT wk AS w_warehouse_sk, concat('WH', wk) AS w_warehouse_name,
+      |         CAST(1000 * (1 + wk) AS BIGINT) AS w_warehouse_sq_ft,
+      |         CASE WHEN wk % 2 = 0 THEN 'Midway' ELSE 'Fairview' END AS w_city,
+      |         'Williamson County' AS w_county,
+      |         CASE wk % 5 WHEN 0 THEN 'TN' WHEN 1 THEN 'TX' WHEN 2 THEN 'CA'
+      |              WHEN 3 THEN 'IL' ELSE 'NY' END AS w_state,
+      |         'United States' AS w_country
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wks),
+      |ship_mode AS (
+      |  -- carriers cover q66's ('DHL','BARIAN') filter; types/codes are
+      |  -- the canonical five-value domains (q62/q99 group by sm_type)
+      |  SELECT smk AS sm_ship_mode_sk,
+      |         CASE smk % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'NEXT DAY'
+      |              WHEN 2 THEN 'OVERNIGHT' WHEN 3 THEN 'REGULAR'
+      |              ELSE 'LIBRARY' END AS sm_type,
+      |         CASE smk % 4 WHEN 0 THEN 'DHL' WHEN 1 THEN 'BARIAN'
+      |              WHEN 2 THEN 'UPS' ELSE 'AIRBORNE' END AS sm_carrier,
+      |         CASE smk % 4 WHEN 0 THEN 'AIR' WHEN 1 THEN 'SURFACE'
+      |              WHEN 2 THEN 'SEA' ELSE 'GROUND' END AS sm_code
+      |  FROM (SELECT DISTINCT s_suppkey % 20 AS smk FROM supplier) smks),
       |web_site AS (
       |  SELECT wk AS web_site_sk, concat('WS', wk) AS web_site_id,
-      |         CASE WHEN wk % 2 = 0 THEN 'pri' ELSE 'sec' END AS web_company_name
+      |         CASE WHEN wk % 2 = 0 THEN 'pri' ELSE 'sec' END AS web_company_name,
+      |         concat('site_', wk) AS web_name
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wsks),
       |call_center AS (
       |  -- q16 keeps only 'Williamson County' centers, so all centers
       |  -- carry it (the canonical IN-list repeats that one county 5x)
       |  SELECT cck AS cc_call_center_sk, concat('CC', cck) AS cc_call_center_id,
-      |         'Williamson County' AS cc_county
+      |         'Williamson County' AS cc_county,
+      |         CASE cck % 4 WHEN 0 THEN 'NY Metro' WHEN 1 THEN 'Mid Atlantic'
+      |              WHEN 2 THEN 'North Midwest' ELSE 'California' END AS cc_name,
+      |         concat('Manager', cck) AS cc_manager
       |  FROM (SELECT DISTINCT s_suppkey % 4 AS cck FROM supplier) ccks),
       |web_page AS (
       |  SELECT wpk AS wp_web_page_sk, concat('WP', wpk) AS wp_web_page_id,
       |         CAST(4000 + wpk * 150 AS BIGINT) AS wp_char_count
       |  FROM (SELECT DISTINCT p_partkey % 12 AS wpk FROM part) wpks),
       |income_band AS (
-      |  SELECT DISTINCT p_partkey % 10 AS ib_income_band_sk FROM part),
+      |  -- contiguous 10k bands: q84's [38128, 88128] bound filter keeps
+      |  -- bands 4..7 (lower >= 38128 and upper <= 88128)
+      |  SELECT ibk AS ib_income_band_sk,
+      |         CAST(ibk * 10000 AS BIGINT) AS ib_lower_bound,
+      |         CAST(ibk * 10000 + 9999 AS BIGINT) AS ib_upper_bound
+      |  FROM (SELECT DISTINCT p_partkey % 10 AS ibk FROM part) ibks),
       |promotion AS (
       |  SELECT p_promo_sk,
       |         CASE WHEN p_promo_sk % 4 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv,
@@ -236,7 +318,12 @@ object TpcdsQueries {
       |  FROM (SELECT DISTINCT p_partkey % 100 AS ck FROM part) cks),
       |household_demographics AS (
       |  SELECT hk AS hd_demo_sk, hk % 10 AS hd_income_band_sk,
-      |         CASE WHEN hk % 3 = 0 THEN '>10000' ELSE '5001-10000' END AS hd_buy_potential,
+      |         -- '>10000' feeds q34/q72/q73's filters; 'Unknown' feeds
+      |         -- q91's LIKE 'Unknown%' (keyed hk%7=3 so it reaches hk=17,
+      |         -- the one hd residue q91's cd-class customers can carry)
+      |         CASE WHEN hk % 3 = 0 THEN '>10000'
+      |              WHEN hk % 7 = 3 THEN 'Unknown'
+      |              ELSE '5001-10000' END AS hd_buy_potential,
       |         CAST(hk % 10 AS BIGINT) AS hd_dep_count,
       |         -- 1..3 (never 0): q34's dep/vehicle > 1.2 ratio filter must
       |         -- keep a workable share of households (~1/3 of hk values)
@@ -245,7 +332,30 @@ object TpcdsQueries {
       |customer_address AS (
       |  SELECT ak AS ca_address_sk, concat('', ak % 1000) AS ca_street_number,
       |         concat('Street ', ak % 20) AS ca_street_name,
-      |         concat('City', ak % 30) AS ca_city, concat('zip', ak % 100) AS ca_zip,
+      |         CASE ak % 5 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave' WHEN 2 THEN 'Blvd'
+      |              WHEN 3 THEN 'Ln' ELSE 'Way' END AS ca_street_type,
+      |         concat('Suite ', ak % 10) AS ca_suite_number,
+      |         CASE ak % 3 WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo'
+      |              ELSE 'single family' END AS ca_location_type,
+      |         -- 'Edgewood' anchors q84's city filter; the rest keep the
+      |         -- generated-city spread for q46/q68's city <> city compare
+      |         -- Edgewood sits at residue 6: its customers (c with
+      |         -- (13c+7)%500 = 6 mod 30) then all carry hd income band 4,
+      |         -- inside q84's [38128, 88128] bound window
+      |         CASE ak % 30 WHEN 6 THEN 'Edgewood' WHEN 1 THEN 'Fairview'
+      |              WHEN 2 THEN 'Midway' ELSE concat('City', ak % 30) END AS ca_city,
+      |         -- 25 canonical zips: the first 21 sit in q8's 400-zip list,
+      |         -- the last 4 in q15/q45's 9-zip list; the first 4 double as
+      |         -- the store zips (q24 joins ca_zip = s_zip)
+      |         CASE ak % 25 WHEN 0 THEN '24128' WHEN 1 THEN '76232'
+      |              WHEN 2 THEN '65084' WHEN 3 THEN '87816' WHEN 4 THEN '83926'
+      |              WHEN 5 THEN '77556' WHEN 6 THEN '20548' WHEN 7 THEN '26231'
+      |              WHEN 8 THEN '43848' WHEN 9 THEN '15126' WHEN 10 THEN '91137'
+      |              WHEN 11 THEN '61265' WHEN 12 THEN '98294' WHEN 13 THEN '25782'
+      |              WHEN 14 THEN '17920' WHEN 15 THEN '18426' WHEN 16 THEN '98235'
+      |              WHEN 17 THEN '40081' WHEN 18 THEN '84093' WHEN 19 THEN '28577'
+      |              WHEN 20 THEN '55565' WHEN 21 THEN '85669' WHEN 22 THEN '86197'
+      |              WHEN 23 THEN '88274' ELSE '83405' END AS ca_zip,
       |         -- every address in a STORE state (TN/TX/CA/IL/NY) sits in
       |         -- Williamson County — the county-state correlation makes
       |         -- q54's ca_county = s_county AND ca_state = s_state match
@@ -260,8 +370,12 @@ object TpcdsQueries {
       |                   WHEN 7 THEN 'La Porte County'
       |                   WHEN 8 THEN 'Franklin Parish' WHEN 9 THEN 'Luce County'
       |                   ELSE 'Williamson County' END END AS ca_county,
-      |         CAST(CASE (ak * 7) % 4 WHEN 0 THEN -5 WHEN 1 THEN -6
-      |              WHEN 2 THEN -7 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
+      |         -- keyed mod 5 (not mod 4): q91's cd-class customers all
+      |         -- carry odd ak, and a mod-4 key would leave -7 unreachable
+      |         -- for them; -5 doubles up because q33/q56/q60/q61's
+      |         -- cohorts all filter on it
+      |         CAST(CASE ak % 5 WHEN 0 THEN -7 WHEN 1 THEN -5
+      |              WHEN 2 THEN -5 WHEN 3 THEN -6 ELSE -8 END AS DOUBLE) AS ca_gmt_offset,
       |         CASE ak % 20 WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'NY'
       |              WHEN 3 THEN 'GA' WHEN 4 THEN 'TX' WHEN 5 THEN 'IN'
       |              WHEN 6 THEN 'OH' WHEN 7 THEN 'NJ' WHEN 8 THEN 'WI'
@@ -288,7 +402,9 @@ object TpcdsQueries {
       |         (o_custkey * 11 + 1) % 50 AS c_current_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS c_current_addr_sk,
       |         CAST(1 + (o_custkey * 23) % 12 AS BIGINT) AS c_birth_month,
+      |         CAST(1 + (o_custkey * 37) % 28 AS BIGINT) AS c_birth_day,
       |         CAST(1924 + (o_custkey * 31) % 69 AS BIGINT) AS c_birth_year,
+      |         (o_custkey * 29 + 11) % 1826 AS c_last_review_date_sk,
       |         (o_custkey * 17) % 1826 AS c_first_sales_date_sk,
       |         (o_custkey * 19 + 30) % 1826 AS c_first_shipto_date_sk
       |  FROM (SELECT DISTINCT o_custkey FROM orders) ck),
@@ -301,7 +417,14 @@ object TpcdsQueries {
       |  -- A 20% "hot" slice ((l_orderkey*7+l_linenumber)%5=0) instead
       |  -- concentrates item+date into a 40x60 promo grid (~5 rows per
       |  -- (item,date) cell) so q23's HAVING count(*) > 4 has members.
-      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |  -- balanced-week slice ((o+p)%29=0, ln%6=0, ~0.6% of rows): the
+      |  -- row lands in the week of 2000-01-03 (sks 728..734) with the
+      |  -- SAME date and ext price in all three channels, so q58's
+      |  -- per-item cross-channel +-10% revenue test has members
+      |  SELECT CASE WHEN (l_orderkey + l_partkey) % 29 = 0
+      |                   AND l_linenumber % 6 = 0
+      |              THEN 728 + l_orderkey % 7
+      |              WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN ((l_partkey % 40) * 45 + o_orderkey % 60) % 1826
       |              ELSE (o_custkey * 389
       |                    + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT) * 457
@@ -316,7 +439,15 @@ object TpcdsQueries {
       |         -- fixes the parity of hd_dep_count — q13's (S, dep=1)
       |         -- branch would be structurally unsatisfiable
       |         (o_custkey * 7 + 3) % 50 AS ss_hdemo_sk,
-      |         o_custkey % 500 AS ss_addr_sk, l_suppkey % 10 AS ss_store_sk,
+      |         -- rare NULL slices (coprime residues, ~2-3% of rows):
+      |         -- q44's benchmark scalar needs store-4 rows with NULL addr,
+      |         -- q76's store arm counts sales with NULL store
+      |         CASE WHEN (l_orderkey * 5 + l_linenumber) % 37 = 0
+      |              THEN CAST(NULL AS BIGINT)
+      |              ELSE o_custkey % 500 END AS ss_addr_sk,
+      |         CASE WHEN (l_orderkey * 3 + l_linenumber) % 41 = 0
+      |              THEN CAST(NULL AS BIGINT)
+      |              ELSE l_suppkey % 10 END AS ss_store_sk,
       |         l_partkey % 20 AS ss_promo_sk,
       |         o_custkey * 2 + CAST(floor((o_orderkey % 1826) / 913) AS BIGINT)
       |           AS ss_ticket_number,
@@ -333,7 +464,10 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * l_discount) AS BIGINT) AS ss_ext_discount_amt,
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price,
       |         CAST(floor(l_extendedprice * 0.08 / l_quantity) AS BIGINT) AS ss_net_profit,
-      |         CAST(floor(l_extendedprice * 0.06) AS BIGINT) AS ss_ext_tax
+      |         CAST(floor(l_extendedprice * 0.06) AS BIGINT) AS ss_ext_tax,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.98) AS BIGINT) AS ss_net_paid,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.98) +
+      |              floor(l_extendedprice * 0.06) AS BIGINT) AS ss_net_paid_inc_tax
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  -- item/ticket expressions MIRROR store_sales (returns must
@@ -353,6 +487,9 @@ object TpcdsQueries {
       |                     + 17) % 1826 END
       |          + 1 + l_orderkey % 120) % 1826 AS sr_returned_date_sk,
       |         o_custkey AS sr_customer_sk, l_suppkey % 10 AS sr_store_sk,
+      |         -- mirrors the customer's c_current_cdemo_sk (7c+3 mod 100)
+      |         -- so q84's sr_cdemo = cd_demo = c_current_cdemo triple holds
+      |         (o_custkey * 7 + 3) % 100 AS sr_cdemo_sk,
       |         (l_orderkey + l_partkey) % 8 AS sr_reason_sk,
       |         CAST(floor(l_quantity / 2) AS BIGINT) AS sr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.4) AS BIGINT) AS sr_return_amt,
@@ -363,7 +500,10 @@ object TpcdsQueries {
       |  -- hot slice mirrors store_sales' promo grid (items % 40) and
       |  -- lands its sold dates in a Jan-Apr 2000 window so q23's
       |  -- best-customer x frequent-item probe month is populated
-      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |  SELECT CASE WHEN (l_orderkey + l_partkey) % 29 = 0
+      |                   AND l_linenumber % 6 = 0
+      |              THEN 728 + l_orderkey % 7
+      |              WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN 730 + (l_partkey * 3 + o_orderkey) % 120
       |              ELSE (o_orderkey * 3 + 1) % 1826 END AS cs_sold_date_sk,
       |         (o_orderkey * 3 + 11) % 1826 AS cs_ship_date_sk,
@@ -373,8 +513,12 @@ object TpcdsQueries {
       |         o_custkey % 100 AS cs_bill_cdemo_sk,
       |         o_custkey % 50 AS cs_bill_hdemo_sk,
       |         (o_custkey * 13 + 7) % 500 AS cs_bill_addr_sk,
-      |         (o_custkey * 11 + 3) % 500 AS cs_ship_addr_sk,
+      |         -- rare NULL slice: q76's catalog arm counts NULL-ship-addr
+      |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 47 = 0
+      |              THEN CAST(NULL AS BIGINT)
+      |              ELSE (o_custkey * 11 + 3) % 500 END AS cs_ship_addr_sk,
       |         o_custkey % 4 AS cs_call_center_sk,
+      |         (l_orderkey + l_linenumber * 7) % 20 AS cs_ship_mode_sk,
       |         l_suppkey % 5 AS cs_warehouse_sk,
       |         l_partkey % 15 AS cs_catalog_page_sk,
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
@@ -388,37 +532,63 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 1.1) AS BIGINT) AS cs_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.55) AS BIGINT) AS cs_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount * 0.9) AS BIGINT) AS cs_ext_discount_amt,
-      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT) AS cs_ext_sales_price,
+      |         -- balanced-week rows carry the store-channel ext price so
+      |         -- q58's per-item cross-channel +-10% revenue test can hold
+      |         CASE WHEN (l_orderkey + l_partkey) % 29 = 0
+      |                   AND l_linenumber % 6 = 0
+      |              THEN CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)
+      |              ELSE CAST(floor(l_extendedprice * (1 - l_discount) * 0.95) AS BIGINT)
+      |              END AS cs_ext_sales_price,
       |         CAST(floor(l_extendedprice * l_discount * 0.85) AS BIGINT) AS cs_coupon_amt,
       |         CAST(floor(l_extendedprice * 0.03) AS BIGINT) AS cs_ext_ship_cost,
-      |         CAST(floor(l_extendedprice * 0.07 / l_quantity) AS BIGINT) AS cs_net_profit
+      |         CAST(floor(l_extendedprice * 0.07 / l_quantity) AS BIGINT) AS cs_net_profit,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.93) AS BIGINT) AS cs_net_paid,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.93) +
+      |              floor(l_extendedprice * 0.06) AS BIGINT) AS cs_net_paid_inc_tax
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 2 = 0),
       |catalog_returns AS (
       |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS cr_item_sk,
       |         l_orderkey AS cr_order_number,
-      |         -- l_orderkey stands in for o_orderkey (they are equal on
-      |         -- the catalog_sales join; this CTE reads lineitem alone)
-      |         (CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
-      |               THEN 730 + (l_partkey * 3 + l_orderkey) % 120
-      |               ELSE (l_orderkey * 3 + 1) % 1826 END
-      |          + 1 + l_orderkey % 120) % 1826 AS cr_returned_date_sk,
+      |         -- l_orderkey stands in for o_orderkey inside the date
+      |         -- expression (they are equal on the orders join, kept
+      |         -- verbatim from the pre-join derivation)
+      |         -- an l%9 slice lands in Nov 1998 (sks 304..333): q91's
+      |         -- month filter intersects a ~1% customer cohort, and a
+      |         -- uniform return date would starve it at the gate sf
+      |         CASE WHEN l_orderkey % 9 = 0
+      |              THEN 304 + (l_orderkey * 5 + l_partkey) % 30
+      |              ELSE (CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |                    THEN 730 + (l_partkey * 3 + l_orderkey) % 120
+      |                    ELSE (l_orderkey * 3 + 1) % 1826 END
+      |               + 1 + l_orderkey % 120) % 1826 END AS cr_returned_date_sk,
       |         l_partkey % 15 AS cr_catalog_page_sk,
+      |         -- returning customer/addr/call-center mirror catalog_sales'
+      |         -- bill columns (q81 chains return -> state -> customer via
+      |         -- the customer's own current address; q91 joins the center)
+      |         o_custkey AS cr_returning_customer_sk,
+      |         (o_custkey * 13 + 7) % 500 AS cr_returning_addr_sk,
+      |         o_custkey % 4 AS cr_call_center_sk,
       |         CAST(floor(l_quantity / 2) AS BIGINT) AS cr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS cr_refunded_cash,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS cr_reversed_charge,
       |         CAST(floor(l_extendedprice * 0.05) AS BIGINT) AS cr_store_credit,
       |         CAST(floor(l_extendedprice * 0.35) AS BIGINT) AS cr_return_amount,
+      |         CAST(floor(l_extendedprice * 0.38) AS BIGINT) AS cr_return_amt_inc_tax,
       |         CAST(floor(l_extendedprice * 0.12) AS BIGINT) AS cr_net_loss
-      |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0),
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' AND l_linenumber % 2 = 0),
       |web_sales AS (
       |  -- the o%11 slice concentrates ~9% of web sales into Q2-Q3 2000:
       |  -- q31 compares per-county web vs store quarter-over-quarter
       |  -- growth, and with both channels date-uniform every county's
       |  -- ratios sit at 1.0 +- noise and the strict inequalities never
       |  -- hold; a real web growth phase gives the comparison members
-      |  SELECT CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
+      |  SELECT CASE WHEN (l_orderkey + l_partkey) % 29 = 0
+      |                   AND l_linenumber % 6 = 0
+      |              THEN 728 + l_orderkey % 7
+      |              WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |                   AND o_orderkey % 4 = 0
       |              THEN 730 + (l_partkey * 5 + o_orderkey) % 120
       |              WHEN o_orderkey % 6 = 0
@@ -428,8 +598,14 @@ object TpcdsQueries {
       |         CASE WHEN (l_orderkey * 7 + l_linenumber) % 5 = 0
       |              THEN l_partkey % 40 ELSE l_partkey END AS ws_item_sk,
       |         o_custkey AS ws_bill_customer_sk,
+      |         -- rare NULL slice: q76's web arm counts NULL-ship-customer
+      |         CASE WHEN (l_orderkey + l_linenumber) % 43 = 0
+      |              THEN CAST(NULL AS BIGINT)
+      |              ELSE o_custkey END AS ws_ship_customer_sk,
       |         (o_custkey * 13 + 7) % 500 AS ws_bill_addr_sk,
       |         (o_custkey * 3 + 11) % 500 AS ws_ship_addr_sk,
+      |         (o_custkey * 3 + 1) % 50 AS ws_ship_hdemo_sk,
+      |         (l_orderkey * 3 + l_linenumber) % 20 AS ws_ship_mode_sk,
       |         l_suppkey % 5 AS ws_web_site_sk, l_suppkey % 5 AS ws_warehouse_sk,
       |         l_partkey % 20 AS ws_promo_sk,
       |         l_partkey % 12 AS ws_web_page_sk,
@@ -444,7 +620,13 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * 1.02) AS BIGINT) AS ws_ext_list_price,
       |         CAST(floor(l_extendedprice * 0.45) AS BIGINT) AS ws_ext_wholesale_cost,
       |         CAST(floor(l_extendedprice * l_discount * 0.8) AS BIGINT) AS ws_ext_discount_amt,
-      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.9) AS BIGINT) AS ws_ext_sales_price
+      |         -- balanced-week override, mirroring catalog (q58)
+      |         CASE WHEN (l_orderkey + l_partkey) % 29 = 0
+      |                   AND l_linenumber % 6 = 0
+      |              THEN CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT)
+      |              ELSE CAST(floor(l_extendedprice * (1 - l_discount) * 0.9) AS BIGINT)
+      |              END AS ws_ext_sales_price,
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.88) AS BIGINT) AS ws_net_paid
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE l_linenumber % 3 = 0),
       |web_returns AS (
@@ -461,13 +643,20 @@ object TpcdsQueries {
       |         (l_orderkey * 3 + l_partkey) % 100 AS wr_refunded_cdemo_sk,
       |         (l_orderkey * 3 + l_partkey) % 100 AS wr_returning_cdemo_sk,
       |         (l_orderkey * 13 + 7) % 500 AS wr_refunded_addr_sk,
+      |         -- returning customer/addr mirror the customer's own keys
+      |         -- (q30 chains return -> state -> customer via the
+      |         -- customer's current address, like q81's catalog analog)
+      |         o_custkey AS wr_returning_customer_sk,
+      |         (o_custkey * 13 + 7) % 500 AS wr_returning_addr_sk,
+      |         l_partkey % 12 AS wr_web_page_sk,
       |         (l_orderkey + l_partkey) % 8 AS wr_reason_sk,
       |         CAST(floor(l_extendedprice * 0.25) AS BIGINT) AS wr_refunded_cash,
       |         CAST(floor(l_extendedprice * 0.02) AS BIGINT) AS wr_fee,
       |         CAST(floor(l_quantity / 3) AS BIGINT) AS wr_return_quantity,
       |         CAST(floor(l_extendedprice * 0.3) AS BIGINT) AS wr_return_amt,
       |         CAST(floor(l_extendedprice * 0.1) AS BIGINT) AS wr_net_loss
-      |  FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R' AND l_linenumber % 3 = 0),
       |inventory AS (
       |  -- each (item, warehouse) carries a 23-date cluster (9-day steps,
       |  -- ~198-day span): q21's before/after-boundary split needs BOTH
@@ -3573,6 +3762,2344 @@ object TpcdsQueries {
         |          ws_wh
         |     WHERE wr_order_number = ws_wh.ws_order_number)
         |ORDER BY count(DISTINCT ws_order_number)
+        |LIMIT 100""".stripMargin),
+
+    // q2: week-over-week weekday revenue ratios across web+catalog (floor-scaled r1..r7, q78 rounding rule)
+    "tpcds_q2" -> wrap(
+      """WITH wscs AS
+        |  (SELECT sold_date_sk,
+        |          sales_price
+        |   FROM
+        |     (SELECT ws_sold_date_sk sold_date_sk,
+        |             ws_ext_sales_price sales_price
+        |      FROM web_sales
+        |      UNION ALL SELECT cs_sold_date_sk sold_date_sk,
+        |                       cs_ext_sales_price sales_price
+        |      FROM catalog_sales) sq1),
+        |     wswscs AS
+        |  (SELECT d_week_seq,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Sunday') THEN sales_price
+        |                  ELSE NULL
+        |              END) sun_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Monday') THEN sales_price
+        |                  ELSE NULL
+        |              END) mon_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Tuesday') THEN sales_price
+        |                  ELSE NULL
+        |              END) tue_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Wednesday') THEN sales_price
+        |                  ELSE NULL
+        |              END) wed_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Thursday') THEN sales_price
+        |                  ELSE NULL
+        |              END) thu_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Friday') THEN sales_price
+        |                  ELSE NULL
+        |              END) fri_sales,
+        |          sum(CASE
+        |                  WHEN (d_day_name='Saturday') THEN sales_price
+        |                  ELSE NULL
+        |              END) sat_sales
+        |   FROM wscs,
+        |        date_dim
+        |   WHERE d_date_sk = sold_date_sk
+        |   GROUP BY d_week_seq)
+        |SELECT d_week_seq1,
+        |       CAST(floor(CAST(sun_sales1 AS DOUBLE) * 100 / sun_sales2) AS BIGINT) r1,
+        |       CAST(floor(CAST(mon_sales1 AS DOUBLE) * 100 / mon_sales2) AS BIGINT) r2,
+        |       CAST(floor(CAST(tue_sales1 AS DOUBLE) * 100 / tue_sales2) AS BIGINT) r3,
+        |       CAST(floor(CAST(wed_sales1 AS DOUBLE) * 100 / wed_sales2) AS BIGINT) r4,
+        |       CAST(floor(CAST(thu_sales1 AS DOUBLE) * 100 / thu_sales2) AS BIGINT) r5,
+        |       CAST(floor(CAST(fri_sales1 AS DOUBLE) * 100 / fri_sales2) AS BIGINT) r6,
+        |       CAST(floor(CAST(sat_sales1 AS DOUBLE) * 100 / sat_sales2) AS BIGINT) r7
+        |FROM
+        |  (SELECT wswscs.d_week_seq d_week_seq1,
+        |          sun_sales sun_sales1,
+        |          mon_sales mon_sales1,
+        |          tue_sales tue_sales1,
+        |          wed_sales wed_sales1,
+        |          thu_sales thu_sales1,
+        |          fri_sales fri_sales1,
+        |          sat_sales sat_sales1
+        |   FROM wswscs,
+        |        date_dim
+        |   WHERE date_dim.d_week_seq = wswscs.d_week_seq
+        |     AND d_year = 2001) y,
+        |  (SELECT wswscs.d_week_seq d_week_seq2,
+        |          sun_sales sun_sales2,
+        |          mon_sales mon_sales2,
+        |          tue_sales tue_sales2,
+        |          wed_sales wed_sales2,
+        |          thu_sales thu_sales2,
+        |          fri_sales fri_sales2,
+        |          sat_sales sat_sales2
+        |   FROM wswscs,
+        |        date_dim
+        |   WHERE date_dim.d_week_seq = wswscs.d_week_seq
+        |     AND d_year = 2001+1) z
+        |WHERE d_week_seq1 = d_week_seq2-53
+        |ORDER BY d_week_seq1 NULLS FIRST""".stripMargin),
+
+    // q8: store net profit for preferred-customer zip neighborhoods (canonical 400-zip list; sum aliased+cast)
+    "tpcds_q8" -> wrap(
+      """SELECT s_store_name,
+        |       CAST(sum(ss_net_profit) AS BIGINT) AS net_profit
+        |FROM store_sales,
+        |     date_dim,
+        |     store,
+        |  (SELECT ca_zip
+        |   FROM
+        |     (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip
+        |      FROM customer_address
+        |      WHERE SUBSTRING(ca_zip, 1, 5) IN ('24128',
+        |                                     '76232',
+        |                                     '65084',
+        |                                     '87816',
+        |                                     '83926',
+        |                                     '77556',
+        |                                     '20548',
+        |                                     '26231',
+        |                                     '43848',
+        |                                     '15126',
+        |                                     '91137',
+        |                                     '61265',
+        |                                     '98294',
+        |                                     '25782',
+        |                                     '17920',
+        |                                     '18426',
+        |                                     '98235',
+        |                                     '40081',
+        |                                     '84093',
+        |                                     '28577',
+        |                                     '55565',
+        |                                     '17183',
+        |                                     '54601',
+        |                                     '67897',
+        |                                     '22752',
+        |                                     '86284',
+        |                                     '18376',
+        |                                     '38607',
+        |                                     '45200',
+        |                                     '21756',
+        |                                     '29741',
+        |                                     '96765',
+        |                                     '23932',
+        |                                     '89360',
+        |                                     '29839',
+        |                                     '25989',
+        |                                     '28898',
+        |                                     '91068',
+        |                                     '72550',
+        |                                     '10390',
+        |                                     '18845',
+        |                                     '47770',
+        |                                     '82636',
+        |                                     '41367',
+        |                                     '76638',
+        |                                     '86198',
+        |                                     '81312',
+        |                                     '37126',
+        |                                     '39192',
+        |                                     '88424',
+        |                                     '72175',
+        |                                     '81426',
+        |                                     '53672',
+        |                                     '10445',
+        |                                     '42666',
+        |                                     '66864',
+        |                                     '66708',
+        |                                     '41248',
+        |                                     '48583',
+        |                                     '82276',
+        |                                     '18842',
+        |                                     '78890',
+        |                                     '49448',
+        |                                     '14089',
+        |                                     '38122',
+        |                                     '34425',
+        |                                     '79077',
+        |                                     '19849',
+        |                                     '43285',
+        |                                     '39861',
+        |                                     '66162',
+        |                                     '77610',
+        |                                     '13695',
+        |                                     '99543',
+        |                                     '83444',
+        |                                     '83041',
+        |                                     '12305',
+        |                                     '57665',
+        |                                     '68341',
+        |                                     '25003',
+        |                                     '57834',
+        |                                     '62878',
+        |                                     '49130',
+        |                                     '81096',
+        |                                     '18840',
+        |                                     '27700',
+        |                                     '23470',
+        |                                     '50412',
+        |                                     '21195',
+        |                                     '16021',
+        |                                     '76107',
+        |                                     '71954',
+        |                                     '68309',
+        |                                     '18119',
+        |                                     '98359',
+        |                                     '64544',
+        |                                     '10336',
+        |                                     '86379',
+        |                                     '27068',
+        |                                     '39736',
+        |                                     '98569',
+        |                                     '28915',
+        |                                     '24206',
+        |                                     '56529',
+        |                                     '57647',
+        |                                     '54917',
+        |                                     '42961',
+        |                                     '91110',
+        |                                     '63981',
+        |                                     '14922',
+        |                                     '36420',
+        |                                     '23006',
+        |                                     '67467',
+        |                                     '32754',
+        |                                     '30903',
+        |                                     '20260',
+        |                                     '31671',
+        |                                     '51798',
+        |                                     '72325',
+        |                                     '85816',
+        |                                     '68621',
+        |                                     '13955',
+        |                                     '36446',
+        |                                     '41766',
+        |                                     '68806',
+        |                                     '16725',
+        |                                     '15146',
+        |                                     '22744',
+        |                                     '35850',
+        |                                     '88086',
+        |                                     '51649',
+        |                                     '18270',
+        |                                     '52867',
+        |                                     '39972',
+        |                                     '96976',
+        |                                     '63792',
+        |                                     '11376',
+        |                                     '94898',
+        |                                     '13595',
+        |                                     '10516',
+        |                                     '90225',
+        |                                     '58943',
+        |                                     '39371',
+        |                                     '94945',
+        |                                     '28587',
+        |                                     '96576',
+        |                                     '57855',
+        |                                     '28488',
+        |                                     '26105',
+        |                                     '83933',
+        |                                     '25858',
+        |                                     '34322',
+        |                                     '44438',
+        |                                     '73171',
+        |                                     '30122',
+        |                                     '34102',
+        |                                     '22685',
+        |                                     '71256',
+        |                                     '78451',
+        |                                     '54364',
+        |                                     '13354',
+        |                                     '45375',
+        |                                     '40558',
+        |                                     '56458',
+        |                                     '28286',
+        |                                     '45266',
+        |                                     '47305',
+        |                                     '69399',
+        |                                     '83921',
+        |                                     '26233',
+        |                                     '11101',
+        |                                     '15371',
+        |                                     '69913',
+        |                                     '35942',
+        |                                     '15882',
+        |                                     '25631',
+        |                                     '24610',
+        |                                     '44165',
+        |                                     '99076',
+        |                                     '33786',
+        |                                     '70738',
+        |                                     '26653',
+        |                                     '14328',
+        |                                     '72305',
+        |                                     '62496',
+        |                                     '22152',
+        |                                     '10144',
+        |                                     '64147',
+        |                                     '48425',
+        |                                     '14663',
+        |                                     '21076',
+        |                                     '18799',
+        |                                     '30450',
+        |                                     '63089',
+        |                                     '81019',
+        |                                     '68893',
+        |                                     '24996',
+        |                                     '51200',
+        |                                     '51211',
+        |                                     '45692',
+        |                                     '92712',
+        |                                     '70466',
+        |                                     '79994',
+        |                                     '22437',
+        |                                     '25280',
+        |                                     '38935',
+        |                                     '71791',
+        |                                     '73134',
+        |                                     '56571',
+        |                                     '14060',
+        |                                     '19505',
+        |                                     '72425',
+        |                                     '56575',
+        |                                     '74351',
+        |                                     '68786',
+        |                                     '51650',
+        |                                     '20004',
+        |                                     '18383',
+        |                                     '76614',
+        |                                     '11634',
+        |                                     '18906',
+        |                                     '15765',
+        |                                     '41368',
+        |                                     '73241',
+        |                                     '76698',
+        |                                     '78567',
+        |                                     '97189',
+        |                                     '28545',
+        |                                     '76231',
+        |                                     '75691',
+        |                                     '22246',
+        |                                     '51061',
+        |                                     '90578',
+        |                                     '56691',
+        |                                     '68014',
+        |                                     '51103',
+        |                                     '94167',
+        |                                     '57047',
+        |                                     '14867',
+        |                                     '73520',
+        |                                     '15734',
+        |                                     '63435',
+        |                                     '25733',
+        |                                     '35474',
+        |                                     '24676',
+        |                                     '94627',
+        |                                     '53535',
+        |                                     '17879',
+        |                                     '15559',
+        |                                     '53268',
+        |                                     '59166',
+        |                                     '11928',
+        |                                     '59402',
+        |                                     '33282',
+        |                                     '45721',
+        |                                     '43933',
+        |                                     '68101',
+        |                                     '33515',
+        |                                     '36634',
+        |                                     '71286',
+        |                                     '19736',
+        |                                     '58058',
+        |                                     '55253',
+        |                                     '67473',
+        |                                     '41918',
+        |                                     '19515',
+        |                                     '36495',
+        |                                     '19430',
+        |                                     '22351',
+        |                                     '77191',
+        |                                     '91393',
+        |                                     '49156',
+        |                                     '50298',
+        |                                     '87501',
+        |                                     '18652',
+        |                                     '53179',
+        |                                     '18767',
+        |                                     '63193',
+        |                                     '23968',
+        |                                     '65164',
+        |                                     '68880',
+        |                                     '21286',
+        |                                     '72823',
+        |                                     '58470',
+        |                                     '67301',
+        |                                     '13394',
+        |                                     '31016',
+        |                                     '70372',
+        |                                     '67030',
+        |                                     '40604',
+        |                                     '24317',
+        |                                     '45748',
+        |                                     '39127',
+        |                                     '26065',
+        |                                     '77721',
+        |                                     '31029',
+        |                                     '31880',
+        |                                     '60576',
+        |                                     '24671',
+        |                                     '45549',
+        |                                     '13376',
+        |                                     '50016',
+        |                                     '33123',
+        |                                     '19769',
+        |                                     '22927',
+        |                                     '97789',
+        |                                     '46081',
+        |                                     '72151',
+        |                                     '15723',
+        |                                     '46136',
+        |                                     '51949',
+        |                                     '68100',
+        |                                     '96888',
+        |                                     '64528',
+        |                                     '14171',
+        |                                     '79777',
+        |                                     '28709',
+        |                                     '11489',
+        |                                     '25103',
+        |                                     '32213',
+        |                                     '78668',
+        |                                     '22245',
+        |                                     '15798',
+        |                                     '27156',
+        |                                     '37930',
+        |                                     '62971',
+        |                                     '21337',
+        |                                     '51622',
+        |                                     '67853',
+        |                                     '10567',
+        |                                     '38415',
+        |                                     '15455',
+        |                                     '58263',
+        |                                     '42029',
+        |                                     '60279',
+        |                                     '37125',
+        |                                     '56240',
+        |                                     '88190',
+        |                                     '50308',
+        |                                     '26859',
+        |                                     '64457',
+        |                                     '89091',
+        |                                     '82136',
+        |                                     '62377',
+        |                                     '36233',
+        |                                     '63837',
+        |                                     '58078',
+        |                                     '17043',
+        |                                     '30010',
+        |                                     '60099',
+        |                                     '28810',
+        |                                     '98025',
+        |                                     '29178',
+        |                                     '87343',
+        |                                     '73273',
+        |                                     '30469',
+        |                                     '64034',
+        |                                     '39516',
+        |                                     '86057',
+        |                                     '21309',
+        |                                     '90257',
+        |                                     '67875',
+        |                                     '40162',
+        |                                     '11356',
+        |                                     '73650',
+        |                                     '61810',
+        |                                     '72013',
+        |                                     '30431',
+        |                                     '22461',
+        |                                     '19512',
+        |                                     '13375',
+        |                                     '55307',
+        |                                     '30625',
+        |                                     '83849',
+        |                                     '68908',
+        |                                     '26689',
+        |                                     '96451',
+        |                                     '38193',
+        |                                     '46820',
+        |                                     '88885',
+        |                                     '84935',
+        |                                     '69035',
+        |                                     '83144',
+        |                                     '47537',
+        |                                     '56616',
+        |                                     '94983',
+        |                                     '48033',
+        |                                     '69952',
+        |                                     '25486',
+        |                                     '61547',
+        |                                     '27385',
+        |                                     '61860',
+        |                                     '58048',
+        |                                     '56910',
+        |                                     '16807',
+        |                                     '17871',
+        |                                     '35258',
+        |                                     '31387',
+        |                                     '35458',
+        |                                     '35576') INTERSECT
+        |        SELECT ca_zip
+        |        FROM
+        |          (SELECT SUBSTRING(ca_zip, 1, 5) ca_zip,
+        |                  count(*) cnt
+        |           FROM customer_address,
+        |                customer
+        |           WHERE ca_address_sk = c_current_addr_sk
+        |             AND c_preferred_cust_flag='Y'
+        |           GROUP BY ca_zip
+        |           HAVING count(*) > 10)A1)A2) V1
+        |WHERE ss_store_sk = s_store_sk
+        |  AND ss_sold_date_sk = d_date_sk
+        |  AND d_qoy = 2
+        |  AND d_year = 1998
+        |  AND (SUBSTRING(s_zip, 1, 2) = SUBSTRING(V1.ca_zip, 1, 2))
+        |GROUP BY s_store_name
+        |ORDER BY s_store_name
+        |LIMIT 100""".stripMargin),
+
+    // q9: five ss_quantity bucket stats via scalar subqueries from reason (verbatim)
+    "tpcds_q9" -> wrap(
+      """SELECT CASE
+        |           WHEN
+        |                  (SELECT count(*)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 1 AND 20) > 74129 THEN
+        |                  (SELECT avg(ss_ext_discount_amt)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 1 AND 20)
+        |           ELSE
+        |                  (SELECT avg(ss_net_paid)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 1 AND 20)
+        |       END bucket1,
+        |       CASE
+        |           WHEN
+        |                  (SELECT count(*)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 21 AND 40) > 122840 THEN
+        |                  (SELECT avg(ss_ext_discount_amt)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 21 AND 40)
+        |           ELSE
+        |                  (SELECT avg(ss_net_paid)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 21 AND 40)
+        |       END bucket2,
+        |       CASE
+        |           WHEN
+        |                  (SELECT count(*)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 41 AND 60) > 56580 THEN
+        |                  (SELECT avg(ss_ext_discount_amt)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 41 AND 60)
+        |           ELSE
+        |                  (SELECT avg(ss_net_paid)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 41 AND 60)
+        |       END bucket3,
+        |       CASE
+        |           WHEN
+        |                  (SELECT count(*)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 61 AND 80) > 10097 THEN
+        |                  (SELECT avg(ss_ext_discount_amt)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 61 AND 80)
+        |           ELSE
+        |                  (SELECT avg(ss_net_paid)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 61 AND 80)
+        |       END bucket4,
+        |       CASE
+        |           WHEN
+        |                  (SELECT count(*)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 81 AND 100) > 165306 THEN
+        |                  (SELECT avg(ss_ext_discount_amt)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 81 AND 100)
+        |           ELSE
+        |                  (SELECT avg(ss_net_paid)
+        |                   FROM store_sales
+        |                   WHERE ss_quantity BETWEEN 81 AND 100)
+        |       END bucket5
+        |FROM reason
+        |WHERE r_reason_sk = 1""".stripMargin),
+
+    // q14: cross-channel items via INTERSECT + rollup vs avg-sales gate (part 1 of the two-part template; sums cast)
+    "tpcds_q14" -> wrap(
+      """WITH cross_items AS
+        |  (SELECT i_item_sk ss_item_sk
+        |   FROM item,
+        |     (SELECT iss.i_brand_id brand_id,
+        |             iss.i_class_id class_id,
+        |             iss.i_category_id category_id
+        |      FROM store_sales,
+        |           item iss,
+        |           date_dim d1
+        |      WHERE ss_item_sk = iss.i_item_sk
+        |        AND ss_sold_date_sk = d1.d_date_sk
+        |        AND d1.d_year BETWEEN 1999 AND 1999 + 2 INTERSECT
+        |        SELECT ics.i_brand_id,
+        |               ics.i_class_id,
+        |               ics.i_category_id
+        |        FROM catalog_sales,
+        |             item ics,
+        |             date_dim d2 WHERE cs_item_sk = ics.i_item_sk
+        |        AND cs_sold_date_sk = d2.d_date_sk
+        |        AND d2.d_year BETWEEN 1999 AND 1999 + 2 INTERSECT
+        |        SELECT iws.i_brand_id,
+        |               iws.i_class_id,
+        |               iws.i_category_id
+        |        FROM web_sales,
+        |             item iws,
+        |             date_dim d3 WHERE ws_item_sk = iws.i_item_sk
+        |        AND ws_sold_date_sk = d3.d_date_sk
+        |        AND d3.d_year BETWEEN 1999 AND 1999 + 2) sq1
+        |   WHERE i_brand_id = brand_id
+        |     AND i_class_id = class_id
+        |     AND i_category_id = category_id ),
+        |     avg_sales AS
+        |  (SELECT avg(quantity*list_price) average_sales
+        |   FROM
+        |     (SELECT ss_quantity quantity,
+        |             ss_list_price list_price
+        |      FROM store_sales,
+        |           date_dim
+        |      WHERE ss_sold_date_sk = d_date_sk
+        |        AND d_year BETWEEN 1999 AND 1999 + 2
+        |      UNION ALL SELECT cs_quantity quantity,
+        |                       cs_list_price list_price
+        |      FROM catalog_sales,
+        |           date_dim
+        |      WHERE cs_sold_date_sk = d_date_sk
+        |        AND d_year BETWEEN 1999 AND 1999 + 2
+        |      UNION ALL SELECT ws_quantity quantity,
+        |                       ws_list_price list_price
+        |      FROM web_sales,
+        |           date_dim
+        |      WHERE ws_sold_date_sk = d_date_sk
+        |        AND d_year BETWEEN 1999 AND 1999 + 2) sq2)
+        |SELECT channel,
+        |       i_brand_id,
+        |       i_class_id,
+        |       i_category_id,
+        |       CAST(sum(sales) AS BIGINT) AS sum_sales,
+        |       CAST(sum(number_sales) AS BIGINT) AS sum_number_sales
+        |FROM
+        |  (SELECT 'store' channel,
+        |                  i_brand_id,
+        |                  i_class_id,
+        |                  i_category_id,
+        |                  sum(ss_quantity*ss_list_price) sales,
+        |                  count(*) number_sales
+        |   FROM store_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ss_item_sk IN
+        |       (SELECT ss_item_sk
+        |        FROM cross_items)
+        |     AND ss_item_sk = i_item_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND d_year = 1999+2
+        |     AND d_moy = 11
+        |   GROUP BY i_brand_id,
+        |            i_class_id,
+        |            i_category_id
+        |   HAVING sum(ss_quantity*ss_list_price) >
+        |     (SELECT average_sales
+        |      FROM avg_sales)
+        |   UNION ALL SELECT 'catalog' channel,
+        |                              i_brand_id,
+        |                              i_class_id,
+        |                              i_category_id,
+        |                              sum(cs_quantity*cs_list_price) sales,
+        |                              count(*) number_sales
+        |   FROM catalog_sales,
+        |        item,
+        |        date_dim
+        |   WHERE cs_item_sk IN
+        |       (SELECT ss_item_sk
+        |        FROM cross_items)
+        |     AND cs_item_sk = i_item_sk
+        |     AND cs_sold_date_sk = d_date_sk
+        |     AND d_year = 1999+2
+        |     AND d_moy = 11
+        |   GROUP BY i_brand_id,
+        |            i_class_id,
+        |            i_category_id
+        |   HAVING sum(cs_quantity*cs_list_price) >
+        |     (SELECT average_sales
+        |      FROM avg_sales)
+        |   UNION ALL SELECT 'web' channel,
+        |                          i_brand_id,
+        |                          i_class_id,
+        |                          i_category_id,
+        |                          sum(ws_quantity*ws_list_price) sales,
+        |                          count(*) number_sales
+        |   FROM web_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ws_item_sk IN
+        |       (SELECT ss_item_sk
+        |        FROM cross_items)
+        |     AND ws_item_sk = i_item_sk
+        |     AND ws_sold_date_sk = d_date_sk
+        |     AND d_year = 1999+2
+        |     AND d_moy = 11
+        |   GROUP BY i_brand_id,
+        |            i_class_id,
+        |            i_category_id
+        |   HAVING sum(ws_quantity*ws_list_price) >
+        |     (SELECT average_sales
+        |      FROM avg_sales)) y
+        |GROUP BY ROLLUP (channel,
+        |                 i_brand_id,
+        |                 i_class_id,
+        |                 i_category_id)
+        |ORDER BY channel NULLS FIRST,
+        |         i_brand_id NULLS FIRST,
+        |         i_class_id NULLS FIRST,
+        |         i_category_id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q17: quarterly store/returns/catalog quantity stats (stddev_samp expanded to the exact-sum formula; see object doc)
+    "tpcds_q17" -> wrap(
+      """SELECT i_item_id,
+        |       i_item_desc,
+        |       s_state,
+        |       count(ss_quantity) AS store_sales_quantitycount,
+        |       avg(ss_quantity) AS store_sales_quantityave,
+        |       sqrt((CAST(count(ss_quantity) AS DOUBLE) * CAST(sum(ss_quantity*ss_quantity) AS DOUBLE) - CAST(sum(ss_quantity) AS DOUBLE) * CAST(sum(ss_quantity) AS DOUBLE)) / NULLIF(CAST(count(ss_quantity) AS DOUBLE) * CAST(count(ss_quantity) - 1 AS DOUBLE), 0)) AS store_sales_quantitystdev,
+        |       sqrt((CAST(count(ss_quantity) AS DOUBLE) * CAST(sum(ss_quantity*ss_quantity) AS DOUBLE) - CAST(sum(ss_quantity) AS DOUBLE) * CAST(sum(ss_quantity) AS DOUBLE)) / NULLIF(CAST(count(ss_quantity) AS DOUBLE) * CAST(count(ss_quantity) - 1 AS DOUBLE), 0))/avg(ss_quantity) AS store_sales_quantitycov,
+        |       count(sr_return_quantity) AS store_returns_quantitycount,
+        |       avg(sr_return_quantity) AS store_returns_quantityave,
+        |       sqrt((CAST(count(sr_return_quantity) AS DOUBLE) * CAST(sum(sr_return_quantity*sr_return_quantity) AS DOUBLE) - CAST(sum(sr_return_quantity) AS DOUBLE) * CAST(sum(sr_return_quantity) AS DOUBLE)) / NULLIF(CAST(count(sr_return_quantity) AS DOUBLE) * CAST(count(sr_return_quantity) - 1 AS DOUBLE), 0)) AS store_returns_quantitystdev,
+        |       sqrt((CAST(count(sr_return_quantity) AS DOUBLE) * CAST(sum(sr_return_quantity*sr_return_quantity) AS DOUBLE) - CAST(sum(sr_return_quantity) AS DOUBLE) * CAST(sum(sr_return_quantity) AS DOUBLE)) / NULLIF(CAST(count(sr_return_quantity) AS DOUBLE) * CAST(count(sr_return_quantity) - 1 AS DOUBLE), 0))/avg(sr_return_quantity) AS store_returns_quantitycov,
+        |       count(cs_quantity) AS catalog_sales_quantitycount,
+        |       avg(cs_quantity) AS catalog_sales_quantityave,
+        |       sqrt((CAST(count(cs_quantity) AS DOUBLE) * CAST(sum(cs_quantity*cs_quantity) AS DOUBLE) - CAST(sum(cs_quantity) AS DOUBLE) * CAST(sum(cs_quantity) AS DOUBLE)) / NULLIF(CAST(count(cs_quantity) AS DOUBLE) * CAST(count(cs_quantity) - 1 AS DOUBLE), 0)) AS catalog_sales_quantitystdev,
+        |       sqrt((CAST(count(cs_quantity) AS DOUBLE) * CAST(sum(cs_quantity*cs_quantity) AS DOUBLE) - CAST(sum(cs_quantity) AS DOUBLE) * CAST(sum(cs_quantity) AS DOUBLE)) / NULLIF(CAST(count(cs_quantity) AS DOUBLE) * CAST(count(cs_quantity) - 1 AS DOUBLE), 0))/avg(cs_quantity) AS catalog_sales_quantitycov
+        |FROM store_sales,
+        |     store_returns,
+        |     catalog_sales,
+        |     date_dim d1,
+        |     date_dim d2,
+        |     date_dim d3,
+        |     store,
+        |     item
+        |WHERE d1.d_quarter_name = '2001Q1'
+        |  AND d1.d_date_sk = ss_sold_date_sk
+        |  AND i_item_sk = ss_item_sk
+        |  AND s_store_sk = ss_store_sk
+        |  AND ss_customer_sk = sr_customer_sk
+        |  AND ss_item_sk = sr_item_sk
+        |  AND ss_ticket_number = sr_ticket_number
+        |  AND sr_returned_date_sk = d2.d_date_sk
+        |  AND d2.d_quarter_name IN ('2001Q1',
+        |                            '2001Q2',
+        |                            '2001Q3')
+        |  AND sr_customer_sk = cs_bill_customer_sk
+        |  AND sr_item_sk = cs_item_sk
+        |  AND cs_sold_date_sk = d3.d_date_sk
+        |  AND d3.d_quarter_name IN ('2001Q1',
+        |                            '2001Q2',
+        |                            '2001Q3')
+        |GROUP BY i_item_id,
+        |         i_item_desc,
+        |         s_state
+        |ORDER BY i_item_id NULLS FIRST,
+        |         i_item_desc NULLS FIRST,
+        |         s_state NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q24: peach-color net paid by customer x store, zip-joined (HAVING 0.05*avg; sum cast)
+    "tpcds_q24" -> wrap(
+      """WITH ssales AS
+        |  (SELECT c_last_name,
+        |          c_first_name,
+        |          s_store_name,
+        |          ca_state,
+        |          s_state,
+        |          i_color,
+        |          i_current_price,
+        |          i_manager_id,
+        |          i_units,
+        |          i_size,
+        |          sum(ss_net_paid) netpaid
+        |   FROM store_sales,
+        |        store_returns,
+        |        store,
+        |        item,
+        |        customer,
+        |        customer_address
+        |   WHERE ss_ticket_number = sr_ticket_number
+        |     AND ss_item_sk = sr_item_sk
+        |     AND ss_customer_sk = c_customer_sk
+        |     AND ss_item_sk = i_item_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND c_current_addr_sk = ca_address_sk
+        |     AND c_birth_country <> upper(ca_country)
+        |     AND s_zip = ca_zip
+        |     AND s_market_id=8
+        |   GROUP BY c_last_name,
+        |            c_first_name,
+        |            s_store_name,
+        |            ca_state,
+        |            s_state,
+        |            i_color,
+        |            i_current_price,
+        |            i_manager_id,
+        |            i_units,
+        |            i_size)
+        |SELECT c_last_name,
+        |       c_first_name,
+        |       s_store_name,
+        |       CAST(sum(netpaid) AS BIGINT) paid
+        |FROM ssales
+        |WHERE i_color = 'peach'
+        |GROUP BY c_last_name,
+        |         c_first_name,
+        |         s_store_name
+        |HAVING sum(netpaid) >
+        |  (SELECT 0.05*avg(netpaid)
+        |   FROM ssales)
+        |ORDER BY c_last_name,
+        |         c_first_name,
+        |         s_store_name""".stripMargin),
+
+    // q28: six list-price bucket averages with distinct counts (verbatim)
+    "tpcds_q28" -> wrap(
+      """SELECT *
+        |FROM
+        |  (SELECT avg(ss_list_price) B1_LP,
+        |          count(ss_list_price) B1_CNT,
+        |          count(DISTINCT ss_list_price) B1_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 0 AND 5
+        |     AND (ss_list_price BETWEEN 8 AND 8+10
+        |          OR ss_coupon_amt BETWEEN 459 AND 459+1000
+        |          OR ss_wholesale_cost BETWEEN 57 AND 57+20)) B1,
+        |  (SELECT avg(ss_list_price) B2_LP,
+        |          count(ss_list_price) B2_CNT,
+        |          count(DISTINCT ss_list_price) B2_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 6 AND 10
+        |     AND (ss_list_price BETWEEN 90 AND 90+10
+        |          OR ss_coupon_amt BETWEEN 2323 AND 2323+1000
+        |          OR ss_wholesale_cost BETWEEN 31 AND 31+20)) B2,
+        |  (SELECT avg(ss_list_price) B3_LP,
+        |          count(ss_list_price) B3_CNT,
+        |          count(DISTINCT ss_list_price) B3_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 11 AND 15
+        |     AND (ss_list_price BETWEEN 142 AND 142+10
+        |          OR ss_coupon_amt BETWEEN 12214 AND 12214+1000
+        |          OR ss_wholesale_cost BETWEEN 79 AND 79+20)) B3,
+        |  (SELECT avg(ss_list_price) B4_LP,
+        |          count(ss_list_price) B4_CNT,
+        |          count(DISTINCT ss_list_price) B4_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 16 AND 20
+        |     AND (ss_list_price BETWEEN 135 AND 135+10
+        |          OR ss_coupon_amt BETWEEN 6071 AND 6071+1000
+        |          OR ss_wholesale_cost BETWEEN 38 AND 38+20)) B4,
+        |  (SELECT avg(ss_list_price) B5_LP,
+        |          count(ss_list_price) B5_CNT,
+        |          count(DISTINCT ss_list_price) B5_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 21 AND 25
+        |     AND (ss_list_price BETWEEN 122 AND 122+10
+        |          OR ss_coupon_amt BETWEEN 836 AND 836+1000
+        |          OR ss_wholesale_cost BETWEEN 17 AND 17+20)) B5,
+        |  (SELECT avg(ss_list_price) B6_LP,
+        |          count(ss_list_price) B6_CNT,
+        |          count(DISTINCT ss_list_price) B6_CNTD
+        |   FROM store_sales
+        |   WHERE ss_quantity BETWEEN 26 AND 30
+        |     AND (ss_list_price BETWEEN 154 AND 154+10
+        |          OR ss_coupon_amt BETWEEN 7326 AND 7326+1000
+        |          OR ss_wholesale_cost BETWEEN 7 AND 7+20)) B6
+        |LIMIT 100""".stripMargin),
+
+    // q30: web-returns customers above 1.2x state average (CTE sum cast)
+    "tpcds_q30" -> wrap(
+      """WITH customer_total_return AS
+        |  (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+        |          ca_state AS ctr_state,
+        |          CAST(sum(wr_return_amt) AS BIGINT) AS ctr_total_return
+        |   FROM web_returns,
+        |        date_dim,
+        |        customer_address
+        |   WHERE wr_returned_date_sk = d_date_sk
+        |     AND d_year = 2002
+        |     AND wr_returning_addr_sk = ca_address_sk
+        |   GROUP BY wr_returning_customer_sk,
+        |            ca_state)
+        |SELECT c_customer_id,
+        |       c_salutation,
+        |       c_first_name,
+        |       c_last_name,
+        |       c_preferred_cust_flag,
+        |       c_birth_day,
+        |       c_birth_month,
+        |       c_birth_year,
+        |       c_birth_country,
+        |       c_login,
+        |       c_email_address,
+        |       c_last_review_date_sk,
+        |       ctr_total_return
+        |FROM customer_total_return ctr1,
+        |     customer_address,
+        |     customer
+        |WHERE ctr1.ctr_total_return >
+        |    (SELECT avg(ctr_total_return)*1.2
+        |     FROM customer_total_return ctr2
+        |     WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c_current_addr_sk
+        |  AND ca_state = 'GA'
+        |  AND ctr1.ctr_customer_sk = c_customer_sk
+        |ORDER BY c_customer_id NULLS FIRST,
+        |         c_salutation NULLS FIRST,
+        |         c_first_name NULLS FIRST,
+        |         c_last_name NULLS FIRST,
+        |         c_preferred_cust_flag NULLS FIRST,
+        |         c_birth_day NULLS FIRST,
+        |         c_birth_month NULLS FIRST,
+        |         c_birth_year NULLS FIRST,
+        |         c_birth_country NULLS FIRST,
+        |         c_login NULLS FIRST,
+        |         c_email_address NULLS FIRST,
+        |         c_last_review_date_sk NULLS FIRST,
+        |         ctr_total_return NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q39: inventory monthly cov > 1, month-pair self-join (stddev expanded to the exact-sum formula; *1.000 idiom dropped)
+    "tpcds_q39" -> wrap(
+      """WITH inv AS
+        |  (SELECT w_warehouse_name,
+        |          w_warehouse_sk,
+        |          i_item_sk,
+        |          d_moy,
+        |          stdev,
+        |          mean,
+        |          CASE mean
+        |              WHEN 0 THEN NULL
+        |              ELSE stdev/mean
+        |          END cov
+        |   FROM
+        |     (SELECT w_warehouse_name,
+        |             w_warehouse_sk,
+        |             i_item_sk,
+        |             d_moy,
+        |             sqrt((CAST(count(inv_quantity_on_hand) AS DOUBLE) * CAST(sum(inv_quantity_on_hand*inv_quantity_on_hand) AS DOUBLE) - CAST(sum(inv_quantity_on_hand) AS DOUBLE) * CAST(sum(inv_quantity_on_hand) AS DOUBLE)) / NULLIF(CAST(count(inv_quantity_on_hand) AS DOUBLE) * CAST(count(inv_quantity_on_hand) - 1 AS DOUBLE), 0)) stdev,
+        |             avg(inv_quantity_on_hand) mean
+        |      FROM inventory,
+        |           item,
+        |           warehouse,
+        |           date_dim
+        |      WHERE inv_item_sk = i_item_sk
+        |        AND inv_warehouse_sk = w_warehouse_sk
+        |        AND inv_date_sk = d_date_sk
+        |        AND d_year =2001
+        |      GROUP BY w_warehouse_name,
+        |               w_warehouse_sk,
+        |               i_item_sk,
+        |               d_moy) foo
+        |   WHERE CASE mean
+        |             WHEN 0 THEN 0
+        |             ELSE stdev/mean
+        |         END > 1)
+        |SELECT inv1.w_warehouse_sk wsk1,
+        |       inv1.i_item_sk isk1,
+        |       inv1.d_moy dmoy1,
+        |       inv1.mean mean1,
+        |       inv1.cov cov1,
+        |       inv2.w_warehouse_sk,
+        |       inv2.i_item_sk,
+        |       inv2.d_moy,
+        |       inv2.mean,
+        |       inv2.cov
+        |FROM inv inv1,
+        |     inv inv2
+        |WHERE inv1.i_item_sk = inv2.i_item_sk
+        |  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+        |  AND inv1.d_moy=1
+        |  AND inv2.d_moy=1+1
+        |ORDER BY inv1.w_warehouse_sk NULLS FIRST,
+        |         inv1.i_item_sk NULLS FIRST,
+        |         inv1.d_moy NULLS FIRST,
+        |         inv1.mean NULLS FIRST,
+        |         inv1.cov NULLS FIRST,
+        |         inv2.d_moy NULLS FIRST,
+        |         inv2.mean NULLS FIRST,
+        |         inv2.cov NULLS FIRST""".stripMargin),
+
+    // q40: warehouse sales before/after 2000-03-11 price-band window (sums cast)
+    "tpcds_q40" -> wrap(
+      """SELECT w_state,
+        |       i_item_id,
+        |       CAST(sum(CASE
+        |               WHEN (cast(d_date AS date) < CAST ('2000-03-11' AS date)) THEN cs_sales_price - coalesce(cr_refunded_cash,0)
+        |               ELSE 0
+        |           END) AS BIGINT) AS sales_before,
+        |       CAST(sum(CASE
+        |               WHEN (cast(d_date AS date) >= CAST ('2000-03-11' AS date)) THEN cs_sales_price - coalesce(cr_refunded_cash,0)
+        |               ELSE 0
+        |           END) AS BIGINT) AS sales_after
+        |FROM catalog_sales
+        |LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+        |                                    AND cs_item_sk = cr_item_sk) ,warehouse,
+        |                                                                  item,
+        |                                                                  date_dim
+        |WHERE i_current_price BETWEEN 0.99 AND 1.49
+        |  AND i_item_sk = cs_item_sk
+        |  AND cs_warehouse_sk = w_warehouse_sk
+        |  AND cs_sold_date_sk = d_date_sk
+        |  AND d_date BETWEEN CAST ('2000-02-10' AS date) AND CAST ('2000-04-10' AS date)
+        |GROUP BY w_state,
+        |         i_item_id
+        |ORDER BY w_state,
+        |         i_item_id
+        |LIMIT 100""".stripMargin),
+
+    // q41: manufact 738..778 attribute-combination probe (verbatim)
+    "tpcds_q41" -> wrap(
+      """SELECT distinct(i_product_name)
+        |FROM item i1
+        |WHERE i_manufact_id BETWEEN 738 AND 738+40
+        |  AND
+        |    (SELECT count(*) AS item_cnt
+        |     FROM item
+        |     WHERE (i_manufact = i1.i_manufact
+        |            AND ((i_category = 'Women'
+        |                  AND (i_color = 'powder'
+        |                       OR i_color = 'khaki')
+        |                  AND (i_units = 'Ounce'
+        |                       OR i_units = 'Oz')
+        |                  AND (i_size = 'medium'
+        |                       OR i_size = 'extra large'))
+        |                 OR (i_category = 'Women'
+        |                     AND (i_color = 'brown'
+        |                          OR i_color = 'honeydew')
+        |                     AND (i_units = 'Bunch'
+        |                          OR i_units = 'Ton')
+        |                     AND (i_size = 'N/A'
+        |                          OR i_size = 'small'))
+        |                 OR (i_category = 'Men'
+        |                     AND (i_color = 'floral'
+        |                          OR i_color = 'deep')
+        |                     AND (i_units = 'N/A'
+        |                          OR i_units = 'Dozen')
+        |                     AND (i_size = 'petite'
+        |                          OR i_size = 'petite'))
+        |                 OR (i_category = 'Men'
+        |                     AND (i_color = 'light'
+        |                          OR i_color = 'cornflower')
+        |                     AND (i_units = 'Box'
+        |                          OR i_units = 'Pound')
+        |                     AND (i_size = 'medium'
+        |                          OR i_size = 'extra large'))))
+        |       OR (i_manufact = i1.i_manufact
+        |           AND ((i_category = 'Women'
+        |                 AND (i_color = 'midnight'
+        |                      OR i_color = 'snow')
+        |                 AND (i_units = 'Pallet'
+        |                      OR i_units = 'Gross')
+        |                 AND (i_size = 'medium'
+        |                      OR i_size = 'extra large'))
+        |                OR (i_category = 'Women'
+        |                    AND (i_color = 'cyan'
+        |                         OR i_color = 'papaya')
+        |                    AND (i_units = 'Cup'
+        |                         OR i_units = 'Dram')
+        |                    AND (i_size = 'N/A'
+        |                         OR i_size = 'small'))
+        |                OR (i_category = 'Men'
+        |                    AND (i_color = 'orange'
+        |                         OR i_color = 'frosted')
+        |                    AND (i_units = 'Each'
+        |                         OR i_units = 'Tbl')
+        |                    AND (i_size = 'petite'
+        |                         OR i_size = 'petite'))
+        |                OR (i_category = 'Men'
+        |                    AND (i_color = 'forest'
+        |                         OR i_color = 'ghost')
+        |                    AND (i_units = 'Lb'
+        |                         OR i_units = 'Bundle')
+        |                    AND (i_size = 'medium'
+        |                         OR i_size = 'extra large'))))) > 0
+        |ORDER BY i_product_name
+        |LIMIT 100""".stripMargin),
+
+    // q44: best/worst item by store-4 avg net profit vs NULL-addr benchmark (ORDER extended for totality)
+    "tpcds_q44" -> wrap(
+      """SELECT asceding.rnk,
+        |       i1.i_product_name best_performing,
+        |       i2.i_product_name worst_performing
+        |FROM
+        |  (SELECT *
+        |   FROM
+        |     (SELECT item_sk,
+        |             rank() OVER (
+        |                          ORDER BY rank_col ASC) rnk
+        |      FROM
+        |        (SELECT ss_item_sk item_sk,
+        |                avg(ss_net_profit) rank_col
+        |         FROM store_sales ss1
+        |         WHERE ss_store_sk = 4
+        |         GROUP BY ss_item_sk
+        |         HAVING avg(ss_net_profit) > 0.9*
+        |           (SELECT avg(ss_net_profit) rank_col
+        |            FROM store_sales
+        |            WHERE ss_store_sk = 4
+        |              AND ss_addr_sk IS NULL
+        |            GROUP BY ss_store_sk))V1)V11
+        |   WHERE rnk < 11) asceding,
+        |  (SELECT *
+        |   FROM
+        |     (SELECT item_sk,
+        |             rank() OVER (
+        |                          ORDER BY rank_col DESC) rnk
+        |      FROM
+        |        (SELECT ss_item_sk item_sk,
+        |                avg(ss_net_profit) rank_col
+        |         FROM store_sales ss1
+        |         WHERE ss_store_sk = 4
+        |         GROUP BY ss_item_sk
+        |         HAVING avg(ss_net_profit) > 0.9*
+        |           (SELECT avg(ss_net_profit) rank_col
+        |            FROM store_sales
+        |            WHERE ss_store_sk = 4
+        |              AND ss_addr_sk IS NULL
+        |            GROUP BY ss_store_sk))V2)V21
+        |   WHERE rnk < 11) descending,
+        |     item i1,
+        |     item i2
+        |WHERE asceding.rnk = descending.rnk
+        |  AND i1.i_item_sk=asceding.item_sk
+        |  AND i2.i_item_sk=descending.item_sk
+        |ORDER BY asceding.rnk,
+        |         best_performing,
+        |         worst_performing
+        |LIMIT 100""".stripMargin),
+
+    // q49: worst return ratios per channel, double ranks (dec(15,4) casts -> DOUBLE)
+    "tpcds_q49" -> wrap(
+      """SELECT channel,
+        |       item,
+        |       return_ratio,
+        |       return_rank,
+        |       currency_rank
+        |FROM
+        |  (SELECT 'web' AS channel,
+        |          web.item,
+        |          web.return_ratio,
+        |          web.return_rank,
+        |          web.currency_rank
+        |   FROM
+        |     (SELECT item,
+        |             return_ratio,
+        |             currency_ratio,
+        |             rank() OVER (
+        |                          ORDER BY return_ratio) AS return_rank,
+        |                         rank() OVER (
+        |                                      ORDER BY currency_ratio) AS currency_rank
+        |      FROM
+        |        (SELECT ws.ws_item_sk AS item,
+        |                (cast(sum(coalesce(wr.wr_return_quantity,0)) AS DOUBLE)/ cast(sum(coalesce(ws.ws_quantity,0)) AS DOUBLE)) AS return_ratio,
+        |                (cast(sum(coalesce(wr.wr_return_amt,0)) AS DOUBLE)/ cast(sum(coalesce(ws.ws_net_paid,0)) AS DOUBLE)) AS currency_ratio
+        |         FROM web_sales ws
+        |         LEFT OUTER JOIN web_returns wr ON (ws.ws_order_number = wr.wr_order_number
+        |                                            AND ws.ws_item_sk = wr.wr_item_sk) ,date_dim
+        |         WHERE wr.wr_return_amt > 10000
+        |           AND ws.ws_net_profit > 1
+        |           AND ws.ws_net_paid > 0
+        |           AND ws.ws_quantity > 0
+        |           AND ws_sold_date_sk = d_date_sk
+        |           AND d_year = 2001
+        |           AND d_moy = 12
+        |         GROUP BY ws.ws_item_sk) in_web) web
+        |   WHERE (web.return_rank <= 10
+        |          OR web.currency_rank <= 10)
+        |   UNION SELECT 'catalog' AS channel,
+        |                catalog.item,
+        |                catalog.return_ratio,
+        |                catalog.return_rank,
+        |                catalog.currency_rank
+        |   FROM
+        |     (SELECT item,
+        |             return_ratio,
+        |             currency_ratio,
+        |             rank() OVER (
+        |                          ORDER BY return_ratio) AS return_rank,
+        |                         rank() OVER (
+        |                                      ORDER BY currency_ratio) AS currency_rank
+        |      FROM
+        |        (SELECT cs.cs_item_sk AS item,
+        |                (cast(sum(coalesce(cr.cr_return_quantity,0)) AS DOUBLE)/ cast(sum(coalesce(cs.cs_quantity,0)) AS DOUBLE)) AS return_ratio,
+        |                (cast(sum(coalesce(cr.cr_return_amount,0)) AS DOUBLE)/ cast(sum(coalesce(cs.cs_net_paid,0)) AS DOUBLE)) AS currency_ratio
+        |         FROM catalog_sales cs
+        |         LEFT OUTER JOIN catalog_returns cr ON (cs.cs_order_number = cr.cr_order_number
+        |                                                AND cs.cs_item_sk = cr.cr_item_sk) ,date_dim
+        |         WHERE cr.cr_return_amount > 10000
+        |           AND cs.cs_net_profit > 1
+        |           AND cs.cs_net_paid > 0
+        |           AND cs.cs_quantity > 0
+        |           AND cs_sold_date_sk = d_date_sk
+        |           AND d_year = 2001
+        |           AND d_moy = 12
+        |         GROUP BY cs.cs_item_sk) in_cat) CATALOG
+        |   WHERE (catalog.return_rank <= 10
+        |          OR catalog.currency_rank <=10)
+        |   UNION SELECT 'store' AS channel,
+        |                store.item,
+        |                store.return_ratio,
+        |                store.return_rank,
+        |                store.currency_rank
+        |   FROM
+        |     (SELECT item,
+        |             return_ratio,
+        |             currency_ratio,
+        |             rank() OVER (
+        |                          ORDER BY return_ratio) AS return_rank,
+        |                         rank() OVER (
+        |                                      ORDER BY currency_ratio) AS currency_rank
+        |      FROM
+        |        (SELECT sts.ss_item_sk AS item,
+        |                (cast(sum(coalesce(sr.sr_return_quantity,0)) AS DOUBLE)/cast(sum(coalesce(sts.ss_quantity,0)) AS DOUBLE)) AS return_ratio,
+        |                (cast(sum(coalesce(sr.sr_return_amt,0)) AS DOUBLE)/cast(sum(coalesce(sts.ss_net_paid,0)) AS DOUBLE)) AS currency_ratio
+        |         FROM store_sales sts
+        |         LEFT OUTER JOIN store_returns sr ON (sts.ss_ticket_number = sr.sr_ticket_number
+        |                                              AND sts.ss_item_sk = sr.sr_item_sk) ,date_dim
+        |         WHERE sr.sr_return_amt > 10000
+        |           AND sts.ss_net_profit > 1
+        |           AND sts.ss_net_paid > 0
+        |           AND sts.ss_quantity > 0
+        |           AND ss_sold_date_sk = d_date_sk
+        |           AND d_year = 2001
+        |           AND d_moy = 12
+        |         GROUP BY sts.ss_item_sk) in_store) store
+        |   WHERE (store.return_rank <= 10
+        |          OR store.currency_rank <= 10) ) sq1
+        |ORDER BY 1 NULLS FIRST,
+        |         4 NULLS FIRST,
+        |         5 NULLS FIRST,
+        |         2 NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q51: web-vs-store cumulative sales crossover, windowed full outer (window sums cast)
+    "tpcds_q51" -> wrap(
+      """WITH web_v1 AS
+        |  (SELECT ws_item_sk item_sk,
+        |          d_date,
+        |          CAST(sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk
+        |                                         ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) AS BIGINT) cume_sales
+        |   FROM web_sales,
+        |        date_dim
+        |   WHERE ws_sold_date_sk=d_date_sk
+        |     AND d_month_seq BETWEEN 1200 AND 1200+11
+        |     AND ws_item_sk IS NOT NULL
+        |   GROUP BY ws_item_sk,
+        |            d_date),
+        |     store_v1 AS
+        |  (SELECT ss_item_sk item_sk,
+        |          d_date,
+        |          CAST(sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk
+        |                                         ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) AS BIGINT) cume_sales
+        |   FROM store_sales,
+        |        date_dim
+        |   WHERE ss_sold_date_sk=d_date_sk
+        |     AND d_month_seq BETWEEN 1200 AND 1200+11
+        |     AND ss_item_sk IS NOT NULL
+        |   GROUP BY ss_item_sk,
+        |            d_date)
+        |SELECT *
+        |FROM
+        |  (SELECT item_sk,
+        |          d_date,
+        |          web_sales,
+        |          store_sales,
+        |          max(web_sales) OVER (PARTITION BY item_sk
+        |                               ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) web_cumulative,
+        |                              max(store_sales) OVER (PARTITION BY item_sk
+        |                                                     ORDER BY d_date ROWS BETWEEN unbounded preceding AND CURRENT ROW) store_cumulative
+        |   FROM
+        |     (SELECT CASE
+        |                 WHEN web.item_sk IS NOT NULL THEN web.item_sk
+        |                 ELSE store.item_sk
+        |             END item_sk,
+        |             CASE
+        |                 WHEN web.d_date IS NOT NULL THEN web.d_date
+        |                 ELSE store.d_date
+        |             END d_date,
+        |             web.cume_sales web_sales,
+        |             store.cume_sales store_sales
+        |      FROM web_v1 web
+        |      FULL OUTER JOIN store_v1 store ON (web.item_sk = store.item_sk
+        |                                         AND web.d_date = store.d_date))x)y
+        |WHERE web_cumulative > store_cumulative
+        |ORDER BY item_sk NULLS FIRST,
+        |         d_date NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q53: manufact quarterly sales vs average (sum cast)
+    "tpcds_q53" -> wrap(
+      """SELECT *
+        |FROM
+        |  (SELECT i_manufact_id,
+        |          CAST(sum(ss_sales_price) AS BIGINT) sum_sales,
+        |          avg(sum(ss_sales_price)) OVER (PARTITION BY i_manufact_id) avg_quarterly_sales
+        |   FROM item,
+        |        store_sales,
+        |        date_dim,
+        |        store
+        |   WHERE ss_item_sk = i_item_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND d_month_seq IN (1200,
+        |                         1200+1,
+        |                         1200+2,
+        |                         1200+3,
+        |                         1200+4,
+        |                         1200+5,
+        |                         1200+6,
+        |                         1200+7,
+        |                         1200+8,
+        |                         1200+9,
+        |                         1200+10,
+        |                         1200+11)
+        |     AND ((i_category IN ('Books',
+        |                          'Children',
+        |                          'Electronics')
+        |           AND i_class IN ('personal',
+        |                           'portable',
+        |                           'reference',
+        |                           'self-help')
+        |           AND i_brand IN ('scholaramalgamalg #14',
+        |                           'scholaramalgamalg #7',
+        |                           'exportiunivamalg #9',
+        |                           'scholaramalgamalg #9')) or(i_category IN ('Women','Music','Men')
+        |                                                       AND i_class IN ('accessories','classical','fragrances','pants')
+        |                                                       AND i_brand IN ('amalgimporto #1','edu packscholar #1','exportiimporto #1', 'importoamalg #1')))
+        |   GROUP BY i_manufact_id,
+        |            d_qoy) tmp1
+        |WHERE CASE
+        |          WHEN avg_quarterly_sales > 0 THEN ABS (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales
+        |          ELSE NULL
+        |      END > 0.1
+        |ORDER BY avg_quarterly_sales,
+        |         sum_sales,
+        |         i_manufact_id
+        |LIMIT 100""".stripMargin),
+
+    // q57: call-center monthly deviation with lag/lead self-joins (v1 sum cast)
+    "tpcds_q57" -> wrap(
+      """WITH v1 AS
+        |  (SELECT i_category,
+        |          i_brand,
+        |          cc_name,
+        |          d_year,
+        |          d_moy,
+        |          CAST(sum(cs_sales_price) AS BIGINT) sum_sales,
+        |          avg(sum(cs_sales_price)) OVER (PARTITION BY i_category,
+        |                                                      i_brand,
+        |                                                      cc_name,
+        |                                                      d_year) avg_monthly_sales,
+        |                                        rank() OVER (PARTITION BY i_category,
+        |                                                                  i_brand,
+        |                                                                  cc_name
+        |                                                     ORDER BY d_year,
+        |                                                              d_moy) rn
+        |   FROM item,
+        |        catalog_sales,
+        |        date_dim,
+        |        call_center
+        |   WHERE cs_item_sk = i_item_sk
+        |     AND cs_sold_date_sk = d_date_sk
+        |     AND cc_call_center_sk= cs_call_center_sk
+        |     AND (d_year = 1999
+        |          OR (d_year = 1999-1
+        |              AND d_moy =12)
+        |          OR (d_year = 1999+1
+        |              AND d_moy =1))
+        |   GROUP BY i_category,
+        |            i_brand,
+        |            cc_name,
+        |            d_year,
+        |            d_moy),
+        |     v2 AS
+        |  (SELECT v1.i_category,
+        |          v1.i_brand,
+        |          v1.cc_name,
+        |          v1.d_year,
+        |          v1.d_moy,
+        |          v1.avg_monthly_sales,
+        |          v1.sum_sales,
+        |          v1_lag.sum_sales psum,
+        |          v1_lead.sum_sales nsum
+        |   FROM v1,
+        |        v1 v1_lag,
+        |        v1 v1_lead
+        |   WHERE v1.i_category = v1_lag.i_category
+        |     AND v1.i_category = v1_lead.i_category
+        |     AND v1.i_brand = v1_lag.i_brand
+        |     AND v1.i_brand = v1_lead.i_brand
+        |     AND v1. cc_name = v1_lag. cc_name
+        |     AND v1. cc_name = v1_lead. cc_name
+        |     AND v1.rn = v1_lag.rn + 1
+        |     AND v1.rn = v1_lead.rn - 1)
+        |SELECT *
+        |FROM v2
+        |WHERE d_year = 1999
+        |  AND avg_monthly_sales > 0
+        |  AND CASE
+        |          WHEN avg_monthly_sales > 0 THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |          ELSE NULL
+        |      END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales NULLS FIRST, 1, 2, 3, 4, 5, 6, 7, 8, 9
+        |LIMIT 100""".stripMargin),
+
+    // q58: cross-channel item revenue parity for one week (CTE sums cast; balanced-week slice in derivation)
+    "tpcds_q58" -> wrap(
+      """WITH ss_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(ss_ext_sales_price) AS BIGINT) ss_item_rev
+        |   FROM store_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ss_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq =
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date = '2000-01-03'))
+        |     AND ss_sold_date_sk = d_date_sk
+        |   GROUP BY i_item_id),
+        |     cs_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(cs_ext_sales_price) AS BIGINT) cs_item_rev
+        |   FROM catalog_sales,
+        |        item,
+        |        date_dim
+        |   WHERE cs_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq =
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date = '2000-01-03'))
+        |     AND cs_sold_date_sk = d_date_sk
+        |   GROUP BY i_item_id),
+        |     ws_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(ws_ext_sales_price) AS BIGINT) ws_item_rev
+        |   FROM web_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ws_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq =
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date = '2000-01-03'))
+        |     AND ws_sold_date_sk = d_date_sk
+        |   GROUP BY i_item_id)
+        |SELECT ss_items.item_id,
+        |       ss_item_rev,
+        |       ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ss_dev,
+        |       cs_item_rev,
+        |       cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 cs_dev,
+        |       ws_item_rev,
+        |       ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100 ws_dev,
+        |       (ss_item_rev+cs_item_rev+ws_item_rev)/3 average
+        |FROM ss_items,
+        |     cs_items,
+        |     ws_items
+        |WHERE ss_items.item_id=cs_items.item_id
+        |  AND ss_items.item_id=ws_items.item_id
+        |  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+        |  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+        |  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+        |  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+        |  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+        |  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+        |ORDER BY ss_items.item_id NULLS FIRST,
+        |         ss_item_rev NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q62: web ship-latency day buckets by warehouse/mode/site (space aliases -> parquet-safe, sums cast)
+    "tpcds_q62" -> wrap(
+      """SELECT w_substr,
+        |       sm_type,
+        |       web_name,
+        |       CAST(sum(CASE
+        |               WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_30,
+        |       CAST(sum(CASE
+        |               WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+        |                    AND (ws_ship_date_sk - ws_sold_date_sk <= 60) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_31_60,
+        |       CAST(sum(CASE
+        |               WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+        |                    AND (ws_ship_date_sk - ws_sold_date_sk <= 90) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_61_90,
+        |       CAST(sum(CASE
+        |               WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+        |                    AND (ws_ship_date_sk - ws_sold_date_sk <= 120) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_91_120,
+        |       CAST(sum(CASE
+        |               WHEN (ws_ship_date_sk - ws_sold_date_sk > 120) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_over_120
+        |FROM web_sales,
+        |  (SELECT SUBSTRING(w_warehouse_name,1,20) w_substr,
+        |          *
+        |   FROM warehouse) sq1,
+        |     ship_mode,
+        |     web_site,
+        |     date_dim
+        |WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+        |  AND ws_ship_date_sk = d_date_sk
+        |  AND ws_warehouse_sk = w_warehouse_sk
+        |  AND ws_ship_mode_sk = sm_ship_mode_sk
+        |  AND ws_web_site_sk = web_site_sk
+        |GROUP BY w_substr,
+        |         sm_type,
+        |         web_name
+        |ORDER BY 1 NULLS FIRST,
+        |         2 NULLS FIRST,
+        |         3 NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q63: manager monthly sales vs average (sum cast)
+    "tpcds_q63" -> wrap(
+      """SELECT *
+        |FROM
+        |  (SELECT i_manager_id,
+        |          CAST(sum(ss_sales_price) AS BIGINT) sum_sales,
+        |          avg(sum(ss_sales_price)) OVER (PARTITION BY i_manager_id) avg_monthly_sales
+        |   FROM item,
+        |        store_sales,
+        |        date_dim,
+        |        store
+        |   WHERE ss_item_sk = i_item_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND d_month_seq IN (1200,
+        |                         1200+1,
+        |                         1200+2,
+        |                         1200+3,
+        |                         1200+4,
+        |                         1200+5,
+        |                         1200+6,
+        |                         1200+7,
+        |                         1200+8,
+        |                         1200+9,
+        |                         1200+10,
+        |                         1200+11)
+        |     AND ((i_category IN ('Books',
+        |                          'Children',
+        |                          'Electronics')
+        |           AND i_class IN ('personal',
+        |                           'portable',
+        |                           'reference',
+        |                           'self-help')
+        |           AND i_brand IN ('scholaramalgamalg #14',
+        |                           'scholaramalgamalg #7',
+        |                           'exportiunivamalg #9',
+        |                           'scholaramalgamalg #9')) or(i_category IN ('Women','Music','Men')
+        |                                                       AND i_class IN ('accessories','classical','fragrances','pants')
+        |                                                       AND i_brand IN ('amalgimporto #1','edu packscholar #1','exportiimporto #1', 'importoamalg #1')))
+        |   GROUP BY i_manager_id,
+        |            d_moy) tmp1
+        |WHERE CASE
+        |          WHEN avg_monthly_sales > 0 THEN ABS (sum_sales - avg_monthly_sales) / avg_monthly_sales
+        |          ELSE NULL
+        |      END > 0.1
+        |ORDER BY i_manager_id,
+        |         avg_monthly_sales,
+        |         sum_sales
+        |LIMIT 100""".stripMargin),
+
+    // q66: warehouse 12-month sales/net grids across web+catalog (integer sums cast; per-sqft stay DOUBLE)
+    "tpcds_q66" -> wrap(
+      """select
+        |         w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |        ,ship_carriers
+        |        ,year_
+        |  ,CAST(sum(jan_sales) AS BIGINT) as jan_sales
+        |  ,CAST(sum(feb_sales) AS BIGINT) as feb_sales
+        |  ,CAST(sum(mar_sales) AS BIGINT) as mar_sales
+        |  ,CAST(sum(apr_sales) AS BIGINT) as apr_sales
+        |  ,CAST(sum(may_sales) AS BIGINT) as may_sales
+        |  ,CAST(sum(jun_sales) AS BIGINT) as jun_sales
+        |  ,CAST(sum(jul_sales) AS BIGINT) as jul_sales
+        |  ,CAST(sum(aug_sales) AS BIGINT) as aug_sales
+        |  ,CAST(sum(sep_sales) AS BIGINT) as sep_sales
+        |  ,CAST(sum(oct_sales) AS BIGINT) as oct_sales
+        |  ,CAST(sum(nov_sales) AS BIGINT) as nov_sales
+        |  ,CAST(sum(dec_sales) AS BIGINT) as dec_sales
+        |  ,sum(jan_sales/w_warehouse_sq_ft) as jan_sales_per_sq_foot
+        |  ,sum(feb_sales/w_warehouse_sq_ft) as feb_sales_per_sq_foot
+        |  ,sum(mar_sales/w_warehouse_sq_ft) as mar_sales_per_sq_foot
+        |  ,sum(apr_sales/w_warehouse_sq_ft) as apr_sales_per_sq_foot
+        |  ,sum(may_sales/w_warehouse_sq_ft) as may_sales_per_sq_foot
+        |  ,sum(jun_sales/w_warehouse_sq_ft) as jun_sales_per_sq_foot
+        |  ,sum(jul_sales/w_warehouse_sq_ft) as jul_sales_per_sq_foot
+        |  ,sum(aug_sales/w_warehouse_sq_ft) as aug_sales_per_sq_foot
+        |  ,sum(sep_sales/w_warehouse_sq_ft) as sep_sales_per_sq_foot
+        |  ,sum(oct_sales/w_warehouse_sq_ft) as oct_sales_per_sq_foot
+        |  ,sum(nov_sales/w_warehouse_sq_ft) as nov_sales_per_sq_foot
+        |  ,sum(dec_sales/w_warehouse_sq_ft) as dec_sales_per_sq_foot
+        |  ,CAST(sum(jan_net) AS BIGINT) as jan_net
+        |  ,CAST(sum(feb_net) AS BIGINT) as feb_net
+        |  ,CAST(sum(mar_net) AS BIGINT) as mar_net
+        |  ,CAST(sum(apr_net) AS BIGINT) as apr_net
+        |  ,CAST(sum(may_net) AS BIGINT) as may_net
+        |  ,CAST(sum(jun_net) AS BIGINT) as jun_net
+        |  ,CAST(sum(jul_net) AS BIGINT) as jul_net
+        |  ,CAST(sum(aug_net) AS BIGINT) as aug_net
+        |  ,CAST(sum(sep_net) AS BIGINT) as sep_net
+        |  ,CAST(sum(oct_net) AS BIGINT) as oct_net
+        |  ,CAST(sum(nov_net) AS BIGINT) as nov_net
+        |  ,CAST(sum(dec_net) AS BIGINT) as dec_net
+        | from (
+        |     select
+        |  w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |  ,'DHL,BARIAN' as ship_carriers
+        |       ,d_year as year_
+        |  ,CAST(sum(case when d_moy = 1
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as jan_sales
+        |  ,CAST(sum(case when d_moy = 2
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as feb_sales
+        |  ,CAST(sum(case when d_moy = 3
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as mar_sales
+        |  ,CAST(sum(case when d_moy = 4
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as apr_sales
+        |  ,CAST(sum(case when d_moy = 5
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as may_sales
+        |  ,CAST(sum(case when d_moy = 6
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as jun_sales
+        |  ,CAST(sum(case when d_moy = 7
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as jul_sales
+        |  ,CAST(sum(case when d_moy = 8
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as aug_sales
+        |  ,CAST(sum(case when d_moy = 9
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as sep_sales
+        |  ,CAST(sum(case when d_moy = 10
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as oct_sales
+        |  ,CAST(sum(case when d_moy = 11
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as nov_sales
+        |  ,CAST(sum(case when d_moy = 12
+        |    then ws_ext_sales_price* ws_quantity else 0 end) AS BIGINT) as dec_sales
+        |  ,CAST(sum(case when d_moy = 1
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as jan_net
+        |  ,CAST(sum(case when d_moy = 2
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as feb_net
+        |  ,CAST(sum(case when d_moy = 3
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as mar_net
+        |  ,CAST(sum(case when d_moy = 4
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as apr_net
+        |  ,CAST(sum(case when d_moy = 5
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as may_net
+        |  ,CAST(sum(case when d_moy = 6
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as jun_net
+        |  ,CAST(sum(case when d_moy = 7
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as jul_net
+        |  ,CAST(sum(case when d_moy = 8
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as aug_net
+        |  ,CAST(sum(case when d_moy = 9
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as sep_net
+        |  ,CAST(sum(case when d_moy = 10
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as oct_net
+        |  ,CAST(sum(case when d_moy = 11
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as nov_net
+        |  ,CAST(sum(case when d_moy = 12
+        |    then ws_net_paid * ws_quantity else 0 end) AS BIGINT) as dec_net
+        |     from
+        |          web_sales
+        |         ,warehouse
+        |         ,date_dim
+        |         ,time_dim
+        |    ,ship_mode
+        |     where
+        |            ws_warehouse_sk =  w_warehouse_sk
+        |        and ws_sold_date_sk = d_date_sk
+        |        and ws_sold_time_sk = t_time_sk
+        |  and ws_ship_mode_sk = sm_ship_mode_sk
+        |        and d_year = 2001
+        |  and t_time between 30838 and 30838+28800
+        |  and sm_carrier in ('DHL','BARIAN')
+        |     group by
+        |        w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |       ,d_year
+        | union all
+        |     select
+        |  w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |  ,'DHL,BARIAN' as ship_carriers
+        |       ,d_year as year_
+        |  ,CAST(sum(case when d_moy = 1
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as jan_sales
+        |  ,CAST(sum(case when d_moy = 2
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as feb_sales
+        |  ,CAST(sum(case when d_moy = 3
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as mar_sales
+        |  ,CAST(sum(case when d_moy = 4
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as apr_sales
+        |  ,CAST(sum(case when d_moy = 5
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as may_sales
+        |  ,CAST(sum(case when d_moy = 6
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as jun_sales
+        |  ,CAST(sum(case when d_moy = 7
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as jul_sales
+        |  ,CAST(sum(case when d_moy = 8
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as aug_sales
+        |  ,CAST(sum(case when d_moy = 9
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as sep_sales
+        |  ,CAST(sum(case when d_moy = 10
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as oct_sales
+        |  ,CAST(sum(case when d_moy = 11
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as nov_sales
+        |  ,CAST(sum(case when d_moy = 12
+        |    then cs_sales_price* cs_quantity else 0 end) AS BIGINT) as dec_sales
+        |  ,CAST(sum(case when d_moy = 1
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as jan_net
+        |  ,CAST(sum(case when d_moy = 2
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as feb_net
+        |  ,CAST(sum(case when d_moy = 3
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as mar_net
+        |  ,CAST(sum(case when d_moy = 4
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as apr_net
+        |  ,CAST(sum(case when d_moy = 5
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as may_net
+        |  ,CAST(sum(case when d_moy = 6
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as jun_net
+        |  ,CAST(sum(case when d_moy = 7
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as jul_net
+        |  ,CAST(sum(case when d_moy = 8
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as aug_net
+        |  ,CAST(sum(case when d_moy = 9
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as sep_net
+        |  ,CAST(sum(case when d_moy = 10
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as oct_net
+        |  ,CAST(sum(case when d_moy = 11
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as nov_net
+        |  ,CAST(sum(case when d_moy = 12
+        |    then cs_net_paid_inc_tax * cs_quantity else 0 end) AS BIGINT) as dec_net
+        |     from
+        |          catalog_sales
+        |         ,warehouse
+        |         ,date_dim
+        |         ,time_dim
+        |   ,ship_mode
+        |     where
+        |            cs_warehouse_sk =  w_warehouse_sk
+        |        and cs_sold_date_sk = d_date_sk
+        |        and cs_sold_time_sk = t_time_sk
+        |  and cs_ship_mode_sk = sm_ship_mode_sk
+        |        and d_year = 2001
+        |  and t_time between 30838 AND 30838+28800
+        |  and sm_carrier in ('DHL','BARIAN')
+        |     group by
+        |        w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |       ,d_year
+        | ) x
+        | group by
+        |        w_warehouse_name
+        |  ,w_warehouse_sq_ft
+        |  ,w_city
+        |  ,w_county
+        |  ,w_state
+        |  ,w_country
+        |  ,ship_carriers
+        |       ,year_
+        | order by w_warehouse_name NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q74: year-over-year net-paid growth, store vs web (verbatim)
+    "tpcds_q74" -> wrap(
+      """WITH year_total AS
+        |  (SELECT c_customer_id customer_id,
+        |          c_first_name customer_first_name,
+        |          c_last_name customer_last_name,
+        |          d_year AS year_,
+        |          sum(ss_net_paid) year_total,
+        |          's' sale_type
+        |   FROM customer,
+        |        store_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ss_customer_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND d_year IN (2001,
+        |                    2001+1)
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            d_year
+        |   UNION ALL SELECT c_customer_id customer_id,
+        |                    c_first_name customer_first_name,
+        |                    c_last_name customer_last_name,
+        |                    d_year AS year_,
+        |                    sum(ws_net_paid) year_total,
+        |                    'w' sale_type
+        |   FROM customer,
+        |        web_sales,
+        |        date_dim
+        |   WHERE c_customer_sk = ws_bill_customer_sk
+        |     AND ws_sold_date_sk = d_date_sk
+        |     AND d_year IN (2001,
+        |                    2001+1)
+        |   GROUP BY c_customer_id,
+        |            c_first_name,
+        |            c_last_name,
+        |            d_year)
+        |SELECT t_s_secyear.customer_id,
+        |       t_s_secyear.customer_first_name,
+        |       t_s_secyear.customer_last_name
+        |FROM year_total t_s_firstyear,
+        |     year_total t_s_secyear,
+        |     year_total t_w_firstyear,
+        |     year_total t_w_secyear
+        |WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+        |  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+        |  AND t_s_firstyear.sale_type = 's'
+        |  AND t_w_firstyear.sale_type = 'w'
+        |  AND t_s_secyear.sale_type = 's'
+        |  AND t_w_secyear.sale_type = 'w'
+        |  AND t_s_firstyear.year_ = 2001
+        |  AND t_s_secyear.year_ = 2001+1
+        |  AND t_w_firstyear.year_ = 2001
+        |  AND t_w_secyear.year_ = 2001+1
+        |  AND t_s_firstyear.year_total > 0
+        |  AND t_w_firstyear.year_total > 0
+        |  AND CASE
+        |          WHEN t_w_firstyear.year_total > 0 THEN t_w_secyear.year_total / t_w_firstyear.year_total
+        |          ELSE NULL
+        |      END > CASE
+        |                WHEN t_s_firstyear.year_total > 0 THEN t_s_secyear.year_total / t_s_firstyear.year_total
+        |                ELSE NULL
+        |            END
+        |ORDER BY 1 NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q76: sales with NULL fks per channel (verbatim; NULL slices in derivation)
+    "tpcds_q76" -> wrap(
+      """SELECT channel,
+        |       col_name,
+        |       d_year,
+        |       d_qoy,
+        |       i_category,
+        |       COUNT(*) sales_cnt,
+        |       CAST(SUM(ext_sales_price) AS BIGINT) sales_amt
+        |FROM
+        |  ( SELECT 'store' AS channel,
+        |           'ss_store_sk' col_name,
+        |                         d_year,
+        |                         d_qoy,
+        |                         i_category,
+        |                         ss_ext_sales_price ext_sales_price
+        |   FROM store_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ss_store_sk IS NULL
+        |     AND ss_sold_date_sk=d_date_sk
+        |     AND ss_item_sk=i_item_sk
+        |   UNION ALL SELECT 'web' AS channel,
+        |                    'ws_ship_customer_sk' col_name,
+        |                                          d_year,
+        |                                          d_qoy,
+        |                                          i_category,
+        |                                          ws_ext_sales_price ext_sales_price
+        |   FROM web_sales,
+        |        item,
+        |        date_dim
+        |   WHERE ws_ship_customer_sk IS NULL
+        |     AND ws_sold_date_sk=d_date_sk
+        |     AND ws_item_sk=i_item_sk
+        |   UNION ALL SELECT 'catalog' AS channel,
+        |                    'cs_ship_addr_sk' col_name,
+        |                                      d_year,
+        |                                      d_qoy,
+        |                                      i_category,
+        |                                      cs_ext_sales_price ext_sales_price
+        |   FROM catalog_sales,
+        |        item,
+        |        date_dim
+        |   WHERE cs_ship_addr_sk IS NULL
+        |     AND cs_sold_date_sk=d_date_sk
+        |     AND cs_item_sk=i_item_sk) foo
+        |GROUP BY channel,
+        |         col_name,
+        |         d_year,
+        |         d_qoy,
+        |         i_category
+        |ORDER BY channel NULLS FIRST,
+        |         col_name NULLS FIRST,
+        |         d_year NULLS FIRST,
+        |         d_qoy NULLS FIRST,
+        |         i_category NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q77: per-channel sales/returns/profit rollup (outer sums cast)
+    "tpcds_q77" -> wrap(
+      """WITH ss AS
+        |  (SELECT s_store_sk,
+        |          sum(ss_ext_sales_price) AS sales,
+        |          sum(ss_net_profit) AS profit
+        |   FROM store_sales,
+        |        date_dim,
+        |        store
+        |   WHERE ss_sold_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |     AND ss_store_sk = s_store_sk
+        |   GROUP BY s_store_sk) ,
+        |     sr AS
+        |  (SELECT s_store_sk,
+        |          sum(sr_return_amt) AS returns_,
+        |          sum(sr_net_loss) AS profit_loss
+        |   FROM store_returns,
+        |        date_dim,
+        |        store
+        |   WHERE sr_returned_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |     AND sr_store_sk = s_store_sk
+        |   GROUP BY s_store_sk),
+        |     cs AS
+        |  (SELECT cs_call_center_sk,
+        |          sum(cs_ext_sales_price) AS sales,
+        |          sum(cs_net_profit) AS profit
+        |   FROM catalog_sales,
+        |        date_dim
+        |   WHERE cs_sold_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |   GROUP BY cs_call_center_sk),
+        |     cr AS
+        |  (SELECT cr_call_center_sk,
+        |          sum(cr_return_amount) AS returns_,
+        |          sum(cr_net_loss) AS profit_loss
+        |   FROM catalog_returns,
+        |        date_dim
+        |   WHERE cr_returned_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |   GROUP BY cr_call_center_sk ),
+        |     ws AS
+        |  (SELECT wp_web_page_sk,
+        |          sum(ws_ext_sales_price) AS sales,
+        |          sum(ws_net_profit) AS profit
+        |   FROM web_sales,
+        |        date_dim,
+        |        web_page
+        |   WHERE ws_sold_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |     AND ws_web_page_sk = wp_web_page_sk
+        |   GROUP BY wp_web_page_sk),
+        |     wr AS
+        |  (SELECT wp_web_page_sk,
+        |          sum(wr_return_amt) AS returns_,
+        |          sum(wr_net_loss) AS profit_loss
+        |   FROM web_returns,
+        |        date_dim,
+        |        web_page
+        |   WHERE wr_returned_date_sk = d_date_sk
+        |     AND d_date BETWEEN cast('2000-08-23' AS date) AND cast('2000-09-22' AS date)
+        |     AND wr_web_page_sk = wp_web_page_sk
+        |   GROUP BY wp_web_page_sk)
+        |SELECT channel ,
+        |       id ,
+        |       CAST(sum(sales) AS BIGINT) AS sales ,
+        |       CAST(sum(returns_) AS BIGINT) AS returns_ ,
+        |       CAST(sum(profit) AS BIGINT) AS profit
+        |FROM
+        |  (SELECT 'store channel' AS channel ,
+        |          ss.s_store_sk AS id ,
+        |          sales ,
+        |          coalesce(returns_, 0) AS returns_ ,
+        |          (profit - coalesce(profit_loss,0)) AS profit
+        |   FROM ss
+        |   LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+        |   UNION ALL SELECT 'catalog channel' AS channel ,
+        |                    cs_call_center_sk AS id ,
+        |                    sales ,
+        |                    returns_ ,
+        |                    (profit - profit_loss) AS profit
+        |   FROM cs ,
+        |        cr
+        |   UNION ALL SELECT 'web channel' AS channel ,
+        |                    ws.wp_web_page_sk AS id ,
+        |                    sales ,
+        |                    coalesce(returns_, 0) returns_ ,
+        |                    (profit - coalesce(profit_loss,0)) AS profit
+        |   FROM ws
+        |   LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk ) x
+        |GROUP BY ROLLUP (channel,
+        |                 id)
+        |ORDER BY channel NULLS FIRST,
+        |         id NULLS FIRST,
+        |         returns_ DESC
+        |LIMIT 100""".stripMargin),
+
+    // q81: catalog-returns customers above 1.2x state average, full address echo (CTE sum cast)
+    "tpcds_q81" -> wrap(
+      """WITH customer_total_return AS
+        |  (SELECT cr_returning_customer_sk AS ctr_customer_sk ,
+        |          ca_state AS ctr_state,
+        |          CAST(sum(cr_return_amt_inc_tax) AS BIGINT) AS ctr_total_return
+        |   FROM catalog_returns ,
+        |        date_dim ,
+        |        customer_address
+        |   WHERE cr_returned_date_sk = d_date_sk
+        |     AND d_year = 2000
+        |     AND cr_returning_addr_sk = ca_address_sk
+        |   GROUP BY cr_returning_customer_sk ,
+        |            ca_state)
+        |SELECT c_customer_id,
+        |       c_salutation,
+        |       c_first_name,
+        |       c_last_name,
+        |       ca_street_number,
+        |       ca_street_name ,
+        |       ca_street_type,
+        |       ca_suite_number,
+        |       ca_city,
+        |       ca_county,
+        |       ca_state,
+        |       ca_zip,
+        |       ca_country,
+        |       ca_gmt_offset ,
+        |       ca_location_type,
+        |       ctr_total_return
+        |FROM customer_total_return ctr1 ,
+        |     customer_address ,
+        |     customer
+        |WHERE ctr1.ctr_total_return >
+        |    (SELECT avg(ctr_total_return)*1.2
+        |     FROM customer_total_return ctr2
+        |     WHERE ctr1.ctr_state = ctr2.ctr_state)
+        |  AND ca_address_sk = c_current_addr_sk
+        |  AND ca_state = 'GA'
+        |  AND ctr1.ctr_customer_sk = c_customer_sk
+        |ORDER BY c_customer_id,
+        |         c_salutation,
+        |         c_first_name,
+        |         c_last_name,
+        |         ca_street_number,
+        |         ca_street_name ,
+        |         ca_street_type,
+        |         ca_suite_number,
+        |         ca_city,
+        |         ca_county,
+        |         ca_state,
+        |         ca_zip,
+        |         ca_country,
+        |         ca_gmt_offset ,
+        |         ca_location_type,
+        |         ctr_total_return
+        |LIMIT 100""".stripMargin),
+
+    // q83: three-channel item return quantities for three weeks (sums cast, *1.0000 idiom -> CAST DOUBLE)
+    "tpcds_q83" -> wrap(
+      """WITH sr_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(sr_return_quantity) AS BIGINT) sr_item_qty
+        |   FROM store_returns,
+        |        item,
+        |        date_dim
+        |   WHERE sr_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq IN
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date IN ('2000-06-30',
+        |                              '2000-09-27',
+        |                              '2000-11-17')))
+        |     AND sr_returned_date_sk = d_date_sk
+        |   GROUP BY i_item_id),
+        |     cr_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(cr_return_quantity) AS BIGINT) cr_item_qty
+        |   FROM catalog_returns,
+        |        item,
+        |        date_dim
+        |   WHERE cr_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq IN
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date IN ('2000-06-30',
+        |                              '2000-09-27',
+        |                              '2000-11-17')))
+        |     AND cr_returned_date_sk = d_date_sk
+        |   GROUP BY i_item_id),
+        |     wr_items AS
+        |  (SELECT i_item_id item_id,
+        |          CAST(sum(wr_return_quantity) AS BIGINT) wr_item_qty
+        |   FROM web_returns,
+        |        item,
+        |        date_dim
+        |   WHERE wr_item_sk = i_item_sk
+        |     AND d_date IN
+        |       (SELECT d_date
+        |        FROM date_dim
+        |        WHERE d_week_seq IN
+        |            (SELECT d_week_seq
+        |             FROM date_dim
+        |             WHERE d_date IN ('2000-06-30',
+        |                              '2000-09-27',
+        |                              '2000-11-17')))
+        |     AND wr_returned_date_sk = d_date_sk
+        |   GROUP BY i_item_id)
+        |SELECT sr_items.item_id ,
+        |       sr_item_qty ,
+        |       CAST(sr_item_qty AS DOUBLE)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 sr_dev ,
+        |       cr_item_qty ,
+        |       CAST(cr_item_qty AS DOUBLE)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 cr_dev ,
+        |       wr_item_qty ,
+        |       CAST(wr_item_qty AS DOUBLE)/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100 wr_dev ,
+        |       CAST(sr_item_qty+cr_item_qty+wr_item_qty AS DOUBLE)/3.0 average
+        |FROM sr_items ,
+        |     cr_items ,
+        |     wr_items
+        |WHERE sr_items.item_id=cr_items.item_id
+        |  AND sr_items.item_id=wr_items.item_id
+        |ORDER BY sr_items.item_id NULLS FIRST,
+        |         sr_item_qty NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q84: Edgewood income-band customers with store returns (verbatim)
+    "tpcds_q84" -> wrap(
+      """SELECT c_customer_id AS customer_id ,
+        |       concat(concat(coalesce(c_last_name, '') , ', '), coalesce(c_first_name, '')) AS customername
+        |FROM customer ,
+        |     customer_address ,
+        |     customer_demographics ,
+        |     household_demographics ,
+        |     income_band ,
+        |     store_returns
+        |WHERE ca_city = 'Edgewood'
+        |  AND c_current_addr_sk = ca_address_sk
+        |  AND ib_lower_bound >= 38128
+        |  AND ib_upper_bound <= 38128 + 50000
+        |  AND ib_income_band_sk = hd_income_band_sk
+        |  AND cd_demo_sk = c_current_cdemo_sk
+        |  AND hd_demo_sk = c_current_hdemo_sk
+        |  AND sr_cdemo_sk = cd_demo_sk
+        |ORDER BY c_customer_id NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q86: web rollup with grouping()-ranked hierarchy (total_sum cast)
+    "tpcds_q86" -> wrap(
+      """SELECT CAST(sum(ws_net_paid) AS BIGINT) AS total_sum ,
+        |       i_category ,
+        |       i_class ,
+        |       grouping(i_category)+grouping(i_class) AS lochierarchy ,
+        |       rank() OVER ( PARTITION BY grouping(i_category)+grouping(i_class),
+        |                                  CASE
+        |                                      WHEN grouping(i_class) = 0 THEN i_category
+        |                                  END
+        |                    ORDER BY sum(ws_net_paid) DESC) AS rank_within_parent
+        |FROM web_sales ,
+        |     date_dim d1 ,
+        |     item
+        |WHERE d1.d_month_seq BETWEEN 1200 AND 1200+11
+        |  AND d1.d_date_sk = ws_sold_date_sk
+        |  AND i_item_sk = ws_item_sk
+        |GROUP BY rollup(i_category,i_class)
+        |ORDER BY lochierarchy DESC NULLS FIRST,
+        |         CASE
+        |             WHEN grouping(i_category)+grouping(i_class) = 0 THEN i_category
+        |         END NULLS FIRST,
+        |         rank_within_parent NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // q89: in-category class deviations from monthly average (sum cast)
+    "tpcds_q89" -> wrap(
+      """SELECT * from
+        |  (SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy, CAST(sum(ss_sales_price) AS BIGINT) sum_sales, avg(sum(ss_sales_price)) OVER (PARTITION BY i_category, i_brand, s_store_name, s_company_name) avg_monthly_sales
+        |   FROM item, store_sales, date_dim, store
+        |   WHERE ss_item_sk = i_item_sk
+        |     AND ss_sold_date_sk = d_date_sk
+        |     AND ss_store_sk = s_store_sk
+        |     AND d_year = 1999
+        |     AND ((i_category IN ('Books','Electronics','Sports')
+        |           AND i_class IN ('computers','stereo','football') )
+        |          OR (i_category IN ('Men','Jewelry','Women')
+        |              AND i_class IN ('shirts','birdal','dresses')))
+        |   GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name, d_moy) tmp1
+        |WHERE CASE
+        |          WHEN (avg_monthly_sales <> 0) THEN (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+        |          ELSE NULL
+        |      END > 0.1
+        |ORDER BY sum_sales - avg_monthly_sales,
+        |         s_store_name, 1, 2, 3, 5, 6, 7, 8
+        |LIMIT 100""".stripMargin),
+
+    // q90: morning/evening web sales ratio (dec casts -> DOUBLE)
+    "tpcds_q90" -> wrap(
+      """SELECT case when pmc=0 then null else cast(amc AS DOUBLE)/cast(pmc AS DOUBLE) end am_pm_ratio
+        |FROM
+        |  (SELECT count(*) amc
+        |   FROM web_sales,
+        |        household_demographics,
+        |        time_dim,
+        |        web_page
+        |   WHERE ws_sold_time_sk = time_dim.t_time_sk
+        |     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND ws_web_page_sk = web_page.wp_web_page_sk
+        |     AND time_dim.t_hour BETWEEN 8 AND 8+1
+        |     AND household_demographics.hd_dep_count = 6
+        |     AND web_page.wp_char_count BETWEEN 5000 AND 5200) AT,
+        |  (SELECT count(*) pmc
+        |   FROM web_sales,
+        |        household_demographics,
+        |        time_dim,
+        |        web_page
+        |   WHERE ws_sold_time_sk = time_dim.t_time_sk
+        |     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        |     AND ws_web_page_sk = web_page.wp_web_page_sk
+        |     AND time_dim.t_hour BETWEEN 19 AND 19+1
+        |     AND household_demographics.hd_dep_count = 6
+        |     AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+        |ORDER BY am_pm_ratio
+        |LIMIT 100""".stripMargin),
+
+    // q91: call-center catalog-return losses for M/Unknown + W/Advanced cohorts (sum cast)
+    "tpcds_q91" -> wrap(
+      """SELECT cc_call_center_id Call_Center,
+        |       cc_name Call_Center_Name,
+        |       cc_manager Manager,
+        |       CAST(sum(cr_net_loss) AS BIGINT) Returns_Loss
+        |FROM call_center,
+        |     catalog_returns,
+        |     date_dim,
+        |     customer,
+        |     customer_address,
+        |     customer_demographics,
+        |     household_demographics
+        |WHERE cr_call_center_sk = cc_call_center_sk
+        |  AND cr_returned_date_sk = d_date_sk
+        |  AND cr_returning_customer_sk= c_customer_sk
+        |  AND cd_demo_sk = c_current_cdemo_sk
+        |  AND hd_demo_sk = c_current_hdemo_sk
+        |  AND ca_address_sk = c_current_addr_sk
+        |  AND d_year = 1998
+        |  AND d_moy = 11
+        |  AND ((cd_marital_status = 'M'
+        |        AND cd_education_status = 'Unknown') or(cd_marital_status = 'W'
+        |                                                AND cd_education_status = 'Advanced Degree'))
+        |  AND hd_buy_potential LIKE 'Unknown%'
+        |  AND ca_gmt_offset = -7
+        |GROUP BY cc_call_center_id,
+        |         cc_name,
+        |         cc_manager,
+        |         cd_marital_status,
+        |         cd_education_status
+        |ORDER BY sum(cr_net_loss) DESC""".stripMargin),
+
+    // q99: catalog ship-latency day buckets by warehouse/mode/center (space aliases, sums cast)
+    "tpcds_q99" -> wrap(
+      """SELECT w_substr ,
+        |       sm_type ,
+        |       LOWER(cc_name) cc_name_lower ,
+        |       CAST(sum(CASE
+        |               WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_30,
+        |       CAST(sum(CASE
+        |               WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+        |                    AND (cs_ship_date_sk - cs_sold_date_sk <= 60) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_31_60,
+        |       CAST(sum(CASE
+        |               WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+        |                    AND (cs_ship_date_sk - cs_sold_date_sk <= 90) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_61_90,
+        |       CAST(sum(CASE
+        |               WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+        |                    AND (cs_ship_date_sk - cs_sold_date_sk <= 120) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_91_120,
+        |       CAST(sum(CASE
+        |               WHEN (cs_ship_date_sk - cs_sold_date_sk > 120) THEN 1
+        |               ELSE 0
+        |           END) AS BIGINT) AS days_over_120
+        |FROM catalog_sales ,
+        |  (SELECT SUBSTRING(w_warehouse_name,1,20) w_substr, *
+        |   FROM warehouse) AS sq1 ,
+        |     ship_mode ,
+        |     call_center ,
+        |     date_dim
+        |WHERE d_month_seq BETWEEN 1200 AND 1200 + 11
+        |  AND cs_ship_date_sk = d_date_sk
+        |  AND cs_warehouse_sk = w_warehouse_sk
+        |  AND cs_ship_mode_sk = sm_ship_mode_sk
+        |  AND cs_call_center_sk = cc_call_center_sk
+        |GROUP BY w_substr ,
+        |         sm_type ,
+        |         cc_name
+        |ORDER BY w_substr  NULLS FIRST,
+        |         sm_type  NULLS FIRST,
+        |        cc_name_lower NULLS FIRST
         |LIMIT 100""".stripMargin))
 
   /** q88's body is mechanical: eight identical count(*) subqueries over
