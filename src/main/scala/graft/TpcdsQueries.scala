@@ -253,16 +253,14 @@ object TpcdsQueries {
       |         'United States' AS w_country
       |  FROM (SELECT DISTINCT s_suppkey % 5 AS wk FROM supplier) wks),
       |ship_mode AS (
-      |  -- carriers cover q66's ('DHL','BARIAN') filter; types/codes are
-      |  -- the canonical five-value domains (q62/q99 group by sm_type)
+      |  -- carriers cover q66's ('DHL','BARIAN') filter; sm_type is the
+      |  -- canonical five-value domain (q62/q99 group by it)
       |  SELECT smk AS sm_ship_mode_sk,
       |         CASE smk % 5 WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'NEXT DAY'
       |              WHEN 2 THEN 'OVERNIGHT' WHEN 3 THEN 'REGULAR'
       |              ELSE 'LIBRARY' END AS sm_type,
       |         CASE smk % 4 WHEN 0 THEN 'DHL' WHEN 1 THEN 'BARIAN'
-      |              WHEN 2 THEN 'UPS' ELSE 'AIRBORNE' END AS sm_carrier,
-      |         CASE smk % 4 WHEN 0 THEN 'AIR' WHEN 1 THEN 'SURFACE'
-      |              WHEN 2 THEN 'SEA' ELSE 'GROUND' END AS sm_code
+      |              WHEN 2 THEN 'UPS' ELSE 'AIRBORNE' END AS sm_carrier
       |  FROM (SELECT DISTINCT s_suppkey % 20 AS smk FROM supplier) smks),
       |web_site AS (
       |  SELECT wk AS web_site_sk, concat('WS', wk) AS web_site_id,
@@ -465,9 +463,7 @@ object TpcdsQueries {
       |         CAST(floor(l_extendedprice * (1 - l_discount)) AS BIGINT) AS ss_ext_sales_price,
       |         CAST(floor(l_extendedprice * 0.08 / l_quantity) AS BIGINT) AS ss_net_profit,
       |         CAST(floor(l_extendedprice * 0.06) AS BIGINT) AS ss_ext_tax,
-      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.98) AS BIGINT) AS ss_net_paid,
-      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.98) +
-      |              floor(l_extendedprice * 0.06) AS BIGINT) AS ss_net_paid_inc_tax
+      |         CAST(floor(l_extendedprice * (1 - l_discount) * 0.98) AS BIGINT) AS ss_net_paid
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |store_returns AS (
       |  -- item/ticket expressions MIRROR store_sales (returns must
