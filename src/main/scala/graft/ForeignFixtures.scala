@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
 object ForeignFixtures {
 
   /** Bump when fixture content changes shape. */
-  private val GEN = "fg1"
+  private val GEN = "fg2" // fg2: bare-plus file name (URI vs form decoding)
 
   private def root: String =
     sys.props.getOrElse("graft.fixture.dir", "/tmp/graft-fixtures") + s"/foreign-$GEN"
@@ -93,7 +93,9 @@ object ForeignFixtures {
     val sliceC = src.filter(col("n_nationkey") % 3 === 2)
     val sliceC0 = sliceC.filter(col("n_nationkey") < 10)
 
-    writeOneFile(sliceA, s"$dir/file-a.parquet")
+    writeOneFile(sliceA, s"$dir/file+a.parquet") // literal '+': legal
+    // un-encoded in a URI path; foreign logs reference it BARE, and form
+    // decoding (URLDecoder) would corrupt it to "file a.parquet"
     writeOneFile(sliceB, s"$dir/file b.parquet") // space → URL-encoded in log
     writeOneFile(sliceC0, s"$dir/file-c0.parquet")
     val absC = s"$dir/abs/file-c.parquet" // referenced ABSOLUTELY in the log
@@ -107,7 +109,7 @@ object ForeignFixtures {
       // unknown configuration keys: check constraints, generated columns,
       // and a wholly custom namespace — replay must carry them inertly
       s"""{"metaData":{"id":"f0e1d2c3-0000-0000-0000-000000000001","format":{"provider":"parquet","options":{}},"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.constraints.key_is_positive":"n_nationkey >= 0","delta.generatedColumns.marker":"true","foreign.writer.custom":"yes","delta.appendOnly":"false"},"createdTime":1700000000000}}""",
-      s"""{"add":{"path":"file-a.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file-a.parquet").length},"modificationTime":1700000000001,"dataChange":true,"stats":${jstr(nationStats(sliceA, partial = false))},"tags":{"INSERTION_TIME":"1700000000001000"}}}""",
+      s"""{"add":{"path":"file+a.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file+a.parquet").length},"modificationTime":1700000000001,"dataChange":true,"stats":${jstr(nationStats(sliceA, partial = false))},"tags":{"INSERTION_TIME":"1700000000001000"}}}""",
       s"""{"add":{"path":"file%20b.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file b.parquet").length},"modificationTime":1700000000002,"dataChange":true,"stats":${jstr(nationStats(sliceB, partial = true))}}}""",
       s"""{"add":{"path":"file-c0.parquet","partitionValues":{},"size":${new java.io.File(s"$dir/file-c0.parquet").length},"modificationTime":1700000000003,"dataChange":true}}""",
       // a future action kind: must be skipped, not fail replay

@@ -72,10 +72,9 @@ final case class AddFile(
     // algorithm that clustered this file's rows ("liquid"); informational
     // per protocol, preserved through commits + checkpoints
     clusteringProvider: Option[String] = None) {
-  /** URL-decoded relative path — the reconciliation key (reference decodes
-    * paths the same way, delta_multi_file_list.cpp:26-42). */
-  lazy val decodedPath: String =
-    java.net.URLDecoder.decode(path, java.nio.charset.StandardCharsets.UTF_8)
+  /** Percent-decoded relative path — the reconciliation key (reference
+    * decodes paths the same way, delta_multi_file_list.cpp:26-42). */
+  lazy val decodedPath: String = Actions.percentDecode(path)
 
   /** Parsed add-action stats (numRecords/minValues/maxValues/nullCount). */
   lazy val parsedStats: Option[ParsedStats] = stats.flatMap(ParsedStats.parse)
@@ -86,8 +85,21 @@ final case class RemoveFile(
     deletionTimestamp: Option[Long] = None,
     dataChange: Boolean = true,
     deletionVector: Option[DeletionVectorDescriptor] = None) {
-  lazy val decodedPath: String =
-    java.net.URLDecoder.decode(path, java.nio.charset.StandardCharsets.UTF_8)
+  lazy val decodedPath: String = Actions.percentDecode(path)
+}
+
+object Actions {
+  /** URI percent-decoding for `add.path`/`remove.path`. NOT
+    * URLDecoder form semantics: a literal '+' is a legal un-encoded URI
+    * path character that foreign writers (delta-spark writes
+    * `new URI(...)`-encoded paths) leave bare, and form decoding would
+    * turn it into a space — resolving to the wrong file. Escaping '+'
+    * first makes URLDecoder decode ONLY the %XX sequences ('%2B' still
+    * decodes to '+', since the escape leaves it untouched). */
+  private[graft] def percentDecode(path: String): String =
+    if (!path.contains('%')) path // nothing encoded; '+' stays literal
+    else java.net.URLDecoder.decode(
+      path.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 }
 
 /** Idempotent-write marker (reference: idempotency_helpers.cpp:41-145). */

@@ -638,7 +638,7 @@ class DeltaLog private (@transient val spark: SparkSession, val tablePath: Path)
   /** Sidecar `path` is a URL-encoded file name relative to
     * `_delta_log/_sidecars/`, or an absolute URI. */
   private def resolveSidecarPath(raw: String): Path = {
-    val decoded = java.net.URLDecoder.decode(raw, StandardCharsets.UTF_8)
+    val decoded = Actions.percentDecode(raw)
     if (decoded.startsWith("/") || decoded.contains("://")) new Path(decoded)
     else new Path(new Path(logPath, "_sidecars"), decoded)
   }

@@ -269,7 +269,7 @@ final class DeltaStreamSource(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val paths = adds.map { a =>
-        val d = java.net.URLDecoder.decode(a.path, java.nio.charset.StandardCharsets.UTF_8)
+        val d = Actions.percentDecode(a.path)
         if (d.startsWith("/") || d.contains("://")) d
         else new org.apache.hadoop.fs.Path(log.tablePath, d).toString
       }

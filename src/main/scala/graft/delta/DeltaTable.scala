@@ -328,7 +328,7 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
         .parquet(paths: _*)
     }
     def abs(p: String): String = {
-      val d = java.net.URLDecoder.decode(p, java.nio.charset.StandardCharsets.UTF_8)
+      val d = Actions.percentDecode(p)
       if (d.startsWith("/") || d.contains("://")) d
       else new org.apache.hadoop.fs.Path(log.tablePath, d).toString
     }

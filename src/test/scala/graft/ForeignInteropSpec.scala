@@ -21,6 +21,21 @@ class ForeignInteropSpec extends AnyFunSuite {
     val conf = DeltaTable.forPath(spark, p).snapshot.metadata.configuration
     assert(conf.contains("delta.constraints.key_is_positive"))
     assert(conf.get("foreign.writer.custom").contains("yes"))
+    // a literal '+' in a file name is referenced BARE in a URI-encoded
+    // log path; URI percent-decoding must keep it ('+' -> space is form
+    // decoding and would resolve to the wrong file)
+    val decoded = DeltaTable.forPath(spark, p).snapshot.allFiles.map(_.decodedPath)
+    assert(decoded.contains("file+a.parquet"), decoded.mkString(", "))
+    assert(decoded.contains("file b.parquet"), decoded.mkString(", "))
+  }
+
+  test("log path decoding: URI percent semantics, not form semantics") {
+    import graft.delta.Actions.percentDecode
+    assert(percentDecode("a+b.parquet") == "a+b.parquet") // bare '+' survives
+    assert(percentDecode("a%2Bb.parquet") == "a+b.parquet") // %2B decodes to '+'
+    assert(percentDecode("file%20b.parquet") == "file b.parquet")
+    assert(percentDecode("x%3Dy/a%25b.parquet") == "x=y/a%b.parquet")
+    assert(percentDecode("plain/nested.parquet") == "plain/nested.parquet")
   }
 
   test("foreign stats shapes: partial/absent stats never mis-prune") {
