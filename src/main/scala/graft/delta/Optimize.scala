@@ -127,8 +127,11 @@ object Optimize {
       val dv = f.deletionVector.map { d =>
         if (d.storageType == "u")
           d.copy(storageType = "p",
+            // the encoded URI string (toUri.toString, not getPath): "p"
+            // is read as a URI on both this engine and delta-spark, so a
+            // special character in the source dir must arrive encoded
             pathOrInlineDv = DeletionVectorStore.resolvePath(log.tablePath, d)
-              .toUri.getPath)
+              .toUri.toString)
         else d // "i" inline / "p" absolute travel as-is
       }
       f.copy(

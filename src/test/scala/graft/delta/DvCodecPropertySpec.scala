@@ -81,6 +81,22 @@ class DvCodecPropertySpec extends AnyFunSuite {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("'p' DV descriptors resolve as URIs: encoded specials round-trip") {
+    import org.apache.hadoop.fs.Path
+    // a DV that lives in a directory with a space, as shallowClone would
+    // serialize it (encoded URI string) — must resolve to the literal path
+    val raw = new Path("/tmp/dv dir/deletion_vector_x.bin")
+    val serialized = raw.toUri.toString
+    assert(serialized.contains("%20"))
+    val d = DeletionVectorDescriptor("p", serialized, Some(1), 10, 3)
+    val resolved = DeletionVectorStore.resolvePath(new Path("/unused"), d)
+    assert(resolved.toUri.getPath == "/tmp/dv dir/deletion_vector_x.bin")
+    // plain absolute paths (the common case) stay as-is
+    val plain = DeletionVectorDescriptor("p", "/tmp/t/deletion_vector_y.bin", Some(1), 10, 3)
+    assert(DeletionVectorStore.resolvePath(new Path("/unused"), plain)
+      .toUri.getPath == "/tmp/t/deletion_vector_y.bin")
+  }
+
   test("z85 encode/decode round-trips any 4-aligned payload, uuids included") {
     val gen4 = Gen.chooseNum(0, 64)
       .flatMap(n => Gen.containerOfN[Array, Byte](n * 4, Gen.choose(Byte.MinValue, Byte.MaxValue)))
