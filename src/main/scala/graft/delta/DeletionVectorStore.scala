@@ -18,7 +18,10 @@ object DeletionVectorStore {
 
   /** Absolute path of an on-disk DV (storage types "u"/"p"). */
   def resolvePath(tablePath: Path, dv: DeletionVectorDescriptor): Path = dv.storageType match {
-    case "p" => new Path(dv.pathOrInlineDv)
+    // "p" carries an absolute URI: parse as one (percent-decoding), the
+    // same reading delta-spark gives it — a literal-string Path would
+    // keep %XX sequences in the file name and miss the foreign file
+    case "p" => new Path(java.net.URI.create(dv.pathOrInlineDv))
     case "u" =>
       val s = dv.pathOrInlineDv
       val prefix = s.substring(0, s.length - 20)
