@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.pipeline.{Curation, Dedup, IncrementalDedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * LLM-data-pipeline operator queries (beyond-reference surface per
@@ -290,6 +290,16 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_substring_spans" -> ((s, dir) => Dedup.substringSpans(docs(s, dir))),
     "dedup_substring_pairs" -> ((s, dir) => Dedup.substringPairs(docs(s, dir))),
+    // incremental: the corpus (doc_id%10<8) is represented ONLY by its
+    // persisted Delta window index (two maintenance commits); the batch
+    // (doc_id%10>=8) dedups against the index without re-reading corpus
+    // text — the daily-ingest shape of a standing 100 TB corpus
+    "dedup_incremental" -> ((s, dir) => {
+      val idx = IncrementalDedup.ensureIndex(s, dir)
+      IncrementalDedup.dedupAgainstIndex(
+        docs(s, dir).where(IncrementalDedup.batchFilter),
+        graft.delta.DeltaTable.forPath(s, idx).toDF)
+    }),
 
     // --- similarity search ---
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), 0L, 10)),
@@ -500,6 +510,38 @@ object PipelineQueries {
        |FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib
        |WHERE len(list_intersect(sa.ss, sb.ss)) >= 2
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental-dedup oracle — mirrors IncrementalDedup.dedupAgainstIndex
+    * (window = 8, maxDf = 100) over the deterministic corpus/batch split
+    * (doc_id % 10 < 8 vs >= 8). The oracle recomputes the corpus windows
+    * relationally; the Spark side reads them from the persisted Delta
+    * index — identical results prove the index IS the corpus. */
+  private val incrementalSql =
+    s"""WITH $windowCtes,
+       |dw AS (SELECT DISTINCT doc_id, s FROM w),
+       |corpus AS (SELECT * FROM dw WHERE doc_id % 10 < 8),
+       |batch AS (SELECT * FROM dw WHERE doc_id % 10 >= 8),
+       |member AS (SELECT DISTINCT s FROM corpus),
+       |per AS (SELECT b.doc_id, count(*) AS total_windows,
+       |               sum(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END) AS dup_windows
+       |        FROM batch b LEFT JOIN member m USING (s) GROUP BY b.doc_id),
+       |cold AS (SELECT s FROM corpus GROUP BY s HAVING count(*) <= 100),
+       |shared AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS shared
+       |           FROM batch b
+       |           JOIN (SELECT corpus.* FROM corpus JOIN cold USING (s)) c USING (s)
+       |           GROUP BY b.doc_id, c.doc_id),
+       |best AS (SELECT bid, cid, shared,
+       |                row_number() OVER (PARTITION BY bid ORDER BY shared DESC, cid) AS rn
+       |         FROM shared)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.total_windows, 0) AS BIGINT) AS total_windows,
+       |  CAST(coalesce(per.dup_windows, 0) AS BIGINT) AS dup_windows,
+       |  b.cid AS best_match,
+       |  CAST(coalesce(b.shared, 0) AS BIGINT) AS shared_windows
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN per ON d.doc_id = per.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.bid
+       |ORDER BY d.doc_id""".stripMargin
 
   /** MinHash oracle — 32 min-md5 aggregates + 8 band buckets, mirroring
     * Dedup.minhashPairs(numHashes = 32, bandSize = 4). */
@@ -1139,6 +1181,7 @@ object PipelineQueries {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_substring_pairs" -> substringPairsSql,
+    "dedup_incremental" -> incrementalSql,
     "dedup_canonical" -> canonicalSql,
     "curation_verdict" -> curationVerdictSql,
     "ann_cosine_topk" ->

@@ -98,8 +98,16 @@ object Actions {
     * decodes to '+', since the escape leaves it untouched). */
   private[graft] def percentDecode(path: String): String =
     if (!path.contains('%')) path // nothing encoded; '+' stays literal
-    else java.net.URLDecoder.decode(
-      path.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+    else
+      try java.net.URLDecoder.decode(
+        path.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+      catch {
+        // A malformed sequence (a sloppy foreign writer's bare '%', e.g.
+        // '100%.parquet') passes through raw rather than aborting log
+        // replay — the reference's url_decode
+        // (delta_multi_file_list.cpp:26-42) is tolerant the same way.
+        case _: IllegalArgumentException => path
+      }
 }
 
 /** Idempotent-write marker (reference: idempotency_helpers.cpp:41-145). */

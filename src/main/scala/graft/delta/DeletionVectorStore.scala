@@ -21,7 +21,15 @@ object DeletionVectorStore {
     // "p" carries an absolute URI: parse as one (percent-decoding), the
     // same reading delta-spark gives it — a literal-string Path would
     // keep %XX sequences in the file name and miss the foreign file
-    case "p" => new Path(java.net.URI.create(dv.pathOrInlineDv))
+    case "p" =>
+      try new Path(java.net.URI.create(dv.pathOrInlineDv))
+      catch {
+        // Legacy/raw absolute paths with URI-illegal characters (a space,
+        // an unencoded '%') aren't URIs at all — read them literally
+        // rather than failing resolution. Well-formed URIs still get the
+        // delta-spark percent-decoding read above.
+        case _: IllegalArgumentException => new Path(dv.pathOrInlineDv)
+      }
     case "u" =>
       val s = dv.pathOrInlineDv
       val prefix = s.substring(0, s.length - 20)

@@ -36,6 +36,23 @@ class ForeignInteropSpec extends AnyFunSuite {
     assert(percentDecode("file%20b.parquet") == "file b.parquet")
     assert(percentDecode("x%3Dy/a%25b.parquet") == "x=y/a%b.parquet")
     assert(percentDecode("plain/nested.parquet") == "plain/nested.parquet")
+    // malformed sequences (a sloppy foreign writer's bare '%') pass
+    // through raw instead of aborting replay — the reference's
+    // url_decode (delta_multi_file_list.cpp:26-42) is tolerant this way
+    assert(percentDecode("100%.parquet") == "100%.parquet")
+    assert(percentDecode("a%ZZb.parquet") == "a%ZZb.parquet")
+  }
+
+  test("DV 'p' path: raw non-URI absolute paths resolve literally") {
+    import graft.delta.{DeletionVectorDescriptor, DeletionVectorStore}
+    def p(s: String) = DeletionVectorStore.resolvePath(
+      new org.apache.hadoop.fs.Path("/tbl"),
+      DeletionVectorDescriptor("p", s, None, 10, 2)).toString
+    // well-formed URI: percent-decoded (delta-spark read)
+    assert(p("file:/t%20bl/dv.bin").endsWith("/t bl/dv.bin"))
+    // legacy raw path with a space / bare '%': not a URI — read literally
+    assert(p("/t bl/dv.bin") == "/t bl/dv.bin")
+    assert(p("/tbl/100% done/dv.bin") == "/tbl/100% done/dv.bin")
   }
 
   test("foreign stats shapes: partial/absent stats never mis-prune") {

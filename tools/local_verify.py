@@ -7,6 +7,14 @@ from <outDir>/oracle_sql.json, and compares against the Spark parquet dump
 (columns sorted by name, rows sorted, exact value compare) — the same
 shape as CORRECTNESS_r{N}.json.
 
+It ALSO runs the suite-wide dialect-type guard inline (r16 judge ask:
+one command = value compare + type guard): the driver's hasher is
+type-tagged, so an oracle SQL whose result types HUGEINT/UHUGEINT
+(DuckDB int128 — e.g. sum over integer literals) can never hash-match
+Spark's BIGINT even when every value is equal. Any such column is a
+failure here, before it can reach the driver. The standalone
+tools/oracle_type_check.py remains for targeted runs.
+
 Dev-only tooling (mirrors the driver); the engine itself is pure Scala.
 """
 import duckdb, json, math, sys, os
@@ -37,9 +45,19 @@ def main():
         keep = set(sys.argv[3].split(","))
         oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = 0
+    type_failures = 0
     for name in sorted(oracle):
         sql = oracle[name]
         try:
+            # type guard first: column types come from the relation plan,
+            # independent of the value fetch below
+            rel = con.sql(sql)
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()]
+            if hug:
+                type_failures += 1
+                print(f"TYPE {name}: HUGEINT columns {hug} — cast to BIGINT "
+                      "in both the Spark and oracle SQL (dialect rule)")
             spark_rel = con.execute(
                 f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
             spark_cols = [d[0] for d in spark_rel.description]
@@ -72,8 +90,11 @@ def main():
                     if a != b:
                         print(f"     first diff row {i}:\n       spark {a}\n       duck  {b}")
                         break
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
-    sys.exit(1 if failures else 0)
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}"
+          f" ({len(oracle)} queries)")
+    print("TYPES OK" if type_failures == 0
+          else f"{type_failures} HUGEINT-PRODUCING QUERIES")
+    sys.exit(1 if failures or type_failures else 0)
 
 if __name__ == "__main__":
     main()
