@@ -92,6 +92,25 @@ case class GraftMd5Hex(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_md5"
 }
 
+/** md5 → raw 16-byte digest (BinaryType). For callers that only need a
+  * collision-safe GROUPING key and drop it from the output (exact dedup):
+  * skips the 32-char hex encode + String + UTF8String re-encode per row,
+  * and the grouping key is 16 bytes instead of 32. Same thread-local
+  * digest as [[GraftMd5Hex]]. */
+case class GraftMd5Bin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullSafeEval(input: Any): Any =
+    GraftMd5Hex.digestBytes(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftMd5Hex.digestBytes($c.getBytes())")
+  override protected def withNewChildInternal(c: Expression): GraftMd5Bin = copy(c)
+  override def prettyName: String = "graft_md5_bin"
+}
+
 object GraftMd5Hex {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -231,6 +250,9 @@ object GraftFunctions {
     column(RollingFingerprint(expression(c), k))
   /** Drop-in for `functions.md5` (same lowercase-hex output). */
   def md5(c: Column): Column = column(GraftMd5Hex(expression(c)))
+
+  /** Raw 16-byte md5 digest (BinaryType) — grouping-key-only variant. */
+  def md5Binary(c: Column): Column = column(GraftMd5Bin(expression(c)))
   /** Count of ASCII a-z chars — `length(regexp_replace(c,'[^a-z]',''))`
     * without the per-row allocation (see [[LowerAlphaCount]]). */
   def lowerAlphaCount(c: Column): Column = column(LowerAlphaCount(expression(c)))

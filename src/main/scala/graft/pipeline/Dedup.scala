@@ -26,17 +26,23 @@ object Dedup {
   private def md5(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.GraftFunctions.md5(c)
 
+  // Grouping-key-only digest: the key is dropped from every exact-dedup
+  // output, so the raw 16-byte form replaces the 32-char hex (no hex
+  // encode + String + UTF8String re-encode per row, half the key bytes
+  // through the agg map) with identical grouping semantics.
+  private def md5Bin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.md5Binary(c)
 
   /** Exact dedup: one surviving doc_id per distinct text (md5 key). */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("h"))
+    docs.groupBy(md5Bin(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
       .orderBy(col("doc_id"))
 
   /** Exact dedup after normalization (lowercase, collapsed whitespace). */
   def exactNormalized(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+    docs.groupBy(md5Bin(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
       .orderBy(col("doc_id"))

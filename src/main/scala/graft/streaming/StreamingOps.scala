@@ -59,6 +59,40 @@ object StreamingOps {
   }
 
   /**
+   * Streaming maintenance of the incremental-dedup window index
+   * ([[graft.pipeline.IncrementalDedup]]): each micro-batch of newly
+   * ingested documents is shingled ONCE and its distinct window-hash
+   * rows appended to the index Delta table with txnVersion=batchId —
+   * replayed batches are no-ops, so an at-least-once stream keeps the
+   * index exactly-once. This is the daily-ingest shape at 100 TB: the
+   * corpus index stays current commit-by-commit and dedup jobs only
+   * ever read the index plus the new batch.
+   */
+  def streamIndexMaintenance(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      indexTable: String,
+      appId: String = "graft-dedup-index-stream",
+      window: Int = 8,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.IncrementalDedup.appendToIndex(spark, indexTable,
+          batch.toDF(), window = window,
+          txnAppId = appId, txnVersion = batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /**
    * Exactly-once streaming UPSERT (CDC-apply): each micro-batch MERGEs
    * into the Delta target on `keyCols` — later batches overwrite earlier
    * rows with the same key (the change-data-capture apply pattern), and

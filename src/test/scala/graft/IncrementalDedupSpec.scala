@@ -69,6 +69,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(after == full)
   }
 
+  test("streaming sink maintains the index exactly-once") {
+    val src = java.nio.file.Files.createTempDirectory("graft-incdedup-src").toString
+    val path = tmpIndex()
+    // two source files → two micro-batches at maxFilesPerTrigger=1
+    corpus.where(col("doc_id") % 10 < 4).coalesce(1)
+      .write.mode("append").parquet(src)
+    corpus.where(col("doc_id") % 10 >= 4).coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = corpus.schema
+    val q = graft.streaming.StreamingOps.streamIndexMaintenance(
+      spark, src, schema, path)
+    q.awaitTermination(120000)
+    val viaStream = DeltaTable.forPath(spark, path).toDF
+    val direct = IncrementalDedup.windowIndex(corpus)
+    assert(viaStream.count() == direct.count())
+    assert(viaStream.except(direct).isEmpty && direct.except(viaStream).isEmpty)
+    // replay: a fresh run over the same source re-issues batchIds 0..1;
+    // the txn CAS must make them no-ops (no double rows)
+    val q2 = graft.streaming.StreamingOps.streamIndexMaintenance(
+      spark, src, schema, path)
+    q2.awaitTermination(120000)
+    assert(DeltaTable.forPath(spark, path).toDF.count() == direct.count())
+  }
+
   test("dup_windows is bounded by total_windows and zero-window docs survive") {
     val path = tmpIndex()
     IncrementalDedup.appendToIndex(spark, path, corpus, txnVersion = 1L)
