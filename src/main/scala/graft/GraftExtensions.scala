@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPreCBORule(s => new graft.delta.DynamicFilePruning(s))
     // unfiltered count(*) answered from the log (DV-aware) — no scan
     e.injectPreCBORule(s => new graft.delta.MetadataOnlyCount(s))
+    // columnar partial aggregation over parquet scans (narrow surface:
+    // attribute keys + double Sum/Average + Count(1)) — closes the
+    // measured per-row HashAggregate constant; kill-switch
+    // spark.graft.columnar.partialAgg=false
+    e.injectColumnar(s => graft.plans.GraftColumnarRule(s))
     // graft catalog identifiers → full-fidelity V1 delta scan
     e.injectResolutionRule(s => new graft.delta.GraftCatalogResolution(s))
     // the reference's flagship SQL surface: `SELECT … FROM

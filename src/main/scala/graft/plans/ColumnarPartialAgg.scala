@@ -1,0 +1,843 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, ProjectExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Columnar partial aggregation — the "different engine tier" closing the
+ * measured per-row HashAggregate constant (SURVEY §6: q1_agg pinned at
+ * ~34 ns/row of map-probe + UnsafeRow-buffer machinery that neither key
+ * representation nor confs move).
+ *
+ * Rewrites `HashAggregate(Partial)` over a columnar parquet scan (with an
+ * optional Project and/or Filter between) into an operator that consumes
+ * `ColumnarBatch`es with no row pivot: aggregate-input arithmetic runs as
+ * tight per-batch loops over primitive scratch arrays (JIT-vectorizable),
+ * string grouping keys ride the parquet DICTIONARY codes (one decode per
+ * distinct value per batch; per-row key cost is one packed-long probe),
+ * and groups accumulate in an open-addressing table of primitive arrays
+ * instead of the UnsafeRow bytes-map. Only the narrow, provably-identical
+ * surface rewrites:
+ *  - keys: scan attributes (string/int/long/date/timestamp/bool) or
+ *    `date_trunc` to second/minute/hour/day of a timestamp attribute in
+ *    UTC (pure modulo in a DST-free zone);
+ *  - aggregates: Sum(double) / Average(double) / Count(literal) over
+ *    +,-,*,/ double arithmetic, no DISTINCT, no FILTER clause;
+ *  - filters: And/Or of IsNotNull, string =/IN, numeric comparisons
+ *    against literals (null input → row dropped, the WHERE semantics).
+ * Anything else keeps the built-in operator.
+ *
+ * Scale safety: the hash table is BOUNDED — on reaching `MaxGroups` the
+ * operator emits its current partial rows and resets (partial aggregation
+ * may legally produce several rows per group per partition; the final
+ * aggregate merges them), so high-cardinality keys degrade to pass-through
+ * partial aggregation instead of OOM, the same contract as Spark's own
+ * partial-agg fallback.
+ *
+ * Null semantics replicated exactly from the declarative aggregates:
+ * Sum's buffer is null until the first non-null input; Average's buffer is
+ * (sum = 0.0, count = 0); Count(literal) counts every surviving row.
+ *
+ * Measured (x100 micro dir, min-of-3): q1_agg 1.60 s built-in → 0.87 s
+ * columnar (DuckDB 0.65) — the accepted-constant gap closes to ~1.3×.
+ */
+case class GraftColumnarPartialAggExec(
+    keyExprs: Seq[Expression],          // over scan output (post-substitution)
+    aggExprs: Seq[AggregateExpression], // over scan output (post-substitution)
+    filterExpr: Option[Expression],     // over scan output
+    override val output: Seq[Attribute],
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "partial table flushes"))
+
+  override protected def withNewChildInternal(c: SparkPlan): GraftColumnarPartialAggExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keySpecs = keyExprs.map(e =>
+      ColumnarPartialAgg.compileKey(e, childOutput).getOrElse(
+        throw new IllegalStateException(s"unsupported key $e")))
+    val specs = aggExprs.map(ColumnarPartialAgg.spec(_, childOutput))
+    val filter = filterExpr.map(e =>
+      ColumnarPartialAgg.compileFilter(e, childOutput).getOrElse(
+        throw new IllegalStateException(s"unsupported filter $e")))
+    val outSchema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val numOut = longMetric("numOutputRows")
+    val numFlush = longMetric("numFlushes")
+    child.executeColumnar().mapPartitions({ batches =>
+      new ColumnarAggIterator(batches, keySpecs.toArray, specs.toArray,
+        filter.orNull, outSchema, numOut, numFlush)
+    }, preservesPartitioning = true)
+  }
+}
+
+object ColumnarPartialAgg {
+
+  /** Compiled grouping key. kind 0: read from vector `ord` (type-tagged by
+    * `dataType`); kind 1: timestamp vector `ord` truncated to
+    * `truncMicros` (UTC modulo). */
+  final case class KeySpec(kind: Int, ord: Int, dataType: DataType,
+      truncMicros: Long) extends Serializable
+
+  /** Compiled aggregate descriptor. kind: 0=Sum(double) [sum,seen],
+    * 1=Average(double) [sum,count], 2=Count(non-null literal) [count]. */
+  final case class AggSpec(kind: Int, input: DoubleEval) extends Serializable
+
+  // ---------- double-valued columnar expression evaluation ----------
+
+  /** Columnar evaluator producing a double + null mask per batch.
+    * Serializable: instances ship inside the task closure. */
+  sealed trait DoubleEval extends Serializable {
+    /** Fill `out(0..n)` and `nulls(0..n)` for the batch. */
+    def eval(b: ColumnarBatch, n: Int, out: Array[Double], nulls: Array[Boolean]): Unit
+  }
+  final class ColEval(ord: Int, srcType: DataType) extends DoubleEval {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Double], nulls: Array[Boolean]): Unit = {
+      val v = b.column(ord)
+      val hasNull = v.hasNull
+      srcType match {
+        case DoubleType =>
+          var i = 0
+          if (hasNull) while (i < n) {
+            if (v.isNullAt(i)) { nulls(i) = true; out(i) = 0.0 }
+            else { nulls(i) = false; out(i) = v.getDouble(i) }
+            i += 1
+          } else while (i < n) { nulls(i) = false; out(i) = v.getDouble(i); i += 1 }
+        case FloatType =>
+          var i = 0
+          while (i < n) {
+            if (hasNull && v.isNullAt(i)) { nulls(i) = true; out(i) = 0.0 }
+            else { nulls(i) = false; out(i) = v.getFloat(i).toDouble }
+            i += 1
+          }
+        case IntegerType =>
+          var i = 0
+          while (i < n) {
+            if (hasNull && v.isNullAt(i)) { nulls(i) = true; out(i) = 0.0 }
+            else { nulls(i) = false; out(i) = v.getInt(i).toDouble }
+            i += 1
+          }
+        case LongType =>
+          var i = 0
+          while (i < n) {
+            if (hasNull && v.isNullAt(i)) { nulls(i) = true; out(i) = 0.0 }
+            else { nulls(i) = false; out(i) = v.getLong(i).toDouble }
+            i += 1
+          }
+        case other => throw new IllegalStateException(s"unsupported col type $other")
+      }
+    }
+  }
+  final class LitEval(value: Double) extends DoubleEval {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Double], nulls: Array[Boolean]): Unit = {
+      java.util.Arrays.fill(out, 0, n, value)
+      java.util.Arrays.fill(nulls, 0, n, false)
+    }
+  }
+  /** op: 0=+ 1=- 2=* 3=/ ; allocates its own child scratch, reused across
+    * batches (evaluator instances are per-partition). */
+  final class BinEval(op: Int, l: DoubleEval, r: DoubleEval) extends DoubleEval {
+    @transient private var lv: Array[Double] = _
+    @transient private var ln: Array[Boolean] = _
+    @transient private var rv: Array[Double] = _
+    @transient private var rn: Array[Boolean] = _
+    def eval(b: ColumnarBatch, n: Int, out: Array[Double], nulls: Array[Boolean]): Unit = {
+      if (lv == null || lv.length < n) {
+        lv = new Array[Double](n); ln = new Array[Boolean](n)
+        rv = new Array[Double](n); rn = new Array[Boolean](n)
+      }
+      l.eval(b, n, lv, ln)
+      r.eval(b, n, rv, rn)
+      var i = 0
+      op match {
+        case 0 => while (i < n) { out(i) = lv(i) + rv(i); i += 1 }
+        case 1 => while (i < n) { out(i) = lv(i) - rv(i); i += 1 }
+        case 2 => while (i < n) { out(i) = lv(i) * rv(i); i += 1 }
+        case 3 =>
+          // Spark double division follows IEEE (inf/NaN on zero divisor) in
+          // both ANSI and legacy modes — only integral/decimal division
+          // raises; IEEE is the correct replication here
+          while (i < n) { out(i) = lv(i) / rv(i); i += 1 }
+      }
+      i = 0
+      while (i < n) { nulls(i) = ln(i) || rn(i); i += 1 }
+    }
+  }
+
+  /** Compile `e` to a columnar double evaluator; None when unsupported. */
+  def compile(e: Expression, childOutput: Seq[Attribute]): Option[DoubleEval] = e match {
+    case a: AttributeReference =>
+      val ord = childOutput.indexWhere(_.exprId == a.exprId)
+      if (ord < 0) None
+      else a.dataType match {
+        case DoubleType | FloatType | IntegerType | LongType =>
+          Some(new ColEval(ord, a.dataType))
+        case _ => None
+      }
+    case Literal(v, dt) if v != null => dt match {
+      case DoubleType => Some(new LitEval(v.asInstanceOf[Double]))
+      case IntegerType => Some(new LitEval(v.asInstanceOf[Int].toDouble))
+      case LongType => Some(new LitEval(v.asInstanceOf[Long].toDouble))
+      case FloatType => Some(new LitEval(v.asInstanceOf[Float].toDouble))
+      case _ => None
+    }
+    case Cast(c, DoubleType, _, _) => compile(c, childOutput)
+    case Add(l, r, _) if e.dataType == DoubleType =>
+      for (le <- compile(l, childOutput); re <- compile(r, childOutput))
+        yield new BinEval(0, le, re)
+    case Subtract(l, r, _) if e.dataType == DoubleType =>
+      for (le <- compile(l, childOutput); re <- compile(r, childOutput))
+        yield new BinEval(1, le, re)
+    case Multiply(l, r, _) if e.dataType == DoubleType =>
+      for (le <- compile(l, childOutput); re <- compile(r, childOutput))
+        yield new BinEval(2, le, re)
+    case Divide(l, r, _) if e.dataType == DoubleType =>
+      for (le <- compile(l, childOutput); re <- compile(r, childOutput))
+        yield new BinEval(3, le, re)
+    case _ => None
+  }
+
+  // ---------- grouping keys ----------
+
+  private val truncUnits: Map[String, Long] = Map(
+    "second" -> 1000000L,
+    "minute" -> 60L * 1000000L,
+    "hour" -> 3600L * 1000000L,
+    "day" -> 86400L * 1000000L)
+
+  /** Compile a grouping key expression; None when unsupported. */
+  def compileKey(e: Expression, childOutput: Seq[Attribute]): Option[KeySpec] = e match {
+    case a: AttributeReference =>
+      val ord = childOutput.indexWhere(_.exprId == a.exprId)
+      if (ord < 0) None
+      else a.dataType match {
+        case StringType | IntegerType | LongType | DateType | TimestampType |
+             TimestampNTZType | BooleanType =>
+          Some(KeySpec(0, ord, a.dataType, 0L))
+        case _ => None
+      }
+    case t: TruncTimestamp =>
+      // date_trunc in a fixed-offset zone (UTC) to units ≤ day is a pure
+      // modulo on micros; DST zones and month/year units are not
+      (t.format, t.timestamp) match {
+        case (Literal(fmt, StringType), ts: AttributeReference)
+          if fmt != null && ts.dataType == TimestampType &&
+            t.timeZoneId.contains("UTC") &&
+            truncUnits.contains(fmt.toString.toLowerCase(java.util.Locale.ROOT)) =>
+          val ord = childOutput.indexWhere(_.exprId == ts.exprId)
+          if (ord < 0) None
+          else Some(KeySpec(1, ord, TimestampType,
+            truncUnits(fmt.toString.toLowerCase(java.util.Locale.ROOT))))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  // ---------- filters ----------
+
+  /** Columnar predicate producing a keep-mask (null input → false, the
+    * WHERE semantics). */
+  sealed trait BoolEval extends Serializable {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit
+  }
+  final class NotNullEval(ord: Int) extends BoolEval {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      val v = b.column(ord)
+      var i = 0
+      if (!v.hasNull) java.util.Arrays.fill(out, 0, n, true)
+      else while (i < n) { out(i) = !v.isNullAt(i); i += 1 }
+    }
+  }
+  final class StrInEval(ord: Int, values: Array[UTF8String]) extends BoolEval {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      val v = b.column(ord)
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) out(i) = false
+        else {
+          val s = v.getUTF8String(i)
+          var j = 0
+          var hit = false
+          while (!hit && j < values.length) { hit = values(j) == s; j += 1 }
+          out(i) = hit
+        }
+        i += 1
+      }
+    }
+  }
+  /** cmp: 0 = > , 1 = >= , 2 = < , 3 = <= , 4 = == on double value. */
+  final class NumCmpEval(input: DoubleEval, cmp: Int, rhs: Double) extends BoolEval {
+    @transient private var vv: Array[Double] = _
+    @transient private var nn: Array[Boolean] = _
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      if (vv == null || vv.length < n) { vv = new Array[Double](n); nn = new Array[Boolean](n) }
+      input.eval(b, n, vv, nn)
+      var i = 0
+      while (i < n) {
+        out(i) = !nn(i) && (cmp match {
+          case 0 => vv(i) > rhs
+          case 1 => vv(i) >= rhs
+          case 2 => vv(i) < rhs
+          case 3 => vv(i) <= rhs
+          case _ => vv(i) == rhs
+        })
+        i += 1
+      }
+    }
+  }
+  final class AndEval(l: BoolEval, r: BoolEval) extends BoolEval {
+    @transient private var rv: Array[Boolean] = _
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      if (rv == null || rv.length < n) rv = new Array[Boolean](n)
+      l.eval(b, n, out)
+      r.eval(b, n, rv)
+      var i = 0
+      while (i < n) { out(i) = out(i) && rv(i); i += 1 }
+    }
+  }
+  final class OrEval(l: BoolEval, r: BoolEval) extends BoolEval {
+    @transient private var rv: Array[Boolean] = _
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      if (rv == null || rv.length < n) rv = new Array[Boolean](n)
+      l.eval(b, n, out)
+      r.eval(b, n, rv)
+      var i = 0
+      while (i < n) { out(i) = out(i) || rv(i); i += 1 }
+    }
+  }
+
+  /** Compile a WHERE predicate; None when any piece is unsupported.
+    * NOTE on Or + null: `null OR true` is true in SQL, but a null string
+    * input here yields false on both sides. That divergence only matters
+    * for rows a three-valued OR would KEEP (null-or-true); to stay exact,
+    * Or only compiles when both sides are null-REJECTING on the same
+    * single attribute (e.g. x='a' OR x='b'), where null → false on both
+    * sides matches SQL. */
+  def compileFilter(e: Expression, childOutput: Seq[Attribute]): Option[BoolEval] = {
+    def ordOf(a: AttributeReference): Int =
+      childOutput.indexWhere(_.exprId == a.exprId)
+    def lit(x: Expression): Option[Double] = x match {
+      case Literal(v, DoubleType) if v != null => Some(v.asInstanceOf[Double])
+      case Literal(v, IntegerType) if v != null => Some(v.asInstanceOf[Int].toDouble)
+      case Literal(v, LongType) if v != null => Some(v.asInstanceOf[Long].toDouble)
+      case Literal(v, FloatType) if v != null => Some(v.asInstanceOf[Float].toDouble)
+      case _ => None
+    }
+    e match {
+      case IsNotNull(a: AttributeReference) if ordOf(a) >= 0 =>
+        Some(new NotNullEval(ordOf(a)))
+      case In(a: AttributeReference, list)
+        if a.dataType == StringType && ordOf(a) >= 0 &&
+          list.forall { case Literal(v, StringType) => v != null; case _ => false } =>
+        Some(new StrInEval(ordOf(a),
+          list.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String]).toArray))
+      case InSet(a: AttributeReference, hset)
+        if a.dataType == StringType && ordOf(a) >= 0 &&
+          hset.forall(v => v != null && v.isInstanceOf[UTF8String]) =>
+        Some(new StrInEval(ordOf(a), hset.map(_.asInstanceOf[UTF8String]).toArray))
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+        if a.dataType == StringType && ordOf(a) >= 0 && v != null =>
+        Some(new StrInEval(ordOf(a), Array(v.asInstanceOf[UTF8String])))
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+        if a.dataType == StringType && ordOf(a) >= 0 && v != null =>
+        Some(new StrInEval(ordOf(a), Array(v.asInstanceOf[UTF8String])))
+      case GreaterThan(l, r) =>
+        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 0, rv)
+      case GreaterThanOrEqual(l, r) =>
+        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 1, rv)
+      case LessThan(l, r) =>
+        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 2, rv)
+      case LessThanOrEqual(l, r) =>
+        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 3, rv)
+      case EqualTo(l, r) if lit(r).isDefined =>
+        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 4, rv)
+      case And(l, r) =>
+        for (le <- compileFilter(l, childOutput); re <- compileFilter(r, childOutput))
+          yield new AndEval(le, re)
+      case Or(l, r) =>
+        val sameAttr = (l, r) match {
+          case (In(a: AttributeReference, _), In(b: AttributeReference, _)) => a.exprId == b.exprId
+          case (EqualTo(a: AttributeReference, _), EqualTo(b: AttributeReference, _)) => a.exprId == b.exprId
+          case (In(a: AttributeReference, _), EqualTo(b: AttributeReference, _)) => a.exprId == b.exprId
+          case (EqualTo(a: AttributeReference, _), In(b: AttributeReference, _)) => a.exprId == b.exprId
+          case _ => false
+        }
+        if (!sameAttr) None
+        else for (le <- compileFilter(l, childOutput); re <- compileFilter(r, childOutput))
+          yield new OrEval(le, re)
+      case _ => None
+    }
+  }
+
+  // ---------- aggregates ----------
+
+  /** Build the runtime spec for a supported AggregateExpression (caller
+    * must have checked [[supports]]). */
+  def spec(ae: AggregateExpression, childOutput: Seq[Attribute]): AggSpec =
+    ae.aggregateFunction match {
+      case s: Sum => AggSpec(0, compile(s.child, childOutput).get)
+      case a: Average => AggSpec(1, compile(a.child, childOutput).get)
+      case _: Count => AggSpec(2, new LitEval(1.0))
+    }
+
+  private def supportedAgg(ae: AggregateExpression, scanOutput: Seq[Attribute]): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case s: Sum =>
+        s.dataType == DoubleType && compile(s.child, scanOutput).isDefined &&
+          s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+      case a: Average =>
+        a.dataType == DoubleType && compile(a.child, scanOutput).isDefined &&
+          a.aggBufferAttributes.map(_.dataType) == Seq(DoubleType, LongType)
+      case c: Count =>
+        // count of non-null literals only (count(*) / count(1)): every row
+        // counts, no per-row null check needed
+        c.children.forall { case Literal(v, _) => v != null; case _ => false } &&
+          c.aggBufferAttributes.map(_.dataType) == Seq(LongType)
+      case _ => false
+    })
+
+  /** Substitute project aliases so expressions reference scan output. */
+  def substituted(e: Expression, proj: Seq[NamedExpression]): Expression = {
+    if (proj.isEmpty) return e
+    val map = proj.collect { case a: Alias => a.exprId -> a.child }.toMap
+    e.transformUp {
+      case attr: AttributeReference if map.contains(attr.exprId) => map(attr.exprId)
+    }
+  }
+
+  /** Does this partial HashAggregate (keys/aggs already substituted down
+    * to scan attributes) qualify for the columnar rewrite? */
+  def supports(agg: HashAggregateExec, keyExprs: Seq[Expression],
+      aggExprs: Seq[AggregateExpression], filter: Option[Expression],
+      scanOutput: Seq[Attribute]): Boolean = {
+    val partialOnly = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.mode == Partial)
+    // partial-mode result expressions are exactly (keys ++ buffer attrs) —
+    // anything computed would change the contract
+    val resultsOk = agg.resultExpressions.forall(_.isInstanceOf[Attribute])
+    partialOnly && resultsOk &&
+      keyExprs.forall(compileKey(_, scanOutput).isDefined) &&
+      aggExprs.forall(supportedAgg(_, scanOutput)) &&
+      filter.forall(compileFilter(_, scanOutput).isDefined)
+  }
+}
+
+/** Per-partition aggregation over columnar batches. Open-addressing table
+  * (power-of-two capacity, linear probing) keyed on copied key values;
+  * accumulators are primitive arrays. On table overflow the iterator
+  * FLUSHES current rows and resets — bounded memory at any cardinality. */
+private final class ColumnarAggIterator(
+    batches: Iterator[ColumnarBatch],
+    keySpecs: Array[ColumnarPartialAgg.KeySpec],
+    specs: Array[ColumnarPartialAgg.AggSpec],
+    filter: ColumnarPartialAgg.BoolEval, // null = keep all
+    outSchema: StructType,
+    numOut: SQLMetric,
+    numFlush: SQLMetric)
+  extends Iterator[InternalRow] {
+
+  // flush at ~2M groups per partition (sys-prop override is for the
+  // overflow-path spec only)
+  private val MaxGroups = Integer.getInteger("graft.columnar.agg.maxGroups", 1 << 21)
+  private var capacity = 1 << 10
+  private var mask = capacity - 1
+  private val nKeys = keySpecs.length
+  private val nAggs = specs.length
+
+  // slot -> key objects (UTF8String copy / java.lang.Long / null)
+  private var slotKeys = new Array[AnyRef](capacity * math.max(nKeys, 1))
+  private var slotHash = new Array[Int](capacity)
+  private var slotUsed = new Array[Boolean](capacity)
+  // accumulators: for Sum/Avg a double + long/boolean pair; Count long only
+  private var accD = new Array[Double](capacity * nAggs)
+  private var accL = new Array[Long](capacity * nAggs)
+  private var nGroups = 0
+
+  // scratch per batch
+  private var scratchV: Array[Array[Double]] = _
+  private var scratchN: Array[Array[Boolean]] = _
+  private var sel: Array[Boolean] = _
+  // computed (kind=1) key columns: long value + null mask per key
+  private var keyLongs: Array[Array[Long]] = _
+  private var keyLongNulls: Array[Array[Boolean]] = _
+  // per-batch hoisted key vectors (avoid b.column() per row)
+  private val keyVecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](nKeys)
+
+  private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    .create(outSchema.fields.map(_.dataType))
+  private val outRow = new GenericInternalRow(outSchema.length)
+  private var flushed: Iterator[InternalRow] = Iterator.empty
+  private var done = false
+
+  private def grow(): Unit = {
+    val oldCap = capacity
+    val oldKeys = slotKeys; val oldHash = slotHash; val oldUsed = slotUsed
+    val oldD = accD; val oldL = accL
+    capacity = capacity << 1
+    mask = capacity - 1
+    slotKeys = new Array[AnyRef](capacity * math.max(nKeys, 1))
+    slotHash = new Array[Int](capacity)
+    slotUsed = new Array[Boolean](capacity)
+    accD = new Array[Double](capacity * nAggs)
+    accL = new Array[Long](capacity * nAggs)
+    var s = 0
+    while (s < oldCap) {
+      if (oldUsed(s)) {
+        var ns = oldHash(s) & mask
+        while (slotUsed(ns)) ns = (ns + 1) & mask
+        slotUsed(ns) = true
+        slotHash(ns) = oldHash(s)
+        var k = 0
+        while (k < nKeys) { slotKeys(ns * nKeys + k) = oldKeys(s * nKeys + k); k += 1 }
+        var a = 0
+        while (a < nAggs) {
+          accD(ns * nAggs + a) = oldD(s * nAggs + a)
+          accL(ns * nAggs + a) = oldL(s * nAggs + a)
+          a += 1
+        }
+      }
+      s += 1
+    }
+  }
+
+  /** Is key k null at row i? */
+  private def keyIsNull(k: Int, i: Int): Boolean =
+    if (keySpecs(k).kind == 0) keyVecs(k).isNullAt(i) else keyLongNulls(k)(i)
+
+  /** Long value of a non-string key at row i (kind 0 non-string types and
+    * all kind-1 keys). */
+  private def keyLong(k: Int, i: Int): Long =
+    if (keySpecs(k).kind == 1) keyLongs(k)(i)
+    else keySpecs(k).dataType match {
+      case IntegerType | DateType => keyVecs(k).getInt(i).toLong
+      case BooleanType => if (keyVecs(k).getBoolean(i)) 1L else 0L
+      case _ => keyVecs(k).getLong(i)
+    }
+
+  private def keyHash(i: Int): Int = {
+    var h = 0x9747b28c
+    var k = 0
+    while (k < nKeys) {
+      val kh =
+        if (keyIsNull(k, i)) 0
+        else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
+          keyVecs(k).getUTF8String(i).hashCode()
+        else java.lang.Long.hashCode(keyLong(k, i))
+      h = h * 31 + kh
+      k += 1
+    }
+    // finalize (avalanche) so linear probing doesn't cluster
+    h ^= (h >>> 16); h *= 0x85ebca6b; h ^= (h >>> 13)
+    h
+  }
+
+  private def keyEquals(i: Int, slot: Int): Boolean = {
+    var k = 0
+    while (k < nKeys) {
+      val stored = slotKeys(slot * nKeys + k)
+      val eq =
+        if (keyIsNull(k, i)) stored == null
+        else if (stored == null) false
+        else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
+          stored.asInstanceOf[UTF8String] == keyVecs(k).getUTF8String(i)
+        else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == BooleanType)
+          (if (stored.asInstanceOf[java.lang.Boolean].booleanValue()) 1L else 0L) ==
+            keyLong(k, i)
+        else stored.asInstanceOf[java.lang.Number].longValue() == keyLong(k, i)
+      if (!eq) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Box a non-string key at its EXACT output type (the flush projection
+    * reads ints as Integer, booleans as Boolean — a Long box would CCE). */
+  private def storeKeys(i: Int, slot: Int): Unit = {
+    var k = 0
+    while (k < nKeys) {
+      slotKeys(slot * nKeys + k) =
+        if (keyIsNull(k, i)) null
+        else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
+          keyVecs(k).getUTF8String(i).clone() // vector memory is reused
+        else if (keySpecs(k).kind == 0 &&
+            (keySpecs(k).dataType == IntegerType || keySpecs(k).dataType == DateType))
+          java.lang.Integer.valueOf(keyVecs(k).getInt(i))
+        else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == BooleanType)
+          java.lang.Boolean.valueOf(keyVecs(k).getBoolean(i))
+        else java.lang.Long.valueOf(keyLong(k, i))
+      k += 1
+    }
+  }
+
+  // Dictionary fast path: when every key column in the batch is a
+  // dictionary-encoded string vector without nulls, a row's key is fully
+  // determined by its (int) dictionary codes. A per-batch code→slot cache
+  // (epoch-stamped, no clearing) reduces the per-row key cost to one
+  // packed-long probe; the string path runs only once per distinct code
+  // per batch (dictionaries are per-file, so codes are NOT comparable
+  // across batches — the cache is invalidated per batch and on any table
+  // mutation that moves slots).
+  private val DictCacheBits = 13
+  private val dictCacheCap = 1 << DictCacheBits
+  private val dictCacheMask = dictCacheCap - 1
+  private val dictKey = new Array[Long](dictCacheCap)
+  private val dictSlot = new Array[Int](dictCacheCap)
+  private val dictEpoch = new Array[Int](dictCacheCap)
+  private var epoch = 0
+
+  /** Probe/insert the group for row i via the generic (string/long) path.
+    * May flush or grow the table (both bump `epoch`). */
+  private def findOrCreateSlot(i: Int): Int = {
+    val h = keyHash(i)
+    var slot = h & mask
+    while (slotUsed(slot) && !(slotHash(slot) == h && keyEquals(i, slot))) {
+      slot = (slot + 1) & mask
+    }
+    if (!slotUsed(slot)) {
+      if (nGroups >= MaxGroups) { flushTable(); slot = h & mask
+        while (slotUsed(slot)) slot = (slot + 1) & mask }
+      else if ((nGroups + 1) * 2 > capacity) { grow(); epoch += 1; slot = h & mask
+        while (slotUsed(slot) && !(slotHash(slot) == h && keyEquals(i, slot)))
+          slot = (slot + 1) & mask }
+      if (!slotUsed(slot)) {
+        slotUsed(slot) = true
+        slotHash(slot) = h
+        storeKeys(i, slot)
+        nGroups += 1
+      }
+    }
+    slot
+  }
+
+  private def accumulate(slot: Int, i: Int): Unit = {
+    val base = slot * nAggs
+    var a = 0
+    while (a < nAggs) {
+      specs(a).kind match {
+        case 0 => // Sum(double): null until first non-null input
+          if (!scratchN(a)(i)) { accD(base + a) += scratchV(a)(i); accL(base + a) = 1L }
+        case 1 => // Average(double): sum init 0.0, count init 0
+          if (!scratchN(a)(i)) { accD(base + a) += scratchV(a)(i); accL(base + a) += 1L }
+        case _ => // Count(literal): every surviving row
+          accL(base + a) += 1L
+      }
+      a += 1
+    }
+  }
+
+  private def processBatch(b: ColumnarBatch): Unit = {
+    val n = b.numRows()
+    if (n == 0) return
+    var k = 0
+    while (k < nKeys) { keyVecs(k) = b.column(keySpecs(k).ord); k += 1 }
+    if (scratchV == null || (nAggs > 0 && scratchV(0).length < n) ||
+        (filter != null && (sel == null || sel.length < n))) {
+      scratchV = Array.fill(nAggs)(new Array[Double](n))
+      scratchN = Array.fill(nAggs)(new Array[Boolean](n))
+      if (filter != null) sel = new Array[Boolean](n)
+      keyLongs = Array.fill(nKeys)(new Array[Long](n))
+      keyLongNulls = Array.fill(nKeys)(new Array[Boolean](n))
+    }
+    if (filter != null) filter.eval(b, n, sel)
+    // computed keys (date_trunc): one modulo pass per key
+    k = 0
+    while (k < nKeys) {
+      if (keySpecs(k).kind == 1) {
+        val v = keyVecs(k)
+        val unit = keySpecs(k).truncMicros
+        val out = keyLongs(k)
+        val nulls = keyLongNulls(k)
+        val hasNull = v.hasNull
+        var i = 0
+        while (i < n) {
+          if (hasNull && v.isNullAt(i)) { nulls(i) = true; out(i) = 0L }
+          else { nulls(i) = false
+            val ts = v.getLong(i)
+            out(i) = ts - java.lang.Math.floorMod(ts, unit)
+          }
+          i += 1
+        }
+      }
+      k += 1
+    }
+    // vectorized aggregate-input arithmetic, one pass per aggregate
+    var a = 0
+    while (a < nAggs) {
+      specs(a).input.eval(b, n, scratchV(a), scratchN(a))
+      a += 1
+    }
+    // dict fast-path eligibility for THIS batch
+    import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+    var dictOk = nKeys >= 1 && nKeys <= 2 && n <= dictCacheCap / 2
+    k = 0
+    while (dictOk && k < nKeys) {
+      keyVecs(k) match {
+        case w: WritableColumnVector
+          if keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType &&
+            w.hasDictionary && !w.hasNull => ()
+        case _ => dictOk = false
+      }
+      k += 1
+    }
+    epoch += 1 // new batch → codes from prior batches are not comparable
+    var i = 0
+    if (dictOk) {
+      // ids live on the dictionaryIds child vector (the parent's accessors
+      // decode through the dictionary)
+      val k0 = keyVecs(0).asInstanceOf[WritableColumnVector].getDictionaryIds
+      val k1 = if (nKeys == 2)
+        keyVecs(1).asInstanceOf[WritableColumnVector].getDictionaryIds else null
+      while (i < n) {
+        if (filter == null || sel(i)) {
+          val packed =
+            if (k1 == null) k0.getDictId(i).toLong
+            else (k0.getDictId(i).toLong << 32) | (k1.getDictId(i).toLong & 0xffffffffL)
+          var ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
+          while (dictEpoch(ph) == epoch && dictKey(ph) != packed) ph = (ph + 1) & dictCacheMask
+          var slot = 0
+          if (dictEpoch(ph) == epoch) slot = dictSlot(ph)
+          else {
+            val e0 = epoch
+            slot = findOrCreateSlot(i) // may bump epoch (flush/grow)
+            if (epoch != e0) { // cache invalidated: re-probe an empty cell
+              ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
+              while (dictEpoch(ph) == epoch && dictKey(ph) != packed)
+                ph = (ph + 1) & dictCacheMask
+            }
+            dictEpoch(ph) = epoch; dictKey(ph) = packed; dictSlot(ph) = slot
+          }
+          accumulate(slot, i)
+        }
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (filter == null || sel(i)) accumulate(findOrCreateSlot(i), i)
+        i += 1
+      }
+    }
+  }
+
+  /** Emit all current groups as partial rows, then reset the table. */
+  private def flushTable(): Unit = {
+    numFlush += 1
+    epoch += 1 // slots move: invalidate the dictionary code→slot cache
+    val rows = Vector.newBuilder[InternalRow]
+    var s = 0
+    while (s < capacity) {
+      if (slotUsed(s)) {
+        var c = 0
+        var k = 0
+        while (k < nKeys) {
+          outRow.update(c, slotKeys(s * nKeys + k)); c += 1; k += 1
+        }
+        var a = 0
+        while (a < nAggs) {
+          specs(a).kind match {
+            case 0 =>
+              if (accL(s * nAggs + a) == 1L) outRow.update(c, accD(s * nAggs + a))
+              else outRow.setNullAt(c)
+              c += 1
+            case 1 =>
+              outRow.update(c, accD(s * nAggs + a)); c += 1
+              outRow.update(c, accL(s * nAggs + a)); c += 1
+            case _ =>
+              outRow.update(c, accL(s * nAggs + a)); c += 1
+          }
+          a += 1
+        }
+        rows += proj.apply(outRow).copy()
+      }
+      s += 1
+    }
+    flushed = flushed ++ rows.result().iterator
+    // reset
+    java.util.Arrays.fill(slotUsed, false)
+    java.util.Arrays.fill(slotKeys, 0, slotKeys.length, null)
+    java.util.Arrays.fill(accD, 0.0)
+    java.util.Arrays.fill(accL, 0L)
+    nGroups = 0
+  }
+
+  override def hasNext: Boolean = {
+    if (flushed.hasNext) return true
+    if (!done) {
+      while (batches.hasNext) processBatch(batches.next())
+      done = true
+      if (nGroups > 0 || nKeys == 0) {
+        // global (no-key) partial agg emits one initial-state row per
+        // partition even when the partition is empty, like the built-in
+        if (nKeys == 0 && nGroups == 0) {
+          slotUsed(0) = true
+          nGroups = 1
+        }
+        flushTable()
+      }
+    }
+    flushed.hasNext
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException
+    numOut += 1
+    flushed.next()
+  }
+}
+
+/** Physical rewrite rule: runs in postColumnarTransitions, so the pattern
+  * is HashAggregate(Partial) over [Project over] [Filter over]
+  * ColumnarToRow over a columnar scan. */
+case class ColumnarPartialAggRule(session: org.apache.spark.sql.SparkSession)
+  extends Rule[SparkPlan] {
+  import ColumnarPartialAgg._
+
+  override def apply(plan: SparkPlan): SparkPlan = {
+    val enabled = session.conf
+      .get("spark.graft.columnar.partialAgg", "true") == "true"
+    if (!enabled) return plan
+    plan.transformUp {
+      case agg: HashAggregateExec =>
+        // peel: [Project] -> [Filter] -> ColumnarToRow -> columnar scan
+        val (projL, filterE, scanOpt) = agg.child match {
+          case ColumnarToRowExec(s) => (Nil, None, Some(s))
+          case ProjectExec(pl, ColumnarToRowExec(s)) => (pl, None, Some(s))
+          case FilterExec(c, ColumnarToRowExec(s)) => (Nil, Some(c), Some(s))
+          case ProjectExec(pl, FilterExec(c, ColumnarToRowExec(s))) =>
+            (pl, Some(c), Some(s))
+          case _ => (Nil, None, None)
+        }
+        scanOpt match {
+          case Some(scan) if scan.supportsColumnar =>
+            val keyExprs = agg.groupingExpressions.map(substituted(_, projL))
+            val aggExprs = agg.aggregateExpressions
+              .map(substituted(_, projL).asInstanceOf[AggregateExpression])
+            if (supports(agg, keyExprs, aggExprs, filterE, scan.output))
+              GraftColumnarPartialAggExec(keyExprs, aggExprs, filterE,
+                agg.output, scan)
+            else agg
+          case _ => agg
+        }
+    }
+  }
+}
+
+/** ColumnarRule carrier for [[ColumnarPartialAggRule]] (no pre-transition
+  * rewrites; the pattern needs the inserted ColumnarToRowExec to anchor on). */
+case class GraftColumnarRule(session: org.apache.spark.sql.SparkSession)
+  extends org.apache.spark.sql.execution.ColumnarRule {
+  override def postColumnarTransitions: Rule[SparkPlan] =
+    ColumnarPartialAggRule(session)
+}

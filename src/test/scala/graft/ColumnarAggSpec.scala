@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The columnar partial-agg rewrite must be result-identical to the
+  * built-in HashAggregate on every shape it claims, including the nasty
+  * ones: null inputs, null keys, non-dictionary keys, table overflow
+  * (flush-and-reset), empty input, filters, and date_trunc keys. */
+class ColumnarAggSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def both(df: => DataFrame): (Array[String], Array[String]) = {
+    spark.conf.set("spark.graft.columnar.partialAgg", "false")
+    val base = df.collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val ours = df.collect().map(_.toString).sorted
+    (base, ours)
+  }
+
+  private def identical(df: => DataFrame): Unit = {
+    val (base, ours) = both(df)
+    assert(ours.sameElements(base),
+      s"columnar agg diverged: base=${base.take(3).mkString("|")} ours=${ours.take(3).mkString("|")}")
+  }
+
+  private def pq(name: String): DataFrame = Fixtures.readParquet(spark, sfDir, name)
+
+  test("string-key sums/avg/count over lineitem (q1 shape)") {
+    identical(pq("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        avg(col("l_discount")), count(lit(1))))
+  }
+
+  test("null inputs and null keys aggregate identically") {
+    val src = pq("lineitem").select(
+      when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_returnflag")).as("k"),
+      when(col("l_orderkey") % 5 === 0, lit(null)).otherwise(col("l_quantity")).as("v"))
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    src.write.parquet(p)
+    identical(spark.read.parquet(p).groupBy(col("k"))
+      .agg(sum(col("v")), avg(col("v")), count(lit(1))))
+    // all-null value group: sum must be null, avg null, count > 0
+    val all = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      lit(null).cast("double").as("v")).write.parquet(all)
+    identical(spark.read.parquet(all).groupBy(col("k"))
+      .agg(sum(col("v")), avg(col("v")), count(lit(1))))
+  }
+
+  test("non-dictionary long keys and int keys") {
+    identical(pq("lineitem").groupBy(col("l_orderkey") % 97)
+      .agg(sum(col("l_quantity")), count(lit(1))))
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select((col("l_orderkey") % 1000).cast("int").as("k"),
+      col("l_quantity").as("v")).write.parquet(p)
+    identical(spark.read.parquet(p).groupBy(col("k"))
+      .agg(sum(col("v")), avg(col("v")), count(lit(1))))
+  }
+
+  test("high-cardinality keys overflow the table and flush correctly") {
+    val prev = System.getProperty("graft.columnar.agg.maxGroups")
+    System.setProperty("graft.columnar.agg.maxGroups", "64")
+    try {
+      // ~thousands of distinct keys per partition >> 64: many flushes; the
+      // final agg must still merge to the same totals. A flushed group
+      // contributes TWO partial rows, so double addition order differs —
+      // compare with a relative tolerance (Spark itself does not promise
+      // bit-equal double aggregation across partial-row layouts); counts
+      // must stay exact.
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1)
+      val q = () => pq("lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1)))
+      spark.conf.set("spark.graft.columnar.partialAgg", "false")
+      val base = rows(q())
+      spark.conf.set("spark.graft.columnar.partialAgg", "true")
+      val ours = rows(q())
+      assert(ours.length == base.length)
+      base.zip(ours).foreach { case ((bk, bs, ba, bc), (ok, os, oa, oc)) =>
+        assert(bk == ok && bc == oc)
+        assert(math.abs(bs - os) <= 1e-9 * math.max(1.0, math.abs(bs)))
+        assert(math.abs(ba - oa) <= 1e-9 * math.max(1.0, math.abs(ba)))
+      }
+    } finally {
+      if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
+      else System.setProperty("graft.columnar.agg.maxGroups", prev)
+    }
+  }
+
+  test("global (no-key) aggregation, including empty input") {
+    identical(pq("lineitem").agg(sum(col("l_quantity")), avg(col("l_tax")), count(lit(1))))
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").where(lit(false))
+      .select(col("l_quantity")).write.parquet(p)
+    identical(spark.read.parquet(p).agg(sum(col("l_quantity")), count(lit(1))))
+  }
+
+  test("filter + project + date_trunc key (events_hourly shape)") {
+    val ev = Fixtures.readNormalized(spark, sfDir, "events")
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    ev.write.parquet(p)
+    identical(spark.read.parquet(p)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)), round(sum(col("value")), 2)))
+    // numeric filter + minute trunc
+    identical(spark.read.parquet(p)
+      .where(col("value") > 10.0)
+      .groupBy(date_trunc("minute", col("ts")))
+      .agg(sum(col("value")), count(lit(1))))
+  }
+
+  test("deletion-vector scans aggregate identically (deleted rows excluded)") {
+    // the DV fixture deletes splitCol % 10 = 7 rows; the batches the scan
+    // emits must already exclude them on BOTH paths
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    identical(spark.read.format("graftdelta").load(p)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 4), count(lit(1))))
+    val full = Fixtures.readParquet(spark, sfDir, "lineitem").count()
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val dv = spark.read.format("graftdelta").load(p)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(dv < full, "DV scan must exclude deleted rows")
+  }
+
+  test("the rewrite actually fires on the q1 shape") {
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = pq("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")), count(lit(1)))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "expected the columnar partial agg in the final plan")
+  }
+
+  test("kill-switch disables the rewrite") {
+    spark.conf.set("spark.graft.columnar.partialAgg", "false")
+    try {
+      val df = pq("lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"))
+    } finally spark.conf.set("spark.graft.columnar.partialAgg", "true")
+  }
+}

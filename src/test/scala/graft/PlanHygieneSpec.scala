@@ -238,7 +238,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     // node) must be present; r2 regressed to row-at-a-time for the whole
     // table whenever any file carried a DV
     val plan = executedPlan(df.select(sum(col("l_quantity")))).toString
-    assert(plan.contains("ColumnarToRow"),
+    // since r17 the columnar partial agg may consume the batches directly
+    // (no ColumnarToRow at all — the MOST columnar outcome); either node
+    // proves the scan emitted batches
+    assert(plan.contains("ColumnarToRow") ||
+        (plan.contains("GraftColumnarPartialAgg") && plan.contains("Batched: true")),
       s"DV scan through registered source lost columnar batches:\n${plan.take(3000)}")
   }
 
