@@ -262,19 +262,42 @@ object ColumnarPartialAgg {
     }
   }
   final class StrInEval(ord: Int, values: Array[UTF8String]) extends BoolEval {
+    // dictionary fast path scratch: membership per dictionary code,
+    // computed lazily (one string compare set per DISTINCT code per batch)
+    @transient private var codeHit: Array[Byte] = _ // 0=unknown 1=hit 2=miss
+    private def member(s: UTF8String): Boolean = {
+      var j = 0
+      while (j < values.length) { if (values(j) == s) return true; j += 1 }
+      false
+    }
     def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
       val v = b.column(ord)
-      var i = 0
-      while (i < n) {
-        if (v.isNullAt(i)) out(i) = false
-        else {
-          val s = v.getUTF8String(i)
-          var j = 0
-          var hit = false
-          while (!hit && j < values.length) { hit = values(j) == s; j += 1 }
-          out(i) = hit
-        }
-        i += 1
+      v match {
+        case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+          if w.hasDictionary && !w.hasNull =>
+          val ids = w.getDictionaryIds
+          if (codeHit == null) codeHit = new Array[Byte](1 << 10)
+          else java.util.Arrays.fill(codeHit, 0.toByte)
+          var i = 0
+          while (i < n) {
+            val c = ids.getDictId(i)
+            if (c >= codeHit.length)
+              codeHit = java.util.Arrays.copyOf(codeHit,
+                Integer.highestOneBit(c) << 1)
+            var h = codeHit(c)
+            if (h == 0) {
+              h = if (member(w.getUTF8String(i))) 1 else 2
+              codeHit(c) = h
+            }
+            out(i) = h == 1
+            i += 1
+          }
+        case _ =>
+          var i = 0
+          while (i < n) {
+            out(i) = !v.isNullAt(i) && member(v.getUTF8String(i))
+            i += 1
+          }
       }
     }
   }
@@ -679,47 +702,68 @@ private final class ColumnarAggIterator(
       specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
-    // dict fast-path eligibility for THIS batch
+    // Packed fast-path eligibility for THIS batch: each key must be fully
+    // determined by a 32-bit part — a dictionary CODE (string vec with
+    // dictionary, no nulls) or a truncated-timestamp UNIT INDEX
+    // (date_trunc key, no nulls; floorDiv(ts, unit) fits an int — true
+    // until 2038 even at second granularity). With ≤2 such keys a row's
+    // key packs exactly into one long → one cache probe per row.
     import org.apache.spark.sql.execution.vectorized.WritableColumnVector
-    var dictOk = nKeys >= 1 && nKeys <= 2 && n <= dictCacheCap / 2
+    var packOk = nKeys >= 1 && nKeys <= 2 && n <= dictCacheCap / 2
     k = 0
-    while (dictOk && k < nKeys) {
-      keyVecs(k) match {
-        case w: WritableColumnVector
-          if keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType &&
-            w.hasDictionary && !w.hasNull => ()
-        case _ => dictOk = false
-      }
+    while (packOk && k < nKeys) {
+      val spec = keySpecs(k)
+      val ok =
+        (spec.kind == 0 && spec.dataType == StringType &&
+          (keyVecs(k) match {
+            case w: WritableColumnVector => w.hasDictionary && !w.hasNull
+            case _ => false
+          })) ||
+        (spec.kind == 1 && !keyVecs(k).hasNull)
+      if (!ok) packOk = false
       k += 1
     }
     epoch += 1 // new batch → codes from prior batches are not comparable
     var i = 0
-    if (dictOk) {
+    if (packOk) {
       // ids live on the dictionaryIds child vector (the parent's accessors
-      // decode through the dictionary)
-      val k0 = keyVecs(0).asInstanceOf[WritableColumnVector].getDictionaryIds
-      val k1 = if (nKeys == 2)
-        keyVecs(1).asInstanceOf[WritableColumnVector].getDictionaryIds else null
+      // decode through the dictionary); for trunc keys the part is the
+      // unit index
+      def ids(k: Int): WritableColumnVector =
+        if (keySpecs(k).kind == 0)
+          keyVecs(k).asInstanceOf[WritableColumnVector].getDictionaryIds
+        else null
+      val id0 = ids(0)
+      val id1 = if (nKeys == 2) ids(1) else null
+      val u0 = keySpecs(0).truncMicros
+      val u1 = if (nKeys == 2) keySpecs(1).truncMicros else 0L
+      @inline def part(k: Int, idv: WritableColumnVector, unit: Long, i: Int): Long =
+        if (idv != null) idv.getDictId(i).toLong
+        else java.lang.Math.floorDiv(keyLongs(k)(i), unit)
       while (i < n) {
         if (filter == null || sel(i)) {
-          val packed =
-            if (k1 == null) k0.getDictId(i).toLong
-            else (k0.getDictId(i).toLong << 32) | (k1.getDictId(i).toLong & 0xffffffffL)
-          var ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
-          while (dictEpoch(ph) == epoch && dictKey(ph) != packed) ph = (ph + 1) & dictCacheMask
-          var slot = 0
-          if (dictEpoch(ph) == epoch) slot = dictSlot(ph)
-          else {
-            val e0 = epoch
-            slot = findOrCreateSlot(i) // may bump epoch (flush/grow)
-            if (epoch != e0) { // cache invalidated: re-probe an empty cell
-              ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
-              while (dictEpoch(ph) == epoch && dictKey(ph) != packed)
-                ph = (ph + 1) & dictCacheMask
+          val p0 = part(0, id0, u0, i)
+          val p1 = if (nKeys == 2) part(1, id1, u1, i) else 0L
+          // both parts must fit 32 bits for the packing to be EXACT; a
+          // row past that falls back to the generic path
+          if (p0 == p0.toInt.toLong && p1 == p1.toInt.toLong) {
+            val packed = (p0 << 32) | (p1 & 0xffffffffL)
+            var ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
+            while (dictEpoch(ph) == epoch && dictKey(ph) != packed) ph = (ph + 1) & dictCacheMask
+            var slot = 0
+            if (dictEpoch(ph) == epoch) slot = dictSlot(ph)
+            else {
+              val e0 = epoch
+              slot = findOrCreateSlot(i) // may bump epoch (flush/grow)
+              if (epoch != e0) { // cache invalidated: re-probe an empty cell
+                ph = java.lang.Long.hashCode(packed * 0x9e3779b97f4a7c15L) & dictCacheMask
+                while (dictEpoch(ph) == epoch && dictKey(ph) != packed)
+                  ph = (ph + 1) & dictCacheMask
+              }
+              dictEpoch(ph) = epoch; dictKey(ph) = packed; dictSlot(ph) = slot
             }
-            dictEpoch(ph) = epoch; dictKey(ph) = packed; dictSlot(ph) = slot
-          }
-          accumulate(slot, i)
+            accumulate(slot, i)
+          } else accumulate(findOrCreateSlot(i), i)
         }
         i += 1
       }
