@@ -93,8 +93,18 @@ object ColumnarPartialAgg {
       truncMicros: Long) extends Serializable
 
   /** Compiled aggregate descriptor. kind: 0=Sum(double) [sum,seen],
-    * 1=Average(double) [sum,count], 2=Count(non-null literal) [count]. */
+    * 1=Average(double) [sum,count], 2=Count(non-null literal) [count],
+    * 3=Max(double), 4=Min(double) [value,seen]. */
   final case class AggSpec(kind: Int, input: DoubleEval) extends Serializable
+
+  /** Spark's nan-safe double ordering: NaN biggest and equal to itself,
+    * -0.0 == 0.0 (java.lang.Double.compare would order them). */
+  def nanSafeCompare(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else if (java.lang.Double.isNaN(y)) -1
+    else 0
 
   // ---------- double-valued columnar expression evaluation ----------
 
@@ -414,6 +424,8 @@ object ColumnarPartialAgg {
       case s: Sum => AggSpec(0, compile(s.child, childOutput).get)
       case a: Average => AggSpec(1, compile(a.child, childOutput).get)
       case _: Count => AggSpec(2, new LitEval(1.0))
+      case m: Max => AggSpec(3, compile(m.child, childOutput).get)
+      case m: Min => AggSpec(4, compile(m.child, childOutput).get)
     }
 
   private def supportedAgg(ae: AggregateExpression, scanOutput: Seq[Attribute]): Boolean =
@@ -429,6 +441,12 @@ object ColumnarPartialAgg {
         // counts, no per-row null check needed
         c.children.forall { case Literal(v, _) => v != null; case _ => false } &&
           c.aggBufferAttributes.map(_.dataType) == Seq(LongType)
+      case m: Max =>
+        m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
+          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+      case m: Min =>
+        m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
+          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
       case _ => false
     })
 
@@ -654,8 +672,24 @@ private final class ColumnarAggIterator(
           if (!scratchN(a)(i)) { accD(base + a) += scratchV(a)(i); accL(base + a) = 1L }
         case 1 => // Average(double): sum init 0.0, count init 0
           if (!scratchN(a)(i)) { accD(base + a) += scratchV(a)(i); accL(base + a) += 1L }
-        case _ => // Count(literal): every surviving row
+        case 2 => // Count(literal): every surviving row
           accL(base + a) += 1L
+        case 3 => // Max(double): null until first non-null, nan-safe order
+          if (!scratchN(a)(i)) {
+            val v = scratchV(a)(i)
+            if (accL(base + a) == 0L ||
+                ColumnarPartialAgg.nanSafeCompare(v, accD(base + a)) > 0)
+              accD(base + a) = v
+            accL(base + a) = 1L
+          }
+        case _ => // Min(double)
+          if (!scratchN(a)(i)) {
+            val v = scratchV(a)(i)
+            if (accL(base + a) == 0L ||
+                ColumnarPartialAgg.nanSafeCompare(v, accD(base + a)) < 0)
+              accD(base + a) = v
+            accL(base + a) = 1L
+          }
       }
       a += 1
     }
@@ -791,7 +825,7 @@ private final class ColumnarAggIterator(
         var a = 0
         while (a < nAggs) {
           specs(a).kind match {
-            case 0 =>
+            case 0 | 3 | 4 => // Sum/Max/Min: value when seen, else null
               if (accL(s * nAggs + a) == 1L) outRow.update(c, accD(s * nAggs + a))
               else outRow.setNullAt(c)
               c += 1

@@ -114,6 +114,20 @@ class ColumnarAggSpec extends AnyFunSuite {
       .agg(sum(col("value")), count(lit(1))))
   }
 
+  test("min/max over doubles, including all-null groups and NaN ordering") {
+    identical(pq("lineitem").groupBy(col("l_returnflag"))
+      .agg(max(col("l_extendedprice")), min(col("l_discount")),
+        max(col("l_quantity") * (lit(1) + col("l_tax")))))
+    // all-null group → null min/max; NaN must order as the LARGEST double
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      when(col("l_orderkey") % 3 === 0, lit(Double.NaN))
+        .when(col("l_orderkey") % 3 === 1, lit(null))
+        .otherwise(col("l_quantity")).as("v")).write.parquet(p)
+    identical(spark.read.parquet(p).groupBy(col("k"))
+      .agg(max(col("v")), min(col("v")), count(lit(1))))
+  }
+
   test("deletion-vector scans aggregate identically (deleted rows excluded)") {
     // the DV fixture deletes splitCol % 10 = 7 rows; the batches the scan
     // emits must already exclude them on BOTH paths
