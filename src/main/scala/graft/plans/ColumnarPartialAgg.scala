@@ -94,8 +94,13 @@ object ColumnarPartialAgg {
 
   /** Compiled aggregate descriptor. kind: 0=Sum(double) [sum,seen],
     * 1=Average(double) [sum,count], 2=Count(non-null literal) [count],
-    * 3=Max(double), 4=Min(double) [value,seen]. */
-  final case class AggSpec(kind: Int, input: DoubleEval) extends Serializable
+    * 3=Max(double), 4=Min(double) [value,seen], 5=VectorSumAgg
+    * [double[dim], serialized to the agg's own binary buffer layout].
+    * For kind 5 `input` is unused; the array column reads directly from
+    * the batch (vecOrd/vecDim/vecFloat). */
+  final case class AggSpec(kind: Int, input: DoubleEval,
+      vecOrd: Int = -1, vecDim: Int = 0, vecFloat: Boolean = false)
+    extends Serializable
 
   /** Spark's nan-safe double ordering: NaN biggest and equal to itself,
     * -0.0 == 0.0 (java.lang.Double.compare would order them). */
@@ -426,6 +431,12 @@ object ColumnarPartialAgg {
       case _: Count => AggSpec(2, new LitEval(1.0))
       case m: Max => AggSpec(3, compile(m.child, childOutput).get)
       case m: Min => AggSpec(4, compile(m.child, childOutput).get)
+      case v: graft.functions.VectorSumAgg =>
+        val a = v.child.asInstanceOf[AttributeReference]
+        val isFloat = a.dataType.asInstanceOf[ArrayType].elementType == FloatType
+        AggSpec(5, new LitEval(0.0),
+          vecOrd = childOutput.indexWhere(_.exprId == a.exprId),
+          vecDim = v.dim, vecFloat = isFloat)
     }
 
   private def supportedAgg(ae: AggregateExpression, scanOutput: Seq[Attribute]): Boolean =
@@ -447,6 +458,18 @@ object ColumnarPartialAgg {
       case m: Min =>
         m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
           m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+      case v: graft.functions.VectorSumAgg =>
+        // OUR aggregate: the tier replicates its exact binary buffer
+        // layout (plain big-endian 8·dim bytes), so the built-in FINAL
+        // merge consumes the tier's partial rows unchanged
+        (v.child match {
+          case a: AttributeReference if scanOutput.exists(_.exprId == a.exprId) =>
+            a.dataType match {
+              case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+              case _ => false
+            }
+          case _ => false
+        }) && v.aggBufferAttributes.map(_.dataType) == Seq(BinaryType)
       case _ => false
     })
 
@@ -459,9 +482,12 @@ object ColumnarPartialAgg {
     }
   }
 
-  /** Does this partial HashAggregate (keys/aggs already substituted down
-    * to scan attributes) qualify for the columnar rewrite? */
-  def supports(agg: HashAggregateExec, keyExprs: Seq[Expression],
+  /** Does this partial aggregate (keys/aggs already substituted down
+    * to scan attributes) qualify for the columnar rewrite? `agg` is a
+    * HashAggregateExec or an ObjectHashAggregateExec (TypedImperative
+    * aggregates — VectorSumAgg — plan as the latter). */
+  def supports(agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec,
+      keyExprs: Seq[Expression],
       aggExprs: Seq[AggregateExpression], filter: Option[Expression],
       scanOutput: Seq[Attribute]): Boolean = {
     val partialOnly = agg.aggregateExpressions.nonEmpty &&
@@ -505,6 +531,10 @@ private final class ColumnarAggIterator(
   // accumulators: for Sum/Avg a double + long/boolean pair; Count long only
   private var accD = new Array[Double](capacity * nAggs)
   private var accL = new Array[Long](capacity * nAggs)
+  // vector-sum accumulators (kind 5): one double[dim] per (slot, agg) —
+  // allocated lazily per slot; null until the group exists
+  private val hasVec = specs.exists(_.kind == 5)
+  private var accV: Array[Array[Double]] = if (hasVec) new Array(capacity * nAggs) else null
   private var nGroups = 0
 
   // scratch per batch
@@ -534,6 +564,8 @@ private final class ColumnarAggIterator(
     slotUsed = new Array[Boolean](capacity)
     accD = new Array[Double](capacity * nAggs)
     accL = new Array[Long](capacity * nAggs)
+    val oldV = accV
+    if (hasVec) accV = new Array(capacity * nAggs)
     var s = 0
     while (s < oldCap) {
       if (oldUsed(s)) {
@@ -547,6 +579,7 @@ private final class ColumnarAggIterator(
         while (a < nAggs) {
           accD(ns * nAggs + a) = oldD(s * nAggs + a)
           accL(ns * nAggs + a) = oldL(s * nAggs + a)
+          if (hasVec) accV(ns * nAggs + a) = oldV(s * nAggs + a)
           a += 1
         }
       }
@@ -663,6 +696,9 @@ private final class ColumnarAggIterator(
     slot
   }
 
+  // batch-hoisted array-column vectors for kind-5 aggs (index by agg)
+  private val vecCols = new Array[org.apache.spark.sql.vectorized.ColumnVector](nAggs)
+
   private def accumulate(slot: Int, i: Int): Unit = {
     val base = slot * nAggs
     var a = 0
@@ -682,13 +718,26 @@ private final class ColumnarAggIterator(
               accD(base + a) = v
             accL(base + a) = 1L
           }
-        case _ => // Min(double)
+        case 4 => // Min(double)
           if (!scratchN(a)(i)) {
             val v = scratchV(a)(i)
             if (accL(base + a) == 0L ||
                 ColumnarPartialAgg.nanSafeCompare(v, accD(base + a)) < 0)
               accD(base + a) = v
             accL(base + a) = 1L
+          }
+        case _ => // VectorSumAgg: elementwise add, mirroring its update()
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            var buf = accV(base + a)
+            if (buf == null) { buf = new Array[Double](specs(a).vecDim); accV(base + a) = buf }
+            val arr = col.getArray(i)
+            val n = math.min(specs(a).vecDim, arr.numElements())
+            var j = 0
+            if (specs(a).vecFloat)
+              while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getFloat(j).toDouble; j += 1 }
+            else
+              while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getDouble(j); j += 1 }
           }
       }
       a += 1
@@ -731,9 +780,11 @@ private final class ColumnarAggIterator(
       k += 1
     }
     // vectorized aggregate-input arithmetic, one pass per aggregate
+    // (kind 5 reads its array column directly — hoist the vector instead)
     var a = 0
     while (a < nAggs) {
-      specs(a).input.eval(b, n, scratchV(a), scratchN(a))
+      if (specs(a).kind == 5) vecCols(a) = b.column(specs(a).vecOrd)
+      else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
     // Packed fast-path eligibility for THIS batch: each key must be fully
@@ -832,6 +883,15 @@ private final class ColumnarAggIterator(
             case 1 =>
               outRow.update(c, accD(s * nAggs + a)); c += 1
               outRow.update(c, accL(s * nAggs + a)); c += 1
+            case 5 =>
+              // serialize to VectorSumAgg's exact buffer layout (plain
+              // big-endian 8·dim bytes); a group with no vector inputs
+              // emits the zero buffer, same as createAggregationBuffer
+              val dim = specs(a).vecDim
+              val buf = accV(s * nAggs + a)
+              val bb = java.nio.ByteBuffer.allocate(8 * dim)
+              if (buf != null) bb.asDoubleBuffer().put(buf)
+              outRow.update(c, bb.array()); c += 1
             case _ =>
               outRow.update(c, accL(s * nAggs + a)); c += 1
           }
@@ -847,6 +907,7 @@ private final class ColumnarAggIterator(
     java.util.Arrays.fill(slotKeys, 0, slotKeys.length, null)
     java.util.Arrays.fill(accD, 0.0)
     java.util.Arrays.fill(accL, 0L)
+    if (hasVec) java.util.Arrays.fill(accV.asInstanceOf[Array[AnyRef]], 0, accV.length, null)
     nGroups = 0
   }
 
@@ -887,9 +948,12 @@ case class ColumnarPartialAggRule(session: org.apache.spark.sql.SparkSession)
       .get("spark.graft.columnar.partialAgg", "true") == "true"
     if (!enabled) return plan
     plan.transformUp {
-      case agg: HashAggregateExec =>
+      // TypedImperativeAggregates (VectorSumAgg) plan as ObjectHashAggregate
+      case agg @ (_: HashAggregateExec |
+                  _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec) =>
+        val base = agg.asInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]
         // peel: [Project] -> [Filter] -> ColumnarToRow -> columnar scan
-        val (projL, filterE, scanOpt) = agg.child match {
+        val (projL, filterE, scanOpt) = base.child match {
           case ColumnarToRowExec(s) => (Nil, None, Some(s))
           case ProjectExec(pl, ColumnarToRowExec(s)) => (pl, None, Some(s))
           case FilterExec(c, ColumnarToRowExec(s)) => (Nil, Some(c), Some(s))
@@ -899,14 +963,14 @@ case class ColumnarPartialAggRule(session: org.apache.spark.sql.SparkSession)
         }
         scanOpt match {
           case Some(scan) if scan.supportsColumnar =>
-            val keyExprs = agg.groupingExpressions.map(substituted(_, projL))
-            val aggExprs = agg.aggregateExpressions
+            val keyExprs = base.groupingExpressions.map(substituted(_, projL))
+            val aggExprs = base.aggregateExpressions
               .map(substituted(_, projL).asInstanceOf[AggregateExpression])
-            if (supports(agg, keyExprs, aggExprs, filterE, scan.output))
+            if (supports(base, keyExprs, aggExprs, filterE, scan.output))
               GraftColumnarPartialAggExec(keyExprs, aggExprs, filterE,
-                agg.output, scan)
-            else agg
-          case _ => agg
+                base.output, scan)
+            else base
+          case _ => base
         }
     }
   }

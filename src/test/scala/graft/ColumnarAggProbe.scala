@@ -16,7 +16,8 @@ object ColumnarAggProbe {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = Seq("q1_agg", "q_events_hourly", "delta_scan_agg", "dedup_exact")
+    val names = Seq("q1_agg", "q_events_hourly", "delta_scan_agg", "dedup_exact",
+      "emb_centroids")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       df.collect() // force final AQE plan
@@ -43,6 +44,8 @@ object ColumnarAggProbe {
     time("q1_agg", enabled = true)
     time("q_events_hourly", enabled = false)
     time("q_events_hourly", enabled = true)
+    time("emb_centroids", enabled = false)
+    time("emb_centroids", enabled = true)
     spark.stop()
   }
 }

@@ -128,6 +128,22 @@ class ColumnarAggSpec extends AnyFunSuite {
       .agg(max(col("v")), min(col("v")), count(lit(1))))
   }
 
+  test("vector-sum aggregate (centroids shape) matches the imperative path") {
+    val emb = pq("embeddings")
+    identical(graft.pipeline.Similarity.centroids(emb))
+    // with nulls: some arrays entirely null
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    emb.select(col("label"),
+      when(col("vec_id") % 5 === 0, lit(null)).otherwise(col("embedding")).as("embedding"))
+      .write.parquet(p)
+    identical(graft.pipeline.Similarity.centroids(spark.read.parquet(p)))
+    // and the rewrite really fires on this shape
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = graft.pipeline.Similarity.centroids(emb)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"))
+  }
+
   test("deletion-vector scans aggregate identically (deleted rows excluded)") {
     // the DV fixture deletes splitCol % 10 = 7 rows; the batches the scan
     // emits must already exclude them on BOTH paths
