@@ -144,6 +144,15 @@ class ColumnarAggSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"))
   }
 
+  test("grouping by a hive-partition column (constant batch vectors)") {
+    // partition columns surface as constant vectors appended to the batch;
+    // they have no dictionary, so this exercises the generic key path
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Part)
+    identical(spark.read.format("graftdelta").load(p)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 4), avg(col("l_discount")), count(lit(1))))
+  }
+
   test("deletion-vector scans aggregate identically (deleted rows excluded)") {
     // the DV fixture deletes splitCol % 10 = 7 rows; the batches the scan
     // emits must already exclude them on BOTH paths
