@@ -31,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *    `date_trunc` to second/minute/hour/day of a timestamp attribute in
  *    UTC (pure modulo in a DST-free zone);
  *  - aggregates: Sum(double) / Average(double) / Count(literal) over
- *    +,-,*,/ double arithmetic, no DISTINCT, no FILTER clause;
+ *    +,-,* double arithmetic (NOT division: Spark's Divide is null on a
+ *    zero divisor in legacy mode and an error under ANSI, never IEEE
+ *    inf/NaN — any Divide keeps the built-in operator), no DISTINCT,
+ *    no FILTER clause;
  *  - filters: And/Or of IsNotNull, string =/IN, numeric comparisons
  *    against literals (null input → row dropped, the WHERE semantics).
  * Anything else keeps the built-in operator.
@@ -162,8 +165,10 @@ object ColumnarPartialAgg {
       java.util.Arrays.fill(nulls, 0, n, false)
     }
   }
-  /** op: 0=+ 1=- 2=* 3=/ ; allocates its own child scratch, reused across
-    * batches (evaluator instances are per-partition). */
+  /** op: 0=+ 1=- 2=* ; allocates its own child scratch, reused across
+    * batches (evaluator instances are per-partition). Division is NOT an
+    * op here: Spark's Divide null-or-errors on a zero divisor (legacy /
+    * ANSI), which a raw IEEE '/' cannot replicate — compile() declines it. */
   final class BinEval(op: Int, l: DoubleEval, r: DoubleEval) extends DoubleEval {
     @transient private var lv: Array[Double] = _
     @transient private var ln: Array[Boolean] = _
@@ -181,11 +186,6 @@ object ColumnarPartialAgg {
         case 0 => while (i < n) { out(i) = lv(i) + rv(i); i += 1 }
         case 1 => while (i < n) { out(i) = lv(i) - rv(i); i += 1 }
         case 2 => while (i < n) { out(i) = lv(i) * rv(i); i += 1 }
-        case 3 =>
-          // Spark double division follows IEEE (inf/NaN on zero divisor) in
-          // both ANSI and legacy modes — only integral/decimal division
-          // raises; IEEE is the correct replication here
-          while (i < n) { out(i) = lv(i) / rv(i); i += 1 }
       }
       i = 0
       while (i < n) { nulls(i) = ln(i) || rn(i); i += 1 }
@@ -219,9 +219,9 @@ object ColumnarPartialAgg {
     case Multiply(l, r, _) if e.dataType == DoubleType =>
       for (le <- compile(l, childOutput); re <- compile(r, childOutput))
         yield new BinEval(2, le, re)
-    case Divide(l, r, _) if e.dataType == DoubleType =>
-      for (le <- compile(l, childOutput); re <- compile(r, childOutput))
-        yield new BinEval(3, le, re)
+    // Divide is deliberately absent: Spark returns null (legacy) or raises
+    // DIVIDE_BY_ZERO (ANSI, the default) on a zero divisor for doubles too;
+    // a raw IEEE '/' would feed ±Inf/NaN into the aggregates instead
     case _ => None
   }
 
@@ -316,6 +316,30 @@ object ColumnarPartialAgg {
       }
     }
   }
+  /** Exact integral comparison of an int/long/date column against an
+    * integral literal — Spark compares integrals in long, where a double
+    * widening would lose exactness past 2^53. cmp as in [[NumCmpEval]]. */
+  final class LongCmpEval(ord: Int, isInt: Boolean, cmp: Int, rhs: Long) extends BoolEval {
+    def eval(b: ColumnarBatch, n: Int, out: Array[Boolean]): Unit = {
+      val v = b.column(ord)
+      val hasNull = v.hasNull
+      var i = 0
+      while (i < n) {
+        if (hasNull && v.isNullAt(i)) out(i) = false
+        else {
+          val x = if (isInt) v.getInt(i).toLong else v.getLong(i)
+          out(i) = cmp match {
+            case 0 => x > rhs
+            case 1 => x >= rhs
+            case 2 => x < rhs
+            case 3 => x <= rhs
+            case _ => x == rhs
+          }
+        }
+        i += 1
+      }
+    }
+  }
   /** cmp: 0 = > , 1 = >= , 2 = < , 3 = <= , 4 = == on double value. */
   final class NumCmpEval(input: DoubleEval, cmp: Int, rhs: Double) extends BoolEval {
     @transient private var vv: Array[Double] = _
@@ -374,6 +398,28 @@ object ColumnarPartialAgg {
       case Literal(v, FloatType) if v != null => Some(v.asInstanceOf[Float].toDouble)
       case _ => None
     }
+    // Integral-vs-integral comparisons run EXACT in long (Spark never
+    // widens them to double; NumCmpEval's double compare would diverge
+    // past 2^53). Matched before the generic double path below.
+    def longCmp(l: Expression, r: Expression, cmp: Int): Option[BoolEval] = {
+      val litL: Option[Long] = r match {
+        case Literal(v, IntegerType) if v != null => Some(v.asInstanceOf[Int].toLong)
+        case Literal(v, LongType) if v != null => Some(v.asInstanceOf[Long])
+        case Literal(v, DateType) if v != null => Some(v.asInstanceOf[Int].toLong)
+        case _ => None
+      }
+      l match {
+        case a: AttributeReference if ordOf(a) >= 0 && litL.isDefined =>
+          a.dataType match {
+            case IntegerType | DateType =>
+              Some(new LongCmpEval(ordOf(a), isInt = true, cmp, litL.get))
+            case LongType =>
+              Some(new LongCmpEval(ordOf(a), isInt = false, cmp, litL.get))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
     e match {
       case IsNotNull(a: AttributeReference) if ordOf(a) >= 0 =>
         Some(new NotNullEval(ordOf(a)))
@@ -393,15 +439,20 @@ object ColumnarPartialAgg {
         if a.dataType == StringType && ordOf(a) >= 0 && v != null =>
         Some(new StrInEval(ordOf(a), Array(v.asInstanceOf[UTF8String])))
       case GreaterThan(l, r) =>
-        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 0, rv)
+        longCmp(l, r, 0).orElse(
+          for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 0, rv))
       case GreaterThanOrEqual(l, r) =>
-        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 1, rv)
+        longCmp(l, r, 1).orElse(
+          for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 1, rv))
       case LessThan(l, r) =>
-        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 2, rv)
+        longCmp(l, r, 2).orElse(
+          for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 2, rv))
       case LessThanOrEqual(l, r) =>
-        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 3, rv)
-      case EqualTo(l, r) if lit(r).isDefined =>
-        for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 4, rv)
+        longCmp(l, r, 3).orElse(
+          for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 3, rv))
+      case EqualTo(l, r) if lit(r).isDefined || longCmp(l, r, 4).isDefined =>
+        longCmp(l, r, 4).orElse(
+          for (le <- compile(l, childOutput); rv <- lit(r)) yield new NumCmpEval(le, 4, rv))
       case And(l, r) =>
         for (le <- compileFilter(l, childOutput); re <- compileFilter(r, childOutput))
           yield new AndEval(le, re)
@@ -492,9 +543,14 @@ object ColumnarPartialAgg {
       scanOutput: Seq[Attribute]): Boolean = {
     val partialOnly = agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.mode == Partial)
-    // partial-mode result expressions are exactly (keys ++ buffer attrs) —
-    // anything computed would change the contract
-    val resultsOk = agg.resultExpressions.forall(_.isInstanceOf[Attribute])
+    // partial-mode result expressions must be EXACTLY the grouping
+    // attributes followed by the input-agg-buffer attributes, in that
+    // order — flushTable emits keys-then-buffers positionally, so any
+    // planner reordering/subset/extra column must decline the rewrite
+    val expectedResults = agg.groupingExpressions.map(_.toAttribute.exprId) ++
+      agg.aggregateExpressions.flatMap(_.aggregateFunction.inputAggBufferAttributes.map(_.exprId))
+    val resultsOk = agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
+      agg.resultExpressions.map(_.asInstanceOf[Attribute].exprId) == expectedResults
     partialOnly && resultsOk &&
       keyExprs.forall(compileKey(_, scanOutput).isDefined) &&
       aggExprs.forall(supportedAgg(_, scanOutput)) &&
@@ -696,8 +752,16 @@ private final class ColumnarAggIterator(
     slot
   }
 
-  // batch-hoisted array-column vectors for kind-5 aggs (index by agg)
+  // batch-hoisted array-column vectors for kind-5 aggs (index by agg),
+  // plus the element child vector and a batch-wide no-null flag: when the
+  // element vector has no nulls (the universal embedding-column case) the
+  // accumulate loop reads elements check-free straight off the child via
+  // (offset, length) — no ColumnarArray indirection, no per-element
+  // isNullAt
   private val vecCols = new Array[org.apache.spark.sql.vectorized.ColumnVector](nAggs)
+  private val vecElems =
+    new Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector](nAggs)
+  private val vecElemsNoNull = new Array[Boolean](nAggs)
 
   private def accumulate(slot: Int, i: Int): Unit = {
     val base = slot * nAggs
@@ -731,13 +795,27 @@ private final class ColumnarAggIterator(
           if (!col.isNullAt(i)) {
             var buf = accV(base + a)
             if (buf == null) { buf = new Array[Double](specs(a).vecDim); accV(base + a) = buf }
-            val arr = col.getArray(i)
-            val n = math.min(specs(a).vecDim, arr.numElements())
-            var j = 0
-            if (specs(a).vecFloat)
-              while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getFloat(j).toDouble; j += 1 }
-            else
-              while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getDouble(j); j += 1 }
+            val elems = vecElems(a)
+            if (elems != null && vecElemsNoNull(a)) {
+              // null-free fused add straight off the child values vector
+              val w = col.asInstanceOf[
+                org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+              val off = w.getArrayOffset(i)
+              val n = math.min(specs(a).vecDim, w.getArrayLength(i))
+              var j = 0
+              if (specs(a).vecFloat)
+                while (j < n) { buf(j) += elems.getFloat(off + j).toDouble; j += 1 }
+              else
+                while (j < n) { buf(j) += elems.getDouble(off + j); j += 1 }
+            } else {
+              val arr = col.getArray(i)
+              val n = math.min(specs(a).vecDim, arr.numElements())
+              var j = 0
+              if (specs(a).vecFloat)
+                while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getFloat(j).toDouble; j += 1 }
+              else
+                while (j < n) { if (!arr.isNullAt(j)) buf(j) += arr.getDouble(j); j += 1 }
+            }
           }
       }
       a += 1
@@ -783,8 +861,17 @@ private final class ColumnarAggIterator(
     // (kind 5 reads its array column directly — hoist the vector instead)
     var a = 0
     while (a < nAggs) {
-      if (specs(a).kind == 5) vecCols(a) = b.column(specs(a).vecOrd)
-      else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
+      if (specs(a).kind == 5) {
+        vecCols(a) = b.column(specs(a).vecOrd)
+        vecCols(a) match {
+          case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector =>
+            vecElems(a) = w.arrayData()
+            vecElemsNoNull(a) = !vecElems(a).hasNull
+          case _ =>
+            vecElems(a) = null
+            vecElemsNoNull(a) = false
+        }
+      } else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
     // Packed fast-path eligibility for THIS batch: each key must be fully

@@ -177,6 +177,52 @@ class ColumnarAggSpec extends AnyFunSuite {
       "expected the columnar partial agg in the final plan")
   }
 
+  test("division never compiles into the tier (null/ANSI-error semantics)") {
+    // Spark's Divide is null on a zero divisor in legacy mode and raises
+    // DIVIDE_BY_ZERO under ANSI — a raw IEEE '/' in the tier would feed
+    // ±Inf into the sum instead. Any Divide must keep the built-in agg.
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"), col("l_quantity").as("a"),
+      when(col("l_orderkey") % 11 === 0, lit(0.0)).otherwise(col("l_tax")).as("b"))
+      .write.parquet(p)
+    val df = spark.read.parquet(p).groupBy(col("k")).agg(sum(col("a") / col("b")))
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "Divide must decline the columnar rewrite")
+    // legacy mode: x/0.0 is NULL, sum skips those rows — and since the
+    // rewrite declined, both settings of the kill-switch agree trivially
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try identical(spark.read.parquet(p).groupBy(col("k")).agg(sum(col("a") / col("b"))))
+    finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("long filters past 2^53 compare exactly (no double widening)") {
+    // 2^53 + 1 is not representable in double; a double-widened compare
+    // would collapse it onto 2^53 and flip the predicate
+    val big = 9007199254740992L // 2^53
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"), col("l_quantity").as("v"),
+      (col("l_orderkey") % 3 + lit(big)).as("id")).write.parquet(p)
+    def q = spark.read.parquet(p).where(col("id") > lit(big))
+      .groupBy(col("k")).agg(sum(col("v")), count(lit(1)))
+    identical(q)
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = q
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "the exact long comparison path should still rewrite")
+  }
+
+  test("element-level nulls in vector-sum arrays fall back to the checked path") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("embeddings").selectExpr("vec_id", "label",
+      "transform(embedding, (x, i) -> case when i = 3 and vec_id % 4 = 0 " +
+        "then cast(null as float) else x end) as embedding")
+      .write.parquet(p)
+    identical(graft.pipeline.Similarity.centroids(spark.read.parquet(p)))
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
