@@ -20,12 +20,17 @@ import graft.delta.DeltaWriter
  *
  * Scale design:
  * - the index is the SMALL derived table (distinct window hashes per
- *   doc, 8 tokens of text collapsed to 8 bytes) and every index read is
- *   a keyed join — membership against `distinct s`, attribution against
- *   a df-capped slice (windows held by > maxDf corpus docs are
- *   boilerplate; they still count as duplicated via the membership join
- *   but are excluded from per-pair attribution, so a hot window can
- *   never fan a batch doc out to thousands of candidate matches);
+ *   doc, 8 tokens of text collapsed to 8 bytes) and it is touched
+ *   exactly twice per batch: ONE `groupBy(s).count` aggregation whose
+ *   per-window df serves both membership (df is non-null) and the
+ *   attribution eligibility cut (df <= maxDf), and one keyed attribution
+ *   join against the df-capped slice (windows held by > maxDf corpus
+ *   docs are boilerplate; they still count as duplicated via df but are
+ *   excluded from per-pair attribution, so a hot window can never fan a
+ *   batch doc out to thousands of candidate matches). The batch⋈stats
+ *   join result is persisted — batch-sized, one row per distinct batch
+ *   window — so reusing it for both outputs never re-aggregates the
+ *   index;
  * - batch windows are computed once per batch (the batch is the small,
  *   new data; the corpus is never re-read);
  * - no all-pairs, no driver-side loops; the best-match argmax is a
@@ -65,19 +70,26 @@ object IncrementalDedup {
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
       window: Int = 8, maxDf: Int = 100): DataFrame = {
     val b = windowIndex(newDocs, window)
-    // membership: one keyed join against distinct corpus hashes (the
-    // boilerplate-hot windows still count here — they ARE duplicated)
-    val member = index.select(col("s")).distinct().withColumn("hit", lit(1))
-    val per = b.join(member, Seq("s"), "left")
-      .groupBy(col("doc_id"))
+    // ONE aggregation pass over the index yields everything the batch
+    // needs per window: df>0 is membership, df<=maxDf is the cold slice
+    // eligible for attribution. Joining the batch against it (left) and
+    // PERSISTING that join result means the TB-scale index is aggregated
+    // exactly once per batch — and what's cached is batch-sized (one row
+    // per distinct batch window), never corpus-sized. (Previously the
+    // index was read three times: distinct-membership, df groupBy, and
+    // the attribution join.)
+    val stats = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val bs = b.join(stats, Seq("s"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = bs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_windows"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("dup_windows"))
-    // attribution: df-capped index slice only, so a window held by >maxDf
-    // corpus docs can't fan one batch doc into thousands of candidates
-    val cold = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("s"))
-    val shared = b.join(index.join(cold, Seq("s"))
-        .select(col("s"), col("doc_id").as("cid")), Seq("s"))
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("dup_windows"))
+    // attribution: only batch windows whose corpus df is within the cap
+    // rejoin the index for candidate doc ids, so a window held by >maxDf
+    // corpus docs (boilerplate — it still counted as duplicated above)
+    // can't fan one batch doc into thousands of candidates
+    val shared = bs.where(col("df") <= maxDf).select(col("s"), col("doc_id"))
+      .join(index.select(col("s"), col("doc_id").as("cid")), Seq("s"))
       .groupBy(col("doc_id"), col("cid")).agg(count(lit(1)).as("shared"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("shared").desc, col("cid"))
