@@ -30,10 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - keys: scan attributes (string/int/long/date/timestamp/bool) or
  *    `date_trunc` to second/minute/hour/day of a timestamp attribute in
  *    UTC (pure modulo in a DST-free zone);
- *  - aggregates: Sum(double) / Average(double) / Count(literal) over
+ *  - aggregates: Sum/Average/Min/Max(double) / Count(literal) over
  *    +,-,* double arithmetic (NOT division: Spark's Divide is null on a
  *    zero divisor in legacy mode and an error under ANSI, never IEEE
- *    inf/NaN — any Divide keeps the built-in operator), no DISTINCT,
+ *    inf/NaN — any Divide keeps the built-in operator); Sum(int/long)
+ *    exactly in long with Spark's mode-dependent overflow (ANSI error /
+ *    legacy wrap); Min/Max over int/long/date/timestamp at the column's
+ *    own buffer type; Count(col) counting non-null rows; no DISTINCT,
  *    no FILTER clause;
  *  - filters: And/Or of IsNotNull, string =/IN, numeric comparisons
  *    against literals (null input → row dropped, the WHERE semantics).
@@ -80,9 +83,12 @@ case class GraftColumnarPartialAggExec(
     val outSchema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
     val numOut = longMetric("numOutputRows")
     val numFlush = longMetric("numFlushes")
+    // Sum(integral) must replicate Spark's mode-dependent overflow
+    // semantics: error under ANSI, silent wrap under legacy
+    val ansi = conf.ansiEnabled
     child.executeColumnar().mapPartitions({ batches =>
       new ColumnarAggIterator(batches, keySpecs.toArray, specs.toArray,
-        filter.orNull, outSchema, numOut, numFlush)
+        filter.orNull, outSchema, numOut, numFlush, ansi)
     }, preservesPartitioning = true)
   }
 }
@@ -98,11 +104,17 @@ object ColumnarPartialAgg {
   /** Compiled aggregate descriptor. kind: 0=Sum(double) [sum,seen],
     * 1=Average(double) [sum,count], 2=Count(non-null literal) [count],
     * 3=Max(double), 4=Min(double) [value,seen], 5=VectorSumAgg
-    * [double[dim], serialized to the agg's own binary buffer layout].
+    * [double[dim], serialized to the agg's own binary buffer layout],
+    * 6=Sum(integral→long) [sum,seen; exact overflow under ANSI],
+    * 7=Min(integral) / 8=Max(integral) [value at the column's own type],
+    * 9=Count(single column) [count of non-null rows].
     * For kind 5 `input` is unused; the array column reads directly from
-    * the batch (vecOrd/vecDim/vecFloat). */
+    * the batch (vecOrd/vecDim/vecFloat). Kinds 6-9 also read their
+    * column directly (ord/colType) — integral values never round-trip
+    * through double. */
   final case class AggSpec(kind: Int, input: DoubleEval,
-      vecOrd: Int = -1, vecDim: Int = 0, vecFloat: Boolean = false)
+      vecOrd: Int = -1, vecDim: Int = 0, vecFloat: Boolean = false,
+      ord: Int = -1, colType: DataType = NullType)
     extends Serializable
 
   /** Spark's nan-safe double ordering: NaN biggest and equal to itself,
@@ -473,15 +485,85 @@ object ColumnarPartialAgg {
 
   // ---------- aggregates ----------
 
+  /** A directly-readable integral column (optionally under the cast to
+    * long that the analyzer inserts for sum over int): (ordinal, the
+    * column's OWN type — reads and min/max buffers stay at that type). */
+  private def integralCol(e: Expression, out: Seq[Attribute],
+      types: DataType => Boolean): Option[(Int, DataType)] = {
+    def ord(a: AttributeReference): Option[(Int, DataType)] = {
+      val i = out.indexWhere(_.exprId == a.exprId)
+      if (i >= 0 && types(a.dataType)) Some((i, a.dataType)) else None
+    }
+    e match {
+      case a: AttributeReference => ord(a)
+      case Cast(a: AttributeReference, LongType, _, _)
+        if a.dataType == IntegerType => ord(a)
+      case _ => None
+    }
+  }
+  private val sumIntTypes: DataType => Boolean =
+    dt => dt == IntegerType || dt == LongType
+
+  /** The exception Spark's own Sum raises on ANSI long overflow
+    * (ARITHMETIC_OVERFLOW). SparkArithmeticException and its factory are
+    * private[spark] at the Scala level but public in bytecode, so the
+    * exact error class is reached reflectively; a plain
+    * ArithmeticException (its own superclass) stands in if the
+    * constructor ever moves — either way the query fails, as ANSI
+    * demands. */
+  def ansiLongOverflow(): ArithmeticException =
+    try {
+      val cls = Class.forName("org.apache.spark.SparkArithmeticException")
+      val qcCls = Class.forName("[Lorg.apache.spark.QueryContext;")
+      val ctor = cls.getConstructor(classOf[String],
+        classOf[scala.collection.immutable.Map[_, _]], qcCls)
+      ctor.newInstance(
+        "ARITHMETIC_OVERFLOW",
+        Map(
+          "message" -> "long overflow",
+          "alternative" ->
+            " Use 'try_sum' to tolerate overflow and return NULL instead.",
+          "config" -> "\"spark.sql.ansi.enabled\""),
+        java.lang.reflect.Array.newInstance(
+          Class.forName("org.apache.spark.QueryContext"), 0))
+        .asInstanceOf[ArithmeticException]
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        new ArithmeticException(
+          "[ARITHMETIC_OVERFLOW] long overflow. Use 'try_sum' to tolerate " +
+            "overflow and return NULL instead.")
+    }
+  private val minMaxIntTypes: DataType => Boolean = {
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Build the runtime spec for a supported AggregateExpression (caller
     * must have checked [[supports]]). */
   def spec(ae: AggregateExpression, childOutput: Seq[Attribute]): AggSpec =
     ae.aggregateFunction match {
-      case s: Sum => AggSpec(0, compile(s.child, childOutput).get)
+      case s: Sum if s.dataType == DoubleType =>
+        AggSpec(0, compile(s.child, childOutput).get)
+      case s: Sum =>
+        val (ord, dt) = integralCol(s.child, childOutput, sumIntTypes).get
+        AggSpec(6, null, ord = ord, colType = dt)
       case a: Average => AggSpec(1, compile(a.child, childOutput).get)
-      case _: Count => AggSpec(2, new LitEval(1.0))
-      case m: Max => AggSpec(3, compile(m.child, childOutput).get)
-      case m: Min => AggSpec(4, compile(m.child, childOutput).get)
+      case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+        AggSpec(2, new LitEval(1.0))
+      case c: Count =>
+        val a = c.children.head.asInstanceOf[AttributeReference]
+        AggSpec(9, null,
+          ord = childOutput.indexWhere(_.exprId == a.exprId), colType = a.dataType)
+      case m: Max if m.dataType == DoubleType =>
+        AggSpec(3, compile(m.child, childOutput).get)
+      case m: Max =>
+        val (ord, dt) = integralCol(m.child, childOutput, minMaxIntTypes).get
+        AggSpec(8, null, ord = ord, colType = dt)
+      case m: Min if m.dataType == DoubleType =>
+        AggSpec(4, compile(m.child, childOutput).get)
+      case m: Min =>
+        val (ord, dt) = integralCol(m.child, childOutput, minMaxIntTypes).get
+        AggSpec(7, null, ord = ord, colType = dt)
       case v: graft.functions.VectorSumAgg =>
         val a = v.child.asInstanceOf[AttributeReference]
         val isFloat = a.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -493,22 +575,36 @@ object ColumnarPartialAgg {
   private def supportedAgg(ae: AggregateExpression, scanOutput: Seq[Attribute]): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case s: Sum =>
-        s.dataType == DoubleType && compile(s.child, scanOutput).isDefined &&
-          s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+        (s.dataType == DoubleType && compile(s.child, scanOutput).isDefined &&
+          s.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)) ||
+        (s.dataType == LongType &&
+          integralCol(s.child, scanOutput, sumIntTypes).isDefined &&
+          s.aggBufferAttributes.map(_.dataType) == Seq(LongType))
       case a: Average =>
         a.dataType == DoubleType && compile(a.child, scanOutput).isDefined &&
           a.aggBufferAttributes.map(_.dataType) == Seq(DoubleType, LongType)
       case c: Count =>
-        // count of non-null literals only (count(*) / count(1)): every row
-        // counts, no per-row null check needed
-        c.children.forall { case Literal(v, _) => v != null; case _ => false } &&
+        // count(*) / count(1) (non-null literals: every row counts, no
+        // per-row check) or count(col) over a single scan attribute
+        (c.children.forall { case Literal(v, _) => v != null; case _ => false } ||
+          (c.children match {
+            case Seq(a: AttributeReference) =>
+              scanOutput.exists(_.exprId == a.exprId)
+            case _ => false
+          })) &&
           c.aggBufferAttributes.map(_.dataType) == Seq(LongType)
       case m: Max =>
-        m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
-          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+        (m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
+          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)) ||
+        (integralCol(m.child, scanOutput, minMaxIntTypes)
+          .exists { case (_, dt) =>
+            m.aggBufferAttributes.map(_.dataType) == Seq(dt) })
       case m: Min =>
-        m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
-          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)
+        (m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
+          m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)) ||
+        (integralCol(m.child, scanOutput, minMaxIntTypes)
+          .exists { case (_, dt) =>
+            m.aggBufferAttributes.map(_.dataType) == Seq(dt) })
       case v: graft.functions.VectorSumAgg =>
         // OUR aggregate: the tier replicates its exact binary buffer
         // layout (plain big-endian 8·dim bytes), so the built-in FINAL
@@ -569,7 +665,8 @@ private final class ColumnarAggIterator(
     filter: ColumnarPartialAgg.BoolEval, // null = keep all
     outSchema: StructType,
     numOut: SQLMetric,
-    numFlush: SQLMetric)
+    numFlush: SQLMetric,
+    ansi: Boolean)
   extends Iterator[InternalRow] {
 
   // flush at ~2M groups per partition (sys-prop override is for the
@@ -762,6 +859,10 @@ private final class ColumnarAggIterator(
   private val vecElems =
     new Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector](nAggs)
   private val vecElemsNoNull = new Array[Boolean](nAggs)
+  // kinds 6-8 read int-width columns (int/date) vs long-width
+  // (long/timestamp); precomputed so accumulate never matches on DataType
+  private val aggIsIntWidth = specs.map(s =>
+    s.colType == IntegerType || s.colType == DateType)
 
   private def accumulate(slot: Int, i: Int): Unit = {
     val base = slot * nAggs
@@ -790,6 +891,38 @@ private final class ColumnarAggIterator(
               accD(base + a) = v
             accL(base + a) = 1L
           }
+        case 6 => // Sum(integral→long): null until first input; Spark's
+          // mode-dependent overflow (ANSI error / legacy wrap)
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            val v = if (aggIsIntWidth(a)) col.getInt(i).toLong else col.getLong(i)
+            val cur = accL(base + a)
+            accL(base + a) =
+              if (ansi) {
+                try java.lang.Math.addExact(cur, v)
+                catch { case _: ArithmeticException =>
+                  throw ColumnarPartialAgg.ansiLongOverflow()
+                }
+              } else cur + v
+            accD(base + a) = 1.0
+          }
+        case 7 => // Min(integral): exact long compare, value kept at the
+          // column's own width
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            val v = if (aggIsIntWidth(a)) col.getInt(i).toLong else col.getLong(i)
+            if (accD(base + a) == 0.0 || v < accL(base + a)) accL(base + a) = v
+            accD(base + a) = 1.0
+          }
+        case 8 => // Max(integral)
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            val v = if (aggIsIntWidth(a)) col.getInt(i).toLong else col.getLong(i)
+            if (accD(base + a) == 0.0 || v > accL(base + a)) accL(base + a) = v
+            accD(base + a) = 1.0
+          }
+        case 9 => // Count(col): rows where the column is non-null
+          if (!vecCols(a).isNullAt(i)) accL(base + a) += 1L
         case _ => // VectorSumAgg: elementwise add, mirroring its update()
           val col = vecCols(a)
           if (!col.isNullAt(i)) {
@@ -871,7 +1004,8 @@ private final class ColumnarAggIterator(
             vecElems(a) = null
             vecElemsNoNull(a) = false
         }
-      } else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
+      } else if (specs(a).kind >= 6) vecCols(a) = b.column(specs(a).ord)
+      else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
     // Packed fast-path eligibility for THIS batch: each key must be fully
@@ -970,6 +1104,18 @@ private final class ColumnarAggIterator(
             case 1 =>
               outRow.update(c, accD(s * nAggs + a)); c += 1
               outRow.update(c, accL(s * nAggs + a)); c += 1
+            case 6 => // Sum(integral→long): long when seen, else null
+              if (accD(s * nAggs + a) == 1.0) outRow.update(c, accL(s * nAggs + a))
+              else outRow.setNullAt(c)
+              c += 1
+            case 7 | 8 => // Min/Max(integral): emit at the column's EXACT
+              // buffer type (an Int buffer read as Long would corrupt the
+              // final merge's UnsafeRow layout)
+              if (accD(s * nAggs + a) == 1.0) {
+                if (aggIsIntWidth(a)) outRow.update(c, accL(s * nAggs + a).toInt)
+                else outRow.update(c, accL(s * nAggs + a))
+              } else outRow.setNullAt(c)
+              c += 1
             case 5 =>
               // serialize to VectorSumAgg's exact buffer layout (plain
               // big-endian 8·dim bytes); a group with no vector inputs

@@ -223,6 +223,54 @@ class ColumnarAggSpec extends AnyFunSuite {
     identical(graft.pipeline.Similarity.centroids(spark.read.parquet(p)))
   }
 
+  test("integral aggregates: sum(long/int), min/max(long/int/date/ts), count(col)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      col("l_orderkey").as("lk"),
+      col("l_linenumber").cast("int").as("ik"),
+      col("l_shipdate").cast("date").as("d"),
+      col("l_shipdate").cast("timestamp").as("ts"),
+      when(col("l_orderkey") % 5 === 0, lit(null)).otherwise(col("l_orderkey")).as("nl"))
+      .write.parquet(p)
+    def q = spark.read.parquet(p).groupBy(col("k"))
+      .agg(sum(col("lk")), sum(col("ik")), min(col("lk")), max(col("ik")),
+        min(col("d")), max(col("d")), min(col("ts")), max(col("ts")),
+        count(col("nl")), count(lit(1)))
+    identical(q)
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = q
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "integral aggregate shapes should rewrite")
+    // all-null value group: sum/min/max null, count(col) 0, count(*) > 0
+    val p2 = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      lit(null).cast("bigint").as("v")).write.parquet(p2)
+    identical(spark.read.parquet(p2).groupBy(col("k"))
+      .agg(sum(col("v")), min(col("v")), max(col("v")), count(col("v")), count(lit(1))))
+  }
+
+  test("sum(long) overflow: ANSI raises ARITHMETIC_OVERFLOW, legacy wraps") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").limit(100).select(col("l_returnflag").as("k"),
+      lit(Long.MaxValue / 10).as("v")).write.parquet(p)
+    def q = spark.read.parquet(p).groupBy(col("k")).agg(sum(col("v")))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val e = intercept[Exception] { q.collect() }
+    def classOfChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Seq(x.getClass.getName, Option(x.getMessage).getOrElse("")))
+        .toSeq
+    assert(classOfChain(e).exists(s =>
+      s.contains("ARITHMETIC_OVERFLOW") || s.contains("SparkArithmeticException")),
+      s"expected Spark's overflow error, got: ${classOfChain(e).mkString(" | ")}")
+    // legacy: both the built-in and the tier wrap silently and agree
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try identical(q)
+    finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
