@@ -414,19 +414,26 @@ object ColumnarPartialAgg {
     // widens them to double; NumCmpEval's double compare would diverge
     // past 2^53). Matched before the generic double path below.
     def longCmp(l: Expression, r: Expression, cmp: Int): Option[BoolEval] = {
-      val litL: Option[Long] = r match {
-        case Literal(v, IntegerType) if v != null => Some(v.asInstanceOf[Int].toLong)
-        case Literal(v, LongType) if v != null => Some(v.asInstanceOf[Long])
-        case Literal(v, DateType) if v != null => Some(v.asInstanceOf[Int].toLong)
+      // the literal's type must MATCH the attribute's width family — the
+      // analyzer guarantees both sides share a type after implicit casts
+      val litL: Option[(Long, DataType)] = r match {
+        case Literal(v, dt @ (IntegerType | DateType)) if v != null =>
+          Some((v.asInstanceOf[Int].toLong, dt))
+        case Literal(v, dt @ (LongType | TimestampType | TimestampNTZType))
+          if v != null => Some((v.asInstanceOf[Long], dt))
         case _ => None
       }
       l match {
-        case a: AttributeReference if ordOf(a) >= 0 && litL.isDefined =>
-          a.dataType match {
-            case IntegerType | DateType =>
-              Some(new LongCmpEval(ordOf(a), isInt = true, cmp, litL.get))
-            case LongType =>
-              Some(new LongCmpEval(ordOf(a), isInt = false, cmp, litL.get))
+        case a: AttributeReference if ordOf(a) >= 0 =>
+          litL match {
+            case Some((lv, dt)) if dt == a.dataType =>
+              a.dataType match {
+                case IntegerType | DateType =>
+                  Some(new LongCmpEval(ordOf(a), isInt = true, cmp, lv))
+                case LongType | TimestampType | TimestampNTZType =>
+                  Some(new LongCmpEval(ordOf(a), isInt = false, cmp, lv))
+                case _ => None
+              }
             case _ => None
           }
         case _ => None

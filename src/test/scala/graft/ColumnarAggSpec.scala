@@ -223,6 +223,25 @@ class ColumnarAggSpec extends AnyFunSuite {
     identical(graft.pipeline.Similarity.centroids(spark.read.parquet(p)))
   }
 
+  test("timestamp/date filters compare exactly and still rewrite (q1 filter shape)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"), col("l_quantity").as("v"),
+      col("l_shipdate").as("ts"), col("l_shipdate").cast("date").as("d"))
+      .write.parquet(p)
+    def q = spark.read.parquet(p)
+      .where(col("ts") <= lit(java.sql.Timestamp.valueOf("1997-09-02 00:00:00")))
+      .groupBy(col("k")).agg(sum(col("v")), count(lit(1)))
+    identical(q)
+    identical(spark.read.parquet(p)
+      .where(col("d") >= lit(java.sql.Date.valueOf("1995-01-01")))
+      .groupBy(col("k")).agg(sum(col("v")), count(lit(1))))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = q
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "timestamp-filtered agg should rewrite")
+  }
+
   test("integral aggregates: sum(long/int), min/max(long/int/date/ts), count(col)") {
     val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
     pq("lineitem").select(col("l_returnflag").as("k"),
