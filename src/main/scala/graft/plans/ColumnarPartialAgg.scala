@@ -352,7 +352,11 @@ object ColumnarPartialAgg {
       }
     }
   }
-  /** cmp: 0 = > , 1 = >= , 2 = < , 3 = <= , 4 = == on double value. */
+  /** cmp: 0 = > , 1 = >= , 2 = < , 3 = <= , 4 = == on double value.
+    * Comparisons go through Spark's nan-safe ordering, NOT Java
+    * primitives: Spark orders NaN as the LARGEST double in comparison
+    * operators (`NaN > 10.0` is TRUE), where a primitive compare is
+    * always false — found by the randomized identity property. */
   final class NumCmpEval(input: DoubleEval, cmp: Int, rhs: Double) extends BoolEval {
     @transient private var vv: Array[Double] = _
     @transient private var nn: Array[Boolean] = _
@@ -361,13 +365,16 @@ object ColumnarPartialAgg {
       input.eval(b, n, vv, nn)
       var i = 0
       while (i < n) {
-        out(i) = !nn(i) && (cmp match {
-          case 0 => vv(i) > rhs
-          case 1 => vv(i) >= rhs
-          case 2 => vv(i) < rhs
-          case 3 => vv(i) <= rhs
-          case _ => vv(i) == rhs
-        })
+        out(i) = !nn(i) && {
+          val c = nanSafeCompare(vv(i), rhs)
+          cmp match {
+            case 0 => c > 0
+            case 1 => c >= 0
+            case 2 => c < 0
+            case 3 => c <= 0
+            case _ => c == 0
+          }
+        }
         i += 1
       }
     }

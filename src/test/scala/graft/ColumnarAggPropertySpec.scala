@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized identity property for the columnar partial-agg tier: over
+  * GENERATED query shapes (key sets, aggregate sets, filters — the whole
+  * claimed surface incl. the r18 integral/timestamp additions), the tier
+  * must produce byte-identical results to the built-in HashAggregate.
+  * Within a partition both operators accumulate in row order, so double
+  * sums are bit-equal too (no flush at this scale) — the comparison is
+  * exact. This is the test class that would have caught the r17 Divide
+  * defect: the fixed specs enumerate known shapes, the property explores
+  * the combinations nobody thought to write down. */
+class ColumnarAggPropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  // deterministic fixture: every interesting column class in one table —
+  // low/high-card strings, int/long/date/timestamp/bool keys, nullable
+  // doubles with NaN, nullable ints, small longs (sum-safe), BIG longs
+  // near/over 2^53 (filter exactness), written as 3 files
+  private lazy val dataPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg-prop").toString + "/t"
+    spark.range(4000).selectExpr(
+      "case when id % 31 = 0 then null else concat('k', id % 5) end as k",
+      "case when id % 29 = 0 then null else cast(id % 20 as int) end as k2",
+      "id % 7 as kl",
+      "id % 2 = 0 as b",
+      "date_add(date'1995-01-01', cast(id % 900 as int)) as dt",
+      "timestamp_seconds(800000000 + id * 3600) as ts",
+      "case when id % 23 = 0 then null " +
+        "when id % 97 = 0 then cast('NaN' as double) " +
+        "else cast(id % 113 as double) * 1.7 - 40.0 end as d",
+      "case when id % 13 = 0 then null else cast(id % 51 as int) - 25 end as li",
+      "case when id % 17 = 0 then null else id * 1048576 - 1000000 end as ll",
+      "9007199254740990 + id % 7 as lb", // straddles 2^53 = ...992
+      "concat('s', id % 997) as s2")
+      .repartition(3).write.parquet(p)
+    p
+  }
+
+  private case class Shape(keys: Seq[String], aggs: Seq[String], filter: Option[String])
+
+  private val keyGen: Gen[Seq[String]] =
+    Gen.choose(0, 2).flatMap(n => Gen.pick(n,
+      Seq("k", "k2", "kl", "b", "dt", "trunc_h", "trunc_d")).map(_.toSeq))
+
+  private val aggGen: Gen[Seq[String]] =
+    Gen.choose(1, 4).flatMap(n => Gen.pick(n, Seq(
+      "sum_d", "avg_d", "min_d", "max_d", "count_star", "count_li",
+      "sum_li", "sum_ll", "min_li", "max_li", "min_ll", "max_ll",
+      "min_dt", "max_ts", "sum_expr")).map(_.toSeq))
+
+  private val filterGen: Gen[Option[String]] =
+    Gen.option(Gen.oneOf(
+      "d_gt", "li_ge", "ll_lt", "lb_gt_2p53", "ts_le", "dt_ge",
+      "k_eq", "k_in", "nn_d", "nn_k", "and_two", "or_same"))
+
+  private def col2(name: String): Column = name match {
+    case "trunc_h" => date_trunc("hour", col("ts"))
+    case "trunc_d" => date_trunc("day", col("ts"))
+    case c => col(c)
+  }
+  private def agg2(name: String): Column = name match {
+    case "sum_d" => sum(col("d"))
+    case "avg_d" => avg(col("d"))
+    case "min_d" => min(col("d"))
+    case "max_d" => max(col("d"))
+    case "count_star" => count(lit(1))
+    case "count_li" => count(col("li"))
+    case "sum_li" => sum(col("li"))
+    case "sum_ll" => sum(col("ll"))
+    case "min_li" => min(col("li"))
+    case "max_li" => max(col("li"))
+    case "min_ll" => min(col("ll"))
+    case "max_ll" => max(col("ll"))
+    case "min_dt" => min(col("dt"))
+    case "max_ts" => max(col("ts"))
+    case "sum_expr" => sum(col("d") * (lit(1.0) - col("d") * lit(0.001)))
+  }
+  private def filter2(name: String): Column = name match {
+    case "d_gt" => col("d") > 10.0
+    case "li_ge" => col("li") >= -3
+    case "ll_lt" => col("ll") < 1500000000L
+    case "lb_gt_2p53" => col("lb") > 9007199254740992L // exactness boundary
+    case "ts_le" => col("ts") <= lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+    case "dt_ge" => col("dt") >= lit(java.sql.Date.valueOf("1996-01-01"))
+    case "k_eq" => col("k") === "k2"
+    case "k_in" => col("k").isin("k0", "k3", "nope")
+    case "nn_d" => col("d").isNotNull
+    case "nn_k" => col("k").isNotNull
+    case "and_two" => col("d") > -5.0 && col("li") < 20
+    case "or_same" => col("k") === "k1" || col("k") === "k4"
+  }
+
+  private def build(s: Shape): DataFrame = {
+    var df = spark.read.parquet(dataPath)
+    s.filter.foreach(f => df = df.where(filter2(f)))
+    df.groupBy(s.keys.map(col2): _*).agg(agg2(s.aggs.head), s.aggs.tail.map(agg2): _*)
+  }
+
+  test("generated shapes: tier == built-in, byte-identical") {
+    var fired = 0
+    var total = 0
+    val shapeGen = for {
+      ks <- keyGen; as <- aggGen; f <- filterGen
+    } yield Shape(ks, as, f)
+    val prop = Prop.forAll(shapeGen) { s =>
+      total += 1
+      spark.conf.set("spark.graft.columnar.partialAgg", "false")
+      val base = build(s).collect().map(_.toString).sorted
+      spark.conf.set("spark.graft.columnar.partialAgg", "true")
+      val ours = build(s)
+      val oursRows = ours.collect().map(_.toString).sorted
+      if (ours.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"))
+        fired += 1
+      val ok = oursRows.sameElements(base)
+      if (!ok) System.err.println(s"[colagg-prop] DIVERGED on $s\n" +
+        s"  base=${base.take(3).mkString("|")}\n  ours=${oursRows.take(3).mkString("|")}")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"identity property failed: $res")
+    // the generator must actually exercise the tier, not just fall back
+    assert(fired * 5 >= total,
+      s"rewrite fired on only $fired/$total generated shapes — generator drifted off the surface")
+  }
+}

@@ -223,6 +223,22 @@ class ColumnarAggSpec extends AnyFunSuite {
     identical(graft.pipeline.Similarity.centroids(spark.read.parquet(p)))
   }
 
+  test("NaN rows pass numeric filters per Spark's ordering (NaN is the largest double)") {
+    // found by ColumnarAggPropertySpec: Spark's GreaterThan on doubles
+    // orders NaN greatest (NaN > 10.0 is TRUE); a primitive Java compare
+    // silently dropped those rows from filtered aggregates
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"), col("l_quantity").as("v"),
+      when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+        .otherwise(col("l_extendedprice")).as("f")).write.parquet(p)
+    identical(spark.read.parquet(p).where(col("f") > 10.0)
+      .groupBy(col("k")).agg(sum(col("v")), count(lit(1))))
+    identical(spark.read.parquet(p).where(col("f") <= 100000.0)
+      .groupBy(col("k")).agg(sum(col("v")), count(lit(1))))
+    identical(spark.read.parquet(p).where(col("f") === lit(Double.NaN))
+      .groupBy(col("k")).agg(count(lit(1))))
+  }
+
   test("timestamp/date filters compare exactly and still rewrite (q1 filter shape)") {
     val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
     pq("lineitem").select(col("l_returnflag").as("k"), col("l_quantity").as("v"),
