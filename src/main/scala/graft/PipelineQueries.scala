@@ -222,6 +222,15 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ---
+    // min/max(string) group-by: vanilla Spark can only SORT-aggregate a
+    // string buffer (per-partition sort of the whole scan); the columnar
+    // tier's object accumulators hash-aggregate it (measured 2.0x at
+    // x100, StrAggProbe) — this row keeps that rewrite oracle-gated
+    "q_str_minmax" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(min(col("text")).as("min_text"), max(col("text")).as("max_text"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("source"))),
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
     "text_bpe_tokens" -> ((s, dir) =>
       docs(s, dir).groupBy(col("lang"))
@@ -1057,6 +1066,10 @@ object PipelineQueries {
         |  count(*) FILTER (scrubbed LIKE '%[SSN]%') AS ssns,
         |  CAST(sum(length(txt) - length(scrubbed)) AS BIGINT) AS chars_redacted
         |FROM scr""".stripMargin,
+    "q_str_minmax" ->
+      """SELECT lang, source, min(text) AS min_text, max(text) AS max_text,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_token_stats" ->
       """SELECT lang, count(*) AS n,
         | CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks,

@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
  *    inf/NaN — any Divide keeps the built-in operator); Sum(int/long)
  *    exactly in long with Spark's mode-dependent overflow (ANSI error /
  *    legacy wrap); Min/Max over int/long/date/timestamp at the column's
- *    own buffer type; Count(col) counting non-null rows; no DISTINCT,
+ *    own buffer type, and over default-collation strings in UTF8String
+ *    binary order; Count(col) counting non-null rows; no DISTINCT,
  *    no FILTER clause;
  *  - filters: And/Or of IsNotNull, string =/IN, numeric comparisons
  *    against literals (null input → row dropped, the WHERE semantics).
@@ -107,7 +108,8 @@ object ColumnarPartialAgg {
     * [double[dim], serialized to the agg's own binary buffer layout],
     * 6=Sum(integral→long) [sum,seen; exact overflow under ANSI],
     * 7=Min(integral) / 8=Max(integral) [value at the column's own type],
-    * 9=Count(single column) [count of non-null rows].
+    * 9=Count(single column) [count of non-null rows],
+    * 10=Min(string) / 11=Max(string) [UTF8String, binary collation only].
     * For kind 5 `input` is unused; the array column reads directly from
     * the batch (vecOrd/vecDim/vecFloat). Kinds 6-9 also read their
     * column directly (ord/colType) — integral values never round-trip
@@ -552,6 +554,20 @@ object ColumnarPartialAgg {
     case _ => false
   }
 
+  /** Min/Max over a string scan attribute — DEFAULT (UTF8_BINARY)
+    * collation only: the accumulator compares with UTF8String's binary
+    * order, which is exactly Spark's ordering for uncollated strings and
+    * wrong for any other collation (the type equality check excludes
+    * those — a collated column's StringType instance differs). */
+  private def minMaxStringOk(child: Expression, buffer: Seq[Attribute],
+      scanOutput: Seq[Attribute]): Boolean = child match {
+    case a: AttributeReference =>
+      a.dataType == StringType &&
+        scanOutput.exists(_.exprId == a.exprId) &&
+        buffer.map(_.dataType) == Seq(StringType)
+    case _ => false
+  }
+
   /** Build the runtime spec for a supported AggregateExpression (caller
     * must have checked [[supports]]). */
   def spec(ae: AggregateExpression, childOutput: Seq[Attribute]): AggSpec =
@@ -570,11 +586,19 @@ object ColumnarPartialAgg {
           ord = childOutput.indexWhere(_.exprId == a.exprId), colType = a.dataType)
       case m: Max if m.dataType == DoubleType =>
         AggSpec(3, compile(m.child, childOutput).get)
+      case m: Max if m.dataType == StringType =>
+        val a = m.child.asInstanceOf[AttributeReference]
+        AggSpec(11, null,
+          ord = childOutput.indexWhere(_.exprId == a.exprId), colType = StringType)
       case m: Max =>
         val (ord, dt) = integralCol(m.child, childOutput, minMaxIntTypes).get
         AggSpec(8, null, ord = ord, colType = dt)
       case m: Min if m.dataType == DoubleType =>
         AggSpec(4, compile(m.child, childOutput).get)
+      case m: Min if m.dataType == StringType =>
+        val a = m.child.asInstanceOf[AttributeReference]
+        AggSpec(10, null,
+          ord = childOutput.indexWhere(_.exprId == a.exprId), colType = StringType)
       case m: Min =>
         val (ord, dt) = integralCol(m.child, childOutput, minMaxIntTypes).get
         AggSpec(7, null, ord = ord, colType = dt)
@@ -612,13 +636,15 @@ object ColumnarPartialAgg {
           m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)) ||
         (integralCol(m.child, scanOutput, minMaxIntTypes)
           .exists { case (_, dt) =>
-            m.aggBufferAttributes.map(_.dataType) == Seq(dt) })
+            m.aggBufferAttributes.map(_.dataType) == Seq(dt) }) ||
+        minMaxStringOk(m.child, m.aggBufferAttributes, scanOutput)
       case m: Min =>
         (m.dataType == DoubleType && compile(m.child, scanOutput).isDefined &&
           m.aggBufferAttributes.map(_.dataType) == Seq(DoubleType)) ||
         (integralCol(m.child, scanOutput, minMaxIntTypes)
           .exists { case (_, dt) =>
-            m.aggBufferAttributes.map(_.dataType) == Seq(dt) })
+            m.aggBufferAttributes.map(_.dataType) == Seq(dt) }) ||
+        minMaxStringOk(m.child, m.aggBufferAttributes, scanOutput)
       case v: graft.functions.VectorSumAgg =>
         // OUR aggregate: the tier replicates its exact binary buffer
         // layout (plain big-endian 8·dim bytes), so the built-in FINAL
@@ -702,6 +728,9 @@ private final class ColumnarAggIterator(
   // allocated lazily per slot; null until the group exists
   private val hasVec = specs.exists(_.kind == 5)
   private var accV: Array[Array[Double]] = if (hasVec) new Array(capacity * nAggs) else null
+  // string min/max accumulators (kinds 10/11): UTF8String clones
+  private val hasStr = specs.exists(s => s.kind == 10 || s.kind == 11)
+  private var accS: Array[AnyRef] = if (hasStr) new Array(capacity * nAggs) else null
   private var nGroups = 0
 
   // scratch per batch
@@ -733,6 +762,8 @@ private final class ColumnarAggIterator(
     accL = new Array[Long](capacity * nAggs)
     val oldV = accV
     if (hasVec) accV = new Array(capacity * nAggs)
+    val oldS = accS
+    if (hasStr) accS = new Array(capacity * nAggs)
     var s = 0
     while (s < oldCap) {
       if (oldUsed(s)) {
@@ -747,6 +778,7 @@ private final class ColumnarAggIterator(
           accD(ns * nAggs + a) = oldD(s * nAggs + a)
           accL(ns * nAggs + a) = oldL(s * nAggs + a)
           if (hasVec) accV(ns * nAggs + a) = oldV(s * nAggs + a)
+          if (hasStr) accS(ns * nAggs + a) = oldS(s * nAggs + a)
           a += 1
         }
       }
@@ -937,6 +969,22 @@ private final class ColumnarAggIterator(
           }
         case 9 => // Count(col): rows where the column is non-null
           if (!vecCols(a).isNullAt(i)) accL(base + a) += 1L
+        case 10 => // Min(string): UTF8String binary order (default collation)
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            val v = col.getUTF8String(i)
+            val cur = accS(base + a).asInstanceOf[UTF8String]
+            if (cur == null || v.compareTo(cur) < 0)
+              accS(base + a) = v.clone() // vector memory is reused per batch
+          }
+        case 11 => // Max(string)
+          val col = vecCols(a)
+          if (!col.isNullAt(i)) {
+            val v = col.getUTF8String(i)
+            val cur = accS(base + a).asInstanceOf[UTF8String]
+            if (cur == null || v.compareTo(cur) > 0)
+              accS(base + a) = v.clone()
+          }
         case _ => // VectorSumAgg: elementwise add, mirroring its update()
           val col = vecCols(a)
           if (!col.isNullAt(i)) {
@@ -1130,6 +1178,10 @@ private final class ColumnarAggIterator(
                 else outRow.update(c, accL(s * nAggs + a))
               } else outRow.setNullAt(c)
               c += 1
+            case 10 | 11 => // Min/Max(string): value when seen, else null
+              val v = accS(s * nAggs + a)
+              if (v != null) outRow.update(c, v) else outRow.setNullAt(c)
+              c += 1
             case 5 =>
               // serialize to VectorSumAgg's exact buffer layout (plain
               // big-endian 8·dim bytes); a group with no vector inputs
@@ -1155,6 +1207,7 @@ private final class ColumnarAggIterator(
     java.util.Arrays.fill(accD, 0.0)
     java.util.Arrays.fill(accL, 0L)
     if (hasVec) java.util.Arrays.fill(accV.asInstanceOf[Array[AnyRef]], 0, accV.length, null)
+    if (hasStr) java.util.Arrays.fill(accS, 0, accS.length, null)
     nGroups = 0
   }
 
@@ -1195,12 +1248,27 @@ case class ColumnarPartialAggRule(session: org.apache.spark.sql.SparkSession)
       .get("spark.graft.columnar.partialAgg", "true") == "true"
     if (!enabled) return plan
     plan.transformUp {
-      // TypedImperativeAggregates (VectorSumAgg) plan as ObjectHashAggregate
+      // TypedImperativeAggregates (VectorSumAgg) plan as ObjectHashAggregate;
+      // string-buffer aggregates (min/max(string)) plan as SortAggregate —
+      // vanilla Spark can't hash-aggregate an immutable-width buffer, so
+      // the partial costs a per-partition SORT of the whole scan. The
+      // tier's object accumulators don't care: match the SortAggregate,
+      // peel its planner-inserted partition-local sort, and the sort
+      // disappears from the plan (the final aggregate's own ordering is
+      // enforced post-shuffle by its own sort, untouched here).
       case agg @ (_: HashAggregateExec |
-                  _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec) =>
+                  _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec |
+                  _: org.apache.spark.sql.execution.aggregate.SortAggregateExec) =>
         val base = agg.asInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]
-        // peel: [Project] -> [Filter] -> ColumnarToRow -> columnar scan
-        val (projL, filterE, scanOpt) = base.child match {
+        // peel: [partition-local Sort] -> [Project] -> [Filter] ->
+        //        ColumnarToRow -> columnar scan
+        val sortPeeled = base.child match {
+          case org.apache.spark.sql.execution.SortExec(_, false, inner, _)
+            if base.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec] =>
+            inner
+          case other => other
+        }
+        val (projL, filterE, scanOpt) = sortPeeled match {
           case ColumnarToRowExec(s) => (Nil, None, Some(s))
           case ProjectExec(pl, ColumnarToRowExec(s)) => (pl, None, Some(s))
           case FilterExec(c, ColumnarToRowExec(s)) => (Nil, Some(c), Some(s))

@@ -51,7 +51,7 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     Gen.choose(1, 4).flatMap(n => Gen.pick(n, Seq(
       "sum_d", "avg_d", "min_d", "max_d", "count_star", "count_li",
       "sum_li", "sum_ll", "min_li", "max_li", "min_ll", "max_ll",
-      "min_dt", "max_ts", "sum_expr")).map(_.toSeq))
+      "min_dt", "max_ts", "sum_expr", "min_s2", "max_k", "count_k")).map(_.toSeq))
 
   private val filterGen: Gen[Option[String]] =
     Gen.option(Gen.oneOf(
@@ -79,6 +79,9 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     case "min_dt" => min(col("dt"))
     case "max_ts" => max(col("ts"))
     case "sum_expr" => sum(col("d") * (lit(1.0) - col("d") * lit(0.001)))
+    case "min_s2" => min(col("s2"))
+    case "max_k" => max(col("k")) // nullable string
+    case "count_k" => count(col("k"))
   }
   private def filter2(name: String): Column = name match {
     case "d_gt" => col("d") > 10.0

@@ -285,6 +285,29 @@ class ColumnarAggSpec extends AnyFunSuite {
       .agg(sum(col("v")), min(col("v")), max(col("v")), count(col("v")), count(lit(1))))
   }
 
+  test("min/max over strings (binary order), including null keys and all-null groups") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      when(col("l_orderkey") % 9 === 0, lit(null))
+        .otherwise(concat(col("l_linestatus"), lit("-"),
+          (col("l_orderkey") % 37).cast("string"))).as("s"))
+      .write.parquet(p)
+    def q = spark.read.parquet(p).groupBy(col("k"))
+      .agg(min(col("s")), max(col("s")), count(lit(1)))
+    identical(q)
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = q
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "string min/max shapes should rewrite")
+    // all-null string column
+    val p2 = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      lit(null).cast("string").as("s")).write.parquet(p2)
+    identical(spark.read.parquet(p2).groupBy(col("k"))
+      .agg(min(col("s")), max(col("s")), count(col("s"))))
+  }
+
   test("sum(long) overflow: ANSI raises ARITHMETIC_OVERFLOW, legacy wraps") {
     val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
     pq("lineitem").limit(100).select(col("l_returnflag").as("k"),
