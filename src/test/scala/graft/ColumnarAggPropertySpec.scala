@@ -27,9 +27,12 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
       "case when id % 31 = 0 then null else concat('k', id % 5) end as k",
       "case when id % 29 = 0 then null else cast(id % 20 as int) end as k2",
       "id % 7 as kl",
-      "id % 2 = 0 as b",
+      "case when id % 41 = 0 then null else id % 2 = 0 end as b",
       "date_add(date'1995-01-01', cast(id % 900 as int)) as dt",
-      "timestamp_seconds(800000000 + id * 3600) as ts",
+      // one in eleven timestamps is pre-1970: negative micros must floor
+      // (not truncate toward zero) through the date_trunc key arithmetic
+      "timestamp_seconds(case when id % 11 = 0 then id * 3600 - 600000000 " +
+        "else 800000000 + id * 3600 end) as ts",
       "case when id % 23 = 0 then null " +
         "when id % 97 = 0 then cast('NaN' as double) " +
         "else cast(id % 113 as double) * 1.7 - 40.0 end as d",
