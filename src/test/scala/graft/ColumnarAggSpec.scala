@@ -308,6 +308,25 @@ class ColumnarAggSpec extends AnyFunSuite {
       .agg(min(col("s")), max(col("s")), count(col("s"))))
   }
 
+  test("string min/max survive table overflow flushes (multiple partials per group)") {
+    val prev = System.getProperty("graft.columnar.agg.maxGroups")
+    System.setProperty("graft.columnar.agg.maxGroups", "64")
+    try {
+      val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+      pq("lineitem").select(col("l_orderkey").as("k"),
+        when(col("l_orderkey") % 9 === 0, lit(null))
+          .otherwise(concat(col("l_linestatus"), (col("l_partkey") % 101).cast("string")))
+          .as("s")).write.parquet(p)
+      // string/long results are exact, so plain identity applies even
+      // though each group contributes several partial rows
+      identical(spark.read.parquet(p).groupBy(col("k"))
+        .agg(min(col("s")), max(col("s")), count(col("s")), count(lit(1))))
+    } finally {
+      if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
+      else System.setProperty("graft.columnar.agg.maxGroups", prev)
+    }
+  }
+
   test("sum(long) overflow: ANSI raises ARITHMETIC_OVERFLOW, legacy wraps") {
     val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
     pq("lineitem").limit(100).select(col("l_returnflag").as("k"),
