@@ -37,8 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *    exactly in long with Spark's mode-dependent overflow (ANSI error /
  *    legacy wrap); Min/Max over int/long/date/timestamp at the column's
  *    own buffer type, and over default-collation strings in UTF8String
- *    binary order; Count(col) counting non-null rows; no DISTINCT,
- *    no FILTER clause;
+ *    binary order; Count(col) counting non-null rows; stddev/variance
+ *    (samp and pop) via the exact 3-double Welford partial buffer;
+ *    no DISTINCT, no FILTER clause;
  *  - filters: And/Or of IsNotNull, string =/IN, numeric comparisons
  *    against literals (null input → row dropped, the WHERE semantics).
  * Anything else keeps the built-in operator.
@@ -109,7 +110,10 @@ object ColumnarPartialAgg {
     * 6=Sum(integral→long) [sum,seen; exact overflow under ANSI],
     * 7=Min(integral) / 8=Max(integral) [value at the column's own type],
     * 9=Count(single column) [count of non-null rows],
-    * 10=Min(string) / 11=Max(string) [UTF8String, binary collation only].
+    * 10=Min(string) / 11=Max(string) [UTF8String, binary collation only],
+    * 12=CentralMomentAgg order 2 (stddev_samp/pop, var_samp/pop — all
+    * four share the (n, avg, m2) double buffer; update replicates
+    * Spark's exact Welford expression ORDER so partials are bit-equal].
     * For kind 5 `input` is unused; the array column reads directly from
     * the batch (vecOrd/vecDim/vecFloat). Kinds 6-9 also read their
     * column directly (ord/colType) — integral values never round-trip
@@ -602,6 +606,8 @@ object ColumnarPartialAgg {
       case m: Min =>
         val (ord, dt) = integralCol(m.child, childOutput, minMaxIntTypes).get
         AggSpec(7, null, ord = ord, colType = dt)
+      case cm: CentralMomentAgg =>
+        AggSpec(12, compile(cm.child, childOutput).get)
       case v: graft.functions.VectorSumAgg =>
         val a = v.child.asInstanceOf[AttributeReference]
         val isFloat = a.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -645,6 +651,13 @@ object ColumnarPartialAgg {
           .exists { case (_, dt) =>
             m.aggBufferAttributes.map(_.dataType) == Seq(dt) }) ||
         minMaxStringOk(m.child, m.aggBufferAttributes, scanOutput)
+      case cm: CentralMomentAgg =>
+        // second-order moments only: a 3-double (n, avg, m2) buffer is
+        // exactly stddev/variance; skewness/kurtosis carry m3/m4 and the
+        // length check excludes them
+        cm.dataType == DoubleType && compile(cm.child, scanOutput).isDefined &&
+          cm.aggBufferAttributes.map(_.dataType) ==
+            Seq(DoubleType, DoubleType, DoubleType)
       case v: graft.functions.VectorSumAgg =>
         // OUR aggregate: the tier replicates its exact binary buffer
         // layout (plain big-endian 8·dim bytes), so the built-in FINAL
@@ -726,7 +739,7 @@ private final class ColumnarAggIterator(
   private var accL = new Array[Long](capacity * nAggs)
   // vector-sum accumulators (kind 5): one double[dim] per (slot, agg) —
   // allocated lazily per slot; null until the group exists
-  private val hasVec = specs.exists(_.kind == 5)
+  private val hasVec = specs.exists(s => s.kind == 5 || s.kind == 12)
   private var accV: Array[Array[Double]] = if (hasVec) new Array(capacity * nAggs) else null
   // string min/max accumulators (kinds 10/11): UTF8String clones
   private val hasStr = specs.exists(s => s.kind == 10 || s.kind == 11)
@@ -985,6 +998,20 @@ private final class ColumnarAggIterator(
             if (cur == null || v.compareTo(cur) > 0)
               accS(base + a) = v.clone()
           }
+        case 12 => // stddev/variance partial: Spark's exact Welford ORDER
+          // (m2 += delta * (delta - deltaN), not the algebraic twin) so
+          // the partial buffer is bit-equal to the built-in's
+          if (!scratchN(a)(i)) {
+            var buf = accV(base + a)
+            if (buf == null) { buf = new Array[Double](3); accV(base + a) = buf }
+            val x = scratchV(a)(i)
+            val newN = buf(0) + 1.0
+            val delta = x - buf(1)
+            val deltaN = delta / newN
+            buf(0) = newN
+            buf(1) += deltaN
+            buf(2) += delta * (delta - deltaN)
+          }
         case _ => // VectorSumAgg: elementwise add, mirroring its update()
           val col = vecCols(a)
           if (!col.isNullAt(i)) {
@@ -1066,7 +1093,8 @@ private final class ColumnarAggIterator(
             vecElems(a) = null
             vecElemsNoNull(a) = false
         }
-      } else if (specs(a).kind >= 6) vecCols(a) = b.column(specs(a).ord)
+      } else if (specs(a).kind >= 6 && specs(a).kind <= 11)
+        vecCols(a) = b.column(specs(a).ord)
       else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
@@ -1182,6 +1210,18 @@ private final class ColumnarAggIterator(
               val v = accS(s * nAggs + a)
               if (v != null) outRow.update(c, v) else outRow.setNullAt(c)
               c += 1
+            case 12 => // (n, avg, m2); a never-updated group emits the
+              // initial (0,0,0) buffer, same as the built-in
+              val buf = accV(s * nAggs + a)
+              if (buf != null) {
+                outRow.update(c, buf(0)); c += 1
+                outRow.update(c, buf(1)); c += 1
+                outRow.update(c, buf(2)); c += 1
+              } else {
+                outRow.update(c, 0.0); c += 1
+                outRow.update(c, 0.0); c += 1
+                outRow.update(c, 0.0); c += 1
+              }
             case 5 =>
               // serialize to VectorSumAgg's exact buffer layout (plain
               // big-endian 8·dim bytes); a group with no vector inputs

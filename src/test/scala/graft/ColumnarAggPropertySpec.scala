@@ -54,7 +54,8 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     Gen.choose(1, 4).flatMap(n => Gen.pick(n, Seq(
       "sum_d", "avg_d", "min_d", "max_d", "count_star", "count_li",
       "sum_li", "sum_ll", "min_li", "max_li", "min_ll", "max_ll",
-      "min_dt", "max_ts", "sum_expr", "min_s2", "max_k", "count_k")).map(_.toSeq))
+      "min_dt", "max_ts", "sum_expr", "min_s2", "max_k", "count_k",
+      "stddev_d", "varpop_d")).map(_.toSeq))
 
   private val filterGen: Gen[Option[String]] =
     Gen.option(Gen.oneOf(
@@ -85,6 +86,8 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     case "min_s2" => min(col("s2"))
     case "max_k" => max(col("k")) // nullable string
     case "count_k" => count(col("k"))
+    case "stddev_d" => stddev_samp(col("d"))
+    case "varpop_d" => var_pop(col("d"))
   }
   private def filter2(name: String): Column = name match {
     case "d_gt" => col("d") > 10.0

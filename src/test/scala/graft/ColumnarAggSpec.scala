@@ -327,6 +327,31 @@ class ColumnarAggSpec extends AnyFunSuite {
     }
   }
 
+  test("stddev/variance (samp + pop): bit-identical partials incl. NaN/null/single-row groups") {
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      when(col("l_orderkey") % 23 === 0, lit(null))
+        .when(col("l_orderkey") % 97 === 0, lit(Double.NaN))
+        .otherwise(col("l_extendedprice")).as("v")).write.parquet(p)
+    def q = spark.read.parquet(p).groupBy(col("k"))
+      .agg(stddev_samp(col("v")), stddev_pop(col("v")),
+        var_samp(col("v")), var_pop(col("v")), count(lit(1)))
+    identical(q)
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = q
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "stddev/variance shapes should rewrite")
+    // single-row groups (var_samp/stddev_samp null there) and an
+    // all-null group
+    val p2 = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_orderkey").as("k"),
+      when(col("l_orderkey") % 3 === 0, lit(null)).otherwise(col("l_tax")).as("v"))
+      .write.parquet(p2)
+    identical(spark.read.parquet(p2).groupBy(col("k"))
+      .agg(stddev_samp(col("v")), var_samp(col("v")), var_pop(col("v"))))
+  }
+
   test("sum(long) overflow: ANSI raises ARITHMETIC_OVERFLOW, legacy wraps") {
     val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
     pq("lineitem").limit(100).select(col("l_returnflag").as("k"),
