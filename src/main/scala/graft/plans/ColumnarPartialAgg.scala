@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * and groups accumulate in an open-addressing table of primitive arrays
  * instead of the UnsafeRow bytes-map. Only the narrow, provably-identical
  * surface rewrites:
- *  - keys: scan attributes (string/int/long/date/timestamp/bool) or
+ *  - keys: scan attributes (string/int/long/date/timestamp/bool),
  *    `date_trunc` to second/minute/hour/day of a timestamp attribute in
- *    UTC (pure modulo in a DST-free zone);
+ *    UTC (pure modulo in a DST-free zone), or `graft_md5_bin(string
+ *    attribute)` (the exact-dedup grouping key — digested straight off
+ *    the vector's backing bytes, no per-row copy or allocation);
  *  - aggregates: Sum/Average/Min/Max(double) / Count(literal) over
  *    +,-,* double arithmetic (NOT division: Spark's Divide is null on a
  *    zero divisor in legacy mode and an error under ANSI, never IEEE
@@ -99,7 +101,11 @@ object ColumnarPartialAgg {
 
   /** Compiled grouping key. kind 0: read from vector `ord` (type-tagged by
     * `dataType`); kind 1: timestamp vector `ord` truncated to
-    * `truncMicros` (UTC modulo). */
+    * `truncMicros` (UTC modulo); kind 2: 16-byte md5 digest of string
+    * vector `ord` ([[graft.functions.GraftMd5Bin]] — the exact-dedup
+    * grouping key), computed per batch straight off the vector's backing
+    * bytes into a flat reused buffer (no UTF8String.getBytes copy, no
+    * per-row digest allocation). */
   final case class KeySpec(kind: Int, ord: Int, dataType: DataType,
       truncMicros: Long) extends Serializable
 
@@ -276,6 +282,17 @@ object ColumnarPartialAgg {
             truncUnits(fmt.toString.toLowerCase(java.util.Locale.ROOT))))
         case _ => None
       }
+    case m: graft.functions.GraftMd5Bin =>
+      // exact-dedup shape: groupBy(md5_bin(text)). The digest IS the
+      // grouping value (BinaryType); two strings group together iff
+      // their digests match, exactly as the built-in evaluates the
+      // project expression — the tier just computes it in the key path
+      m.child match {
+        case a: AttributeReference if a.dataType == StringType =>
+          val ord = childOutput.indexWhere(_.exprId == a.exprId)
+          if (ord < 0) None else Some(KeySpec(2, ord, BinaryType, 0L))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -406,6 +423,22 @@ object ColumnarPartialAgg {
     }
   }
 
+  /** Normalize literal-on-left comparisons (`5 < x` shapes Catalyst does
+    * not always flip) to attribute-on-left by swapping operands and
+    * mirroring the comparator — the two forms are the same predicate.
+    * Literal-vs-literal and attr-vs-attr shapes pass through unchanged
+    * (the compile cases below decline them). */
+  private def mirrored(x: Expression): Expression = x match {
+    case GreaterThan(l: Literal, r) if !r.isInstanceOf[Literal] => LessThan(r, l)
+    case GreaterThanOrEqual(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      LessThanOrEqual(r, l)
+    case LessThan(l: Literal, r) if !r.isInstanceOf[Literal] => GreaterThan(r, l)
+    case LessThanOrEqual(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      GreaterThanOrEqual(r, l)
+    case EqualTo(l: Literal, r) if !r.isInstanceOf[Literal] => EqualTo(r, l)
+    case other => other
+  }
+
   /** Compile a WHERE predicate; None when any piece is unsupported.
     * NOTE on Or + null: `null OR true` is true in SQL, but a null string
     * input here yields false on both sides. That divergence only matters
@@ -452,7 +485,7 @@ object ColumnarPartialAgg {
         case _ => None
       }
     }
-    e match {
+    mirrored(e) match {
       case IsNotNull(a: AttributeReference) if ordOf(a) >= 0 =>
         Some(new NotNullEval(ordOf(a)))
       case In(a: AttributeReference, list)
@@ -465,9 +498,6 @@ object ColumnarPartialAgg {
           hset.forall(v => v != null && v.isInstanceOf[UTF8String]) =>
         Some(new StrInEval(ordOf(a), hset.map(_.asInstanceOf[UTF8String]).toArray))
       case EqualTo(a: AttributeReference, Literal(v, StringType))
-        if a.dataType == StringType && ordOf(a) >= 0 && v != null =>
-        Some(new StrInEval(ordOf(a), Array(v.asInstanceOf[UTF8String])))
-      case EqualTo(Literal(v, StringType), a: AttributeReference)
         if a.dataType == StringType && ordOf(a) >= 0 && v != null =>
         Some(new StrInEval(ordOf(a), Array(v.asInstanceOf[UTF8String])))
       case GreaterThan(l, r) =>
@@ -488,7 +518,9 @@ object ColumnarPartialAgg {
       case And(l, r) =>
         for (le <- compileFilter(l, childOutput); re <- compileFilter(r, childOutput))
           yield new AndEval(le, re)
-      case Or(l, r) =>
+      case Or(l0, r0) =>
+        val l = mirrored(l0)
+        val r = mirrored(r0)
         val sameAttr = (l, r) match {
           case (In(a: AttributeReference, _), In(b: AttributeReference, _)) => a.exprId == b.exprId
           case (EqualTo(a: AttributeReference, _), EqualTo(b: AttributeReference, _)) => a.exprId == b.exprId
@@ -700,7 +732,23 @@ object ColumnarPartialAgg {
       agg.aggregateExpressions.flatMap(_.aggregateFunction.inputAggBufferAttributes.map(_.exprId))
     val resultsOk = agg.resultExpressions.forall(_.isInstanceOf[Attribute]) &&
       agg.resultExpressions.map(_.asInstanceOf[Attribute].exprId) == expectedResults
-    partialOnly && resultsOk &&
+    // When the source is a SortAggregateExec the rule PEELS its
+    // partition-local sort, so the tier accumulates in SCAN order while
+    // the built-in would accumulate post-sort. Min/Max/Count and the
+    // exact integral Sum are order-independent; double sums / averages /
+    // Welford moments are order-SENSITIVE in the last bit (FP addition
+    // does not commute) and must keep the built-in operator in that plan
+    // shape — otherwise results stop being byte-identical to vanilla
+    // Spark whenever a string-buffer agg drags doubles into a
+    // SortAggregate.
+    val orderOk =
+      !agg.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec] ||
+        aggExprs.forall(_.aggregateFunction match {
+          case _: Min | _: Max | _: Count => true
+          case s: Sum => s.dataType == LongType // exact in long, commutative
+          case _ => false
+        })
+    partialOnly && resultsOk && orderOk &&
       keyExprs.forall(compileKey(_, scanOutput).isDefined) &&
       aggExprs.forall(supportedAgg(_, scanOutput)) &&
       filter.forall(compileFilter(_, scanOutput).isDefined)
@@ -753,6 +801,12 @@ private final class ColumnarAggIterator(
   // computed (kind=1) key columns: long value + null mask per key
   private var keyLongs: Array[Array[Long]] = _
   private var keyLongNulls: Array[Array[Boolean]] = _
+  // computed (kind=2) md5 keys: flat 16·n digest bytes per key (null
+  // mask shared with keyLongNulls); one MessageDigest per partition
+  private var keyBin: Array[Array[Byte]] = _
+  private val md5 =
+    if (keySpecs.exists(_.kind == 2)) java.security.MessageDigest.getInstance("MD5")
+    else null
   // per-batch hoisted key vectors (avoid b.column() per row)
   private val keyVecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](nKeys)
 
@@ -819,6 +873,10 @@ private final class ColumnarAggIterator(
     while (k < nKeys) {
       val kh =
         if (keyIsNull(k, i)) 0
+        else if (keySpecs(k).kind == 2)
+          // md5 is already uniform: the digest's first 8 bytes are the hash
+          java.lang.Long.hashCode(org.apache.spark.unsafe.Platform.getLong(
+            keyBin(k), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + 16L * i))
         else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
           keyVecs(k).getUTF8String(i).hashCode()
         else java.lang.Long.hashCode(keyLong(k, i))
@@ -837,6 +895,16 @@ private final class ColumnarAggIterator(
       val eq =
         if (keyIsNull(k, i)) stored == null
         else if (stored == null) false
+        else if (keySpecs(k).kind == 2) {
+          val b = stored.asInstanceOf[Array[Byte]]
+          val buf = keyBin(k)
+          val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+          val off = base + 16L * i
+          org.apache.spark.unsafe.Platform.getLong(b, base) ==
+            org.apache.spark.unsafe.Platform.getLong(buf, off) &&
+          org.apache.spark.unsafe.Platform.getLong(b, base + 8L) ==
+            org.apache.spark.unsafe.Platform.getLong(buf, off + 8L)
+        }
         else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
           stored.asInstanceOf[UTF8String] == keyVecs(k).getUTF8String(i)
         else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == BooleanType)
@@ -856,6 +924,8 @@ private final class ColumnarAggIterator(
     while (k < nKeys) {
       slotKeys(slot * nKeys + k) =
         if (keyIsNull(k, i)) null
+        else if (keySpecs(k).kind == 2) // own the digest: the flat buffer is per-batch
+          java.util.Arrays.copyOfRange(keyBin(k), 16 * i, 16 * i + 16)
         else if (keySpecs(k).kind == 0 && keySpecs(k).dataType == StringType)
           keyVecs(k).getUTF8String(i).clone() // vector memory is reused
         else if (keySpecs(k).kind == 0 &&
@@ -951,7 +1021,15 @@ private final class ColumnarAggIterator(
             accL(base + a) = 1L
           }
         case 6 => // Sum(integral→long): null until first input; Spark's
-          // mode-dependent overflow (ANSI error / legacy wrap)
+          // mode-dependent overflow (ANSI error / legacy wrap).
+          // ANSI flush-boundary caveat: a MaxGroups flush resets the
+          // per-group running sum, so a TRANSIENT overflow the built-in
+          // partial would raise (sub-sum overflows but the true total
+          // fits) can pass when the inputs straddle a flush. The final
+          // Sum's merge also runs addExact, so any query whose TRUE
+          // total overflows still raises; only raise-on-transient-
+          // overflow differs, and only past 2M groups per partition —
+          // the same class of divergence as any partial-row split.
           val col = vecCols(a)
           if (!col.isNullAt(i)) {
             val v = if (aggIsIntWidth(a)) col.getInt(i).toLong else col.getLong(i)
@@ -1056,12 +1134,43 @@ private final class ColumnarAggIterator(
       if (filter != null) sel = new Array[Boolean](n)
       keyLongs = Array.fill(nKeys)(new Array[Long](n))
       keyLongNulls = Array.fill(nKeys)(new Array[Boolean](n))
+      keyBin = Array.tabulate(nKeys)(k =>
+        if (keySpecs(k).kind == 2) new Array[Byte](16 * n) else null)
     }
     if (filter != null) filter.eval(b, n, sel)
-    // computed keys (date_trunc): one modulo pass per key
+    // computed keys (date_trunc / md5): one pass per key
     k = 0
     while (k < nKeys) {
-      if (keySpecs(k).kind == 1) {
+      if (keySpecs(k).kind == 2) {
+        val v = keyVecs(k)
+        val out = keyBin(k)
+        val nulls = keyLongNulls(k)
+        val hasNull = v.hasNull
+        var i = 0
+        while (i < n) {
+          if (hasNull && v.isNullAt(i)) nulls(i) = true
+          else {
+            nulls(i) = false
+            if (filter == null || sel(i)) { // dropped rows are never probed
+              val u = v.getUTF8String(i)
+              md5.reset()
+              u.getBaseObject match {
+                case arr: Array[Byte] =>
+                  // digest straight off the vector's backing bytes — the
+                  // copy getBytes() makes per row is the built-in
+                  // project's cost, not ours
+                  md5.update(arr,
+                    (u.getBaseOffset -
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET).toInt,
+                    u.numBytes)
+                case _ => md5.update(u.getBytes)
+              }
+              md5.digest(out, 16 * i, 16)
+            }
+          }
+          i += 1
+        }
+      } else if (keySpecs(k).kind == 1) {
         val v = keyVecs(k)
         val unit = keySpecs(k).truncMicros
         val out = keyLongs(k)
@@ -1171,84 +1280,108 @@ private final class ColumnarAggIterator(
     }
   }
 
-  /** Emit all current groups as partial rows, then reset the table. */
+  /** Emit all current groups as partial rows LAZILY and swap in a fresh
+    * table. The old arrays are captured by the emitted iterator and
+    * converted to rows one at a time as the consumer pulls — no
+    * intermediate Vector, so the transient peak at MaxGroups is the old
+    * table alone (plus a fresh initial-capacity table), roughly half of
+    * table + fully-materialized rows. Emission order (slot order) is
+    * irrelevant to correctness: these are partial rows; the final
+    * aggregate merges them in any order. */
   private def flushTable(): Unit = {
     numFlush += 1
     epoch += 1 // slots move: invalidate the dictionary code→slot cache
-    val rows = Vector.newBuilder[InternalRow]
-    var s = 0
-    while (s < capacity) {
-      if (slotUsed(s)) {
-        var c = 0
-        var k = 0
-        while (k < nKeys) {
-          outRow.update(c, slotKeys(s * nKeys + k)); c += 1; k += 1
-        }
-        var a = 0
-        while (a < nAggs) {
-          specs(a).kind match {
-            case 0 | 3 | 4 => // Sum/Max/Min: value when seen, else null
-              if (accL(s * nAggs + a) == 1L) outRow.update(c, accD(s * nAggs + a))
-              else outRow.setNullAt(c)
-              c += 1
-            case 1 =>
-              outRow.update(c, accD(s * nAggs + a)); c += 1
-              outRow.update(c, accL(s * nAggs + a)); c += 1
-            case 6 => // Sum(integral→long): long when seen, else null
-              if (accD(s * nAggs + a) == 1.0) outRow.update(c, accL(s * nAggs + a))
-              else outRow.setNullAt(c)
-              c += 1
-            case 7 | 8 => // Min/Max(integral): emit at the column's EXACT
-              // buffer type (an Int buffer read as Long would corrupt the
-              // final merge's UnsafeRow layout)
-              if (accD(s * nAggs + a) == 1.0) {
-                if (aggIsIntWidth(a)) outRow.update(c, accL(s * nAggs + a).toInt)
-                else outRow.update(c, accL(s * nAggs + a))
-              } else outRow.setNullAt(c)
-              c += 1
-            case 10 | 11 => // Min/Max(string): value when seen, else null
-              val v = accS(s * nAggs + a)
-              if (v != null) outRow.update(c, v) else outRow.setNullAt(c)
-              c += 1
-            case 12 => // (n, avg, m2); a never-updated group emits the
-              // initial (0,0,0) buffer, same as the built-in
-              val buf = accV(s * nAggs + a)
-              if (buf != null) {
-                outRow.update(c, buf(0)); c += 1
-                outRow.update(c, buf(1)); c += 1
-                outRow.update(c, buf(2)); c += 1
-              } else {
-                outRow.update(c, 0.0); c += 1
-                outRow.update(c, 0.0); c += 1
-                outRow.update(c, 0.0); c += 1
-              }
-            case 5 =>
-              // serialize to VectorSumAgg's exact buffer layout (plain
-              // big-endian 8·dim bytes); a group with no vector inputs
-              // emits the zero buffer, same as createAggregationBuffer
-              val dim = specs(a).vecDim
-              val buf = accV(s * nAggs + a)
-              val bb = java.nio.ByteBuffer.allocate(8 * dim)
-              if (buf != null) bb.asDoubleBuffer().put(buf)
-              outRow.update(c, bb.array()); c += 1
-            case _ =>
-              outRow.update(c, accL(s * nAggs + a)); c += 1
-          }
-          a += 1
-        }
-        rows += proj.apply(outRow).copy()
-      }
-      s += 1
-    }
-    flushed = flushed ++ rows.result().iterator
-    // reset
-    java.util.Arrays.fill(slotUsed, false)
-    java.util.Arrays.fill(slotKeys, 0, slotKeys.length, null)
-    java.util.Arrays.fill(accD, 0.0)
-    java.util.Arrays.fill(accL, 0L)
-    if (hasVec) java.util.Arrays.fill(accV.asInstanceOf[Array[AnyRef]], 0, accV.length, null)
-    if (hasStr) java.util.Arrays.fill(accS, 0, accS.length, null)
+    // NOTE: Iterator.++'s right operand is BY-NAME — the snapshot must be
+    // constructed EAGERLY (before the fields below are reassigned), or it
+    // would capture the fresh empty arrays instead of the flushed ones
+    val snapshot = new FlushIter(capacity, slotKeys, slotUsed, accD, accL, accV, accS)
+    flushed = flushed ++ snapshot
+    capacity = 1 << 10
+    mask = capacity - 1
+    slotKeys = new Array[AnyRef](capacity * math.max(nKeys, 1))
+    slotHash = new Array[Int](capacity)
+    slotUsed = new Array[Boolean](capacity)
+    accD = new Array[Double](capacity * nAggs)
+    accL = new Array[Long](capacity * nAggs)
+    if (hasVec) accV = new Array(capacity * nAggs)
+    if (hasStr) accS = new Array(capacity * nAggs)
     nGroups = 0
+  }
+
+  /** Lazy row emission over a captured (flushed) table. Shares `outRow`
+    * and `proj` with the owning iterator — safe because a partition's
+    * output is drained single-threaded with at most one row in flight
+    * (the row is copied before return). */
+  private final class FlushIter(cap: Int, keys: Array[AnyRef], used: Array[Boolean],
+      fD: Array[Double], fL: Array[Long], fV: Array[Array[Double]], fS: Array[AnyRef])
+    extends Iterator[InternalRow] {
+    private var s = 0
+    private def advance(): Unit = { while (s < cap && !used(s)) s += 1 }
+    advance()
+    override def hasNext: Boolean = s < cap
+    override def next(): InternalRow = {
+      var c = 0
+      var k = 0
+      while (k < nKeys) {
+        outRow.update(c, keys(s * nKeys + k)); c += 1; k += 1
+      }
+      var a = 0
+      while (a < nAggs) {
+        specs(a).kind match {
+          case 0 | 3 | 4 => // Sum/Max/Min: value when seen, else null
+            if (fL(s * nAggs + a) == 1L) outRow.update(c, fD(s * nAggs + a))
+            else outRow.setNullAt(c)
+            c += 1
+          case 1 =>
+            outRow.update(c, fD(s * nAggs + a)); c += 1
+            outRow.update(c, fL(s * nAggs + a)); c += 1
+          case 6 => // Sum(integral→long): long when seen, else null
+            if (fD(s * nAggs + a) == 1.0) outRow.update(c, fL(s * nAggs + a))
+            else outRow.setNullAt(c)
+            c += 1
+          case 7 | 8 => // Min/Max(integral): emit at the column's EXACT
+            // buffer type (an Int buffer read as Long would corrupt the
+            // final merge's UnsafeRow layout)
+            if (fD(s * nAggs + a) == 1.0) {
+              if (aggIsIntWidth(a)) outRow.update(c, fL(s * nAggs + a).toInt)
+              else outRow.update(c, fL(s * nAggs + a))
+            } else outRow.setNullAt(c)
+            c += 1
+          case 10 | 11 => // Min/Max(string): value when seen, else null
+            val v = fS(s * nAggs + a)
+            if (v != null) outRow.update(c, v) else outRow.setNullAt(c)
+            c += 1
+          case 12 => // (n, avg, m2); a never-updated group emits the
+            // initial (0,0,0) buffer, same as the built-in
+            val buf = fV(s * nAggs + a)
+            if (buf != null) {
+              outRow.update(c, buf(0)); c += 1
+              outRow.update(c, buf(1)); c += 1
+              outRow.update(c, buf(2)); c += 1
+            } else {
+              outRow.update(c, 0.0); c += 1
+              outRow.update(c, 0.0); c += 1
+              outRow.update(c, 0.0); c += 1
+            }
+          case 5 =>
+            // serialize to VectorSumAgg's exact buffer layout (plain
+            // big-endian 8·dim bytes); a group with no vector inputs
+            // emits the zero buffer, same as createAggregationBuffer
+            val dim = specs(a).vecDim
+            val buf = fV(s * nAggs + a)
+            val bb = java.nio.ByteBuffer.allocate(8 * dim)
+            if (buf != null) bb.asDoubleBuffer().put(buf)
+            outRow.update(c, bb.array()); c += 1
+          case _ =>
+            outRow.update(c, fL(s * nAggs + a)); c += 1
+        }
+        a += 1
+      }
+      val r = proj.apply(outRow).copy()
+      s += 1
+      advance()
+      r
+    }
   }
 
   override def hasNext: Boolean = {

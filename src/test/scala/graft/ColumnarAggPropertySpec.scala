@@ -60,7 +60,9 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
   private val filterGen: Gen[Option[String]] =
     Gen.option(Gen.oneOf(
       "d_gt", "li_ge", "ll_lt", "lb_gt_2p53", "ts_le", "dt_ge",
-      "k_eq", "k_in", "nn_d", "nn_k", "and_two", "or_same"))
+      "k_eq", "k_in", "nn_d", "nn_k", "and_two", "or_same",
+      // literal-on-left twins (swapped operands, mirrored comparator)
+      "rev_d_lt", "rev_li_le", "rev_lb_2p53", "rev_k_eq", "rev_or_same"))
 
   private def col2(name: String): Column = name match {
     case "trunc_h" => date_trunc("hour", col("ts"))
@@ -102,6 +104,11 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     case "nn_k" => col("k").isNotNull
     case "and_two" => col("d") > -5.0 && col("li") < 20
     case "or_same" => col("k") === "k1" || col("k") === "k4"
+    case "rev_d_lt" => lit(10.0) < col("d") // ≡ d > 10.0
+    case "rev_li_le" => lit(-3) <= col("li") // ≡ li >= -3
+    case "rev_lb_2p53" => lit(9007199254740992L) < col("lb") // exactness boundary
+    case "rev_k_eq" => lit("k2") === col("k")
+    case "rev_or_same" => lit("k1") === col("k") || col("k") === "k4"
   }
 
   private def build(s: Shape): DataFrame = {

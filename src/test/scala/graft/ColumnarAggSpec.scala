@@ -373,6 +373,89 @@ class ColumnarAggSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("md5-binary expression key (exact-dedup shape): identical and rewrites") {
+    // the full operator, oracle-shaped output (digest key dropped)
+    identical(graft.pipeline.Dedup.exact(pq("documents")))
+    // nullable text: null keys group together on both paths
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("documents").select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, lit(null)).otherwise(col("text")).as("text"))
+      .write.parquet(p)
+    identical(graft.pipeline.Dedup.exact(spark.read.parquet(p)))
+    // and the rewrite actually fires on the raw groupBy(md5_bin) shape
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = pq("documents")
+      .groupBy(graft.functions.GraftFunctions.md5Binary(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "md5-binary key shape should rewrite")
+    // md5 over a COMPUTED string (not a scan attribute) must decline
+    val df2 = pq("documents")
+      .groupBy(graft.functions.GraftFunctions.md5Binary(lower(col("text"))).as("h"))
+      .agg(count(lit(1)))
+    df2.collect()
+    assert(!df2.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "md5 of a computed string must keep the built-in operator")
+  }
+
+  test("md5-binary keys survive table overflow flushes") {
+    val prev = System.getProperty("graft.columnar.agg.maxGroups")
+    System.setProperty("graft.columnar.agg.maxGroups", "64")
+    try {
+      // ~unique digests >> 64 → many lazy flushes; stored digests are
+      // copies so flushed rows must stay intact after the table resets
+      identical(graft.pipeline.Dedup.exact(pq("documents")))
+    } finally {
+      if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
+      else System.setProperty("graft.columnar.agg.maxGroups", prev)
+    }
+  }
+
+  test("literal-on-left comparisons compile (swapped operands, flipped comparator)") {
+    // 5 < x shapes that Catalyst does not normalize
+    identical(pq("lineitem").where(lit(10.0) < col("l_quantity"))
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")), count(lit(1))))
+    identical(pq("lineitem").where(lit(25.0) >= col("l_quantity"))
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")), count(lit(1))))
+    identical(pq("lineitem").where(lit(3000L) > col("l_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1))))
+    identical(pq("lineitem").where(lit("A") === col("l_returnflag"))
+      .groupBy(col("l_linestatus")).agg(count(lit(1))))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = pq("lineitem").where(lit(10.0) < col("l_quantity"))
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "literal-on-left numeric filter should still rewrite")
+  }
+
+  test("SortAggregate source: order-sensitive double aggs decline (scan-order peel)") {
+    // min(string) forces a SortAggregate; mixing in sum(double) would make
+    // the tier accumulate doubles in scan order where the built-in
+    // accumulates post-sort — byte-identity is only guaranteed for
+    // order-insensitive aggregates, so this shape must keep the built-in
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"), col("l_linestatus").as("s"),
+      col("l_quantity").as("v")).write.parquet(p)
+    val mixed = spark.read.parquet(p).groupBy(col("k"))
+      .agg(min(col("s")), sum(col("v")))
+    mixed.collect()
+    assert(!mixed.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "sum(double) under a peeled SortAggregate must decline")
+    identical(spark.read.parquet(p).groupBy(col("k")).agg(min(col("s")), sum(col("v"))))
+    // order-insensitive companions (count, integral sum, min/max) still rewrite
+    val ok = spark.read.parquet(p).groupBy(col("k"))
+      .agg(min(col("s")), max(col("s")), count(lit(1)), max(col("v")))
+    ok.collect()
+    assert(ok.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "order-insensitive aggs under SortAggregate should still rewrite")
+    identical(spark.read.parquet(p).groupBy(col("k"))
+      .agg(min(col("s")), max(col("s")), count(lit(1)), max(col("v"))))
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
