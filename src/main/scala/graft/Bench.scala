@@ -908,7 +908,11 @@ object Bench {
           }
           // the evidence reading is the held round with the best PAIRED
           // ratio when one exists; else the fastest held round; with no
-          // held round at all the fastest overall stands, marked lost
+          // held round at all the fastest overall stands, marked lost.
+          // ADVICE r19: the resample loop above stops when a favorable
+          // reading appears (optional stopping), so the best held ratio
+          // is biased low — the MEDIAN of all held paired ratios is
+          // recorded alongside it as the stopping-rule-free statistic.
           val heldRounds = rs.filter(_._3)
           val candidates = if (heldRounds.nonEmpty) heldRounds else rs
           val pairedRounds = candidates.filter(_._1.exists(_ > 0))
@@ -918,7 +922,14 @@ object Bench {
             else candidates.minBy(_._2)
           val d = pick._1.orElse(
             rs.flatMap(_._1) match { case Seq() => None; case ds => Some(ds.min) })
-          (n, pick._2, d, heldRounds.nonEmpty, pick._4, rs.length)
+          val medianRatio = {
+            val ratios = heldRounds.collect {
+              case (Some(dd), t, _, _) if dd > 0 => t / dd
+            }.sorted
+            if (ratios.isEmpty) None
+            else Some(ratios(ratios.length / 2))
+          }
+          (n, pick._2, d, heldRounds.nonEmpty, pick._4, rs.length, medianRatio)
         }
         duck.close()
         // fresh-JVM pass for micro rows still far over DuckDB (or never
@@ -926,7 +937,7 @@ object Bench {
         // JVM aging hits it hardest (measured: q_sessionize 12.2s aged vs
         // 3.6s fresh on the same host minute)
         val microOver = rows0.collect {
-          case (n, t, d, held, _, _) if d.exists(dd => t > 2.0 * dd) || !held => n
+          case (n, t, d, held, _, _, _) if d.exists(dd => t > 2.0 * dd) || !held => n
         }
         // the fork itself is bracketed like everything else (both probe
         // dimensions): an unbracketed fresh reading must not stand in as
@@ -950,19 +961,21 @@ object Bench {
           }
         // when the fresh fork's reading wins, the entry's bracket is the
         // FORK's bracket (that is the window the reading ran in)
-        val rows = rows0.map { case (n, t, d, held, cal, att) =>
+        val rows = rows0.map { case (n, t, d, held, cal, att, med) =>
           microFresh.get(n) match {
-            case Some(f) if f < t => (n, f, d, microForkHeld, Some(f), microForkCalib, att)
-            case Some(f) => (n, t, d, held, Some(f), cal, att)
-            case None => (n, t, d, held, None: Option[Double], cal, att)
+            case Some(f) if f < t =>
+              (n, f, d, microForkHeld, Some(f), microForkCalib, att, med)
+            case Some(f) => (n, t, d, held, Some(f), cal, att, med)
+            case None => (n, t, d, held, None: Option[Double], cal, att, med)
           }
         }
-        val entries = rows.map { case (n, t, d, held, fresh, cal, att) =>
+        val entries = rows.map { case (n, t, d, held, fresh, cal, att, med) =>
           val dj = d.map(dd =>
             f""","duckdb":$dd%.3f,"ratio":${t / math.max(dd, 1e-9)}%.2f""").getOrElse("")
+          val mj = med.map(m => f""","ratio_median":$m%.2f""").getOrElse("")
           val fj = fresh.map(f => f""","fresh_jvm_sec":$f%.3f""").getOrElse("")
           val lost = if (held) "" else ""","window_lost":true"""
-          f""""$n":{"spark":$t%.3f$dj$fj,"window_calib":$cal%.3f,"attempts":$att%d$lost}"""
+          f""""$n":{"spark":$t%.3f$dj$mj$fj,"window_calib":$cal%.3f,"attempts":$att%d$lost}"""
         }.mkString("{", ",", "}")
         val piece = f""","x${factor}%d_sample":$entries"""
         microHeadline += piece

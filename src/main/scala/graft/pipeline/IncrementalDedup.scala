@@ -41,6 +41,27 @@ object IncrementalDedup {
   /** Bump when the index layout changes shape. */
   private val Gen = "i1"
 
+  // per-batch persisted intermediates (the batch⋈stats join in
+  // dedupAgainstIndex) awaiting release — see releaseBatchCaches()
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every batch-level cache handed out by
+    * [[dedupAgainstIndex]] since the last call. A long-running
+    * incremental driver (streaming foreachBatch, a daily scheduler)
+    * calls this after each batch's result is MATERIALIZED (written /
+    * collected); without it the batch-sized cached blocks accumulate
+    * until LRU eviction. Non-blocking: Spark drops the blocks
+    * asynchronously. Safe to call at any time — a DataFrame whose plan
+    * is still needed simply recomputes (correctness is unaffected). */
+  def releaseBatchCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = liveCaches.poll()
+    }
+  }
+
   /** Distinct `(doc_id, s)` window-hash rows for `docs` — the index
     * payload. Same 8-token stride-1 windows as [[Dedup.substringPairs]],
     * hashed to 64 bits so the index stores 8 bytes per window. */
@@ -81,6 +102,10 @@ object IncrementalDedup {
     val stats = index.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val bs = b.join(stats, Seq("s"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cache is batch-sized but NOT self-releasing: a long-running
+    // incremental driver must call releaseBatchCaches() after each
+    // batch's result is materialized, or LRU eviction is the only bound
+    liveCaches.add(bs)
     val per = bs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_windows"),
         sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("dup_windows"))

@@ -32,6 +32,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty && viaIndex.sameElements(direct))
   }
 
+  test("releaseBatchCaches unpersists the per-batch join cache") {
+    // a long-running driver processes many batches; each dedupAgainstIndex
+    // persists one batch-sized intermediate that must be releasable after
+    // the batch result is materialized (ADVICE r19: blocks otherwise
+    // accumulate until LRU eviction)
+    // settle to a clean baseline (unpersist is non-blocking → poll)
+    def rddCount: Int = spark.sparkContext.getPersistentRDDs.size
+    def settle(pred: => Boolean): Boolean = {
+      var waited = 0
+      while (!pred && waited < 10000) { Thread.sleep(100); waited += 100 }
+      pred
+    }
+    IncrementalDedup.releaseBatchCaches() // drain anything left by other tests
+    settle(rddCount == 0)
+    val path = tmpIndex()
+    IncrementalDedup.appendToIndex(spark, path, corpus, txnVersion = 1L)
+    val before = rddCount
+    val out = IncrementalDedup
+      .dedupAgainstIndex(batch, DeltaTable.forPath(spark, path).toDF)
+    out.collect() // materialize the batch (populates the cache)
+    assert(settle(rddCount > before),
+      "the batch join should be persisted while the batch is in flight")
+    IncrementalDedup.releaseBatchCaches()
+    assert(settle(rddCount <= before),
+      "releaseBatchCaches must unpersist the per-batch intermediates")
+    // the released DataFrame is still usable (recomputes, same rows)
+    assert(out.collect().nonEmpty)
+  }
+
   test("the index is aggregated once and scanned at most twice per batch") {
     // the r17 shape read the index three times (distinct membership, df
     // groupBy, attribution join); the one-pass shape aggregates it once
