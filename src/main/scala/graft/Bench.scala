@@ -927,7 +927,8 @@ object Bench {
               case (Some(dd), t, _, _) if dd > 0 => t / dd
             }.sorted
             if (ratios.isEmpty) None
-            else Some(ratios(ratios.length / 2))
+            else if (ratios.length % 2 == 1) Some(ratios(ratios.length / 2))
+            else Some((ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0)
           }
           (n, pick._2, d, heldRounds.nonEmpty, pick._4, rs.length, medianRatio)
         }
