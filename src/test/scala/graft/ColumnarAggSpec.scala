@@ -400,6 +400,16 @@ class ColumnarAggSpec extends AnyFunSuite {
       "md5 of a computed string must keep the built-in operator")
   }
 
+  test("md5-binary keys over a DV delta scan (deleted rows excluded from digests)") {
+    // combines two tier features: deletion-vector row filtering in the
+    // scan's emitted batches and the kind-2 digest key path over them
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    identical(spark.read.format("graftdelta").load(p)
+      .groupBy(graft.functions.GraftFunctions.md5Binary(col("l_returnflag")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mk"))
+      .select(col("n"), col("mk")))
+  }
+
   test("md5-binary keys survive table overflow flushes") {
     val prev = System.getProperty("graft.columnar.agg.maxGroups")
     System.setProperty("graft.columnar.agg.maxGroups", "64")
