@@ -28,6 +28,14 @@ object PlanDump {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // the columnar tier anchors at runtime (AQE applies columnar rules
+      // per stage), so only the POST-execution plan shows it — and the
+      // noop write above runs its OWN QueryExecution, so df's plan must
+      // be executed directly (RDD count, no driver collect) first
+      df.queryExecution.executedPlan.execute().count()
+      val exec = df.queryExecution.executedPlan.toString
+      println(s"[executed] GraftColumnarPartialAgg present: " +
+        exec.contains("GraftColumnarPartialAgg"))
     }
     spark.stop()
   }
