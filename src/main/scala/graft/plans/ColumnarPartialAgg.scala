@@ -702,6 +702,15 @@ object ColumnarPartialAgg {
             }
           case _ => false
         }) && v.aggBufferAttributes.map(_.dataType) == Seq(BinaryType)
+      // Deliberate declines (not gaps): First/Last depend on encounter
+      // order, which the open-addressing table + MaxGroups flush does not
+      // preserve; ignoreNulls variants inherit the same problem;
+      // collect_list/collect_set and percentile carry object buffers the
+      // primitive accumulator arrays cannot represent; HyperLogLog++
+      // (approx_count_distinct) has a binary sketch buffer whose update
+      // order Spark does not promise stable either, but replicating its
+      // exact register layout buys nothing over the built-in. All keep
+      // the vanilla aggregate.
       case _ => false
     })
 

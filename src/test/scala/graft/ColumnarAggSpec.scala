@@ -466,6 +466,36 @@ class ColumnarAggSpec extends AnyFunSuite {
       .agg(min(col("s")), max(col("s")), count(lit(1)), max(col("v"))))
   }
 
+  test("avg over int and long columns (Cast path) is identical and fires") {
+    // Average over an integral column plans as Average(Cast(col as double));
+    // compile() strips the Cast and reads the int/long vector as double —
+    // exactly the built-in's update order, so results are byte-identical
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("lineitem").select(col("l_returnflag").as("k"),
+      (col("l_orderkey") % 1000).cast("int").as("iv"),
+      col("l_orderkey").as("lv")).write.parquet(p)
+    identical(spark.read.parquet(p).groupBy(col("k"))
+      .agg(avg(col("iv")), avg(col("lv")), count(lit(1))))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = spark.read.parquet(p).groupBy(col("k"))
+      .agg(avg(col("iv")), avg(col("lv")))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "avg(int)/avg(long) should rewrite via the Cast path")
+  }
+
+  test("first/last decline the rewrite (order-dependent semantics)") {
+    // First/Last depend on encounter order, which the tier does not
+    // preserve across its open-addressing table and flush boundaries —
+    // the catch-all decline must keep the built-in aggregate
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = pq("lineitem").groupBy(col("l_returnflag"))
+      .agg(first(col("l_quantity")), count(lit(1)))
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "first() must decline the columnar rewrite")
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
