@@ -293,6 +293,7 @@ object PipelineQueries {
 
     // --- dedup ---
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_exact_hash64" -> ((s, dir) => Dedup.exactByHash64(docs(s, dir))),
     "dedup_exact_norm" -> ((s, dir) => Dedup.exactNormalized(docs(s, dir))),
     "dedup_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairsDfCapped(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir))),
@@ -1185,6 +1186,13 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // xxhash64 grouping: DuckDB cannot replicate Spark's hash VALUES, but
+    // the hash never leaves the plan — grouping by the 64-bit hash equals
+    // grouping by text itself absent a collision (odds ~n²/2⁶⁵; none at
+    // this corpus), so the emitted (doc_id, copies) pairs compare exactly
+    "dedup_exact_hash64" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_exact_norm" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))

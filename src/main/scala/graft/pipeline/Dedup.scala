@@ -40,6 +40,16 @@ object Dedup {
       .select(col("doc_id"), col("copies"))
       .orderBy(col("doc_id"))
 
+  /** Exact dedup keyed on xxhash64(text): at corpus scale the 64-bit key
+    * shuffles 8 bytes instead of the full text (or a 16-byte digest) —
+    * the standard trade (collision odds ~n²/2⁶⁵). The hash computes in
+    * the columnar tier's key path off the parquet vector. */
+  def exactByHash64(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+      .orderBy(col("doc_id"))
+
   /** Exact dedup after normalization (lowercase, collapsed whitespace). */
   def exactNormalized(docs: DataFrame): DataFrame =
     docs.groupBy(md5Bin(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))

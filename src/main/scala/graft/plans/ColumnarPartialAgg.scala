@@ -101,7 +101,9 @@ object ColumnarPartialAgg {
 
   /** Compiled grouping key. kind 0: read from vector `ord` (type-tagged by
     * `dataType`); kind 1: timestamp vector `ord` truncated to
-    * `truncMicros` (UTC modulo); kind 2: 16-byte md5 digest of string
+    * `truncMicros` (UTC modulo); kind 3: xxhash64 of string vector `ord`
+    * (`truncMicros` carries the SEED; a null input hashes to the seed —
+    * Spark's XxHash64 is never null); kind 2: 16-byte md5 digest of string
     * vector `ord` ([[graft.functions.GraftMd5Bin]] — the exact-dedup
     * grouping key), computed per batch straight off the vector's backing
     * bytes into a flat reused buffer (no UTF8String.getBytes copy, no
@@ -291,6 +293,20 @@ object ColumnarPartialAgg {
         case a: AttributeReference if a.dataType == StringType =>
           val ord = childOutput.indexWhere(_.exprId == a.exprId)
           if (ord < 0) None else Some(KeySpec(2, ord, BinaryType, 0L))
+        case _ => None
+      }
+    case x: XxHash64 =>
+      // hash-key dedup shape: groupBy(xxhash64(text)). The 64-bit hash IS
+      // the grouping value; computed per batch via the SAME routine the
+      // built-in expression uses (XXH64.hashUTF8String), so the groups —
+      // including any collisions — are identical. A null input leaves the
+      // hash at the seed (XxHash64 is never null), which the batch pass
+      // replicates. Single string scan attribute only; multi-child or
+      // computed inputs keep the built-in project.
+      x.children match {
+        case Seq(a: AttributeReference) if a.dataType == StringType =>
+          val ord = childOutput.indexWhere(_.exprId == a.exprId)
+          if (ord < 0) None else Some(KeySpec(3, ord, LongType, x.seed))
         case _ => None
       }
     case _ => None
@@ -867,9 +883,9 @@ private final class ColumnarAggIterator(
     if (keySpecs(k).kind == 0) keyVecs(k).isNullAt(i) else keyLongNulls(k)(i)
 
   /** Long value of a non-string key at row i (kind 0 non-string types and
-    * all kind-1 keys). */
+    * all kind-1/kind-3 computed keys). */
   private def keyLong(k: Int, i: Int): Long =
-    if (keySpecs(k).kind == 1) keyLongs(k)(i)
+    if (keySpecs(k).kind == 1 || keySpecs(k).kind == 3) keyLongs(k)(i)
     else keySpecs(k).dataType match {
       case IntegerType | DateType => keyVecs(k).getInt(i).toLong
       case BooleanType => if (keyVecs(k).getBoolean(i)) 1L else 0L
@@ -1192,6 +1208,24 @@ private final class ColumnarAggIterator(
             val ts = v.getLong(i)
             out(i) = ts - java.lang.Math.floorMod(ts, unit)
           }
+          i += 1
+        }
+      } else if (keySpecs(k).kind == 3) {
+        // xxhash64 key: NEVER null — a null input leaves the seed, exactly
+        // as the built-in XxHash64 evaluates (hash starts at seed, null
+        // children are skipped)
+        val v = keyVecs(k)
+        val seed = keySpecs(k).truncMicros
+        val out = keyLongs(k)
+        val nulls = keyLongNulls(k)
+        val hasNull = v.hasNull
+        var i = 0
+        while (i < n) {
+          nulls(i) = false
+          if (hasNull && v.isNullAt(i)) out(i) = seed
+          else if (filter == null || sel(i)) // dropped rows are never probed
+            out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUTF8String(v.getUTF8String(i), seed)
           i += 1
         }
       }

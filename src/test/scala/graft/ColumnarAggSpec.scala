@@ -496,6 +496,34 @@ class ColumnarAggSpec extends AnyFunSuite {
       "first() must decline the columnar rewrite")
   }
 
+  test("xxhash64 expression keys: identical groups (incl. null→seed) and fires") {
+    // groupBy(xxhash64(text)): the 64-bit hash IS the grouping value; the
+    // tier computes it with the same XXH64.hashUTF8String the built-in
+    // uses, so groups (and any collisions) are identical. A null input
+    // hashes to the SEED — XxHash64 is never null — which the identity
+    // over nulled-out rows pins.
+    val p = java.nio.file.Files.createTempDirectory("graft-colagg").toString + "/t"
+    pq("documents").select(
+      when(col("doc_id") % 13 === 0, lit(null)).otherwise(col("text")).as("text"),
+      col("doc_id")).write.parquet(p)
+    identical(spark.read.parquet(p).groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")), count(lit(1))))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    val df = spark.read.parquet(p).groupBy(xxhash64(col("text")).as("h"))
+      .agg(min(col("doc_id")), count(lit(1)))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "xxhash64 key should rewrite into the tier")
+    // multi-child xxhash64 declines (seed threads through both children)
+    val multi = spark.read.parquet(p)
+      .groupBy(xxhash64(col("text"), col("doc_id")).as("h")).agg(count(lit(1)))
+    multi.collect()
+    assert(!multi.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg"),
+      "multi-child xxhash64 must keep the built-in project")
+    identical(spark.read.parquet(p)
+      .groupBy(xxhash64(col("text"), col("doc_id")).as("h")).agg(count(lit(1))))
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
