@@ -49,7 +49,7 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
   private val keyGen: Gen[Seq[String]] =
     Gen.choose(0, 2).flatMap(n => Gen.pick(n,
       Seq("k", "k2", "kl", "b", "dt", "trunc_h", "trunc_d", "md5_s2",
-        "md5_k")).map(_.toSeq))
+        "md5_k", "xx_s2", "xx_k")).map(_.toSeq))
 
   private val aggGen: Gen[Seq[String]] =
     Gen.choose(1, 4).flatMap(n => Gen.pick(n, Seq(
@@ -75,6 +75,11 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     // (well-defined: the groups are the same iff the multisets match)
     case "md5_s2" => graft.functions.GraftFunctions.md5Binary(col("s2"))
     case "md5_k" => graft.functions.GraftFunctions.md5Binary(col("k"))
+    // xxhash64 expression keys (r19 tier surface): a LONG key, so it
+    // round-trips through the compared output directly; xx_k is nullable
+    // (null hashes to the seed — XxHash64 is never null)
+    case "xx_s2" => xxhash64(col("s2"))
+    case "xx_k" => xxhash64(col("k"))
     case c => col(c)
   }
   private def agg2(name: String): Column = name match {
