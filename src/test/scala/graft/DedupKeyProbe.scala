@@ -35,19 +35,33 @@ object DedupKeyProbe {
       m
     }
 
-    // sanity: the rewrite fires with the tier on
+    // sanity: the rewrite fires with the tier on. The tier anchors at
+    // runtime (AQE applies columnar rules per stage) and a noop write
+    // runs its OWN QueryExecution, so the df's own plan must execute
+    // before inspection (same approach as PlanDump)
+    def fired(df: DataFrame): Boolean = {
+      df.queryExecution.executedPlan.execute().count()
+      df.queryExecution.executedPlan.toString.contains("GraftColumnarPartialAgg")
+    }
     spark.conf.set("spark.graft.columnar.partialAgg", "true")
-    val probe = graft.pipeline.Dedup.exact(docs)
-    probe.write.format("noop").mode("overwrite").save()
-    val fired = probe.queryExecution.executedPlan.toString
-      .contains("GraftColumnarPartialAgg")
-    println(s"[dedupkey] tier fired on dedup_exact: $fired")
+    println(s"[dedupkey] tier fired on dedup_exact: " +
+      fired(graft.pipeline.Dedup.exact(docs)))
 
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     val base = t("dedup_exact_builtin")(graft.pipeline.Dedup.exact(docs))
     spark.conf.set("spark.graft.columnar.partialAgg", "true")
     val tier = t("dedup_exact_tier")(graft.pipeline.Dedup.exact(docs))
     println(f"[dedupkey] builtin=$base%.3f tier=$tier%.3f speedup=${base / tier}%.2fx")
+
+    // hash64 variant: 8-byte long key instead of the 16-byte digest
+    spark.conf.set("spark.graft.columnar.partialAgg", "false")
+    val base64 = t("dedup_hash64_builtin")(graft.pipeline.Dedup.exactByHash64(docs))
+    spark.conf.set("spark.graft.columnar.partialAgg", "true")
+    println(s"[dedupkey] tier fired on dedup_exact_hash64: " +
+      fired(graft.pipeline.Dedup.exactByHash64(docs)))
+    val tier64 = t("dedup_hash64_tier")(graft.pipeline.Dedup.exactByHash64(docs))
+    println(f"[dedupkey] hash64 builtin=$base64%.3f tier=$tier64%.3f " +
+      f"speedup=${base64 / tier64}%.2fx vs-md5-tier=${tier / tier64}%.2fx")
     spark.stop()
   }
 }
