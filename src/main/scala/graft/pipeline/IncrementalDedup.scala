@@ -46,6 +46,13 @@ object IncrementalDedup {
   private val liveCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  // hard bound for drivers unaware of releaseBatchCaches(): once more
+  // than this many batch caches are outstanding, the oldest are
+  // unpersisted eagerly (strong refs in the queue would otherwise block
+  // ContextCleaner reclamation forever; an evicted cache that is still
+  // referenced simply recomputes — correctness is unaffected)
+  private val MaxLiveBatchCaches = 4
+
   /** Unpersist every batch-level cache handed out by
     * [[dedupAgainstIndex]] since the last call. A long-running
     * incremental driver (streaming foreachBatch, a daily scheduler)
@@ -103,9 +110,14 @@ object IncrementalDedup {
     val bs = b.join(stats, Seq("s"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the cache is batch-sized but NOT self-releasing: a long-running
-    // incremental driver must call releaseBatchCaches() after each
-    // batch's result is materialized, or LRU eviction is the only bound
+    // incremental driver should call releaseBatchCaches() after each
+    // batch's result is materialized; as a backstop the queue itself is
+    // bounded — beyond MaxLiveBatchCaches the oldest entries unpersist
     liveCaches.add(bs)
+    while (liveCaches.size > MaxLiveBatchCaches) {
+      val old = liveCaches.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
     val per = bs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_windows"),
         sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("dup_windows"))

@@ -1428,18 +1428,26 @@ private final class ColumnarAggIterator(
   }
 
   override def hasNext: Boolean = {
-    if (flushed.hasNext) return true
-    if (!done) {
-      while (batches.hasNext) processBatch(batches.next())
-      done = true
-      if (nGroups > 0 || nKeys == 0) {
-        // global (no-key) partial agg emits one initial-state row per
-        // partition even when the partition is empty, like the built-in
-        if (nKeys == 0 && nGroups == 0) {
-          slotUsed(0) = true
-          nGroups = 1
+    // Drain pending flushed rows BETWEEN batches: a mid-stream MaxGroups
+    // flush is served to the consumer before the next batch is processed,
+    // so at most ~one flushed snapshot's arrays are live at a time (the
+    // one being drained, plus at most one more created mid-batch) rather
+    // than every flush of the partition co-resident until the end.
+    // Interleaving partial rows across flush epochs is fine — the final
+    // aggregate merges partials in any order.
+    while (!flushed.hasNext && !done) {
+      if (batches.hasNext) processBatch(batches.next())
+      else {
+        done = true
+        if (nGroups > 0 || nKeys == 0) {
+          // global (no-key) partial agg emits one initial-state row per
+          // partition even when the partition is empty, like the built-in
+          if (nKeys == 0 && nGroups == 0) {
+            slotUsed(0) = true
+            nGroups = 1
+          }
+          flushTable()
         }
-        flushTable()
       }
     }
     flushed.hasNext

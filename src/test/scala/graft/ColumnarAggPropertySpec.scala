@@ -69,10 +69,8 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     case "trunc_h" => date_trunc("hour", col("ts"))
     case "trunc_d" => date_trunc("day", col("ts"))
     // md5-binary expression keys (r19 tier surface); md5_k is nullable.
-    // The BinaryType key column itself is dropped from the compared
-    // output in build() — Row.toString on Array[Byte] is identity-based,
-    // so the comparison is over the aggregate columns as a multiset
-    // (well-defined: the groups are the same iff the multisets match)
+    // build() hex()es the BinaryType key column so the digest bytes are
+    // compared directly (Row.toString on Array[Byte] is identity-based)
     case "md5_s2" => graft.functions.GraftFunctions.md5Binary(col("s2"))
     case "md5_k" => graft.functions.GraftFunctions.md5Binary(col("k"))
     // xxhash64 expression keys (r19 tier surface): a LONG key, so it
@@ -130,12 +128,13 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     val keyed = s.keys.zipWithIndex.map { case (k, i) => col2(k).as(s"gk$i") }
     val grouped = df.groupBy(keyed: _*)
       .agg(agg2(s.aggs.head), s.aggs.tail.map(agg2): _*)
-    // binary (md5) keys can't round-trip through Row.toString — drop them
-    // and compare the aggregate columns as a multiset instead
+    // binary (md5) keys can't round-trip through Row.toString (Array
+    // toString is identity-based) — hex them so the emitted digest BYTES
+    // are part of the compared rows, not just the grouping they induce
     val binKeys = s.keys.zipWithIndex.collect {
       case (k, i) if k.startsWith("md5_") => s"gk$i"
     }
-    binKeys.foldLeft(grouped)((d, c) => d.drop(c))
+    binKeys.foldLeft(grouped)((d, c) => d.withColumn(c, hex(col(c))))
   }
 
   test("generated shapes: tier == built-in, byte-identical") {

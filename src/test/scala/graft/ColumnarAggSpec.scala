@@ -382,6 +382,14 @@ class ColumnarAggSpec extends AnyFunSuite {
       when(col("doc_id") % 13 === 0, lit(null)).otherwise(col("text")).as("text"))
       .write.parquet(p)
     identical(graft.pipeline.Dedup.exact(spark.read.parquet(p)))
+    // the digest BYTES the tier emits must equal the built-in's — not
+    // just induce the same groups (a consistent-but-wrong digest would
+    // pass every key-dropped comparison); hex() atop the aggregate
+    // output makes the binary key row-comparable
+    identical(pq("documents")
+      .groupBy(graft.functions.GraftFunctions.md5Binary(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(hex(col("h")).as("hx"), col("doc_id"), col("copies")))
     // and the rewrite actually fires on the raw groupBy(md5_bin) shape
     spark.conf.set("spark.graft.columnar.partialAgg", "true")
     val df = pq("documents")
@@ -417,6 +425,11 @@ class ColumnarAggSpec extends AnyFunSuite {
       // ~unique digests >> 64 → many lazy flushes; stored digests are
       // copies so flushed rows must stay intact after the table resets
       identical(graft.pipeline.Dedup.exact(pq("documents")))
+      // digest bytes across flush boundaries, not just group identity
+      identical(pq("documents")
+        .groupBy(graft.functions.GraftFunctions.md5Binary(col("text")).as("h"))
+        .agg(count(lit(1)).as("copies"))
+        .select(hex(col("h")).as("hx"), col("copies")))
     } finally {
       if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
       else System.setProperty("graft.columnar.agg.maxGroups", prev)
