@@ -107,7 +107,15 @@ object ColumnarPartialAgg {
     * vector `ord` ([[graft.functions.GraftMd5Bin]] — the exact-dedup
     * grouping key), computed per batch straight off the vector's backing
     * bytes into a flat reused buffer (no UTF8String.getBytes copy, no
-    * per-row digest allocation). */
+    * per-row digest allocation).
+    *
+    * The per-kind branches are deliberately enumerated at each site
+    * (batch pass, keyIsNull/keyLong/hash/equals/store) rather than
+    * abstracted behind a KeyEval interface: the batch pass runs tight
+    * monomorphic loops over primitive arrays, and kinds are few and
+    * stable. Adding a kind means touching each enumerated site — the
+    * generated-shape property suite is the net that catches a missed
+    * branch. */
   final case class KeySpec(kind: Int, ord: Int, dataType: DataType,
       truncMicros: Long) extends Serializable
 
