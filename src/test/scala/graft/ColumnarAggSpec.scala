@@ -537,6 +537,23 @@ class ColumnarAggSpec extends AnyFunSuite {
       .groupBy(xxhash64(col("text"), col("doc_id")).as("h")).agg(count(lit(1))))
   }
 
+  test("xxhash64 keys over a DV delta scan and across overflow flushes") {
+    // deleted rows must not be hashed; hash keys stored at flush must
+    // survive the table reset (the long is copied by value, but the
+    // slot bookkeeping is shared with every other kind)
+    val p = Fixtures.delta(spark, sfDir, "lineitem", Fixtures.Dv)
+    identical(spark.read.format("graftdelta").load(p)
+      .groupBy(xxhash64(col("l_returnflag")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mk")))
+    val prev = System.getProperty("graft.columnar.agg.maxGroups")
+    System.setProperty("graft.columnar.agg.maxGroups", "64")
+    try identical(graft.pipeline.Dedup.exactByHash64(pq("documents")))
+    finally {
+      if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
+      else System.setProperty("graft.columnar.agg.maxGroups", prev)
+    }
+  }
+
   test("kill-switch disables the rewrite") {
     spark.conf.set("spark.graft.columnar.partialAgg", "false")
     try {
