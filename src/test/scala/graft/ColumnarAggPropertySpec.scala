@@ -137,11 +137,23 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
     binKeys.foldLeft(grouped)((d, c) => d.withColumn(c, hex(col(c))))
   }
 
-  test("generated shapes: tier == built-in, byte-identical") {
+  // aggregates whose value is independent of how a group's rows split
+  // across partial rows: min/max (any type), counts, integral sums.
+  // Double sum/avg/Welford change FP association when a flush splits a
+  // group — those are covered under flush by the fixed tolerance test
+  // in ColumnarAggSpec, not by byte-identity.
+  private val exactAggGen: Gen[Seq[String]] =
+    Gen.choose(1, 4).flatMap(n => Gen.pick(n, Seq(
+      "min_d", "max_d", "count_star", "count_li", "sum_li", "sum_ll",
+      "min_li", "max_li", "min_ll", "max_ll", "min_dt", "max_ts",
+      "min_s2", "max_k", "count_k")).map(_.toSeq))
+
+  private def runIdentityProperty(minShapes: Int,
+      aggs: Gen[Seq[String]] = aggGen): Unit = {
     var fired = 0
     var total = 0
     val shapeGen = for {
-      ks <- keyGen; as <- aggGen; f <- filterGen
+      ks <- keyGen; as <- aggs; f <- filterGen
     } yield Shape(ks, as, f)
     val prop = Prop.forAll(shapeGen) { s =>
       total += 1
@@ -157,10 +169,31 @@ class ColumnarAggPropertySpec extends AnyFunSuite {
         s"  base=${base.take(3).mkString("|")}\n  ours=${oursRows.take(3).mkString("|")}")
       ok
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minShapes), prop)
     assert(res.passed, s"identity property failed: $res")
     // the generator must actually exercise the tier, not just fall back
     assert(fired * 5 >= total,
       s"rewrite fired on only $fired/$total generated shapes — generator drifted off the surface")
+  }
+
+  test("generated shapes: tier == built-in, byte-identical") {
+    runIdentityProperty(40)
+  }
+
+  test("generated shapes under forced overflow flushes (maxGroups=64)") {
+    // every generated key set with cardinality > 64 now crosses flush
+    // boundaries — partial rows split per group across snapshots, across
+    // every key kind (incl. md5/xxhash64 digests) and filter shape at
+    // once. Aggregates are restricted to split-exact ones (see
+    // exactAggGen): for those a mid-partition flush changes WHERE
+    // partials split, never the merged result, so byte-identity against
+    // the (unflushed) built-in must hold unchanged.
+    val prev = System.getProperty("graft.columnar.agg.maxGroups")
+    System.setProperty("graft.columnar.agg.maxGroups", "64")
+    try runIdentityProperty(25, exactAggGen)
+    finally {
+      if (prev == null) System.clearProperty("graft.columnar.agg.maxGroups")
+      else System.setProperty("graft.columnar.agg.maxGroups", prev)
+    }
   }
 }
