@@ -840,6 +840,14 @@ private final class ColumnarAggIterator(
   private val md5 =
     if (keySpecs.exists(_.kind == 2)) java.security.MessageDigest.getInstance("MD5")
     else null
+  // kind-3 dictionary fast path: xxhash64 computed once per DISTINCT
+  // dictionary code per batch (lazily sized by observed code, same
+  // pattern as StrInEval.codeHit). Duplicate-heavy text — the dedup
+  // case — is exactly when parquet dict-encodes the column.
+  private var hashSeen: Array[Array[Boolean]] =
+    if (keySpecs.exists(_.kind == 3)) new Array(nKeys) else null
+  private var hashVal: Array[Array[Long]] =
+    if (keySpecs.exists(_.kind == 3)) new Array(nKeys) else null
   // per-batch hoisted key vectors (avoid b.column() per row)
   private val keyVecs = new Array[org.apache.spark.sql.vectorized.ColumnVector](nKeys)
 
@@ -996,7 +1004,7 @@ private final class ColumnarAggIterator(
       slot = (slot + 1) & mask
     }
     if (!slotUsed(slot)) {
-      if (nGroups >= MaxGroups) { flushTable(); slot = h & mask
+      if (nGroups >= MaxGroups) { numFlush += 1; flushTable(); slot = h & mask
         while (slotUsed(slot)) slot = (slot + 1) & mask }
       else if ((nGroups + 1) * 2 > capacity) { grow(); epoch += 1; slot = h & mask
         while (slotUsed(slot) && !(slotHash(slot) == h && keyEquals(i, slot)))
@@ -1186,7 +1194,7 @@ private final class ColumnarAggIterator(
             nulls(i) = false
             if (filter == null || sel(i)) { // dropped rows are never probed
               val u = v.getUTF8String(i)
-              md5.reset()
+              // no reset() needed: digest(buf, off, len) below resets
               u.getBaseObject match {
                 case arr: Array[Byte] =>
                   // digest straight off the vector's backing bytes — the
@@ -1227,14 +1235,45 @@ private final class ColumnarAggIterator(
         val out = keyLongs(k)
         val nulls = keyLongNulls(k)
         val hasNull = v.hasNull
-        var i = 0
-        while (i < n) {
-          nulls(i) = false
-          if (hasNull && v.isNullAt(i)) out(i) = seed
-          else if (filter == null || sel(i)) // dropped rows are never probed
-            out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUTF8String(v.getUTF8String(i), seed)
-          i += 1
+        java.util.Arrays.fill(nulls, 0, n, false)
+        v match {
+          case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
+            if w.hasDictionary && !hasNull =>
+            // hash once per DISTINCT dictionary code in this batch; the
+            // decoded string and therefore the hash is a pure function
+            // of the code
+            val ids = w.getDictionaryIds
+            if (hashSeen(k) == null) {
+              hashSeen(k) = new Array[Boolean](1 << 10)
+              hashVal(k) = new Array[Long](1 << 10)
+            } else java.util.Arrays.fill(hashSeen(k), false)
+            var i = 0
+            while (i < n) {
+              if (filter == null || sel(i)) { // dropped rows never probed
+                val c = ids.getDictId(i)
+                if (c >= hashSeen(k).length) {
+                  val cap = Integer.highestOneBit(c) << 1
+                  hashSeen(k) = java.util.Arrays.copyOf(hashSeen(k), cap)
+                  hashVal(k) = java.util.Arrays.copyOf(hashVal(k), cap)
+                }
+                if (!hashSeen(k)(c)) {
+                  hashVal(k)(c) = org.apache.spark.sql.catalyst.expressions
+                    .XXH64.hashUTF8String(w.getUTF8String(i), seed)
+                  hashSeen(k)(c) = true
+                }
+                out(i) = hashVal(k)(c)
+              }
+              i += 1
+            }
+          case _ =>
+            var i = 0
+            while (i < n) {
+              if (hasNull && v.isNullAt(i)) out(i) = seed
+              else if (filter == null || sel(i)) // dropped rows never probed
+                out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUTF8String(v.getUTF8String(i), seed)
+              i += 1
+            }
         }
       }
       k += 1
@@ -1255,7 +1294,8 @@ private final class ColumnarAggIterator(
         }
       } else if (specs(a).kind >= 6 && specs(a).kind <= 11)
         vecCols(a) = b.column(specs(a).ord)
-      else specs(a).input.eval(b, n, scratchV(a), scratchN(a))
+      else if (specs(a).kind != 2) // Count(literal) never reads scratch
+        specs(a).input.eval(b, n, scratchV(a), scratchN(a))
       a += 1
     }
     // Packed fast-path eligibility for THIS batch: each key must be fully
@@ -1340,7 +1380,10 @@ private final class ColumnarAggIterator(
     * irrelevant to correctness: these are partial rows; the final
     * aggregate merges them in any order. */
   private def flushTable(): Unit = {
-    numFlush += 1
+    // numFlush is bumped only at the MaxGroups overflow site, not here:
+    // the metric exists to surface bounded-memory fallback firing, and
+    // the mandatory end-of-partition emit would make it read nonzero on
+    // every run
     epoch += 1 // slots move: invalidate the dictionary code→slot cache
     // NOTE: Iterator.++'s right operand is BY-NAME — the snapshot must be
     // constructed EAGERLY (before the fields below are reassigned), or it
