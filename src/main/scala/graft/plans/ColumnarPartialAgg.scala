@@ -827,10 +827,18 @@ private final class ColumnarAggIterator(
   private var accS: Array[AnyRef] = if (hasStr) new Array(capacity * nAggs) else null
   private var nGroups = 0
 
-  // scratch per batch
+  // scratch per batch (sized by the largest batch seen — scratchLen)
+  private var scratchLen = 0
   private var scratchV: Array[Array[Double]] = _
   private var scratchN: Array[Array[Boolean]] = _
   private var sel: Array[Boolean] = _
+  /** Agg kinds whose accumulate reads scratchV/scratchN: double
+    * sum/avg/max/min and the Welford moment. Count(literal) counts rows,
+    * kind 5 reads its array column, kinds 6-11 read their vector. */
+  private def aggReadsScratch(kind: Int): Boolean = kind match {
+    case 0 | 1 | 3 | 4 | 12 => true
+    case _ => false
+  }
   // computed (kind=1) key columns: long value + null mask per key
   private var keyLongs: Array[Array[Long]] = _
   private var keyLongNulls: Array[Array[Boolean]] = _
@@ -1168,13 +1176,23 @@ private final class ColumnarAggIterator(
     if (n == 0) return
     var k = 0
     while (k < nKeys) { keyVecs(k) = b.column(keySpecs(k).ord); k += 1 }
-    if (scratchV == null || (nAggs > 0 && scratchV(0).length < n) ||
-        (filter != null && (sel == null || sel.length < n))) {
-      scratchV = Array.fill(nAggs)(new Array[Double](n))
-      scratchN = Array.fill(nAggs)(new Array[Boolean](n))
+    if (scratchLen < n || (filter != null && sel == null)) {
+      scratchLen = n
+      // only the kinds that read a buffer get one (null slots would NPE
+      // loudly on a missed-kind bug rather than silently waste memory):
+      // scratch for eval'd double inputs (0/1/3/4/12), long/null key
+      // columns for computed keys (1/2/3), digest bytes for kind 2
+      scratchV = Array.tabulate(nAggs)(a =>
+        if (aggReadsScratch(specs(a).kind)) new Array[Double](n) else null)
+      scratchN = Array.tabulate(nAggs)(a =>
+        if (aggReadsScratch(specs(a).kind)) new Array[Boolean](n) else null)
       if (filter != null) sel = new Array[Boolean](n)
-      keyLongs = Array.fill(nKeys)(new Array[Long](n))
-      keyLongNulls = Array.fill(nKeys)(new Array[Boolean](n))
+      keyLongs = Array.tabulate(nKeys)(k =>
+        if (keySpecs(k).kind == 1 || keySpecs(k).kind == 3) new Array[Long](n)
+        else null)
+      keyLongNulls = Array.tabulate(nKeys)(k =>
+        if (keySpecs(k).kind >= 1 && keySpecs(k).kind <= 3) new Array[Boolean](n)
+        else null)
       keyBin = Array.tabulate(nKeys)(k =>
         if (keySpecs(k).kind == 2) new Array[Byte](16 * n) else null)
     }
