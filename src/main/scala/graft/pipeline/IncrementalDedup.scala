@@ -49,8 +49,13 @@ object IncrementalDedup {
   // hard bound for drivers unaware of releaseBatchCaches(): once more
   // than this many batch caches are outstanding, the oldest are
   // unpersisted eagerly (strong refs in the queue would otherwise block
-  // ContextCleaner reclamation forever; an evicted cache that is still
-  // referenced simply recomputes — correctness is unaffected)
+  // ContextCleaner reclamation forever). CAVEAT: an evicted DataFrame
+  // that is re-executed recomputes against the index's CURRENT state —
+  // if appendToIndex ran in between, a second action on an old batch's
+  // result can observe the larger index. The supported lifecycle
+  // remains: materialize each batch's result, then releaseBatchCaches();
+  // the backstop only prevents unbounded growth, it does not promise
+  // repeated-action snapshot consistency past MaxLiveBatchCaches.
   private val MaxLiveBatchCaches = 4
 
   /** Unpersist every batch-level cache handed out by
@@ -60,7 +65,8 @@ object IncrementalDedup {
     * collected); without it the batch-sized cached blocks accumulate
     * until LRU eviction. Non-blocking: Spark drops the blocks
     * asynchronously. Safe to call at any time — a DataFrame whose plan
-    * is still needed simply recomputes (correctness is unaffected). */
+    * is still needed simply recomputes, though against the index's
+    * CURRENT state (see the MaxLiveBatchCaches caveat). */
   def releaseBatchCaches(): Unit = {
     var df = liveCaches.poll()
     while (df != null) {

@@ -335,6 +335,16 @@ object ColumnarPartialAgg {
       else while (i < n) { out(i) = !v.isNullAt(i); i += 1 }
     }
   }
+  /** Capacity for a dictionary-code-indexed cache to hold code `c`: next
+    * power of two above c. `highestOneBit(c) << 1` overflows negative at
+    * c >= 2^30 (no real parquet dictionary gets near that — ids are
+    * per-column-chunk — but the arithmetic shouldn't be the thing that
+    * breaks); fall back to c+1 there. */
+  def dictCodeCap(c: Int): Int = {
+    val doubled = Integer.highestOneBit(c) << 1
+    if (doubled > c) doubled else c + 1
+  }
+
   final class StrInEval(ord: Int, values: Array[UTF8String]) extends BoolEval {
     // dictionary fast path scratch: membership per dictionary code,
     // computed lazily (one string compare set per DISTINCT code per batch)
@@ -356,8 +366,7 @@ object ColumnarPartialAgg {
           while (i < n) {
             val c = ids.getDictId(i)
             if (c >= codeHit.length)
-              codeHit = java.util.Arrays.copyOf(codeHit,
-                Integer.highestOneBit(c) << 1)
+              codeHit = java.util.Arrays.copyOf(codeHit, dictCodeCap(c))
             var h = codeHit(c)
             if (h == 0) {
               h = if (member(w.getUTF8String(i))) 1 else 2
@@ -1251,9 +1260,10 @@ private final class ColumnarAggIterator(
         val v = keyVecs(k)
         val seed = keySpecs(k).truncMicros
         val out = keyLongs(k)
-        val nulls = keyLongNulls(k)
         val hasNull = v.hasNull
-        java.util.Arrays.fill(nulls, 0, n, false)
+        // keyLongNulls(k) stays all-false by construction: it is allocated
+        // zeroed and NOTHING ever writes true for a kind-3 key (the hash is
+        // never null) — no per-batch clear needed
         v match {
           case w: org.apache.spark.sql.execution.vectorized.WritableColumnVector
             if w.hasDictionary && !hasNull =>
@@ -1270,7 +1280,7 @@ private final class ColumnarAggIterator(
               if (filter == null || sel(i)) { // dropped rows never probed
                 val c = ids.getDictId(i)
                 if (c >= hashSeen(k).length) {
-                  val cap = Integer.highestOneBit(c) << 1
+                  val cap = ColumnarPartialAgg.dictCodeCap(c)
                   hashSeen(k) = java.util.Arrays.copyOf(hashSeen(k), cap)
                   hashVal(k) = java.util.Arrays.copyOf(hashVal(k), cap)
                 }
