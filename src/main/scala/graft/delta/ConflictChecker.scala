@@ -131,7 +131,12 @@ object ConflictChecker {
     if (acts.exists(_.domainMetadata.isDefined))
       fail("changed domain metadata (e.g. the row-id high-water mark)")
     val removes = acts.flatMap(_.remove)
-    val hitTouched = removes.map(_.path).filter(touchedFiles)
+    // compare DECODED paths: percent-encoding varies by writer (log
+    // replay keys by decodedPath for the same reason), so a foreign
+    // winner's differently-escaped remove of a touched file must still
+    // register as a conflict, not slip through a raw string mismatch
+    val touchedDecoded = touchedFiles.map(Actions.percentDecode)
+    val hitTouched = removes.map(_.decodedPath).filter(touchedDecoded)
     if (hitTouched.nonEmpty)
       fail(s"removed file(s) this operation read: ${hitTouched.take(3).mkString(", ")}")
     val dataAdds = acts.flatMap(_.add).filter(_.dataChange)

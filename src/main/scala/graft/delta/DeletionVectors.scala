@@ -584,13 +584,26 @@ object DeltaMerge {
         else aligned.count()
       val txnActs = for (app <- txnAppId.toSeq; v <- txnVersion.toSeq)
         yield Action(SetTransaction(app, v, Some(System.currentTimeMillis())))
-      def commitActionsAt(cv: Long) =
+      def commitActionsAt(cv: Long) = {
+        // row-tracked tables: upsert's adds need baseRowId/commit-version
+        // assignment + the high-water-mark domain update like every other
+        // write path — committing bare adds is a rowTracking protocol
+        // violation (readers would compute null row ids for these files)
+        val (addsV, rtDomain) =
+          if (!RowTracking.enabled(snap)) (adds, None)
+          else {
+            val (as, _, dm) = RowTracking.assign(adds,
+              RowTracking.highWaterMark(snap), cv)
+            (as, dm)
+          }
         Seq(Action(CommitInfo(System.currentTimeMillis(), "MERGE",
           Map("keys" -> keyCols.mkString(",")),
           inCommitTimestamp =
             log.nextInCommitTimestamp(snap.metadata.configuration, cv)))) ++
+        rtDomain.map(Action(_)).toSeq ++
         (if (dvActs.nonEmpty) DeltaDelete.protocolUpgradeActions(snap) else Nil) ++
-        txnActs ++ dvActs ++ adds.map(Action(_))
+        txnActs ++ dvActs ++ addsV.map(Action(_))
+      }
       val commitActions = commitActionsAt(snap.version + 1)
       // MERGE reads the whole target key set: any concurrent data change
       // conflicts; disjoint winners (txn markers, compactions) rebase
@@ -850,7 +863,15 @@ object DeltaMerge {
               }
             }
           }
-          insertWrites.foreach(w => parts += Cdc.typed(w, "insert"))
+          insertWrites.foreach { w =>
+            // CDF frames carry LOGICAL schema columns only: drop the
+            // materialized row-id column the row-tracked WRITE path adds
+            // (withId above) — update/delete frames don't have it, so the
+            // strict unionByName below would throw, and an insert-only
+            // MERGE would pollute _change_data with the id column
+            val clean = matNames.toSeq.foldLeft(w) { case (d, (mid, _)) => d.drop(mid) }
+            parts += Cdc.typed(clean, "insert")
+          }
           if (parts.isEmpty) Nil
           else Cdc.writeChangeData(spark, log, snap,
             parts.reduce(_ unionByName _), snap.metadata.partitionColumns, moved)

@@ -49,15 +49,36 @@ final class DeltaStreamSource(
   require(!(parameters.contains("startingVersion") &&
       parameters.contains("startingTimestamp")),
     "startingVersion and startingTimestamp are mutually exclusive")
-  private val startingVersion = parameters.get("startingVersion").map(_.toLong)
-    .orElse(parameters.get("startingTimestamp").map { ts =>
-      // first commit at-or-after the timestamp (CDF boundary semantics,
-      // same rule as the batch readChangeFeed path)
-      val millis = ts.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime)
-      log.firstVersionAtOrAfter(millis)
-    })
-    .getOrElse(0L)
+  private val requestedStart: Option[Long] =
+    parameters.get("startingVersion").map(_.toLong)
+      .orElse(parameters.get("startingTimestamp").map { ts =>
+        // first commit at-or-after the timestamp (CDF boundary semantics,
+        // same rule as the batch readChangeFeed path) — parsed by the ONE
+        // shared parser (session-zone, zone-suffix-aware); Timestamp.valueOf
+        // here would resolve in the JVM default zone and diverge from the
+        // batch surface on the same literal
+        val millis = ts.toLongOption.getOrElse(
+          DeltaLog.parseTimestampMillis(spark, ts))
+        log.firstVersionAtOrAfter(millis)
+      })
+  private val startingVersion: Long = {
+    val oldest = log.listCommitVersions().headOption.getOrElse(0L)
+    requestedStart match {
+      case Some(v) =>
+        // an EXPLICIT start below the oldest retained commit cannot be
+        // honored — those versions' adds are gone with the cleaned log,
+        // and silently starting later under-reports the table. Fail
+        // loudly (delta-spark errors on an unavailable starting version)
+        require(v >= oldest,
+          s"graftdelta stream: startingVersion $v predates the oldest " +
+            s"retained commit $oldest of ${log.tablePath} (log cleaned " +
+            s"past it); earliest available is $oldest")
+        v
+      // default start = earliest RETAINED commit (replay what the log
+      // still has), not version 0 of a possibly-cleaned history
+      case None => oldest
+    }
+  }
   private val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
   /** File-granular admission: at most N data files per micro-batch, even
     * when one commit carries more — the cap a 100 TB table needs (one
@@ -243,8 +264,18 @@ final class DeltaStreamSource(
     val startPartial = startV >= startingVersion && have.contains(startV) &&
       startIdxRaw != Long.MaxValue && startIdxRaw < fileCount(startV)
     val versions =
-      ((if (startPartial) Seq(startV) else Nil) ++
-        ((startV + 1) to endV)).filter(have.contains)
+      (if (startPartial) Seq(startV) else Nil) ++
+        ((startV + 1) to endV).filter(_ >= startingVersion)
+    // a planned-but-missing version means retention cleanup outran the
+    // consumer: unconsumed change is unrecoverable — fail loudly rather
+    // than silently emit a batch with holes
+    val missing = versions.filterNot(have.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graftdelta stream: commit(s) ${missing.take(3).mkString(", ")} " +
+          s"of ${log.tablePath} were retention-cleaned before this " +
+          "micro-batch read them; restart the stream from an available " +
+          "version")
     if (readChangeFeed) return getChangeBatch(versions)
     val partitioned = log.update().metadata.partitionColumns.nonEmpty
     val adds = versions.flatMap { v =>
@@ -273,10 +304,22 @@ final class DeltaStreamSource(
         if (d.startsWith("/") || d.contains("://")) d
         else new org.apache.hadoop.fs.Path(log.tablePath, d).toString
       }
-      val r = spark.read.schema(schema)
-      val df = (if (partitioned) r.option("basePath", log.tablePath.toString) else r)
-        .parquet(paths: _*)
-      df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val snap = log.update()
+      if (snap.columnMappingMode == "none") {
+        val r = spark.read.schema(schema)
+        val df = (if (partitioned) r.option("basePath", log.tablePath.toString) else r)
+          .parquet(paths: _*)
+        df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      } else {
+        // column-mapped tables store PHYSICAL names in the parquet files
+        // (and partition dirs): forcing the logical schema onto the stock
+        // parquet reader name-matches nothing and returns silent NULLs —
+        // read physically, then project back to logical names
+        val r = spark.read
+        val df = (if (partitioned) r.option("basePath", log.tablePath.toString) else r)
+          .parquet(paths: _*)
+        df.select(snap.schema.fields.map(snap.logicalColumn).toIndexedSeq: _*)
+      }
     }
     org.apache.spark.sql.GraftColumnBridge.asStreamingBatch(batch)
   }

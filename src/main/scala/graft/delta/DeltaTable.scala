@@ -327,6 +327,13 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       (if (partitioned) r.option("basePath", log.tablePath.toString) else r)
         .parquet(paths: _*)
     }
+    /** Physical→logical projection for DERIVED frames (raw data-file
+      * reads): on a column-mapped table the parquet columns carry
+      * physical names — without this the derived feed would emit
+      * col-<uuid> names (the cdc-file branch already projects). */
+    def toLogical(df: DataFrame): DataFrame =
+      if (snapshot.columnMappingMode == "none") df
+      else df.select(snapshot.schema.fields.map(snapshot.logicalColumn).toIndexedSeq: _*)
     def abs(p: String): String = {
       val d = Actions.percentDecode(p)
       if (d.startsWith("/") || d.contains("://")) d
@@ -358,7 +365,13 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
       d.map(dv => DeletionVectorStore.read(log, dv)).getOrElse(Bitmap64.empty)
     val frames = versions.flatMap { v =>
       val acts = log.readCommit(v)
-      val ts = acts.flatMap(_.commitInfo).headOption.map(_.timestamp).getOrElse(0L)
+      // ICT-aware: the stamped _commit_timestamp must agree with the
+      // timestamp rule the CDF boundaries select versions by (a commit's
+      // monotonicity-clamped inCommitTimestamp can differ from its
+      // wall-clock commitInfo.timestamp — rows must never appear
+      // timestamped before the boundary that admitted them)
+      val ts = acts.flatMap(_.commitInfo).headOption
+        .map(ci => ci.inCommitTimestamp.getOrElse(ci.timestamp)).getOrElse(0L)
       val cdcPaths = log.readCommitCdcPaths(v)
       def stamp(df: DataFrame, tpe: Option[String]): DataFrame = {
         val typed = tpe.map(t => df.withColumn("_change_type", lit(t))).getOrElse(df)
@@ -407,14 +420,14 @@ class DeltaTable private (val spark: SparkSession, val log: DeltaLog,
             .map(a => abs(a.path) -> dvBitmap(a.deletionVector)), keep = false),
           Option(freshAdds.filter(_.deletionVector.isEmpty))
             .filter(_.nonEmpty).map(as => readData(as.map(a => abs(a.path))))
-        ).flatten.map(df => stamp(df, Some("insert")))
+        ).flatten.map(df => stamp(toLogical(df), Some("insert")))
         val del = Seq(
           bitmapRows(dvDiffs, keep = true),
           bitmapRows(removedWithDv.map(r => abs(r.path) -> dvBitmap(r.deletionVector)),
             keep = false),
           Option(removedPlain).filter(_.nonEmpty)
             .map(rs => readData(rs.map(r => abs(r.path))))
-        ).flatten.map(df => stamp(df, Some("delete")))
+        ).flatten.map(df => stamp(toLogical(df), Some("delete")))
         ins ++ del
       }
     }

@@ -1008,8 +1008,18 @@ object DeltaWriter {
             }
             return latest.version
           }
+          // Retry is safe only when the winner did NOT change the schema
+          // out from under us: either the latest schema already equals
+          // what we intend to write (the metaData re-emit is then
+          // skipped), or it still equals the schema we planned against
+          // (our own evolution, if any, applies cleanly on top). Matching
+          // merely on FIELD NAMES is not enough — re-emitting our stale
+          // schemaString would silently revert a concurrent type
+          // widening / nullability / column-metadata change while the
+          // winner's files are live.
           require(latest.metadata.schemaString == schema.json ||
-              latest.metadata.schema.fieldNames.sameElements(schema.fieldNames),
+              baseSnapshot.exists(_.metadata.schemaString ==
+                latest.metadata.schemaString),
             s"Concurrent metadata change on ${log.tablePath}")
           // identity safety: our staged files hold ids computed against the
           // BASE snapshot's high-water mark — a concurrent commit that

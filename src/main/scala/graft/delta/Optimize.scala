@@ -78,8 +78,15 @@ object Optimize {
       val name = st.getPath.getName
       if (st.isDirectory) {
         // tmp-stage-*: a concurrent append's staging dir (DeltaWriter) —
-        // its files are in flight, not abandoned
-        if (name != "_delta_log" && !name.startsWith("tmp-stage-")) walk(st.getPath)
+        // its files are in flight, not abandoned. Hidden dirs (_delta_log,
+        // _symlink_format_manifest, ...) are metadata a vacuum must never
+        // touch — their files are not in `live` yet still current (e.g. a
+        // symlink manifest for Presto/Trino readers). _change_data is the
+        // one hidden dir vacuum DOES clean (CDF files age out with the
+        // same retention); partition dirs contain '=' and are never hidden.
+        val hidden = (name.startsWith("_") || name.startsWith(".")) &&
+          name != "_change_data" && !name.contains("=")
+        if (!hidden && !name.startsWith("tmp-stage-")) walk(st.getPath)
       } else if (!name.startsWith("_") && !name.startsWith(".")) {
         val p = st.getPath.toUri.getPath
         val cutoffBase = removedAt.getOrElse(p, st.getModificationTime)

@@ -83,6 +83,22 @@ class OptimizeSpec extends AnyFunSuite {
     assert(DeltaTable.forPath(spark, path).toDF.count() == expect)
   }
 
+  test("vacuum never enters hidden metadata dirs (symlink manifests survive)") {
+    // a Presto/Trino symlink manifest is never in the live file set yet is
+    // current metadata for the latest snapshot — a vacuum that walks into
+    // _-prefixed dirs deletes it once past retention, silently breaking
+    // every external reader
+    val src = Fixtures.readParquet(spark, sfDir, "region")
+    val path = tmpTable()
+    DeltaWriter.append(spark, src, path)
+    val manifest = new java.io.File(path, "_symlink_format_manifest/manifest")
+    manifest.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(manifest.toPath, "file:/x/part-0.parquet")
+    manifest.setLastModified(System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    DeltaTable.forPath(spark, path).vacuum(retentionMs = 0L, force = true)
+    assert(manifest.exists(), "vacuum must not delete symlink manifests")
+  }
+
   test("optimize compacts small files; data and time travel preserved") {
     val src = Fixtures.readParquet(spark, sfDir, "lineitem")
     val path = tmpTable()

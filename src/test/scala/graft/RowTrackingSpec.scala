@@ -324,4 +324,63 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(n, n + 1),
       s"overwrite rows must get fresh ids past the mark: ${ids.toSeq}")
   }
+
+  test("plain upsert assigns baseRowId on a row-tracked table") {
+    // the plain-upsert fast path commits its own adds: leaving them bare
+    // (no baseRowId / hwm domain update) is a rowTracking protocol
+    // violation — readers would compute null row ids for those files
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir, configuration = rtConf)
+    val maxBefore = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .agg(max(col("row_id"))).collect()(0).getLong(0)
+    val source = src.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", concat(lit("u_"), col("n_name")))
+      .unionByName(spark.range(200, 203)
+        .select(col("id").cast("int").as("n_nationkey"), lit("new").as("n_name")))
+    DeltaTable.forPath(spark, dir).upsert(source, Seq("n_nationkey"))
+    DeltaLog.clearCache()
+    val snap = DeltaTable.forPath(spark, dir).snapshot
+    assert(snap.allFiles.forall(_.baseRowId.isDefined),
+      "upsert committed adds without baseRowId on a row-tracked table")
+    val after = DeltaTable.forPath(spark, dir).toDFWithVirtualColumns
+      .select(col("n_nationkey").cast("long"), col("row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(after.forall(_._2 >= 0), "null/negative row id after upsert")
+    assert(after.map(_._2).toSet.size == after.length,
+      "duplicate row ids after upsert")
+    // replacement + inserted rows are NEW physical rows: fresh ids past
+    // the pre-upsert mark
+    assert(after.filter(_._1 >= 200).forall(_._2 > maxBefore),
+      "inserted rows must take fresh ids past the mark")
+  }
+
+  test("MERGE on a row-tracked CDF table: change feed stays id-free") {
+    // the write path materializes the row-id column into insert frames;
+    // the CDF frames must NOT carry it — a mixed UPDATE+INSERT merge
+    // would fail the strict change-data union, and an insert-only merge
+    // would pollute _change_data's schema for foreign readers
+    val dir = freshDir()
+    val src = Fixtures.readParquet(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    DeltaWriter.append(spark, src, dir,
+      configuration = rtConf + ("delta.enableChangeDataFeed" -> "true"))
+    val source = src.filter(col("n_nationkey") < 4)
+      .withColumn("n_name", concat(lit("m_"), col("n_name")))
+      .unionByName(spark.range(300, 302)
+        .select(col("id").cast("int").as("n_nationkey"), lit("ins").as("n_name")))
+    DeltaTable.forPath(spark, dir).merge(source, "n_nationkey")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    DeltaLog.clearCache()
+    val feed = DeltaTable.forPath(spark, dir).changes(1, 1)
+    assert(feed.columns.toSet ==
+      Set("n_nationkey", "n_name", "_change_type", "_commit_version",
+        "_commit_timestamp"),
+      s"CDF schema polluted: ${feed.columns.mkString(",")}")
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 2 && byType("update_preimage") == 4 &&
+      byType("update_postimage") == 4, s"unexpected feed counts: $byType")
+  }
 }
