@@ -191,7 +191,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => throw new IllegalArgumentException(
+          "simhash64(array<string>) takes exactly one argument")
+      }))
     e.injectFunction((
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -16,6 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
  * and avoid serialization of a closure per row; CodegenFallback keeps the
  * surrounding WholeStageCodegen span intact.
  */
+object TextExpressions {
+  /** Analysis-time input check shared by the text expressions: a
+    * wrong-typed argument (SQL-registered functions accept anything
+    * syntactically) must fail ANALYSIS with a clear message, never crash
+    * per-row in eval. Nullability/containsNull-insensitive, the same
+    * rule ExpectsInputTypes applies (sameType is private[sql]). */
+  private def same(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ae, _), ArrayType(be, _)) => same(ae, be)
+    case _ => a == b
+  }
+  private[functions] def requireType(e: Expression, expected: DataType,
+      fn: String): TypeCheckResult =
+    if (same(expected, e.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires ${expected.catalogString}, got ${e.dataType.catalogString}")
+}
+
 object TextHash {
   /** FNV-1a 64-bit over UTF-8 bytes — stable, allocation-free. */
   def fnv1a64(bytes: Array[Byte]): Long = {
@@ -77,7 +95,10 @@ object TextHash {
   * ~100× under long-lived multi-query sessions (provider service lookup
   * churn). The digest instance is reused per thread; `doGenCode` keeps
   * the surrounding WholeStageCodegen span. */
-case class GraftMd5Hex(child: Expression) extends UnaryExpression {
+case class GraftMd5Hex(child: Expression) extends UnaryExpression
+    {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType(child, StringType, prettyName)
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(GraftMd5Hex.hex(input.asInstanceOf[UTF8String].getBytes))
@@ -97,7 +118,10 @@ case class GraftMd5Hex(child: Expression) extends UnaryExpression {
   * skips the 32-char hex encode + String + UTF8String re-encode per row,
   * and the grouping key is 16 bytes instead of 32. Same thread-local
   * digest as [[GraftMd5Hex]]. */
-case class GraftMd5Bin(child: Expression) extends UnaryExpression {
+case class GraftMd5Bin(child: Expression) extends UnaryExpression
+    {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType(child, StringType, prettyName)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullSafeEval(input: Any): Any =
     GraftMd5Hex.digestBytes(input.asInstanceOf[UTF8String].getBytes)
@@ -143,7 +167,12 @@ object GraftMd5Hex {
 }
 
 /** simhash64(array<string>) → long. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  // wrong-typed SQL input (plain string, array<int>) must be an ANALYSIS
+  // error, not a per-row ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType(child, ArrayType(StringType), prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -160,6 +189,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 /** rolling_fingerprint(string, k) → long (k fixed at construction). */
 case class RollingFingerprint(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType(child, StringType, prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     TextHash.minRollingHash(input.asInstanceOf[UTF8String].getBytes, k)
@@ -179,6 +210,13 @@ case class RollingFingerprint(child: Expression, k: Int)
   * must build the arrays with `sort_array(collect_set(_))`. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // array<int> would silently read packed garbage through getLong —
+  // require array<long> at analysis
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = TextExpressions.requireType(left, ArrayType(LongType), prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else TextExpressions.requireType(right, ArrayType(LongType), prettyName)
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     ArrayOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -204,6 +242,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * (text_token_stats: 25% of the x30 bench wall). This is a zero-
   * allocation single pass, codegen'd into the surrounding span. */
 case class LowerAlphaCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExpressions.requireType(child, StringType, prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     ArrayOps.lowerAlphaCount(input.asInstanceOf[UTF8String])

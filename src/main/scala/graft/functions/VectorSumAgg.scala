@@ -36,6 +36,19 @@ case class VectorSumAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // any other element type would silently bit-reinterpret through
+  // getDouble (1L reads as 4.9e-324) — reject at analysis, not per row
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_sum requires array<float> or array<double>, got " +
+            other.catalogString)
+    }
+
   override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
 
   // element accessor resolved ONCE from the child's type: accepting

@@ -121,6 +121,18 @@ object StreamingOps {
         if (!df.isEmpty) {
           val log = graft.delta.DeltaLog.forPath(spark, targetTable)
           if (!log.tableExists) {
+            // the creating batch must honor the SAME dup-key precondition
+            // MERGE enforces later — a dup-keyed plain append here would
+            // permanently corrupt the target (every later batch touching
+            // that key then fails MERGE's target check)
+            val dup = df.groupBy(keyCols.map(col): _*).count()
+              .where(col("count") > 1).limit(1).collect()
+            if (dup.nonEmpty)
+              throw new IllegalStateException(
+                s"streaming upsert: creating batch $batchId carries " +
+                  s"duplicate keys (${keyCols.mkString(",")}); dedupe " +
+                  "upstream (dropDuplicates) when the feed can repeat " +
+                  "keys within one batch")
             DeltaWriter.append(spark, df, targetTable,
               txnAppId = Some(appId), txnVersion = Some(batchId),
               operation = "STREAMING UPSERT")
@@ -197,9 +209,17 @@ object StreamingOps {
       if (src.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
         src.withColumn("ts", col("ts").cast("timestamp"))
       else src
-    ts.withWatermark("ts", watermark)
+    val deduped = ts.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(dedupCols)
-      .writeStream
+    // restore the caller's ts type before the sink: the TIMESTAMP cast
+    // above exists only for watermarking — letting it flow through would
+    // silently create the target table with TIMESTAMP where the supplied
+    // schema says TIMESTAMP_NTZ (wall-clock shift in non-UTC sessions)
+    val restored =
+      if (src.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+        deduped.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      else deduped
+    restored.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         DeltaWriter.append(spark, batch.toDF(), targetTable,
@@ -249,9 +269,12 @@ object StreamingOps {
           var n = prev.events
           var v = prev.total_value
           it.foreach { e => n += 1; v += e.value }
-          val next = UserSession(user, n, math.rint(v * 100) / 100)
-          state.update(next)
-          next
+          // state keeps the UNROUNDED running sum — storing the rounded
+          // value back would compound rounding error across micro-batches
+          // (a per-event value below half a cent would vanish forever);
+          // only the EMITTED value rounds
+          state.update(UserSession(user, n, v))
+          UserSession(user, n, math.rint(v * 100) / 100)
       }
   }
 }
