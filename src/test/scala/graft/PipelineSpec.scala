@@ -24,6 +24,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("df-capped jaccard pairs ⊆ uncapped; equal when no shingle tops the cap") {
+    // regression net for any future candidate-generation restructure (an
+    // r19 posting-list variant was tried and reverted after a same-window
+    // A/B showed no local win — see OPTIMIZATION_r19.md): the capped path
+    // may only LOSE pairs whose every shared shingle exceeds the cap
+    val capped = Dedup.jaccardPairsDfCapped(docs, 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.jaccardPairs(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    val overCap = Dedup.shingles(docs).select(col("doc_id"), col("s")).distinct()
+      .groupBy("s").count().where(col("count") > 100).count()
+    if (overCap == 0) assert(capped === uncapped)
+  }
+
   test("lower_alpha_count matches length(regexp_replace) incl. unicode and nulls") {
     val rows = Seq(
       "hello World 42!", "ÀÉîöü żółć", "混合 mixed 文本 text", "",
