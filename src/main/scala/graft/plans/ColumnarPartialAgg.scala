@@ -311,6 +311,13 @@ object ColumnarPartialAgg {
       // hash at the seed (XxHash64 is never null), which the batch pass
       // replicates. Single string scan attribute only; multi-child or
       // computed inputs keep the built-in project.
+      // COLLISION CAVEAT: a 64-bit key is probabilistic-exact only below
+      // ~10^8-10^9 keys. At the 100 TB / ~10^12-doc scale that motivates
+      // the narrow key, the birthday bound expects ~n²/2⁶⁵ ≈ tens of
+      // thousands of colliding pairs — silently merged dedup groups. The
+      // md5-bin kind above (128-bit) is the exact variant at corpus
+      // scale; callers trading 8 bytes of wire width for that risk do so
+      // explicitly by choosing xxhash64 in the query.
       x.children match {
         case Seq(a: AttributeReference) if a.dataType == StringType =>
           val ord = childOutput.indexWhere(_.exprId == a.exprId)

@@ -37,25 +37,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // persists one batch-sized intermediate that must be releasable after
     // the batch result is materialized (ADVICE r19: blocks otherwise
     // accumulate until LRU eviction)
-    // settle to a clean baseline (unpersist is non-blocking → poll)
-    def rddCount: Int = spark.sparkContext.getPersistentRDDs.size
+    // Track the SPECIFIC new cached-RDD ids rather than the global count:
+    // Spark's ContextCleaner asynchronously unpersists stale caches left
+    // by earlier suites, so a count-delta assertion races against it
+    // (observed flaky in a full serial run; ids can't be confused by
+    // concurrent drops of unrelated entries).
+    def rddIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def settle(pred: => Boolean): Boolean = {
       var waited = 0
       while (!pred && waited < 10000) { Thread.sleep(100); waited += 100 }
       pred
     }
     IncrementalDedup.releaseBatchCaches() // drain anything left by other tests
-    settle(rddCount == 0)
     val path = tmpIndex()
     IncrementalDedup.appendToIndex(spark, path, corpus, txnVersion = 1L)
-    val before = rddCount
+    val before = rddIds
     val out = IncrementalDedup
       .dedupAgainstIndex(batch, DeltaTable.forPath(spark, path).toDF)
     out.collect() // materialize the batch (populates the cache)
-    assert(settle(rddCount > before),
+    def fresh: Set[Int] = rddIds -- before
+    assert(settle(fresh.nonEmpty),
       "the batch join should be persisted while the batch is in flight")
+    val created = fresh
     IncrementalDedup.releaseBatchCaches()
-    assert(settle(rddCount <= before),
+    assert(settle((rddIds & created).isEmpty),
       "releaseBatchCaches must unpersist the per-batch intermediates")
     // the released DataFrame is still usable (recomputes, same rows)
     assert(out.collect().nonEmpty)
