@@ -71,6 +71,26 @@ object Dedup {
   private def hashedShingles(docs: DataFrame): DataFrame =
     shingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
 
+  /** One-exchange candidate dedup (r20, guide §2.4 "remove shuffles
+    * outright"): repartition the raw (id_a, id_b) pair multiset by id_a
+    * FIRST, then deduplicate — HashPartitioning(id_a) satisfies the
+    * aggregate's ClusteredDistribution(id_a, id_b) (equal pairs share
+    * id_a), so the planner runs ONE complete aggregate with no second
+    * exchange, and the verify join consumes the id_a partitioning the
+    * repartition already established. The pair rows cross ONE exchange
+    * instead of two-to-three (.distinct()'s partial→exchange→final, then
+    * verify's repartition): duplicate pairs come from DIFFERENT shingle/
+    * band partitions, so .distinct()'s map-side combine could never merge
+    * them anyway — the raw multiset crossed the wire either way, plus the
+    * deduped set a second time. Same skew exposure as before (verify was
+    * already keyed on id_a). Measured (JaccardDistinctProbe, interleaved
+    * same-window A/B at sf0.1): candidates 0.95-1.37 s → 0.72-1.05 s,
+    * full row 1.35-1.66 s → 1.09-1.17 s; identical pair sets. */
+  private def dedupPairs(raw: DataFrame): DataFrame = {
+    val p = raw.sparkSession.sessionState.conf.numShufflePartitions
+    raw.repartition(p, col("id_a")).dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact-verify candidate pairs against per-doc shingle sets: two
     * hash-joins moving one set array per doc (no re-explode into
     * |pairs|·|shingles| rows), integer-only threshold 7·|∩| ≥ 2·|∪|.
@@ -82,18 +102,18 @@ object Dedup {
     *   builds a hash set per call, and Catalyst pushes the threshold into
     *   the join condition where it evaluates the intersect up to 3× per
     *   candidate pair;
-    * - the candidate side is explicitly repartitioned: candidate pairs are
-    *   ~9 bytes/row but thousands of compare-ops/row, so AQE's byte-based
-    *   coalescing otherwise collapses the verify onto ONE task;
+    * - `cands` arrives repartitioned by id_a from [[dedupPairs]] (an
+    *   explicit user repartition, which AQE's byte-based coalescing keeps
+    *   at p partitions): candidate pairs are ~9 bytes/row but thousands
+    *   of compare-ops/row, so coalescing would otherwise collapse the
+    *   verify onto ONE task;
     * - the final orderBy's range-sampling pass re-executes its child, so
-    *   the repartition exchange also caps the re-run at the (cheap,
-    *   parallel) verify rather than the whole candidate join. */
+    *   that repartition exchange also caps the re-run at the (cheap,
+    *   parallel) dedup+verify rather than the whole candidate join. */
   private def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
-    val p = cands.sparkSession.sessionState.conf.numShufflePartitions
     val inter = graft.functions.GraftFunctions
       .sortedIntersectCount(col("sa.ss"), col("sb.ss"))
     cands
-      .repartition(p, col("id_a"))
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"), inter.as("inter"),
@@ -134,10 +154,9 @@ object Dedup {
     val cold = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))
     val shc = sh.join(cold, Seq("s"))
-    val cands = shc.as("a").join(shc.as("b"),
+    val cands = dedupPairs(shc.as("a").join(shc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
     verifyPairs(cands, shingleSets(sh))
   }
 
@@ -174,11 +193,10 @@ object Dedup {
       md5(concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"mh_$i")): _*)))
     val banded = sigAndSet.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val cands = banded.as("a").join(banded.as("b"),
+    val cands = dedupPairs(banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
     verifyPairs(cands, sigAndSet.select(col("doc_id"), col("ss")))
   }
 
@@ -324,14 +342,12 @@ object Dedup {
     val cold = w.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf).select(col("s"))
     val wc = w.join(cold, Seq("s"))
-    val cands = wc.as("a").join(wc.as("b"),
+    val cands = dedupPairs(wc.as("a").join(wc.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
     val sets = w.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("s"))).as("ss"))
-    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    cands.repartition(p, col("id_a"))
+    cands
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),

@@ -39,6 +39,37 @@ class PipelineSpec extends AnyFunSuite {
     if (overCap == 0) assert(capped === uncapped)
   }
 
+  test("one-exchange pair dedup: repartition(id_a) + dropDuplicates adds no shuffle") {
+    // r20 optimization: Dedup.dedupPairs relies on HashPartitioning(id_a)
+    // satisfying the dedup aggregate's ClusteredDistribution(id_a, id_b)
+    // (equal pairs share id_a), so the aggregate plans COMPLETE with no
+    // exchange of its own — pair rows cross exactly ONE shuffle. If a
+    // Spark upgrade stops recognizing the subset-satisfies rule, the pair
+    // pipelines silently regress to two/three exchanges; this pins it.
+    import spark.implicits._
+    val raw = (1L to 1000L).flatMap(i => Seq((i % 50, i % 20), (i % 50, i % 20)))
+      .toDF("id_a", "id_b")
+    val deduped = raw.repartition(8, col("id_a")).dropDuplicates("id_a", "id_b")
+    deduped.write.format("noop").mode("overwrite").save()
+    var shuffles = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => shuffles += 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(deduped.queryExecution.executedPlan)
+    assert(shuffles === 1,
+      s"expected exactly one exchange, got $shuffles:\n${deduped.queryExecution.executedPlan}")
+    // and the dedup semantics are plain distinct
+    assert(deduped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      raw.distinct().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("lower_alpha_count matches length(regexp_replace) incl. unicode and nulls") {
     val rows = Seq(
       "hello World 42!", "ÀÉîöü żółć", "混合 mixed 文本 text", "",
