@@ -54,9 +54,22 @@ object RelationalQueries {
     // hint Spark SMJs lineitem⋈orders — shuffling the entire fact table
     // (107 MB at x10, the single largest cost in the bench) to produce a
     // join output the dim side already bounds. With it, lineitem never
-    // shuffles: one scan → BHJ → partial agg. At 100 TB that is the
-    // difference between re-clustering the fact table per query and
-    // streaming it once.
+    // shuffles: one scan → BHJ → partial agg.
+    // r20 SCALING CAVEAT (measured, BroadcastHintProbe + 8-vs-32-core run
+    // at x300, bench-rounds/r20-scaling-x300.json): the hinted side is a
+    // FILTERED FACT JOIN that grows with SF, and BroadcastExchange's
+    // collect+build is single-threaded on the driver — at x300 it is ~8 s
+    // of a 10.7 s wall (stage sum 2.6 s) and makes q3/q5 core-count-FLAT
+    // (8→32-core ratios 1.25/1.03 where true scalers read 2.1-3.7).
+    // Interleaved A/B: BROADCAST wins at x10 (0.63-0.69 s vs SHUFFLE_HASH
+    // 1.0-1.3 s — the hint saves lineitem's shuffle write), SHUFFLE_HASH
+    // wins at x300 (5.2-5.4 vs 7.0-7.5 q3; 8.0-10.5 vs 13.1-14.4 q5 —
+    // parallel per-partition builds beat the serial broadcast build). No
+    // static hint wins both; BROADCAST stays as the measured winner at
+    // the bench's scales. On a real cluster past the broadcast caps
+    // (8 GB / 512M rows — reached long before 100 TB since the hinted
+    // side scales with SF) the hint MUST yield to SHUFFLE_HASH/SMJ: drop
+    // it there and let AQE pick from runtime stats.
     "q3_join" ->
       """SELECT /*+ BROADCAST(o) */ o_orderpriority,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
